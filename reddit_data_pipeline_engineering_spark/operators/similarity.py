@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+LLM-data-pipeline extension (no reference counterpart). Three tiers:
+
+- ``cosine_topk``          — brute-force scan vs one query vector: the
+  correctness baseline. Map-only + TakeOrderedAndProject; at 100 TB it is
+  one pass over the embedding column (still the right tool for one-off
+  queries).
+- ``blocked_neardup_pairs`` — IVF-style: pairs compared only within a
+  coarse block (here: the `label` column; in production: a k-means coarse
+  centroid id). Turns O(n²) into sum of per-block O(b²) and shuffles only
+  on the block key.
+- ``lsh_bucket``            — sign-projection LSH bucket code per vector;
+  bucket-equi-join gives ANN candidates with no pairwise math at all.
+  Projections are fixed coordinate 4-sums, deterministic and
+  oracle-expressible; production would use dense Gaussian planes via a
+  broadcast matrix.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.functions.vectors import cosine
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    score = cosine(F.col(vec_col), q)
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    return (
+        df.select(F.col(id_col), score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def blocked_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs within coarse blocks (IVF-style)."""
+    a = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    score = cosine(F.col("va"), F.col("vb"))
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("blk", "id_a", "id_b", score.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# Fixed coordinate-projection planes: each bit is sign(e[i0]+e[i1]-e[i2]-e[i3]).
+# Deterministic, SQL-mirrorable; dims chosen to cover the 64-dim vector.
+DEFAULT_PLANES: tuple[tuple[int, int, int, int], ...] = tuple(
+    (p, p + 8, p + 16, p + 24) for p in range(8)
+)
+
+
+def lsh_bucket(vec: Column, planes=DEFAULT_PLANES) -> Column:
+    """Sign-projection LSH bucket code (integer in [0, 2^len(planes)))."""
+    code: Column | None = None
+    for i, (a, b, c, d) in enumerate(planes):
+        proj = (
+            vec[a].cast("double")
+            + vec[b].cast("double")
+            - vec[c].cast("double")
+            - vec[d].cast("double")
+        )
+        bit = F.when(proj > 0, F.lit(2**i)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    return code.cast("int")
+
+
+def sql_lsh_bucket(vec_expr: str, planes=DEFAULT_PLANES) -> str:
+    """DuckDB mirror of :func:`lsh_bucket` (1-based list indexing)."""
+    terms = []
+    for i, (a, b, c, d) in enumerate(planes):
+        proj = (
+            f"CAST({vec_expr}[{a + 1}] AS DOUBLE) + CAST({vec_expr}[{b + 1}] AS DOUBLE)"
+            f" - CAST({vec_expr}[{c + 1}] AS DOUBLE) - CAST({vec_expr}[{d + 1}] AS DOUBLE)"
+        )
+        terms.append(f"(CASE WHEN ({proj}) > 0 THEN {2 ** i} ELSE 0 END)")
+    return "CAST((" + " + ".join(terms) + ") AS INTEGER)"

@@ -1,0 +1,189 @@
+"""Near-duplicate detection operators for document corpora.
+
+LLM-data-pipeline extension (no reference counterpart — the reference's
+only dedup is the relational window dedup, SURVEY.md §2.5). Four families:
+
+- exact      — md5 hash-groupBy (operators/dedup.exact_hash_dedup)
+- MinHash    — per-row signature (map-only!) + banded LSH bucket join
+- n-gram Jaccard — shingle explode + equi-join on shingle
+- SimHash    — bitwise majority of token hashes, per-row
+
+Portability note: signatures use md5-derived hashes (not Spark's
+murmur3 ``F.hash``) so a DuckDB oracle computes identical values.
+MinHash "permutations" are min-of-keyed-md5 — statistically equivalent to
+k independent hash functions.
+
+Scale design:
+- signatures are pure column expressions over the token/shingle array —
+  zero shuffles; at 100 TB this is a map-only pass fused into the scan.
+- LSH candidate pairs shuffle only on (band_id, band_hash) — bucket sizes
+  are bounded by collision probability, so the join never explodes the way
+  an all-pairs comparison would.
+- Jaccard join shuffles on the shingle hash; frequent-shingle skew is the
+  known hazard — ``jaccard_candidate_pairs`` takes ``max_shingle_freq`` to
+  drop stop-shingles (standard practice) which also bounds skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.functions.text import shingles, tokens
+
+
+def _keyed_md5(seed: int, col: Column) -> Column:
+    return F.md5(F.concat(F.lit(f"{seed}|"), col))
+
+
+def _keyed_md5_fn(seed: int):
+    # NB: must return a ONE-parameter lambda — PySpark's higher-order
+    # functions treat a second lambda parameter as the array index.
+    return lambda s: _keyed_md5(seed, s)
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    shingle_len: int = 2,
+) -> DataFrame:
+    """Per-document MinHash signature: sig_k = min over shingles of
+    md5(k || '|' || shingle). Map-only — no explode, no shuffle."""
+    sh = F.array_distinct(shingles(text_col, shingle_len))
+    sigs = [
+        F.array_min(F.transform(sh, _keyed_md5_fn(k))).alias(f"sig_{k}")
+        for k in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), *sigs)
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded-LSH candidate pairs from a signature table.
+
+    Hash each band (rows_per_band consecutive sigs) to a bucket key, then
+    self-join on (band_id, bucket). Returns distinct (id_a, id_b) with
+    id_a < id_b plus the matching-band count.
+    """
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.bucket")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col(f"b.band_id"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+def jaccard_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_len: int = 2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all shingle-sharing pairs.
+
+    explode distinct shingles -> equi-join on shingle -> |A∩B| per pair;
+    |A|,|B| from per-doc distinct counts; jaccard = i / (|A|+|B|-i).
+    """
+    doc_sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_len))).alias("shingle"),
+    )
+    if max_shingle_freq is not None:
+        freq = doc_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+        doc_sh = (
+            doc_sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)),
+                        "shingle", "left_semi")
+        )
+    sizes = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = doc_sh.alias("a")
+    b = doc_sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.col("sa.set_size").alias("size_a"),
+            F.col("sb.set_size").alias("size_b"),
+            (
+                F.col("n_common")
+                / (F.col("sa.set_size") + F.col("sb.set_size") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash over token multiset, md5-derived bit planes.
+
+    h(token) = first 8 md5 hex chars as a 32-bit int; bit i of the
+    signature is the sign of sum over tokens of count * (±1 per h's bit i).
+    Explode + one groupBy (partial-aggregated) — scales as a single
+    shuffle keyed by document id.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    counted = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    counted = counted.withColumn("h", h)
+    bit_sums = [
+        F.sum(
+            F.col("cnt")
+            * (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = counted.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.alias("simhash"))

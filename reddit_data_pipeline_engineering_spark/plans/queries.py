@@ -1,0 +1,874 @@
+"""Named query registry — every implemented operator from SURVEY.md §2 as a
+(spark callable, DuckDB oracle SQL) pair.
+
+Each entry's Spark side is idiomatic DataFrame code built from the engine's
+operators; the oracle is hand-mirrored ANSI SQL the driver runs on DuckDB
+over the same parquet tables. Column names/aliases match exactly.
+
+Float-determinism policy (so value-hashes match bit-for-bit):
+- sums/means over doubles go through DECIMAL casts — exact and summation-
+  order-independent — then cast back to double (`CAST(SUM(CAST(x AS
+  DECIMAL)) AS DOUBLE)`), means as exact-sum / count;
+- pure per-row arithmetic (AQI interpolation, cosine) mirrors the exact
+  expression-tree shape so both engines execute identical IEEE ops;
+- every ORDER BY ... LIMIT carries a unique tiebreak key;
+- DuckDB `SUM(int)` returns HUGEINT and `year()` BIGINT — oracles cast to
+  BIGINT/INTEGER to match Spark's types;
+- `events.ts` is TIMESTAMP(NANOS) in parquet: Spark reads it via
+  nanosAsLong + `timestamp_micros(ts div 1000)` (sources/tables.py);
+  oracles emit `CAST(ts AS TIMESTAMP)` (ns->µs truncation — identical).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.config import EVENT_TYPES
+from reddit_data_pipeline_engineering_spark.functions import aqi as aqi_fns
+from reddit_data_pipeline_engineering_spark.functions.datetime_fns import derive_partitions
+from reddit_data_pipeline_engineering_spark.operators import audit, dedup, enrich, pivot, topk
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None
+    description: str
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, description: str, tags: tuple[str, ...] = ()):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(fn, oracle, description, tags)
+        return fn
+
+    return deco
+
+
+# Decimal casts for exact aggregation (see module docstring).
+DEC_PRICE = "12,2"   # l_extendedprice/o_totalprice < 10^10
+DEC_RATE = "6,4"     # discount/tax in [0, 1)
+DEC_VALUE = "14,4"   # events.value < 10^10
+
+
+def _dsum(col, dec: str):
+    return F.sum(col.cast(f"decimal({dec})")).cast("double")
+
+
+def _davg(col, dec: str):
+    return _dsum(col, dec) / F.count(col)
+
+
+# --------------------------------------------------------------------------
+# Relational core (reference SURVEY.md §2 operators)
+# --------------------------------------------------------------------------
+
+_Q01_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "pricing_summary",
+    _Q01_ORACLE,
+    "TPC-H Q1-shape scan+filter+group aggregate over lineitem "
+    "(reference ops S7 scan, A1 aggregation family; filter pushed to parquet)",
+    tags=("relational", "bench"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(f"decimal({DEC_PRICE})")
+    disc = F.col("l_discount").cast(f"decimal({DEC_RATE})")
+    tax = F.col("l_tax").cast(f"decimal({DEC_RATE})")
+    # The `1` literals are pinned to DECIMAL(5,4): an int literal would be
+    # decimal(10,0), inflating the product precision past 38 and triggering
+    # Spark's precision-loss rounding (observed 6e-8 drift vs the oracle).
+    one = F.lit(1).cast("decimal(5,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), DEC_PRICE).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice"), DEC_PRICE).alias("sum_base_price"),
+            # Rescale to (18,2) before the double cast: with a scale-10
+            # sum the unscaled int exceeds 2^53 and DuckDB's int128/10^s
+            # conversion drifts 1 ulp from Java BigDecimal.doubleValue.
+            F.sum(price * (one - disc))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_charge"),
+            _davg(F.col("l_quantity"), DEC_PRICE).alias("avg_qty"),
+            _davg(F.col("l_extendedprice"), DEC_PRICE).alias("avg_price"),
+            _davg(F.col("l_discount"), DEC_RATE).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q02_ORACLE = """
+SELECT e.user_id, c.c_name AS location_name, n.n_name AS nation_name,
+       COUNT(*) AS measurement_count
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY e.user_id, c.c_name, n.n_name
+ORDER BY measurement_count DESC, e.user_id
+LIMIT 20
+"""
+
+
+@query(
+    "flagship_top_locations",
+    _Q02_ORACLE,
+    "The reference's flagship dashboard query (README.md:392-396, A5/O2): "
+    "grouped count + top-k, with broadcast dimension joins (J1)",
+    tags=("relational", "bench"),
+)
+def q_flagship_top_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    dim = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    return topk.top_k(
+        joined.groupBy(
+            "user_id",
+            F.col("c_name").alias("location_name"),
+            F.col("n_name").alias("nation_name"),
+        ).agg(F.count(F.lit(1)).alias("measurement_count")),
+        [F.col("measurement_count").desc(), F.col("user_id").asc()],
+        20,
+    )
+
+
+_Q03_ORACLE = """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+FROM (
+  SELECT event_id, user_id, ts, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id, ts, event_type ORDER BY event_id) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
+@query(
+    "window_dedup",
+    _Q03_ORACLE,
+    "Deterministic window-rank dedup on (entity, ts, parameter) "
+    "(reference W1/P4, process_openaq_raw.py:131-135, with the SURVEY §2.5 "
+    "3-part key + explicit tiebreak)",
+    tags=("relational", "bench"),
+)
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return dedup.window_dedup(
+        ev, ["user_id", "ts", "event_type"], ["event_id"]
+    ).select("event_id", "user_id", "ts", "event_type", "value")
+
+
+def _pivot_cols_sql(_unused: str = "") -> str:
+    cols = []
+    for t in EVENT_TYPES:
+        cols.append(
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(14,4)) END) AS DOUBLE)"
+            f" / NULLIF(COUNT(CASE WHEN event_type = '{t}' THEN value END), 0) AS {t}"
+        )
+    return ",\n  ".join(cols)
+
+
+_Q04_ORACLE = f"""
+SELECT user_id, CAST(ts AS DATE) AS event_date,
+  {_pivot_cols_sql("user_id")}
+FROM events
+GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+
+@query(
+    "pivot_wide",
+    _Q04_ORACLE,
+    "The kernel's core long->wide pivot (A1, process_openaq_raw.py:151-159) "
+    "as static conditional aggregation over the fixed parameter set — "
+    "single hash-aggregate, streaming-safe schema",
+    tags=("relational", "bench"),
+)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    return pivot.pivot_conditional(
+        ev,
+        ["user_id", "event_date"],
+        "event_type",
+        "value",
+        EVENT_TYPES,
+        agg="avg",
+        exact_decimal=DEC_VALUE,
+    )
+
+
+_Q05_ORACLE = """
+SELECT g.user_id,
+       g.n_events,
+       CAST(g.first_ts AS TIMESTAMP) AS first_ts,
+       CAST(g.last_ts AS TIMESTAMP) AS last_ts,
+       COALESCE(CASE WHEN g.user_id = 1 THEN 'Hanoi Station'
+                     WHEN g.user_id = 2 THEN 'HCMC Station' END,
+                c.c_name, 'Unknown') AS city_name,
+       COALESCE(n.n_name, 'UNKNOWN') AS country_code,
+       COALESCE(c.c_mktsegment, 'Unknown') AS mktsegment,
+       c.c_acctbal AS acctbal
+FROM (
+  SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+  FROM events GROUP BY user_id) g
+LEFT JOIN customer c ON g.user_id = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+@query(
+    "enrich_metadata",
+    _Q05_ORACLE,
+    "Broadcast left-join enrichment + static map-literal override + "
+    "null-fill defaults (J1+J3+P5+F8: process_openaq_raw.py:179-198, "
+    "extract_api.py:355-372)",
+    tags=("relational",),
+)
+def q_enrich_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    dim = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "left")
+    out = g.join(F.broadcast(dim), g.user_id == dim.c_custkey, "left")
+    override = enrich.map_literal(
+        {1: "Hanoi Station", 2: "HCMC Station"}, F.col("user_id")
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        "first_ts",
+        "last_ts",
+        F.coalesce(override, F.col("c_name"), F.lit("Unknown")).alias("city_name"),
+        F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("country_code"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("Unknown")).alias("mktsegment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+
+_Q06_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM events e
+  WHERE e.user_id = c_custkey
+    AND e.ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY)
+"""
+
+
+@query(
+    "active_semijoin",
+    _Q06_ORACLE,
+    "Active-entity filter as a left-semi join with a 7-day lookback off the "
+    "max timestamp (P2, extract_api.py:111-186: datetimeLast >= now - 7d)",
+    tags=("relational",),
+)
+def q_active_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+    )
+    active = (
+        ev.join(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("cutoff"))
+        .select("user_id")
+    )
+    return cust.join(
+        active, cust.c_custkey == active.user_id, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_Q07_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM events e
+  WHERE e.user_id = c_custkey AND e.event_type = 'purchase')
+"""
+
+
+@query(
+    "inactive_antijoin",
+    _Q07_ORACLE,
+    "Anti-join: entities with no purchase facts (the complement of P2; "
+    "left_anti == NOT EXISTS)",
+    tags=("relational",),
+)
+def q_inactive_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return cust.join(
+        purchasers, cust.c_custkey == purchasers.user_id, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_Q08_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+       CAST(MAX(ts) AS TIMESTAMP) AS last_ts,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "minmax_profile",
+    _Q08_ORACLE,
+    "Partition-profile aggregate: COUNT/MIN/MAX/COUNT DISTINCT (A6, "
+    "historical_backfill_2025_plan.md:352-359)",
+    tags=("relational",),
+)
+def q_minmax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q09_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+       CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+       CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxfree,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query(
+    "conditional_counts",
+    _Q09_ORACLE,
+    "Conditional SUM(CASE WHEN ...) counts (A7, "
+    "historical_backfill_2025_plan.md:362-375)",
+    tags=("relational",),
+)
+def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            cnt(F.col("l_discount") > 0.05).alias("n_discounted"),
+            cnt(F.col("l_quantity") >= 25).alias("n_bulk"),
+            cnt(F.col("l_tax") == 0).alias("n_taxfree"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q10_ORACLE = """
+SELECT user_id, CAST(ts AS DATE) AS event_date,
+  CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) / COUNT(value) AS avg_value,
+  MAX(value) AS max_value,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY user_id, CAST(ts AS DATE)
+ORDER BY avg_value DESC, user_id, event_date
+LIMIT 10
+"""
+
+
+@query(
+    "daily_topk",
+    _Q10_ORACLE,
+    "Daily avg/max per entity, top-10 by avg (A8, doc/architecture.md:374-385)",
+    tags=("relational", "bench"),
+)
+def q_daily_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    g = ev.groupBy("user_id", "event_date").agg(
+        _davg(F.col("value"), DEC_VALUE).alias("avg_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return topk.top_k(
+        g,
+        [F.col("avg_value").desc(), F.col("user_id").asc(), F.col("event_date").asc()],
+        10,
+    )
+
+
+_Q11_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS user_id_nulls,
+       COUNT(CASE WHEN value IS NULL THEN 1 END) AS value_nulls,
+       COUNT(CASE WHEN props IS NULL THEN 1 END) AS props_nulls
+FROM events
+"""
+
+
+@query(
+    "null_audit",
+    _Q11_ORACLE,
+    "Single-pass null audit over critical columns (P6, "
+    "process_openaq_raw.py:228-231) — one aggregate job, not N",
+    tags=("relational",),
+)
+def q_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = audit.null_counts(ev, ["user_id", "value", "props"])
+    return ev.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(counts)
+
+
+_Q12_ORACLE = r"""
+SELECT lower(regexp_replace(p_type, '\.', '', 'g')) AS norm_type,
+       COUNT(*) AS n_parts,
+       CAST(MIN(p_retailprice) AS DOUBLE) AS min_price,
+       CAST(MAX(p_retailprice) AS DOUBLE) AS max_price
+FROM part
+GROUP BY lower(regexp_replace(p_type, '\.', '', 'g'))
+ORDER BY norm_type
+"""
+
+
+@query(
+    "normalize_group",
+    _Q12_ORACLE,
+    "Parameter-name normalization lower+strip-dots before grouping "
+    "(F4, extract_api.py:168-179: 'PM2.5' -> 'pm25')",
+    tags=("relational",),
+)
+def q_normalize_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.functions.text import normalize_token
+
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy(normalize_token("p_type").alias("norm_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+        .orderBy("norm_type")
+    )
+
+
+_Q13_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS month,
+       lpad(CAST(day(o_orderdate) AS VARCHAR), 2, '0') AS day,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@query(
+    "date_partition_rollup",
+    _Q13_ORACLE,
+    "Date-part derivation with zero-padded partition strings (F2+F3, "
+    "process_openaq_raw.py:124-127) and per-partition rollup (A6)",
+    tags=("relational",),
+)
+def q_date_partition_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderdate", "datetime"
+    )
+    withparts = derive_partitions(orders, "datetime")
+    return (
+        withparts.groupBy("year", "month", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), DEC_PRICE).alias("total_price"),
+        )
+        .orderBy("year", "month", "day")
+    )
+
+
+_Q14_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query(
+    "topk_orders",
+    _Q14_ORACLE,
+    "Global top-k with deterministic tiebreak (O2 — plans as "
+    "TakeOrderedAndProject: no full sort at any scale)",
+    tags=("relational",),
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return topk.top_k(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+_Q15_ORACLE = """
+SELECT user_id, event_date FROM (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date
+  FROM events WHERE event_type = 'purchase'
+  UNION
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date
+  FROM events WHERE event_type = 'signup'
+)
+EXCEPT
+SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date
+FROM events WHERE event_type = 'error'
+"""
+
+
+@query(
+    "set_ops",
+    _Q15_ORACLE,
+    "Set union + difference over (entity, day) activity sets (U1/U2; "
+    "union of page scans, exceptAll in tests — extract_api.py:94,256)",
+    tags=("relational",),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def days(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .select("user_id", F.to_date("ts").alias("event_date"))
+            .distinct()
+        )
+
+    return days("purchase").union(days("signup")).distinct().subtract(days("error"))
+
+
+_Q16_ORACLE = f"""
+WITH deduped AS (
+  SELECT user_id, ts, event_type, value FROM (
+    SELECT user_id, ts, event_type, value,
+           row_number() OVER (
+             PARTITION BY user_id, ts, event_type ORDER BY event_id) AS rn
+    FROM events)
+  WHERE rn = 1
+), wide AS (
+  SELECT user_id, CAST(ts AS DATE) AS event_date,
+    {_pivot_cols_sql("user_id")}
+  FROM deduped
+  GROUP BY user_id, CAST(ts AS DATE)
+), enriched AS (
+  SELECT CAST(w.user_id AS VARCHAR) AS location_id,
+         w.event_date,
+         w.click, w.error, w.purchase, w.signup, w.view,
+         COALESCE(CASE WHEN CAST(w.user_id AS VARCHAR) = '1' THEN 'Hanoi Station'
+                       WHEN CAST(w.user_id AS VARCHAR) = '2' THEN 'HCMC Station' END,
+                  c.c_name, 'Unknown') AS city_name,
+         COALESCE(n.n_name, 'UNKNOWN') AS country_code,
+         COALESCE(c.c_mktsegment, 'Unknown') AS mktsegment
+  FROM wide w
+  LEFT JOIN customer c ON w.user_id = c.c_custkey
+  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT location_id, event_date,
+       CAST(year(event_date) AS INTEGER) AS year,
+       lpad(CAST(month(event_date) AS VARCHAR), 2, '0') AS month,
+       lpad(CAST(day(event_date) AS VARCHAR), 2, '0') AS day,
+       click, error, purchase, signup, view,
+       city_name, country_code, mktsegment
+FROM enriched
+"""
+
+
+@query(
+    "marts_kernel",
+    _Q16_ORACLE,
+    "The full analytics kernel end-to-end (SURVEY.md §3.2): dedup (W1) -> "
+    "static pivot (A1) -> broadcast enrich + defaults (J1/J3/P5) -> "
+    "partition columns (F2/F3). The engine's flagship query.",
+    tags=("relational", "bench", "kernel"),
+)
+def q_marts_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.plans.marts import build_marts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    dim = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "left")
+    wide = build_marts(
+        ev,
+        dim,
+        entity_col="user_id",
+        ts_col="ts",
+        param_col="event_type",
+        value_col="value",
+        param_values=list(EVENT_TYPES),
+        tiebreak=["event_id"],
+        dim_key="c_custkey",
+        dim_cols={
+            "city_name": "c_name",
+            "country_code": "n_name",
+            "mktsegment": "c_mktsegment",
+        },
+        fill_defaults={
+            "city_name": "Unknown",
+            "country_code": "UNKNOWN",
+            "mktsegment": "Unknown",
+        },
+        static_overrides=(
+            "city_name",
+            {"1": "Hanoi Station", "2": "HCMC Station"},
+        ),
+        exact_decimal=DEC_VALUE,
+        group_ts_col="event_date",
+        ts_out_name="event_date",
+    )
+    return wide.select(
+        "location_id",
+        "event_date",
+        "year",
+        "month",
+        "day",
+        *EVENT_TYPES,
+        "city_name",
+        "country_code",
+        "mktsegment",
+    )
+
+
+def _aqi_oracle() -> str:
+    conc = {
+        "pm25": "click",
+        "pm10": "view",
+        "no2": "error",
+        "so2": "signup",
+        "co": "purchase_scaled",
+        "o3": "click_scaled",
+    }
+    bundle = aqi_fns.sql_aqi_bundle(conc)
+    sub_cols = ",\n    ".join(
+        f"{bundle[f'sub_{p}']} AS sub_{p}" for p in conc
+    )
+    return f"""
+WITH wide AS (
+  SELECT user_id, CAST(ts AS DATE) AS event_date,
+    {_pivot_cols_sql("user_id")}
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+), conc AS (
+  SELECT user_id, event_date, click, view, error, signup,
+         purchase / 50.0 AS purchase_scaled,
+         click / 5.0 AS click_scaled
+  FROM wide
+), subs AS (
+  SELECT user_id, event_date,
+    {sub_cols}
+  FROM conc
+), with_aqi AS (
+  SELECT user_id, event_date,
+         {bundle['aqi']} AS aqi,
+         sub_pm25, sub_pm10, sub_no2, sub_so2, sub_co, sub_o3
+  FROM subs
+)
+SELECT user_id, event_date,
+       ROUND(aqi, 4) AS aqi,
+       {bundle['dominant_pollutant']} AS dominant_pollutant,
+       {bundle['aqi_level']} AS aqi_level
+FROM with_aqi
+"""
+
+
+@query(
+    "aqi_bundle",
+    _aqi_oracle(),
+    "EPA AQI (sub-index interpolation, max-combine, dominant pollutant, "
+    "level) as native expressions — the reference's unshipped UDF plan "
+    "(doc/archive/AQI Calculation Implementation Plan.md) done the "
+    "Catalyst-friendly way (SURVEY.md §2.10)",
+    tags=("relational", "aqi"),
+)
+def q_aqi_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    wide = pivot.pivot_conditional(
+        ev,
+        ["user_id", "event_date"],
+        "event_type",
+        "value",
+        EVENT_TYPES,
+        agg="avg",
+        exact_decimal=DEC_VALUE,
+    )
+    conc = {
+        "pm25": F.col("click"),
+        "pm10": F.col("view"),
+        "no2": F.col("error"),
+        "so2": F.col("signup"),
+        "co": F.col("purchase") / F.lit(50.0),
+        "o3": F.col("click") / F.lit(5.0),
+    }
+    sub = {p: aqi_fns.subindex(c, p) for p, c in conc.items()}
+    with_subs = wide.select(
+        "user_id",
+        "event_date",
+        *[s.alias(f"sub_{p}") for p, s in sub.items()],
+    )
+    sub_cols = {p: F.col(f"sub_{p}") for p in conc}
+    aqi_col = aqi_fns.overall_aqi(sub_cols)
+    with_aqi = with_subs.withColumn("aqi", aqi_col)
+    return with_aqi.select(
+        "user_id",
+        "event_date",
+        F.round(F.col("aqi"), 4).alias("aqi"),
+        aqi_fns.dominant_pollutant(F.col("aqi"), sub_cols).alias(
+            "dominant_pollutant"
+        ),
+        aqi_fns.aqi_level(F.col("aqi")).alias("aqi_level"),
+    )
+
+
+_Q18_ORACLE = """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+  CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_seq
+FROM events
+"""
+
+
+@query(
+    "running_sum",
+    _Q18_ORACLE,
+    "Cumulative windowed sum + sequence per entity (window-frame extension "
+    "beyond the reference's W1; rowsBetween frame)",
+    tags=("relational", "window"),
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast(f"decimal({DEC_VALUE})"))
+        .over(frame)
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(w).alias("event_seq"),
+    )
+
+
+_Q19_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(1 + SUM(CASE WHEN prev_ts IS NOT NULL
+                          AND ts - prev_ts > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM gaps
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query(
+    "sessionize",
+    _Q19_ORACLE,
+    "Sessionization via lag + gap threshold (common OLAP pattern; "
+    "streaming twin uses session_window — streaming/kernel.py)",
+    tags=("relational", "window"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    new_session = F.when(
+        F.col("prev_ts").isNotNull()
+        & (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.lit(1) + F.sum(new_session)).cast("long").alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    """Driver contract: name -> (spark, sf_dir) -> DataFrame."""
+    # Importing the LLM module registers its queries.
+    import reddit_data_pipeline_engineering_spark.plans.queries_llm  # noqa: F401
+
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    """Driver contract: name -> DuckDB oracle SQL (omitted for non-SQL ops)."""
+    import reddit_data_pipeline_engineering_spark.plans.queries_llm  # noqa: F401
+
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+    }

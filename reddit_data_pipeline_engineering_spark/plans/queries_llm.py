@@ -1,0 +1,520 @@
+"""LLM-data-pipeline queries: dedup, text analysis, similarity search.
+
+Engine extensions beyond the reference surface (BASELINE.json north star):
+every operator a large-scale training-data pipeline needs, expressed
+Spark-first over the `documents` (text) and `embeddings` (array<float>)
+tables, each with a DuckDB oracle.
+
+Portability conventions (so value-hashes match):
+- hashes are md5 (not Spark murmur3) — identical hex strings both engines;
+- MinHash permutations = min over keyed md5 strings (statistically
+  equivalent to k hash functions, exactly reproducible in SQL);
+- DuckDB `len()`/`length()` return BIGINT where Spark `size()/length()`
+  return INT — oracles cast to INTEGER;
+- DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+  replace-all semantics;
+- dot products are explicit left-to-right element sums in SQL, matching
+  Spark's sequential `F.aggregate` fold bit-for-bit (0.0 + x == x).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.functions import text as tx
+from reddit_data_pipeline_engineering_spark.functions.vectors import cosine
+from reddit_data_pipeline_engineering_spark.operators import dedup, similarity, text_dedup, topk
+from reddit_data_pipeline_engineering_spark.plans.queries import query
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+# DuckDB token-array expression shared by the oracle CTEs (mirrors
+# functions.text.tokens: trim -> whitespace split -> drop empties).
+_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+
+
+def _sql_shingles(toks: str, n: int) -> str:
+    """DuckDB word n-gram shingles mirroring functions.text.shingles."""
+    return (
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@query(
+    "exact_dedup",
+    _EXACT_DEDUP_ORACLE,
+    "Exact content dedup via md5 hash-groupBy: one shuffle on a 128-bit "
+    "key with map-side combine — the canonical 100 TB exact-dedup plan",
+    tags=("llm", "dedup", "bench"),
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_hash_dedup(docs, "text", "doc_id")
+
+
+_MINHASH_SIG_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct({_sql_shingles('toks', 2)}) AS shingles FROM toks
+)
+SELECT doc_id,
+  {", ".join(f"list_min(list_transform(shingles, s -> md5('{k}|' || s))) AS sig_{k}" for k in range(8))}
+FROM sh
+"""
+
+
+@query(
+    "minhash_signatures",
+    _MINHASH_SIG_ORACLE,
+    "Per-document MinHash signature (8 keyed-md5 mins over word 2-gram "
+    "shingles) — pure column expressions, zero shuffles: a map-only pass "
+    "fused into the scan at any scale",
+    tags=("llm", "dedup", "bench"),
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_dedup.minhash_signature(
+        docs, "text", "doc_id", num_hashes=8, shingle_len=2
+    )
+
+
+def _lsh_bands_sql() -> str:
+    bands = []
+    for b in range(4):
+        s0, s1 = f"sig_{2 * b}", f"sig_{2 * b + 1}"
+        bands.append(
+            f"SELECT doc_id, {b} AS band_id, md5({s0} || '|' || {s1}) AS bucket FROM sigs"
+        )
+    return " UNION ALL ".join(bands)
+
+
+_MINHASH_LSH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct({_sql_shingles('toks', 2)}) AS shingles FROM toks
+), sigs AS (
+  SELECT doc_id,
+    {", ".join(f"list_min(list_transform(shingles, s -> md5('{k}|' || s))) AS sig_{k}" for k in range(8))}
+  FROM sh
+), buckets AS (
+  {_lsh_bands_sql()}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands_matched
+FROM buckets a
+JOIN buckets b
+  ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@query(
+    "minhash_lsh_pairs",
+    _MINHASH_LSH_ORACLE,
+    "Banded-LSH near-duplicate candidate pairs (4 bands x 2 rows): the "
+    "shuffle is keyed on (band, bucket), so candidate generation never "
+    "does all-pairs work",
+    tags=("llm", "dedup", "bench"),
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = text_dedup.minhash_signature(
+        docs, "text", "doc_id", num_hashes=8, shingle_len=2
+    )
+    return text_dedup.minhash_lsh_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+
+
+_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct({_sql_shingles('toks', 3)})) AS shingle FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_common,
+       sa.set_size AS size_a, sb.set_size AS size_b,
+       n_common / (sa.set_size + sb.set_size - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+ORDER BY jaccard DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+@query(
+    "ngram_jaccard_topk",
+    _JACCARD_ORACLE,
+    "Exact word-3-gram Jaccard for shingle-sharing pairs, top-20: "
+    "explode distinct shingles -> equi-join on shingle (skew bounded by "
+    "stop-shingle cap in the operator) -> intersection counts",
+    tags=("llm", "dedup", "bench"),
+)
+def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = text_dedup.jaccard_candidate_pairs(
+        docs, "text", "doc_id", shingle_len=3
+    )
+    return topk.top_k(
+        pairs,
+        [F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc()],
+        20,
+    )
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(cnt * (CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) AS b{i}"
+        for i in range(bits)
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), counted AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+  FROM tok GROUP BY doc_id, tok
+), bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM counted GROUP BY doc_id
+)
+SELECT doc_id, ({bit_terms}) AS simhash FROM bits
+"""
+
+
+@query(
+    "simhash",
+    _simhash_oracle(32),
+    "32-bit SimHash per document (md5-derived bit planes, token-count "
+    "weighted majority): explode + one doc-keyed shuffle with partial agg",
+    tags=("llm", "dedup"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_dedup.simhash(docs, "text", "doc_id", bits=32)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_TOKEN_STATS_ORACLE = rf"""
+SELECT doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars,
+  CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct_tokens,
+  CAST(length(regexp_replace(text, '\s', '', 'g')) AS INTEGER) AS n_nonspace_chars,
+  CAST(length(regexp_replace(text, '\s', '', 'g')) AS INTEGER)
+    / CAST(len({_TOKS}) AS INTEGER) AS avg_token_len
+FROM documents
+"""
+
+
+@query(
+    "token_stats",
+    _TOKEN_STATS_ORACLE,
+    "Token counting per document (whitespace tokenizer): char/token/"
+    "distinct-token counts and mean token length, all JVM expressions",
+    tags=("llm", "text"),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    ntok = tx.token_count("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        ntok.alias("n_tokens"),
+        tx.distinct_token_count("text").alias("n_distinct_tokens"),
+        nonspace.alias("n_nonspace_chars"),
+        (nonspace / ntok).alias("avg_token_len"),
+    )
+
+
+_STOP_PATTERN = r"\b(" + "|".join(tx.STOPWORDS) + r")\b"
+
+_QUALITY_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+    CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct,
+    CAST(len(regexp_extract_all(text, '{_STOP_PATTERN}')) AS INTEGER) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_distinct, n_stopwords,
+  n_distinct / n_tokens AS distinct_ratio,
+  n_stopwords / n_tokens AS stopword_ratio,
+  ROUND(0.6 * (n_distinct / n_tokens) + 0.4 * (1.0 - (n_stopwords / n_tokens)), 6) AS quality_score
+FROM base
+"""
+
+
+@query(
+    "quality_score",
+    _QUALITY_ORACLE,
+    "Document quality scoring: lexical-diversity + stopword-density "
+    "composite (training-data filter heuristic), pure expressions",
+    tags=("llm", "text"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.distinct_token_count("text").alias("n_distinct"),
+        tx.stopword_count("text").alias("n_stopwords"),
+    )
+    dr = F.col("n_distinct") / F.col("n_tokens")
+    sr = F.col("n_stopwords") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "n_stopwords",
+        dr.alias("distinct_ratio"),
+        sr.alias("stopword_ratio"),
+        F.round(F.lit(0.6) * dr + F.lit(0.4) * (F.lit(1.0) - sr), 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+_LANGS = tuple(tx.LANG_MARKERS)  # fixed order: en, es, de, fr, zh
+
+
+def _lang_id_oracle() -> str:
+    score_cols = ",\n    ".join(
+        rf"CAST(len(regexp_extract_all(text, '\b({'|'.join(m)})\b')) AS INTEGER) AS s_{lang}"
+        for lang, m in tx.LANG_MARKERS.items()
+    )
+    cases = []
+    langs = list(_LANGS)
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    pred = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+    {score_cols}
+  FROM documents
+)
+SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+       {pred} AS pred_lang,
+       ({pred}) = lang AS is_match
+FROM scores
+"""
+
+
+@query(
+    "lang_id",
+    _lang_id_oracle(),
+    "Heuristic language ID: per-language marker-token counts, first-max "
+    "argmax (n-gram heuristic family; deterministic + SQL-mirrorable)",
+    tags=("llm", "text"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(
+                F.regexp_extract_all(
+                    F.col("text"),
+                    F.lit(r"\b(" + "|".join(m) + r")\b"),
+                    F.lit(0),
+                )
+            ).alias(f"s_{lang}")
+            for lang, m in tx.LANG_MARKERS.items()
+        ],
+    )
+    langs = list(_LANGS)
+    pred = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for o in langs[i + 1:]:
+            c = F.col(f"s_{lang}") >= F.col(f"s_{o}")
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, F.lit(lang))
+            if pred is None
+            else pred.when(cond, F.lit(lang))
+        )
+    pred = pred.otherwise(F.lit(langs[-1]))
+    return scores.select(
+        "doc_id",
+        "lang",
+        "s_en",
+        "s_es",
+        "s_de",
+        "s_fr",
+        "s_zh",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+  md5(array_to_string(list_transform(toks, t -> lower(t)), ' ')) AS fp_full,
+  list_min(list_transform({_sql_shingles('toks', 5)}, s -> md5(s))) AS fp_winnow
+FROM toks
+"""
+
+
+@query(
+    "fingerprint",
+    _FINGERPRINT_ORACLE,
+    "Document fingerprinting: whole-text md5 over the normalized token "
+    "stream + winnowing-lite min-hash over rolling word 5-grams",
+    tags=("llm", "text"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.full_fingerprint("text").alias("fp_full"),
+        tx.winnow_fingerprint("text", 5).alias("fp_winnow"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_DIM = 64
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Explicit left-associated element-product sum (matches Spark's fold)."""
+    return " + ".join(
+        f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)"
+        for i in range(_DIM)
+    )
+
+
+_COSINE_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id,
+       ROUND(({_sql_dot('e.embedding', 'q.qe')})
+             / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                * sqrt({_sql_dot('q.qe', 'q.qe')})), 6) AS cosine
+FROM embeddings e CROSS JOIN q
+ORDER BY cosine DESC, e.vec_id
+LIMIT 20
+"""
+
+
+@query(
+    "cosine_topk",
+    _COSINE_TOPK_ORACLE,
+    "Brute-force cosine top-k vs a query vector (ANN correctness "
+    "baseline): map-only scan + TakeOrderedAndProject, one pass at any "
+    "scale",
+    tags=("llm", "similarity", "bench"),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    return similarity.cosine_topk(
+        emb, "embedding", "vec_id", [float(x) for x in qvec], k=20
+    )
+
+
+_BLOCKED_PAIRS_ORACLE = f"""
+SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(({_sql_dot('a.embedding', 'b.embedding')})
+             / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
+                * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+ORDER BY cosine DESC, id_a, id_b
+LIMIT 50
+"""
+
+
+@query(
+    "embedding_blocked_topk",
+    _BLOCKED_PAIRS_ORACLE,
+    "IVF-style embedding near-duplicate search: pairs compared only "
+    "within a coarse block (label as the centroid id) — O(sum b^2) "
+    "instead of O(n^2), shuffle keyed on the block",
+    tags=("llm", "similarity", "bench"),
+)
+def q_embedding_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.blocked_neardup_pairs(
+        emb, "embedding", "vec_id", "label", threshold=-2.0
+    )
+    return topk.top_k(
+        pairs,
+        [F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()],
+        50,
+    )
+
+
+_ANN_LSH_ORACLE = f"""
+SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM (
+  SELECT vec_id, {similarity.sql_lsh_bucket('embedding')} AS bucket
+  FROM embeddings)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query(
+    "ann_lsh_buckets",
+    _ANN_LSH_ORACLE,
+    "Sign-projection LSH bucketing for ANN candidate generation: "
+    "8-bit bucket code per vector (fixed coordinate projections), "
+    "bucket histogram — equi-join on bucket replaces pairwise math",
+    tags=("llm", "similarity"),
+)
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = emb.select(
+        "vec_id", similarity.lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    return (
+        coded.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("bucket")
+    )

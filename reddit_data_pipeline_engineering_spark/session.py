@@ -1,0 +1,78 @@
+"""SparkSession factory.
+
+Replaces the reference's per-service runtimes (Lambda Python, Glue Spark,
+Athena Presto — SURVEY.md §3) with one local/cluster SparkSession profile.
+
+Scale notes (targets a 1000-executor cluster even though tests run
+``local[N]``): AQE on for runtime re-planning / skew-join handling /
+partition coalescing; shuffle partitions sized to cores locally (the
+cluster profile would set it to 2-3x total cores); session timezone pinned
+to UTC so ISO-8601 ``+07:00`` inputs normalize identically everywhere
+(reference behavior: ``glue_jobs/process_openaq_raw.py:118-121``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs every engine entry point applies, so the engine
+# behaves identically under a SparkSession it did not build (e.g. the
+# verification driver's).
+RUNTIME_CONFS = {
+    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects; read as long ns-since-epoch and convert (sources.tables).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply engine-required runtime-settable confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build; builder-configured sessions have it
+    return spark
+
+
+def get_spark(
+    app_name: str = "rdpe-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract);
+    ``shuffle_partitions`` defaults to the local core count — the Spark
+    default of 200 over-parallelizes local runs and under-parallelizes
+    large clusters (set explicitly per deployment).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("RDPE_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)
