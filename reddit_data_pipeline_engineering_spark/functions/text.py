@@ -61,14 +61,16 @@ def stopword_count(col: Column | str, stopwords=STOPWORDS) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
 
 
-def shingles(col: Column | str, n: int) -> Column:
-    """Word n-gram shingle array (consecutive n tokens joined by space).
+def shingles_of(toks_col: Column | str, n: int) -> Column:
+    """Word n-gram shingle array from a MATERIALIZED token-array column.
 
-    Pure array expressions: transform over an index sequence + slice +
-    array_join — JVM-side, codegen'd, no explode until the caller wants
-    set semantics.
+    The token column must be a plain attribute (staged in a prior
+    projection), not an inline ``tokens(text)`` expression: the slice
+    lambda evaluates its input once per shingle index, so an inline
+    tokenization degrades to O(tokens^2) string work per row (observed
+    10x on the LSH bench before staging).
     """
-    t = tokens(col)
+    t = F.col(toks_col) if isinstance(toks_col, str) else toks_col
     # sequence(0, size-n) yields start indices; guard size<n -> empty array.
     idx = F.when(
         F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)
@@ -76,6 +78,16 @@ def shingles(col: Column | str, n: int) -> Column:
     return F.transform(
         idx, lambda i: F.array_join(F.slice(t, i + 1, n), " ")
     )
+
+
+def shingles(col: Column | str, n: int) -> Column:
+    """Word n-gram shingle array straight from a text column.
+
+    Convenience for small/one-shot expressions; hot paths should stage
+    ``tokens()`` into a column first and use :func:`shingles_of` (see the
+    O(tokens^2) note there).
+    """
+    return shingles_of(tokens(col), n)
 
 
 def char_ngrams(col: Column | str, n: int) -> Column:
@@ -87,17 +99,30 @@ def char_ngrams(col: Column | str, n: int) -> Column:
     return F.transform(idx, lambda i: F.substring(c, i, n))
 
 
+def full_fingerprint_of(toks_col: Column | str) -> Column:
+    """Whole-document fingerprint: md5 of the normalized token stream
+    (input: a materialized token-array column)."""
+    t = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    return F.md5(F.array_join(F.transform(t, lambda x: F.lower(x)), " "))
+
+
 def full_fingerprint(col: Column | str) -> Column:
-    """Whole-document fingerprint: md5 of the normalized token stream."""
-    return F.md5(F.array_join(F.transform(tokens(col), lambda t: F.lower(t)), " "))
+    """Whole-document fingerprint straight from a text column."""
+    return full_fingerprint_of(tokens(col))
 
 
-def winnow_fingerprint(col: Column | str, window: int = 5) -> Column:
-    """Winnowing-lite rolling fingerprint: min md5 over word 5-gram windows.
+def winnow_fingerprint_of(toks_col: Column | str, window: int = 5) -> Column:
+    """Winnowing-lite rolling fingerprint: min md5 over word 5-gram windows
+    (input: a materialized token-array column — see shingles_of note).
 
     A scale-friendly stand-in for rolling-hash winnowing: the minimum
     shingle hash is shift-invariant, so near-identical documents collide.
     """
-    sh = shingles(col, window)
-    hashed = F.transform(sh, F.md5)
+    hashed = F.transform(shingles_of(toks_col, window), F.md5)
     return F.array_min(hashed)
+
+
+def winnow_fingerprint(col: Column | str, window: int = 5) -> Column:
+    """Winnowing-lite fingerprint straight from a text column (small inputs;
+    hot paths stage tokens() and use winnow_fingerprint_of)."""
+    return winnow_fingerprint_of(tokens(col), window)

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from reddit_data_pipeline_engineering_spark.functions.text import shingles, tokens
+from reddit_data_pipeline_engineering_spark.functions.text import shingles_of, tokens
 
 
 def _keyed_md5(seed: int, col: Column) -> Column:
@@ -50,13 +50,23 @@ def minhash_signature(
     shingle_len: int = 2,
 ) -> DataFrame:
     """Per-document MinHash signature: sig_k = min over shingles of
-    md5(k || '|' || shingle). Map-only — no explode, no shuffle."""
-    sh = F.array_distinct(shingles(text_col, shingle_len))
+    md5(k || '|' || shingle). Map-only — no explode, no shuffle.
+
+    Tokens and the shingle array are staged through separate projections so
+    each is computed once per row; Catalyst keeps the stages because the
+    aliased expressions are non-cheap and multiply referenced (inlining
+    them re-tokenizes per shingle index and per signature — 10x slower).
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    shingled = toked.select(
+        F.col(id_col),
+        F.array_distinct(shingles_of("__toks", shingle_len)).alias("__sh"),
+    )
     sigs = [
-        F.array_min(F.transform(sh, _keyed_md5_fn(k))).alias(f"sig_{k}")
+        F.array_min(F.transform("__sh", _keyed_md5_fn(k))).alias(f"sig_{k}")
         for k in range(num_hashes)
     ]
-    return df.select(F.col(id_col), *sigs)
+    return shingled.select(F.col(id_col), *sigs)
 
 
 def minhash_lsh_pairs(
@@ -67,9 +77,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Banded-LSH candidate pairs from a signature table.
 
-    Hash each band (rows_per_band consecutive sigs) to a bucket key, then
-    self-join on (band_id, bucket). Returns distinct (id_a, id_b) with
-    id_a < id_b plus the matching-band count.
+    Hash each band (rows_per_band consecutive sigs) to a bucket key,
+    group by (band_id, bucket), and generate within-bucket pairs from the
+    collected sorted id list (id_a < id_b), then count matching bands per
+    pair. One shuffle keyed on the bucket + one keyed on the pair — the
+    expensive signature lineage is computed ONCE (a self-join would
+    recompute it for both sides). Per-bucket memory is bounded because LSH
+    bucket sizes are collision-bounded by construction.
     """
     rows_per_band = num_hashes // bands
     band_structs = []
@@ -85,18 +99,24 @@ def minhash_lsh_pairs(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, "band.band_id", "band.bucket")
 
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    grouped = buckets.groupBy("band_id", "bucket").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    # All ordered pairs from the sorted id list: element i with every
+    # element after it (the 2-arg transform lambda receives (value, index)).
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col(f"a.band_id") == F.col(f"b.band_id"))
-            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands_matched"))
     )
 
@@ -110,46 +130,58 @@ def jaccard_candidate_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for all shingle-sharing pairs.
 
-    explode distinct shingles -> equi-join on shingle -> |A∩B| per pair;
-    |A|,|B| from per-doc distinct counts; jaccard = i / (|A|+|B|-i).
+    Each document's distinct-shingle set size rides along with the explode,
+    so the whole computation is two shuffles and zero joins: group by
+    shingle -> within-shingle pair generation from the collected (id, size)
+    list -> per-pair intersection count; jaccard = i / (|A|+|B|-i).
+
+    ``max_shingle_freq`` drops stop-shingles (standard practice): it bounds
+    both the f^2 pair blow-up and per-shingle skew/memory at scale.
     """
-    doc_sh = df.select(
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    shingled = toked.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, shingle_len))).alias("shingle"),
+        F.array_distinct(shingles_of("__toks", shingle_len)).alias("__sh"),
+    )
+    doc_sh = shingled.select(
+        F.col(id_col),
+        F.size("__sh").alias("set_size"),
+        F.explode("__sh").alias("shingle"),
+    )
+    grouped = doc_sh.groupBy("shingle").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("set_size")))
+        ).alias("docs")
     )
     if max_shingle_freq is not None:
-        freq = doc_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-        doc_sh = (
-            doc_sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)),
-                        "shingle", "left_semi")
+        grouped = grouped.filter(F.size("docs") <= max_shingle_freq)
+    pairs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + F.lit(2), F.size("docs")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["set_size"].alias("size_a"),
+                    y["set_size"].alias("size_b"),
+                ),
+            ),
         )
-    sizes = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-
-    a = doc_sh.alias("a")
-    b = doc_sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        grouped.select(F.explode(pairs).alias("p"))
+        .groupBy("p.id_a", "p.id_b", "p.size_a", "p.size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .select(
             "id_a",
             "id_b",
             "n_common",
-            F.col("sa.set_size").alias("size_a"),
-            F.col("sb.set_size").alias("size_b"),
+            "size_a",
+            "size_b",
             (
                 F.col("n_common")
-                / (F.col("sa.set_size") + F.col("sb.set_size") - F.col("n_common"))
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
             ).alias("jaccard"),
         )
     )

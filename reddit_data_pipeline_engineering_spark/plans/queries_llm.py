@@ -401,10 +401,11 @@ FROM toks
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    toked = docs.select("doc_id", tx.tokens("text").alias("__toks"))
+    return toked.select(
         "doc_id",
-        tx.full_fingerprint("text").alias("fp_full"),
-        tx.winnow_fingerprint("text", 5).alias("fp_winnow"),
+        tx.full_fingerprint_of("__toks").alias("fp_full"),
+        tx.winnow_fingerprint_of("__toks", 5).alias("fp_winnow"),
     )
 
 
