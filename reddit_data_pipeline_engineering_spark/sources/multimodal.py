@@ -1,0 +1,217 @@
+"""Multimodal asset columns: image/audio/video as opaque binary + typed
+metadata (engine extension; the reference is text/numeric only).
+
+Design for 100 TB of mixed-media training data:
+- assets are rows of ``schemas.MULTIMODAL_ASSET``: a ``binary`` payload
+  column plus typed metadata (modality, mime, dims, duration) so filters
+  and partition pruning never touch payload bytes;
+- payloads stay OUT of shuffle keys; pipelines group/filter on metadata and
+  only stream payload bytes through Arrow-batched ``mapInPandas`` stages;
+- decode / feature-extract / resize / frame-sample are ``mapInPandas``
+  generators: per-batch pandas in, per-batch pandas out, so Python cost is
+  amortized over Arrow batches (never row-at-a-time UDFs).
+
+The actual codec work is STUBBED: image/audio libraries are not available
+in this environment, so ``decode_payload`` understands only the engine's
+deterministic synthetic payload format and raises ``NotImplementedError``
+for real media types. The Spark-side plumbing — schemas, batch iteration,
+partitioning behavior — is real and tested.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from reddit_data_pipeline_engineering_spark.schemas import MULTIMODAL_ASSET
+
+# Synthetic payload layout: magic(4s) | width(i) | height(i) | then
+# width*height pseudo-pixel bytes generated from the asset id.
+_MAGIC = b"FAKE"
+_HEADER = struct.Struct("<4sii")
+
+
+def encode_payload(width: int, height: int, pixels: bytes) -> bytes:
+    """Pack pixels into the synthetic payload format.
+
+    Plain function (not the module-level struct.Struct) so worker-side
+    closures can reference it — struct.Struct objects don't pickle.
+    """
+    return struct.pack("<4sii", _MAGIC, width, height) + pixels
+
+
+def synth_payload(asset_id: int, width: int, height: int) -> bytes:
+    """Deterministic fake media payload (stands in for JPEG/WAV bytes)."""
+    body = bytes(
+        (asset_id * 31 + i * 7) % 256 for i in range(width * height)
+    )
+    return encode_payload(width, height, body)
+
+
+def synthesize_assets(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic asset table for tests/demos (schema-contract rows)."""
+    rows = []
+    for i in range(n):
+        modality = ("image", "audio", "video")[i % 3]
+        w, h = 8 + (i % 5), 6 + (i % 4)
+        rows.append(
+            (
+                i,
+                modality,
+                synth_payload(i, w, h),
+                {"image": "image/fake", "audio": "audio/fake", "video": "video/fake"}[
+                    modality
+                ],
+                w,
+                h,
+                1000 * (i % 30) if modality != "image" else None,
+                {"source": f"synth{i % 4}"},
+            )
+        )
+    return spark.createDataFrame(rows, MULTIMODAL_ASSET)
+
+
+def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode one synthetic payload -> (width, height, pixels).
+
+    Real decoders (PIL/libav/...) are not installed in this environment;
+    anything that is not the synthetic format raises NotImplementedError —
+    swap this function for a real codec in production.
+    """
+    if payload is None or len(payload) < _HEADER.size:
+        raise NotImplementedError("real media decoding not available (stub)")
+    magic, w, h = _HEADER.unpack_from(payload)
+    if magic != _MAGIC:
+        raise NotImplementedError("real media decoding not available (stub)")
+    return w, h, payload[_HEADER.size : _HEADER.size + w * h]
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_assets(df: DataFrame) -> DataFrame:
+    """Decode payloads to per-asset stats via Arrow-batched mapInPandas.
+
+    The generator shape (iterator of pandas batches) is the production
+    pattern: payload bytes flow through Arrow once, Python work is
+    vectorizable per batch, and no driver collection happens.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, pixels = decode_payload(payload)
+                out.append(
+                    {
+                        "asset_id": int(aid),
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(pixels),
+                        "mean_intensity": (sum(pixels) / len(pixels))
+                        if pixels
+                        else None,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DECODED_SCHEMA.fields]
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        decode_batches, DECODED_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_assets(df: DataFrame, new_width: int, new_height: int) -> DataFrame:
+    """Nearest-neighbor 'resize' over synthetic payloads (mapInPandas).
+
+    Real resampling is the stubbed part; the batch plumbing and the
+    payload-in/payload-out schema contract are the real deliverable.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, pixels = decode_payload(payload)
+                resized = bytes(
+                    pixels[
+                        min(int(y * h / new_height), h - 1) * w
+                        + min(int(x * w / new_width), w - 1)
+                    ]
+                    for y in range(new_height)
+                    for x in range(new_width)
+                )
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "width": new_width,
+                        "height": new_height,
+                        "payload": encode_payload(new_width, new_height, resized),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        resize_batches, RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ms", T.LongType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """Frame-sampling plan for video/audio assets: one output row per
+    sampled frame timestamp (metadata-only here — the decode of actual
+    frames is the stubbed codec part)."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, dur in zip(pdf["asset_id"], pdf["duration_ms"]):
+                if pd.isna(dur):
+                    continue
+                for idx, ms in enumerate(range(0, int(dur) + 1, every_ms)):
+                    rows.append(
+                        {"asset_id": int(aid), "frame_idx": idx, "frame_ms": ms}
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAMES_SCHEMA.fields]
+            )
+
+    return (
+        df.filter(F.col("modality").isin("video", "audio"))
+        .select("asset_id", "duration_ms")
+        .mapInPandas(frame_batches, FRAMES_SCHEMA)
+    )

@@ -1,0 +1,186 @@
+"""Structured Streaming twin of the batch marts kernel.
+
+The reference is strictly batch (SURVEY.md §2.9): raw NDJSON lands in an
+hourly-partitioned "raw zone" and an Airflow-triggered Glue job reprocesses
+it — an incremental-batch pattern with no late-data policy (append-mode
+double-processing is possible; dedup only works within one batch run).
+
+The streaming reformulation is a strict improvement, per SURVEY.md §2.9:
+
+- the raw zone IS a Structured Streaming file source (new files are the
+  stream);
+- batch window-dedup maps to ``withWatermark`` +
+  ``dropDuplicatesWithinWatermark`` on the same 3-part key — bounded state,
+  and dedup now works ACROSS batches;
+- the pivot must be the fixed-column conditional aggregation (dynamic
+  ``pivot()`` is unsupported on streaming DataFrames — exactly why the
+  batch kernel already uses the static form, plans/marts.py);
+- dimension enrichment is a stream-static broadcast join (re-resolved per
+  micro-batch, so a refreshed dim table is picked up);
+- the sink is a partitioned parquet ``writeStream`` with checkpointing —
+  exactly-once file output replaces the reference's double-counting append.
+
+Scale: state size = (entities x parameters) within the watermark horizon
+for dedup plus open aggregation windows; both are bounded by the watermark,
+not by stream length. The shuffle key is the same (entity, window) as the
+batch kernel, so the 100 TB partitioning story is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from reddit_data_pipeline_engineering_spark.operators.pivot import pivot_conditional
+
+
+def read_raw_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming NDJSON file source over a raw-zone directory (S7's
+    streaming form; explicit schema — streaming reads must not infer)."""
+    reader = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Cross-batch dedup with bounded state: watermark +
+    dropDuplicatesWithinWatermark on the SURVEY §2.5 3-part key.
+
+    Note the survivor is arrival-order first (no tiebreak column is
+    possible in streaming) — the batch kernel's deterministic-tiebreak
+    guarantee relaxes to at-most-once per key within the watermark.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def streaming_marts(
+    long_df: DataFrame,
+    dim: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    param_col: str,
+    value_col: str,
+    param_values: Sequence[str],
+    dim_key: str,
+    dim_cols: Mapping[str, str],
+    watermark: str = "2 hours",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """The kernel as a streaming plan: dedup -> windowed static pivot ->
+    stream-static broadcast enrich.
+
+    Output grain: one row per (entity, event-time window) with one column
+    per parameter — the streaming analog of the batch wide marts table.
+    Late rows beyond ``watermark`` are dropped (the reference had no
+    late-data policy at all — SURVEY.md §2.9 calls this out as a strict
+    improvement).
+    """
+    deduped = streaming_dedup(
+        long_df, [entity_col, ts_col, param_col], ts_col, watermark
+    )
+    windowed = deduped.withColumn(
+        "__window", F.window(F.col(ts_col), window_duration)
+    )
+    wide = pivot_conditional(
+        windowed,
+        [entity_col, "__window"],
+        param_col,
+        value_col,
+        param_values,
+        agg="avg",
+    )
+    wide = wide.select(
+        F.col(entity_col).cast("string").alias("location_id"),
+        F.col("__window.start").alias("window_start"),
+        F.col("__window.end").alias("window_end"),
+        *param_values,
+    )
+    dim_sel = dim.select(
+        F.col(dim_key).cast("string").alias("location_id"),
+        *[F.col(src).alias(dst) for dst, src in dim_cols.items()],
+    )
+    return wide.join(F.broadcast(dim_sel), "location_id", "left")
+
+
+def sessionize_stream(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` (the native stateful
+    analog of the batch lag-gap sessionize query, plans/queries.py)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(entity_col),
+            F.session_window(F.col(ts_col), gap).alias("session"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            entity_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+def write_marts_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: Sequence[str] = (),
+    output_mode: str = "append",
+    available_now: bool = True,
+):
+    """Partitioned parquet streaming sink with checkpointing (S8's streaming
+    form). ``available_now=True`` processes everything currently in the
+    source then stops — the incremental-batch trigger that replaces the
+    reference's Airflow-cron reprocessing."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_stream_to_completion(query, timeout_s: float = 120.0) -> None:
+    """Block until an availableNow query drains (test/pipeline helper)."""
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(f"stream did not finish within {timeout_s}s")

@@ -1,0 +1,124 @@
+"""End-to-end batch pipeline tests (the reference's DAG collapsed to one
+session) + schema contract + idempotency + catalog/query surface.
+
+Mirrors the reference's test layers (SURVEY.md §5): operator flow with
+Hanoi/HCMC-style fixture rows, 15-column contract, partition-dir layout,
+plus what the reference lacks: a re-run idempotency check (its append mode
+double-counts, SURVEY.md §7.3).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark import catalog as cat
+from reddit_data_pipeline_engineering_spark import query as q
+from reddit_data_pipeline_engineering_spark.config import POLLUTANTS
+from reddit_data_pipeline_engineering_spark.pipeline import run_pipeline, transform_raw
+from reddit_data_pipeline_engineering_spark.schemas import MARTS
+from reddit_data_pipeline_engineering_spark.sources.raw_zone import (
+    read_raw_zone,
+    write_raw_zone,
+)
+
+RAW_ROWS = [
+    # Hanoi, two params same hour + one exact duplicate (dedup target)
+    {"sensor_id": 1, "datetime": "2025-01-15T08:00:00+07:00", "value": 35.5,
+     "parameter": "PM2.5", "unit": "µg/m³", "extracted_at": "2025-01-15T02:00:00",
+     "location_id": 101, "location_name": "Hanoi Station", "city": "Hanoi",
+     "timezone": "Asia/Bangkok", "country": "VN", "latitude": 21.03, "longitude": 105.85},
+    {"sensor_id": 1, "datetime": "2025-01-15T08:00:00+07:00", "value": 99.9,
+     "parameter": "PM2.5", "unit": "µg/m³", "extracted_at": "2025-01-15T03:00:00",
+     "location_id": 101, "location_name": "Hanoi Station", "city": "Hanoi",
+     "timezone": "Asia/Bangkok", "country": "VN", "latitude": 21.03, "longitude": 105.85},
+    {"sensor_id": 2, "datetime": "2025-01-15T08:00:00+07:00", "value": 61.0,
+     "parameter": "pm10", "unit": "µg/m³", "extracted_at": "2025-01-15T02:00:00",
+     "location_id": 101, "location_name": "Hanoi Station", "city": "Hanoi",
+     "timezone": "Asia/Bangkok", "country": "VN", "latitude": 21.03, "longitude": 105.85},
+    # HCMC, null city (fillna target), next day
+    {"sensor_id": 3, "datetime": "2025-01-16T09:00:00+07:00", "value": 12.1,
+     "parameter": "no2", "unit": "µg/m³", "extracted_at": "2025-01-16T03:00:00",
+     "location_id": 202, "location_name": "HCMC Station", "city": None,
+     "timezone": "Asia/Bangkok", "country": None, "latitude": None, "longitude": None},
+    # invalid datetime -> dropped (P3)
+    {"sensor_id": 4, "datetime": "not-a-date", "value": 1.0,
+     "parameter": "o3", "unit": "µg/m³", "extracted_at": "2025-01-16T03:00:00",
+     "location_id": 202, "location_name": "HCMC Station", "city": None,
+     "timezone": "Asia/Bangkok", "country": "VN", "latitude": 10.82, "longitude": 106.63},
+]
+
+
+@pytest.fixture(scope="module")
+def raw_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("raw_zone")
+    with open(d / "raw_batch1.json", "w") as f:
+        for r in RAW_ROWS:
+            f.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def test_transform_contract_and_semantics(spark, raw_dir):
+    wide = transform_raw(read_raw_zone(spark, raw_dir))
+    rows = {
+        (r["location_id"], str(r["datetime"])): r.asDict()
+        for r in wide.collect()
+    }
+    # Invalid datetime dropped; 2 surviving (location, ts) groups.
+    assert len(rows) == 2
+    # UTC normalization: +07:00 08:00 -> 01:00 UTC.
+    hanoi = rows[("101", "2025-01-15 01:00:00")]
+    # Dedup keeps first by (extracted_at, value): 35.5, not 99.9;
+    # 'PM2.5' normalized into the pm25 column; pm10 co-timestamped kept.
+    assert hanoi["pm25"] == 35.5
+    assert hanoi["pm10"] == 61.0
+    assert hanoi["year"] == 2025 and hanoi["month"] == "01" and hanoi["day"] == "15"
+    hcmc = rows[("202", "2025-01-16 02:00:00")]
+    # fillna defaults (reference P5): Unknown city, VN country, 0.0 coords.
+    assert hcmc["city_name"] == "Unknown"
+    assert hcmc["country_code"] == "VN"
+    assert hcmc["latitude"] == 0.0 and hcmc["longitude"] == 0.0
+    assert hcmc["no2"] == 12.1
+
+
+def test_marts_schema_contract(spark, raw_dir):
+    wide = transform_raw(read_raw_zone(spark, raw_dir))
+    out_cols = {f.name: f.dataType.simpleString() for f in wide.schema.fields}
+    contract = {f.name: f.dataType.simpleString() for f in MARTS.fields}
+    assert out_cols == contract
+
+
+def test_pipeline_end_to_end_and_idempotency(spark, raw_dir, tmp_path):
+    out = str(tmp_path / "marts")
+    res = run_pipeline(spark, raw_dir, out, table="marts_vietnam")
+    assert res.rows_written == 2
+    assert res.validation_counts["marts_vietnam"] == 2
+    # Hive partition layout exists (year=2025/month=01/day=15).
+    assert os.path.isdir(os.path.join(out, "year=2025", "month=01", "day=15"))
+    # Re-run: dynamic partition overwrite => same count (reference's append
+    # mode would double it).
+    res2 = run_pipeline(spark, raw_dir, out, table="marts_vietnam")
+    assert res2.rows_written == 2
+    # Catalog + query surface (S9/S10).
+    assert "marts_vietnam" in cat.list_tables(spark)
+    assert cat.get_table_count(spark, "marts_vietnam") == 2
+    pdf = q.query_to_dataframe(
+        spark,
+        "SELECT location_id, pm25 FROM marts_vietnam "
+        "WHERE year = 2025 AND month = '01' AND day = '15'",
+    )
+    assert pdf["pm25"].tolist() == [35.5]
+    assert q.validate_connection(spark)
+
+
+def test_raw_zone_roundtrip(spark, raw_dir, tmp_path):
+    raw = read_raw_zone(spark, raw_dir)
+    dest = str(tmp_path / "rezone")
+    write_raw_zone(raw.filter(F.col("datetime") != "not-a-date"), dest)
+    # Hour-grain Hive layout (reference's aq_raw/Y/M/D/H path templating).
+    assert os.path.isdir(
+        os.path.join(dest, "year=2025", "month=01", "day=15", "hour=01")
+    )
+    back = read_raw_zone(spark, dest)
+    assert back.count() == 4

@@ -1,0 +1,188 @@
+"""Structured Streaming kernel tests.
+
+The key property: the streaming kernel over a file-source raw zone,
+drained with availableNow, produces the same wide rows as the equivalent
+batch plan on the same input (differential batch-vs-streaming check — the
+strongest guarantee the reference (batch-only, SURVEY.md §2.9) never had).
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.operators.pivot import pivot_conditional
+from reddit_data_pipeline_engineering_spark.schemas import RAW_MEASUREMENT
+from reddit_data_pipeline_engineering_spark.sources.raw_zone import read_raw_zone
+from reddit_data_pipeline_engineering_spark.streaming.kernel import (
+    read_raw_stream,
+    run_stream_to_completion,
+    sessionize_stream,
+    streaming_marts,
+    write_marts_stream,
+)
+
+PARAMS = ["pm25", "pm10", "no2"]
+
+
+def _raw_rows():
+    rows = []
+    for hour in (8, 9):
+        for loc, val in ((101, 30.0 + hour), (202, 50.0 + hour)):
+            for p in ("pm25", "pm10"):
+                rows.append(
+                    {
+                        "sensor_id": loc * 10,
+                        "datetime": f"2025-02-01T{hour:02d}:15:00+00:00",
+                        "value": val,
+                        "parameter": p,
+                        "extracted_at": "2025-02-01T12:00:00",
+                        "location_id": loc,
+                        "location_name": f"loc{loc}",
+                        "city": f"city{loc}",
+                        "country": "VN",
+                        "unit": "µg/m³",
+                        "timezone": "UTC",
+                        "latitude": 1.0,
+                        "longitude": 2.0,
+                    }
+                )
+    # A duplicate row (same location/ts/parameter) the stream must drop.
+    rows.append(dict(rows[0]))
+    return rows
+
+
+# Appended last: pushes the event-time watermark past every real window so
+# append-mode emits them before the availableNow drain terminates (without
+# it, windows ending after max_event_time - watermark stay in state and the
+# sink receives nothing).
+SENTINEL = {
+    "sensor_id": 0,
+    "datetime": "2025-02-01T23:00:00+00:00",
+    "value": 0.0,
+    "parameter": "sentinel",
+    "extracted_at": "2025-02-01T23:00:00",
+    "location_id": 999,
+    "location_name": "sentinel",
+    "city": "sentinel",
+    "country": "VN",
+    "unit": "µg/m³",
+    "timezone": "UTC",
+    "latitude": 0.0,
+    "longitude": 0.0,
+}
+
+
+@pytest.fixture(scope="module")
+def stream_raw_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_raw")
+    # Two files -> two ingestion units for the file source.
+    rows = _raw_rows()
+    chunks = (rows[: len(rows) // 2], rows[len(rows) // 2 :], [SENTINEL])
+    for i, chunk in enumerate(chunks):
+        with open(d / f"raw_{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [(101, "Hanoi"), (202, "HCMC")], ["location_id", "city_name"]
+    )
+
+
+def test_streaming_matches_batch(spark, stream_raw_dir, tmp_path):
+    stream = read_raw_stream(
+        spark, stream_raw_dir, RAW_MEASUREMENT, max_files_per_trigger=1
+    ).withColumn("ts", F.col("datetime").cast("timestamp"))
+
+    wide = streaming_marts(
+        stream,
+        _dim(spark),
+        entity_col="location_id",
+        ts_col="ts",
+        param_col="parameter",
+        value_col="value",
+        param_values=PARAMS,
+        dim_key="location_id",
+        dim_cols={"city_name": "city_name"},
+        watermark="2 hours",
+        window_duration="1 hour",
+    )
+    out = str(tmp_path / "marts_stream")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_to_completion(write_marts_stream(wide, out, ckpt))
+
+    got = {
+        (r["location_id"], str(r["window_start"])): r.asDict()
+        for r in spark.read.parquet(out).collect()
+        if r["location_id"] != "999"
+    }
+
+    # Batch reference plan on the same files: dedup + hourly pivot + join.
+    batch = (
+        read_raw_zone(spark, stream_raw_dir)
+        .withColumn("ts", F.col("datetime").cast("timestamp"))
+        .dropDuplicates(["location_id", "ts", "parameter"])
+        .withColumn("win", F.window("ts", "1 hour"))
+    )
+    expected_wide = pivot_conditional(
+        batch, ["location_id", "win"], "parameter", "value", PARAMS, agg="avg"
+    )
+    expected = {
+        (str(r["location_id"]), str(r["win"]["start"])): r.asDict()
+        for r in expected_wide.collect()
+        if r["location_id"] != 999
+    }
+
+    assert set(got) == set(expected)
+    for key, row in got.items():
+        for p in PARAMS:
+            assert row[p] == expected[key][p], (key, p)
+    # Stream-static enrichment applied.
+    assert got[("101", "2025-02-01 08:00:00")]["city_name"] == "Hanoi"
+    # Duplicate was dropped across micro-batches: pm25 avg is the single
+    # value, not skewed by the dup.
+    assert got[("101", "2025-02-01 08:00:00")]["pm25"] == 38.0
+
+
+def test_sessionize_stream(spark, tmp_path):
+    src = tmp_path / "sess_raw"
+    src.mkdir()
+    events = [
+        {"location_id": 1, "datetime": "2025-02-01T08:00:00+00:00"},
+        {"location_id": 1, "datetime": "2025-02-01T08:10:00+00:00"},
+        # 40-minute gap -> new session (gap threshold 30m)
+        {"location_id": 1, "datetime": "2025-02-01T08:50:00+00:00"},
+        {"location_id": 2, "datetime": "2025-02-01T08:00:00+00:00"},
+        # Watermark-advancing sentinel (see SENTINEL above).
+        {"location_id": 99, "datetime": "2025-02-01T23:00:00+00:00"},
+    ]
+    with open(src / "e.json", "w") as f:
+        for r in events:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("location_id long, datetime string")
+        .load(str(src))
+        .withColumn("ts", F.col("datetime").cast("timestamp"))
+    )
+    sessions = sessionize_stream(stream, "location_id", "ts", gap="30 minutes")
+    out = str(tmp_path / "sessions")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    got = sorted(
+        (r["location_id"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+        if r["location_id"] != 99
+    )
+    assert got == [(1, 1), (1, 2), (2, 1)]
