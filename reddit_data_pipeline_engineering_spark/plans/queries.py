@@ -857,18 +857,21 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def queries() -> dict[str, QueryFn]:
-    """Driver contract: name -> (spark, sf_dir) -> DataFrame."""
-    # Importing the LLM module registers its queries.
+def _register_all() -> None:
+    """Import every query module for its registration side effect."""
+    import reddit_data_pipeline_engineering_spark.plans.queries_ext  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_llm  # noqa: F401
 
+
+def queries() -> dict[str, QueryFn]:
+    """Driver contract: name -> (spark, sf_dir) -> DataFrame."""
+    _register_all()
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """Driver contract: name -> DuckDB oracle SQL (omitted for non-SQL ops)."""
-    import reddit_data_pipeline_engineering_spark.plans.queries_llm  # noqa: F401
-
+    _register_all()
     return {
         name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
     }

@@ -1,0 +1,254 @@
+"""Extended operator coverage: JSON flattening, window lag/lead, rollup,
+AQI profile aggregate, BPE-ish tokenization, and the spark.sql surface.
+
+Each entry completes a SURVEY.md §2 line (cited per query) or a
+training-data-pipeline extension, with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.plans.queries import (
+    DEC_PRICE,
+    REGISTRY,
+    _davg,
+    _dsum,
+    query,
+)
+from reddit_data_pipeline_engineering_spark.sources.tables import (
+    load_table,
+    register_views,
+)
+
+# --------------------------------------------------------------------------
+# F7: nested-field flattening — the reference flattens API JSON structs
+# (extract_api.py:240-247: m['period']['datetimeFrom']['utc'] etc.). The
+# events table's `props` JSON-string column is the testdata analog.
+# --------------------------------------------------------------------------
+
+_PROPS_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events
+GROUP BY CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+ORDER BY k_bucket
+"""
+
+
+@query(
+    "props_flatten",
+    _PROPS_ORACLE,
+    "Nested-JSON field extraction + rollup (F7, extract_api.py:240-247: "
+    "dot-path flattening; here get_json_object over a JSON-string column, "
+    "evaluated JVM-side in the scan projection)",
+    tags=("relational", "json"),
+)
+def q_props_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _davg(F.col("value"), "14,4").alias("avg_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window lag/lead (extension of W1 — the reference has no lag/lead frames;
+# SURVEY.md §2.5 "No ranking/lag/lead ... beyond W1")
+# --------------------------------------------------------------------------
+
+_LAG_ORACLE = """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       lag(value) OVER w AS prev_value,
+       value - lag(value) OVER w AS delta,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query(
+    "lag_lead_delta",
+    _LAG_ORACLE,
+    "Per-entity lag/lead with value deltas (window-frame family beyond the "
+    "reference's W1; one shuffle on the partition key)",
+    tags=("relational", "window"),
+)
+def q_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        prev.alias("prev_value"),
+        (F.col("value") - prev).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP hierarchy aggregate (OLAP extension; reference has none —
+# SURVEY.md §2.4 "No grouping sets / cube / rollup")
+# --------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       CAST(month(o_orderdate) AS INTEGER) AS month,
+       CAST(GROUPING(CAST(year(o_orderdate) AS INTEGER),
+                     CAST(month(o_orderdate) AS INTEGER)) AS INTEGER) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP(CAST(year(o_orderdate) AS INTEGER),
+                CAST(month(o_orderdate) AS INTEGER))
+"""
+
+
+@query(
+    "rollup_orders",
+    _ROLLUP_ORACLE,
+    "Hierarchical ROLLUP (year -> month -> grand total) with grouping-id "
+    "disambiguation: one pass, partial aggregation per grouping set",
+    tags=("relational", "olap"),
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate").alias("year")
+    month = F.month("o_orderdate").alias("month")
+    return (
+        orders.rollup(year, month)
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), DEC_PRICE).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A9: AQI profile aggregate (the reference plan's validation query —
+# doc/archive/AQI Calculation Implementation Plan.md:132-137)
+# --------------------------------------------------------------------------
+
+
+def _aqi_profile_oracle() -> str:
+    from reddit_data_pipeline_engineering_spark.plans.queries import _aqi_oracle
+
+    return f"""
+WITH aqi_rows AS ({_aqi_oracle()})
+SELECT event_date,
+       COUNT(*) AS n_rows,
+       COUNT(aqi) AS n_aqi,
+       CAST(SUM(CAST(aqi AS DECIMAL(12,4))) AS DOUBLE) / COUNT(aqi) AS avg_aqi,
+       MIN(aqi) AS min_aqi,
+       MAX(aqi) AS max_aqi
+FROM aqi_rows
+GROUP BY event_date
+ORDER BY event_date
+"""
+
+
+@query(
+    "aqi_profile",
+    _aqi_profile_oracle(),
+    "AQI validation profile: COUNT(*)/COUNT(aqi)/AVG/MIN/MAX per day (A9, "
+    "AQI plan lines 132-137) over the native-expression AQI bundle",
+    tags=("relational", "aqi"),
+)
+def q_aqi_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aqi_rows = REGISTRY["aqi_bundle"].fn(spark, sf_dir)
+    return (
+        aqi_rows.groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("aqi").alias("n_aqi"),
+            _davg(F.col("aqi"), "12,4").alias("avg_aqi"),
+            F.min("aqi").alias("min_aqi"),
+            F.max("aqi").alias("max_aqi"),
+        )
+        .orderBy("event_date")
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish tokenization (training-data extension: "token counting
+# (whitespace + a BPE-ish regex)"); the whitespace family is token_stats.
+# --------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer, simplified to its character classes: letter
+# runs, digit runs, and single non-alphanumeric marks.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# NB: DuckDB string literals don't process backslash escapes, so the
+# pattern is embedded verbatim (doubling the backslash would make the
+# regex class exclude literal '\' and 's' instead of whitespace).
+_BPE_ORACLE = rf"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+  CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS INTEGER) AS n_distinct_bpe,
+  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_number_runs,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct
+FROM documents
+"""
+
+
+@query(
+    "bpe_token_stats",
+    _BPE_ORACLE,
+    "BPE-style pre-tokenizer counts per document (letter runs / digit runs "
+    "/ punctuation marks via one regexp_extract_all scan projection)",
+    tags=("llm", "text"),
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def n_matches(pat):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_distinct_bpe"),
+        n_matches(r"[0-9]+").alias("n_number_runs"),
+        n_matches(r"[^A-Za-z0-9\s]").alias("n_punct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S10: the spark.sql surface itself — prove a reference Athena user can run
+# verbatim ANSI SQL against registered views (utils/athena_utils.py:38-175).
+# --------------------------------------------------------------------------
+
+_SQL_SURFACE_TEXT = """
+SELECT n.n_name AS nation_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n_customers DESC, nation_name
+"""
+
+
+@query(
+    "sql_surface",
+    _SQL_SURFACE_TEXT,
+    "The SQL entry point (S10/A5): verbatim ANSI text through spark.sql "
+    "over registered views — the oracle runs the IDENTICAL string on "
+    "DuckDB, proving dialect-portable output",
+    tags=("relational", "sql"),
+)
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("customer", "nation"))
+    return spark.sql(_SQL_SURFACE_TEXT)
