@@ -1,0 +1,109 @@
+"""Physical-plan shape tests: the scale properties the engine promises.
+
+Correctness tests say the answer is right; these say the PLAN is right —
+filters reach the parquet scan, small dims broadcast, top-k never sorts
+globally, pivots are single hash aggregates. A regression here is a 100 TB
+performance bug even when sf0.001 output stays correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.operators.pivot import pivot_conditional
+from reddit_data_pipeline_engineering_spark.operators.topk import top_k
+from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, queries
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+from .conftest import SF_SMALL
+
+queries()  # register everything
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").filter(
+        F.col("l_quantity") > 40
+    ).select("l_orderkey", "l_quantity")
+    plan = plan_of(li)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40" in plan
+    # Column pruning: the scan reads only the two projected columns.
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_flagship_joins_are_broadcast(spark):
+    df = REGISTRY["flagship_top_locations"].fn(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact side must never shuffle
+
+
+def test_topk_plans_as_take_ordered(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    df = top_k(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+    plan = plan_of(df)
+    # TakeOrderedAndProject = per-partition heap + merge, no global sort.
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_pivot_is_single_hash_aggregate(spark):
+    ev = load_table(spark, SF_SMALL, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    df = pivot_conditional(
+        ev, ["user_id", "event_date"], "event_type", "value",
+        ["click", "view"], agg="avg",
+    )
+    plan = plan_of(df)
+    # One shuffle total (the groupBy), no extra distinct-values job the
+    # dynamic pivot would add, partial map-side aggregation present.
+    # ("Exchange (" matches tree-node headers only; formatted explain also
+    # repeats each node in a detail section.)
+    assert plan.count("Exchange (") == 1
+    assert plan.count("HashAggregate (") == 2  # partial + final
+
+
+def test_minhash_signature_is_map_only(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    from reddit_data_pipeline_engineering_spark.operators.text_dedup import (
+        minhash_signature,
+    )
+
+    plan = plan_of(minhash_signature(docs, "text", "doc_id"))
+    assert "Exchange" not in plan  # zero shuffles: fused into the scan
+
+
+def test_marts_kernel_shuffle_budget(spark):
+    """The full kernel: dedup shuffle + pivot shuffle, dim broadcast.
+    No sort-merge join, no extra exchanges beyond the two key changes."""
+    df = REGISTRY["marts_kernel"].fn(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # "Exchange (" matches tree-node headers only (details print as
+    # "(n) Exchange"); BroadcastExchange doesn't count as a shuffle.
+    n_exchanges = sum(
+        1 for line in plan.splitlines()
+        if "Exchange (" in line and "BroadcastExchange" not in line
+    )
+    assert n_exchanges <= 3, f"kernel grew a shuffle: {n_exchanges} exchanges"
+
+
+def test_whole_stage_codegen_active(spark):
+    df = REGISTRY["pricing_summary"].fn(spark, SF_SMALL)
+    df.collect()  # AQE only shows codegen markers in the FINAL plan
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    # '*(n)' prefixes mark operators fused into whole-stage codegen.
+    assert "isFinalPlan=true" in simple
+    assert "*(" in simple
