@@ -91,6 +91,43 @@ def blocked_neardup_pairs(
     )
 
 
+def ivf_probe_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    query_id: int,
+    k: int = 10,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """IVF-style probed ANN search: restrict the scan to the query's coarse
+    block, then exact cosine top-k within it.
+
+    The block predicate is a plain column filter, so Catalyst pushes it to
+    the parquet scan — the candidate set shrinks BEFORE any vector math
+    runs. In production the block id comes from a k-means coarse quantizer
+    and multiple nearest centroids are probed; the plan shape (pushed
+    partition filter -> map-only scoring -> TakeOrderedAndProject) is
+    identical.
+    """
+    qrow = (
+        df.filter(F.col(id_col) == query_id).select(vec_col, block_col).head()
+    )
+    qvec, qblock = list(qrow[0]), qrow[1]
+    probe = df.filter(
+        (F.col(block_col) == qblock) & (F.col(id_col) != query_id)
+    )
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    score = cosine(F.col(vec_col), q)
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    return (
+        probe.select(F.col(id_col), score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 # Fixed coordinate-projection planes: each bit is sign(e[i0]+e[i1]-e[i2]-e[i3]).
 # Deterministic, SQL-mirrorable; dims chosen to cover the 64-dim vector.
 DEFAULT_PLANES: tuple[tuple[int, int, int, int], ...] = tuple(

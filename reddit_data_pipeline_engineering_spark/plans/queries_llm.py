@@ -488,6 +488,36 @@ def q_embedding_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_PROBE_ORACLE = f"""
+WITH q AS (
+  SELECT embedding AS qe, label AS ql FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id,
+       ROUND(({_sql_dot('e.embedding', 'q.qe')})
+             / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                * sqrt({_sql_dot('q.qe', 'q.qe')})), 6) AS cosine
+FROM embeddings e CROSS JOIN q
+WHERE e.label = q.ql AND e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT 20
+"""
+
+
+@query(
+    "ivf_probe_topk",
+    _IVF_PROBE_ORACLE,
+    "IVF probed ANN: the query's coarse block prunes candidates via a "
+    "pushed scan filter before any vector math; exact cosine top-k within "
+    "the probe (production: k-means centroids, multi-probe — same plan)",
+    tags=("llm", "similarity", "bench"),
+)
+def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_probe_topk(
+        emb, "embedding", "vec_id", "label", query_id=0, k=20
+    )
+
+
 _ANN_LSH_ORACLE = f"""
 SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
 FROM (
