@@ -43,6 +43,27 @@ def save_as_table(
     writer.saveAsTable(table)
 
 
+def save_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table for co-located joins (scale extension).
+
+    Two tables bucketed on the same keys with the same bucket count join
+    WITHOUT a shuffle on either side (Exchange-free sort-merge join) —
+    the standard Spark answer to repeated large-x-large joins at 100 TB.
+    Amortizes one shuffle at write time across every future join.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def list_tables(spark: SparkSession, database: str | None = None) -> list[str]:
     """Table names in a database (reference ``list_tables`` via
     information_schema, utils/athena_utils.py:206-232)."""

@@ -38,6 +38,26 @@ def observe_nulls(df: DataFrame, cols: Sequence[str], name: str = "audit") -> Da
     return df.observe(name, *aggs)
 
 
+def range_violations(df: DataFrame, rules: dict[str, tuple]) -> DataFrame:
+    """One-row violation counts for range rules {col: (lo, hi)} — the
+    reference's data-quality invariants (F10: lat in [-90,90], lon in
+    [-180,180], value >= 0 — tests/test_glue_transformation.py:45-47)
+    as a single aggregate pass instead of one scan per rule.
+
+    ``None`` bounds are open; NULLs don't count as violations (use
+    null_counts for those).
+    """
+    aggs = []
+    for c, (lo, hi) in rules.items():
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (F.col(c) < F.lit(lo))
+        if hi is not None:
+            cond = cond | (F.col(c) > F.lit(hi))
+        aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"{c}_violations"))
+    return df.agg(*aggs)
+
+
 def assert_columns(df: DataFrame, required: Sequence[str]) -> None:
     """Fail fast if contract columns are missing (P7)."""
     missing = [c for c in required if c not in df.columns]

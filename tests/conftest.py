@@ -12,14 +12,18 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from reddit_data_pipeline_engineering_spark.session import get_spark
 
     s = get_spark(
         app_name="rdpe-tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            # Static conf: managed-table tests need a throwaway warehouse.
+            "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("warehouse")),
+        },
     )
     yield s
     s.stop()

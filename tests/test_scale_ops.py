@@ -1,0 +1,95 @@
+"""Scale-path operators: salted joins/aggregates equal their plain forms,
+bucketed tables join without a shuffle, range audits count correctly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark import catalog as cat
+from reddit_data_pipeline_engineering_spark.operators.audit import range_violations
+from reddit_data_pipeline_engineering_spark.operators.salt import (
+    salted_count_distinct,
+    salted_join,
+)
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+from .conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_salted_join_matches_plain_join(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    cust = load_table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    plain = ev.join(cust, "user_id").select("event_id", "c_name")
+    salted = salted_join(
+        ev, cust, "user_id", big_unique=["event_id"], n=8
+    ).select("event_id", "c_name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # The join key really is widened with the salt.
+    assert "__salt" in plan_of(
+        salted_join(ev, cust, "user_id", big_unique=["event_id"], n=8)
+    )
+
+
+def test_salted_count_distinct_matches_exact(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: r["n_distinct_user_id"]
+        for r in salted_count_distinct(ev, ["event_type"], "user_id", n=8).collect()
+    }
+    assert salted == exact
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # Warehouse dir is a per-session tmp dir (conftest) — managed tables
+    # created here never touch the repo tree.
+    ev = load_table(spark, SF_SMALL, "events")
+    cust = load_table(spark, SF_SMALL, "customer")
+    cat.save_bucketed_table(
+        ev.select("event_id", "user_id", "value"),
+        "ev_bucketed", ("user_id",), 4, sort_cols=("user_id",),
+    )
+    cat.save_bucketed_table(
+        cust.select(F.col("c_custkey").alias("user_id"), "c_name"),
+        "cust_bucketed", ("user_id",), 4, sort_cols=("user_id",),
+    )
+    # Force the shuffle-join path so bucketing (not broadcast) is what
+    # eliminates the Exchange.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("ev_bucketed").join(
+            spark.table("cust_bucketed"), "user_id"
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange (" not in plan  # co-located: zero shuffles
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS cust_bucketed")
+
+
+def test_range_violations(spark):
+    df = spark.createDataFrame(
+        [(91.0, 10.0, 5.0), (45.0, -200.0, -1.0), (None, 0.0, 2.0)],
+        "lat double, lon double, value double",
+    )
+    row = range_violations(
+        df, {"lat": (-90.0, 90.0), "lon": (-180.0, 180.0), "value": (0.0, None)}
+    ).collect()[0]
+    assert row["lat_violations"] == 1  # 91; NULL not a violation
+    assert row["lon_violations"] == 1  # -200
+    assert row["value_violations"] == 1  # -1
