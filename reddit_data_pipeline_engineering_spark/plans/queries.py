@@ -861,6 +861,7 @@ def _register_all() -> None:
     """Import every query module for its registration side effect."""
     import reddit_data_pipeline_engineering_spark.plans.queries_ext  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_llm  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_streaming  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

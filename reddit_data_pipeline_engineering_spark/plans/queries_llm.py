@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 from reddit_data_pipeline_engineering_spark.functions import text as tx
 from reddit_data_pipeline_engineering_spark.functions.vectors import cosine
-from reddit_data_pipeline_engineering_spark.operators import dedup, similarity, text_dedup, topk
+from reddit_data_pipeline_engineering_spark.operators import (
+    components,
+    dedup,
+    similarity,
+    text_dedup,
+    topk,
+)
 from reddit_data_pipeline_engineering_spark.plans.queries import query
 from reddit_data_pipeline_engineering_spark.sources.tables import load_table
 
@@ -218,6 +224,57 @@ SELECT doc_id, ({bit_terms}) AS simhash FROM bits
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_dedup.simhash(docs, "text", "doc_id", bits=32)
+
+
+_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct({_sql_shingles('toks', 2)}) AS shingles FROM toks
+), sigs AS (
+  SELECT doc_id,
+    {", ".join(f"list_min(list_transform(shingles, s -> md5('{k}|' || s))) AS sig_{k}" for k in range(8))}
+  FROM sh
+), buckets AS (
+  {_lsh_bands_sql()}
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+  SELECT a AS id, a AS lbl FROM edges
+  UNION
+  SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+), comp AS (
+  SELECT id, MIN(lbl) AS component FROM reach GROUP BY id
+)
+SELECT component, COUNT(*) AS n_members, MIN(id) AS canonical_id
+FROM comp GROUP BY component
+"""
+
+
+@query(
+    "dup_clusters",
+    _DUP_CLUSTERS_ORACLE,
+    "Duplicate-cluster election: LSH candidate pairs -> connected "
+    "components via iterative min-label propagation (cached, lineage-cut "
+    "rounds) -> per-cluster canonical id. The oracle computes the same "
+    "components with a recursive-CTE transitive closure.",
+    tags=("llm", "dedup", "iterative"),
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = text_dedup.minhash_signature(
+        docs, "text", "doc_id", num_hashes=8, shingle_len=2
+    )
+    pairs = text_dedup.minhash_lsh_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    return components.duplicate_clusters(pairs)
 
 
 # --------------------------------------------------------------------------
