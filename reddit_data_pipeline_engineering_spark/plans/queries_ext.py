@@ -226,6 +226,135 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Statistical aggregates (OLAP extension): variance / stddev / correlation
+# via exact decimal power sums, so both engines derive identical doubles
+# from identical exact inputs (built-in stddev/corr stream doubles in
+# engine-specific order — not hash-stable across engines).
+# --------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+WITH sums AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(14,4)) * CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(user_id AS DECIMAL(14,4))) AS DOUBLE) AS t1,
+         CAST(SUM(CAST(user_id AS DECIMAL(14,4)) * CAST(user_id AS DECIMAL(14,4))) AS DOUBLE) AS t2,
+         CAST(SUM(CAST(value AS DECIMAL(14,4)) * CAST(user_id AS DECIMAL(14,4))) AS DOUBLE) AS st
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       s1 / n AS mean_value,
+       (s2 - s1 * s1 / n) / (n - 1) AS var_value,
+       sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_value,
+       (st - s1 * t1 / n)
+         / (sqrt(s2 - s1 * s1 / n) * sqrt(t2 - t1 * t1 / n)) AS corr_value_user
+FROM sums
+ORDER BY event_type
+"""
+
+
+@query(
+    "value_stats",
+    _STATS_ORACLE,
+    "Per-group mean/variance/stddev/correlation from exact decimal power "
+    "sums (one aggregation pass; numerically reproducible across engines, "
+    "unlike streaming-order-dependent built-in stddev/corr)",
+    tags=("relational", "stats"),
+)
+def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(14,4)")
+    u = F.col("user_id").cast("decimal(14,4)")
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+        F.sum(u).cast("double").alias("t1"),
+        F.sum(u * u).cast("double").alias("t2"),
+        F.sum(v * u).cast("double").alias("st"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    t1, t2, st = F.col("t1"), F.col("t2"), F.col("st")
+    return sums.select(
+        "event_type",
+        "n",
+        (s1 / n).alias("mean_value"),
+        ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("var_value"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("stddev_value"),
+        (
+            (st - s1 * t1 / n)
+            / (F.sqrt(s2 - s1 * s1 / n) * F.sqrt(t2 - t1 * t1 / n))
+        ).alias("corr_value_user"),
+    ).orderBy("event_type")
+
+
+_HIST_ORACLE = """
+SELECT CAST(floor(value / 25.0) AS INTEGER) AS bucket,
+       COUNT(*) AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY CAST(floor(value / 25.0) AS INTEGER)
+ORDER BY bucket
+"""
+
+
+@query(
+    "value_histogram",
+    _HIST_ORACLE,
+    "Fixed-width histogram binning (floor-divide bucketing): single "
+    "hash-aggregate pass, the building block for distribution profiling",
+    tags=("relational", "stats"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(25.0)).cast("int")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_PCTL_ORACLE = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "exact_percentiles",
+    _PCTL_ORACLE,
+    "Exact interpolated percentiles per group (Spark percentile == SQL "
+    "quantile_cont semantics). At 100 TB swap for approx_percentile; the "
+    "exact form is the correctness baseline",
+    tags=("relational", "stats"),
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            *[
+                F.round(F.percentile("value", F.lit(p)), 6).alias(name)
+                for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+            ]
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # S10: the spark.sql surface itself — prove a reference Athena user can run
 # verbatim ANSI SQL against registered views (utils/athena_utils.py:38-175).
 # --------------------------------------------------------------------------
