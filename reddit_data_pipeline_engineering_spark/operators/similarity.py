@@ -91,6 +91,45 @@ def blocked_neardup_pairs(
     )
 
 
+def cosine_topk_pandas(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query,
+    k: int = 10,
+) -> DataFrame:
+    """Vectorized brute-force cosine top-k via Arrow-batched mapInPandas.
+
+    The numpy path: each Arrow batch becomes one matrix-vector product
+    (BLAS) instead of per-row interpreted folds — the throughput choice at
+    100 TB. Scores differ from the fold version only by float summation
+    order (~1 ulp), so the oracle-exact ``cosine_topk`` stays the
+    correctness baseline and this is the scale variant (equivalence is
+    asserted within tolerance in tests/test_scale_ops.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(list(query), dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    def score_batches(batches):
+        for pdf in batches:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            dots = mat @ q
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cosine": dots / (norms * qn)}
+            )
+
+    scored = df.select(id_col, vec_col).mapInPandas(
+        score_batches, f"{id_col} long, cosine double"
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
 def ivf_probe_topk(
     df: DataFrame,
     vec_col: str,

@@ -40,6 +40,31 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def cluster_profile(total_cores: int, target_partition_mb: int = 192) -> dict[str, str]:
+    """Recommended conf overrides for a real multi-executor deployment
+    (e.g. 1000 executors x 4 cores). Local tests don't use this; it
+    documents how the same code is tuned at 100 TB:
+
+    - shuffle partitions ~2-3x total cores so every core gets work even
+      with stragglers, while AQE coalesces small post-filter stages;
+    - maxPartitionBytes targets 128-256 MB scan tasks (the reference's own
+      file-size guidance, GLUE_JOBS_GUIDE.md:404-407);
+    - advisory partition size keeps AQE-coalesced shuffle partitions near
+      the same target so reducers neither spill nor starve.
+    """
+    return {
+        "spark.sql.shuffle.partitions": str(total_cores * 3),
+        "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": f"{target_partition_mb // 3}m",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }
+
+
 def get_spark(
     app_name: str = "rdpe-spark",
     master: str | None = None,

@@ -82,6 +82,33 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS cust_bucketed")
 
 
+def test_cosine_topk_pandas_matches_fold(spark):
+    """The vectorized (BLAS) ANN path must agree with the oracle-exact
+    fold implementation up to float summation order."""
+    from reddit_data_pipeline_engineering_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_pandas,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = {r["vec_id"]: r["cosine"] for r in cosine_topk(
+        emb, "embedding", "vec_id", qvec, k=20, score_decimals=None).collect()}
+    fast = {r["vec_id"]: r["cosine"] for r in cosine_topk_pandas(
+        emb, "embedding", "vec_id", qvec, k=20).collect()}
+    assert set(fast) == set(exact)
+    for vid, c in fast.items():
+        assert c == pytest.approx(exact[vid], abs=1e-9)
+
+
+def test_cluster_profile_shape():
+    from reddit_data_pipeline_engineering_spark.session import cluster_profile
+
+    conf = cluster_profile(4000)
+    assert conf["spark.sql.shuffle.partitions"] == "12000"
+    assert conf["spark.sql.files.maxPartitionBytes"] == "192m"
+
+
 def test_range_violations(spark):
     df = spark.createDataFrame(
         [(91.0, 10.0, 5.0), (45.0, -200.0, -1.0), (None, 0.0, 2.0)],
