@@ -16,12 +16,16 @@ Spark-first engine:
 - ``plans``     — end-to-end pipelines (the marts kernel) and the named
                   query registry with DuckDB oracle SQL for every query.
 - ``streaming`` — Structured Streaming variant of the kernel.
+- ``pipeline`` / ``catalog`` / ``query`` — the reference's whole DAG as
+                  one SparkSession program, with crawler/Athena-equivalent
+                  registration and SQL surfaces.
 
 Everything is expressed against the DataFrame/SQL API so Catalyst picks
 physical strategies (broadcast joins, partial aggregation, pushdown);
-Python only ever runs driver-side plan construction.
+Python touches rows only in Arrow-batched mapInPandas stages (multimodal
+decode, vectorized embedding scoring) — never row-at-a-time UDFs.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from reddit_data_pipeline_engineering_spark.session import get_spark  # noqa: F401

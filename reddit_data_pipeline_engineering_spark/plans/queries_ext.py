@@ -119,7 +119,7 @@ GROUP BY ROLLUP(CAST(year(o_orderdate) AS INTEGER),
     _ROLLUP_ORACLE,
     "Hierarchical ROLLUP (year -> month -> grand total) with grouping-id "
     "disambiguation: one pass, partial aggregation per grouping set",
-    tags=("relational", "olap"),
+    tags=("relational", "olap", "bench"),
 )
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -260,7 +260,7 @@ ORDER BY event_type
     "Per-group mean/variance/stddev/correlation from exact decimal power "
     "sums (one aggregation pass; numerically reproducible across engines, "
     "unlike streaming-order-dependent built-in stddev/corr)",
-    tags=("relational", "stats"),
+    tags=("relational", "stats", "bench"),
 )
 def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -338,7 +338,7 @@ ORDER BY event_type
     "Exact interpolated percentiles per group (Spark percentile == SQL "
     "quantile_cont semantics). At 100 TB swap for approx_percentile; the "
     "exact form is the correctness baseline",
-    tags=("relational", "stats"),
+    tags=("relational", "stats", "bench"),
 )
 def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
