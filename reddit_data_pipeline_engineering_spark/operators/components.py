@@ -53,26 +53,25 @@ def connected_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # Carry the changed flag through the (already materializing)
+        # checkpoint so convergence costs a scan of checkpointed rows, not
+        # an extra join against the previous labels.
+        stepped = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", "component")
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_min", "component") < F.col("component")
+                ).alias("__changed"),
             )
             .localCheckpoint(eager=True)  # cut lineage each round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.drop("__changed")
+        if stepped.filter(F.col("__changed")).limit(1).count() == 0:
             break
     sym.unpersist()
     return labels

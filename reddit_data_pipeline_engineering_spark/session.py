@@ -37,6 +37,18 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build; builder-configured sessions have it
+    try:
+        # A session the engine didn't build (e.g. the verification
+        # driver's) keeps Spark's default 200 shuffle partitions — pure
+        # task overhead on a 32-core local box. Right-size it, but never
+        # stomp a session that configured the value deliberately.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            )
+    except Exception:
+        pass
     return spark
 
 
