@@ -862,6 +862,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_ext  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_llm  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_streaming  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_tpch  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

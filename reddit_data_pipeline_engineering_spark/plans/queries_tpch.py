@@ -1,0 +1,268 @@
+"""Multi-way-join OLAP queries (TPC-H Q3/Q5/Q6/Q12/Q18 shapes).
+
+The reference has NO multi-way joins (SURVEY.md §2.3); these extend the
+engine to the canonical OLAP join/agg patterns its star-schema testdata
+supports, with the same decimal-exact oracle discipline as the rest of the
+registry.
+
+Plan expectations at scale: region/nation (and other small dims) broadcast;
+lineitem-orders joins are shuffle joins on the key both sides already
+aggregate on; selective predicates sit in scan PushedFilters; top-k is
+TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.operators import topk
+from reddit_data_pipeline_engineering_spark.plans.queries import (
+    DEC_PRICE,
+    DEC_RATE,
+    _dsum,
+    query,
+)
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+_REVENUE = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+
+
+def _revenue_col():
+    price = F.col("l_extendedprice").cast(f"decimal({DEC_PRICE})")
+    disc = F.col("l_discount").cast(f"decimal({DEC_RATE})")
+    one = F.lit(1).cast("decimal(5,4)")
+    return price * (one - disc)
+
+
+_Q3_ORACLE = f"""
+SELECT l.l_orderkey,
+       CAST(ROUND(SUM({_REVENUE}), 2) AS DOUBLE) AS revenue,
+       CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@query(
+    "shipping_priority",
+    _Q3_ORACLE,
+    "TPC-H Q3 shape: 3-way join with selective predicates on every input "
+    "(all pushed to scans), revenue aggregation, top-10 unshipped orders",
+    tags=("relational", "tpch", "bench"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(_revenue_col()).cast("decimal(18,2)").cast("double").alias("revenue")
+    )
+    return topk.top_k(
+        agg.select("l_orderkey", "revenue", "o_orderdate"),
+        [F.col("revenue").desc(), F.col("l_orderkey").asc()],
+        10,
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT n.n_name AS nation_name,
+       CAST(ROUND(SUM({_REVENUE}), 2) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation_name
+"""
+
+
+@query(
+    "local_supplier_volume",
+    _Q5_ORACLE,
+    "TPC-H Q5 shape: 6-way join (region/nation broadcast; the "
+    "customer-supplier same-nation condition rides the supplier join), "
+    "per-nation revenue",
+    tags=("relational", "tpch", "bench"),
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(_revenue_col())
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation_name").asc())
+    )
+
+
+_Q6_ORACLE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query(
+    "forecast_revenue",
+    _Q6_ORACLE,
+    "TPC-H Q6 shape: pure scan-filter-aggregate — every predicate in "
+    "PushedFilters, zero joins, one partial+final agg (the minimal-IO plan)",
+    tags=("relational", "tpch", "bench"),
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(f"decimal({DEC_PRICE})")
+    disc = F.col("l_discount").cast(f"decimal({DEC_RATE})")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(price * disc).cast("decimal(18,2)").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q12_ORACLE = """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate > o.o_orderdate
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@query(
+    "lateship_priority",
+    _Q12_ORACLE,
+    "TPC-H Q12 shape (testdata columns): join with a column-to-column "
+    "predicate (shipped after order date) + priority conditional counts "
+    "per return flag",
+    tags=("relational", "tpch"),
+)
+def q_lateship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q18_ORACLE = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+       o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+@query(
+    "large_volume_customers",
+    _Q18_ORACLE,
+    "TPC-H Q18 shape: aggregate-derived semi-join (HAVING subquery -> "
+    "left_semi on the pre-aggregated keys) feeding a 3-way join + top-20",
+    tags=("relational", "tpch", "bench"),
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(f"decimal({DEC_PRICE})")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    filtered = orders.join(
+        big_orders, orders.o_orderkey == big_orders.l_orderkey, "left_semi"
+    )
+    joined = cust.join(filtered, cust.c_custkey == filtered.o_custkey).join(
+        li, filtered.o_orderkey == li.l_orderkey
+    )
+    agg = joined.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(
+        _dsum(F.col("l_quantity"), DEC_PRICE).alias("total_qty")
+    )
+    return topk.top_k(
+        agg,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        20,
+    )
