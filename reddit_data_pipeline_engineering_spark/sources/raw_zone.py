@@ -18,28 +18,58 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
 from reddit_data_pipeline_engineering_spark.schemas import RAW_MEASUREMENT
+
+
+CORRUPT_COL = "_corrupt_record"
 
 
 def read_raw_zone(
     spark: SparkSession,
     path: str,
     schema: StructType = RAW_MEASUREMENT,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """Recursive NDJSON scan with a pinned schema (S7).
 
     Explicit schema kills the VoidType-inference bug the reference patches
     defensively (process_openaq_raw.py:179-185) and skips the extra
     inference pass over the data.
+
+    ``keep_corrupt=True`` adds the PERMISSIVE-mode corrupt-record column so
+    malformed lines can be counted/quarantined instead of silently nulled —
+    at ingest scale, bad rows are a metric, not a crash.
     """
-    return (
+    if keep_corrupt:
+        schema = StructType(
+            [*schema.fields, T.StructField(CORRUPT_COL, T.StringType(), True)]
+        )
+    reader = (
         spark.read.format("json")
         .schema(schema)
         .option("recursiveFileLookup", "true")
-        .load(path)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
     )
+    return reader.load(path)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows, corrupt_rows) from a keep_corrupt read — the quarantine
+    pattern: clean rows continue, corrupt rows land in a dead-letter sink.
+
+    The parsed scan is cached first: Spark refuses queries whose pruned
+    column set is ONLY the internal corrupt-record column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both halves
+    read the same parse anyway.
+    """
+    df = df.cache()
+    corrupt = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return clean, corrupt
 
 
 def write_raw_zone(

@@ -147,6 +147,75 @@ def test_streaming_matches_batch(spark, stream_raw_dir, tmp_path):
     assert got[("101", "2025-02-01 08:00:00")]["pm25"] == 38.0
 
 
+def test_stream_checkpoint_incremental_restart(spark, tmp_path):
+    """Exactly-once across restarts: a second availableNow run with the
+    same checkpoint processes ONLY files added since the first run — the
+    incremental-batch semantics the reference approximated with Airflow
+    re-runs (and which double-counted on retry)."""
+    src = tmp_path / "inc_raw"
+    src.mkdir()
+
+    def emit(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("json")
+            .schema("location_id long, datetime string, value double")
+            .load(str(src))
+            .withColumn("ts", F.col("datetime").cast("timestamp"))
+        )
+        q = (
+            stream.select("location_id", "ts", "value")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "inc_out"))
+            .option("checkpointLocation", str(tmp_path / "inc_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_stream_to_completion(q)
+
+    emit("batch1.json", [
+        {"location_id": 1, "datetime": "2025-02-01T08:00:00+00:00", "value": 1.0},
+        {"location_id": 2, "datetime": "2025-02-01T08:05:00+00:00", "value": 2.0},
+    ])
+    run_once()
+    assert spark.read.parquet(str(tmp_path / "inc_out")).count() == 2
+
+    emit("batch2.json", [
+        {"location_id": 3, "datetime": "2025-02-01T09:00:00+00:00", "value": 3.0},
+    ])
+    run_once()
+    out = spark.read.parquet(str(tmp_path / "inc_out"))
+    # 3 rows total: batch1 NOT reprocessed (no double-count), batch2 added.
+    assert out.count() == 3
+    assert sorted(r["location_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_corrupt_record_quarantine(spark, tmp_path):
+    from reddit_data_pipeline_engineering_spark.sources.raw_zone import (
+        read_raw_zone,
+        split_corrupt,
+    )
+
+    d = tmp_path / "corrupt_raw"
+    d.mkdir()
+    with open(d / "mixed.json", "w") as f:
+        f.write(json.dumps({"sensor_id": 1, "datetime": "2025-01-01T00:00:00",
+                            "value": 1.0, "parameter": "pm25"}) + "\n")
+        f.write("{this is not json\n")
+        f.write(json.dumps({"sensor_id": 2, "datetime": "2025-01-01T01:00:00",
+                            "value": 2.0, "parameter": "pm10"}) + "\n")
+    df = read_raw_zone(spark, str(d), keep_corrupt=True)
+    clean, corrupt = split_corrupt(df)
+    assert clean.count() == 2
+    assert corrupt.count() == 1
+    assert "not json" in corrupt.collect()[0][0]
+
+
 def test_sessionize_stream(spark, tmp_path):
     src = tmp_path / "sess_raw"
     src.mkdir()
