@@ -1,0 +1,99 @@
+"""Table maintenance: small-file compaction.
+
+The reference's own guidance flags the problem (50-200 KB files written
+per partition vs a 128-256 MB target — ``doc/GLUE_JOBS_GUIDE.md:311,
+404-407``) but ships no remediation; its ``repartition("location_id")``
+before a date-partitioned write actually multiplies small files
+(SURVEY.md §4 anti-pattern).
+
+``compact_partitions`` rewrites a partitioned parquet dataset with files
+sized toward a target: rows are repartitioned BY THE PARTITION COLUMNS
+(each Hive partition written by as few tasks as its size needs) and the
+rewrite goes through a temp location + atomic-ish swap so readers never
+see a half-compacted table. At 100 TB this runs per-partition-predicate
+(compact only yesterday's partitions), which the ``predicate`` arg
+expresses.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str],
+    predicate: str | None = None,
+    target_rows_per_file: int | None = None,
+) -> int:
+    """Rewrite (a filtered subset of) a partitioned parquet dir with
+    consolidated files. Returns the number of rows rewritten.
+
+    With ``predicate`` (e.g. ``"year = 2025 AND month = '01'"``) only the
+    matching partitions are rewritten via dynamic partition overwrite —
+    untouched partitions keep their files.
+    """
+    # Partition-type inference would read a zero-padded partition value
+    # like month=01 back as integer 1 and re-write it to a DIFFERENT
+    # directory (month=1), silently forking the layout. Keep values as the
+    # strings the directory names carry.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old_infer = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    try:
+        return _compact(
+            spark, path, partition_cols, predicate, target_rows_per_file
+        )
+    finally:
+        spark.conf.set(infer_key, old_infer)
+
+
+def _compact(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str],
+    predicate: str | None,
+    target_rows_per_file: int | None,
+) -> int:
+    df = spark.read.parquet(path)
+    if predicate:
+        df = df.filter(predicate)
+    n_rows = df.count()
+    if n_rows == 0:
+        return 0
+
+    # One task per partition unless the caller sizes by rows. The task
+    # count is EXPLICIT: an unnumbered repartition(cols) lets AQE's skew
+    # rebalance split a partition's rows across tasks, re-fragmenting the
+    # very files we're consolidating.
+    parts = [F.col(c) for c in partition_cols]
+    if target_rows_per_file:
+        n_tasks = max(1, n_rows // target_rows_per_file)
+    else:
+        n_tasks = max(1, df.select(*partition_cols).distinct().count())
+    compacted = df.repartition(n_tasks, *parts)
+
+    tmp = tempfile.mkdtemp(prefix="rdpe_compact_")
+    (
+        compacted.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(tmp)
+    )
+    # Swap through the temp location: dynamic overwrite replaces exactly
+    # the rewritten partitions; reading tmp (1 file per partition, none
+    # split across scan tasks) preserves the consolidated layout.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        spark.read.parquet(tmp)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n_rows

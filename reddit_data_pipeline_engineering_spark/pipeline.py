@@ -98,6 +98,28 @@ def transform_raw(raw: DataFrame) -> DataFrame:
     return wide
 
 
+def main(argv: list[str] | None = None) -> PipelineResult:
+    """CLI entry point: ``python -m reddit_data_pipeline_engineering_spark.pipeline
+    --input <raw_zone> --output <marts_dir> [--table NAME]`` — the whole
+    reference DAG as one command."""
+    import argparse
+
+    from reddit_data_pipeline_engineering_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="raw-zone NDJSON directory")
+    p.add_argument("--output", required=True, help="marts parquet directory")
+    p.add_argument("--table", default=None, help="catalog table to register")
+    args = p.parse_args(argv)
+    spark = get_spark(app_name="rdpe-pipeline")
+    res = run_pipeline(spark, args.input, args.output, table=args.table)
+    print(
+        f"rows_written={res.rows_written} table={res.table} "
+        f"validation={res.validation_counts}"
+    )
+    return res
+
+
 def run_pipeline(
     spark: SparkSession,
     input_path: str,
@@ -128,3 +150,7 @@ def run_pipeline(
     else:
         rows = spark.read.parquet(output_path).count()
     return PipelineResult(rows_written=rows, table=table, validation_counts=validation)
+
+
+if __name__ == "__main__":
+    main()

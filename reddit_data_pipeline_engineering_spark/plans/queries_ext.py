@@ -226,6 +226,58 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Unpivot (melt) — the wide->long inverse of the kernel's pivot (A1),
+# closing the roundtrip: long -> marts wide -> long again.
+# --------------------------------------------------------------------------
+
+
+def _unpivot_oracle() -> str:
+    from reddit_data_pipeline_engineering_spark.config import EVENT_TYPES
+    from reddit_data_pipeline_engineering_spark.plans.queries import _pivot_cols_sql
+
+    return f"""
+WITH wide AS (
+  SELECT user_id, CAST(ts AS DATE) AS event_date,
+    {_pivot_cols_sql()}
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT user_id, event_date, parameter, value
+FROM wide
+UNPIVOT (value FOR parameter IN ({", ".join(EVENT_TYPES)}))
+WHERE value IS NOT NULL
+"""
+
+
+@query(
+    "unpivot_roundtrip",
+    _unpivot_oracle(),
+    "Wide->long unpivot (melt) of the pivoted marts shape — the built-in "
+    "unpivot operator, NULL cells dropped to mirror sparse long form",
+    tags=("relational",),
+)
+def q_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.config import EVENT_TYPES
+    from reddit_data_pipeline_engineering_spark.operators.pivot import (
+        pivot_conditional,
+        unpivot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    wide = pivot_conditional(
+        ev,
+        ["user_id", "event_date"],
+        "event_type",
+        "value",
+        EVENT_TYPES,
+        agg="avg",
+        exact_decimal="14,4",
+    )
+    long = unpivot(wide, ["user_id", "event_date"], list(EVENT_TYPES))
+    return long.filter(F.col("value").isNotNull())
+
+
+# --------------------------------------------------------------------------
 # Statistical aggregates (OLAP extension): variance / stddev / correlation
 # via exact decimal power sums, so both engines derive identical doubles
 # from identical exact inputs (built-in stddev/corr stream doubles in

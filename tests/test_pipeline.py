@@ -112,6 +112,42 @@ def test_pipeline_end_to_end_and_idempotency(spark, raw_dir, tmp_path):
     assert q.validate_connection(spark)
 
 
+def test_compact_partitions(spark, tmp_path):
+    from reddit_data_pipeline_engineering_spark.maintenance import compact_partitions
+
+    out = str(tmp_path / "frag")
+    # 100 rows over 2 day-partitions, deliberately written as many small
+    # files (the reference's repartition-by-non-partition-col anti-pattern).
+    df = spark.range(100).select(
+        F.col("id"),
+        F.lit(2025).alias("year"),
+        F.lit("01").alias("month"),
+        F.when(F.col("id") % 2 == 0, "15").otherwise("16").alias("day"),
+    )
+    df.repartition(8, "id").write.partitionBy("year", "month", "day").parquet(out)
+
+    def files_in(part):
+        d = os.path.join(out, "year=2025", "month=01", part)
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files_in("day=15")) > 1  # fragmented
+    before = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    n = compact_partitions(spark, out, ("year", "month", "day"))
+    assert n == 100
+    assert len(files_in("day=15")) == 1  # one file per partition now
+    after = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert after == before  # content identical
+
+
+def test_pipeline_cli_args(spark, raw_dir, tmp_path, capsys):
+    from reddit_data_pipeline_engineering_spark.pipeline import main
+
+    out = str(tmp_path / "marts_cli")
+    res = main(["--input", raw_dir, "--output", out])
+    assert res.rows_written == 2
+    assert "rows_written=2" in capsys.readouterr().out
+
+
 def test_raw_zone_roundtrip(spark, raw_dir, tmp_path):
     raw = read_raw_zone(spark, raw_dir)
     dest = str(tmp_path / "rezone")
