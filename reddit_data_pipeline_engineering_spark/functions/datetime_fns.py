@@ -36,6 +36,20 @@ def drop_invalid_datetime(df: DataFrame, src: str, out: str = "datetime") -> Dat
     )
 
 
+def time_bucket(col: Column | str, minutes: int) -> Column:
+    """Fixed-width time bucketing (TimescaleDB time_bucket / date_trunc
+    generalization): floor the timestamp to an N-minute boundary.
+
+    Pure integer arithmetic on the epoch — stays in whole-stage codegen,
+    and the bucket column is a shuffle/partition key that any engine
+    reproduces bit-for-bit (oracle mirror: epoch // N * N).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    secs = minutes * 60
+    epoch = c.cast("long")
+    return F.timestamp_seconds(epoch - F.pmod(epoch, F.lit(secs)))
+
+
 def derive_partitions(df: DataFrame, ts_col: str = "datetime") -> DataFrame:
     """Add year(int), month/day (zero-padded strings) partition columns.
 

@@ -116,6 +116,7 @@ def write_marts(
     path: str,
     partition_cols: Sequence[str] = ("year", "month", "day"),
     mode: str = "overwrite",
+    sort_cols: Sequence[str] = ("location_id",),
 ) -> None:
     """Partitioned parquet sink (reference S8, process_openaq_raw.py:249-256).
 
@@ -124,12 +125,15 @@ def write_marts(
     repartitions by the partition columns so each Hive partition is written
     by one task (avoids the reference's repartition("location_id") small-
     file explosion, GLUE_JOBS_GUIDE.md:404-407).
+
+    ``sort_cols`` clusters rows inside each file so parquet row-group
+    min/max statistics become selective for those columns — point/range
+    filters on ``location_id`` then skip row groups, the light-weight
+    cousin of Z-ordering (single-column case).
     """
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        df.repartition(*[F.col(c) for c in partition_cols])
-        .write.mode(mode)
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*[F.col(c) for c in sort_cols])
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -226,6 +226,54 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Time-bucket rollup (hypertable-style continuous-aggregate shape): the
+# engine's generalization of the reference's hourly raw-zone grain.
+# --------------------------------------------------------------------------
+
+# floor() before the BIGINT cast: DuckDB rounds double->int while Spark's
+# timestamp->long truncates sub-second fractions.
+_BUCKET_ORACLE = """
+SELECT to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) - (CAST(floor(epoch(ts)) AS BIGINT) % 900))::TIMESTAMP AS bucket_15m,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events
+WHERE ts < (SELECT MIN(ts) FROM events) + INTERVAL 2 DAY
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query(
+    "time_bucket_rollup",
+    _BUCKET_ORACLE,
+    "15-minute time-bucket rollup per parameter over the stream's first "
+    "two days (time_bucket = pure epoch integer arithmetic, codegen'd; "
+    "the bucket is the groupBy/shuffle key — hypertable continuous-"
+    "aggregate shape)",
+    tags=("relational", "timeseries"),
+)
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.functions.datetime_fns import (
+        time_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.agg(F.min("ts")).head()[0]
+    two_days = ev.filter(F.col("ts") < F.lit(lo) + F.expr("INTERVAL 2 DAYS"))
+    return (
+        two_days.groupBy(
+            time_bucket("ts", 15).alias("bucket_15m"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _davg(F.col("value"), "14,4").alias("avg_value"),
+        )
+        .orderBy("bucket_15m", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # Unpivot (melt) — the wide->long inverse of the kernel's pivot (A1),
 # closing the roundtrip: long -> marts wide -> long again.
 # --------------------------------------------------------------------------

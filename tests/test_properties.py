@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) — the testing layer SURVEY.md §5
+notes the reference lacks entirely.
+
+Each property runs on small generated long-format tables; example counts
+are kept low because every example builds a Spark job (examples are cheap
+to shrink but expensive to run).
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.functions import aqi
+from reddit_data_pipeline_engineering_spark.operators.dedup import window_dedup
+from reddit_data_pipeline_engineering_spark.operators.pivot import (
+    pivot_conditional,
+    unpivot,
+)
+
+PARAMS = ["pm25", "pm10", "no2"]
+
+# (entity, hour, param, value, tiebreak) rows
+row_st = st.tuples(
+    st.integers(1, 3),
+    st.integers(0, 3),
+    st.sampled_from(PARAMS),
+    st.floats(0, 1000, allow_nan=False, width=32),
+    st.integers(0, 9),
+)
+rows_st = st.lists(row_st, min_size=1, max_size=25)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(e, f"2025-01-01 {h:02d}:00:00", p, float(v), t) for e, h, p, v, t in rows],
+        "entity long, ts string, parameter string, value double, tb long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+@given(rows=rows_st)
+@SLOW
+def test_window_dedup_properties(spark, rows):
+    """Dedup yields exactly one row per key, keeps only input rows,
+    is idempotent, and picks the minimal tiebreak deterministically."""
+    df = _df(spark, rows)
+    out = window_dedup(df, ["entity", "ts", "parameter"], ["tb", "value"])
+    got = out.collect()
+    keys = {(r["entity"], r["ts"], r["parameter"]) for r in got}
+    assert len(got) == len(keys)  # one survivor per key
+    # every key in the input appears exactly once
+    in_keys = set()
+    for r in df.collect():
+        in_keys.add((r["entity"], r["ts"], r["parameter"]))
+    assert keys == in_keys
+    # survivor = min (tb, value) per key
+    best = {}
+    for r in df.collect():
+        k = (r["entity"], r["ts"], r["parameter"])
+        cand = (r["tb"], r["value"])
+        if k not in best or cand < best[k]:
+            best[k] = cand
+    for r in got:
+        k = (r["entity"], r["ts"], r["parameter"])
+        assert (r["tb"], r["value"]) == best[k]
+    # idempotent
+    again = window_dedup(out, ["entity", "ts", "parameter"], ["tb", "value"])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, got))
+
+
+@given(rows=rows_st)
+@SLOW
+def test_pivot_unpivot_roundtrip_property(spark, rows):
+    """unpivot(pivot(long)) == mean-collapsed long, for any input."""
+    df = _df(spark, rows)
+    wide = pivot_conditional(df, ["entity", "ts"], "parameter", "value", PARAMS)
+    back = unpivot(wide, ["entity", "ts"], PARAMS).filter(
+        F.col("value").isNotNull()
+    )
+    got = {
+        (r["entity"], r["ts"], r["parameter"]): r["value"] for r in back.collect()
+    }
+    sums: dict = {}
+    for r in df.collect():
+        k = (r["entity"], r["ts"], r["parameter"])
+        s, n = sums.get(k, (0.0, 0))
+        sums[k] = (s + r["value"], n + 1)
+    assert set(got) == set(sums)
+    for k, (s, n) in sums.items():
+        assert abs(got[k] - s / n) < 1e-6
+
+
+@given(conc=st.floats(0, 600, allow_nan=False))
+@SLOW
+def test_aqi_subindex_monotone_property(spark, conc):
+    """AQI sub-index is non-negative and monotone in concentration."""
+    df = spark.createDataFrame(
+        [(float(conc),), (float(conc) + 10.0,)], "c double"
+    )
+    vals = [
+        r[0] for r in df.select(aqi.subindex(F.col("c"), "pm25")).collect()
+    ]
+    assert vals[0] >= 0
+    assert vals[1] >= vals[0]  # monotone non-decreasing
