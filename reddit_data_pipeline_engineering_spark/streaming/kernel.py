@@ -179,6 +179,46 @@ def write_marts_stream(
     return writer.start()
 
 
+def write_stream_upsert(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: Sequence[str],
+    available_now: bool = True,
+):
+    """foreachBatch sink that REPLACES the touched partitions per
+    micro-batch (dynamic partition overwrite) instead of appending.
+
+    This is the parquet-level upsert: re-emitted aggregation windows (e.g.
+    update-mode output, or reprocessing after a checkpoint reset)
+    overwrite their partition rather than duplicating rows — the pattern a
+    Delta/Iceberg MERGE generalizes. Failed batches replay idempotently
+    because the same input batch rewrites the same partitions.
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            spark = batch_df.sparkSession
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            (
+                batch_df.repartition(*[F.col(c) for c in partition_cols])
+                .write.mode("overwrite")
+                .partitionBy(*partition_cols)
+                .parquet(path)
+            )
+
+    writer = (
+        df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_stream_to_completion(query, timeout_s: float = 120.0) -> None:
     """Block until an availableNow query drains (test/pipeline helper)."""
     if not query.awaitTermination(timeout_s):

@@ -195,6 +195,63 @@ def test_stream_checkpoint_incremental_restart(spark, tmp_path):
     assert sorted(r["location_id"] for r in out.collect()) == [1, 2, 3]
 
 
+def test_foreach_batch_upsert(spark, tmp_path):
+    """Update-mode aggregation through the partition-upsert sink: a window
+    re-emitted with more data REPLACES its partition (no duplicate rows) —
+    parquet-level MERGE semantics."""
+    from reddit_data_pipeline_engineering_spark.streaming.kernel import (
+        write_stream_upsert,
+    )
+
+    src = tmp_path / "up_raw"
+    src.mkdir()
+    out = str(tmp_path / "up_out")
+    ckpt = str(tmp_path / "up_ckpt")
+
+    def emit(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("json")
+            .schema("location_id long, datetime string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+            .withColumn("ts", F.col("datetime").cast("timestamp"))
+        )
+        agg = (
+            stream.withWatermark("ts", "10 seconds")
+            .groupBy("location_id", F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .select(
+                "location_id",
+                F.col("w.start").alias("window_start"),
+                "n",
+                "total",
+            )
+        )
+        q = write_stream_upsert(
+            agg, out, ckpt, partition_cols=("location_id",)
+        )
+        run_stream_to_completion(q)
+
+    emit("b1.json", [
+        {"location_id": 1, "datetime": "2025-02-01T08:00:00+00:00", "value": 1.0},
+    ])
+    run_once()
+    # Same window gains a row in a later file: update-mode re-emits it and
+    # the sink must REPLACE, not append.
+    emit("b2.json", [
+        {"location_id": 1, "datetime": "2025-02-01T08:30:00+00:00", "value": 2.0},
+    ])
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1  # one row for the (1, 08:00) window — no dupes
+    assert rows[0]["n"] == 2 and rows[0]["total"] == 3.0
+
+
 def test_corrupt_record_quarantine(spark, tmp_path):
     from reddit_data_pipeline_engineering_spark.sources.raw_zone import (
         read_raw_zone,
