@@ -467,6 +467,40 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Multimodal plumbing through the driver gate (rows-only: the synthetic
+# asset table exists Spark-side only, so DuckDB can't oracle it; batch
+# shapes are exactly asserted in tests/test_multimodal.py instead).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_decode_profile",
+    None,
+    "Multimodal asset pipeline: synthesize binary assets -> Arrow-batched "
+    "mapInPandas decode -> per-modality aggregate profile (plumbing is "
+    "real, codec layer stubbed — sources/multimodal.py)",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.sources import multimodal as mm
+
+    assets = mm.synthesize_assets(spark, n=120)
+    decoded = mm.decode_assets(assets)
+    profile = decoded.join(
+        assets.select("asset_id", "modality"), "asset_id"
+    )
+    return (
+        profile.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy("modality")
+    )
+
+
+# --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
 
@@ -573,6 +607,56 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_probe_topk(
         emb, "embedding", "vec_id", "label", query_id=0, k=20
     )
+
+
+_EMB_THRESHOLD = 0.6
+
+_EMB_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(({_sql_dot('a.embedding', 'b.embedding')})
+              / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
+                 * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 6) >= {_EMB_THRESHOLD}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+  SELECT a AS id, a AS lbl FROM edges
+  UNION
+  SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+), comp AS (
+  SELECT id, MIN(lbl) AS component FROM reach GROUP BY id
+)
+SELECT e.vec_id
+FROM embeddings e
+LEFT JOIN comp c ON e.vec_id = c.id
+WHERE c.id IS NULL OR c.component = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
+@query(
+    "semantic_dedup_survivors",
+    _EMB_CLUSTERS_ORACLE,
+    "End-to-end semantic dedup: blocked cosine pairs above threshold -> "
+    "connected components -> keep singletons + one canonical per cluster. "
+    "The actual keep-set a training-data dedup pass emits.",
+    tags=("llm", "dedup", "similarity", "iterative"),
+)
+def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.blocked_neardup_pairs(
+        emb, "embedding", "vec_id", "label", threshold=_EMB_THRESHOLD
+    )
+    comp = components.connected_components(pairs, "id_a", "id_b")
+    ids = emb.select("vec_id")
+    dropped = comp.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias("vec_id")
+    )
+    return ids.join(dropped, "vec_id", "left_anti").orderBy("vec_id")
 
 
 _ANN_LSH_ORACLE = f"""
