@@ -226,6 +226,135 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# As-of + range joins (time-series operators Spark lacks natively; the
+# brief's canonical "custom operator" examples — operators/asof.py).
+# DuckDB verifies the as-of semantics with its NATIVE ASOF JOIN.
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH views AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+), purchases AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT v.event_id, v.user_id, CAST(v.ts AS TIMESTAMP) AS ts, v.value,
+       CAST(p.ts AS TIMESTAMP) AS ts_purchase,
+       p.event_id AS purchase_event_id,
+       p.value AS purchase_value
+FROM views v
+ASOF LEFT JOIN purchases p
+  ON v.user_id = p.user_id AND v.ts >= p.ts
+"""
+
+
+@query(
+    "asof_last_purchase",
+    _ASOF_ORACLE,
+    "Backward as-of join: each view event picks up the user's most recent "
+    "purchase at-or-before it. Union + keyed-window composition (one "
+    "shuffle, no inequality-join blowup); oracle = DuckDB's native ASOF "
+    "JOIN — two independent implementations of the semantics",
+    tags=("relational", "timeseries", "bench"),
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.asof import asof_join
+    from reddit_data_pipeline_engineering_spark.operators.dedup import window_dedup
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = window_dedup(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        ["user_id", "ts"],
+        ["event_id"],
+        keep="last",
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=("event_id", "value"),
+        suffix="_purchase",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "ts_purchase",
+        F.col("event_id_purchase").alias("purchase_event_id"),
+        F.col("value_purchase").alias("purchase_value"),
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events WHERE event_type = 'purchase'
+), bounds AS (
+  SELECT user_id, ts AS session_start,
+         COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                  TIMESTAMP '2100-01-01 00:00:00') AS session_end
+  FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+)
+SELECT b.user_id, CAST(b.session_start AS TIMESTAMP) AS session_start,
+       COUNT(e.event_id) AS n_follow_events
+FROM bounds b
+JOIN events e
+  ON e.user_id = b.user_id
+ AND e.ts >= b.session_start AND e.ts < b.session_end
+ AND e.event_type <> 'purchase'
+GROUP BY b.user_id, b.session_start
+ORDER BY b.user_id, session_start
+"""
+
+
+@query(
+    "range_join_windows",
+    _RANGE_JOIN_ORACLE,
+    "Point-in-interval range join with an equi-key prefix: per-user "
+    "purchase-to-purchase windows counted against subsequent activity — "
+    "hash join on the key, range predicate as the join residual (never a "
+    "nested-loop)",
+    tags=("relational", "timeseries"),
+)
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    bounds = purchases.select(
+        "user_id",
+        F.col("ts").alias("session_start"),
+        F.coalesce(
+            F.lead("ts").over(w),
+            F.lit("2100-01-01 00:00:00").cast("timestamp"),
+        ).alias("session_end"),
+    )
+    others = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = range_join(
+        others, bounds, on="user_id",
+        point_ts="ts", interval_start="session_start", interval_end="session_end",
+    )
+    return (
+        joined.groupBy("user_id", "session_start")
+        .agg(F.count("event_id").alias("n_follow_events"))
+        .orderBy("user_id", "session_start")
+    )
+
+
+# --------------------------------------------------------------------------
 # Time-bucket rollup (hypertable-style continuous-aggregate shape): the
 # engine's generalization of the reference's hourly raw-zone grain.
 # --------------------------------------------------------------------------

@@ -1,0 +1,80 @@
+"""As-of / range join operator unit tests (edge cases the registry query
+doesn't isolate: tolerance windows, no-match rows, duplicate left
+timestamps, inclusive-equality matching)."""
+
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.operators.asof import asof_join, range_join
+
+
+def _ts(s):
+    return f"2025-01-01 {s}:00"
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("09:00"), "a"),
+            (1, _ts("09:30"), "b"),
+            (1, _ts("09:30"), "b2"),  # duplicate left timestamp
+            (1, _ts("08:00"), "early"),  # before any right row
+            (2, _ts("09:00"), "other"),  # key with no right rows at all
+        ],
+        "k long, ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, _ts("08:30"), 10.0),
+            (1, _ts("09:30"), 20.0),  # equal to a left ts -> inclusive match
+        ],
+        "k long, ts string, px double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return left, right
+
+
+def test_asof_backward_inclusive_and_nulls(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", right_cols=("px",))
+    got = {(r["k"], r["tag"]): (r["ts_right"], r["px_right"]) for r in out.collect()}
+    assert len(got) == 5 and out.count() == 5  # one output row per input row
+    assert got[(1, "a")][1] == 10.0  # 09:00 -> 08:30 row
+    assert got[(1, "b")][1] == 20.0  # 09:30 -> equal-ts row (inclusive)
+    assert got[(1, "early")] == (None, None)  # nothing at-or-before
+    assert got[(2, "other")] == (None, None)  # key absent from right
+
+
+def test_asof_duplicate_left_ts_not_multiplied(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", right_cols=("px",))
+    dups = [r for r in out.collect() if r["tag"] in ("b", "b2")]
+    assert len(dups) == 2  # one output row per input row, no fanout
+    assert all(r["px_right"] == 20.0 for r in dups)
+
+
+def test_asof_tolerance_voids_stale_matches(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="k", right_cols=("px",), tolerance_seconds=600
+    )
+    got = {(r["k"], r["tag"]): r["px_right"] for r in out.collect()}
+    # 09:00 -> 08:30 is 30 min old, beyond the 10-min tolerance: voided.
+    assert got[(1, "a")] is None
+    assert got[(1, "b")] == 20.0  # 0 s old: kept
+
+
+def test_range_join_half_open(spark):
+    points = spark.createDataFrame(
+        [(1, _ts("09:00")), (1, _ts("10:00")), (1, _ts("08:00"))],
+        "k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [(1, _ts("09:00"), _ts("10:00"), "w1")],
+        "k long, lo string, hi string, name string",
+    ).withColumn("lo", F.col("lo").cast("timestamp")).withColumn(
+        "hi", F.col("hi").cast("timestamp")
+    )
+    out = range_join(points, intervals, "k", "ts", "lo", "hi")
+    rows = out.collect()
+    # Half-open: 09:00 in, 10:00 (== hi) out, 08:00 out.
+    assert len(rows) == 1 and str(rows[0]["ts"]) == "2025-01-01 09:00:00"
+    assert rows[0]["name"] == "w1"
