@@ -143,11 +143,15 @@ def jaccard_candidate_pairs(
         F.col(id_col),
         F.array_distinct(shingles_of("__toks", shingle_len)).alias("__sh"),
     )
+    # explode_outer + null filter, NOT plain explode: Catalyst's
+    # InferFiltersFromGenerate would push a size()>0 filter below the
+    # staged projections, re-inlining the tokenization into an O(tokens^2)
+    # per-row predicate (observed 8x on this operator's bench).
     doc_sh = shingled.select(
         F.col(id_col),
         F.size("__sh").alias("set_size"),
-        F.explode("__sh").alias("shingle"),
-    )
+        F.explode_outer("__sh").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
     grouped = doc_sh.groupBy("shingle").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("set_size")))
@@ -200,7 +204,11 @@ def simhash(
     Explode + one groupBy (partial-aggregated) — scales as a single
     shuffle keyed by document id.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    # explode_outer: see jaccard_candidate_pairs — plain explode gets an
+    # inferred size()>0 filter that re-tokenizes every row.
+    tok = df.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok").isNotNull())
     counted = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     counted = counted.withColumn("h", h)

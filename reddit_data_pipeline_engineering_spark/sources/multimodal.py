@@ -21,9 +21,11 @@ partitioning behavior — is real and tested.
 from __future__ import annotations
 
 import struct
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark.cloudpickle import register_pickle_by_value
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -32,17 +34,16 @@ from reddit_data_pipeline_engineering_spark.schemas import MULTIMODAL_ASSET
 
 # Synthetic payload layout: magic(4s) | width(i) | height(i) | then
 # width*height pseudo-pixel bytes generated from the asset id.
+# struct-module functions only (no module-level struct.Struct: Struct
+# instances don't pickle, and this module ships by value to workers).
 _MAGIC = b"FAKE"
-_HEADER = struct.Struct("<4sii")
+_HEADER_FMT = "<4sii"
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
 
 
 def encode_payload(width: int, height: int, pixels: bytes) -> bytes:
-    """Pack pixels into the synthetic payload format.
-
-    Plain function (not the module-level struct.Struct) so worker-side
-    closures can reference it — struct.Struct objects don't pickle.
-    """
-    return struct.pack("<4sii", _MAGIC, width, height) + pixels
+    """Pack pixels into the synthetic payload format."""
+    return struct.pack(_HEADER_FMT, _MAGIC, width, height) + pixels
 
 
 def synth_payload(asset_id: int, width: int, height: int) -> bytes:
@@ -83,12 +84,12 @@ def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
     anything that is not the synthetic format raises NotImplementedError —
     swap this function for a real codec in production.
     """
-    if payload is None or len(payload) < _HEADER.size:
+    if payload is None or len(payload) < _HEADER_SIZE:
         raise NotImplementedError("real media decoding not available (stub)")
-    magic, w, h = _HEADER.unpack_from(payload)
+    magic, w, h = struct.unpack_from(_HEADER_FMT, payload)
     if magic != _MAGIC:
         raise NotImplementedError("real media decoding not available (stub)")
-    return w, h, payload[_HEADER.size : _HEADER.size + w * h]
+    return w, h, payload[_HEADER_SIZE : _HEADER_SIZE + w * h]
 
 
 DECODED_SCHEMA = T.StructType(
@@ -215,3 +216,12 @@ def sample_frames(df: DataFrame, every_ms: int = 5000) -> DataFrame:
         .select("asset_id", "duration_ms")
         .mapInPandas(frame_batches, FRAMES_SCHEMA)
     )
+
+
+# The mapInPandas generators above close over module-level helpers
+# (decode_payload / encode_payload). By default cloudpickle serializes
+# those by REFERENCE (module + qualname), which breaks on executors whose
+# Python workers don't have this repo on sys.path (e.g. a driver started
+# from another cwd). Registering the module forces by-value serialization
+# of its functions into the closure, making the UDFs self-contained.
+register_pickle_by_value(sys.modules[__name__])
