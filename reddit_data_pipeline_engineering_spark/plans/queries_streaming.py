@@ -92,3 +92,66 @@ def q_streaming_marts_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_completion(write_marts_stream(wide, out, ckpt))
     return spark.read.parquet(out).filter(F.col("location_id") != "-1")
+
+
+@query(
+    "stateful_ema_stream",
+    None,  # custom keyed state: rows-only driver check (see module doc)
+    "applyInPandasWithState custom stateful operator: per-user EMA "
+    "recurrence folded across micro-batches (order-dependent state no "
+    "built-in streaming aggregate can express); two-file drain proves "
+    "cross-trigger state carry",
+    tags=("streaming", "stateful"),
+)
+def q_stateful_ema_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.streaming.stateful import (
+        ema_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    first_ts = ev.agg(F.min("ts")).head()[0]
+    day = (
+        ev.filter(F.col("ts") < F.lit(first_ts) + F.expr("INTERVAL 1 DAYS"))
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+            "value",
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="rdpe_emaq_")
+    raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
+    os.makedirs(raw)
+    # Two time-ordered files with pinned mtimes -> two micro-batches, so
+    # the driver-run query itself exercises cross-batch state.
+    half = len(day) // 2 or 1
+    for i, chunk in enumerate((day[:half], day[half:])):
+        p = os.path.join(raw, f"b{i}.json")
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(
+                    '{"user_id": %d, "ts": "%s", "value": %s}\n'
+                    % (r["user_id"], r["ts"], repr(float(r["value"])))
+                )
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, ts string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .load(raw)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        ema_stream(stream, "user_id", "ts", "value", alpha=0.3)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    return spark.read.parquet(out)

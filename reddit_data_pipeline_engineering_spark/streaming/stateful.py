@@ -1,0 +1,94 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The built-in stateful surface (windowed aggs, ``session_window``,
+``dropDuplicatesWithinWatermark`` — streaming/kernel.py) covers every
+operator the reference needs. This module adds the pattern those can NOT
+express: per-key ORDER-DEPENDENT recursion across micro-batches, where
+each event's output depends on arbitrary state folded over every earlier
+event of that key.
+
+The worked instance is an exponential moving average (EMA) tracker over a
+sensor/value stream — ``ema_i = alpha*v_i + (1-alpha)*ema_{i-1}`` is a
+recurrence, so no commutative/associative aggregate computes it; it needs
+explicit keyed state. The same skeleton (group -> sort batch -> fold with
+state -> emit + update) carries any per-key online algorithm: anomaly
+scores, CUSUM change detection, rate limiters, per-source Bloom dedup.
+
+Scale notes:
+- state is O(1) per key (the running EMA + count), grouped-shuffled on the
+  key — the same partitioning story as any keyed aggregation;
+- batches arrive as Arrow-backed pandas frames (vectorizable; the fold
+  here is per-row only because the recurrence is inherently sequential);
+- the worker function is SELF-CONTAINED (locals + pandas only) so
+  cloudpickle ships it by value and executors never need this repo on
+  their sys.path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+
+def ema_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key cross-batch EMA over an event stream.
+
+    Emits one row per input event — (key, ts, value, ema, n_seen) — where
+    ``ema`` folds over every event of that key seen so far, across
+    micro-batch boundaries (state survives between triggers and restarts
+    via the checkpoint).
+
+    Within a micro-batch, a key's rows are folded in ``ts_col`` order;
+    across batches, arrival order governs (late events do not rewrite
+    history — the documented semantics of online EMA).
+    """
+    a = float(alpha)
+    kc, tc, vc = key_col, ts_col, value_col
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            ema, n = state.get
+        else:
+            ema, n = None, 0
+        outs = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(tc, kind="stable").reset_index(drop=True)
+            emas = []
+            for v in pdf[vc]:
+                v = float(v)
+                ema = v if ema is None else a * v + (1.0 - a) * ema
+                n += 1
+                emas.append(ema)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        kc: pdf[kc],
+                        tc: pdf[tc],
+                        vc: pdf[vc],
+                        "ema": emas,
+                        "n_seen": range(n - len(emas) + 1, n + 1),
+                    }
+                )
+            )
+        state.update((ema, n))
+        for out in outs:
+            yield out
+
+    out_schema = (
+        f"{kc} long, {tc} timestamp, {vc} double, ema double, n_seen long"
+    )
+    return df.groupBy(kc).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="ema double, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -273,6 +273,72 @@ def test_corrupt_record_quarantine(spark, tmp_path):
     assert "not json" in corrupt.collect()[0][0]
 
 
+def test_ema_stream_cross_batch_state(spark, tmp_path):
+    """applyInPandasWithState: the per-key EMA recurrence folds ACROSS
+    micro-batches — batch 2's first output row must continue from batch
+    1's final state, proving keyed state survives the trigger boundary."""
+    import os
+
+    from reddit_data_pipeline_engineering_spark.streaming.stateful import (
+        ema_stream,
+    )
+
+    src = tmp_path / "ema_raw"
+    src.mkdir()
+    batches = [
+        [  # micro-batch 1
+            {"user_id": 1, "datetime": "2025-02-01T08:00:00+00:00", "value": 10.0},
+            {"user_id": 1, "datetime": "2025-02-01T08:10:00+00:00", "value": 20.0},
+            {"user_id": 2, "datetime": "2025-02-01T08:00:00+00:00", "value": 5.0},
+        ],
+        [  # micro-batch 2
+            {"user_id": 1, "datetime": "2025-02-01T09:00:00+00:00", "value": 30.0},
+            {"user_id": 2, "datetime": "2025-02-01T09:00:00+00:00", "value": 7.0},
+            {"user_id": 2, "datetime": "2025-02-01T09:10:00+00:00", "value": 9.0},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        # Distinct mtimes pin the file source's processing order.
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, datetime string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+        .withColumn("ts", F.col("datetime").cast("timestamp"))
+        .select("user_id", "ts", "value")
+    )
+    out = str(tmp_path / "ema_out")
+    q = (
+        ema_stream(stream, "user_id", "ts", "value", alpha=0.5)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ema_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+
+    got = {
+        (r["user_id"], r["n_seen"]): (r["ema"], r["value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # Exact fp64 fold: ema = 0.5*v + 0.5*prev, seeded with the first value.
+    assert got[(1, 1)] == (10.0, 10.0)
+    assert got[(1, 2)] == (15.0, 20.0)
+    assert got[(1, 3)] == (22.5, 30.0)  # continues from batch-1 state
+    assert got[(2, 1)] == (5.0, 5.0)
+    assert got[(2, 2)] == (6.0, 7.0)
+    assert got[(2, 3)] == (7.5, 9.0)
+    assert len(got) == 6
+
+
 def test_sessionize_stream(spark, tmp_path):
     src = tmp_path / "sess_raw"
     src.mkdir()
