@@ -136,6 +136,88 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CUBE multi-dimensional aggregate (OLAP extension; completes the
+# SURVEY.md §2.4 "No grouping sets / cube / rollup" family with ROLLUP)
+# --------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT c_mktsegment AS segment,
+       o_orderpriority AS priority,
+       CAST(GROUPING(c_mktsegment, o_orderpriority) AS INTEGER) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE(c_mktsegment, o_orderpriority)
+"""
+
+
+@query(
+    "cube_segments",
+    _CUBE_ORACLE,
+    "CUBE over (market segment x order priority): all four grouping sets "
+    "in one pass with partial aggregation; the join side is the customer "
+    "dim (broadcast) so the only exchange is the aggregate's",
+    tags=("relational", "olap"),
+)
+def q_cube_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return joined.cube(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice"), DEC_PRICE).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ranking-window family: ntile quartiles + percent_rank over per-customer
+# spend (extension of W1; SURVEY.md §2.5 "No ranking ... beyond W1")
+# --------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, total_spend,
+       CAST(ntile(4) OVER (ORDER BY total_spend, custkey) AS INTEGER)
+         AS spend_quartile,
+       percent_rank() OVER (ORDER BY total_spend) AS spend_pctrank
+FROM spend
+"""
+
+
+@query(
+    "ntile_spend_quartiles",
+    _NTILE_ORACLE,
+    "Per-customer spend quartiles (ntile) + percent_rank: decimal-exact "
+    "spend aggregate, then one global-sort window with a deterministic "
+    "(spend, custkey) tiebreak so bucket edges are engine-independent",
+    tags=("relational", "window"),
+)
+def q_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        _dsum(F.col("o_totalprice"), DEC_PRICE).alias("total_spend")
+    )
+    w_tiebreak = Window.orderBy("total_spend", "custkey")
+    w_value = Window.orderBy("total_spend")
+    return spend.select(
+        "custkey",
+        "total_spend",
+        F.ntile(4).over(w_tiebreak).cast("int").alias("spend_quartile"),
+        F.percent_rank().over(w_value).alias("spend_pctrank"),
+    )
+
+
+# --------------------------------------------------------------------------
 # A9: AQI profile aggregate (the reference plan's validation query —
 # doc/archive/AQI Calculation Implementation Plan.md:132-137)
 # --------------------------------------------------------------------------
