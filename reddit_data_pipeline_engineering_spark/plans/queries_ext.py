@@ -218,6 +218,90 @@ def q_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deterministic HyperLogLog distinct sketch (scale extension; the
+# mergeable-sketch pattern for COUNT DISTINCT at 100 TB). Registers are
+# md5-derived, so BOTH engines compute the identical sketch and the result
+# is oracle-exact — unlike approx_count_distinct, whose engine-internal
+# hashing can't be mirrored. m=64 buckets from hex[1:2]; rank from the
+# leading-zero count of the 60-bit value in hex[3:17] (string-length of
+# the minimal binary form — integer-exact in both engines); register sums
+# go through DECIMAL(38,30) so summation order can't perturb the estimate.
+# --------------------------------------------------------------------------
+
+_HLL_M = 64
+_HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007)
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2))::BIGINT
+           % {_HLL_M} AS bucket,
+         61 - length(bin(
+           ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15))::BIGINT
+         )) AS rho
+  FROM lineitem
+), regs AS (
+  SELECT bucket, MAX(rho) AS r FROM h GROUP BY bucket
+), s AS (
+  SELECT CAST(SUM(CAST(POWER(2.0, -r) AS DECIMAL(38,30))) AS DOUBLE)
+         + CAST({_HLL_M} - COUNT(*) AS DOUBLE) AS denom
+  FROM regs
+), e AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem
+)
+SELECT {_HLL_M} AS hll_m,
+       ROUND({_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / denom, 6) AS hll_estimate,
+       exact_distinct,
+       ROUND(abs({_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / denom - exact_distinct)
+             / exact_distinct * 100.0, 4) AS rel_error_pct
+FROM s, e
+"""
+
+
+@query(
+    "hll_distinct_sketch",
+    _HLL_ORACLE,
+    "Deterministic HyperLogLog COUNT DISTINCT (64 md5-derived registers): "
+    "map-side register extraction -> 64-row MAX agg -> one-row estimate. "
+    "The sketch is mergeable (MAX over registers), which is the whole "
+    "point at 100 TB: partial sketches combine without a distinct shuffle",
+    tags=("llm", "sketch", "approx"),
+)
+def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.md5(F.col("l_orderkey").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % _HLL_M
+    val = F.conv(F.substring(h, 3, 15), 16, 10)
+    rho = F.lit(61) - F.length(F.conv(val, 10, 2))
+    regs = (
+        li.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    denom = (
+        F.sum(F.pow(F.lit(2.0), -F.col("r")).cast("decimal(38,30)"))
+        .cast("double")
+        + (F.lit(_HLL_M) - F.count(F.lit(1))).cast("double")
+    )
+    est = F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M)) / F.col("denom")
+    sketch = regs.agg(denom.alias("denom"))
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
+    return (
+        sketch.crossJoin(exact)
+        .select(
+            F.lit(_HLL_M).alias("hll_m"),
+            F.round(est, 6).alias("hll_estimate"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                * F.lit(100.0),
+                4,
+            ).alias("rel_error_pct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # A9: AQI profile aggregate (the reference plan's validation query —
 # doc/archive/AQI Calculation Implementation Plan.md:132-137)
 # --------------------------------------------------------------------------
