@@ -690,3 +690,97 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling / dataset splits — training-data pipelines must
+# sample REPRODUCIBLY (stable across reruns, engines, and cluster sizes),
+# which df.sample()'s seeded RNG is not (partition-dependent). The
+# production pattern: hash the stable id into buckets and select ranges.
+# Map-only (fused into the scan), trivially parallel at any scale.
+# --------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+         AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS b,
+         lang, n_chars
+  FROM documents)
+GROUP BY 1
+ORDER BY split
+"""
+
+
+@query(
+    "hash_split_stats",
+    _SPLIT_ORACLE,
+    "Deterministic train/val/test split (md5-bucket ranges 80/10/10 on "
+    "doc_id): the id->split assignment is a pure map expression, so the "
+    "split is identical on any engine, cluster size, or rerun — the "
+    "reproducibility contract dataset cards require",
+    tags=("llm", "sampling"),
+)
+def q_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+_STRATIFIED_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 100 < 20 THEN 1 ELSE 0 END) AS n_sampled,
+       ROUND(SUM(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 100 < 20 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4)
+         AS sampled_pct
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query(
+    "stratified_sample",
+    _STRATIFIED_ORACLE,
+    "Stratified deterministic 20% sample per language stratum (md5-bucket "
+    "< 20): one conditional-count pass audits the realized rate per "
+    "stratum — no second scan, no RNG, no skewed-partition bias",
+    tags=("llm", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    in_sample = F.when(b < 20, 1).otherwise(0)
+    n_sampled = F.sum(in_sample)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            n_sampled.alias("n_sampled"),
+            F.round(n_sampled * 100.0 / F.count(F.lit(1)), 4).alias(
+                "sampled_pct"
+            ),
+        )
+        .orderBy("lang")
+    )
