@@ -154,6 +154,38 @@ def sessionize_stream(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time interval: right
+    rows match a left row with the same key when ``right_ts`` falls in
+    ``[left_ts, left_ts + within]``.
+
+    Both sides carry watermarks and the join predicate carries the time
+    bound — together they let Spark expire buffered rows, so join state is
+    O(keys x rows within the interval+watermark horizon), not O(stream).
+    An unbounded-condition stream-stream join would grow state forever;
+    this shape is the scalable one. Outer variants additionally emit
+    unmatched rows once the watermark passes their interval.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def write_marts_stream(
     df: DataFrame,
     path: str,

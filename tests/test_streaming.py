@@ -273,6 +273,71 @@ def test_corrupt_record_quarantine(spark, tmp_path):
     assert "not json" in corrupt.collect()[0][0]
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two watermarked file streams inner-joined on key within an
+    event-time interval; result must equal the equivalent batch join
+    (payments matched to the order they follow within 1 hour)."""
+    from reddit_data_pipeline_engineering_spark.streaming.kernel import (
+        stream_stream_interval_join,
+    )
+
+    orders = [
+        {"user_id": 1, "datetime": "2025-02-01T08:00:00+00:00", "order_id": 10},
+        {"user_id": 1, "datetime": "2025-02-01T10:00:00+00:00", "order_id": 11},
+        {"user_id": 2, "datetime": "2025-02-01T08:00:00+00:00", "order_id": 20},
+    ]
+    payments = [
+        # within 1h of order 10 -> matches
+        {"user_id": 1, "datetime": "2025-02-01T08:30:00+00:00", "pay_id": 100},
+        # 90 min after order 10, before order 11 -> matches NOTHING
+        {"user_id": 1, "datetime": "2025-02-01T09:30:00+00:00", "pay_id": 101},
+        # exactly at order 11 -> matches order 11
+        {"user_id": 1, "datetime": "2025-02-01T10:00:00+00:00", "pay_id": 102},
+        # wrong user for order 20's window -> no match
+        {"user_id": 3, "datetime": "2025-02-01T08:10:00+00:00", "pay_id": 300},
+    ]
+    for name, rows in (("orders", orders), ("payments", payments)):
+        d = tmp_path / name
+        d.mkdir()
+        with open(d / "data.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def src(name, extra):
+        return (
+            spark.readStream.format("json")
+            .schema(f"user_id long, datetime string, {extra} long")
+            .load(str(tmp_path / name))
+            .withColumn("ts", F.col("datetime").cast("timestamp"))
+            .drop("datetime")
+        )
+
+    joined = stream_stream_interval_join(
+        src("orders", "order_id").withColumnRenamed("ts", "order_ts"),
+        src("payments", "pay_id").withColumnRenamed("ts", "pay_ts"),
+        key="user_id",
+        left_ts="order_ts",
+        right_ts="pay_ts",
+        watermark="2 hours",
+        within="1 hour",
+    ).select("l.user_id", "order_id", "pay_id")
+    out = str(tmp_path / "join_out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "join_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    got = sorted(
+        (r["order_id"], r["pay_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(10, 100), (11, 102)]
+
+
 def test_ema_stream_cross_batch_state(spark, tmp_path):
     """applyInPandasWithState: the per-key EMA recurrence folds ACROSS
     micro-batches — batch 2's first output row must continue from batch
