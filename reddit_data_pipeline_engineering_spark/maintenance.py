@@ -1,4 +1,4 @@
-"""Table maintenance: small-file compaction.
+"""Table maintenance: small-file compaction and key-level merge/upsert.
 
 The reference's own guidance flags the problem (50-200 KB files written
 per partition vs a 128-256 MB target — ``doc/GLUE_JOBS_GUIDE.md:311,
@@ -97,3 +97,82 @@ def _compact(
     )
     shutil.rmtree(tmp, ignore_errors=True)
     return n_rows
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates,
+    keys: Sequence[str],
+    partition_cols: Sequence[str],
+    order_col: str | None = None,
+) -> int:
+    """MERGE-style upsert into a partitioned parquet table: rows in
+    ``updates`` replace existing rows with the same ``keys``; new keys are
+    inserted. Returns the number of rows written.
+
+    The plain-parquet equivalent of Delta/Iceberg MERGE, scoped to stay
+    scalable: only partitions TOUCHED by the update batch are read and
+    rewritten (dynamic partition overwrite), so cost is O(touched
+    partitions), not O(table). Within a touched partition, survivor choice
+    is deterministic — updates beat existing rows, and ``order_col``
+    (e.g. an ``extracted_at`` stamp) breaks ties among duplicate update
+    rows; without it, max precedence wins.
+
+    Idempotent: replaying the same update batch rewrites the same
+    partitions to the same contents (the reference's append-mode job
+    double-counted on retries — SURVEY.md §7.3 "Append idempotency").
+    """
+    upd = updates.withColumn("__prec", F.lit(1))
+    touched = [
+        tuple(r) for r in updates.select(*partition_cols).distinct().collect()
+    ]
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        existing = None
+    if existing is not None:
+        part_filter = None
+        for combo in touched:
+            clause = None
+            for c, v in zip(partition_cols, combo):
+                p = F.col(c) == F.lit(v)
+                clause = p if clause is None else clause & p
+            part_filter = clause if part_filter is None else part_filter | clause
+        scoped = existing.filter(part_filter) if part_filter is not None else existing
+        merged = upd.unionByName(scoped.withColumn("__prec", F.lit(0)))
+    else:
+        merged = upd
+
+    from pyspark.sql import Window
+
+    order = [F.col("__prec").desc()]
+    if order_col is not None:
+        order.append(F.col(order_col).desc())
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    survivors = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prec")
+    )
+    # Stage through a temp dir: the survivor plan READS ``path``, so
+    # writing straight back would be an overwrite-while-reading (same
+    # reason _compact swaps through tmp).
+    tmp = tempfile.mkdtemp(prefix="rdpe_merge_")
+    (
+        survivors.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(tmp)
+    )
+    staged = spark.read.parquet(tmp)
+    n = staged.count()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        staged.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n

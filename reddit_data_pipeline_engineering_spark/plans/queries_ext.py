@@ -264,7 +264,7 @@ FROM s, e
     "map-side register extraction -> 64-row MAX agg -> one-row estimate. "
     "The sketch is mergeable (MAX over registers), which is the whole "
     "point at 100 TB: partial sketches combine without a distinct shuffle",
-    tags=("llm", "sketch", "approx"),
+    tags=("llm", "sketch", "approx", "bench"),
 )
 def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

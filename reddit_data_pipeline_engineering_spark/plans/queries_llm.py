@@ -723,7 +723,7 @@ ORDER BY split
     "doc_id): the id->split assignment is a pure map expression, so the "
     "split is identical on any engine, cluster size, or rerun — the "
     "reproducibility contract dataset cards require",
-    tags=("llm", "sampling"),
+    tags=("llm", "sampling", "bench"),
 )
 def q_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

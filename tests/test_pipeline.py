@@ -139,6 +139,46 @@ def test_compact_partitions(spark, tmp_path):
     assert after == before  # content identical
 
 
+def test_merge_upsert(spark, tmp_path):
+    """Key-level MERGE into partitioned parquet: updates replace matching
+    keys, inserts add new keys, untouched partitions keep their files, and
+    replaying the batch is idempotent."""
+    from reddit_data_pipeline_engineering_spark.maintenance import merge_upsert
+
+    out = str(tmp_path / "marts")
+    base = spark.createDataFrame(
+        [
+            (1, "d1", 10.0, 2025),
+            (2, "d1", 20.0, 2025),
+            (3, "d2", 30.0, 2024),  # partition the updates never touch
+        ],
+        ["key", "name", "value", "year"],
+    )
+    base.write.partitionBy("year").parquet(out)
+    untouched_before = sorted(
+        os.listdir(os.path.join(out, "year=2024"))
+    )
+
+    updates = spark.createDataFrame(
+        [
+            (2, "d1", 99.0, 2025),  # update existing key
+            (4, "d1", 40.0, 2025),  # insert new key
+        ],
+        ["key", "name", "value", "year"],
+    )
+    n = merge_upsert(spark, out, updates, keys=("key",), partition_cols=("year",))
+    got = {r["key"]: r["value"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+    assert n == 3  # survivors written for the touched partition only
+    # The 2024 partition was never rewritten.
+    assert sorted(os.listdir(os.path.join(out, "year=2024"))) == untouched_before
+
+    # Replay the same batch: identical result (no append double-count).
+    merge_upsert(spark, out, updates, keys=("key",), partition_cols=("year",))
+    got2 = {r["key"]: r["value"] for r in spark.read.parquet(out).collect()}
+    assert got2 == got
+
+
 def test_pipeline_cli_args(spark, raw_dir, tmp_path, capsys):
     from reddit_data_pipeline_engineering_spark.pipeline import main
 
