@@ -26,6 +26,6 @@ Python touches rows only in Arrow-batched mapInPandas stages (multimodal
 decode, vectorized embedding scoring) — never row-at-a-time UDFs.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from reddit_data_pipeline_engineering_spark.session import get_spark  # noqa: F401
