@@ -107,3 +107,37 @@ def test_whole_stage_codegen_active(spark):
     # '*(n)' prefixes mark operators fused into whole-stage codegen.
     assert "isFinalPlan=true" in simple
     assert "*(" in simple
+
+def test_hll_sketch_has_no_expand_for_registers(spark):
+    """The HLL register extraction is map-side expressions + one 64-key
+    hash aggregate — the whole point vs COUNT DISTINCT is avoiding a
+    distinct shuffle over the full key set. The only Expand allowed is
+    the one countDistinct branch computing the exact reference value."""
+    df = REGISTRY["hll_distinct_sketch"].fn(spark, SF_SMALL)
+    plan = plan_of(df)
+    # Register path: bucket/rho computed in the scan projection (no join,
+    # no window) and aggregated by bucket.
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sampling_queries_are_single_aggregate(spark):
+    """Deterministic sampling/splitting is a pure map expression feeding
+    ONE hash aggregate — no extra scan, no join, no window."""
+    for name in ("hash_split_stats", "stratified_sample"):
+        df = REGISTRY[name].fn(spark, SF_SMALL)
+        plan = plan_of(df)
+        # One "Location:" detail block per scan node in formatted explain.
+        assert plan.count("Location:") == 1, name
+        for op in ("Join", "Window"):
+            assert op not in plan, (name, op)
+
+
+def test_cube_is_one_expand_aggregate(spark):
+    """CUBE plans as Expand (4 grouping sets) + one aggregate over the
+    expanded rows — not one job per grouping set."""
+    df = REGISTRY["cube_segments"].fn(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "Expand" in plan
+    assert "BroadcastHashJoin" in plan  # customer dim never shuffles
+    assert "SortMergeJoin" not in plan
