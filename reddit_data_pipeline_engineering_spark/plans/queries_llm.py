@@ -784,3 +784,63 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# ANN evaluation: recall@k of the probed IVF search vs exact brute force.
+# Search QUALITY is part of the similarity surface — an ANN path without a
+# measured recall is unshippable. Both rankings are deterministic
+# (round-6 cosine, vec_id tiebreak), so the recall itself is oracle-exact.
+# --------------------------------------------------------------------------
+
+_IVF_RECALL_ORACLE = f"""
+WITH q AS (
+  SELECT embedding AS qe, label AS ql FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id, e.label,
+         ROUND(({_sql_dot('e.embedding', 'q.qe')})
+               / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                  * sqrt({_sql_dot('q.qe', 'q.qe')})), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+), exact AS (
+  SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id LIMIT 20
+), probed AS (
+  SELECT s.vec_id FROM scored s, q WHERE s.label = q.ql
+  ORDER BY s.cosine DESC, s.vec_id LIMIT 20
+)
+SELECT 20 AS k,
+       CAST((SELECT COUNT(*) FROM exact JOIN probed USING (vec_id)) AS BIGINT)
+         AS n_overlap,
+       ROUND((SELECT COUNT(*) FROM exact JOIN probed USING (vec_id))
+             / 20.0, 4) AS recall_at_k
+"""
+
+
+@query(
+    "ivf_recall_at_k",
+    _IVF_RECALL_ORACLE,
+    "Recall@20 of IVF-probed ANN vs exact brute force for the query "
+    "vector: the quality metric that certifies the probe count / coarse "
+    "quantizer — computed as a semi-join of the two deterministic top-k "
+    "sets, no extra scan of the corpus beyond the two searches",
+    tags=("llm", "similarity", "eval"),
+)
+def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qvec = [float(x) for x in qrow[0]]
+    exact = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", qvec, k=20
+    ).select("vec_id")
+    probed = similarity.ivf_probe_topk(
+        emb, "embedding", "vec_id", "label", query_id=0, k=20
+    ).select("vec_id")
+    overlap = exact.join(probed, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(20).alias("k"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.round(F.col("n_overlap") / F.lit(20.0), 4).alias("recall_at_k"),
+    )
