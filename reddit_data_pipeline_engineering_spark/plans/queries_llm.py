@@ -844,3 +844,68 @@ def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_overlap").cast("long").alias("n_overlap"),
         F.round(F.col("n_overlap") / F.lit(20.0), 4).alias("recall_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Capstone: the corpus-preparation pipeline as ONE declarative plan —
+# exact-dedup survivors -> quality filter -> deterministic split ->
+# per-(split, lang) stats. Each stage is an operator proven above; the
+# point of the capstone is that the COMPOSITION stays one Catalyst plan
+# (window + two aggregates), not a chain of materialized intermediates.
+# --------------------------------------------------------------------------
+
+_CORPUS_PREP_ORACLE = """
+WITH survivors AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+), kept AS (
+  SELECT doc_id, lang, n_chars FROM survivors
+  WHERE rn = 1 AND n_chars >= 100
+)
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+         AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS b
+  FROM kept)
+GROUP BY 1, lang
+ORDER BY split, lang
+"""
+
+
+@query(
+    "corpus_prep_stats",
+    _CORPUS_PREP_ORACLE,
+    "End-to-end corpus preparation in one plan: exact-dedup survivors "
+    "(md5 window, deterministic keeper) -> length quality gate -> "
+    "deterministic md5-bucket split -> per-(split, lang) stats. One "
+    "content-hash shuffle + one group-by shuffle total",
+    tags=("llm", "dedup", "sampling", "bench"),
+)
+def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("n_chars") >= 100))
+        .select("doc_id", "lang", "n_chars")
+    )
+    b = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return (
+        kept.groupBy(split.alias("split"), F.col("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
