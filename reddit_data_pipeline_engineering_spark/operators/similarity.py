@@ -54,6 +54,7 @@ def blocked_neardup_pairs(
     block_col: str,
     threshold: float,
     score_decimals: int | None = 6,
+    per_block_topk: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within coarse blocks (IVF-style).
 
@@ -61,6 +62,13 @@ def blocked_neardup_pairs(
     one dot-product fold instead of three (norms recomputed per pair were
     ~3x the bench time). Numerically identical: sqrt/multiply are the same
     IEEE ops either side of the join.
+
+    ``per_block_topk`` prunes each block to its k best pairs before
+    anything leaves the block: the row_number window partitions on the
+    same key the join shuffled on, so it adds NO exchange, and the rows
+    flowing into any downstream global top-k drop from O(sum b^2) to
+    O(k * n_blocks). At scale this is the difference between a bounded
+    and an unbounded final shuffle.
     """
     normed = df.select(
         F.col(block_col).alias("blk"),
@@ -83,12 +91,24 @@ def blocked_neardup_pairs(
     score = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     if score_decimals is not None:
         score = F.round(score, score_decimals)
-    return (
+    pairs = (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("blk", "id_a", "id_b", score.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    if per_block_topk is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("blk").orderBy(
+            F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+        )
+        pairs = (
+            pairs.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= per_block_topk)
+            .drop("__rk")
+        )
+    return pairs
 
 
 def cosine_topk_pandas(

@@ -158,6 +158,16 @@ def jaccard_candidate_pairs(
         ).alias("docs")
     )
     if max_shingle_freq is not None:
+        # No-silent-caps: the dropped stop-shingle count rides the plan as a
+        # named observation (free with the action; readable via listener /
+        # QueryExecution.observedMetrics) instead of a second counting job.
+        grouped = grouped.observe(
+            "jaccard_shingle_cap",
+            F.sum((F.size("docs") > max_shingle_freq).cast("long")).alias(
+                "dropped_shingles"
+            ),
+            F.count(F.lit(1)).alias("total_shingles"),
+        )
         grouped = grouped.filter(F.size("docs") <= max_shingle_freq)
     pairs = F.flatten(
         F.transform(

@@ -145,6 +145,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_dedup.minhash_lsh_pairs(sigs, "doc_id", num_hashes=8, bands=4)
 
 
+_JACCARD_MAX_SHINGLE_FREQ = 5
+
 _JACCARD_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -152,10 +154,16 @@ WITH toks AS (
   SELECT doc_id, unnest(list_distinct({_sql_shingles('toks', 3)})) AS shingle FROM toks
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+), kept AS (
+  -- stop-shingle cap mirror: shingles shared by more than
+  -- {_JACCARD_MAX_SHINGLE_FREQ} docs are dropped before pair generation
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) <= {_JACCARD_MAX_SHINGLE_FREQ}
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
   FROM sh a
   JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN kept k ON a.shingle = k.shingle
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b, n_common,
@@ -173,14 +181,20 @@ LIMIT 20
     "ngram_jaccard_topk",
     _JACCARD_ORACLE,
     "Exact word-3-gram Jaccard for shingle-sharing pairs, top-20: "
-    "explode distinct shingles -> equi-join on shingle (skew bounded by "
-    "stop-shingle cap in the operator) -> intersection counts",
+    "explode distinct shingles -> group by shingle with stop-shingle cap "
+    f"(df > {_JACCARD_MAX_SHINGLE_FREQ} dropped, count observed in-plan) "
+    "-> map-side pair explode -> intersection counts. The cap bounds the "
+    "f^2 per-shingle pair blow-up at scale.",
     tags=("llm", "dedup", "bench"),
 )
 def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = text_dedup.jaccard_candidate_pairs(
-        docs, "text", "doc_id", shingle_len=3
+        docs,
+        "text",
+        "doc_id",
+        shingle_len=3,
+        max_shingle_freq=_JACCARD_MAX_SHINGLE_FREQ,
     )
     return topk.top_k(
         pairs,
@@ -547,13 +561,24 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_PAIR_THRESHOLD = 0.0
+
 _BLOCKED_PAIRS_ORACLE = f"""
-SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(({_sql_dot('a.embedding', 'b.embedding')})
-             / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
-                * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 6) AS cosine
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WITH scored AS (
+  SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(({_sql_dot('a.embedding', 'b.embedding')})
+               / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
+                  * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 6) AS cosine
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+), pruned AS (
+  SELECT * FROM scored
+  WHERE cosine >= {_EMB_PAIR_THRESHOLD}
+  QUALIFY row_number() OVER (
+    PARTITION BY blk ORDER BY cosine DESC, id_a, id_b
+  ) <= 50
+)
+SELECT blk, id_a, id_b, cosine FROM pruned
 ORDER BY cosine DESC, id_a, id_b
 LIMIT 50
 """
@@ -564,13 +589,21 @@ LIMIT 50
     _BLOCKED_PAIRS_ORACLE,
     "IVF-style embedding near-duplicate search: pairs compared only "
     "within a coarse block (label as the centroid id) — O(sum b^2) "
-    "instead of O(n^2), shuffle keyed on the block",
+    "instead of O(n^2), shuffle keyed on the block; a similarity "
+    "threshold plus per-block top-k pruning (row_number on the join's "
+    "own partitioning, no extra exchange) bounds what reaches the "
+    "global top-k",
     tags=("llm", "similarity", "bench"),
 )
 def q_embedding_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.blocked_neardup_pairs(
-        emb, "embedding", "vec_id", "label", threshold=-2.0
+        emb,
+        "embedding",
+        "vec_id",
+        "label",
+        threshold=_EMB_PAIR_THRESHOLD,
+        per_block_topk=50,
     )
     return topk.top_k(
         pairs,

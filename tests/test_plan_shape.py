@@ -141,3 +141,45 @@ def test_cube_is_one_expand_aggregate(spark):
     assert "Expand" in plan
     assert "BroadcastHashJoin" in plan  # customer dim never shuffles
     assert "SortMergeJoin" not in plan
+
+
+def test_jaccard_skew_cap_active_and_observed(spark):
+    """The registry jaccard query must run with the stop-shingle cap ON:
+    the cap filter and its in-plan observation both appear, so frequent
+    shingles can never re-enable the unbounded f^2 pair blow-up."""
+    df = REGISTRY["ngram_jaccard_topk"].fn(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "CollectMetrics" in plan  # named observation jaccard_shingle_cap
+    assert "jaccard_shingle_cap" in plan
+
+
+def test_blocked_pairs_per_block_topk_no_extra_exchange(spark):
+    """per_block_topk's row_number partitions on the join's own shuffle
+    key, so in the at-scale (shuffle-join) plan pruning adds NO exchange,
+    and Spark's WindowGroupLimit applies the per-block limit map-side
+    before the rows ever reach the window's sort."""
+    from reddit_data_pipeline_engineering_spark.operators.similarity import (
+        blocked_neardup_pairs,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bare = blocked_neardup_pairs(
+            emb, "embedding", "vec_id", "label", threshold=0.0
+        )
+        pruned = blocked_neardup_pairs(
+            emb, "embedding", "vec_id", "label", threshold=0.0,
+            per_block_topk=50,
+        )
+        n_bare = plan_of(bare).count("Exchange")
+        plan_pruned = plan_of(pruned)
+        assert plan_pruned.count("Exchange") == n_bare, (
+            n_bare, plan_pruned.count("Exchange"),
+        )
+        assert "Window" in plan_pruned
+        # Partial top-k runs before any data movement (rank pushdown).
+        assert "WindowGroupLimit" in plan_pruned
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
