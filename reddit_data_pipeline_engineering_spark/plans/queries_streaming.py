@@ -108,33 +108,43 @@ def q_stateful_ema_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ema_stream,
     )
 
+    import glob
+
     ev = load_table(spark, sf_dir, "events")
     first_ts = ev.agg(F.min("ts")).head()[0]
-    day = (
-        ev.filter(F.col("ts") < F.lit(first_ts) + F.expr("INTERVAL 1 DAYS"))
-        .filter(F.col("value").isNotNull())
-        .select(
-            "user_id",
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
-            "value",
-        )
-        .orderBy("ts")
-        .collect()
-    )
+    day = ev.filter(
+        F.col("ts") < F.lit(first_ts) + F.expr("INTERVAL 1 DAYS")
+    ).filter(F.col("value").isNotNull())
     tmp = tempfile.mkdtemp(prefix="rdpe_emaq_")
     raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
     os.makedirs(raw)
-    # Two time-ordered files with pinned mtimes -> two micro-batches, so
-    # the driver-run query itself exercises cross-batch state.
-    half = len(day) // 2 or 1
-    for i, chunk in enumerate((day[:half], day[half:])):
+    # Two time-split micro-batch files built with SPARK writes (no rows
+    # ever reach the driver — the fold operator sorts by ts within each
+    # batch, so only the file split matters): first/second 12 hours of
+    # the day, each written as one JSON part and moved into the raw zone
+    # with a pinned mtime so maxFilesPerTrigger=1 drains them in order
+    # and the query itself exercises cross-batch state carry.
+    cut = F.lit(first_ts) + F.expr("INTERVAL 12 HOURS")
+    for i, cond in enumerate(
+        (F.col("ts") < cut, F.col("ts") >= cut)
+    ):
+        stage = os.path.join(tmp, f"stage{i}")
+        (
+            day.filter(cond)
+            .select(
+                "user_id",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias(
+                    "ts"
+                ),
+                "value",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(stage)
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.json"))
         p = os.path.join(raw, f"b{i}.json")
-        with open(p, "w") as f:
-            for r in chunk:
-                f.write(
-                    '{"user_id": %d, "ts": "%s", "value": %s}\n'
-                    % (r["user_id"], r["ts"], repr(float(r["value"])))
-                )
+        os.rename(part, p)
         os.utime(p, (1700000000 + i, 1700000000 + i))
 
     stream = (
