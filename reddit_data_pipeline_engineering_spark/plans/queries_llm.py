@@ -481,24 +481,61 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Multimodal plumbing through the driver gate (rows-only: the synthetic
-# asset table exists Spark-side only, so DuckDB can't oracle it; batch
-# shapes are exactly asserted in tests/test_multimodal.py instead).
+# Multimodal plumbing through the driver gate. The Spark side does the
+# REAL work (binary payloads -> Arrow-batched mapInPandas decode); the
+# synthetic payload is a closed-form function of asset_id (see
+# sources/multimodal.py: pixel j of asset i is (i*31 + j*7) % 256), so
+# DuckDB can recompute the decoded stats arithmetically and oracle the
+# profile without ever seeing the binaries. Batch shapes are additionally
+# asserted in tests/test_multimodal.py.
 # --------------------------------------------------------------------------
+
+_MM_N_ASSETS = 120
+_MM_MAX_PX = 12 * 9  # max (8 + i%5) * (6 + i%4)
+
+_MULTIMODAL_ORACLE = f"""
+WITH ids AS (
+  SELECT unnest(range({_MM_N_ASSETS})) AS i
+), dims AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+         END AS modality,
+         (8 + i % 5) * (6 + i % 4) AS n_px
+  FROM ids
+), series AS (
+  SELECT unnest(range({_MM_MAX_PX})) AS j
+), decoded AS (
+  -- mirror of sources/multimodal.decode_payload over the synthetic
+  -- payload generator: exact integer pixel sum, then one double divide
+  SELECT d.i, d.modality, d.n_px AS n_bytes,
+         SUM((d.i * 31 + s.j * 7) % 256) / COUNT(*) AS mean_intensity
+  FROM dims d JOIN series s ON s.j < d.n_px
+  GROUP BY d.i, d.modality, d.n_px
+)
+SELECT modality,
+       COUNT(*) AS n_assets,
+       ROUND(CAST(SUM(CAST(mean_intensity AS DECIMAL(24,18))) AS DOUBLE)
+             / COUNT(mean_intensity), 4) AS avg_intensity,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+FROM decoded
+GROUP BY modality
+ORDER BY modality
+"""
 
 
 @query(
     "multimodal_decode_profile",
-    None,
+    _MULTIMODAL_ORACLE,
     "Multimodal asset pipeline: synthesize binary assets -> Arrow-batched "
     "mapInPandas decode -> per-modality aggregate profile (plumbing is "
-    "real, codec layer stubbed — sources/multimodal.py)",
+    "real, codec layer stubbed — sources/multimodal.py; the oracle "
+    "recomputes the deterministic payload stats arithmetically)",
     tags=("llm", "multimodal"),
 )
 def q_multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.sources import multimodal as mm
 
-    assets = mm.synthesize_assets(spark, n=120)
+    assets = mm.synthesize_assets(spark, n=_MM_N_ASSETS)
     decoded = mm.decode_assets(assets)
     profile = decoded.join(
         assets.select("asset_id", "modality"), "asset_id"
@@ -507,8 +544,16 @@ def q_multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile.groupBy("modality")
         .agg(
             F.count(F.lit(1)).alias("n_assets"),
-            F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
-            F.sum("n_bytes").alias("total_bytes"),
+            # decimal-cast sum: summation-order-independent, so the avg is
+            # bit-identical to the oracle's regardless of partitioning
+            F.round(
+                F.sum(F.col("mean_intensity").cast("decimal(24,18)")).cast(
+                    "double"
+                )
+                / F.count("mean_intensity"),
+                4,
+            ).alias("avg_intensity"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
         )
         .orderBy("modality")
     )
