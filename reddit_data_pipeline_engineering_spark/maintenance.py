@@ -20,9 +20,30 @@ from __future__ import annotations
 import shutil
 import tempfile
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+_INFER_KEY = "spark.sql.sources.partitionColumnTypeInference.enabled"
+
+
+@contextmanager
+def _no_partition_type_inference(spark: SparkSession):
+    """Disable partition-value type inference for reads inside the block.
+
+    Inference would read a zero-padded partition value like month=01 back
+    as integer 1: equality filters against the original string literal
+    then miss, and a re-write forks the layout into month=1 alongside
+    month=01. Every maintenance read of a partitioned dataset runs under
+    this guard so values stay the strings the directory names carry.
+    """
+    old = spark.conf.get(_INFER_KEY, "true")
+    spark.conf.set(_INFER_KEY, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(_INFER_KEY, old)
 
 
 def compact_partitions(
@@ -39,19 +60,10 @@ def compact_partitions(
     matching partitions are rewritten via dynamic partition overwrite —
     untouched partitions keep their files.
     """
-    # Partition-type inference would read a zero-padded partition value
-    # like month=01 back as integer 1 and re-write it to a DIFFERENT
-    # directory (month=1), silently forking the layout. Keep values as the
-    # strings the directory names carry.
-    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    old_infer = spark.conf.get(infer_key, "true")
-    spark.conf.set(infer_key, "false")
-    try:
+    with _no_partition_type_inference(spark):
         return _compact(
             spark, path, partition_cols, predicate, target_rows_per_file
         )
-    finally:
-        spark.conf.set(infer_key, old_infer)
 
 
 def _compact(
@@ -87,11 +99,13 @@ def _compact(
     )
     # Swap through the temp location: dynamic overwrite replaces exactly
     # the rewritten partitions; reading tmp (1 file per partition, none
-    # split across scan tasks) preserves the consolidated layout.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # split across scan tasks) preserves the consolidated layout. The
+    # overwrite mode is scoped to THIS write via the writer option so the
+    # shared session's truncate-overwrite semantics are never changed.
     (
         spark.read.parquet(tmp)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .parquet(path)
     )
@@ -123,6 +137,20 @@ def merge_upsert(
     partitions to the same contents (the reference's append-mode job
     double-counted on retries — SURVEY.md §7.3 "Append idempotency").
     """
+    with _no_partition_type_inference(spark):
+        return _merge_upsert(
+            spark, path, updates, keys, partition_cols, order_col
+        )
+
+
+def _merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates,
+    keys: Sequence[str],
+    partition_cols: Sequence[str],
+    order_col: str | None,
+) -> int:
     upd = updates.withColumn("__prec", F.lit(1))
     touched = [
         tuple(r) for r in updates.select(*partition_cols).distinct().collect()
@@ -167,10 +195,10 @@ def merge_upsert(
     )
     staged = spark.read.parquet(tmp)
     n = staged.count()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         staged.repartition(*[F.col(c) for c in partition_cols])
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .parquet(path)
     )

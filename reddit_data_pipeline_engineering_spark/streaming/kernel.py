@@ -217,26 +217,48 @@ def write_stream_upsert(
     checkpoint: str,
     partition_cols: Sequence[str],
     available_now: bool = True,
+    keys: Sequence[str] | None = None,
 ):
-    """foreachBatch sink that REPLACES the touched partitions per
-    micro-batch (dynamic partition overwrite) instead of appending.
+    """foreachBatch sink that upserts each micro-batch into a partitioned
+    parquet table instead of appending.
 
-    This is the parquet-level upsert: re-emitted aggregation windows (e.g.
-    update-mode output, or reprocessing after a checkpoint reset)
-    overwrite their partition rather than duplicating rows — the pattern a
-    Delta/Iceberg MERGE generalizes. Failed batches replay idempotently
-    because the same input batch rewrites the same partitions.
+    Two modes, chosen by whether ``keys`` is given:
+
+    - ``keys=None`` — partition REPLACE: dynamic partition overwrite swaps
+      the touched partitions with the batch's rows. Correct ONLY when
+      ``partition_cols`` is the full re-emittable output grain (update
+      mode re-emits individual changed rows, so a partition holding
+      several windows would lose the windows absent from this batch).
+    - ``keys=(...)`` — key-level MERGE: the batch's rows replace existing
+      rows with the same keys and new keys are inserted
+      (``maintenance.merge_upsert`` inside foreachBatch), so a partition
+      may hold many re-emittable units without data loss.
+
+    Failed batches replay idempotently in both modes: the same input
+    batch produces the same partition contents. The overwrite mode is
+    scoped per-write (writer option), never set on the shared session.
     """
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            spark = batch_df.sparkSession
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        if batch_df.isEmpty():
+            return
+        if keys is not None:
+            from reddit_data_pipeline_engineering_spark.maintenance import (
+                merge_upsert,
             )
+
+            merge_upsert(
+                batch_df.sparkSession,
+                path,
+                batch_df,
+                keys=keys,
+                partition_cols=partition_cols,
+            )
+        else:
             (
                 batch_df.repartition(*[F.col(c) for c in partition_cols])
                 .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*partition_cols)
                 .parquet(path)
             )

@@ -198,3 +198,37 @@ def test_raw_zone_roundtrip(spark, raw_dir, tmp_path):
     )
     back = read_raw_zone(spark, dest)
     assert back.count() == 4
+
+
+def test_merge_upsert_zero_padded_partition(spark, tmp_path):
+    """Zero-padded STRING partition values (month=01) must not fork the
+    layout: with type inference guarded off, the touched-partition filter
+    matches the string literal and the rewrite lands back in month=01,
+    never a duplicate month=1 directory."""
+    from reddit_data_pipeline_engineering_spark.maintenance import merge_upsert
+
+    out = str(tmp_path / "padded")
+    base = spark.createDataFrame(
+        [(1, 10.0, "01"), (2, 20.0, "01"), (3, 30.0, "02")],
+        ["key", "value", "month"],
+    )
+    base.write.partitionBy("month").parquet(out)
+
+    updates = spark.createDataFrame(
+        [(2, 99.0, "01"), (4, 40.0, "01")], ["key", "value", "month"]
+    )
+    merge_upsert(spark, out, updates, keys=("key",), partition_cols=("month",))
+
+    dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("month=")
+    )
+    assert dirs == ["month=01", "month=02"]  # no month=1 fork
+    got = {r["key"]: r["value"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+    # The session conf the guard toggles is restored afterwards.
+    assert (
+        spark.conf.get(
+            "spark.sql.sources.partitionColumnTypeInference.enabled"
+        )
+        == "true"
+    )

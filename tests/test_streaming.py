@@ -443,3 +443,66 @@ def test_sessionize_stream(spark, tmp_path):
         if r["location_id"] != 99
     )
     assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_foreach_batch_upsert_keyed_two_windows(spark, tmp_path):
+    """A partition that holds SEVERAL re-emittable windows: update mode
+    re-emits only the changed window, so the keyed merge path must keep
+    the untouched window's row instead of wiping the whole partition."""
+    from reddit_data_pipeline_engineering_spark.streaming.kernel import (
+        write_stream_upsert,
+    )
+
+    src = tmp_path / "kup_raw"
+    src.mkdir()
+    out = str(tmp_path / "kup_out")
+    ckpt = str(tmp_path / "kup_ckpt")
+
+    def emit(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("json")
+            .schema("location_id long, datetime string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+            .withColumn("ts", F.col("datetime").cast("timestamp"))
+        )
+        agg = (
+            stream.withWatermark("ts", "10 seconds")
+            .groupBy("location_id", F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .select(
+                "location_id",
+                F.col("w.start").alias("window_start"),
+                "n",
+                "total",
+            )
+        )
+        q = write_stream_upsert(
+            agg,
+            out,
+            ckpt,
+            partition_cols=("location_id",),
+            keys=("location_id", "window_start"),
+        )
+        run_stream_to_completion(q)
+
+    emit("b1.json", [
+        {"location_id": 1, "datetime": "2025-02-01T08:00:00+00:00", "value": 1.0},
+    ])
+    run_once()
+    # A LATER window for the same partition key: only this window is
+    # re-emitted; the 08:00 row must survive the upsert.
+    emit("b2.json", [
+        {"location_id": 1, "datetime": "2025-02-01T10:00:00+00:00", "value": 5.0},
+    ])
+    run_once()
+    rows = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r["window_start"]
+    )
+    assert len(rows) == 2  # both windows present
+    assert [r["total"] for r in rows] == [1.0, 5.0]
