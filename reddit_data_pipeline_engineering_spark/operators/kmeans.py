@@ -1,0 +1,151 @@
+"""Deterministic k-means coarse quantizer for IVF-style ANN.
+
+LLM-data-pipeline extension (no reference counterpart): the missing
+piece the round-1 review called out — IVF blocking previously rode a
+pre-existing ``label`` column; a real 100 TB ANN index computes its own
+coarse centroids. This module is DataFrame-native Lloyd iteration:
+
+- **assignment** is a map-side fold against broadcast centroid literals
+  (k x dim values — model state, not data — so shipping them to the
+  driver between iterations is O(k*dim), independent of corpus size);
+- **update** is one hash aggregate per iteration (partial aggregation
+  map-side, one shuffle keyed on the cluster id).
+
+Determinism device: Lloyd's algorithm on floats is not reproducible
+across engines (summation order), so the quantizer runs on
+integer-quantized vectors — ``qx_i = floor(x_i * 16384)`` — and keeps
+centroids on an integer grid (``c_i = floor(64 * sum(qx_i) / n)``).
+Every distance is then EXACT 64-bit integer arithmetic (bounded by
+64 * (2^19)^2 < 2^53, so even a double-typed fold is exact), which makes
+cluster assignments bit-identical in any engine and any partitioning —
+the DuckDB oracle can replay the whole fit. Production would swap the
+grid for float Lloyd; the plan shape (broadcast centroids -> map fold ->
+one keyed shuffle per iteration) is identical. Final candidate SCORING
+stays exact cosine on the original float vectors — quantization only
+affects which coarse cell a vector lands in.
+
+Seeding: the k rows with the smallest ``md5(cast(id as string))`` — a
+deterministic pseudo-random sample expressible in SQL (same device as
+the hash-split operators, plans/queries_llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 16384  # 2^14: |x| <= ~16 stays overflow-safe (see module doc)
+CENT_SCALE = 64  # centroid grid is 64x finer than the vector grid
+
+
+def quantized(vec: Column | str, scale: int = QUANT_SCALE) -> Column:
+    """array<float> -> array<long> on the deterministic integer grid."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(float(scale)))
+    )
+
+
+def _sqdist(qvec: Column, centroid: list[int]) -> Column:
+    """Exact integer squared distance between a quantized vector (fold)
+    and one centroid literal: sum over dims of (qx*64 - c)^2."""
+    c = F.array(*[F.lit(int(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(
+            qvec,
+            c,
+            lambda a, b: (a * F.lit(CENT_SCALE) - b)
+            * (a * F.lit(CENT_SCALE) - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _seed_order(id_col: str) -> list[Column]:
+    return [
+        F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")).asc(),
+        F.col(id_col).asc(),
+    ]
+
+
+def assign_clusters(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[int]],
+    out_col: str = "cluster",
+    pre_quantized: bool = False,
+) -> DataFrame:
+    """Add the nearest-centroid id (ties -> lowest cluster id): map-only,
+    one exact integer fold per centroid against broadcast literals."""
+    qv = F.col(vec_col) if pre_quantized else quantized(vec_col)
+    cells = F.array(
+        *[
+            F.struct(
+                _sqdist(qv, c).alias("d"), F.lit(i).alias("c")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    # array_min over structs is lexicographic (dist, cluster) — the same
+    # argmin-with-tiebreak the oracle expresses as row_number over
+    # ORDER BY dist, cluster.
+    return df.withColumn(out_col, F.array_min(cells)["c"])
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[int]]:
+    """Fit k integer-grid centroids with ``iters`` Lloyd iterations.
+
+    Each iteration: map-side assignment against the current broadcast
+    centroids, then ONE hash aggregate (cluster -> per-dim exact long
+    sums + count); only the k aggregated rows come back to the driver.
+    A cluster that loses all members drops out (both engines mirror
+    this), so the result may have fewer than k centroids.
+    """
+    dim = len(df.select(vec_col).head()[0])
+    seeds = (
+        df.orderBy(*_seed_order(id_col))
+        .limit(k)
+        .select(quantized(vec_col).alias("q"))
+        .collect()
+    )
+    centroids = [
+        [int(v) * CENT_SCALE for v in r["q"]] for r in seeds
+    ]
+    import math
+
+    qdf = df.select(quantized(vec_col).alias("q"))
+    for _ in range(iters):
+        assigned = assign_clusters(
+            qdf, "q", centroids, out_col="cluster", pre_quantized=True
+        )
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.col("q")[i]).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        # floor((s*64)/n) via DOUBLE division on both sides: s*64 is exact
+        # in double (< 2^33) and the correctly-rounded quotient + floor is
+        # the same IEEE computation the oracle's floor(... / n) performs.
+        # (Exact integer floor-division would NOT mirror SQL: // semantics
+        # differ across engines for negative sums.)
+        centroids = [
+            [
+                int(math.floor((r[f"s{i}"] * float(CENT_SCALE)) / r["n"]))
+                for i in range(dim)
+            ]
+            for r in sorted(rows, key=lambda r: r["cluster"])
+        ]
+    return centroids

@@ -925,6 +925,215 @@ def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# K-means coarse quantizer IVF (operators/kmeans.py): the ANN index that
+# COMPUTES its blocks instead of riding the dataset's label column. The
+# whole Lloyd fit runs on the deterministic integer grid, so the oracle
+# replays it exactly in SQL (generated CTE chain below).
+# --------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_NPROBE = 2
+
+
+def _sql_qx(expr: str) -> str:
+    """DuckDB mirror of operators.kmeans.quantized (floor onto the grid)."""
+    return (
+        f"list_transform({expr}, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT))"
+    )
+
+
+def _sql_sqdist_q(a: str, b: str) -> str:
+    """Exact integer squared distance (qx list vs centroid list)."""
+    return " + ".join(
+        f"({a}[{i + 1}] * 64 - {b}[{i + 1}]) * "
+        f"({a}[{i + 1}] * 64 - {b}[{i + 1}])"
+        for i in range(_DIM)
+    )
+
+
+def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS,
+                 nprobe: int = _KM_NPROBE) -> str:
+    """CTE chain replaying operators.kmeans.kmeans_fit + assignment +
+    probe selection: every distance is exact 64-bit integer math, every
+    centroid update floors onto the integer grid, so the replay is
+    bit-identical to the Spark fit regardless of partitioning."""
+    sq = _sql_sqdist_q
+    seed_rank = "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)"
+    parts = [
+        f"""qv AS MATERIALIZED (
+  SELECT vec_id, embedding, {_sql_qx('embedding')} AS qx FROM embeddings
+)""",
+        f"""seeds AS MATERIALIZED (
+  SELECT qx, {seed_rank} - 1 AS cluster
+  FROM qv QUALIFY {seed_rank} <= {k}
+)""",
+        """cent0 AS MATERIALIZED (
+  SELECT cluster, list_transform(qx, v -> v * 64) AS c FROM seeds
+)""",
+    ]
+    prev = "cent0"
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS MATERIALIZED (
+  SELECT e.vec_id, c.cluster FROM qv e CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {sq('e.qx', 'c.c')}, c.cluster) = 1
+)""")
+        parts.append(f"""s{t} AS MATERIALIZED (
+  SELECT a.cluster, d.dim, SUM(e.qx[d.dim + 1]) AS s, COUNT(*) AS n
+  FROM a{t} a JOIN qv e USING (vec_id)
+  CROSS JOIN (SELECT unnest(range({_DIM})) AS dim) d
+  GROUP BY a.cluster, d.dim
+)""")
+        # row_number renumber mirrors the fit's dense re-indexing after a
+        # cluster empties out (sorted-by-cluster list positions).
+        parts.append(f"""cent{t} AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY cluster) - 1 AS cluster, c FROM (
+    SELECT cluster,
+           list(CAST(floor(CAST(s AS DOUBLE) * 64 / n) AS BIGINT)
+                ORDER BY dim) AS c
+    FROM s{t} GROUP BY cluster)
+)""")
+        prev = f"cent{t}"
+    parts.append(f"""af AS MATERIALIZED (
+  SELECT e.vec_id, c.cluster FROM qv e CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {sq('e.qx', 'c.c')}, c.cluster) = 1
+)""")
+    parts.append(
+        "qq AS MATERIALIZED (SELECT qx, embedding AS qe FROM qv WHERE vec_id = 0)"
+    )
+    parts.append(f"""probes AS MATERIALIZED (
+  SELECT c.cluster FROM {prev} c CROSS JOIN qq
+  ORDER BY {sq('qq.qx', 'c.c')}, c.cluster LIMIT {nprobe}
+)""")
+    parts.append("""cand AS MATERIALIZED (
+  SELECT a.vec_id FROM af a JOIN probes p USING (cluster)
+  WHERE a.vec_id <> 0
+)""")
+    return ",\n".join(parts)
+
+
+_KMEANS_TOPK_ORACLE = f"""
+WITH {_kmeans_ctes()}
+SELECT e.vec_id,
+       ROUND(({_sql_dot('e.embedding', 'qq.qe')})
+             / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                * sqrt({_sql_dot('qq.qe', 'qq.qe')})), 6) AS cosine
+FROM qv e JOIN cand USING (vec_id) CROSS JOIN qq
+ORDER BY cosine DESC, e.vec_id
+LIMIT 20
+"""
+
+
+def _kmeans_probe_clusters(
+    centroids: list[list[int]], qvec: list[float], nprobe: int
+) -> list[int]:
+    """Nearest-nprobe centroid ids for the query vector — pure-Python
+    exact integer math on k*dim model values (not a data-sized loop)."""
+    import math
+
+    qx = [math.floor(x * 16384.0) for x in qvec]
+    dists = sorted(
+        (sum((a * 64 - b) ** 2 for a, b in zip(qx, c)), ci)
+        for ci, c in enumerate(centroids)
+    )
+    return [ci for _, ci in dists[:nprobe]]
+
+
+@query(
+    "ivf_kmeans_topk",
+    _KMEANS_TOPK_ORACLE,
+    "IVF ANN with a COMPUTED coarse quantizer: deterministic integer-grid "
+    "k-means (broadcast-centroid map-side assignment, one keyed shuffle "
+    "per Lloyd iteration), multi-probe candidate pruning (nprobe=2), "
+    "exact cosine top-20 within the probes on the original floats",
+    tags=("llm", "similarity", "bench"),
+)
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans.kmeans_fit(
+        emb, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    probes = _kmeans_probe_clusters(cents, qvec, _KM_NPROBE)
+    assigned = kmeans.assign_clusters(emb, "embedding", cents)
+    cand = assigned.filter(
+        F.col("cluster").isin(probes) & (F.col("vec_id") != 0)
+    )
+    return similarity.cosine_topk(cand, "embedding", "vec_id", qvec, k=20)
+
+
+_KMEANS_RECALL_ORACLE = f"""
+WITH {_kmeans_ctes()},
+scored AS MATERIALIZED (
+  SELECT e.vec_id,
+         ROUND(({_sql_dot('e.embedding', 'qq.qe')})
+               / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                  * sqrt({_sql_dot('qq.qe', 'qq.qe')})), 6) AS cosine
+  FROM qv e CROSS JOIN qq
+  WHERE e.vec_id <> 0
+), exact AS (
+  SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id LIMIT 20
+), approx AS (
+  SELECT s.vec_id FROM scored s JOIN cand USING (vec_id)
+  ORDER BY s.cosine DESC, s.vec_id LIMIT 20
+)
+SELECT 20 AS k,
+       CAST((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id)) AS BIGINT)
+         AS n_overlap,
+       ROUND((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id))
+             / 20.0, 4) AS recall_at_k
+"""
+
+
+@query(
+    "kmeans_recall_at_k",
+    _KMEANS_RECALL_ORACLE,
+    "Recall@20 of the k-means multi-probe IVF vs exact brute force — the "
+    "metric that certifies the computed quantizer + nprobe choice, "
+    "deterministic end-to-end (integer-grid fit, exact rescoring)",
+    tags=("llm", "similarity", "eval"),
+)
+def q_kmeans_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans.kmeans_fit(
+        emb, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    probes = _kmeans_probe_clusters(cents, qvec, _KM_NPROBE)
+    assigned = kmeans.assign_clusters(emb, "embedding", cents)
+    cand = assigned.filter(
+        F.col("cluster").isin(probes) & (F.col("vec_id") != 0)
+    )
+    exact = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", qvec, k=20
+    ).select("vec_id")
+    approx = similarity.cosine_topk(
+        cand, "embedding", "vec_id", qvec, k=20
+    ).select("vec_id")
+    overlap = exact.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(20).alias("k"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.round(F.col("n_overlap") / F.lit(20.0), 4).alias("recall_at_k"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Capstone: the corpus-preparation pipeline as ONE declarative plan —
 # exact-dedup survivors -> quality filter -> deterministic split ->
 # per-(split, lang) stats. Each stage is an operator proven above; the

@@ -120,3 +120,56 @@ def test_range_violations(spark):
     assert row["lat_violations"] == 1  # 91; NULL not a violation
     assert row["lon_violations"] == 1  # -200
     assert row["value_violations"] == 1  # -1
+
+def test_kmeans_fit_matches_reference(spark):
+    """The DataFrame Lloyd fit must equal an independent pure-Python
+    replay exactly: integer-grid determinism means no tolerance, any
+    partitioning, any engine."""
+    import hashlib
+    import math
+
+    from reddit_data_pipeline_engineering_spark.operators import kmeans
+
+    vecs = [
+        (i, [((i * 37 + d * 11) % 200 - 100) / 97.0 for d in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    k, iters = 4, 2
+    got = kmeans.kmeans_fit(df, "embedding", "vec_id", k=k, iters=iters)
+
+    # Independent replay (no Spark, no operator code paths).
+    qx = {i: [math.floor(x * 16384.0) for x in v] for i, v in vecs}
+    seed_ids = sorted(
+        qx, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:k]
+    cents = [[v * 64 for v in qx[i]] for i in seed_ids]
+    for _ in range(iters):
+        members = {}
+        for i, q in qx.items():
+            d = min(
+                (sum((a * 64 - b) ** 2 for a, b in zip(q, c)), ci)
+                for ci, c in enumerate(cents)
+            )
+            members.setdefault(d[1], []).append(q)
+        cents = [
+            [
+                int(math.floor((sum(col) * 64.0) / len(qs)))
+                for col in zip(*qs)
+            ]
+            for _, qs in sorted(members.items())
+        ]
+    assert got == cents
+
+    # Assignment operator agrees with the reference argmin too.
+    assigned = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans.assign_clusters(df, "embedding", got).collect()
+    }
+    for i, q in qx.items():
+        ref = min(
+            (sum((a * 64 - b) ** 2 for a, b in zip(q, c)), ci)
+            for ci, c in enumerate(got)
+        )[1]
+        assert assigned[i] == ref, i
