@@ -100,19 +100,29 @@ def transform_raw(raw: DataFrame) -> DataFrame:
 
 def main(argv: list[str] | None = None) -> PipelineResult:
     """CLI entry point: ``python -m reddit_data_pipeline_engineering_spark.pipeline
-    --input <raw_zone> --output <marts_dir> [--table NAME]`` — the whole
-    reference DAG as one command."""
+    [--config settings.conf] --input <raw_zone> --output <marts_dir>
+    [--table NAME]`` — the whole reference DAG as one command. CLI flags
+    beat the config file's ``file_paths``/``catalog`` sections, which
+    beat nothing (both may come from RDPE_* env vars — settings.py)."""
     import argparse
 
     from reddit_data_pipeline_engineering_spark.session import get_spark
+    from reddit_data_pipeline_engineering_spark.settings import load_settings
 
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="raw-zone NDJSON directory")
-    p.add_argument("--output", required=True, help="marts parquet directory")
+    p.add_argument("--config", default=None, help="INI settings file")
+    p.add_argument("--input", default=None, help="raw-zone NDJSON directory")
+    p.add_argument("--output", default=None, help="marts parquet directory")
     p.add_argument("--table", default=None, help="catalog table to register")
     args = p.parse_args(argv)
+    settings = load_settings(args.config)
+    input_path = args.input or settings.input_path
+    output_path = args.output or settings.output_path
+    table = args.table or settings.table
+    if not input_path or not output_path:
+        p.error("--input/--output required (flag, config file, or RDPE_* env)")
     spark = get_spark(app_name="rdpe-pipeline")
-    res = run_pipeline(spark, args.input, args.output, table=args.table)
+    res = run_pipeline(spark, input_path, output_path, table=table)
     print(
         f"rows_written={res.rows_written} table={res.table} "
         f"validation={res.validation_counts}"

@@ -232,3 +232,19 @@ def test_merge_upsert_zero_padded_partition(spark, tmp_path):
         )
         == "true"
     )
+
+
+def test_pipeline_cli_with_config_file(spark, raw_dir, tmp_path, capsys):
+    """The full CLI run driven by a config file's file_paths section —
+    no --input/--output flags (settings.py precedence chain)."""
+    from reddit_data_pipeline_engineering_spark.pipeline import main
+
+    out = str(tmp_path / "marts_conf")
+    conf = tmp_path / "settings.conf"
+    conf.write_text(
+        f"[file_paths]\ninput_path = {raw_dir}\noutput_path = {out}\n"
+    )
+    res = main(["--config", str(conf)])
+    assert res.rows_written > 0
+    assert os.path.isdir(out)
+    assert "rows_written" in capsys.readouterr().out
