@@ -120,7 +120,11 @@ def kmeans_fit(
     ]
     import math
 
-    qdf = df.select(quantized(vec_col).alias("q"))
+    # One materialization of the quantized vectors serves every Lloyd
+    # iteration (and the seed scan already ran) — without it each
+    # iteration re-reads and re-quantizes the corpus. At cluster scale
+    # this is a MEMORY_AND_DISK persist of one narrow column.
+    qdf = df.select(quantized(vec_col).alias("q")).persist()
     for _ in range(iters):
         assigned = assign_clusters(
             qdf, "q", centroids, out_col="cluster", pre_quantized=True
@@ -148,4 +152,5 @@ def kmeans_fit(
             ]
             for r in sorted(rows, key=lambda r: r["cluster"])
         ]
+    qdf.unpersist()
     return centroids
