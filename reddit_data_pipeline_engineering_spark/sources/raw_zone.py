@@ -94,3 +94,47 @@ def write_raw_zone(
         .partitionBy("year", "month", "day", "hour")
         .json(path)
     )
+
+
+def write_wrapped_json(
+    df: DataFrame,
+    path: str,
+    extracted_at: str,
+    source_name: str = "openaq-api",
+    source_url: str = "https://api.openaq.org/v3",
+) -> None:
+    """S4: the reference's wrapped-JSON archive format — ONE JSON object
+    ``{meta: {name, website, found, extracted_at}, results: [...]}`` per
+    extraction batch (pipelines/openaq_pipeline.py:140-166).
+
+    The format is inherently a single document, so the plan builds it as
+    one row (collect_list of row structs + a meta struct) and writes one
+    part file. That bounds this sink to API-batch archival (the
+    reference's use: ~1.5k rows per batch held in memory anyway); fact
+    data belongs in the NDJSON raw zone, which stays the canonical
+    scalable format (SURVEY.md §2.1).
+    """
+    wrapped = (
+        df.agg(F.collect_list(F.struct(*df.columns)).alias("results"))
+        .select(
+            F.struct(
+                F.lit(source_name).alias("name"),
+                F.lit(source_url).alias("website"),
+                F.size("results").alias("found"),
+                F.lit(extracted_at).alias("extracted_at"),
+            ).alias("meta"),
+            "results",
+        )
+    )
+    wrapped.coalesce(1).write.mode("overwrite").json(path)
+
+
+def read_wrapped_json(spark: SparkSession, path: str) -> DataFrame:
+    """Read the S4 wrapped format back to long rows + batch metadata:
+    multiLine parse of the single document, explode of ``results``."""
+    raw = spark.read.option("multiLine", "true").json(path)
+    return raw.select(
+        F.explode("results").alias("r"),
+        F.col("meta.extracted_at").alias("extracted_at"),
+        F.col("meta.found").alias("batch_found"),
+    ).select("r.*", "extracted_at", "batch_found")

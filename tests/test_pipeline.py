@@ -248,3 +248,36 @@ def test_pipeline_cli_with_config_file(spark, raw_dir, tmp_path, capsys):
     assert res.rows_written > 0
     assert os.path.isdir(out)
     assert "rows_written" in capsys.readouterr().out
+
+
+def test_wrapped_json_roundtrip(spark, tmp_path):
+    """S4 wrapped-JSON archive sink: one {meta, results} document per
+    batch; read-back explodes to the original rows with batch metadata."""
+    from reddit_data_pipeline_engineering_spark.sources.raw_zone import (
+        read_wrapped_json,
+        write_wrapped_json,
+    )
+
+    out = str(tmp_path / "wrapped")
+    df = spark.createDataFrame(
+        [(1, "pm25", 10.5), (2, "pm10", 20.0), (3, "o3", 30.25)],
+        ["sensor_id", "parameter", "value"],
+    )
+    write_wrapped_json(df, out, extracted_at="2025-01-15T00:00:00")
+
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1  # single wrapped document
+    with open(os.path.join(out, parts[0])) as f:
+        doc = json.loads(f.read())
+    assert doc["meta"]["found"] == 3
+    assert doc["meta"]["name"] == "openaq-api"
+    assert len(doc["results"]) == 3
+
+    back = read_wrapped_json(spark, out)
+    got = sorted(
+        (r["sensor_id"], r["parameter"], r["value"], r["batch_found"])
+        for r in back.collect()
+    )
+    assert got == [
+        (1, "pm25", 10.5, 3), (2, "pm10", 20.0, 3), (3, "o3", 30.25, 3)
+    ]
