@@ -899,9 +899,10 @@ _DRIVER_FIRST = [
     "corpus_prep_stats",
     # r01 row was err=no_oracle — now fully oracled:
     "multimodal_decode_profile",
-    # new this round (k-means coarse quantizer):
+    # new this round (k-means coarse quantizer + repetition signals):
     "ivf_kmeans_topk",
     "kmeans_recall_at_k",
+    "repetition_stats",
 ]
 
 _DRIVER_TAIL_STREAMING = ["streaming_marts_kernel", "stateful_ema_stream"]
@@ -922,6 +923,7 @@ _DRIVER_ROTATED_OUT = [
     "bpe_token_stats",       # token stats: token_stats
     "minhash_signatures",    # same operator lineage inside minhash_lsh_pairs
     "hll_distinct_sketch",   # sketch family (r01 green + plan-shape test)
+    "pricing_summary",       # agg family: five TPC-H shapes remain in-gate
 ]
 
 

@@ -924,6 +924,93 @@ def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), base AS (
+  SELECT doc_id, toks,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(len(sh) AS INTEGER) AS n_bigrams,
+         CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct_bigrams
+  FROM (SELECT doc_id, toks, {_sql_shingles('toks', 2)} AS sh FROM toks)
+), ex AS (
+  SELECT doc_id, n_tokens, n_bigrams, n_distinct_bigrams, unnest(toks) AS tok
+  FROM base WHERE n_tokens >= 2
+), counted AS (
+  SELECT doc_id, n_tokens, n_bigrams, n_distinct_bigrams, tok,
+         COUNT(*) AS cnt
+  FROM ex GROUP BY doc_id, n_tokens, n_bigrams, n_distinct_bigrams, tok
+)
+SELECT doc_id, n_tokens,
+       COUNT(*) AS n_distinct_tokens,
+       MAX(cnt) AS top_token_count,
+       MAX(cnt) / n_tokens AS top_token_frac,
+       (n_bigrams - n_distinct_bigrams) / n_bigrams AS dup_bigram_ratio
+FROM counted
+GROUP BY doc_id, n_tokens, n_bigrams, n_distinct_bigrams
+ORDER BY doc_id
+"""
+
+
+@query(
+    "repetition_stats",
+    _REPETITION_ORACLE,
+    "Repetition quality signals per document (the Gopher-style gates a "
+    "training-data pipeline prunes on): duplicate-bigram ratio and "
+    "top-token fraction. Array metrics ride the explode as doc-level "
+    "columns (jaccard's sizes-ride-along pattern), so the whole query is "
+    "one explode + two doc-keyed aggregates — pure integer arithmetic, "
+    "no float drift.",
+    tags=("llm", "text", "bench"),
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tx.tokens("text").alias("__toks"))
+    # Stage the shingle array once; size/array_distinct then consume the
+    # staged column (higher-order-lambda staging rule, operators/text_dedup).
+    staged = toked.select(
+        "doc_id", "__toks", tx.shingles_of("__toks", 2).alias("__sh")
+    )
+    base = staged.select(
+        "doc_id",
+        "__toks",
+        F.size("__toks").alias("n_tokens"),
+        F.size("__sh").alias("n_bigrams"),
+        F.size(F.array_distinct("__sh")).alias("n_distinct_bigrams"),
+    ).filter(F.col("n_tokens") >= 2)
+    ex = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        F.explode_outer("__toks").alias("tok"),
+    ).filter(F.col("tok").isNotNull())
+    counted = ex.groupBy(
+        "doc_id", "n_tokens", "n_bigrams", "n_distinct_bigrams", "tok"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counted.groupBy("doc_id", "n_tokens", "n_bigrams", "n_distinct_bigrams")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("cnt").alias("top_token_count"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            "top_token_count",
+            (F.col("top_token_count") / F.col("n_tokens")).alias(
+                "top_token_frac"
+            ),
+            (
+                (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+                / F.col("n_bigrams")
+            ).alias("dup_bigram_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # K-means coarse quantizer IVF (operators/kmeans.py): the ANN index that
 # COMPUTES its blocks instead of riding the dataset's label column. The
