@@ -148,13 +148,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_MAX_SHINGLE_FREQ = 5
 
 _JACCARD_ORACLE = f"""
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id, {_TOKS} AS toks FROM documents
-), sh AS (
+), sh AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct({_sql_shingles('toks', 3)})) AS shingle FROM toks
-), sizes AS (
+), sizes AS MATERIALIZED (
   SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
-), kept AS (
+), kept AS MATERIALIZED (
   -- stop-shingle cap mirror: shingles shared by more than
   -- {_JACCARD_MAX_SHINGLE_FREQ} docs are dropped before pair generation
   SELECT shingle FROM sh GROUP BY shingle
@@ -241,23 +241,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUP_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE toks AS (
+WITH RECURSIVE toks AS MATERIALIZED (
   SELECT doc_id, {_TOKS} AS toks FROM documents
-), sh AS (
+), sh AS MATERIALIZED (
   SELECT doc_id, list_distinct({_sql_shingles('toks', 2)}) AS shingles FROM toks
-), sigs AS (
+), sigs AS MATERIALIZED (
   SELECT doc_id,
     {", ".join(f"list_min(list_transform(shingles, s -> md5('{k}|' || s))) AS sig_{k}" for k in range(8))}
   FROM sh
-), buckets AS (
+), buckets AS MATERIALIZED (
   {_lsh_bands_sql()}
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a
   JOIN buckets b
     ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b AS a, id_a AS b FROM pairs
@@ -690,14 +690,14 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_THRESHOLD = 0.6
 
 _EMB_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM embeddings a
   JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE ROUND(({_sql_dot('a.embedding', 'b.embedding')})
               / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
                  * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 6) >= {_EMB_THRESHOLD}
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b AS a, id_a AS b FROM pairs
