@@ -126,3 +126,43 @@ def winnow_fingerprint(col: Column | str, window: int = 5) -> Column:
     """Winnowing-lite fingerprint straight from a text column (small inputs;
     hot paths stage tokens() and use winnow_fingerprint_of)."""
     return winnow_fingerprint_of(tokens(col), window)
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — training corpora must redact contact info before the
+# tokenizer sees it. Patterns are deliberately lookaround-free so the same
+# regex runs identically under Java regex (Spark) and RE2 (DuckDB oracle).
+# --------------------------------------------------------------------------
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\d{3}-\d{3}-\d{4}"
+
+
+def email_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), F.lit(0)))
+
+
+def phone_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(PHONE_PATTERN), F.lit(0)))
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails then phone numbers (order matters: an email must not
+    be half-eaten by the phone pattern first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    scrubbed = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PHONE_PATTERN, "<PHONE>")
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality gates (Rae et al. 2021, public): cheap per-document
+# rules that drop boilerplate/garbage before expensive dedup. All pure JVM
+# expressions; each rule is SQL-mirrorable for the oracle.
+# --------------------------------------------------------------------------
+
+def symbol_count(col: Column | str) -> Column:
+    """Characters that are neither word characters nor whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))

@@ -861,6 +861,7 @@ def _register_all() -> None:
     """Import every query module for its registration side effect."""
     import reddit_data_pipeline_engineering_spark.plans.queries_ext  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_llm  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_prep  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_streaming  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch  # noqa: F401
 
@@ -903,6 +904,16 @@ _DRIVER_FIRST = [
     "ivf_kmeans_topk",
     "kmeans_recall_at_k",
     "repetition_stats",
+    # new this round (corpus-prep family + salted skew + TPC-H Q4/Q10/Q14):
+    "decontaminate_ngrams",
+    "pii_scrub_stats",
+    "quality_filter_gates",
+    "sequence_packing",
+    "source_mix_rebalance",
+    "salted_skew_rollup",
+    "order_priority_counts",
+    "returned_item_losses",
+    "promo_revenue",
 ]
 
 _DRIVER_TAIL_STREAMING = ["streaming_marts_kernel", "stateful_ema_stream"]
@@ -924,6 +935,16 @@ _DRIVER_ROTATED_OUT = [
     "minhash_signatures",    # same operator lineage inside minhash_lsh_pairs
     "hll_distinct_sketch",   # sketch family (r01 green + plan-shape test)
     "pricing_summary",       # agg family: five TPC-H shapes remain in-gate
+    "exact_dedup",           # dedup family: decontaminate, semantic_dedup in-gate
+    "simhash",               # hash-dedup family: minhash_lsh_pairs in-gate
+    "dup_clusters",          # components lineage inside semantic_dedup_survivors
+    "token_stats",           # token counting: repetition_stats, quality_filter_gates
+    "quality_score",         # quality family: quality_filter_gates in-gate
+    "lang_id",               # text family: quality_filter_gates, pii_scrub_stats
+    "fingerprint",           # fingerprints: simhash lineage + exact_dedup md5
+    "cosine_topk",           # similarity top-k: ivf_kmeans_topk, blocked_topk
+    "ivf_probe_topk",        # probed IVF: ivf_kmeans_topk supersedes (computed
+                             # quantizer vs given labels)
 ]
 
 

@@ -266,3 +266,147 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
         20,
     )
+
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query(
+    "order_priority_counts",
+    _Q4_ORACLE,
+    "TPC-H Q4 shape: correlated EXISTS (late-shipping lineitem) as a "
+    "left_semi join with a non-equi residual condition, then a "
+    "priority-bucket count. The semi-join keeps only order keys — "
+    "lineitem is never widened",
+    tags=("relational", "tpch"),
+)
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q10_ORACLE = f"""
+SELECT c.c_custkey, c.c_name,
+       CAST(ROUND(SUM({_REVENUE}), 2) AS DOUBLE) AS revenue,
+       n.n_name, c.c_acctbal
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query(
+    "returned_item_losses",
+    _Q10_ORACLE,
+    "TPC-H Q10 shape: returned-lineitem revenue per customer over one "
+    "quarter, nation dim broadcast, top-20 by lost revenue "
+    "(TakeOrderedAndProject)",
+    tags=("relational", "tpch", "bench"),
+)
+def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name", "c_acctbal").agg(
+        F.sum(_revenue_col()).cast("decimal(18,2)").cast("double").alias("revenue")
+    )
+    return topk.top_k(
+        agg.select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal"),
+        [F.col("revenue").desc(), F.col("c_custkey").asc()],
+        20,
+    )
+
+
+_Q14_ORACLE = f"""
+SELECT
+  (100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REVENUE}
+                               ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE))
+    / CAST(ROUND(SUM({_REVENUE}), 2) AS DOUBLE) AS promo_pct,
+  CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REVENUE}
+                      ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+    AS promo_revenue,
+  CAST(ROUND(SUM({_REVENUE}), 2) AS DOUBLE) AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@query(
+    "promo_revenue",
+    _Q14_ORACLE,
+    "TPC-H Q14 shape: promo revenue share over one month — conditional "
+    "decimal-exact aggregate over a lineitem-part join with the shipdate "
+    "filter pushed to the scan",
+    tags=("relational", "tpch"),
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    rev = _revenue_col()
+    promo = (
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )
+        )
+        .cast("decimal(18,2)")
+        .cast("double")
+    )
+    total = F.sum(rev).cast("decimal(18,2)").cast("double")
+    agg = joined.agg(
+        promo.alias("promo_revenue"), total.alias("total_revenue")
+    )
+    return agg.select(
+        (
+            (F.lit(100.0) * F.col("promo_revenue")) / F.col("total_revenue")
+        ).alias("promo_pct"),
+        "promo_revenue",
+        "total_revenue",
+    )

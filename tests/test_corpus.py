@@ -1,0 +1,75 @@
+"""Corpus-preparation operators: decontamination, packing, mixing.
+
+Constructed-data unit tests; the registry queries over the parquet tables
+are covered by test_oracle_parity.py like everything else.
+"""
+
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.operators import corpus
+
+
+def _docs(spark):
+    rows = [
+        # doc 0 is the "benchmark"; doc 10 copies it verbatim, doc 11
+        # shares nothing, doc 12 shares exactly one 3-gram.
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (11, "one two three four five six seven eight nine ten"),
+        (12, "alpha beta gamma completely different words follow here now"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_benchmark_overlap_flags_copies(spark):
+    out = corpus.benchmark_overlap(
+        _docs(spark),
+        "text",
+        "doc_id",
+        bench_pred=F.col("doc_id") == 0,
+        shingle_len=3,
+        min_overlap=5,
+    )
+    got = {r["doc_id"]: (r["n_overlap"], r["contaminated"]) for r in out.collect()}
+    assert got[10] == (8, True)  # 10 tokens -> 8 distinct 3-grams, all shared
+    assert got[11] == (0, False)
+    assert got[12] == (1, False)  # only 'alpha beta gamma'
+
+
+def test_pack_sequences_offset_binning(spark):
+    rows = [(i, "g", 100) for i in range(6)]  # 100 tokens each, budget 256
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "n_tokens"])
+    packed = corpus.pack_sequences(
+        df, "n_tokens", "doc_id", max_tokens=256, partition_cols=["grp"]
+    )
+    got = {r["doc_id"]: r["pack_id"] for r in packed.collect()}
+    # starts at 0,100,200,300,400,500 -> floor(/256) = 0,0,0,1,1,1
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+
+
+def test_mix_plan_uniform_quota_and_apply(spark):
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    plan = corpus.source_mix_plan(df, "source")
+    got = {r["source"]: r for r in plan.collect()}
+    assert got["big"]["quota"] == 50 and got["small"]["quota"] == 50
+    assert got["small"]["keep_rate"] == 1.0
+    assert 0 < got["big"]["keep_rate"] < 1.0
+
+    kept = corpus.apply_mix_plan(df, plan, "source", "doc_id")
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["small"] == 20  # rate 1.0 keeps everything
+    assert counts["big"] <= 80
+    # Deterministic: a rerun keeps the exact same ids.
+    again = corpus.apply_mix_plan(df, plan, "source", "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_benchmark_overlap_broadcasts_bench_dim(spark):
+    plan = corpus.benchmark_overlap(
+        _docs(spark), "text", "doc_id", bench_pred=F.col("doc_id") == 0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
