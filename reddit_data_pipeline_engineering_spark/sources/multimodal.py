@@ -11,11 +11,15 @@ Design for 100 TB of mixed-media training data:
   generators: per-batch pandas in, per-batch pandas out, so Python cost is
   amortized over Arrow batches (never row-at-a-time UDFs).
 
-The actual codec work is STUBBED: image/audio libraries are not available
-in this environment, so ``decode_payload`` understands only the engine's
-deterministic synthetic payload format and raises ``NotImplementedError``
-for real media types. The Spark-side plumbing — schemas, batch iteration,
-partitioning behavior — is real and tested.
+Codec status: container parsing for WAV (RIFF chunk walk) and binary PPM
+(P6 header) is REAL — ``probe_media``/``probe_assets`` read genuine
+headers, PCM layout, and durations with the standard library only.
+Compressed codecs (JPEG/PNG/H.264/MP3) are the stubbed part:
+``decode_payload`` understands the engine's deterministic synthetic
+payload format and raises ``NotImplementedError`` for anything needing a
+real decompressor, since those libraries are not in this environment. The
+Spark-side plumbing — schemas, batch iteration, partitioning behavior —
+is real and tested either way.
 """
 
 from __future__ import annotations
@@ -90,6 +94,124 @@ def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
     if magic != _MAGIC:
         raise NotImplementedError("real media decoding not available (stub)")
     return w, h, payload[_HEADER_SIZE : _HEADER_SIZE + w * h]
+
+
+# --------------------------------------------------------------------------
+# Real container probing — no media libraries required. WAV (RIFF chunks)
+# and binary PPM (P6) are parseable with the standard library alone, so
+# these are NOT stubbed: the engine reads real headers and PCM/pixel
+# dimensions. Only compressed codecs (JPEG/PNG/H.264/MP3...) remain behind
+# NotImplementedError, because their decoders aren't in this environment.
+# --------------------------------------------------------------------------
+
+
+def _probe_wav(payload: bytes) -> dict:
+    """Parse RIFF/WAVE chunks: fmt (channels/rate/bits) + data size."""
+    out = {"container": "wav"}
+    pos = 12  # 'RIFF' size 'WAVE'
+    n_channels = sample_rate = bits = data_size = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack_from("<i", payload, pos + 4)
+        if cid == b"fmt " and pos + 24 <= len(payload):
+            _, n_channels, sample_rate = struct.unpack_from(
+                "<hhi", payload, pos + 8
+            )
+            (bits,) = struct.unpack_from("<h", payload, pos + 22)
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if n_channels and sample_rate and bits and data_size is not None:
+        frame_bytes = n_channels * (bits // 8)
+        n_samples = data_size // frame_bytes if frame_bytes else 0
+        out.update(
+            n_channels=n_channels,
+            sample_rate_hz=sample_rate,
+            n_samples=n_samples,
+            duration_ms=int(n_samples * 1000 / sample_rate),
+        )
+    return out
+
+
+def _probe_ppm(payload: bytes) -> dict:
+    """Parse a binary PPM (P6) header: 'P6' <width> <height> <maxval>."""
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        else:
+            break
+    out = {"container": "ppm"}
+    if len(fields) == 3:
+        out.update(width=fields[0], height=fields[1])
+    return out
+
+
+def probe_media(payload: bytes) -> dict:
+    """Container-level probe: format + dimensions/PCM layout, no decode.
+
+    Returns a dict with ``container`` plus whichever of width/height/
+    n_channels/sample_rate_hz/n_samples/duration_ms the format carries.
+    Unknown magics probe as ``unknown`` rather than raising — probing is a
+    profiling pass, not a decode.
+    """
+    if payload is None or len(payload) < 12:
+        return {"container": "unknown"}
+    if payload[:4] == _MAGIC:
+        _, w, h = struct.unpack_from(_HEADER_FMT, payload)
+        return {"container": "synthetic", "width": w, "height": h}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _probe_wav(payload)
+    if payload[:2] == b"P6":
+        return _probe_ppm(payload)
+    return {"container": "unknown"}
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate_hz", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def probe_assets(df: DataFrame) -> DataFrame:
+    """Probe every payload's container/shape via Arrow-batched mapInPandas
+    (same batch plumbing as decode_assets; payload bytes never shuffle)."""
+
+    cols = [f.name for f in PROBE_SCHEMA.fields]
+
+    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                info = probe_media(payload)
+                rows.append({"asset_id": int(aid), **info})
+            out = pd.DataFrame(rows)
+            for c in cols:
+                if c not in out.columns:
+                    out[c] = None
+            yield out[cols]
+
+    return df.select("asset_id", "payload").mapInPandas(
+        probe_batches, PROBE_SCHEMA
+    )
 
 
 DECODED_SCHEMA = T.StructType(
