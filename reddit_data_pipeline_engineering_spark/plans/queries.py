@@ -914,6 +914,7 @@ _DRIVER_FIRST = [
     "order_priority_counts",
     "returned_item_losses",
     "promo_revenue",
+    "vocab_topk",
 ]
 
 _DRIVER_TAIL_STREAMING = ["streaming_marts_kernel", "stateful_ema_stream"]
@@ -945,6 +946,7 @@ _DRIVER_ROTATED_OUT = [
     "cosine_topk",           # similarity top-k: ivf_kmeans_topk, blocked_topk
     "ivf_probe_topk",        # probed IVF: ivf_kmeans_topk supersedes (computed
                              # quantizer vs given labels)
+    "time_bucket_rollup",    # time rollups: date_partition_rollup in-gate
 ]
 
 

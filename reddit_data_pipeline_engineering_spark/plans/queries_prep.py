@@ -403,3 +403,50 @@ def q_salted_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined, ["c_mktsegment"], "user_id", n=8
     )
     return plain.join(distinct, "c_mktsegment").orderBy("c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Vocabulary heavy hitters — tokenizer/vocab construction starts with exact
+# corpus term counts. One explode + one hash aggregate: partial (map-side)
+# aggregation absorbs token skew ("the" is pre-summed per partition before
+# the shuffle), the distinct-doc count is the standard two-phase expand,
+# and the top-50 is TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+)
+SELECT token,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM tok
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 50
+"""
+
+
+@query(
+    "vocab_topk",
+    _VOCAB_ORACLE,
+    "Vocabulary heavy hitters: exact corpus term frequencies + document "
+    "frequencies, top-50 — map-side partial aggregation absorbs token "
+    "skew before the single keyed shuffle",
+    tags=("llm", "prep", "text", "bench"),
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tx.tokens("text").alias("__toks"))
+    tok = staged.select(
+        "doc_id", F.explode_outer("__toks").alias("token")
+    ).filter(F.col("token").isNotNull())
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(50)
+    )
