@@ -915,6 +915,8 @@ _DRIVER_FIRST = [
     "returned_item_losses",
     "promo_revenue",
     "vocab_topk",
+    "forward_fill",
+    "snapshot_diff_counts",
 ]
 
 _DRIVER_TAIL_STREAMING = ["streaming_marts_kernel", "stateful_ema_stream"]
@@ -947,6 +949,10 @@ _DRIVER_ROTATED_OUT = [
     "ivf_probe_topk",        # probed IVF: ivf_kmeans_topk supersedes (computed
                              # quantizer vs given labels)
     "time_bucket_rollup",    # time rollups: date_partition_rollup in-gate
+    "range_join_windows",    # interval joins: asof_last_purchase (same
+                             # operators/asof.py lineage) stays in-gate
+    "props_flatten",         # F7 flattening: r01 green + api-source tests;
+                             # nested access also inside marts lineage
 ]
 
 

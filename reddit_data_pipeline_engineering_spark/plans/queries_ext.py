@@ -776,3 +776,121 @@ ORDER BY n_customers DESC, nation_name
 def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, names=("customer", "nation"))
     return spark.sql(_SQL_SURFACE_TEXT)
+
+
+# --------------------------------------------------------------------------
+# Gap filling — time-series forward fill per key. A masked value column
+# (deterministic nulls) is carried alongside the fill so the oracle
+# verifies both the mask and the fill. One window shuffle on the key;
+# the running `last(ignorenulls)` is O(1) state per row in the frame.
+# --------------------------------------------------------------------------
+
+_FFILL_ORACLE = """
+SELECT event_id, user_id,
+  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_masked,
+  last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM events
+"""
+
+
+@query(
+    "forward_fill",
+    _FFILL_ORACLE,
+    "Per-key forward fill of missing sensor values (deterministically "
+    "masked every 7th event): last-non-null window with a unique "
+    "tiebreak — the canonical time-series gap repair, one keyed shuffle",
+    tags=("window", "ext"),
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    masked = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        masked.alias("value_masked"),
+        F.last(masked, ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff — the CDC-style audit between two table versions. Both
+# versions are deterministic views of `orders` (keys dropped, prices
+# bumped) so the oracle replays the same derivation; the diff itself is
+# one full-outer join on the key + conditional counts. At scale both
+# sides shuffle once on the key (or co-locate for free if the snapshots
+# are bucketed by it — catalog.save_bucketed_table).
+# --------------------------------------------------------------------------
+
+_SNAPDIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+  WHERE o_orderkey % 89 <> 0
+), new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE o_orderkey % 97 <> 0
+)
+SELECT
+  CAST(SUM(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(SUM(CASE WHEN n.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(SUM(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                 AND o.price <> n.price THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_changed,
+  CAST(SUM(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                 AND o.price = n.price THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unchanged
+FROM old o FULL OUTER JOIN new n ON o.k = n.k
+"""
+
+
+@query(
+    "snapshot_diff_counts",
+    _SNAPDIFF_ORACLE,
+    "Snapshot diff audit (CDC shape): full-outer join of two deterministic "
+    "table versions -> added/removed/changed/unchanged counts in one "
+    "conditional aggregate",
+    tags=("relational", "ext"),
+)
+def q_snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k_old"),
+        F.col("o_totalprice").alias("price_old"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k_new"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * F.lit(1.1)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_new"),
+    )
+    j = old.join(new, old.k_old == new.k_new, "full_outer")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return j.agg(
+        flag(F.col("k_old").isNull()).alias("n_added"),
+        flag(F.col("k_new").isNull()).alias("n_removed"),
+        flag(
+            F.col("k_old").isNotNull()
+            & F.col("k_new").isNotNull()
+            & (F.col("price_old") != F.col("price_new"))
+        ).alias("n_changed"),
+        flag(
+            F.col("k_old").isNotNull()
+            & F.col("k_new").isNotNull()
+            & (F.col("price_old") == F.col("price_new"))
+        ).alias("n_unchanged"),
+    )
