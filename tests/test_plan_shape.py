@@ -206,3 +206,54 @@ def test_driver_gate_ordering():
     assert set(_DRIVER_FIRST) <= set(gate)
     assert gate[-2:] == _DRIVER_TAIL_STREAMING
     assert names[50:] == _DRIVER_ROTATED_OUT
+
+
+def test_vocab_topk_partial_agg_and_take_ordered(spark):
+    plan = plan_of(REGISTRY["vocab_topk"].fn(spark, SF_SMALL))
+    # Map-side partial aggregation must absorb token skew pre-shuffle...
+    assert "partial_count" in plan or "HashAggregate" in plan
+    # ...and the top-50 must never globally sort.
+    assert "TakeOrderedAndProject" in plan
+    # "Exchange (" matches tree-node headers only: the two-phase distinct
+    # = shuffle on (token, doc_id) then on token — nothing more.
+    assert plan.count("Exchange (") <= 2
+
+
+def test_sequence_packing_single_window_exchange(spark):
+    plan = plan_of(REGISTRY["sequence_packing"].fn(spark, SF_SMALL))
+    # One window shuffle on lang + one aggregate shuffle on (lang, pack).
+    assert plan.count("Exchange") <= 2
+    assert "Window" in plan
+
+
+def test_decontaminate_broadcasts_eval_dim(spark):
+    plan = plan_of(REGISTRY["decontaminate_ngrams"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan  # eval shingle dim never shuffles
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # one per family whose determinism is least obvious at scale:
+        "minhash_lsh_pairs",     # pair generation from exploded buckets
+        "dup_clusters",          # iterative label propagation
+        "sequence_packing",      # window cumsum binning
+        "source_mix_rebalance",  # md5-bucket sampling
+        "ivf_kmeans_topk",       # iterative fit + argmin assignment
+        "forward_fill",          # last-non-null window
+    ],
+)
+def test_partitioning_invariance(spark, name):
+    """Results must be bit-identical under a different shuffle layout —
+    the reproducibility contract that lets a 1000-executor rerun match a
+    laptop run. (RNG-based sampling or non-tiebroken windows would fail
+    this.)"""
+    fn = REGISTRY[name].fn
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        relaid = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert baseline == relaid
