@@ -107,3 +107,56 @@ def test_aqi_subindex_monotone_property(spark, conc):
     ]
     assert vals[0] >= 0
     assert vals[1] >= vals[0]  # monotone non-decreasing
+
+# --- corpus-prep properties ------------------------------------------------
+
+doc_st = st.lists(
+    st.tuples(
+        st.integers(0, 30),  # doc_id source (deduped below)
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=12,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=doc_st, max_tokens=st.integers(2, 50))
+@SLOW
+def test_pack_sequences_properties(spark, docs, max_tokens):
+    """Every doc's pack equals floor(preceding_tokens / budget) within its
+    group; packs are contiguous from 0; pack of the first doc is 0."""
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    uniq = {d: toks for d, toks in docs}
+    rows = [(d, "g", len(toks)) for d, toks in sorted(uniq.items())]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens int")
+    got = {
+        r["doc_id"]: (r["pack_id"], r["__cum_tokens"])
+        for r in pack_sequences(
+            df, "n_tokens", "doc_id", max_tokens, ["grp"]
+        ).collect()
+    }
+    running = 0
+    for d, toks in sorted(uniq.items()):
+        n = len(toks)
+        assert got[d] == (running // max_tokens, running + n)
+        running += n
+
+
+@given(s=st.text(min_size=0, max_size=60))
+@SLOW
+def test_scrub_pii_idempotent(spark, s):
+    """Scrubbing twice equals scrubbing once (replacement tokens must not
+    themselves match the patterns)."""
+    from reddit_data_pipeline_engineering_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame([(s,)], "t string")
+    once = df.select(scrub_pii("t").alias("o"))
+    twice = once.select(scrub_pii("o").alias("o"))
+    assert once.collect() == twice.collect()
