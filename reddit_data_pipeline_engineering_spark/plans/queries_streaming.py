@@ -5,10 +5,23 @@ the Structured Streaming marts kernel (watermarked cross-batch dedup,
 windowed static pivot, stream-static broadcast enrich, checkpointed
 parquet sink), and returns the sink contents.
 
-No ``oracle_sql`` entry: stateful streaming execution is not
-SQL-expressible, so the driver applies its rows-only check (the
-batch-equivalence property is asserted exactly in
-tests/test_streaming.py::test_streaming_matches_batch instead).
+Both queries carry REAL ``oracle_sql`` entries even though the stateful
+EXECUTION is not SQL-expressible — the final RELATIONS are:
+
+- the marts kernel's drained output is the windowed decimal-exact pivot
+  + broadcast enrich of a deterministic input slice (the availableNow
+  drain with a far-future sentinel closes every real window; the dedup
+  stage is vacuous on this dataset — zero duplicate
+  (user_id, ts, event_type) keys at every sf, verified — so the oracle
+  models it as a plain aggregate);
+- the EMA recurrence folds per-key in (batch, ts, value) order, which
+  DuckDB replays exactly with a sequential ``list_reduce`` over the
+  per-key value sequence — same left-to-right IEEE float64 fold the
+  pandas loop performs. (Ordering among equal (ts, value) rows cannot
+  change the value sequence, so both engines emit the same multiset.)
+
+The batch-equivalence property is additionally asserted in
+tests/test_streaming.py::test_streaming_matches_batch.
 """
 
 from __future__ import annotations
@@ -21,7 +34,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from reddit_data_pipeline_engineering_spark.config import EVENT_TYPES
-from reddit_data_pipeline_engineering_spark.plans.queries import query
+from reddit_data_pipeline_engineering_spark.plans.queries import (
+    DEC_VALUE,
+    _pivot_cols_sql,
+    query,
+)
 from reddit_data_pipeline_engineering_spark.sources.tables import load_table
 from reddit_data_pipeline_engineering_spark.streaming.kernel import (
     read_raw_stream,
@@ -41,13 +58,43 @@ _STREAM_SCHEMA = T.StructType(
 )
 
 
+# Hourly tumbling window via epoch arithmetic (same idiom as the
+# time_bucket oracle); the decimal-exact pivot columns come from the
+# shared _pivot_cols_sql so Spark and SQL stay mirrored by construction.
+_STREAM_KERNEL_ORACLE = f"""
+WITH week AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) <
+        (SELECT MIN(CAST(ts AS TIMESTAMP)) FROM events) + INTERVAL 7 DAY
+), wide AS (
+  SELECT user_id,
+    to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)
+                 - (CAST(floor(epoch(ts)) AS BIGINT) % 3600))::TIMESTAMP
+      AS window_start,
+    {_pivot_cols_sql()}
+  FROM week
+  GROUP BY 1, 2
+)
+SELECT CAST(w.user_id AS VARCHAR) AS location_id,
+       w.window_start,
+       w.window_start + INTERVAL 1 HOUR AS window_end,
+       w.click, w.error, w.purchase, w.signup, w.view,
+       c.c_name AS city_name,
+       c.c_mktsegment AS mktsegment
+FROM wide w
+LEFT JOIN customer c ON CAST(c.c_custkey AS VARCHAR) = CAST(w.user_id AS VARCHAR)
+"""
+
+
 @query(
     "streaming_marts_kernel",
-    None,  # stateful streaming: rows-only driver check (see module doc)
+    _STREAM_KERNEL_ORACLE,
     "The marts kernel as Structured Streaming: NDJSON raw zone drained "
-    "with availableNow through watermarked dedup + windowed static pivot "
-    "+ stream-static enrich into a checkpointed parquet sink "
-    "(SURVEY.md §2.9 reformulation)",
+    "with availableNow through watermarked dedup + windowed decimal-exact "
+    "static pivot + stream-static enrich into a checkpointed parquet sink "
+    "(SURVEY.md §2.9 reformulation) — hash-verified against a batch SQL "
+    "replay of the same relation",
     tags=("streaming", "kernel"),
 )
 def q_streaming_marts_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,18 +136,52 @@ def q_streaming_marts_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim_cols={"city_name": "c_name", "mktsegment": "c_mktsegment"},
         watermark="2 hours",
         window_duration="1 hour",
+        exact_decimal=DEC_VALUE,
     )
     run_stream_to_completion(write_marts_stream(wide, out, ckpt))
     return spark.read.parquet(out).filter(F.col("location_id") != "-1")
 
 
+# The recurrence replayed in SQL: per-user value sequence in the exact
+# fold order (micro-batch, then (ts, value) within a batch), prefix-folded
+# with a sequential list_reduce — the same left-to-right float64 ops as
+# the pandas loop, so EMAs are bit-identical. The lambda mirrors
+# `a*v + (1.0-a)*ema` with a=0.3 literally.
+_EMA_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS TIMESTAMP)) AS t0 FROM events
+), day AS (
+  SELECT e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value,
+         CASE WHEN CAST(e.ts AS TIMESTAMP) < b.t0 + INTERVAL 12 HOUR
+              THEN 0 ELSE 1 END AS batch
+  FROM events e CROSS JOIN bounds b
+  WHERE CAST(e.ts AS TIMESTAMP) < b.t0 + INTERVAL 1 DAY
+    AND e.value IS NOT NULL
+), ordered AS (
+  SELECT user_id, ts, value, batch,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY batch, ts, value) AS rn
+  FROM day
+), seqs AS (
+  SELECT user_id, list(value ORDER BY batch, ts, value) AS vals
+  FROM ordered GROUP BY user_id
+)
+SELECT o.user_id, o.ts, o.value,
+       list_reduce(list_slice(s.vals, 1, o.rn),
+                   (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc) AS ema,
+       CAST(o.rn AS BIGINT) AS n_seen
+FROM ordered o JOIN seqs s USING (user_id)
+"""
+
+
 @query(
     "stateful_ema_stream",
-    None,  # custom keyed state: rows-only driver check (see module doc)
+    _EMA_ORACLE,
     "applyInPandasWithState custom stateful operator: per-user EMA "
     "recurrence folded across micro-batches (order-dependent state no "
     "built-in streaming aggregate can express); two-file drain proves "
-    "cross-trigger state carry",
+    "cross-trigger state carry — hash-verified against a sequential "
+    "list_reduce replay of the same fold",
     tags=("streaming", "stateful"),
 )
 def q_stateful_ema_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

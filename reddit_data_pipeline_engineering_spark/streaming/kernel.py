@@ -86,9 +86,16 @@ def streaming_marts(
     dim_cols: Mapping[str, str],
     watermark: str = "2 hours",
     window_duration: str = "1 hour",
+    exact_decimal: str | None = None,
 ) -> DataFrame:
     """The kernel as a streaming plan: dedup -> windowed static pivot ->
     stream-static broadcast enrich.
+
+    ``exact_decimal`` passes through to the pivot's mean (see
+    pivot_conditional): with it the windowed averages are decimal-exact and
+    summation-order-independent, making the STREAMING result bit-equal to
+    any engine's batch replay of the same relation — what lets the driver
+    hash-verify this query against a SQL oracle.
 
     Output grain: one row per (entity, event-time window) with one column
     per parameter — the streaming analog of the batch wide marts table.
@@ -109,6 +116,7 @@ def streaming_marts(
         value_col,
         param_values,
         agg="avg",
+        exact_decimal=exact_decimal,
     )
     wide = wide.select(
         F.col(entity_col).cast("string").alias("location_id"),

@@ -44,9 +44,12 @@ def ema_stream(
     micro-batch boundaries (state survives between triggers and restarts
     via the checkpoint).
 
-    Within a micro-batch, a key's rows are folded in ``ts_col`` order;
-    across batches, arrival order governs (late events do not rewrite
-    history — the documented semantics of online EMA).
+    Within a micro-batch, a key's rows are folded in ``(ts_col,
+    value_col)`` order — the value tiebreak makes the fold order (and so
+    every EMA) independent of file/partition layout, since ordering among
+    equal (ts, value) rows cannot change the value sequence. Across
+    batches, arrival order governs (late events do not rewrite history —
+    the documented semantics of online EMA).
     """
     a = float(alpha)
     kc, tc, vc = key_col, ts_col, value_col
@@ -60,7 +63,9 @@ def ema_stream(
             ema, n = None, 0
         outs = []
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(tc, kind="stable").reset_index(drop=True)
+            pdf = pdf.sort_values([tc, vc], kind="stable").reset_index(
+                drop=True
+            )
             emas = []
             for v in pdf[vc]:
                 v = float(v)
