@@ -204,3 +204,103 @@ def _merge_upsert(
     )
     shutil.rmtree(tmp, ignore_errors=True)
     return n
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    agg_path: str,
+    new_df,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    partition_col: str = "agg_date",
+    value_decimal: str = "14,4",
+) -> int:
+    """Continuous-aggregate maintenance (hypertable-rollup shape): fold a
+    new batch of raw events into a persisted per-(key, hour) aggregate
+    table, rewriting ONLY the partitions the batch touches.
+
+    The stored state is MERGEABLE — ``(n, sum)`` per group, with the sum
+    decimal-exact so merge order never changes results; ``avg`` is derived
+    at read time as ``sum / n``. Incremental maintenance is therefore
+    idempotent-by-construction against a full recompute: any split of the
+    input into batches converges to the identical table.
+
+    At 100 TB: each increment shuffles only the NEW batch (grouped on the
+    same key as the stored table), reads back only the touched date
+    partitions, and dynamic-overwrites only those — the table's history is
+    never rewritten. Returns the number of aggregate rows written.
+    """
+    import os
+
+    keys = list(key_cols)
+    bucket = F.date_trunc("hour", F.col(ts_col)).alias("bucket_hour")
+    partial = (
+        new_df.select(
+            bucket,
+            *[F.col(k) for k in keys],
+            F.col(value_col).cast(f"decimal({value_decimal})").alias("__v"),
+        )
+        .groupBy("bucket_hour", *keys)
+        .agg(
+            F.count("__v").alias("n_values"),
+            # Pin the merged-sum type: Spark widens decimal sums by +10
+            # digits per aggregation, and a second increment would write
+            # a WIDER physical parquet type next to the first write's —
+            # unreadable as one table. decimal(30,4) is stable and holds
+            # any realistic per-bucket sum.
+            F.sum("__v").cast("decimal(30,4)").alias("sum_value"),
+        )
+        .withColumn(
+            partition_col, F.date_format("bucket_hour", "yyyy-MM-dd")
+        )
+    )
+    group_cols = ["bucket_hour", *keys, partition_col]
+    if os.path.isdir(agg_path):
+        with _no_partition_type_inference(spark):
+            existing = spark.read.parquet(agg_path)
+            touched = [
+                r[0]
+                for r in partial.select(partition_col).distinct().collect()
+            ]
+            relevant = existing.filter(F.col(partition_col).isin(touched))
+            merged = (
+                relevant.select(*group_cols, "n_values", "sum_value")
+                .unionByName(
+                    partial.select(*group_cols, "n_values", "sum_value")
+                )
+                .groupBy(*group_cols)
+                .agg(
+                    F.sum("n_values").alias("n_values"),
+                    F.sum("sum_value").cast("decimal(30,4)").alias("sum_value"),
+                )
+            )
+            merged = merged.localCheckpoint()  # cut lineage off the files
+        out_rows = merged.count()
+        (
+            merged.repartition(*[F.col(c) for c in (partition_col,)])
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(agg_path)
+        )
+        return out_rows
+    out_rows = partial.count()
+    (
+        partial.select(*group_cols, "n_values", "sum_value")
+        .repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(agg_path)
+    )
+    return out_rows
+
+
+def read_rollup(spark: SparkSession, agg_path: str):
+    """Read the rollup with the derived mean (exact sum / exact count)."""
+    with _no_partition_type_inference(spark):
+        agg = spark.read.parquet(agg_path)
+    return agg.withColumn(
+        "avg_value",
+        F.col("sum_value").cast("double") / F.col("n_values"),
+    )
