@@ -801,7 +801,7 @@ FROM events
     "Per-key forward fill of missing sensor values (deterministically "
     "masked every 7th event): last-non-null window with a unique "
     "tiebreak — the canonical time-series gap repair, one keyed shuffle",
-    tags=("window", "ext"),
+    tags=("window", "ext", "bench"),
 )
 def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
