@@ -917,6 +917,7 @@ _DRIVER_FIRST = [
     "vocab_topk",
     "forward_fill",
     "snapshot_diff_counts",
+    "dq_expectations",
 ]
 
 _DRIVER_TAIL_STREAMING = ["streaming_marts_kernel", "stateful_ema_stream"]
@@ -953,6 +954,8 @@ _DRIVER_ROTATED_OUT = [
                              # operators/asof.py lineage) stays in-gate
     "props_flatten",         # F7 flattening: r01 green + api-source tests;
                              # nested access also inside marts lineage
+    "conditional_counts",    # A7 conditional counts: dq_expectations is
+                             # the same family compiled into one pass
 ]
 
 

@@ -894,3 +894,59 @@ def q_snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("price_old") == F.col("price_new"))
         ).alias("n_unchanged"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations report — the reference's five separate
+# .count() checks generalized to a declarative rule list compiled into
+# ONE aggregate pass (operators/expectations.py).
+# --------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+    CAST(SUM(CASE WHEN value < 0 OR value > 1000000 THEN 1 ELSE 0 END)
+         AS BIGINT) AS v1,
+    CAST(SUM(CASE WHEN event_type NOT IN
+                  ('click','error','purchase','signup','view')
+             THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+    CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS v3,
+    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v4
+  FROM events
+)
+SELECT 'value_not_null' AS rule, v0 AS n_violations, v0 = 0 AS passed FROM agg
+UNION ALL
+SELECT 'value_in_range', v1, v1 = 0 FROM agg
+UNION ALL
+SELECT 'event_type_accepted_values', v2, v2 = 0 FROM agg
+UNION ALL
+SELECT 'event_id_unique', v3, v3 = 0 FROM agg
+UNION ALL
+SELECT 'ts_not_null', v4, v4 = 0 FROM agg
+"""
+
+
+@query(
+    "dq_expectations",
+    _DQ_ORACLE,
+    "Declarative data-quality expectations (not-null, range, accepted "
+    "values, uniqueness) compiled into ONE aggregate pass over one scan — "
+    "vs the reference's five separate count() materializations",
+    tags=("relational", "audit"),
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.config import EVENT_TYPES
+    from reddit_data_pipeline_engineering_spark.operators import expectations as ex
+
+    ev = load_table(spark, sf_dir, "events")
+    return ex.validate(
+        ev,
+        [
+            ex.not_null("value"),
+            ex.in_range("value", 0, 1_000_000),
+            ex.accepted_values("event_type", list(EVENT_TYPES)),
+            ex.unique("event_id"),
+            ex.not_null("ts"),
+        ],
+    )

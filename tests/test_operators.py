@@ -211,3 +211,41 @@ def test_aqi_missing_and_negative(aqi_eval):
 def test_aqi_uncapped_above_500(aqi_eval):
     a, _, level = aqi_eval(pm25=600.0)  # beyond table: extrapolate, uncap
     assert a > 500 and level == "Hazardous"
+
+def test_expectations_one_pass_and_results(spark):
+    from reddit_data_pipeline_engineering_spark.operators import expectations as ex
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", None), (3, "zz", -1.0), (3, "b", 7.0)],
+        "id long, cat string, v double",
+    )
+    report = ex.validate(
+        df,
+        [
+            ex.not_null("v"),
+            ex.in_range("v", 0, 10),
+            ex.accepted_values("cat", ["a", "b"]),
+            ex.unique("id"),
+        ],
+    )
+    got = {r["rule"]: (r["n_violations"], r["passed"]) for r in report.collect()}
+    assert got == {
+        "v_not_null": (1, False),
+        "v_in_range": (1, False),  # nulls don't count as range violations
+        "cat_accepted_values": (1, False),
+        "id_unique": (1, False),
+    }
+    # Single scan: exactly one Location (one file source) in the plan.
+    plan = report._sc._jvm.PythonSQLUtils.explainString(
+        report._jdf.queryExecution(), "formatted"
+    )
+    # One scan NODE total (AQE prints the tree twice plus a detail
+    # section; the numbered detail header appears once per node).
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 1
+
+    clean = spark.createDataFrame([(1, "a", 5.0)], "id long, cat string, v double")
+    assert all(
+        r["passed"] for r in ex.validate(clean, [ex.not_null("v")]).collect()
+    )
