@@ -918,6 +918,11 @@ _DRIVER_FIRST = [
     "forward_fill",
     "snapshot_diff_counts",
     "dq_expectations",
+    # new this round, batch 2 (TPC-H Q13/Q17/Q19/Q22 shapes):
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "brand_discount_revenue",
+    "dormant_rich_customers",
 ]
 
 _DRIVER_TAIL_STREAMING = ["streaming_marts_kernel", "stateful_ema_stream"]
@@ -929,8 +934,8 @@ _DRIVER_ROTATED_OUT = [
     "value_stats",           # profile aggs: minmax_profile
     "value_histogram",       # profile aggs: minmax_profile, exact_percentiles
     "ntile_spend_quartiles", # quantiles: exact_percentiles
-    "lag_lead_delta",        # window fns: running_sum
-    "sessionize",            # window fns: running_sum
+    "lag_lead_delta",        # window fns: forward_fill, sequence_packing
+    "sessionize",            # window fns: forward_fill, sequence_packing
     "topk_orders",           # top-k: daily_topk (+ plan-shape test)
     "rollup_orders",         # grouping sets: cube_segments
     "inactive_antijoin",     # anti-join: semantic_dedup_survivors keep-set
@@ -956,6 +961,12 @@ _DRIVER_ROTATED_OUT = [
                              # nested access also inside marts lineage
     "conditional_counts",    # A7 conditional counts: dq_expectations is
                              # the same family compiled into one pass
+    "running_sum",           # window fns: forward_fill, sequence_packing
+    "set_ops",               # set family: snapshot_diff FULL OUTER +
+                             # semantic_dedup anti-join keep-set in-gate
+    "null_audit",            # P6 null audit: dq_expectations not-null rules
+    "normalize_group",       # F4 normalization: pii_scrub_stats regexp
+                             # family in-gate
 ]
 
 

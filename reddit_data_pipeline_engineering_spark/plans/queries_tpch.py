@@ -1,4 +1,4 @@
-"""Multi-way-join OLAP queries (TPC-H Q3/Q5/Q6/Q12/Q18 shapes).
+"""Multi-way-join OLAP queries (TPC-H Q1/Q3/Q4/Q5/Q6/Q10/Q12/Q13/Q14/Q17/Q18/Q19/Q22 shapes).
 
 The reference has NO multi-way joins (SURVEY.md §2.3); these extend the
 engine to the canonical OLAP join/agg patterns its star-schema testdata
@@ -409,4 +409,202 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_pct"),
         "promo_revenue",
         "total_revenue",
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query(
+    "customer_order_distribution",
+    _Q13_ORACLE,
+    "TPC-H Q13 shape: left join with an ON-clause residual filter "
+    "(customers with zero matching orders kept as count 0), then a "
+    "histogram of per-customer order counts — two stacked aggregations",
+    tags=("relational", "tpch"),
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q17_ORACLE = """
+WITH part_avg AS (
+  SELECT l_partkey,
+         0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                / COUNT(l_quantity)) AS qty_cutoff
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_type = 'SMALL'
+  AND l.l_quantity < a.qty_cutoff
+"""
+
+
+@query(
+    "small_quantity_revenue",
+    _Q17_ORACLE,
+    "TPC-H Q17 shape: correlated average subquery decorrelated into a "
+    "per-part aggregate joined back on the part key (decimal-exact mean "
+    "so the < cutoff comparison is engine-identical), one-row revenue",
+    tags=("relational", "tpch"),
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "SMALL"
+    ).select("p_partkey")
+    part_avg = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                _dsum(F.col("l_quantity"), DEC_PRICE)
+                / F.count("l_quantity")
+            )
+        ).alias("qty_cutoff")
+    )
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cutoff"))
+    )
+    return joined.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast(f"decimal({DEC_PRICE})"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT CAST(ROUND(SUM({_REVENUE}), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query(
+    "brand_discount_revenue",
+    _Q19_ORACLE,
+    "TPC-H Q19 shape: three OR'd brand/size/quantity predicate branches — "
+    "Catalyst extracts the common l_quantity bounds into the lineitem "
+    "scan and the p_brand/p_size disjunction into the part scan before "
+    "the join",
+    tags=("relational", "tpch"),
+)
+def q_brand_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return joined.filter(branch).agg(
+        F.sum(_revenue_col())
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS cutoff
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c CROSS JOIN avg_bal a
+WHERE c.c_acctbal > a.cutoff
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+@query(
+    "dormant_rich_customers",
+    _Q22_ORACLE,
+    "TPC-H Q22 shape: scalar aggregate subquery (broadcast one-row "
+    "cutoff) + anti-join against recent orders -> high-balance customers "
+    "with no order in the last year (churn candidates), by nation",
+    tags=("relational", "tpch"),
+)
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-07-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    cutoff_df = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            _dsum(F.col("c_acctbal"), DEC_PRICE) / F.count(F.lit(1))
+        ).alias("cutoff")
+    )
+    rich = cust.join(F.broadcast(cutoff_df)).filter(
+        F.col("c_acctbal") > F.col("cutoff")
+    )
+    dormant = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal"), DEC_PRICE).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
     )
