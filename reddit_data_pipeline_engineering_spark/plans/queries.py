@@ -864,6 +864,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_prep  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_streaming  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_tpch2  # noqa: F401
 
 
 # --------------------------------------------------------------------------
@@ -928,6 +929,18 @@ _DRIVER_FIRST = [
 _DRIVER_TAIL_STREAMING = ["streaming_marts_kernel", "stateful_ema_stream"]
 
 _DRIVER_ROTATED_OUT = [
+    # Registered after the r02 gate window was frozen (TPC-H family
+    # completion, this session) — no driver row yet; MUST lead
+    # _DRIVER_FIRST next round alongside the block below:
+    "min_cost_supplier",
+    "nation_volume_shipping",
+    "market_share",
+    "product_type_profit",
+    "important_part_value",
+    "top_supplier",
+    "supplier_part_counts",
+    "dominant_supplier",
+    "waiting_suppliers",
     # (in-gate query covering the same family noted per line)
     "pivot_wide",            # pivot: marts_kernel, aqi_bundle
     "unpivot_roundtrip",     # unpivot half of the same family

@@ -1,0 +1,684 @@
+"""Remaining TPC-H query shapes (Q2/Q7/Q8/Q9/Q11/Q15/Q16/Q20/Q21).
+
+Completes the 22-query TPC-H shape family started in ``queries_tpch.py``
+(the reference itself has no multi-way joins — SURVEY.md §2.3; this family
+exists to prove the engine's join/subquery planner coverage on the
+star-schema testdata).
+
+The testdata schema is a trimmed TPC-H (no ``partsupp``, no
+commit/receipt dates, no comment columns), so each query keeps the
+*plan shape* of its TPC-H counterpart while re-grounding the predicates
+in available columns:
+
+- Q2/Q11/Q20 use ``lineitem`` as the supply relation (per part+supplier
+  observed unit cost / shipped value / shipped quantity) instead of
+  ``partsupp``;
+- Q16's "customer complaints" supplier exclusion becomes a negative
+  account balance exclusion (same NOT-IN anti-join shape);
+- Q21's "received after commit date" lateness becomes shipped more than
+  60 days after the order date (same correlation structure).
+
+Plan expectations at scale: nation/region/supplier dims broadcast;
+decorrelated per-key aggregates join back on the key they aggregated on
+(no re-shuffle when AQE reuses the partitioning); scalar aggregates
+(Q11 threshold, Q15 max) broadcast as one-row cross joins rather than
+driver-side collect; Q21 is the aggregate reformulation of the classic
+double EXISTS/NOT-EXISTS self-join — one shuffle of lineitem instead of
+three.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.operators import topk
+from reddit_data_pipeline_engineering_spark.plans.queries import (
+    DEC_PRICE,
+    _dsum,
+    query,
+)
+from reddit_data_pipeline_engineering_spark.plans.queries_tpch import (
+    _REVENUE,
+    _revenue_col,
+)
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+
+def _nations_in_region(spark: SparkSession, sf_dir: str, region: str) -> DataFrame:
+    """nation rows restricted to one region (broadcast-sized: ≤25 rows)."""
+    nation = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    return nation.join(
+        F.broadcast(reg), nation.n_regionkey == reg.r_regionkey
+    ).select("n_nationkey", "n_name")
+
+
+# --------------------------------------------------------------------------
+# Q2 — min-cost supplier per part
+# --------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH supply AS MATERIALIZED (
+  SELECT l.l_partkey, l.l_suppkey,
+         MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+best AS MATERIALIZED (
+  SELECT l_partkey, MIN(unit_cost) AS min_cost
+  FROM supply GROUP BY l_partkey
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, b.min_cost
+FROM supply sp
+JOIN best b ON b.l_partkey = sp.l_partkey AND sp.unit_cost = b.min_cost
+JOIN part p ON p.p_partkey = sp.l_partkey
+JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_type = 'LARGE' AND p.p_size < 10
+ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_name
+LIMIT 20
+"""
+
+
+@query(
+    "min_cost_supplier",
+    _Q2_ORACLE,
+    "TPC-H Q2 shape: correlated MIN subquery decorrelated into a per-part "
+    "minimum joined back on (part, observed unit cost) equality; the "
+    "supply relation is lineitem (no partsupp in this schema), region "
+    "scoping via broadcast nation/region dims, top-20 by supplier balance",
+    tags=("relational", "tpch"),
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nations = _nations_in_region(spark, sf_dir, "EUROPE")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") < 10))
+        .select("p_partkey")
+    )
+    # Observed unit cost per (part, supplier) — suppliers scoped to the
+    # region first so the per-part MIN never sees out-of-region rows.
+    eu_supp = supp.join(
+        F.broadcast(nations), supp.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey")
+    supply = (
+        li.join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = supply.groupBy(
+        F.col("l_partkey").alias("b_partkey")
+    ).agg(F.min("unit_cost").alias("min_cost"))
+    # Join back on the same key the aggregate was computed on: AQE reuses
+    # the (l_partkey, l_suppkey) shuffle partitioning, no extra exchange.
+    winners = supply.join(
+        best,
+        (F.col("l_partkey") == F.col("b_partkey"))
+        & (F.col("unit_cost") == F.col("min_cost")),
+    ).select("l_partkey", "l_suppkey", "min_cost")
+    # Fresh loads for the output enrichment: `supp`/`nations` already feed
+    # the supply lineage above and reusing the same frames would be an
+    # ambiguous self-join to the analyzer.
+    supp_out = load_table(spark, sf_dir, "supplier")
+    nations_out = _nations_in_region(spark, sf_dir, "EUROPE")
+    out = (
+        winners.join(F.broadcast(part), winners.l_partkey == part.p_partkey)
+        .join(supp_out, winners.l_suppkey == supp_out.s_suppkey)
+        .join(
+            F.broadcast(nations_out),
+            supp_out.s_nationkey == nations_out.n_nationkey,
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "min_cost")
+    )
+    return topk.top_k(
+        out,
+        [
+            F.col("s_acctbal").desc(),
+            F.col("p_partkey").asc(),
+            F.col("s_name").asc(),
+        ],
+        20,
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# --------------------------------------------------------------------------
+
+_Q7_ORACLE = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(ROUND(SUM({_REVENUE}), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY ns.n_name, nc.n_name, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query(
+    "nation_volume_shipping",
+    _Q7_ORACLE,
+    "TPC-H Q7 shape: two independent broadcast joins against the same "
+    "nation dim (supplier side and customer side) with a symmetric "
+    "nation-pair disjunction, yearly revenue per directed pair",
+    tags=("relational", "tpch"),
+)
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    ns = nation.alias("ns")
+    nc = nation.alias("nc")
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
+    )
+    pair = (
+        ((F.col("ns.n_name") == "NATION_1") & (F.col("nc.n_name") == "NATION_2"))
+        | ((F.col("ns.n_name") == "NATION_2") & (F.col("nc.n_name") == "NATION_1"))
+    )
+    return (
+        joined.filter(pair)
+        .groupBy(
+            F.col("ns.n_name").alias("supp_nation"),
+            F.col("nc.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(_revenue_col())
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share
+# --------------------------------------------------------------------------
+
+_Q8_ORACLE = f"""
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(ROUND(SUM(CASE WHEN ns.n_name = 'NATION_5'
+                           THEN {_REVENUE} ELSE CAST(0 AS DECIMAL(12,2)) END),
+                  2) AS DOUBLE)
+         / CAST(ROUND(SUM({_REVENUE}), 2) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation ncust ON ncust.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = ncust.n_regionkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+WHERE r.r_name = 'AMERICA'
+  AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query(
+    "market_share",
+    _Q8_ORACLE,
+    "TPC-H Q8 shape: 7-way join (part/supplier/nation×2/region broadcast), "
+    "market share as a conditional-sum ratio — both sides exact decimal "
+    "sums rescaled to (18,2) before one IEEE double division per group",
+    tags=("relational", "tpch", "bench"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    amer_nations = _nations_in_region(spark, sf_dir, "AMERICA").select("n_nationkey")
+    ns = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").alias("ns")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(amer_nations),
+            F.col("c_nationkey") == amer_nations.n_nationkey,
+        )
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+    )
+    rev = _revenue_col()
+    zero = F.lit(0).cast(f"decimal({DEC_PRICE})")
+    national = F.when(F.col("ns.n_name") == "NATION_5", rev).otherwise(zero)
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(national).cast("decimal(18,2)").cast("double")
+                / F.sum(rev).cast("decimal(18,2)").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year
+# --------------------------------------------------------------------------
+
+# Profit per lineitem: revenue minus a 10%-of-retail unit-cost proxy
+# (ps_supplycost does not exist in this schema). All decimal-exact.
+_Q9_AMOUNT = (
+    f"({_REVENUE}"
+    " - CAST(l.l_quantity AS DECIMAL(12,2))"
+    " * CAST(p.p_retailprice AS DECIMAL(12,2))"
+    " * CAST(0.10 AS DECIMAL(4,2)))"
+)
+
+_Q9_ORACLE = f"""
+SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INTEGER) AS o_year,
+       CAST(ROUND(SUM({_Q9_AMOUNT}), 2) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@query(
+    "product_type_profit",
+    _Q9_ORACLE,
+    "TPC-H Q9 shape: profit (revenue minus a retail-derived unit-cost "
+    "proxy — no partsupp in this schema) per supplier nation per year, "
+    "part name LIKE filter pushed to the scan, dims broadcast. Profit can "
+    "go negative: relies on DuckDB/Spark shared away-from-zero tie "
+    "rounding at the final (18,2) rescale",
+    tags=("relational", "tpch"),
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = (
+        F.col("l_quantity").cast(f"decimal({DEC_PRICE})")
+        * F.col("p_retailprice").cast(f"decimal({DEC_PRICE})")
+        * F.lit(0.10).cast("decimal(4,2)")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(_revenue_col() - cost)
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_profit")
+        )
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important part values (global-threshold HAVING)
+# --------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+WITH per_part AS MATERIALIZED (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey = 3
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(val AS DOUBLE)
+      > (SELECT CAST(SUM(val) AS DOUBLE) FROM per_part) * 0.001
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@query(
+    "important_part_value",
+    _Q11_ORACLE,
+    "TPC-H Q11 shape: per-part shipped value from one nation's suppliers "
+    "with a HAVING threshold derived from a scalar aggregate over the "
+    "same grouped relation — the one-row total is broadcast-cross-joined, "
+    "never collected; threshold compare on identically-derived doubles",
+    tags=("relational", "tpch"),
+)
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 3)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(f"decimal({DEC_PRICE})")).alias(
+                "val"
+            )
+        )
+    )
+    # Total of the per-part decimal sums (exact), as one broadcast row.
+    total = per_part.agg(F.sum("val").cast("double").alias("total_val"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("total_val") * F.lit(0.001))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier by quarterly revenue
+# --------------------------------------------------------------------------
+
+_Q15_ORACLE = f"""
+WITH revenue AS MATERIALIZED (
+  SELECT l.l_suppkey AS supplier_no,
+         CAST(ROUND(SUM({_REVENUE}), 2) AS DECIMAL(18,2)) AS total_revenue
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@query(
+    "top_supplier",
+    _Q15_ORACLE,
+    "TPC-H Q15 shape: quarterly revenue view + MAX scalar subquery; the "
+    "max-revenue equality runs on exact DECIMAL(18,2) values (never "
+    "doubles), the one-row max is broadcast, supplier dim broadcast",
+    tags=("relational", "tpch"),
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue_col()).cast("decimal(18,2)").alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier counts by part attributes
+# --------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT pairs.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part p ON p.p_partkey = pairs.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND pairs.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query(
+    "supplier_part_counts",
+    _Q16_ORACLE,
+    "TPC-H Q16 shape: distinct (part, supplier) pairs from lineitem (no "
+    "partsupp), NOT-IN supplier exclusion as a broadcast anti-join "
+    "(negative balance stands in for the complaints filter), "
+    "count-distinct suppliers per part attribute triple",
+    tags=("relational", "tpch"),
+)
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.join(
+            F.broadcast(bad_supp),
+            pairs.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — dominant suppliers of a part family
+# --------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+WITH shipped AS MATERIALIZED (
+  SELECT l.l_partkey, l.l_suppkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'red %'
+    AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+totals AS MATERIALIZED (
+  SELECT l_partkey, SUM(qty) AS total_qty
+  FROM shipped GROUP BY l_partkey
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND s.s_suppkey IN (
+    SELECT sh.l_suppkey
+    FROM shipped sh
+    JOIN totals t ON t.l_partkey = sh.l_partkey
+    WHERE sh.qty * 10 > t.total_qty * 3)
+ORDER BY s.s_name
+"""
+
+
+@query(
+    "dominant_supplier",
+    _Q20_ORACLE,
+    "TPC-H Q20 shape: nested semi-joins — suppliers who shipped >30% of a "
+    "red-part-family year volume (availqty threshold re-grounded on "
+    "lineitem), threshold compared in exact integer-scaled decimals "
+    "(qty*10 > total*3, no float division), region scope broadcast",
+    tags=("relational", "tpch"),
+)
+def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red %"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(f"decimal({DEC_PRICE})")).alias("qty"))
+    )
+    totals = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    dominant = (
+        shipped.join(totals, "l_partkey")
+        .filter(F.col("qty") * 10 > F.col("total_qty") * 3)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nations = _nations_in_region(spark, sf_dir, "EUROPE").select("n_nationkey")
+    return (
+        supp.join(
+            F.broadcast(nations), supp.s_nationkey == nations.n_nationkey
+        )
+        .join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting
+# --------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+WITH li_o AS MATERIALIZED (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS is_late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS MATERIALIZED (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS nsupp,
+         COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS nlate,
+         MAX(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+  FROM li_o
+  GROUP BY l_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM per_order po
+JOIN supplier s ON s.s_suppkey = po.late_supp
+WHERE po.nsupp > 1 AND po.nlate = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+@query(
+    "waiting_suppliers",
+    _Q21_ORACLE,
+    "TPC-H Q21 shape: sole-late-supplier detection on multi-supplier "
+    "finished orders. The classic EXISTS + NOT-EXISTS double self-join is "
+    "reformulated as one per-order aggregate (distinct suppliers, "
+    "distinct late suppliers, the single late supplier key) — one "
+    "lineitem shuffle instead of three; lateness = shipped >60 days "
+    "after order date (no receipt/commit dates in this schema)",
+    tags=("relational", "tpch", "bench"),
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    li_o = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(late, 1).otherwise(0).alias("is_late"),
+    )
+    late_supp = F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+    per_order = li_o.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(late_supp).alias("nlate"),
+        F.max(late_supp).alias("late_supp"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    waiting = per_order.filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+    agg = (
+        waiting.join(F.broadcast(supp), waiting.late_supp == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return topk.top_k(
+        agg, [F.col("numwait").desc(), F.col("s_name").asc()], 20
+    )
