@@ -61,37 +61,54 @@ def assign_clusters(
     pre_quantized: bool = False,
 ) -> DataFrame:
     """Add the nearest-centroid id (ties -> lowest cluster id): map-only,
-    one exact integer fold per centroid against broadcast literals.
+    one exact integer fold per centroid against a broadcast centroid row.
 
     The per-centroid score is the REDUCED distance ``-128*dot(qx,c) +
     |c|^2``: expanding ``sum((qx*64 - c_i)^2)`` drops the ``4096*|qx|^2``
     term, which is constant per row across centroids, so the argmin (and
     every tie) is identical to the full squared distance while the fold
     does one multiply per dimension instead of two multiplies and a
-    subtract (measured 2.5x faster per Lloyd iteration — each iteration
-    re-codegens because the centroid literals change). ``|c|^2`` is a
-    Python-int constant (exact, <= 64*(2^20)^2 < 2^53)."""
+    subtract. The centroids travel as DATA in a one-row broadcast
+    relation (array<array<bigint>> + precomputed |c|^2 per cluster, both
+    exact: <= 64*(2^20)^2 < 2^53), NOT as expression literals: a k x dim
+    literal tree forced a fresh analysis + codegen compile on every
+    Lloyd iteration (the literals change), which dominated iteration
+    wall time; with the centroids in a broadcast row the expression tree
+    is iteration-invariant, so the codegen cache serves every iteration
+    after the first (measured ~3x faster per iteration at sf0.1)."""
     qv = F.col(vec_col) if pre_quantized else quantized(vec_col)
-    cells = []
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(int(v)) for v in c])
-        dot = F.aggregate(
-            F.zip_with(qv, carr, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        c2 = sum(int(v) * int(v) for v in c)
-        cells.append(
-            F.struct(
-                (F.lit(-2 * CENT_SCALE) * dot + F.lit(c2)).alias("d"),
-                F.lit(i).alias("c"),
-            )
-        )
+    spark = df.sparkSession
+    c2s = [sum(int(v) * int(v) for v in c) for c in centroids]
+    cdf = spark.createDataFrame(
+        [([[int(v) for v in c] for c in centroids], c2s)],
+        "__cents array<array<bigint>>, __c2s array<bigint>",
+    )
+    # transform's 2-arg lambda receives (element, index); element_at is
+    # 1-based, hence i + 1.
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c, i: F.struct(
+            (
+                F.lit(-2 * CENT_SCALE)
+                * F.aggregate(
+                    F.zip_with(qv, c, lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                + F.element_at(F.col("__c2s"), (i + F.lit(1)).cast("int"))
+            ).alias("d"),
+            i.cast("int").alias("c"),
+        ),
+    )
     # array_min over structs is lexicographic (dist, cluster) — the same
     # argmin-with-tiebreak the oracle expresses as row_number over
     # ORDER BY dist, cluster (equal-tie sets: both scores differ by the
     # same per-row constant).
-    return df.withColumn(out_col, F.array_min(F.array(*cells))["c"])
+    return (
+        df.crossJoin(F.broadcast(cdf))
+        .withColumn(out_col, F.array_min(scored)["c"])
+        .drop("__cents", "__c2s")
+    )
 
 
 def kmeans_fit(
@@ -104,12 +121,15 @@ def kmeans_fit(
     """Fit k integer-grid centroids with ``iters`` Lloyd iterations.
 
     Each iteration: map-side assignment against the current broadcast
-    centroids, then ONE hash aggregate (cluster -> per-dim exact long
-    sums + count); only the k aggregated rows come back to the driver.
+    centroids, then ONE hash aggregate keyed on (cluster, dimension) —
+    the vector is posexploded so the update is k*dim narrow groups
+    (map-side partial aggregation collapses each partition to <= k*dim
+    rows before the shuffle) instead of a dim-wide column list, whose
+    per-iteration Catalyst analysis cost dominated wall time at small
+    scale. Only the k*dim aggregated rows come back to the driver.
     A cluster that loses all members drops out (both engines mirror
     this), so the result may have fewer than k centroids.
     """
-    dim = len(df.select(vec_col).head()[0])
     seeds = (
         df.orderBy(*_seed_order(id_col))
         .limit(k)
@@ -119,6 +139,7 @@ def kmeans_fit(
     centroids = [
         [int(v) * CENT_SCALE for v in r["q"]] for r in seeds
     ]
+    dim = len(seeds[0]["q"]) if seeds else 0
     import math
 
     # One materialization of the quantized vectors serves every Lloyd
@@ -131,16 +152,14 @@ def kmeans_fit(
             qdf, "q", centroids, out_col="cluster", pre_quantized=True
         )
         rows = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.col("q")[i]).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-            )
+            assigned.select("cluster", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["n"])
         # floor((s*64)/n) via DOUBLE division on both sides: s*64 is exact
         # in double (< 2^33) and the correctly-rounded quotient + floor is
         # the same IEEE computation the oracle's floor(... / n) performs.
@@ -148,10 +167,10 @@ def kmeans_fit(
         # differ across engines for negative sums.)
         centroids = [
             [
-                int(math.floor((r[f"s{i}"] * float(CENT_SCALE)) / r["n"]))
+                int(math.floor((dims[i][0] * float(CENT_SCALE)) / dims[i][1]))
                 for i in range(dim)
             ]
-            for r in sorted(rows, key=lambda r: r["cluster"])
+            for _, dims in sorted(by_cluster.items())
         ]
     qdf.unpersist()
     return centroids

@@ -55,6 +55,7 @@ def blocked_neardup_pairs(
     threshold: float,
     score_decimals: int | None = 6,
     per_block_topk: int | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within coarse blocks (IVF-style).
 
@@ -69,6 +70,16 @@ def blocked_neardup_pairs(
     flowing into any downstream global top-k drop from O(sum b^2) to
     O(k * n_blocks). At scale this is the difference between a bounded
     and an unbounded final shuffle.
+
+    ``salt`` splits the quadratic scoring work when the block count is
+    small relative to cluster parallelism: side A is sliced into ``salt``
+    deterministic sub-keys (hash of id), side B replicated ``salt`` times,
+    and the join keys on (block, salt) — every within-block pair still
+    scored exactly once, parallelism x ``salt`` for a ``salt``-fold
+    replication of the (narrow) B side. With salting the top-k prune runs
+    per (block, slice) — a SUPERSET of the per-block top-k, so any
+    downstream global top-k (with a total-order tiebreak) is unchanged;
+    don't use salted output where exactly-k-per-block matters.
     """
     normed = df.select(
         F.col(block_col).alias("blk"),
@@ -88,19 +99,35 @@ def blocked_neardup_pairs(
         F.col("vec").alias("vb"),
         F.col("nrm").alias("nb"),
     )
+    join_keys = ["blk"]
+    if salt and salt > 1:
+        a = a.withColumn("__salt", F.pmod(F.hash("id_a"), F.lit(salt)))
+        b = b.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        join_keys = ["blk", "__salt"]
+        # Spread side A across the cluster explicitly: when B broadcasts
+        # (the common case — it's one narrow table), the join inherits
+        # A's partitioning, and a small parquet input may be a single
+        # split — which would serialize the quadratic scoring no matter
+        # how many salt slices exist. A user-specified repartition is
+        # exempt from AQE coalescing, so the slice layout survives.
+        a = a.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, *join_keys
+        )
     score = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     if score_decimals is not None:
         score = F.round(score, score_decimals)
     pairs = (
-        a.join(b, "blk")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("blk", "id_a", "id_b", score.alias("cosine"))
+        .select(*join_keys, "id_a", "id_b", score.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
     if per_block_topk is not None:
         from pyspark.sql import Window
 
-        w = Window.partitionBy("blk").orderBy(
+        w = Window.partitionBy(*join_keys).orderBy(
             F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
         )
         pairs = (
@@ -108,6 +135,8 @@ def blocked_neardup_pairs(
             .filter(F.col("__rk") <= per_block_topk)
             .drop("__rk")
         )
+    if salt and salt > 1:
+        pairs = pairs.drop("__salt")
     return pairs
 
 

@@ -649,6 +649,11 @@ def q_embedding_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         threshold=_EMB_PAIR_THRESHOLD,
         per_block_topk=50,
+        # ~10 coarse blocks cap the quadratic scoring at 10-way
+        # parallelism; 8 salt slices make it 80-way. The per-slice top-k
+        # is a superset of the per-block top-k, so the global top-50
+        # below (total-order tiebreak) is unchanged.
+        salt=8,
     )
     return topk.top_k(
         pairs,

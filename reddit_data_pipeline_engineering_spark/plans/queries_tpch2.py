@@ -161,9 +161,11 @@ JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN region rs ON rs.r_regionkey = ns.n_regionkey
 JOIN nation nc ON nc.n_nationkey = c.c_nationkey
-WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
-    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+JOIN region rc ON rc.r_regionkey = nc.n_regionkey
+WHERE ((rs.r_name = 'EUROPE' AND rc.r_name = 'ASIA')
+    OR (rs.r_name = 'ASIA' AND rc.r_name = 'EUROPE'))
   AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
   AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY ns.n_name, nc.n_name, l_year
@@ -175,12 +177,17 @@ ORDER BY supp_nation, cust_nation, l_year
     "nation_volume_shipping",
     _Q7_ORACLE,
     "TPC-H Q7 shape: two independent broadcast joins against the same "
-    "nation dim (supplier side and customer side) with a symmetric "
-    "nation-pair disjunction, yearly revenue per directed pair",
+    "nation+region dim (supplier side and customer side) with a symmetric "
+    "trade-pair disjunction (EUROPE<->ASIA — region-level so every SF has "
+    "matching rows), yearly revenue per directed nation pair",
     tags=("relational", "tpch"),
 )
 def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    ndim = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -188,8 +195,8 @@ def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
-    ns = nation.alias("ns")
-    nc = nation.alias("nc")
+    ns = ndim.alias("ns")
+    nc = ndim.alias("nc")
     joined = (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -198,8 +205,8 @@ def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
     )
     pair = (
-        ((F.col("ns.n_name") == "NATION_1") & (F.col("nc.n_name") == "NATION_2"))
-        | ((F.col("ns.n_name") == "NATION_2") & (F.col("nc.n_name") == "NATION_1"))
+        ((F.col("ns.r_name") == "EUROPE") & (F.col("nc.r_name") == "ASIA"))
+        | ((F.col("ns.r_name") == "ASIA") & (F.col("nc.r_name") == "EUROPE"))
     )
     return (
         joined.filter(pair)
