@@ -32,7 +32,7 @@ from reddit_data_pipeline_engineering_spark.operators import (
     topk,
 )
 from reddit_data_pipeline_engineering_spark.plans.queries import query
-from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table, spread
 
 # DuckDB token-array expression shared by the oracle CTEs (mirrors
 # functions.text.tokens: trim -> whitespace split -> drop empties).
@@ -188,7 +188,10 @@ LIMIT 20
     tags=("llm", "dedup", "bench"),
 )
 def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: shingling is per-row CPU ahead of the first shuffle; a
+    # single-row-group scan would serialize it (no-op once the input has
+    # >= core splits — the cluster case).
+    docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = text_dedup.jaccard_candidate_pairs(
         docs,
         "text",

@@ -47,3 +47,23 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
     """Register each table as a temp view for the spark.sql surface."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a too-narrow input before CPU-heavy map work.
+
+    A parquet file is splittable only at row-group boundaries, so a
+    single-row-group file scans as ONE task no matter the conf — and any
+    expensive per-row transform downstream (shingling, hash folds, regex
+    tokenization) then runs single-threaded. This helper restores a
+    parallelism floor with one narrow exchange of the raw rows, which is
+    orders of magnitude cheaper than serializing the map stage.
+
+    It is a no-op when the scan already has enough partitions — the 100 TB
+    case, where input files outnumber cores — so operators using it keep
+    their shuffle budget at scale. (The check reads partition metadata
+    only; nothing is executed.)"""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -257,3 +257,51 @@ def test_partitioning_invariance(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert baseline == relaid
+
+
+# ---- TPC-H family completion (queries_tpch2) ----------------------------
+
+
+def test_waiting_suppliers_scans_lineitem_once(spark):
+    """Q21's classic form self-joins lineitem three times; the aggregate
+    reformulation must read it exactly once and top-k without a global
+    sort."""
+    plan = plan_of(REGISTRY["waiting_suppliers"].fn(spark, SF_SMALL))
+    assert plan.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_min_cost_supplier_topk_and_broadcast_dims(spark):
+    plan = plan_of(REGISTRY["min_cost_supplier"].fn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_shapes_broadcast_the_one_row_side(spark):
+    """Q11's global threshold and Q15's max-revenue scalar must reach the
+    filter via a broadcast join of the one-row aggregate — never via a
+    shuffled cross join (CartesianProduct) or a driver-side collect."""
+    for name in ("important_part_value", "top_supplier"):
+        plan = plan_of(REGISTRY[name].fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+
+
+def test_product_type_profit_single_agg_shuffle(spark):
+    """Q9: every dim broadcasts, so the fact table shuffles only for the
+    (nation, year) aggregate (+ the output sort)."""
+    plan = plan_of(REGISTRY["product_type_profit"].fn(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    n_exchanges = sum(
+        1 for line in plan.splitlines()
+        if "Exchange (" in line and "BroadcastExchange" not in line
+    )
+    assert n_exchanges <= 2, f"profit rollup grew a shuffle: {n_exchanges}"
+
+
+def test_supplier_part_counts_anti_join_is_broadcast(spark):
+    plan = plan_of(REGISTRY["supplier_part_counts"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    # The NOT-IN exclusion must not become a shuffled anti join.
+    assert "SortMergeJoin" not in plan
