@@ -937,6 +937,9 @@ _DRIVER_FIRST = [
     "supplier_part_counts",
     "dominant_supplier",
     "waiting_suppliers",
+    # new this round, batch 4 (product-quantization ANN):
+    "pq_topk",
+    "pq_recall_at_k",
 ]
 
 _DRIVER_TAIL_STREAMING = ["streaming_marts_kernel", "stateful_ema_stream"]
@@ -963,11 +966,15 @@ _DRIVER_ROTATED_OUT = [
                              # streaming_marts_kernel; r01 green
     "aqi_bundle",            # §2.10 AQI natives: r01 green; pinned by
                              # unit tests (functions/aqi.py), local parity
+    "exact_percentiles",     # quantiles: r01 green; local parity + the
+                             # histogram/ntile family share its lineage
+    "asof_last_purchase",    # as-of join: r01 green; operators/asof.py
+                             # unit suite (tests/test_asof.py) + parity
     "pivot_wide",            # pivot: marts_kernel, aqi_bundle
     "unpivot_roundtrip",     # unpivot half of the same family
-    "value_stats",           # profile aggs: exact_percentiles in-gate
-    "value_histogram",       # profile aggs: exact_percentiles in-gate
-    "ntile_spend_quartiles", # quantiles: exact_percentiles
+    "value_stats",           # profile aggs: r01 green; local parity
+    "value_histogram",       # profile aggs: r01 green; local parity
+    "ntile_spend_quartiles", # quantiles: r01 green; local parity
     "lag_lead_delta",        # window fns: forward_fill, sequence_packing
     "sessionize",            # window fns: forward_fill, sequence_packing
     "topk_orders",           # top-k: shipping_priority (+ plan-shape test)
@@ -990,8 +997,8 @@ _DRIVER_ROTATED_OUT = [
                              # quantizer vs given labels)
     "time_bucket_rollup",    # time rollups: streaming_marts_kernel hourly
                              # grain in-gate
-    "range_join_windows",    # interval joins: asof_last_purchase (same
-                             # operators/asof.py lineage) stays in-gate
+    "range_join_windows",    # interval joins: r01 green; operators/asof.py
+                             # unit suite + local parity
     "props_flatten",         # F7 flattening: r01 green + api-source tests;
                              # nested access also inside marts lineage
     "conditional_counts",    # A7 conditional counts: dq_expectations is

@@ -1229,6 +1229,219 @@ def q_kmeans_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Product quantization ANN (operators/pq.py): the memory-bounded scale
+# path — vectors compressed to m sub-codes, query scored via an m x k
+# distance table, exact re-rank on the shortlist. Same integer-grid
+# determinism as the k-means IVF, so the oracle replays fit + encode +
+# ADC end-to-end.
+# --------------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_SUBDIM = _DIM // _PQ_M
+_PQ_K = 8
+_PQ_ITERS = 2
+_PQ_SHORTLIST = 50
+
+
+def _sql_sqdist_sub(a: str, c: str, sub: int) -> str:
+    """Exact integer squared distance of one subspace slice: full-vector
+    qx list vs a subdim-long centroid list. (Spark scores the reduced
+    form -128*dot + |c|^2; the dropped 4096*|qx_sub|^2 term is constant
+    per row within a subspace, so argmin and ties agree — same device as
+    the k-means oracle.)"""
+    lo = sub * _PQ_SUBDIM
+    return " + ".join(
+        f"({a}[{lo + j + 1}] * 64 - {c}[{j + 1}]) * "
+        f"({a}[{lo + j + 1}] * 64 - {c}[{j + 1}])"
+        for j in range(_PQ_SUBDIM)
+    )
+
+
+def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS,
+             shortlist: int = _PQ_SHORTLIST) -> str:
+    """CTE chain replaying operators.pq.pq_fit + pq_assign + ADC: the k
+    smallest-md5(id) rows seed every subspace, each Lloyd iteration is
+    (assign, sum-per-dim, floor-onto-grid) per subspace, final codes
+    join against the per-subspace query distance tables."""
+    seed_rank = (
+        "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)"
+    )
+    parts = [
+        f"""qv AS MATERIALIZED (
+  SELECT vec_id, embedding, {_sql_qx('embedding')} AS qx FROM embeddings
+)""",
+        f"""seeds AS MATERIALIZED (
+  SELECT qx, {seed_rank} - 1 AS cluster
+  FROM qv QUALIFY {seed_rank} <= {k}
+)""",
+    ]
+    for s in range(m):
+        lo = s * _PQ_SUBDIM
+        parts.append(f"""p{s}c0 AS MATERIALIZED (
+  SELECT cluster,
+         list_transform(list_slice(qx, {lo + 1}, {lo + _PQ_SUBDIM}),
+                        v -> v * 64) AS c
+  FROM seeds
+)""")
+    for t in range(1, iters + 1):
+        for s in range(m):
+            lo = s * _PQ_SUBDIM
+            parts.append(f"""p{s}a{t} AS MATERIALIZED (
+  SELECT e.vec_id, c.cluster FROM qv e CROSS JOIN p{s}c{t - 1} c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY {_sql_sqdist_sub('e.qx', 'c.c', s)}, c.cluster) = 1
+)""")
+            parts.append(f"""p{s}s{t} AS MATERIALIZED (
+  SELECT a.cluster, d.dim, SUM(e.qx[{lo} + d.dim + 1]) AS s, COUNT(*) AS n
+  FROM p{s}a{t} a JOIN qv e USING (vec_id)
+  CROSS JOIN (SELECT unnest(range({_PQ_SUBDIM})) AS dim) d
+  GROUP BY a.cluster, d.dim
+)""")
+            parts.append(f"""p{s}c{t} AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY cluster) - 1 AS cluster, c FROM (
+    SELECT cluster,
+           list(CAST(floor(CAST(s AS DOUBLE) * 64 / n) AS BIGINT)
+                ORDER BY dim) AS c
+    FROM p{s}s{t} GROUP BY cluster)
+)""")
+    for s in range(m):
+        parts.append(f"""p{s}af AS MATERIALIZED (
+  SELECT e.vec_id, c.cluster FROM qv e CROSS JOIN p{s}c{iters} c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY {_sql_sqdist_sub('e.qx', 'c.c', s)}, c.cluster) = 1
+)""")
+    parts.append(
+        "qq AS MATERIALIZED "
+        "(SELECT qx, embedding AS qe FROM qv WHERE vec_id = 0)"
+    )
+    for s in range(m):
+        parts.append(f"""dt{s} AS MATERIALIZED (
+  SELECT c.cluster, ({_sql_sqdist_sub('qq.qx', 'c.c', s)}) AS d
+  FROM p{s}c{iters} c CROSS JOIN qq
+)""")
+    joins = " ".join(
+        f"JOIN p{s}af a{s} ON e.vec_id = a{s}.vec_id "
+        f"JOIN dt{s} d{s} ON d{s}.cluster = a{s}.cluster"
+        for s in range(m)
+    )
+    dist = " + ".join(f"d{s}.d" for s in range(m))
+    parts.append(f"""short AS MATERIALIZED (
+  SELECT e.vec_id, ({dist}) AS approx_dist
+  FROM qv e {joins}
+  WHERE e.vec_id <> 0
+  ORDER BY approx_dist, e.vec_id LIMIT {shortlist}
+)""")
+    return ",\n".join(parts)
+
+
+_PQ_TOPK_ORACLE = f"""
+WITH {_pq_ctes()}
+SELECT e.vec_id, s.approx_dist,
+       ROUND(({_sql_dot('e.embedding', 'qq.qe')})
+             / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                * sqrt({_sql_dot('qq.qe', 'qq.qe')})), 6) AS cosine
+FROM qv e JOIN short s USING (vec_id) CROSS JOIN qq
+ORDER BY cosine DESC, e.vec_id
+LIMIT 20
+"""
+
+
+@query(
+    "pq_topk",
+    _PQ_TOPK_ORACLE,
+    "Product-quantization ANN: m=4 sub-codebooks fit in ONE shuffle per "
+    "Lloyd iteration (hash aggregate keyed on subspace/code/dimension "
+    "over the posexploded vector), per-row scoring = m distance-table "
+    "lookups (no float math on the corpus), exact cosine re-rank of the "
+    "ADC shortlist — the memory-bounded ANN path for 100 TB embedding "
+    "columns",
+    tags=("llm", "similarity", "bench"),
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq.pq_fit(
+        emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return pq.pq_adc_topk(
+        emb.filter(F.col("vec_id") != 0),
+        "embedding",
+        "vec_id",
+        books,
+        qvec,
+        shortlist=_PQ_SHORTLIST,
+        k=20,
+    )
+
+
+_PQ_RECALL_ORACLE = f"""
+WITH {_pq_ctes()},
+scored AS MATERIALIZED (
+  SELECT e.vec_id,
+         ROUND(({_sql_dot('e.embedding', 'qq.qe')})
+               / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                  * sqrt({_sql_dot('qq.qe', 'qq.qe')})), 6) AS cosine
+  FROM qv e CROSS JOIN qq
+  WHERE e.vec_id <> 0
+), exact AS (
+  SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id LIMIT 20
+), approx AS (
+  SELECT s.vec_id FROM scored s JOIN short USING (vec_id)
+  ORDER BY s.cosine DESC, s.vec_id LIMIT 20
+)
+SELECT 20 AS k,
+       CAST((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id)) AS BIGINT)
+         AS n_overlap,
+       ROUND((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id))
+             / 20.0, 4) AS recall_at_k
+"""
+
+
+@query(
+    "pq_recall_at_k",
+    _PQ_RECALL_ORACLE,
+    "Recall@20 of the PQ ADC shortlist + exact re-rank vs brute force — "
+    "certifies how much neighbor quality the m=4/k=8 compression gives "
+    "up, deterministic end-to-end",
+    tags=("llm", "similarity", "eval"),
+)
+def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq.pq_fit(
+        emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = similarity.cosine_topk(
+        rest, "embedding", "vec_id", qvec, k=20
+    ).select("vec_id")
+    approx = pq.pq_adc_topk(
+        rest, "embedding", "vec_id", books, qvec,
+        shortlist=_PQ_SHORTLIST, k=20,
+    ).select("vec_id")
+    overlap = exact.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(20).alias("k"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.round(F.col("n_overlap") / F.lit(20.0), 4).alias("recall_at_k"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Capstone: the corpus-preparation pipeline as ONE declarative plan —
 # exact-dedup survivors -> quality filter -> deterministic split ->
 # per-(split, lang) stats. Each stage is an operator proven above; the

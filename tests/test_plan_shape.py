@@ -240,6 +240,7 @@ def test_decontaminate_broadcasts_eval_dim(spark):
         "sequence_packing",      # window cumsum binning
         "source_mix_rebalance",  # md5-bucket sampling
         "ivf_kmeans_topk",       # iterative fit + argmin assignment
+        "pq_topk",               # multi-subspace fit + ADC shortlist
         "forward_fill",          # last-non-null window
     ],
 )
@@ -305,3 +306,23 @@ def test_supplier_part_counts_anti_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     # The NOT-IN exclusion must not become a shuffled anti join.
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_adc_topk_broadcast_and_no_shuffle(spark):
+    """PQ ADC scoring must be map-only: the codebook row broadcasts, the
+    approx distance is table lookups, and BOTH the shortlist and the
+    re-ranked top-k are TakeOrderedAndProject — zero shuffle exchanges
+    between the scan and the result."""
+    from reddit_data_pipeline_engineering_spark.operators import pq
+    from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    books = pq.pq_fit(emb, "embedding", "vec_id", m=4, k=4, iters=1)
+    qvec = [float(x) for x in emb.limit(1).select("embedding").head()[0]]
+    plan = plan_of(
+        pq.pq_adc_topk(emb, "embedding", "vec_id", books, qvec)
+    )
+    assert "BroadcastExchange" in plan
+    # "Name (" matches tree-node headers only (details print "(n) Name").
+    assert plan.count("TakeOrderedAndProject (") == 2
+    assert "Exchange (" not in plan.replace("BroadcastExchange (", "X (")

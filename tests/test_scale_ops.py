@@ -173,3 +173,79 @@ def test_kmeans_fit_matches_reference(spark):
             for ci, c in enumerate(got)
         )[1]
         assert assigned[i] == ref, i
+
+
+def test_pq_fit_assign_adc_match_reference(spark):
+    """The one-shuffle-per-iteration multi-subspace PQ fit must equal an
+    independent pure-Python replay exactly (integer-grid determinism),
+    and the ADC shortlist must rank by the true integer table distances."""
+    import hashlib
+    import math
+
+    from reddit_data_pipeline_engineering_spark.operators import pq
+
+    dim, m, k, iters = 8, 2, 3, 2
+    subdim = dim // m
+    vecs = [
+        (i, [((i * 29 + d * 13) % 210 - 105) / 101.0 for d in range(dim)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = pq.pq_fit(df, "embedding", "vec_id", m=m, k=k, iters=iters)
+
+    # Independent replay: per-subspace Lloyd on the shared seed rows.
+    qx = {i: [math.floor(x * 16384.0) for x in v] for i, v in vecs}
+    seed_ids = sorted(
+        qx, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:k]
+    books = []
+    for s in range(m):
+        sub = {i: q[s * subdim:(s + 1) * subdim] for i, q in qx.items()}
+        cents = [[v * 64 for v in sub[i]] for i in seed_ids]
+        for _ in range(iters):
+            members = {}
+            for i, q in sub.items():
+                d = min(
+                    (sum((a * 64 - b) ** 2 for a, b in zip(q, c)), ci)
+                    for ci, c in enumerate(cents)
+                )
+                members.setdefault(d[1], []).append(q)
+            cents = [
+                [
+                    int(math.floor((sum(col) * 64.0) / len(qs)))
+                    for col in zip(*qs)
+                ]
+                for _, qs in sorted(members.items())
+            ]
+        books.append(cents)
+    assert got == books
+
+    # Encoding agrees with the per-subspace reference argmin.
+    coded = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq.pq_assign(df, "embedding", got).collect()
+    }
+    for i, q in qx.items():
+        for s in range(m):
+            sq = q[s * subdim:(s + 1) * subdim]
+            ref = min(
+                (sum((a * 64 - b) ** 2 for a, b in zip(sq, c)), ci)
+                for ci, c in enumerate(got[s])
+            )[1]
+            assert coded[i][s] == ref, (i, s)
+
+    # ADC: every emitted approx_dist equals the table sum for that row's
+    # codes, and the shortlist is the true bottom-|short| of those sums.
+    qvec = vecs[0][1]
+    dtab = pq.adc_table(got, qvec)
+    out = pq.pq_adc_topk(
+        df, "embedding", "vec_id", got, qvec, shortlist=10, k=10
+    ).collect()
+    truth = sorted(
+        (sum(dtab[s][coded[i][s]] for s in range(m)), i) for i in coded
+    )[:10]
+    assert {r["vec_id"] for r in out} == {i for _, i in truth}
+    for r in out:
+        assert r["approx_dist"] == sum(
+            dtab[s][coded[r["vec_id"]][s]] for s in range(m)
+        )
