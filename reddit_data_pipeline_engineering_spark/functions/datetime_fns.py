@@ -46,7 +46,10 @@ def time_bucket(col: Column | str, minutes: int) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     secs = minutes * 60
-    epoch = c.cast("long")
+    # TIMESTAMP_NTZ (tz-naive parquet timestamp[us]) cannot cast straight
+    # to long; route through TIMESTAMP first. Session tz is pinned UTC, so
+    # the epoch is identical for both types and matches the DuckDB oracle.
+    epoch = c.cast("timestamp").cast("long")
     return F.timestamp_seconds(epoch - F.pmod(epoch, F.lit(secs)))
 
 
