@@ -865,6 +865,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_streaming  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch2  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_warehouse  # noqa: F401
 
 
 # --------------------------------------------------------------------------
@@ -940,6 +941,9 @@ _DRIVER_FIRST = [
     # new this round, batch 4 (product-quantization ANN):
     "pq_topk",
     "pq_recall_at_k",
+    # new this round, batch 5 (warehouse layout: SCD2 + Z-order):
+    "scd2_dimension",
+    "zorder_layout",
 ]
 
 _DRIVER_TAIL_STREAMING = ["streaming_marts_kernel", "stateful_ema_stream"]

@@ -1,0 +1,147 @@
+"""Warehouse-layout extensions: SCD2 history build and Z-order layout.
+
+Neither has a reference counterpart (the reference materializes
+point-in-time snapshots and Hive date partitions only — SURVEY.md §2.2);
+both are the canonical next operators a mart layer needs at lake scale:
+versioned dimension history, and multi-column data-skipping layout.
+Both are pure Catalyst plans with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.operators.layout import (
+    quantize,
+    zorder_key,
+)
+from reddit_data_pipeline_engineering_spark.operators.scd import scd2
+from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, query
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+__all__ = ["REGISTRY"]
+
+# --------------------------------------------------------------------------
+# SCD2 dimension build — collapse the event stream into versioned validity
+# intervals per user (valid_from / valid_to / is_current). One shuffle on
+# user_id: change-detect (lag) + version (running sum) + interval close
+# (lead) all share the same keyed window partitioning, and the version
+# group-by reuses it (grouping keys ⊇ partition key -> no new exchange).
+# --------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+versioned AS (
+  SELECT user_id, ts, event_type,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+  FROM ordered
+),
+grouped AS (
+  SELECT user_id, version, min(event_type) AS event_type,
+         min(ts) AS valid_from, COUNT(*) AS n_events
+  FROM versioned
+  GROUP BY user_id, version
+)
+SELECT user_id, version, event_type, valid_from,
+       lead(valid_from) OVER wv AS valid_to,
+       lead(valid_from) OVER wv IS NULL AS is_current,
+       n_events
+FROM grouped
+WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+ORDER BY user_id, version
+"""
+
+
+@query(
+    "scd2_dimension",
+    _SCD2_ORACLE,
+    "Type-2 slowly-changing-dimension build: collapse the per-user event "
+    "stream into versioned validity intervals (lag change-detect + running "
+    "version + lead close — one shuffle, operators/scd.py). No reference "
+    "counterpart (snapshots only); the canonical mart-history operator.",
+    tags=("relational", "warehouse", "window"),
+)
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2(ev, key="user_id", attr="event_type", ts="ts",
+               order_cols=("event_id",))
+    return dim.orderBy("user_id", "version")
+
+
+# --------------------------------------------------------------------------
+# Z-order layout audit — Morton-interleave quantized (price, order-month)
+# and report per-z-bucket extents. The narrow min/max extents per bucket
+# ARE the data-skipping story: written in z-order, a predicate on either
+# column prunes most row groups via parquet stats. Key is fixed-literal
+# integer arithmetic (operators/layout.py) -> replayable in any engine.
+# --------------------------------------------------------------------------
+
+_PRICE_STEP = 40000.0   # o_totalprice < ~600k -> 15 buckets of 40k
+_MONTH_STEP = 6.0       # 1992-1998 -> 84 months -> 14 half-year buckets
+
+_ZORDER_ORACLE = """
+WITH quantized AS (
+  SELECT o_totalprice,
+         CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+         GREATEST(0, LEAST(15, CAST(FLOOR((o_totalprice - 0.0) / 40000.0) AS BIGINT))) AS pb,
+         GREATEST(0, LEAST(15, CAST(FLOOR((
+             (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+           - 0.0) / 6.0) AS BIGINT))) AS db
+  FROM orders
+),
+keyed AS (
+  SELECT *,
+         (pb % 2) * 1 + (db % 2) * 2
+       + ((pb // 2) % 2) * 4 + ((db // 2) % 2) * 8
+       + ((pb // 4) % 2) * 16 + ((db // 4) % 2) * 32
+       + ((pb // 8) % 2) * 64 + ((db // 8) % 2) * 128 AS zkey
+  FROM quantized
+)
+SELECT CAST(zkey AS BIGINT) AS zkey, COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+FROM keyed
+GROUP BY zkey
+ORDER BY zkey
+"""
+
+
+@query(
+    "zorder_layout",
+    _ZORDER_ORACLE,
+    "Z-order layout audit: Morton-interleave quantized (price, order-month) "
+    "into a clustering key and report per-bucket min/max extents — the "
+    "row-group-pruning profile a z-ordered rewrite would give both "
+    "predicates at once (operators/layout.py; no reference counterpart — "
+    "its layout story is Hive date partitioning only).",
+    tags=("relational", "warehouse", "layout"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    months = (
+        (F.year("o_orderdate") - F.lit(1992)) * 12
+        + F.month("o_orderdate") - F.lit(1)
+    )
+    pb = quantize(F.col("o_totalprice"), lo=0.0, step=_PRICE_STEP, bits=4)
+    db = quantize(months, lo=0.0, step=_MONTH_STEP, bits=4)
+    return (
+        orders.withColumn("zkey", zorder_key([pb, db], bits=4))
+        .groupBy("zkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+        .orderBy("zkey")
+    )

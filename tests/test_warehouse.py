@@ -1,0 +1,103 @@
+"""Units for the warehouse-layout operators: SCD2 build + Z-order key."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.operators.layout import (
+    quantize,
+    zorder_key,
+)
+from reddit_data_pipeline_engineering_spark.operators.scd import scd2
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_scd2_collapses_runs_and_closes_intervals(spark):
+    rows = [
+        # user 1: A A B A -> versions 1(A,2 events) 2(B,1) 3(A,1)
+        (1, 10, _ts("2024-01-01T00:00:00"), "A"),
+        (1, 11, _ts("2024-01-02T00:00:00"), "A"),
+        (1, 12, _ts("2024-01-03T00:00:00"), "B"),
+        (1, 13, _ts("2024-01-04T00:00:00"), "A"),
+        # user 2: single open version
+        (2, 20, _ts("2024-02-01T00:00:00"), "X"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    out = scd2(df, key="user_id", attr="event_type", ts="ts",
+               order_cols=("event_id",)).orderBy("user_id", "version")
+    got = [tuple(r) for r in out.collect()]
+    assert got == [
+        (1, 1, "A", _ts("2024-01-01T00:00:00"), _ts("2024-01-03T00:00:00"), False, 2),
+        (1, 2, "B", _ts("2024-01-03T00:00:00"), _ts("2024-01-04T00:00:00"), False, 1),
+        (1, 3, "A", _ts("2024-01-04T00:00:00"), None, True, 1),
+        (2, 1, "X", _ts("2024-02-01T00:00:00"), None, True, 1),
+    ]
+
+
+def test_scd2_tiebreak_is_deterministic(spark):
+    # Two events with identical ts: event_id orders them.
+    rows = [
+        (1, 2, _ts("2024-01-01T00:00:00"), "B"),
+        (1, 1, _ts("2024-01-01T00:00:00"), "A"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    out = scd2(df, key="user_id", attr="event_type", ts="ts",
+               order_cols=("event_id",)).orderBy("version")
+    assert [r.event_type for r in out.collect()] == ["A", "B"]
+
+
+def test_scd2_single_shuffle_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T00:00:00"), "A")],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    plan = scd2(df, "user_id", "event_type", "ts", ("event_id",))
+    executed = plan._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Exchange hashpartitioning") == 1
+
+
+def test_zorder_key_interleaves_round_robin(spark):
+    # a=0b0101 (5), b=0b0011 (3) -> interleave (b_i at 2i+1, a_i at 2i)
+    # = 1 + 2 + 8 + 16 = 0b11011
+    df = spark.createDataFrame([(5, 3)], "a long, b long")
+    z = df.select(
+        zorder_key([F.col("a"), F.col("b")], bits=4).alias("z")
+    ).head()[0]
+    # bit i of a at position 2i, bit i of b at position 2i+1
+    expected = sum(((5 >> i) & 1) << (2 * i) for i in range(4)) + sum(
+        ((3 >> i) & 1) << (2 * i + 1) for i in range(4)
+    )
+    assert z == expected == 0b11011
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    # A z-ordered layout bounds BOTH columns' per-bucket extents; a
+    # single-column sort leaves the other column's extent unbounded.
+    import itertools
+
+    rows = [(float(x), float(y)) for x, y in itertools.product(range(16), range(16))]
+    df = spark.createDataFrame(rows, "x double, y double")
+    qx = quantize(F.col("x"), 0.0, 1.0, 4)
+    qy = quantize(F.col("y"), 0.0, 1.0, 4)
+    out = (
+        df.withColumn("z", zorder_key([qx, qy], 4))
+        .withColumn("bucket", (F.col("z") / 16).cast("long"))  # 16 buckets
+        .groupBy("bucket")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xspan"),
+            (F.max("y") - F.min("y")).alias("yspan"),
+        )
+        .collect()
+    )
+    # Each 16-row z-bucket covers a 4x4 tile: both spans == 3 (vs 15 for
+    # the unsorted dimension of a single-column sort).
+    assert all(r.xspan == 3.0 and r.yspan == 3.0 for r in out)
+
+
+def test_quantize_clamps_domain(spark):
+    df = spark.createDataFrame([(-5.0,), (0.0,), (7.5,), (1e9,)], "v double")
+    got = [r[0] for r in df.select(quantize(F.col("v"), 0.0, 1.0, 4).alias("q")).collect()]
+    assert got == [0, 0, 7, 15]
