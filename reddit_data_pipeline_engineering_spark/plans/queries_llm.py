@@ -1028,7 +1028,27 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_K = 8
 _KM_ITERS = 2
-_KM_NPROBE = 2
+_KM_NPROBE = 3
+
+# Both quantizer fits (k-means IVF and PQ) train on a deterministic
+# md5-bucket sample of the corpus, then encode/assign the FULL corpus —
+# the standard ANN scale pattern (codebooks need a bounded training set,
+# not the whole corpus), which makes fit cost O(sample) instead of
+# O(corpus) per Lloyd iteration at 100 TB. Same bucket device as the
+# split queries, so the oracle replays the exact sample.
+_FIT_PCT = 25
+_FIT_FILTER_SQL = (
+    "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+    f" < {_FIT_PCT}"
+)
+
+
+def _fit_sample(emb: DataFrame) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        md5_bucket,
+    )
+
+    return emb.filter(md5_bucket("vec_id", 100) < _FIT_PCT)
 
 
 def _sql_qx(expr: str) -> str:
@@ -1060,9 +1080,12 @@ def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS,
         f"""qv AS MATERIALIZED (
   SELECT vec_id, embedding, {_sql_qx('embedding')} AS qx FROM embeddings
 )""",
+        f"""fitv AS MATERIALIZED (
+  SELECT * FROM qv WHERE {_FIT_FILTER_SQL}
+)""",
         f"""seeds AS MATERIALIZED (
   SELECT qx, {seed_rank} - 1 AS cluster
-  FROM qv QUALIFY {seed_rank} <= {k}
+  FROM fitv QUALIFY {seed_rank} <= {k}
 )""",
         """cent0 AS MATERIALIZED (
   SELECT cluster, list_transform(qx, v -> v * 64) AS c FROM seeds
@@ -1071,13 +1094,13 @@ def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS,
     prev = "cent0"
     for t in range(1, iters + 1):
         parts.append(f"""a{t} AS MATERIALIZED (
-  SELECT e.vec_id, c.cluster FROM qv e CROSS JOIN {prev} c
+  SELECT e.vec_id, c.cluster FROM fitv e CROSS JOIN {prev} c
   QUALIFY row_number() OVER (
     PARTITION BY e.vec_id ORDER BY {sq('e.qx', 'c.c')}, c.cluster) = 1
 )""")
         parts.append(f"""s{t} AS MATERIALIZED (
   SELECT a.cluster, d.dim, SUM(e.qx[d.dim + 1]) AS s, COUNT(*) AS n
-  FROM a{t} a JOIN qv e USING (vec_id)
+  FROM a{t} a JOIN fitv e USING (vec_id)
   CROSS JOIN (SELECT unnest(range({_DIM})) AS dim) d
   GROUP BY a.cluster, d.dim
 )""")
@@ -1151,7 +1174,7 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans.kmeans_fit(
-        emb, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS
+        _fit_sample(emb), "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS
     )
     qvec = [
         float(x)
@@ -1201,7 +1224,7 @@ def q_kmeans_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans.kmeans_fit(
-        emb, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS
+        _fit_sample(emb), "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS
     )
     qvec = [
         float(x)
@@ -1240,7 +1263,7 @@ _PQ_M = 4
 _PQ_SUBDIM = _DIM // _PQ_M
 _PQ_K = 8
 _PQ_ITERS = 2
-_PQ_SHORTLIST = 50
+_PQ_SHORTLIST = 200
 
 
 def _sql_sqdist_sub(a: str, c: str, sub: int) -> str:
@@ -1270,9 +1293,12 @@ def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS,
         f"""qv AS MATERIALIZED (
   SELECT vec_id, embedding, {_sql_qx('embedding')} AS qx FROM embeddings
 )""",
+        f"""fitv AS MATERIALIZED (
+  SELECT * FROM qv WHERE {_FIT_FILTER_SQL}
+)""",
         f"""seeds AS MATERIALIZED (
   SELECT qx, {seed_rank} - 1 AS cluster
-  FROM qv QUALIFY {seed_rank} <= {k}
+  FROM fitv QUALIFY {seed_rank} <= {k}
 )""",
     ]
     for s in range(m):
@@ -1287,14 +1313,14 @@ def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS,
         for s in range(m):
             lo = s * _PQ_SUBDIM
             parts.append(f"""p{s}a{t} AS MATERIALIZED (
-  SELECT e.vec_id, c.cluster FROM qv e CROSS JOIN p{s}c{t - 1} c
+  SELECT e.vec_id, c.cluster FROM fitv e CROSS JOIN p{s}c{t - 1} c
   QUALIFY row_number() OVER (
     PARTITION BY e.vec_id
     ORDER BY {_sql_sqdist_sub('e.qx', 'c.c', s)}, c.cluster) = 1
 )""")
             parts.append(f"""p{s}s{t} AS MATERIALIZED (
   SELECT a.cluster, d.dim, SUM(e.qx[{lo} + d.dim + 1]) AS s, COUNT(*) AS n
-  FROM p{s}a{t} a JOIN qv e USING (vec_id)
+  FROM p{s}a{t} a JOIN fitv e USING (vec_id)
   CROSS JOIN (SELECT unnest(range({_PQ_SUBDIM})) AS dim) d
   GROUP BY a.cluster, d.dim
 )""")
@@ -1364,7 +1390,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq.pq_fit(
-        emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+        _fit_sample(emb), "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
     )
     qvec = [
         float(x)
@@ -1417,7 +1443,7 @@ def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq.pq_fit(
-        emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+        _fit_sample(emb), "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
     )
     qvec = [
         float(x)
