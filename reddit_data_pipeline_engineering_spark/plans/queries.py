@@ -941,9 +941,10 @@ _DRIVER_FIRST = [
     # new this round, batch 4 (product-quantization ANN):
     "pq_topk",
     "pq_recall_at_k",
-    # new this round, batch 5 (warehouse layout: SCD2 + Z-order):
+    # new this round, batch 5 (warehouse layout: SCD2 + Z-order + bloom):
     "scd2_dimension",
     "zorder_layout",
+    "bloom_semijoin_reduction",
 ]
 
 _DRIVER_TAIL_STREAMING = ["streaming_marts_kernel", "stateful_ema_stream"]

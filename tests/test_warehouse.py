@@ -101,3 +101,29 @@ def test_quantize_clamps_domain(spark):
     df = spark.createDataFrame([(-5.0,), (0.0,), (7.5,), (1e9,)], "v double")
     got = [r[0] for r in df.select(quantize(F.col("v"), 0.0, 1.0, 4).alias("q")).collect()]
     assert got == [0, 0, 7, 15]
+
+
+def test_bloom_no_false_negatives_and_reduces(spark):
+    from reddit_data_pipeline_engineering_spark.operators import bloom
+
+    keys = spark.range(0, 200).select(F.col("id").alias("k"))
+    words = bloom.bloom_build(keys, "k", m_bits=4096, k_hashes=3)
+    assert len(words) == 64
+    probe = spark.range(0, 5000).select(F.col("id").alias("k"))
+    passed = probe.filter(
+        bloom.bloom_might_contain(F.col("k"), words, 4096, 3)
+    )
+    got = {r.k for r in passed.collect()}
+    # No false negatives: every inserted key passes.
+    assert set(range(200)) <= got
+    # Real reduction: far fewer than the 5000 probes pass.
+    assert len(got) < 1000
+
+
+def test_bloom_build_rejects_bad_width(spark):
+    import pytest as _pytest
+
+    from reddit_data_pipeline_engineering_spark.operators import bloom
+
+    with _pytest.raises(ValueError):
+        bloom.bloom_build(spark.range(1), "id", m_bits=100, k_hashes=2)
