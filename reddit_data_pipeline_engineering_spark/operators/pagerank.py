@@ -1,0 +1,88 @@
+"""Integer-exact PageRank — iterative graph centrality as DataFrame ops.
+
+No reference counterpart (SURVEY.md §2 stops at SQL aggregation); with
+connected components (operators/components.py) this completes the
+iterative-graph family a corpus pipeline needs (components for dup
+clusters, centrality for source/link authority weighting).
+
+Spark-first shape: each iteration is ONE keyed shuffle — edges join the
+current rank vector on src (both pre-partitioned on the same key after
+the first iteration, so AQE reuses the exchange), contributions aggregate
+on dst with map-side partial sums, and the teleport term is a literal.
+Ranks persist per iteration (the components.py pattern) so lineage stays
+flat and nothing recomputes.
+
+Determinism: ranks live on an integer grid (``scale`` = 10^12 per node),
+per-edge contribution is truncating division ``rank DIV out_degree``, and
+the damping update is ``(85 * sum) DIV 100`` — every operation is exact
+64-bit integer arithmetic, order-independent under summation, so any SQL
+engine replays the whole iteration bit-identically (unlike float
+PageRank, where summation order perturbs low bits). The deliberate cost:
+each division truncates up to 1 grid unit of mass (lost to rounding, not
+redistributed) — at scale=10^12 that is a ~1e-12 relative artifact, far
+below any ranking-relevant signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+DAMP_NUM = 85   # damping 0.85 as a ratio of integers
+DAMP_DEN = 100
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Ranks after ``iters`` exact-integer power iterations.
+
+    ``edges`` is a directed edge list; symmetrize it first if the graph
+    is undirected. Nodes = distinct src ∪ dst. A node with no out-edges
+    (dangling) keeps only its teleport mass; a node with no in-edges
+    converges to the teleport floor.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    teleport = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long")).persist()
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(deg, src)
+            .select(
+                F.col(dst).alias("node"),
+                F.expr("rank DIV __deg").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__m"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(__m, 0L)) DIV {DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .persist()
+        )
+        new_ranks.count()  # materialize before dropping the old vector
+        ranks.unpersist()
+        ranks = new_ranks
+    nodes.unpersist()
+    return ranks

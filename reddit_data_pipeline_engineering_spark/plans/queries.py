@@ -865,6 +865,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_streaming  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch2  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_graph  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_warehouse  # noqa: F401
 
 
@@ -945,6 +946,8 @@ _DRIVER_FIRST = [
     "scd2_dimension",
     "zorder_layout",
     "bloom_semijoin_reduction",
+    "countmin_heavy_hitters",
+    "pagerank_topk",
 ]
 
 _DRIVER_TAIL_STREAMING = ["streaming_marts_kernel", "stateful_ema_stream"]

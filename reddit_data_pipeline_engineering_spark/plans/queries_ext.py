@@ -950,3 +950,109 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ex.not_null("ts"),
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic count-min sketch (sketch family, next to the HLL): bounded-
+# memory frequency estimation for heavy hitters. d*w counters (4*256 here)
+# regardless of vocabulary size, built with ONE hash aggregate over the
+# exploded token stream; estimates are MIN over the d counters, so the
+# sketch only ever OVERcounts — the audit columns report the overcount
+# against the exact top-20. Mergeable by cellwise addition, which is the
+# scale contract: partial sketches from 100 TB of partitions combine
+# without shuffling tokens. All d hash rows are md5-derived (same device
+# as the split/bloom queries), so the oracle replays the sketch exactly.
+# --------------------------------------------------------------------------
+
+_CM_D = 4   # hash rows
+_CM_W = 32  # counters per row — sized so the testdata vocabulary actually
+            # collides (5 of the top-20 overcount at sf0.01), keeping the
+            # overcount audit column non-trivial; production sizing is
+            # w = ceil(e / eps) for an eps*N overcount bound
+
+# DuckDB mirror of functions/text.tokens (same literal as queries_llm._TOKS).
+_TOKS_EXT = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+
+
+def _cm_h_sql(i: int) -> str:
+    return (
+        f"('0x' || substr(md5(token || '#{i}'), 1, 8))::BIGINT % {_CM_W}"
+    )
+
+
+_CM_ORACLE = f"""
+WITH tok AS MATERIALIZED (
+  SELECT unnest({_TOKS_EXT}) AS token FROM documents
+),
+sk AS MATERIALIZED (
+  SELECT j, h, COUNT(*) AS cnt FROM (
+    {' UNION ALL '.join(f"SELECT {i} AS j, {_cm_h_sql(i)} AS h FROM tok" for i in range(_CM_D))}
+  ) GROUP BY j, h
+),
+exact AS MATERIALIZED (
+  SELECT token, COUNT(*) AS n_exact FROM tok GROUP BY token
+  ORDER BY n_exact DESC, token LIMIT 20
+),
+probe AS (
+  {' UNION ALL '.join(f"SELECT token, n_exact, {i} AS j, {_cm_h_sql(i)} AS h FROM exact" for i in range(_CM_D))}
+)
+SELECT p.token, p.n_exact, MIN(sk.cnt) AS cm_estimate,
+       MIN(sk.cnt) - p.n_exact AS overcount
+FROM probe p JOIN sk USING (j, h)
+GROUP BY p.token, p.n_exact
+ORDER BY p.n_exact DESC, p.token
+"""
+
+
+def _cm_hash(token, i: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(token, F.lit(f"#{i}"))), 1, 8), 16, 10
+        ).cast("long")
+        % _CM_W
+    )
+
+
+@query(
+    "countmin_heavy_hitters",
+    _CM_ORACLE,
+    "Deterministic count-min sketch: d=4 md5 hash rows x w=256 counters "
+    "(bounded memory at ANY vocabulary size) built in one hash aggregate "
+    "over the token stream; exact top-20 probed back through the sketch "
+    "with the guaranteed-nonnegative overcount as an audited column. "
+    "Mergeable by cellwise addition — partial sketches combine without "
+    "shuffling tokens",
+    tags=("llm", "sketch", "approx"),
+)
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tx.tokens("text").alias("__t")).select(
+        F.explode("__t").alias("token")
+    )
+    hashes = F.array(*[_cm_hash(F.col("token"), i) for i in range(_CM_D)])
+    sketch = (
+        toks.select(F.posexplode(hashes).alias("j", "h"))
+        .groupBy("j", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    probe = exact.select("token", "n_exact", F.posexplode(hashes).alias("j", "h"))
+    return (
+        probe.join(sketch, ["j", "h"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .select(
+            "token",
+            "n_exact",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy(F.col("n_exact").desc(), F.col("token").asc())
+    )
