@@ -948,6 +948,9 @@ _DRIVER_FIRST = [
     "bloom_semijoin_reduction",
     "countmin_heavy_hitters",
     "pagerank_topk",
+    # CHANGED this round (skew cap now active -> r01 row is stale), so it
+    # needs a fresh hard row:
+    "ngram_jaccard_topk",
 ]
 
 _DRIVER_TAIL_STREAMING = ["streaming_marts_kernel", "stateful_ema_stream"]
@@ -957,6 +960,15 @@ _DRIVER_ROTATED_OUT = [
     # still hash-checked against DuckDB on every local run by
     # tests/test_oracle_parity.py. MUST lead _DRIVER_FIRST next round.
     # (in-gate query covering the same family noted per line)
+    "embedding_blocked_topk",  # CHANGED this round (per-block top-k
+                               # pruning + real threshold) — r01 row green
+                               # but stale; MUST be first next round
+    "marts_kernel",          # kernel: entry() smoke-runs it every round;
+                             # streaming_marts_kernel twin in-gate
+    "cube_segments",         # grouping sets: r01 green; rollup lineage
+    "minhash_lsh_pairs",     # LSH dedup: r01 green; plan-shape pinned
+    "semantic_dedup_survivors",  # dedup capstone: r01 green; components +
+                             # anti-join lineage in corpus_prep in-gate
     "flagship_top_locations",  # A5 flagship: entry() smoke-runs it every
                                # round; topk family in-gate (shipping_priority)
     "window_dedup",          # W1/W2 rank-dedup: sequence_packing window
