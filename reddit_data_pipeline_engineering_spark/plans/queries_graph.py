@@ -84,7 +84,7 @@ LIMIT 20
     "with map-side partials), teleport as a literal, every step exact "
     "64-bit integer math so the oracle replays all iterations as "
     "unrolled CTEs. Top-20 authority nodes.",
-    tags=("relational", "graph", "iterative"),
+    tags=("relational", "graph", "iterative", "bench"),
 )
 def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")

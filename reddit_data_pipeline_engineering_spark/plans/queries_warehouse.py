@@ -74,7 +74,7 @@ ORDER BY user_id, version
     "stream into versioned validity intervals (lag change-detect + running "
     "version + lead close — one shuffle, operators/scd.py). No reference "
     "counterpart (snapshots only); the canonical mart-history operator.",
-    tags=("relational", "warehouse", "window"),
+    tags=("relational", "warehouse", "window", "bench"),
 )
 def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -129,7 +129,7 @@ ORDER BY zkey
     "row-group-pruning profile a z-ordered rewrite would give both "
     "predicates at once (operators/layout.py; no reference counterpart — "
     "its layout story is Hive date partitioning only).",
-    tags=("relational", "warehouse", "layout"),
+    tags=("relational", "warehouse", "layout", "bench"),
 )
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -161,7 +161,13 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rate — the filter's scale contract — a verified output, not a claim.
 # --------------------------------------------------------------------------
 
-_BLOOM_M = 16384   # bits (256 longs); kn/m ~ 0.27 at sf0.01 -> ~1.4% FP
+_BLOOM_M = 65536   # bits (1024 longs / 8 KB): kn/m ~ 0.07 at sf0.01
+                   # (4 FPs of 5.9k passed) and ~0.69 at sf0.1 (12% FP
+                   # probability -> 600k fact rows cut to 125k) —
+                   # non-saturated at both gate SFs.
+                   # Hashing is md5 so the oracle replays the exact
+                   # filter; a production build would swap xxhash64
+                   # (cheaper, but engine-internal -> not replayable).
 _BLOOM_K = 3
 _BLOOM_THR = 450000.0
 

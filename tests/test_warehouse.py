@@ -127,3 +127,21 @@ def test_bloom_build_rejects_bad_width(spark):
 
     with _pytest.raises(ValueError):
         bloom.bloom_build(spark.range(1), "id", m_bits=100, k_hashes=2)
+
+
+def test_bloom_query_plan_broadcasts_and_prefilters(spark):
+    from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, queries
+
+    queries()
+    plan = (
+        REGISTRY["bloom_semijoin_reduction"]
+        .fn(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # The exact join must broadcast the dim, and the bloom membership
+    # test must be a Filter on the fact scan side (pre-exchange), not a
+    # post-join residual.
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("md5") >= 3  # k literal-array probes in the filter
