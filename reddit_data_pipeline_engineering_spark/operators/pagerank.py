@@ -79,9 +79,11 @@ def pagerank(
                     )
                 ).cast("long").alias("rank"),
             )
-            .persist()
+            # Cut lineage each round (components.py pattern): without
+            # this the plan tree grows ~5x per iteration and a cache
+            # eviction would trigger exponential recompute.
+            .localCheckpoint(eager=True)
         )
-        new_ranks.count()  # materialize before dropping the old vector
         ranks.unpersist()
         ranks = new_ranks
     nodes.unpersist()
