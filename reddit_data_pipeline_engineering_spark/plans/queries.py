@@ -956,10 +956,14 @@ _DRIVER_FIRST = [
 _DRIVER_TAIL_STREAMING = ["streaming_marts_kernel", "stateful_ema_stream"]
 
 _DRIVER_ROTATED_OUT = [
-    # This round's sacrifice: all green in CORRECTNESS_r01.json, all
-    # still hash-checked against DuckDB on every local run by
+    # This round's sacrifice: all green in CORRECTNESS_r01.json (except
+    # streaming_sessions, added after the gate filled), all still
+    # hash-checked against DuckDB on every local run by
     # tests/test_oracle_parity.py. MUST lead _DRIVER_FIRST next round.
     # (in-gate query covering the same family noted per line)
+    "streaming_sessions",      # NEW this round, gate already at 50 —
+                               # local parity only; MUST be first next
+                               # round with the other two stream queries
     "embedding_blocked_topk",  # CHANGED this round (per-block top-k
                                # pruning + real threshold) — r01 row green
                                # but stale; MUST be first next round

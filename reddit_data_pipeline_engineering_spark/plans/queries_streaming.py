@@ -246,3 +246,82 @@ def q_stateful_ema_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_completion(q)
     return spark.read.parquet(out)
+
+
+# Streaming sessionization replayed in SQL: Spark's session_window merges
+# overlapping [ts, ts+gap) windows, which is exactly the lag-gap island
+# rule (new session when ts - prev_ts >= gap); start = min ts, end =
+# max ts + gap. The availableNow drain + far-future sentinel closes every
+# real session before the stream stops, so the sink holds the complete
+# batch-equivalent relation.
+_SESSIONS_ORACLE = """
+WITH week AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) <
+        (SELECT MIN(CAST(ts AS TIMESTAMP)) FROM events) + INTERVAL 7 DAY
+), o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM week
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+@query(
+    "streaming_sessions",
+    _SESSIONS_ORACLE,
+    "Native stateful sessionization: session_window merges overlapping "
+    "[ts, ts+gap) windows across micro-batches (streaming/kernel.py "
+    "sessionize_stream), drained availableNow with a sentinel watermark "
+    "advance — hash-verified against the batch lag-gap island replay",
+    tags=("streaming", "stateful"),
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.streaming.kernel import (
+        sessionize_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    first_ts = ev.agg(F.min("ts")).head()[0]
+    week = ev.filter(
+        F.col("ts") < F.lit(first_ts) + F.expr("INTERVAL 7 DAYS")
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "event_type",
+        "value",
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, -1, "2030-01-01T00:00:00.000000", "sentinel", 0.0)],
+        _STREAM_SCHEMA,
+    )
+    tmp = tempfile.mkdtemp(prefix="rdpe_sessq_")
+    raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
+    week.unionByName(sentinel).write.mode("overwrite").json(raw)
+
+    stream = read_raw_stream(spark, raw, _STREAM_SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sessions = sessionize_stream(
+        stream, "user_id", "ts", gap="30 minutes", watermark="2 hours"
+    )
+    run_stream_to_completion(write_marts_stream(sessions, out, ckpt))
+    return spark.read.parquet(out).filter(F.col("user_id") != -1)
