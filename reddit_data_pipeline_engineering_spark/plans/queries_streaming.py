@@ -325,3 +325,97 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_completion(write_marts_stream(sessions, out, ckpt))
     return spark.read.parquet(out).filter(F.col("user_id") != -1)
+
+
+# Stream-stream interval join replayed in SQL: the drained inner-join
+# relation is exactly the batch interval join over the same slice (state
+# expiry changes WHEN pairs emit, never WHICH pairs — watermarks only
+# bound buffering). Per-side sentinels advance both watermarks so every
+# pair flushes before the availableNow drain stops.
+_SSJOIN_ORACLE = """
+WITH week AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) <
+        (SELECT MIN(CAST(ts AS TIMESTAMP)) FROM events) + INTERVAL 7 DAY
+), e AS (
+  SELECT user_id, event_id AS error_id, ts AS error_ts
+  FROM week WHERE event_type = 'error'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts, value AS click_value
+  FROM week WHERE event_type = 'click'
+)
+SELECT e.user_id, e.error_id, e.error_ts, c.click_id, c.click_ts,
+       c.click_value
+FROM e JOIN c ON e.user_id = c.user_id
+              AND c.click_ts >= e.error_ts
+              AND c.click_ts <= e.error_ts + INTERVAL 24 HOUR
+"""
+
+
+@query(
+    "streaming_interval_join",
+    _SSJOIN_ORACLE,
+    "Stream-stream equi-join bounded by an event-time interval (clicks "
+    "within 24h after each error, streaming/kernel.py "
+    "stream_stream_interval_join): both sides watermarked so join state "
+    "is O(interval horizon), not O(stream) — hash-verified against the "
+    "batch interval join of the same slice",
+    tags=("streaming", "stateful"),
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.streaming.kernel import (
+        stream_stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    first_ts = ev.agg(F.min("ts")).head()[0]
+    week = ev.filter(
+        F.col("ts") < F.lit(first_ts) + F.expr("INTERVAL 7 DAYS")
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "event_type",
+        "value",
+    )
+    # One sentinel PER SIDE: each filtered stream needs its own
+    # max-event-time row to advance its watermark past every real pair.
+    sentinels = spark.createDataFrame(
+        [
+            (-1, -1, "2030-01-01T00:00:00.000000", "error", 0.0),
+            (-2, -1, "2030-01-01T00:00:00.000000", "click", 0.0),
+        ],
+        _STREAM_SCHEMA,
+    )
+    tmp = tempfile.mkdtemp(prefix="rdpe_ssjq_")
+    raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
+    week.unionByName(sentinels).write.mode("overwrite").json(raw)
+
+    stream = read_raw_stream(spark, raw, _STREAM_SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    left = stream.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    right = stream.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = stream_stream_interval_join(
+        left, right, key="user_id", left_ts="error_ts",
+        right_ts="click_ts", watermark="2 hours", within="24 hours",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        "error_id",
+        "error_ts",
+        "click_id",
+        "click_ts",
+        "click_value",
+    )
+    run_stream_to_completion(write_marts_stream(joined, out, ckpt))
+    return spark.read.parquet(out).filter(F.col("user_id") != -1)
