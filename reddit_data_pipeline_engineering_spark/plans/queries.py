@@ -965,6 +965,7 @@ _DRIVER_ROTATED_OUT = [
                                # local parity only; MUST be first next
                                # round with the other two stream queries
     "streaming_interval_join", # NEW this round, same situation
+    "zscore_outliers",         # NEW this round, same situation
     "embedding_blocked_topk",  # CHANGED this round (per-block top-k
                                # pruning + real threshold) — r01 row green
                                # but stale; MUST be first next round

@@ -1056,3 +1056,82 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_exact").desc(), F.col("token").asc())
     )
+
+
+# --------------------------------------------------------------------------
+# Per-group z-score outlier audit (stats family): moments via DECIMAL
+# sums (order-independent -> engine-exact), then mean/var/std/z in
+# mirrored double expression trees. sqrt is IEEE correctly-rounded in
+# both engines, so even std and the per-row z replay bit-identically.
+# One keyed window shuffle; the grouped outlier rollup reuses the same
+# partitioning (no second exchange).
+# --------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT event_type, value,
+         COUNT(value) OVER w AS n,
+         CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER w AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(14,4)) * CAST(value AS DECIMAL(14,4)))
+              OVER w AS DOUBLE) AS ss
+  FROM events
+  WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY event_type)
+), z AS (
+  SELECT event_type, n, s / n AS mean,
+         sqrt(ss / n - (s / n) * (s / n)) AS std,
+         (value - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS zval
+  FROM stats
+)
+SELECT event_type,
+       CAST(MIN(n) AS BIGINT) AS n_values,
+       ROUND(MIN(mean), 6) AS mean_value,
+       ROUND(MIN(std), 6) AS std_value,
+       CAST(SUM(CASE WHEN abs(zval) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       ROUND(MAX(abs(zval)), 6) AS max_abs_z
+FROM z
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "zscore_outliers",
+    _ZSCORE_ORACLE,
+    "Per-group z-score outlier audit: decimal-exact moments in one keyed "
+    "window (order-independent sums), mirrored double mean/std/z trees "
+    "(IEEE sqrt is correctly rounded -> bit-identical replay), grouped "
+    "outlier rollup reusing the window's partitioning",
+    tags=("relational", "stats"),
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type")
+    dec = F.col("value").cast("decimal(14,4)")
+    n = F.count("value").over(w)
+    s = F.sum(dec).over(w).cast("double")
+    ss = F.sum(dec * dec).over(w).cast("double")
+    mean = s / n
+    std = F.sqrt(ss / n - (s / n) * (s / n))
+    zval = (F.col("value") - s / n) / std
+    z = ev.select(
+        "event_type",
+        n.alias("n"),
+        mean.alias("mean"),
+        std.alias("std"),
+        zval.alias("zval"),
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.min("n").cast("long").alias("n_values"),
+            F.round(F.min("mean"), 6).alias("mean_value"),
+            F.round(F.min("std"), 6).alias("std_value"),
+            F.sum(F.when(F.abs(F.col("zval")) > 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max(F.abs(F.col("zval"))), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
