@@ -36,8 +36,9 @@ def _shl1(shift: Column) -> Column:
 
 def bloom_positions(key: Column, m_bits: int, k_hashes: int) -> list[Column]:
     """The k bit positions for one key: ``md5(key || '#' || i)`` first 8
-    hex chars as an integer, mod ``m_bits`` (mirror:
-    ``('0x' || substr(md5(key || '#' || i), 1, 8))::BIGINT % m``)."""
+    hex chars as an integer, mod ``m_bits``. The SHARED salted-md5 device
+    for every hash family in the engine (bloom, count-min) — mirror with
+    :func:`salted_md5_pos_sql` so both engines replay the same positions."""
     return [
         F.conv(
             F.substring(
@@ -49,6 +50,14 @@ def bloom_positions(key: Column, m_bits: int, k_hashes: int) -> list[Column]:
         % m_bits
         for i in range(k_hashes)
     ]
+
+
+def salted_md5_pos_sql(key_expr: str, i: int, m_bits: int) -> str:
+    """DuckDB mirror of one :func:`bloom_positions` entry."""
+    return (
+        f"('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '#{i}'), 1, 8))"
+        f"::BIGINT % {m_bits}"
+    )
 
 
 def bloom_build(

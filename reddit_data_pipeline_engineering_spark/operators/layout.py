@@ -37,7 +37,10 @@ def zorder_key(cols: Sequence[Column], bits: int = 4) -> Column:
     parts = []
     for j, c in enumerate(cols):
         for i in range(bits):
-            bit = (c.cast("long") / F.lit(2**i)).cast("long") % 2
+            # True integer ops (shiftright == floor-div for non-negative
+            # longs) so the "plain integer arithmetic" replay claim holds
+            # at any key width, not just small quantized values.
+            bit = F.shiftright(c.cast("long"), i) % 2
             parts.append(bit * F.lit(2 ** (i * n + j)))
     out = parts[0]
     for p in parts[1:]:

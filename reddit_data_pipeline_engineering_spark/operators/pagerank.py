@@ -47,13 +47,17 @@ def pagerank(
     (dangling) keeps only its teleport mass; a node with no in-edges
     converges to the teleport floor.
     """
+    # Persist the iteration-invariant relations: every localCheckpoint
+    # action below re-evaluates its inputs, so an unpersisted edge list
+    # would re-run the caller's upstream joins once per iteration.
+    edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
         .persist()
     )
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg")).persist()
     teleport = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
 
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long")).persist()
@@ -87,4 +91,6 @@ def pagerank(
         ranks.unpersist()
         ranks = new_ranks
     nodes.unpersist()
+    deg.unpersist()
+    edges.unpersist()
     return ranks

@@ -954,7 +954,7 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Deterministic count-min sketch (sketch family, next to the HLL): bounded-
-# memory frequency estimation for heavy hitters. d*w counters (4*256 here)
+# memory frequency estimation for heavy hitters. d*w counters (4*32 here)
 # regardless of vocabulary size, built with ONE hash aggregate over the
 # exploded token stream; estimates are MIN over the d counters, so the
 # sketch only ever OVERcounts — the audit columns report the overcount
@@ -975,9 +975,11 @@ _TOKS_EXT = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
 
 
 def _cm_h_sql(i: int) -> str:
-    return (
-        f"('0x' || substr(md5(token || '#{i}'), 1, 8))::BIGINT % {_CM_W}"
+    from reddit_data_pipeline_engineering_spark.operators.bloom import (
+        salted_md5_pos_sql,
     )
+
+    return salted_md5_pos_sql("token", i, _CM_W)
 
 
 _CM_ORACLE = f"""
@@ -1004,19 +1006,12 @@ ORDER BY p.n_exact DESC, p.token
 """
 
 
-def _cm_hash(token, i: int):
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(token, F.lit(f"#{i}"))), 1, 8), 16, 10
-        ).cast("long")
-        % _CM_W
-    )
 
 
 @query(
     "countmin_heavy_hitters",
     _CM_ORACLE,
-    "Deterministic count-min sketch: d=4 md5 hash rows x w=256 counters "
+    "Deterministic count-min sketch: d=4 md5 hash rows x w=32 counters "
     "(bounded memory at ANY vocabulary size) built in one hash aggregate "
     "over the token stream; exact top-20 probed back through the sketch "
     "with the guaranteed-nonnegative overcount as an audited column. "
@@ -1031,7 +1026,11 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(tx.tokens("text").alias("__t")).select(
         F.explode("__t").alias("token")
     )
-    hashes = F.array(*[_cm_hash(F.col("token"), i) for i in range(_CM_D)])
+    from reddit_data_pipeline_engineering_spark.operators.bloom import (
+        bloom_positions,
+    )
+
+    hashes = F.array(*bloom_positions(F.col("token"), _CM_W, _CM_D))
     sketch = (
         toks.select(F.posexplode(hashes).alias("j", "h"))
         .groupBy("j", "h")
@@ -1079,8 +1078,9 @@ WITH stats AS (
   WINDOW w AS (PARTITION BY event_type)
 ), z AS (
   SELECT event_type, n, s / n AS mean,
-         sqrt(ss / n - (s / n) * (s / n)) AS std,
-         (value - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS zval
+         sqrt(GREATEST(0.0, ss / n - (s / n) * (s / n))) AS std,
+         (value - s / n)
+           / sqrt(GREATEST(0.0, ss / n - (s / n) * (s / n))) AS zval
   FROM stats
 )
 SELECT event_type,
@@ -1113,7 +1113,10 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.sum(dec).over(w).cast("double")
     ss = F.sum(dec * dec).over(w).cast("double")
     mean = s / n
-    std = F.sqrt(ss / n - (s / n) * (s / n))
+    # greatest(0, var): a zero-variance group can round to a tiny negative
+    # double, which DuckDB's sqrt hard-errors on (Spark would yield NaN) —
+    # clamp in BOTH trees so the mirror stays exact.
+    std = F.sqrt(F.greatest(F.lit(0.0), ss / n - (s / n) * (s / n)))
     zval = (F.col("value") - s / n) / std
     z = ev.select(
         "event_type",

@@ -19,7 +19,9 @@ from reddit_data_pipeline_engineering_spark.sources.tables import load_table
 __all__ = ["REGISTRY"]
 
 _PR_ITERS = 3
-_SUPP_OFFSET = 1_000_000  # supplier node ids, disjoint from custkeys
+# Node ids carry a tag BIT (customer = 2*custkey, supplier = 2*suppkey+1)
+# instead of an additive offset — structurally disjoint at ANY scale,
+# where a fixed offset would collide once custkeys outgrow it.
 
 
 def _pr_ctes(iters: int = _PR_ITERS) -> str:
@@ -29,10 +31,10 @@ def _pr_ctes(iters: int = _PR_ITERS) -> str:
   SELECT DISTINCT o_custkey AS c, l_suppkey AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 )""",
-        f"""edges AS MATERIALIZED (
-  SELECT c AS src, s + {_SUPP_OFFSET} AS dst FROM pairs
+        """edges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
   UNION ALL
-  SELECT s + {_SUPP_OFFSET} AS src, c AS dst FROM pairs
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
 )""",
         """deg AS MATERIALIZED (
   SELECT src, COUNT(*) AS d FROM edges GROUP BY src
@@ -64,10 +66,9 @@ def _pr_ctes(iters: int = _PR_ITERS) -> str:
 
 _PAGERANK_ORACLE = f"""
 WITH {_pr_ctes()}
-SELECT CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END
+SELECT CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END
          AS node_kind,
-       CAST(CASE WHEN node >= {_SUPP_OFFSET} THEN node - {_SUPP_OFFSET}
-                 ELSE node END AS BIGINT) AS node_id,
+       CAST(node // 2 AS BIGINT) AS node_id,
        rank
 FROM r{_PR_ITERS}
 ORDER BY rank DESC, node
@@ -95,20 +96,18 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     up = pairs.select(
-        F.col("o_custkey").alias("src"),
-        (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     down = pairs.select(
-        (F.col("l_suppkey") + _SUPP_OFFSET).alias("src"),
-        F.col("o_custkey").alias("dst"),
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
     )
     ranks = pr.pagerank(up.union(down), iters=_PR_ITERS)
     kind = F.when(
-        F.col("node") >= _SUPP_OFFSET, F.lit("supplier")
+        F.col("node") % 2 == 1, F.lit("supplier")
     ).otherwise(F.lit("customer"))
-    node_id = F.when(
-        F.col("node") >= _SUPP_OFFSET, F.col("node") - _SUPP_OFFSET
-    ).otherwise(F.col("node"))
+    node_id = F.shiftright(F.col("node").cast("long"), 1)
     return (
         ranks.orderBy(F.col("rank").desc(), F.col("node").asc())
         .limit(20)

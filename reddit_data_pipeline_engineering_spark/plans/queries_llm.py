@@ -1165,7 +1165,7 @@ def _kmeans_probe_clusters(
     _KMEANS_TOPK_ORACLE,
     "IVF ANN with a COMPUTED coarse quantizer: deterministic integer-grid "
     "k-means (broadcast-centroid map-side assignment, one keyed shuffle "
-    "per Lloyd iteration), multi-probe candidate pruning (nprobe=2), "
+    "per Lloyd iteration), multi-probe candidate pruning (nprobe=3), "
     "exact cosine top-20 within the probes on the original floats",
     tags=("llm", "similarity", "bench"),
 )

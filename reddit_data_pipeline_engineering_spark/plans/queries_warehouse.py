@@ -173,10 +173,7 @@ _BLOOM_THR = 450000.0
 
 
 def _bloom_pos_sql(key: str, i: int) -> str:
-    return (
-        f"('0x' || substr(md5(CAST({key} AS VARCHAR) || '#{i}'), 1, 8))"
-        f"::BIGINT % {_BLOOM_M}"
-    )
+    return bloom.salted_md5_pos_sql(key, i, _BLOOM_M)
 
 
 _BLOOM_ORACLE = f"""

@@ -133,9 +133,11 @@ def test_bloom_query_plan_broadcasts_and_prefilters(spark):
     from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, queries
 
     queries()
+    from .conftest import SF_SMALL
+
     plan = (
         REGISTRY["bloom_semijoin_reduction"]
-        .fn(spark, "/root/testdata/sf0.001")
+        .fn(spark, SF_SMALL)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
