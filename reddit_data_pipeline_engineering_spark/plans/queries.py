@@ -966,6 +966,8 @@ _DRIVER_ROTATED_OUT = [
                                # round with the other two stream queries
     "streaming_interval_join", # NEW this round, same situation
     "zscore_outliers",         # NEW this round, same situation
+    "topn_per_group",          # NEW this round, same situation
+    "props_struct_parse",      # NEW this round, same situation
     "embedding_blocked_topk",  # CHANGED this round (per-block top-k
                                # pruning + real threshold) — r01 row green
                                # but stale; MUST be first next round

@@ -1138,3 +1138,98 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-group top-N (rank <= N inside each partition) — the window shape
+# Spark 3.5+ compiles to WindowGroupLimit: each map task keeps only N
+# rows per group BEFORE the shuffle, so the exchange carries O(groups*N)
+# rows, not the whole table. Distinct from the global top-k family
+# (TakeOrderedAndProject) and pinned by test_plan_shape.
+# --------------------------------------------------------------------------
+
+_TOPN_ORACLE = """
+WITH ranked AS (
+  SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+         rank() OVER (PARTITION BY s_nationkey
+                      ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+  FROM supplier
+)
+SELECT s_nationkey, CAST(rnk AS INTEGER) AS rnk, s_suppkey, s_name, s_acctbal
+FROM ranked
+WHERE rnk <= 3
+ORDER BY s_nationkey, rnk
+"""
+
+
+@query(
+    "topn_per_group",
+    _TOPN_ORACLE,
+    "Top-3 suppliers by account balance per nation: rank window + rank<=N "
+    "filter, compiled by Spark to WindowGroupLimit — map-side per-group "
+    "pruning so the exchange carries O(groups*N) rows, the per-group "
+    "counterpart of TakeOrderedAndProject (deterministic suppkey tiebreak)",
+    tags=("relational", "window"),
+)
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        sup.withColumn("rnk", F.rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("s_nationkey", "rnk", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_nationkey", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Typed from_json parsing (F7 companion): parse the JSON-string props
+# column into a typed struct ONCE, then aggregate on the typed fields —
+# the schema-pinned alternative to per-field get_json_object when several
+# fields are read (one parse vs one parse per field).
+# --------------------------------------------------------------------------
+
+_STRUCT_ORACLE = """
+SELECT CAST(props_k AS INTEGER) % 7 AS k_mod,
+       COUNT(*) AS n_events,
+       CAST(MIN(props_k) AS INTEGER) AS min_k,
+       CAST(MAX(props_k) AS INTEGER) AS max_k
+FROM (
+  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS props_k
+  FROM events
+)
+WHERE props_k IS NOT NULL
+GROUP BY CAST(props_k AS INTEGER) % 7
+ORDER BY k_mod
+"""
+
+
+@query(
+    "props_struct_parse",
+    _STRUCT_ORACLE,
+    "from_json with a pinned StructType: the props JSON string parses to "
+    "a typed struct once per row (vs one get_json_object tree walk per "
+    "field), then typed-field aggregation — the schema-contract way to "
+    "consume semi-structured columns (F7 companion, extract_api.py:240-247)",
+    tags=("relational", "json"),
+)
+def q_props_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType(), True)])
+    parsed = ev.select(
+        F.from_json("props", schema).alias("p")
+    ).select(F.col("p.k").alias("props_k"))
+    return (
+        parsed.filter(F.col("props_k").isNotNull())
+        .groupBy((F.col("props_k") % 7).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("props_k").cast("int").alias("min_k"),
+            F.max("props_k").cast("int").alias("max_k"),
+        )
+        .orderBy("k_mod")
+    )

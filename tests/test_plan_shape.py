@@ -326,3 +326,10 @@ def test_pq_adc_topk_broadcast_and_no_shuffle(spark):
     # "Name (" matches tree-node headers only (details print "(n) Name").
     assert plan.count("TakeOrderedAndProject (") == 2
     assert "Exchange (" not in plan.replace("BroadcastExchange (", "X (")
+
+
+def test_topn_per_group_uses_window_group_limit(spark):
+    # rank<=N must compile to WindowGroupLimit: map-side per-group pruning
+    # so the exchange carries O(groups*N) rows, not the whole table.
+    plan = plan_of(REGISTRY["topn_per_group"].fn(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
