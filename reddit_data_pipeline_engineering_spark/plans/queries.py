@@ -968,6 +968,8 @@ _DRIVER_ROTATED_OUT = [
     "zscore_outliers",         # NEW this round, same situation
     "topn_per_group",          # NEW this round, same situation
     "props_struct_parse",      # NEW this round, same situation
+    "hll_grouped_distinct",    # NEW this round, same situation
+    "cohort_retention",        # NEW this round, same situation
     "embedding_blocked_topk",  # CHANGED this round (per-block top-k
                                # pruning + real threshold) — r01 row green
                                # but stale; MUST be first next round

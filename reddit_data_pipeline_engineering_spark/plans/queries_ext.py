@@ -1233,3 +1233,175 @@ def q_props_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_mod")
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPED HyperLogLog — the mergeable-sketch pattern in its grouped form:
+# one (group, bucket) MAX aggregate builds every group's 64 registers in
+# a single pass (vs one COUNT DISTINCT shuffle over the full key set per
+# group), estimates ride a 64-row-per-group rollup. Same md5-derived
+# registers as the global hll_distinct_sketch, so the replay is exact.
+# --------------------------------------------------------------------------
+
+# Linear-counting small-range correction (Flajolet et al. 2007): when the
+# raw estimate <= 2.5*m and empty registers exist, estimate = m*ln(m/zeros).
+# The 64 possible ln values are PYTHON-COMPUTED literals shared by both
+# engines, so the correction never touches engine libm and parity is exact.
+_HLL_LC = [266.168517, 221.807098, 195.857331, 177.445678, 163.164491, 151.495911, 141.630268, 133.084259, 125.546144, 118.803071, 112.70322, 107.134492, 102.011758, 97.268848, 92.853304, 88.722839, 84.842863, 81.184725, 77.724423, 74.441652, 71.319081, 68.3418, 65.496888, 62.773072, 60.160465, 57.650339, 55.234958, 52.907429, 50.661584, 48.491885, 46.393336, 44.36142, 42.392033, 40.481444, 38.626241, 36.823305, 35.069771, 33.363003, 31.700572, 30.080232, 28.499905, 26.957662, 25.45171, 23.980381, 22.542118, 21.135468, 19.759071, 18.411653, 17.092018, 15.799045, 14.531677, 13.288919, 12.069835, 10.873538, 9.699193, 8.546009, 7.413236, 6.300165, 5.206121, 4.130465, 3.07259, 2.031917, 1.007895, 0.0]
+_HLL_LC_SQL = "[266.168517, 221.807098, 195.857331, 177.445678, 163.164491, 151.495911, 141.630268, 133.084259, 125.546144, 118.803071, 112.70322, 107.134492, 102.011758, 97.268848, 92.853304, 88.722839, 84.842863, 81.184725, 77.724423, 74.441652, 71.319081, 68.3418, 65.496888, 62.773072, 60.160465, 57.650339, 55.234958, 52.907429, 50.661584, 48.491885, 46.393336, 44.36142, 42.392033, 40.481444, 38.626241, 36.823305, 35.069771, 33.363003, 31.700572, 30.080232, 28.499905, 26.957662, 25.45171, 23.980381, 22.542118, 21.135468, 19.759071, 18.411653, 17.092018, 15.799045, 14.531677, 13.288919, 12.069835, 10.873538, 9.699193, 8.546009, 7.413236, 6.300165, 5.206121, 4.130465, 3.07259, 2.031917, 1.007895, 0.0]"
+
+_HLL_GROUPED_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+           % {_HLL_M} AS bucket,
+         61 - length(bin(
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 15))::BIGINT
+         )) AS rho
+  FROM events
+), regs AS (
+  SELECT event_type, bucket, MAX(rho) AS r FROM h GROUP BY event_type, bucket
+), s AS (
+  SELECT event_type,
+         CAST(SUM(CAST(POWER(2.0, -r) AS DECIMAL(38,30))) AS DOUBLE)
+         + CAST({_HLL_M} - COUNT(*) AS DOUBLE) AS denom,
+         {_HLL_M} - COUNT(*) AS zeros
+  FROM regs GROUP BY event_type
+), est AS (
+  SELECT event_type, zeros,
+         {_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / denom AS raw_est
+  FROM s
+), corrected AS (
+  SELECT event_type,
+         CASE WHEN raw_est <= 2.5 * {_HLL_M} AND zeros > 0
+              THEN ({_HLL_LC_SQL})[zeros]
+              ELSE raw_est END AS hll_est
+  FROM est
+), e AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT c.event_type,
+       ROUND(hll_est, 6) AS hll_estimate,
+       exact_distinct,
+       ROUND(abs(hll_est - exact_distinct)
+             / exact_distinct * 100.0, 4) AS rel_error_pct
+FROM corrected c JOIN e USING (event_type)
+ORDER BY c.event_type
+"""
+
+
+@query(
+    "hll_grouped_distinct",
+    _HLL_GROUPED_ORACLE,
+    "Grouped HyperLogLog distinct-users per event type: all groups' 64 "
+    "registers built in ONE (group, bucket) MAX pass — the mergeable "
+    "alternative to a per-group COUNT DISTINCT expand at 100 TB; exact "
+    "count and realized error reported alongside",
+    tags=("llm", "sketch", "approx"),
+)
+def q_hll_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % _HLL_M
+    val = F.conv(F.substring(h, 3, 15), 16, 10)
+    rho = F.lit(61) - F.length(F.conv(val, 10, 2))
+    regs = (
+        ev.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    denom = (
+        F.sum(F.pow(F.lit(2.0), -F.col("r")).cast("decimal(38,30)"))
+        .cast("double")
+        + (F.lit(_HLL_M) - F.count(F.lit(1))).cast("double")
+    )
+    zeros = (F.lit(_HLL_M) - F.count(F.lit(1))).cast("int")
+    sketch = regs.groupBy("event_type").agg(
+        denom.alias("denom"), zeros.alias("zeros")
+    )
+    raw = F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M)) / F.col("denom")
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
+        F.element_at(F.lit(_HLL_LC), F.col("zeros")),
+    ).otherwise(raw)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        sketch.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round(est, 6).alias("hll_estimate"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                * F.lit(100.0),
+                4,
+            ).alias("rel_error_pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention — the canonical warehouse growth query: users grouped
+# by first-activity week, retained share per week offset. Two keyed
+# aggregates (per-user first week; distinct (cohort, offset, user)) and
+# one rollup; week ids are epoch arithmetic mirrored exactly in SQL.
+# --------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH t0 AS (
+  SELECT CAST(floor(epoch(MIN(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS sec0
+  FROM events
+), act AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                     - sec0) / 604800.0) AS BIGINT) AS week
+  FROM events CROSS JOIN t0
+), firstw AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(a.week - f.cohort_week AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM act a JOIN firstw f USING (user_id)
+GROUP BY f.cohort_week, a.week - f.cohort_week
+ORDER BY cohort_week, week_offset
+"""
+
+
+@query(
+    "cohort_retention",
+    _COHORT_ORACLE,
+    "Weekly cohort retention: per-user first-activity week, then distinct "
+    "users per (cohort, week offset) — two keyed aggregates + one rollup, "
+    "week ids from exact epoch arithmetic so the replay is engine-exact",
+    tags=("relational", "warehouse", "stats"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    t0 = ev.agg(F.min(sec).alias("sec0"))
+    act = (
+        ev.crossJoin(t0)
+        .select(
+            "user_id",
+            F.floor((sec - F.col("sec0")) / F.lit(604800.0))
+            .cast("long")
+            .alias("week"),
+        )
+        .distinct()
+    )
+    firstw = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(firstw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
