@@ -970,6 +970,8 @@ _DRIVER_ROTATED_OUT = [
     "props_struct_parse",      # NEW this round, same situation
     "hll_grouped_distinct",    # NEW this round, same situation
     "cohort_retention",        # NEW this round, same situation
+    "copurchase_pairs",        # NEW this round, same situation
+    "sliding_window_rollup",   # NEW this round, same situation
     "embedding_blocked_topk",  # CHANGED this round (per-block top-k
                                # pruning + real threshold) — r01 row green
                                # but stale; MUST be first next round

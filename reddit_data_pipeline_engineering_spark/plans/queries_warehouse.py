@@ -257,3 +257,123 @@ def q_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp_rate",
         "matched_revenue",
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence — part pairs bought in the same order. The
+# classic self-join-on-basket shape: pair count per order is bounded by
+# basket size (~4 lineitems/order in TPC-H), so the join output is
+# O(orders * basket²), never corpus² — the same bounded-blowup argument
+# as the LSH band buckets. The (a < b) canonical ordering halves the
+# pairs and makes the count well-defined.
+# --------------------------------------------------------------------------
+
+_COPURCHASE_ORACLE = """
+WITH pairs AS (
+  SELECT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM pairs
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@query(
+    "copurchase_pairs",
+    _COPURCHASE_ORACLE,
+    "Market-basket co-occurrence: self-join on the order key with a "
+    "canonical (a < b) pair ordering — output bounded by orders * "
+    "basket², never corpus²; one keyed shuffle + hash aggregate + "
+    "TakeOrderedAndProject top-20",
+    tags=("relational", "warehouse", "bench"),
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("n_orders").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding event-time windows — overlapping 2h windows every 1h via
+# F.window(slide): each event lands in exactly two windows, which the SQL
+# replay models as a union of two offset tumbling grids. The overlap
+# factor (window/slide) multiplies shuffle rows — the documented cost of
+# sliding vs tumbling at scale.
+# --------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+         value
+  FROM events
+), grids AS (
+  SELECT event_type, value,
+         to_timestamp(sec - (sec % 3600) - 3600)::TIMESTAMP AS window_start
+  FROM base WHERE (sec % 7200) < 3600
+  UNION ALL
+  SELECT event_type, value,
+         to_timestamp(sec - (sec % 3600))::TIMESTAMP AS window_start
+  FROM base
+  UNION ALL
+  SELECT event_type, value,
+         to_timestamp(sec - (sec % 3600) - 3600)::TIMESTAMP AS window_start
+  FROM base WHERE (sec % 7200) >= 3600
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+FROM grids
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@query(
+    "sliding_window_rollup",
+    _SLIDING_ORACLE,
+    "Sliding event-time windows (2h window, 1h slide, F.window): each "
+    "event expands to window/slide = 2 rows before ONE hash aggregate — "
+    "the replay models the same assignment as two offset tumbling grids; "
+    "decimal-exact sums",
+    tags=("relational", "timeseries"),
+)
+def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value"), "14,4").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -24,6 +24,7 @@ queries()  # force registration
 BUDGETS = {
     "asof_last_purchase": 2,
     "bloom_semijoin_reduction": 4,
+    "copurchase_pairs": 2,
     "corpus_prep_stats": 3,
     "cosine_topk": 0,
     "daily_topk": 1,
