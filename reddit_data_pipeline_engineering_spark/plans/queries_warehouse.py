@@ -1,10 +1,10 @@
-"""Warehouse-layout extensions: SCD2 history build and Z-order layout.
+"""Warehouse extensions: SCD2 history, Z-order layout, Bloom semi-join
+reduction, market-basket co-occurrence, sliding event-time windows.
 
-Neither has a reference counterpart (the reference materializes
+None has a reference counterpart (the reference materializes
 point-in-time snapshots and Hive date partitions only — SURVEY.md §2.2);
-both are the canonical next operators a mart layer needs at lake scale:
-versioned dimension history, and multi-column data-skipping layout.
-Both are pure Catalyst plans with exact DuckDB oracles.
+these are the canonical next operators a mart layer needs at lake scale.
+All are pure Catalyst plans with exact DuckDB oracles.
 """
 
 from __future__ import annotations
