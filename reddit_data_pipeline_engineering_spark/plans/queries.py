@@ -972,6 +972,9 @@ _DRIVER_ROTATED_OUT = [
     "cohort_retention",        # NEW this round, same situation
     "copurchase_pairs",        # NEW this round, same situation
     "sliding_window_rollup",   # NEW this round, same situation
+    "funnel_conversion",       # NEW this round, same situation
+    "ratio_to_report",         # NEW this round, same situation
+    "grouped_median",          # NEW this round, same situation
     "embedding_blocked_topk",  # CHANGED this round (per-block top-k
                                # pruning + real threshold) — r01 row green
                                # but stale; MUST be first next round

@@ -1405,3 +1405,196 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion — the event-analytics staple: for each user, did a
+# 'purchase' follow a 'click' within 30 minutes? As-of semantics done
+# with ONE keyed window (last click carried forward over the interleaved
+# stream), not an inequality join — the same O(n log n)-per-key shape as
+# operators/asof.py, reported as a per-step funnel.
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_click
+  FROM events
+), conv AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+         MAX(CASE WHEN event_type = 'purchase' AND last_click IS NOT NULL
+                   AND ts <= last_click + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END) AS converted
+  FROM ordered
+  GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(clicked) AS BIGINT) AS n_clicked,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       ROUND(SUM(converted) * 1.0 / SUM(clicked), 6) AS conversion_rate
+FROM conv
+"""
+
+
+@query(
+    "funnel_conversion",
+    _FUNNEL_ORACLE,
+    "Click->purchase funnel within 30 minutes: last-click carried forward "
+    "by ONE keyed window over the interleaved event stream (the as-of "
+    "composition, no inequality join), then a per-user flag rollup — "
+    "users / clicked / converted / rate",
+    tags=("relational", "window", "stats"),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ts = F.col("ts").cast("timestamp")
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", ts)
+    ).over(w)
+    ordered = ev.select(
+        "user_id",
+        ts.alias("ts"),
+        "event_type",
+        last_click.alias("last_click"),
+    )
+    conv = ordered.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("clicked"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("last_click").isNotNull()
+                & (F.col("ts") <= F.col("last_click") + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("clicked").cast("long").alias("n_clicked"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(
+            F.sum("converted") * 1.0 / F.sum("clicked"), 6
+        ).alias("conversion_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ratio-to-report — each nation's share of total revenue via an
+# unpartitioned window sum over the 25-row aggregate (NOT over the fact
+# table: aggregate first, window the tiny result). Decimal-exact
+# numerators; the share division is mirrored double ops.
+# --------------------------------------------------------------------------
+
+_RATIO_ORACLE = """
+WITH rev AS (
+  SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS nation_revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, nation_revenue,
+       ROUND(nation_revenue / SUM(nation_revenue) OVER () * 100.0, 6)
+         AS revenue_share_pct
+FROM rev
+ORDER BY n_name
+"""
+
+
+@query(
+    "ratio_to_report",
+    _RATIO_ORACLE,
+    "Ratio-to-report: per-nation revenue share via an unpartitioned "
+    "window over the ALREADY-AGGREGATED 25-row relation (aggregate "
+    "first, window the tiny result — never a global window over the "
+    "fact table); broadcast dims, decimal-exact numerators",
+    tags=("relational", "window"),
+)
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice"), DEC_PRICE).alias("nation_revenue"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "nation_revenue",
+        F.round(
+            F.col("nation_revenue") / F.sum("nation_revenue").over(w) * 100.0,
+            6,
+        ).alias("revenue_share_pct"),
+    ).orderBy("n_name")
+
+
+# --------------------------------------------------------------------------
+# Exact per-group median — no interpolation-formula parity risk: median =
+# mean of the middle one/two values selected by row_number against the
+# group count, with the two-value mean done in mirrored double ops.
+# --------------------------------------------------------------------------
+
+_MEDIAN_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+  WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(MIN(n) AS BIGINT) AS n_values,
+       SUM(value) / COUNT(*) AS median_value
+FROM ranked
+WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "grouped_median",
+    _MEDIAN_ORACLE,
+    "Exact per-group median by rank selection (middle one/two rows via "
+    "row_number vs group count — no engine interpolation formula in "
+    "play), deterministic event_id tiebreak; one keyed window + rollup",
+    tags=("relational", "stats"),
+)
+def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    rn2 = F.col("rn") * 2
+    mid = ranked.filter(
+        (rn2 == F.col("n")) | (rn2 == F.col("n") + 1) | (rn2 == F.col("n") + 2)
+    )
+    return (
+        mid.groupBy("event_type")
+        .agg(
+            F.min("n").cast("long").alias("n_values"),
+            (F.sum("value") / F.count(F.lit(1))).alias("median_value"),
+        )
+        .orderBy("event_type")
+    )
