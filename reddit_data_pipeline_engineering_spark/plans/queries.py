@@ -975,6 +975,7 @@ _DRIVER_ROTATED_OUT = [
     "funnel_conversion",       # NEW this round, same situation
     "ratio_to_report",         # NEW this round, same situation
     "grouped_median",          # NEW this round, same situation
+    "hll_union_merge",         # NEW this round, same situation
     "embedding_blocked_topk",  # CHANGED this round (per-block top-k
                                # pruning + real threshold) — r01 row green
                                # but stale; MUST be first next round

@@ -1598,3 +1598,98 @@ def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# HLL register MERGE — the mergeability contract demonstrated: the
+# 'click' and 'view' sketches are built INDEPENDENTLY (per-type register
+# sets, as a partitioned build would produce), then combined by cellwise
+# MAX into the sketch of the union — no rescan of the underlying keys.
+# This is exactly how per-partition partial sketches combine at 100 TB.
+# --------------------------------------------------------------------------
+
+_HLL_MERGE_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+           % {_HLL_M} AS bucket,
+         61 - length(bin(
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 15))::BIGINT
+         )) AS rho
+  FROM events
+  WHERE event_type IN ('click', 'view')
+), per_type AS (
+  SELECT event_type, bucket, MAX(rho) AS r
+  FROM h GROUP BY event_type, bucket
+), merged AS (
+  SELECT bucket, MAX(r) AS r FROM per_type GROUP BY bucket
+), s AS (
+  SELECT CAST(SUM(CAST(POWER(2.0, -r) AS DECIMAL(38,30))) AS DOUBLE)
+         + CAST({_HLL_M} - COUNT(*) AS DOUBLE) AS denom,
+         {_HLL_M} - COUNT(*) AS zeros
+  FROM merged
+), est AS (
+  SELECT zeros, {_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / denom AS raw_est FROM s
+), corrected AS (
+  SELECT CASE WHEN raw_est <= 2.5 * {_HLL_M} AND zeros > 0
+              THEN ({_HLL_LC_SQL})[zeros]
+              ELSE raw_est END AS hll_est
+  FROM est
+), e AS (
+  SELECT COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events WHERE event_type IN ('click', 'view')
+)
+SELECT ROUND(hll_est, 6) AS hll_estimate,
+       exact_distinct,
+       ROUND(abs(hll_est - exact_distinct) / exact_distinct * 100.0, 4)
+         AS rel_error_pct
+FROM corrected, e
+"""
+
+
+@query(
+    "hll_union_merge",
+    _HLL_MERGE_ORACLE,
+    "HLL mergeability demonstrated: the click and view sketches are "
+    "built independently, then combined by cellwise register MAX into "
+    "the union's sketch — the partial-combine step a 100 TB tree "
+    "aggregation performs, verified against the exact union distinct",
+    tags=("llm", "sketch", "approx"),
+)
+def q_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % _HLL_M
+    val = F.conv(F.substring(h, 3, 15), 16, 10)
+    rho = F.lit(61) - F.length(F.conv(val, 10, 2))
+    per_type = (
+        ev.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    merged = per_type.groupBy("bucket").agg(F.max("r").alias("r"))
+    denom = (
+        F.sum(F.pow(F.lit(2.0), -F.col("r")).cast("decimal(38,30)"))
+        .cast("double")
+        + (F.lit(_HLL_M) - F.count(F.lit(1))).cast("double")
+    )
+    zeros = (F.lit(_HLL_M) - F.count(F.lit(1))).cast("int")
+    s = merged.agg(denom.alias("denom"), zeros.alias("zeros"))
+    raw = F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M)) / F.col("denom")
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
+        F.element_at(F.lit(_HLL_LC), F.col("zeros")),
+    ).otherwise(raw)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return s.crossJoin(exact).select(
+        F.round(est, 6).alias("hll_estimate"),
+        "exact_distinct",
+        F.round(
+            F.abs(est - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            * F.lit(100.0),
+            4,
+        ).alias("rel_error_pct"),
+    )
