@@ -230,6 +230,8 @@ def q_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HLL_M = 64
 _HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007)
+_HLL_LC = [266.168517, 221.807098, 195.857331, 177.445678, 163.164491, 151.495911, 141.630268, 133.084259, 125.546144, 118.803071, 112.70322, 107.134492, 102.011758, 97.268848, 92.853304, 88.722839, 84.842863, 81.184725, 77.724423, 74.441652, 71.319081, 68.3418, 65.496888, 62.773072, 60.160465, 57.650339, 55.234958, 52.907429, 50.661584, 48.491885, 46.393336, 44.36142, 42.392033, 40.481444, 38.626241, 36.823305, 35.069771, 33.363003, 31.700572, 30.080232, 28.499905, 26.957662, 25.45171, 23.980381, 22.542118, 21.135468, 19.759071, 18.411653, 17.092018, 15.799045, 14.531677, 13.288919, 12.069835, 10.873538, 9.699193, 8.546009, 7.413236, 6.300165, 5.206121, 4.130465, 3.07259, 2.031917, 1.007895, 0.0]
+_HLL_LC_SQL = "[266.168517, 221.807098, 195.857331, 177.445678, 163.164491, 151.495911, 141.630268, 133.084259, 125.546144, 118.803071, 112.70322, 107.134492, 102.011758, 97.268848, 92.853304, 88.722839, 84.842863, 81.184725, 77.724423, 74.441652, 71.319081, 68.3418, 65.496888, 62.773072, 60.160465, 57.650339, 55.234958, 52.907429, 50.661584, 48.491885, 46.393336, 44.36142, 42.392033, 40.481444, 38.626241, 36.823305, 35.069771, 33.363003, 31.700572, 30.080232, 28.499905, 26.957662, 25.45171, 23.980381, 22.542118, 21.135468, 19.759071, 18.411653, 17.092018, 15.799045, 14.531677, 13.288919, 12.069835, 10.873538, 9.699193, 8.546009, 7.413236, 6.300165, 5.206121, 4.130465, 3.07259, 2.031917, 1.007895, 0.0]"
 
 _HLL_ORACLE = f"""
 WITH h AS (
@@ -243,17 +245,25 @@ WITH h AS (
   SELECT bucket, MAX(rho) AS r FROM h GROUP BY bucket
 ), s AS (
   SELECT CAST(SUM(CAST(POWER(2.0, -r) AS DECIMAL(38,30))) AS DOUBLE)
-         + CAST({_HLL_M} - COUNT(*) AS DOUBLE) AS denom
+         + CAST({_HLL_M} - COUNT(*) AS DOUBLE) AS denom,
+         {_HLL_M} - COUNT(*) AS zeros
   FROM regs
+), est AS (
+  SELECT zeros, {_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / denom AS raw_est FROM s
+), corrected AS (
+  SELECT CASE WHEN raw_est <= 2.5 * {_HLL_M} AND zeros > 0
+              THEN ({_HLL_LC_SQL})[zeros]
+              ELSE raw_est END AS hll_est
+  FROM est
 ), e AS (
   SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem
 )
 SELECT {_HLL_M} AS hll_m,
-       ROUND({_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / denom, 6) AS hll_estimate,
+       ROUND(hll_est, 6) AS hll_estimate,
        exact_distinct,
-       ROUND(abs({_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / denom - exact_distinct)
+       ROUND(abs(hll_est - exact_distinct)
              / exact_distinct * 100.0, 4) AS rel_error_pct
-FROM s, e
+FROM corrected, e
 """
 
 
@@ -268,22 +278,9 @@ FROM s, e
 )
 def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    h = F.md5(F.col("l_orderkey").cast("string"))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % _HLL_M
-    val = F.conv(F.substring(h, 3, 15), 16, 10)
-    rho = F.lit(61) - F.length(F.conv(val, 10, 2))
-    regs = (
-        li.select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("r"))
-    )
-    denom = (
-        F.sum(F.pow(F.lit(2.0), -F.col("r")).cast("decimal(38,30)"))
-        .cast("double")
-        + (F.lit(_HLL_M) - F.count(F.lit(1))).cast("double")
-    )
-    est = F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M)) / F.col("denom")
-    sketch = regs.agg(denom.alias("denom"))
+    regs = _hll_registers(li, "l_orderkey")
+    sketch = regs.agg(*_hll_sketch_aggs())
+    est = _hll_estimate()
     exact = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
     return (
         sketch.crossJoin(exact)
@@ -1247,8 +1244,42 @@ def q_props_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # raw estimate <= 2.5*m and empty registers exist, estimate = m*ln(m/zeros).
 # The 64 possible ln values are PYTHON-COMPUTED literals shared by both
 # engines, so the correction never touches engine libm and parity is exact.
-_HLL_LC = [266.168517, 221.807098, 195.857331, 177.445678, 163.164491, 151.495911, 141.630268, 133.084259, 125.546144, 118.803071, 112.70322, 107.134492, 102.011758, 97.268848, 92.853304, 88.722839, 84.842863, 81.184725, 77.724423, 74.441652, 71.319081, 68.3418, 65.496888, 62.773072, 60.160465, 57.650339, 55.234958, 52.907429, 50.661584, 48.491885, 46.393336, 44.36142, 42.392033, 40.481444, 38.626241, 36.823305, 35.069771, 33.363003, 31.700572, 30.080232, 28.499905, 26.957662, 25.45171, 23.980381, 22.542118, 21.135468, 19.759071, 18.411653, 17.092018, 15.799045, 14.531677, 13.288919, 12.069835, 10.873538, 9.699193, 8.546009, 7.413236, 6.300165, 5.206121, 4.130465, 3.07259, 2.031917, 1.007895, 0.0]
-_HLL_LC_SQL = "[266.168517, 221.807098, 195.857331, 177.445678, 163.164491, 151.495911, 141.630268, 133.084259, 125.546144, 118.803071, 112.70322, 107.134492, 102.011758, 97.268848, 92.853304, 88.722839, 84.842863, 81.184725, 77.724423, 74.441652, 71.319081, 68.3418, 65.496888, 62.773072, 60.160465, 57.650339, 55.234958, 52.907429, 50.661584, 48.491885, 46.393336, 44.36142, 42.392033, 40.481444, 38.626241, 36.823305, 35.069771, 33.363003, 31.700572, 30.080232, 28.499905, 26.957662, 25.45171, 23.980381, 22.542118, 21.135468, 19.759071, 18.411653, 17.092018, 15.799045, 14.531677, 13.288919, 12.069835, 10.873538, 9.699193, 8.546009, 7.413236, 6.300165, 5.206121, 4.130465, 3.07259, 2.031917, 1.007895, 0.0]"
+def _hll_registers(df, key, group_cols=()):
+    """Shared register extraction: md5-derived (bucket, rho) -> per-group
+    MAX registers. Single source of truth for all three HLL queries."""
+    h = F.md5(F.col(key).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % _HLL_M
+    rho = F.lit(61) - F.length(
+        F.conv(F.conv(F.substring(h, 3, 15), 16, 10), 10, 2)
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def _hll_sketch_aggs():
+    """Aggregates over a register set: (denom, zeros) for the estimator."""
+    denom = (
+        F.sum(F.pow(F.lit(2.0), -F.col("r")).cast("decimal(38,30)"))
+        .cast("double")
+        + (F.lit(_HLL_M) - F.count(F.lit(1))).cast("double")
+    )
+    zeros = (F.lit(_HLL_M) - F.count(F.lit(1))).cast("int")
+    return denom.alias("denom"), zeros.alias("zeros")
+
+
+def _hll_estimate():
+    """Raw estimator + linear-counting small-range correction (shared
+    literal table — never engine libm)."""
+    raw = F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M)) / F.col("denom")
+    return F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
+        F.element_at(F.lit(_HLL_LC), F.col("zeros")),
+    ).otherwise(raw)
+
+
 
 _HLL_GROUPED_ORACLE = f"""
 WITH h AS (
@@ -1302,29 +1333,9 @@ ORDER BY c.event_type
 )
 def q_hll_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    h = F.md5(F.col("user_id").cast("string"))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % _HLL_M
-    val = F.conv(F.substring(h, 3, 15), 16, 10)
-    rho = F.lit(61) - F.length(F.conv(val, 10, 2))
-    regs = (
-        ev.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("event_type", "bucket")
-        .agg(F.max("rho").alias("r"))
-    )
-    denom = (
-        F.sum(F.pow(F.lit(2.0), -F.col("r")).cast("decimal(38,30)"))
-        .cast("double")
-        + (F.lit(_HLL_M) - F.count(F.lit(1))).cast("double")
-    )
-    zeros = (F.lit(_HLL_M) - F.count(F.lit(1))).cast("int")
-    sketch = regs.groupBy("event_type").agg(
-        denom.alias("denom"), zeros.alias("zeros")
-    )
-    raw = F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M)) / F.col("denom")
-    est = F.when(
-        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
-        F.element_at(F.lit(_HLL_LC), F.col("zeros")),
-    ).otherwise(raw)
+    regs = _hll_registers(ev, "user_id", group_cols=("event_type",))
+    sketch = regs.groupBy("event_type").agg(*_hll_sketch_aggs())
+    est = _hll_estimate()
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
@@ -1496,16 +1507,16 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RATIO_ORACLE = """
 WITH rev AS (
   SELECT n_name,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-           AS nation_revenue
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_dec
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
   GROUP BY n_name
 )
-SELECT n_name, nation_revenue,
-       ROUND(nation_revenue / SUM(nation_revenue) OVER () * 100.0, 6)
+SELECT n_name, CAST(rev_dec AS DOUBLE) AS nation_revenue,
+       ROUND(CAST(rev_dec AS DOUBLE)
+             / CAST(SUM(rev_dec) OVER () AS DOUBLE) * 100.0, 6)
          AS revenue_share_pct
 FROM rev
 ORDER BY n_name
@@ -1531,14 +1542,22 @@ def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name")
-        .agg(_dsum(F.col("l_extendedprice"), DEC_PRICE).alias("nation_revenue"))
+        # Keep the per-nation sum DECIMAL until after the window total:
+        # a double window-sum would be summation-order-dependent (the
+        # repo's decimal-sum parity convention).
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(f"decimal({DEC_PRICE})"))
+            .alias("rev_dec")
+        )
     )
     w = Window.partitionBy()
     return rev.select(
         "n_name",
-        "nation_revenue",
+        F.col("rev_dec").cast("double").alias("nation_revenue"),
         F.round(
-            F.col("nation_revenue") / F.sum("nation_revenue").over(w) * 100.0,
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double")
+            * 100.0,
             6,
         ).alias("revenue_share_pct"),
     ).orderBy("n_name")
@@ -1660,28 +1679,10 @@ def q_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     )
-    h = F.md5(F.col("user_id").cast("string"))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % _HLL_M
-    val = F.conv(F.substring(h, 3, 15), 16, 10)
-    rho = F.lit(61) - F.length(F.conv(val, 10, 2))
-    per_type = (
-        ev.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("event_type", "bucket")
-        .agg(F.max("rho").alias("r"))
-    )
+    per_type = _hll_registers(ev, "user_id", group_cols=("event_type",))
     merged = per_type.groupBy("bucket").agg(F.max("r").alias("r"))
-    denom = (
-        F.sum(F.pow(F.lit(2.0), -F.col("r")).cast("decimal(38,30)"))
-        .cast("double")
-        + (F.lit(_HLL_M) - F.count(F.lit(1))).cast("double")
-    )
-    zeros = (F.lit(_HLL_M) - F.count(F.lit(1))).cast("int")
-    s = merged.agg(denom.alias("denom"), zeros.alias("zeros"))
-    raw = F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M)) / F.col("denom")
-    est = F.when(
-        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
-        F.element_at(F.lit(_HLL_LC), F.col("zeros")),
-    ).otherwise(raw)
+    s = merged.agg(*_hll_sketch_aggs())
+    est = _hll_estimate()
     exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
     return s.crossJoin(exact).select(
         F.round(est, 6).alias("hll_estimate"),

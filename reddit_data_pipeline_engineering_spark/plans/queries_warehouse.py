@@ -269,9 +269,12 @@ def q_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _COPURCHASE_ORACLE = """
-WITH pairs AS (
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
   SELECT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
-  FROM lineitem a JOIN lineitem b
+  FROM items a JOIN items b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 )
 SELECT part_a, part_b, COUNT(*) AS n_orders
@@ -292,7 +295,13 @@ LIMIT 20
     tags=("relational", "warehouse", "bench"),
 )
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Distinct (order, part) first: an order holding the same part twice
+    # must not double-count its pairs, and the self-join input shrinks.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.alias("a")
     b = li.alias("b")
     pairs = a.join(
@@ -331,16 +340,12 @@ WITH base AS (
   FROM events
 ), grids AS (
   SELECT event_type, value,
-         to_timestamp(sec - (sec % 3600) - 3600)::TIMESTAMP AS window_start
-  FROM base WHERE (sec % 7200) < 3600
-  UNION ALL
-  SELECT event_type, value,
          to_timestamp(sec - (sec % 3600))::TIMESTAMP AS window_start
   FROM base
   UNION ALL
   SELECT event_type, value,
          to_timestamp(sec - (sec % 3600) - 3600)::TIMESTAMP AS window_start
-  FROM base WHERE (sec % 7200) >= 3600
+  FROM base
 )
 SELECT window_start, event_type,
        COUNT(*) AS n_events,

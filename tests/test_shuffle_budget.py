@@ -24,7 +24,10 @@ queries()  # force registration
 BUDGETS = {
     "asof_last_purchase": 2,
     "bloom_semijoin_reduction": 4,
-    "copurchase_pairs": 2,
+    # 3rd exchange = the (order, part) distinct that dedups multi-line
+    # parts before pairing (correctness: an order holding a part twice
+    # must not double-count its pairs).
+    "copurchase_pairs": 3,
     "corpus_prep_stats": 3,
     "cosine_topk": 0,
     "daily_topk": 1,
