@@ -24,10 +24,11 @@ queries()  # force registration
 BUDGETS = {
     "asof_last_purchase": 2,
     "bloom_semijoin_reduction": 4,
-    # 3rd exchange = the (order, part) distinct that dedups multi-line
-    # parts before pairing (correctness: an order holding a part twice
-    # must not double-count its pairs).
-    "copurchase_pairs": 3,
+    # 1 pair-agg + 1 broadcast + the (order, part) distinct printed once
+    # per join side (identical subplans — AQE ReuseExchange dedups them
+    # at runtime). The distinct is the correctness fix: an order holding
+    # a part twice must not double-count its pairs.
+    "copurchase_pairs": 4,
     "corpus_prep_stats": 3,
     "cosine_topk": 0,
     "daily_topk": 1,
