@@ -16,6 +16,7 @@ from dataclasses import dataclass
 
 import duckdb
 from pyspark.sql import SparkSession
+from pyspark.sql import types as T
 
 from reddit_data_pipeline_engineering_spark.sources.tables import TABLE_NAMES
 
@@ -27,6 +28,72 @@ def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir.rstrip('/')}/{t}.parquet')"
         )
     return con
+
+
+# ---------------------------------------------------------------------------
+# Type families. The driver's value hash serializes TYPED results, so a
+# DuckDB HUGEINT vs Spark BIGINT difference fails the driver even though
+# both convert to the same Python int locally (the round-2 failure class:
+# uncast SUM(int) oracles). Map both engines' types into one family
+# vocabulary and require equality per column.
+# ---------------------------------------------------------------------------
+
+
+def _family_duckdb(t: str) -> str:
+    t = str(t).strip().upper()
+    if t.endswith("[]"):
+        return f"list<{_family_duckdb(t[:-2])}>"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.startswith("STRUCT"):
+        return "struct"
+    if t.startswith("MAP"):
+        return "map"
+    # Native int widths (<= 64-bit signed) collapse into one family: driver
+    # evidence shows int32-vs-int64 column pairs hash-match (running_sum
+    # green in r01, ngram_jaccard_topk green in r02), while HUGEINT does
+    # not (the three r02 failures) — Arrow maps all native ints to the
+    # same serialization but int128 to a different one.
+    return {
+        "BIGINT": "int", "INT64": "int", "LONG": "int",
+        "INTEGER": "int", "INT": "int", "INT32": "int",
+        "SMALLINT": "int", "INT16": "int",
+        "TINYINT": "int", "INT8": "int",
+        "HUGEINT": "i128", "INT128": "i128", "UBIGINT": "u64",
+        "DOUBLE": "f64", "FLOAT8": "f64",
+        "FLOAT": "f32", "REAL": "f32", "FLOAT4": "f32",
+        "VARCHAR": "str", "TEXT": "str",
+        "BOOLEAN": "bool",
+        "DATE": "date",
+        "BLOB": "binary",
+    }.get(t, t.lower())
+
+
+def _family_spark(dt: T.DataType) -> str:
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_family_spark(dt.elementType)}>"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.MapType):
+        return "map"
+    return {
+        T.LongType: "int",
+        T.IntegerType: "int",
+        T.ShortType: "int",
+        T.ByteType: "int",
+        T.DoubleType: "f64",
+        T.FloatType: "f32",
+        T.StringType: "str",
+        T.BooleanType: "bool",
+        T.DateType: "date",
+        T.BinaryType: "binary",
+    }.get(type(dt), dt.simpleString())
 
 
 def _canon_cell(v):
@@ -65,14 +132,16 @@ def compare(
 ) -> CompareResult:
     sdf = fn(spark, sf_dir)
     scols = sdf.columns
+    stypes = {f.name: _family_spark(f.dataType) for f in sdf.schema.fields}
     srows = [tuple(r) for r in sdf.collect()]
 
     close = con is None
     con = con or duckdb_connection(sf_dir)
     try:
-        cur = con.execute(oracle)
-        ocols = [d[0] for d in cur.description]
-        orows = cur.fetchall()
+        rel = con.sql(oracle)
+        ocols = list(rel.columns)
+        otypes = {c: _family_duckdb(t) for c, t in zip(rel.columns, rel.types)}
+        orows = rel.fetchall()
     finally:
         if close:
             con.close()
@@ -83,6 +152,17 @@ def compare(
             f"column mismatch: spark={sorted(scols)} oracle={sorted(ocols)}",
             len(srows), len(orows),
         )
+    # Type-family gate: catches the driver's typed-hash failures (e.g.
+    # HUGEINT vs BIGINT) that value comparison alone cannot see, because
+    # both become Python `int` by the time we compare cells.
+    for c in sorted(scols):
+        if stypes[c] != otypes[c]:
+            return CompareResult(
+                name, False,
+                f"type mismatch col {c}: spark={stypes[c]} oracle={otypes[c]} "
+                "(driver hashes typed values — cast the oracle to Spark's type)",
+                len(srows), len(orows),
+            )
     if len(srows) != len(orows):
         return CompareResult(
             name, False,

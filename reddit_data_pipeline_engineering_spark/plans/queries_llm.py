@@ -790,7 +790,7 @@ _SPLIT_ORACLE = """
 SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
          AS split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        COUNT(DISTINCT lang) AS n_langs
 FROM (
   SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
@@ -833,8 +833,8 @@ def q_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STRATIFIED_ORACLE = """
 SELECT lang,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                     % 100 < 20 THEN 1 ELSE 0 END) AS n_sampled,
+       CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 100 < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        ROUND(SUM(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                            % 100 < 20 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4)
          AS sampled_pct
@@ -1488,7 +1488,7 @@ SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
          AS split,
        lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT lang, n_chars,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100

@@ -34,3 +34,25 @@ def test_query_matches_oracle(name, spark, duck):
     res = ora.compare(name, spark, SF_SMALL, spec.fn, spec.oracle, con=duck)
     assert res.ok, f"{name}: {res.detail}"
     assert res.spark_rows > 0, f"{name}: query returned no rows"
+
+
+def test_uncast_sum_oracle_fails_type_gate(spark, duck):
+    """Regression for the round-2 driver failures: DuckDB SUM(int) returns
+    HUGEINT while Spark sum(int) is BIGINT; both convert to Python int, so
+    value comparison passes — the type-family gate must still fail it."""
+    from pyspark.sql import functions as F
+    from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+    def fn(sp, sf):
+        return load_table(sp, sf, "documents").agg(
+            F.sum("n_chars").alias("total_chars")
+        )
+
+    bad = "SELECT SUM(n_chars) AS total_chars FROM documents"
+    res = ora.compare("uncast_sum", spark, SF_SMALL, fn, bad, con=duck)
+    assert not res.ok and "type mismatch" in res.detail, res.detail
+    assert "i128" in res.detail and "int" in res.detail, res.detail
+
+    good = "SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents"
+    res = ora.compare("cast_sum", spark, SF_SMALL, fn, good, con=duck)
+    assert res.ok, res.detail
