@@ -192,6 +192,7 @@ def test_driver_gate_ordering():
     streaming pair sits last inside the gate, and the rotated-out block
     is exactly the documented sacrifice list."""
     from reddit_data_pipeline_engineering_spark.plans.queries import (
+        _DRIVER_FILL,
         _DRIVER_FIRST,
         _DRIVER_ROTATED_OUT,
         _DRIVER_TAIL_STREAMING,
@@ -202,10 +203,23 @@ def test_driver_gate_ordering():
 
     names = list(all_queries())
     assert sorted(names) == sorted(set(names))  # no dupes, full registry
+    # Gate arithmetic: FIRST + FILL + TAIL is exactly the 50-row gate.
+    assert len(_DRIVER_FIRST) + len(_DRIVER_FILL) + len(_DRIVER_TAIL_STREAMING) == 50
     gate = names[:50]
     assert set(_DRIVER_FIRST) <= set(gate)
     assert gate[-2:] == _DRIVER_TAIL_STREAMING
     assert names[50:] == _DRIVER_ROTATED_OUT
+    # Round-3 contract (VERDICT r02 #2): every query with no green driver
+    # row across r01-r02 is inside the gate.
+    never_gated = [
+        "zscore_outliers", "topn_per_group", "props_struct_parse",
+        "hll_grouped_distinct", "cohort_retention", "copurchase_pairs",
+        "sliding_window_rollup", "funnel_conversion", "ratio_to_report",
+        "grouped_median", "hll_union_merge", "hash_split_stats",
+        "stratified_sample", "corpus_prep_stats", "streaming_sessions",
+        "streaming_interval_join",
+    ]
+    assert set(never_gated) <= set(gate)
 
 
 def test_vocab_topk_partial_agg_and_take_ordered(spark):
