@@ -47,6 +47,14 @@ from reddit_data_pipeline_engineering_spark.streaming.kernel import (
     write_marts_stream,
 )
 
+def _with_min_ts(ev: DataFrame) -> DataFrame:
+    """Attach the global ``min(ts)`` as a broadcast 1-row scalar column
+    ``t0`` — a cross join against a single-row aggregate, so the bound is
+    computed inside the plan instead of a driver-side ``.head()`` fetch
+    (one Spark job per query instead of two; VERDICT r02 #5)."""
+    return ev.crossJoin(F.broadcast(ev.agg(F.min("ts").alias("t0"))))
+
+
 _STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -102,9 +110,8 @@ def q_streaming_marts_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # First week of events keeps the raw-zone materialization cheap at any
     # sf; the sentinel (far-future event) advances the watermark so every
     # real window is emitted before the availableNow drain stops.
-    first_ts = ev.agg(F.min("ts")).head()[0]
-    week = ev.filter(
-        F.col("ts") < F.lit(first_ts) + F.expr("INTERVAL 7 DAYS")
+    week = _with_min_ts(ev).filter(
+        F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAYS")
     ).select(
         "event_id",
         "user_id",
@@ -120,9 +127,13 @@ def q_streaming_marts_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
     week.unionByName(sentinel).write.mode("overwrite").json(raw)
 
-    stream = read_raw_stream(spark, raw, _STREAM_SCHEMA).withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
+    # Pin the availableNow drain to ONE micro-batch (maxFilesPerTrigger
+    # far above any part-file count): if the source ever split the drain,
+    # a far-future sentinel landing in an early batch would advance the
+    # watermark and silently drop the remaining real events as late.
+    stream = read_raw_stream(
+        spark, raw, _STREAM_SCHEMA, max_files_per_trigger=1_000_000
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
     cust = load_table(spark, sf_dir, "customer")
     wide = streaming_marts(
         stream,
@@ -192,9 +203,8 @@ def q_stateful_ema_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
 
     ev = load_table(spark, sf_dir, "events")
-    first_ts = ev.agg(F.min("ts")).head()[0]
-    day = ev.filter(
-        F.col("ts") < F.lit(first_ts) + F.expr("INTERVAL 1 DAYS")
+    day = _with_min_ts(ev).filter(
+        F.col("ts") < F.col("t0") + F.expr("INTERVAL 1 DAYS")
     ).filter(F.col("value").isNotNull())
     tmp = tempfile.mkdtemp(prefix="rdpe_emaq_")
     raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
@@ -205,7 +215,7 @@ def q_stateful_ema_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the day, each written as one JSON part and moved into the raw zone
     # with a pinned mtime so maxFilesPerTrigger=1 drains them in order
     # and the query itself exercises cross-batch state carry.
-    cut = F.lit(first_ts) + F.expr("INTERVAL 12 HOURS")
+    cut = F.col("t0") + F.expr("INTERVAL 12 HOURS")
     for i, cond in enumerate(
         (F.col("ts") < cut, F.col("ts") >= cut)
     ):
@@ -299,9 +309,8 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    first_ts = ev.agg(F.min("ts")).head()[0]
-    week = ev.filter(
-        F.col("ts") < F.lit(first_ts) + F.expr("INTERVAL 7 DAYS")
+    week = _with_min_ts(ev).filter(
+        F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAYS")
     ).select(
         "event_id",
         "user_id",
@@ -317,9 +326,13 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
     week.unionByName(sentinel).write.mode("overwrite").json(raw)
 
-    stream = read_raw_stream(spark, raw, _STREAM_SCHEMA).withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
+    # Pin the availableNow drain to ONE micro-batch (maxFilesPerTrigger
+    # far above any part-file count): if the source ever split the drain,
+    # a far-future sentinel landing in an early batch would advance the
+    # watermark and silently drop the remaining real events as late.
+    stream = read_raw_stream(
+        spark, raw, _STREAM_SCHEMA, max_files_per_trigger=1_000_000
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
     sessions = sessionize_stream(
         stream, "user_id", "ts", gap="30 minutes", watermark="2 hours"
     )
@@ -369,9 +382,8 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    first_ts = ev.agg(F.min("ts")).head()[0]
-    week = ev.filter(
-        F.col("ts") < F.lit(first_ts) + F.expr("INTERVAL 7 DAYS")
+    week = _with_min_ts(ev).filter(
+        F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAYS")
     ).select(
         "event_id",
         "user_id",
@@ -392,9 +404,13 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
     week.unionByName(sentinels).write.mode("overwrite").json(raw)
 
-    stream = read_raw_stream(spark, raw, _STREAM_SCHEMA).withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
+    # Pin the availableNow drain to ONE micro-batch (maxFilesPerTrigger
+    # far above any part-file count): if the source ever split the drain,
+    # a far-future sentinel landing in an early batch would advance the
+    # watermark and silently drop the remaining real events as late.
+    stream = read_raw_stream(
+        spark, raw, _STREAM_SCHEMA, max_files_per_trigger=1_000_000
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
     left = stream.filter(F.col("event_type") == "error").select(
         "user_id",
         F.col("event_id").alias("error_id"),
