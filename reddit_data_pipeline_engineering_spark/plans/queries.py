@@ -916,6 +916,8 @@ _DRIVER_FIRST = [
     # NEW this round — append new-query names here as they are
     # registered, dropping the tail of _DRIVER_FILL to keep the gate at
     # exactly 50 (test_driver_gate_ordering enforces the arithmetic):
+    "grouped_median_approx",
+    "percentiles_approx",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -953,8 +955,6 @@ _DRIVER_FILL = [
     "range_join_windows",
     "time_bucket_rollup",
     "unpivot_roundtrip",
-    "value_stats",
-    "value_histogram",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -965,6 +965,9 @@ _DRIVER_FILL = [
 _DRIVER_TAIL_STREAMING = ['streaming_sessions', 'streaming_interval_join']
 
 _DRIVER_ROTATED_OUT = [
+    # Displaced from _DRIVER_FILL by this round's new queries:
+    "value_stats",
+    "value_histogram",
     # This round's sacrifice: every name below has a green driver row
     # (r01 or r02, see CORRECTNESS_r0*.json), and every one is still
     # hash-checked against DuckDB on every local run by

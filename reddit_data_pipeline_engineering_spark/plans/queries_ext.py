@@ -1694,3 +1694,128 @@ def q_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_error_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Scale-safe approximate order statistics (VERDICT r02 #4). The exact
+# variants (grouped_median, exact_percentiles) funnel each group through
+# one task's sort — fine for correctness baselines, weak at 100 TB with
+# low-cardinality groups. These twins use percentile_approx (Greenwald-
+# Khanna sketch: partial-aggregated map-side, mergeable, one ordinary
+# keyed shuffle — the 100 TB path).
+#
+# Oracle strategy: a sketch value cannot be mirrored in DuckDB, so the
+# oracle pins the sketch's RANK-ERROR CONTRACT instead. The Spark side
+# joins the sketch output back to the exact data (broadcast — one row
+# per group), computes the returned value's true rank interval, and
+# emits `TRUE` iff it lies within the documented eps = 1/accuracy rank
+# band. The oracle emits the exact group counts and literal TRUE — so
+# the driver's full hash gate stays in force, and it fails if the sketch
+# ever violates its accuracy guarantee.
+# --------------------------------------------------------------------------
+
+_APPROX_ACC = 10_000  # GK accuracy parameter -> eps = 1/10000 rank error
+
+
+def _rank_ok(p: float, n, lt, le):
+    """True iff the true-rank interval [lt+1, le] of the sketch's answer
+    intersects the allowed band [(p-eps)*n - 1, (p+eps)*n + 1] (slack of
+    one rank on each side for the floor/ceil conventions)."""
+    eps = 1.0 / _APPROX_ACC
+    lo = F.floor((F.lit(p) - F.lit(eps)) * n) - F.lit(1)
+    hi = F.ceil((F.lit(p) + F.lit(eps)) * n) + F.lit(1)
+    return (le >= lo) & ((lt + F.lit(1)) <= hi)
+
+
+_MEDIAN_APPROX_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       TRUE AS median_within_eps
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "grouped_median_approx",
+    _MEDIAN_APPROX_ORACLE,
+    "Scale-safe twin of grouped_median: percentile_approx(0.5) sketch "
+    "(mergeable partial agg, no per-group global sort) whose rank-error "
+    "contract is verified in-plan against the exact data — the oracle "
+    "pins the contract, so a sketch regression fails the driver hash",
+    tags=("relational", "stats", "approx", "bench"),
+)
+def q_grouped_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    apx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(_APPROX_ACC)).alias("m"),
+    )
+    counts = (
+        ev.join(F.broadcast(apx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("m"), 1).otherwise(0)).alias("lt"),
+            F.sum(F.when(F.col("value") <= F.col("m"), 1).otherwise(0)).alias("le"),
+        )
+    )
+    return counts.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_values"),
+        _rank_ok(0.5, F.col("n"), F.col("lt"), F.col("le")).alias(
+            "median_within_eps"
+        ),
+    ).orderBy("event_type")
+
+
+_PCTL_APPROX_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "percentiles_approx",
+    _PCTL_APPROX_ORACLE,
+    "Scale-safe twin of exact_percentiles: one percentile_approx sketch "
+    "pass for p50/p90/p99 per group, rank-error contract verified "
+    "in-plan (broadcast join of the 1-row-per-group sketch output back "
+    "to the exact data); oracle pins the contract booleans + exact "
+    "group counts",
+    tags=("relational", "stats", "approx", "bench"),
+)
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    apx = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(_APPROX_ACC)
+        ).alias("ms"),
+    )
+    joined = ev.join(F.broadcast(apx), "event_type")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(3):
+        m = F.col("ms")[i]
+        aggs.append(
+            F.sum(F.when(F.col("value") < m, 1).otherwise(0)).alias(f"lt{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("value") <= m, 1).otherwise(0)).alias(f"le{i}")
+        )
+    counts = joined.groupBy("event_type").agg(*aggs)
+    return counts.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_values"),
+        *[
+            _rank_ok(p, F.col("n"), F.col(f"lt{i}"), F.col(f"le{i}")).alias(name)
+            for i, (p, name) in enumerate(
+                ((0.5, "p50_ok"), (0.9, "p90_ok"), (0.99, "p99_ok"))
+            )
+        ],
+    ).orderBy("event_type")
