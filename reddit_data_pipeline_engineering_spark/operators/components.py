@@ -4,19 +4,27 @@ Training-data pipelines need the step AFTER near-dup candidate generation:
 grouping pairs into duplicate clusters and electing one canonical document
 per cluster. That is connected components on the pair graph.
 
-Implementation: iterative minimum-label propagation on DataFrames —
-every vertex starts labeled with itself; each round takes the min label
-over its neighborhood; stop when no label changes. Rounds = graph diameter
-(near-dup clusters are dense, so typically 2-4). Each round is one join +
-one aggregate; intermediates are cached and the lineage is cut with
-localCheckpoint so the plan doesn't grow exponentially across iterations
-(the classic Spark iterative-algorithm trap).
+Two interchangeable implementations behind one API:
 
-At 100 TB-scale pair graphs, swap label propagation for the
-large-star/small-star algorithm (Kiveris et al., "Connected Components in
-MapReduce and Beyond") — same DataFrame primitives, provably O(log n)
-rounds; propagation is kept here because candidate-pair components are
-tiny-diameter by construction.
+- ``label`` (default): iterative minimum-label propagation — every vertex
+  starts labeled with itself; each round takes the min label over its
+  neighborhood; stop when no label changes. Rounds = graph DIAMETER
+  (near-dup clusters are dense, so typically 2-4). Each round is one join
+  + one aggregate.
+- ``star``: the large-star/small-star edge-contraction algorithm
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14 — public algorithm). Each round rewires edges toward local
+  minima (large-star moves every larger neighbor to the neighborhood
+  min, small-star then flattens the remaining down-edges), which
+  provably converges in O(log n) rounds REGARDLESS of diameter. This is
+  the 100 TB path for long-chain graphs (>10^9 edges; SCALE.md §10):
+  a chain of length L costs the label variant ~L rounds but the star
+  variant ~log L.
+
+Both cut lineage with localCheckpoint every round so the plan doesn't
+grow across iterations (the classic Spark iterative-algorithm trap), and
+both shuffle only on vertex ids — one keyed exchange per join/aggregate,
+no all-pairs work.
 """
 
 from __future__ import annotations
@@ -30,11 +38,31 @@ def connected_components(
     src: str,
     dst: str,
     max_iterations: int = 25,
+    algorithm: str = "label",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Return (id, component) with component = min vertex id reachable.
 
     ``edges`` is an undirected pair list (each pair once, either order).
+    ``algorithm`` is ``"label"`` (min-label propagation, rounds = graph
+    diameter) or ``"star"`` (large-star/small-star contraction, rounds =
+    O(log n)). If ``stats`` is a dict, ``stats["rounds"]`` records the
+    number of iterations executed.
     """
+    if algorithm == "label":
+        return _cc_label(edges, src, dst, max_iterations, stats)
+    if algorithm == "star":
+        return _cc_star(edges, src, dst, max_iterations, stats)
+    raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
+
+
+def _cc_label(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int,
+    stats: dict | None,
+) -> DataFrame:
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -47,7 +75,9 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .persist()
     )
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy(F.col("a").alias("id"))
@@ -74,20 +104,101 @@ def connected_components(
         if stepped.filter(F.col("__changed")).limit(1).count() == 0:
             break
     sym.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
+
+
+def _cc_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int,
+    stats: dict | None,
+) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., SoCC'14).
+
+    Edges are kept canonically pointing DOWN (u > v). One round =
+    large-star (every neighbor larger than the center rewires to the
+    neighborhood min, computed over BOTH directions) then small-star
+    (every down-neighbor of a center rewires to the center's min
+    down-neighbor). The edge set is a fixed point iff it is a union of
+    stars rooted at each component's min vertex.
+    """
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.greatest(F.col("x"), F.col("y")).alias("u"),
+            F.least(F.col("x"), F.col("y")).alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        # Large-star over full neighborhoods (both directions).
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Small-star: `large` edges all point down (v < u).
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("node"), F.col("m"))
+            .union(smins.select(F.col("u").alias("node"), F.col("m")))
+            .filter(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # cut lineage each round
+        )
+        changed = (
+            small.count() != e.count()
+            or small.exceptAll(e).limit(1).count() > 0
+        )
+        old = e
+        e = small.persist()
+        old.unpersist()
+        if not changed:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    # Fixed point is a union of stars: non-roots each hold exactly one
+    # edge to their component's min vertex; roots label themselves.
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    out = labels.union(roots).distinct()
+    e.unpersist()
+    return out
 
 
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Candidate pairs -> (component, n_members, canonical_id) clusters.
 
     canonical_id = min member (the component label itself); singleton
     documents (no pair) are not rows here — they are their own canonical.
     """
-    comp = connected_components(pairs, id_a, id_b)
+    comp = connected_components(pairs, id_a, id_b, algorithm=algorithm)
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("id").alias("canonical_id"),

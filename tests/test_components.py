@@ -1,0 +1,88 @@
+"""Connected-components: label-propagation vs large-star/small-star.
+
+The star variant (Kiveris et al., SoCC'14) must produce identical
+(id, component) labelings and converge in O(log n) rounds where the
+label variant needs diameter rounds — the chain graph makes the gap
+observable.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.operators import components as cc
+
+
+def _labels(df):
+    return {(r.id, r.component) for r in df.collect()}
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_star_matches_label_on_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        pairs = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(30 + trial * 10)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        edges = _edges_df(spark, pairs)
+        lab = _labels(cc.connected_components(edges, "id_a", "id_b"))
+        star = _labels(
+            cc.connected_components(edges, "id_a", "id_b", algorithm="star")
+        )
+        assert lab == star
+
+
+def test_star_matches_label_on_disjoint_cliques(spark):
+    # Three dense clusters (the near-dup shape) + one bridge pair.
+    pairs = []
+    for base in (0, 100, 200):
+        members = [base + i for i in range(5)]
+        pairs += [(a, b) for a in members for b in members if a < b]
+    pairs.append((4, 104))  # merge first two clusters
+    edges = _edges_df(spark, pairs)
+    lab = _labels(cc.connected_components(edges, "id_a", "id_b"))
+    star = _labels(
+        cc.connected_components(edges, "id_a", "id_b", algorithm="star")
+    )
+    assert lab == star
+    comps = {c for _, c in star}
+    assert comps == {0, 200}
+
+
+def test_star_fewer_rounds_on_chain(spark):
+    # Chain 0-1-2-...-L: diameter L. Label propagation moves the min one
+    # hop per round (~L rounds); star contraction halves star depth per
+    # round (~log L rounds).
+    L = 16
+    edges = _edges_df(spark, [(i, i + 1) for i in range(L)])
+    s_lab, s_star = {}, {}
+    lab = _labels(
+        cc.connected_components(
+            edges, "id_a", "id_b", max_iterations=50, stats=s_lab
+        )
+    )
+    star = _labels(
+        cc.connected_components(
+            edges, "id_a", "id_b", algorithm="star", max_iterations=50,
+            stats=s_star,
+        )
+    )
+    assert lab == star == {(i, 0) for i in range(L + 1)}
+    assert s_star["rounds"] < s_lab["rounds"], (s_star, s_lab)
+    assert s_star["rounds"] <= 8  # O(log 16) + convergence check round
+    assert s_lab["rounds"] >= L - 1
+
+
+def test_duplicate_clusters_algorithm_passthrough(spark):
+    pairs = _edges_df(spark, [(1, 2), (2, 3), (10, 11)])
+    out = {
+        (r.component, r.n_members, r.canonical_id)
+        for r in cc.duplicate_clusters(pairs, algorithm="star").collect()
+    }
+    assert out == {(1, 3, 1), (10, 2, 10)}
