@@ -918,6 +918,8 @@ _DRIVER_FIRST = [
     # exactly 50 (test_driver_gate_ordering enforces the arithmetic):
     "grouped_median_approx",
     "percentiles_approx",
+    "ivfpq_topk",
+    "ivfpq_recall_at_k",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -953,8 +955,6 @@ _DRIVER_FILL = [
     "bpe_token_stats",
     "asof_last_purchase",
     "range_join_windows",
-    "time_bucket_rollup",
-    "unpivot_roundtrip",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -966,6 +966,8 @@ _DRIVER_TAIL_STREAMING = ['streaming_sessions', 'streaming_interval_join']
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "time_bucket_rollup",
+    "unpivot_roundtrip",
     "value_stats",
     "value_histogram",
     # This round's sacrifice: every name below has a green driver row

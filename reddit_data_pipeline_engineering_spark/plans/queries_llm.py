@@ -1068,15 +1068,14 @@ def _sql_sqdist_q(a: str, b: str) -> str:
     )
 
 
-def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS,
-                 nprobe: int = _KM_NPROBE) -> str:
-    """CTE chain replaying operators.kmeans.kmeans_fit + assignment +
-    probe selection: every distance is exact 64-bit integer math, every
-    centroid update floors onto the integer grid, so the replay is
-    bit-identical to the Spark fit regardless of partitioning."""
-    sq = _sql_sqdist_q
+def _shared_parts(k: int) -> list[str]:
+    """CTEs shared by the k-means, PQ, and IVF-PQ oracle replays:
+    quantized vectors, fit sample, seed ranking (identical for coarse
+    and sub-codebooks — both use k=8 smallest-md5 seeds), and the query
+    row. Factored so the IVF-PQ oracle can compose both chains without
+    duplicate CTE names."""
     seed_rank = "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)"
-    parts = [
+    return [
         f"""qv AS MATERIALIZED (
   SELECT vec_id, embedding, {_sql_qx('embedding')} AS qx FROM embeddings
 )""",
@@ -1087,6 +1086,19 @@ def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS,
   SELECT qx, {seed_rank} - 1 AS cluster
   FROM fitv QUALIFY {seed_rank} <= {k}
 )""",
+        "qq AS MATERIALIZED "
+        "(SELECT qx, embedding AS qe FROM qv WHERE vec_id = 0)",
+    ]
+
+
+def _kmeans_core_parts(k: int, iters: int, nprobe: int) -> list[str]:
+    """Coarse-quantizer replay (fit + full assignment + probe selection),
+    excluding the shared CTEs: every distance is exact 64-bit integer
+    math, every centroid update floors onto the integer grid, so the
+    replay is bit-identical to the Spark fit regardless of
+    partitioning."""
+    sq = _sql_sqdist_q
+    parts = [
         """cent0 AS MATERIALIZED (
   SELECT cluster, list_transform(qx, v -> v * 64) AS c FROM seeds
 )""",
@@ -1119,9 +1131,6 @@ def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS,
   QUALIFY row_number() OVER (
     PARTITION BY e.vec_id ORDER BY {sq('e.qx', 'c.c')}, c.cluster) = 1
 )""")
-    parts.append(
-        "qq AS MATERIALIZED (SELECT qx, embedding AS qe FROM qv WHERE vec_id = 0)"
-    )
     parts.append(f"""probes AS MATERIALIZED (
   SELECT c.cluster FROM {prev} c CROSS JOIN qq
   ORDER BY {sq('qq.qx', 'c.c')}, c.cluster LIMIT {nprobe}
@@ -1130,7 +1139,12 @@ def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS,
   SELECT a.vec_id FROM af a JOIN probes p USING (cluster)
   WHERE a.vec_id <> 0
 )""")
-    return ",\n".join(parts)
+    return parts
+
+
+def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS,
+                 nprobe: int = _KM_NPROBE) -> str:
+    return ",\n".join(_shared_parts(k) + _kmeans_core_parts(k, iters, nprobe))
 
 
 _KMEANS_TOPK_ORACLE = f"""
@@ -1280,27 +1294,16 @@ def _sql_sqdist_sub(a: str, c: str, sub: int) -> str:
     )
 
 
-def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS,
-             shortlist: int = _PQ_SHORTLIST) -> str:
-    """CTE chain replaying operators.pq.pq_fit + pq_assign + ADC: the k
-    smallest-md5(id) rows seed every subspace, each Lloyd iteration is
-    (assign, sum-per-dim, floor-onto-grid) per subspace, final codes
-    join against the per-subspace query distance tables."""
-    seed_rank = (
-        "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)"
-    )
-    parts = [
-        f"""qv AS MATERIALIZED (
-  SELECT vec_id, embedding, {_sql_qx('embedding')} AS qx FROM embeddings
-)""",
-        f"""fitv AS MATERIALIZED (
-  SELECT * FROM qv WHERE {_FIT_FILTER_SQL}
-)""",
-        f"""seeds AS MATERIALIZED (
-  SELECT qx, {seed_rank} - 1 AS cluster
-  FROM fitv QUALIFY {seed_rank} <= {k}
-)""",
-    ]
+def _pq_core_parts(m: int, iters: int, shortlist: int,
+                   candidates: bool = False) -> list[str]:
+    """PQ replay (sub-codebook fit + encode + ADC shortlist), excluding
+    the shared CTEs: the k smallest-md5(id) rows seed every subspace,
+    each Lloyd iteration is (assign, sum-per-dim, floor-onto-grid) per
+    subspace, final codes join against the per-subspace query distance
+    tables. With ``candidates=True`` the shortlist is drawn from the
+    coarse quantizer's ``cand`` CTE (IVF-PQ) instead of the full
+    corpus."""
+    parts = []
     for s in range(m):
         lo = s * _PQ_SUBDIM
         parts.append(f"""p{s}c0 AS MATERIALIZED (
@@ -1338,10 +1341,6 @@ def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS,
     PARTITION BY e.vec_id
     ORDER BY {_sql_sqdist_sub('e.qx', 'c.c', s)}, c.cluster) = 1
 )""")
-    parts.append(
-        "qq AS MATERIALIZED "
-        "(SELECT qx, embedding AS qe FROM qv WHERE vec_id = 0)"
-    )
     for s in range(m):
         parts.append(f"""dt{s} AS MATERIALIZED (
   SELECT c.cluster, ({_sql_sqdist_sub('qq.qx', 'c.c', s)}) AS d
@@ -1352,6 +1351,8 @@ def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS,
         f"JOIN dt{s} d{s} ON d{s}.cluster = a{s}.cluster"
         for s in range(m)
     )
+    if candidates:
+        joins += " JOIN cand ON e.vec_id = cand.vec_id"
     dist = " + ".join(f"d{s}.d" for s in range(m))
     parts.append(f"""short AS MATERIALIZED (
   SELECT e.vec_id, ({dist}) AS approx_dist
@@ -1359,7 +1360,12 @@ def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS,
   WHERE e.vec_id <> 0
   ORDER BY approx_dist, e.vec_id LIMIT {shortlist}
 )""")
-    return ",\n".join(parts)
+    return parts
+
+
+def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS,
+             shortlist: int = _PQ_SHORTLIST) -> str:
+    return ",\n".join(_shared_parts(k) + _pq_core_parts(m, iters, shortlist))
 
 
 _PQ_TOPK_ORACLE = f"""
@@ -1456,6 +1462,141 @@ def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = pq.pq_adc_topk(
         rest, "embedding", "vec_id", books, qvec,
         shortlist=_PQ_SHORTLIST, k=20,
+    ).select("vec_id")
+    overlap = exact.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(20).alias("k"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.round(F.col("n_overlap") / F.lit(20.0), 4).alias("recall_at_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (VERDICT r02 #7): the production ANN shape — the k-means coarse
+# quantizer prunes WHICH cells to scan (nprobe), PQ prunes HOW the
+# survivors are scored (ADC table lookups), exact cosine re-ranks the
+# shortlist. At 100 TB: candidate generation reads nprobe/k of the
+# corpus, scoring reads m bytes/row instead of 64 floats, and only
+# `shortlist` rows ever touch float math. Both fits reuse the shared
+# seeds/fit-sample CTEs, so the oracle composes the two replays.
+# --------------------------------------------------------------------------
+
+_IVFPQ_SHORTLIST = 100
+
+_IVFPQ_CTES = ",\n".join(
+    _shared_parts(_KM_K)
+    + _kmeans_core_parts(_KM_K, _KM_ITERS, _KM_NPROBE)
+    + _pq_core_parts(_PQ_M, _PQ_ITERS, _IVFPQ_SHORTLIST, candidates=True)
+)
+
+_IVFPQ_TOPK_ORACLE = f"""
+WITH {_IVFPQ_CTES}
+SELECT e.vec_id, s.approx_dist,
+       ROUND(({_sql_dot('e.embedding', 'qq.qe')})
+             / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                * sqrt({_sql_dot('qq.qe', 'qq.qe')})), 6) AS cosine
+FROM qv e JOIN short s USING (vec_id) CROSS JOIN qq
+ORDER BY cosine DESC, e.vec_id
+LIMIT 20
+"""
+
+
+@query(
+    "ivfpq_topk",
+    _IVFPQ_TOPK_ORACLE,
+    "IVF-PQ ANN (the production shape): k-means coarse cells prune the "
+    "candidate set to nprobe=3 cells, PQ ADC scores ONLY those "
+    "candidates via m=4 distance-table lookups, exact cosine re-ranks "
+    "the per-probed-cell shortlist — map-only encode, "
+    "TakeOrderedAndProject shortlist, no float math on the corpus",
+    tags=("llm", "similarity", "bench"),
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import kmeans, pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = _fit_sample(emb)
+    cents = kmeans.kmeans_fit(
+        fit, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS
+    )
+    books = pq.pq_fit(
+        fit, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    probes = _kmeans_probe_clusters(cents, qvec, _KM_NPROBE)
+    assigned = kmeans.assign_clusters(emb, "embedding", cents)
+    cand = assigned.filter(
+        F.col("cluster").isin(probes) & (F.col("vec_id") != 0)
+    ).drop("cluster")
+    return pq.pq_adc_topk(
+        cand, "embedding", "vec_id", books, qvec,
+        shortlist=_IVFPQ_SHORTLIST, k=20,
+    )
+
+
+_IVFPQ_RECALL_ORACLE = f"""
+WITH {_IVFPQ_CTES},
+scored AS MATERIALIZED (
+  SELECT e.vec_id,
+         ROUND(({_sql_dot('e.embedding', 'qq.qe')})
+               / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                  * sqrt({_sql_dot('qq.qe', 'qq.qe')})), 6) AS cosine
+  FROM qv e CROSS JOIN qq
+  WHERE e.vec_id <> 0
+), exact AS (
+  SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id LIMIT 20
+), approx AS (
+  SELECT s.vec_id FROM scored s JOIN short USING (vec_id)
+  ORDER BY s.cosine DESC, s.vec_id LIMIT 20
+)
+SELECT 20 AS k,
+       CAST((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id)) AS BIGINT)
+         AS n_overlap,
+       ROUND((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id))
+             / 20.0, 4) AS recall_at_k
+"""
+
+
+@query(
+    "ivfpq_recall_at_k",
+    _IVFPQ_RECALL_ORACLE,
+    "Recall@20 of IVF-PQ vs exact brute force — certifies the combined "
+    "coarse-prune + compressed-score stack end-to-end, deterministic "
+    "(integer-grid fits, exact re-rank)",
+    tags=("llm", "similarity", "eval"),
+)
+def q_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import kmeans, pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = _fit_sample(emb)
+    cents = kmeans.kmeans_fit(
+        fit, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS
+    )
+    books = pq.pq_fit(
+        fit, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    probes = _kmeans_probe_clusters(cents, qvec, _KM_NPROBE)
+    assigned = kmeans.assign_clusters(emb, "embedding", cents)
+    cand = assigned.filter(
+        F.col("cluster").isin(probes) & (F.col("vec_id") != 0)
+    ).drop("cluster")
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = similarity.cosine_topk(
+        rest, "embedding", "vec_id", qvec, k=20
+    ).select("vec_id")
+    approx = pq.pq_adc_topk(
+        cand, "embedding", "vec_id", books, qvec,
+        shortlist=_IVFPQ_SHORTLIST, k=20,
     ).select("vec_id")
     overlap = exact.join(approx, "vec_id").agg(
         F.count(F.lit(1)).alias("n_overlap")
