@@ -21,6 +21,18 @@ PageRank, where summation order perturbs low bits). The deliberate cost:
 each division truncates up to 1 grid unit of mass (lost to rounding, not
 redistributed) — at scale=10^12 that is a ~1e-12 relative artifact, far
 below any ranking-relevant signal.
+
+Overflow bound: the damping update computes ``DAMP_NUM * __m`` where
+``__m`` is one node's summed in-contributions. Total mass is conserved
+at ~n_nodes * scale, so the worst case (every node pointing at one hub)
+needs ``85 * n_nodes * scale < 2^63`` — at the default scale=10^12 that
+is safe to ~10^5 nodes in the pathological star and to ~10^7+ nodes for
+any graph whose max in-mass stays under ~10^17 (realistic webs: hub
+in-mass ≈ in_degree * avg_rank ≪ total mass). Spark in non-ANSI mode
+would WRAP silently past the bound while DuckDB errors, breaking the
+bit-identical-replay claim — so for graphs beyond it, pass a smaller
+``scale`` (e.g. 10^9 keeps the star-graph bound at ~10^8 nodes; the
+truncation artifact grows to ~1e-9 relative, still ranking-irrelevant).
 """
 
 from __future__ import annotations

@@ -1390,7 +1390,7 @@ ORDER BY cohort_week, week_offset
     "Weekly cohort retention: per-user first-activity week, then distinct "
     "users per (cohort, week offset) — two keyed aggregates + one rollup, "
     "week ids from exact epoch arithmetic so the replay is engine-exact",
-    tags=("relational", "warehouse", "stats"),
+    tags=("relational", "warehouse", "stats", "bench"),
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1457,7 +1457,7 @@ FROM conv
     "by ONE keyed window over the interleaved event stream (the as-of "
     "composition, no inequality join), then a per-user flag rollup — "
     "users / clicked / converted / rate",
-    tags=("relational", "window", "stats"),
+    tags=("relational", "window", "stats", "bench"),
 )
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1673,7 +1673,7 @@ FROM corrected, e
     "built independently, then combined by cellwise register MAX into "
     "the union's sketch — the partial-combine step a 100 TB tree "
     "aggregation performs, verified against the exact union distinct",
-    tags=("llm", "sketch", "approx"),
+    tags=("llm", "sketch", "approx", "bench"),
 )
 def q_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(

@@ -363,7 +363,7 @@ ORDER BY window_start, event_type
     "event expands to window/slide = 2 rows before ONE hash aggregate — "
     "the replay models the same assignment as two offset tumbling grids; "
     "decimal-exact sums",
-    tags=("relational", "timeseries"),
+    tags=("relational", "timeseries", "bench"),
 )
 def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
