@@ -1387,33 +1387,42 @@ ORDER BY cohort_week, week_offset
 @query(
     "cohort_retention",
     _COHORT_ORACLE,
-    "Weekly cohort retention: per-user first-activity week, then distinct "
-    "users per (cohort, week offset) — two keyed aggregates + one rollup, "
-    "week ids from exact epoch arithmetic so the replay is engine-exact",
+    "Weekly cohort retention in ONE keyed shuffle + one rollup: the "
+    "per-user distinct-week set is a single collect_set aggregate "
+    "(bounded by the corpus's week count, not its row count), the "
+    "cohort week is its array_min, and after explode each (user, "
+    "offset) is unique so the rollup is a plain COUNT — no second "
+    "distinct pass, no user_id re-join, no count-distinct expansion",
     tags=("relational", "warehouse", "stats", "bench"),
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sec = F.col("ts").cast("timestamp").cast("long")
     t0 = ev.agg(F.min(sec).alias("sec0"))
-    act = (
-        ev.crossJoin(t0)
+    # collect_set partial-aggregates map-side (ObjectHashAggregate), so
+    # the one shuffle moves <= |weeks-in-corpus| longs per user — at
+    # 100 TB that is ~100s of values, not the user's event count.
+    peruser = (
+        ev.crossJoin(F.broadcast(t0))
         .select(
             "user_id",
             F.floor((sec - F.col("sec0")) / F.lit(604800.0))
             .cast("long")
             .alias("week"),
         )
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.collect_set("week").alias("weeks"))
     )
-    firstw = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    exploded = peruser.select(
+        F.array_min("weeks").alias("cohort_week"),
+        F.explode("weeks").alias("week"),
+    )
     return (
-        act.join(firstw, "user_id")
-        .groupBy(
+        exploded.groupBy(
             "cohort_week",
             (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
         )
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
 

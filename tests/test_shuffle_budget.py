@@ -34,10 +34,10 @@ queries()  # force registration
 BUDGETS = {
     "asof_last_purchase": 2,
     "bloom_semijoin_reduction": 2,
-    # first-activity agg + distinct (cohort, week) + rollup chain; the
-    # broadcasts (3) are free. High but each keyed exchange is over
-    # already-aggregated rows.
-    "cohort_retention": 7,
+    # one collect_set shuffle on user_id + the (cohort, offset) rollup +
+    # the final range sort (was 7 with the distinct/re-join/
+    # count-distinct formulation).
+    "cohort_retention": 4,
     # 1 pair-agg + the (order, part) distinct printed once per join side
     # (identical subplans — AQE ReuseExchange dedups them at runtime).
     # The distinct is the correctness fix: an order holding a part twice
