@@ -1828,3 +1828,33 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Scale-safe EXACT median (operators/selection.py): same relation as
+# grouped_median — same oracle, hash-for-hash — but computed with
+# mergeable conditional aggregates only (iterative bucket bisection),
+# so no task ever sorts a whole group. This closes the SCALE.md §10
+# exact-order-statistics weakness without changing semantics.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "grouped_median_scalable",
+    _MEDIAN_ORACLE,
+    "Exact per-group median by iterative bucket bisection (~6 rounds of "
+    "map-side-combinable conditional counts narrow each group's bracket "
+    "past double precision; final pass reads the few distinct values "
+    "left) — identical relation and oracle as grouped_median, but no "
+    "per-group single-task sort anywhere: the scale-safe EXACT path",
+    tags=("relational", "stats", "scale"),
+)
+def q_grouped_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.selection import (
+        grouped_median_selection,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_median_selection(ev, "event_type", "value").orderBy(
+        "event_type"
+    )
