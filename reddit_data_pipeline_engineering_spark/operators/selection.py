@@ -1,11 +1,12 @@
 """Distributed exact order statistics by iterative bucket bisection.
 
-The window-rank formulation of an exact per-group median
-(plans/queries_ext.py `grouped_median`) funnels each group through one
-task's sort — the documented SCALE.md §10 weakness for LOW-cardinality
-groups, exactly the regime (5 event types, country codes, source tags)
-a warehouse rollup hits. This module computes the same exact order
-statistics with NOTHING but mergeable conditional aggregates:
+The window-rank formulation of an exact per-group median or percentile
+(plans/queries_ext.py `grouped_median`, `exact_percentiles`) funnels
+each group through one task's sort — the documented SCALE.md §10
+weakness for LOW-cardinality groups, exactly the regime (5 event types,
+country codes, source tags) a warehouse rollup hits. This module
+computes the same exact order statistics with NOTHING but mergeable
+conditional aggregates:
 
 1. one profile pass per group: count / min / max;
 2. repeated bucket passes: partition each group's live value range
@@ -28,16 +29,19 @@ high-cardinality groups use the window variant, whose per-group sorts
 are then small.
 
 Determinism: bucket edges are pure double arithmetic from (lo, hi)
-computed identically on the driver; ranks select VALUES (the multiset
-middle), so id tiebreaks cannot change the result. The selected values
-are exact input doubles — the same values the rank-window oracle
-selects — so the final (sum of middles)/count matches the SQL replay
-bit-for-bit.
+computed identically on the driver; ranks select VALUES (multiset order
+statistics), so id tiebreaks cannot change the result. The selected
+values are exact input doubles — the same values a rank-window oracle
+selects — so downstream arithmetic (median mean, percentile
+interpolation) matches the SQL replay bit-for-bit when it mirrors the
+engine's expression shape.
 """
 
 from __future__ import annotations
 
+import math
 from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,42 +58,27 @@ def _kth_targets(n: int) -> list[int]:
     return [n // 2, n // 2 + 1]
 
 
-def grouped_median_selection(
-    df: DataFrame,
-    group_col: str,
-    value_col: str,
-    buckets: int = BUCKETS,
-    max_rounds: int = MAX_ROUNDS,
-) -> DataFrame:
-    """Exact per-group median via bucket bisection; returns a DataFrame
-    (group, n_values BIGINT, median_value DOUBLE) matching the
-    rank-window formulation row-for-row.
+def _gtype(sample) -> str:
+    return "bigint" if isinstance(sample, int) else "string"
 
-    Null values are ignored (matching ``WHERE value IS NOT NULL``).
-    """
-    spark = df.sparkSession
-    src = df.select(
-        F.col(group_col).alias("g"), F.col(value_col).alias("v")
-    ).filter(F.col("v").isNotNull()).persist()
 
-    prof = {
-        r["g"]: (r["n"], float(r["lo"]), float(r["hi"]))
-        for r in src.groupBy("g")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("v").alias("lo"),
-            F.max("v").alias("hi"),
-        )
-        .collect()
-    }
-
-    # (group, rank) -> live bracket; resolved[group] -> list of values in
-    # middle-rank order.
-    want: dict[object, list[int]] = {g: _kth_targets(n) for g, (n, _, _) in prof.items()}
+def _select_ranks(
+    src: DataFrame,
+    targets: dict[object, list[int]],
+    prof: dict[object, tuple[int, float, float]],
+    buckets: int,
+    max_rounds: int,
+) -> dict[tuple[object, int], float]:
+    """Core bisection: resolve the k-th smallest value (1-based, within
+    the group's non-null values ascending) for every (group, k) in
+    ``targets``. ``src`` has columns (g, v); ``prof`` maps group ->
+    (count, min, max)."""
+    spark = src.sparkSession
     state: dict[tuple[object, int], tuple[float, float]] = {}
     resolved: dict[tuple[object, int], float] = {}
-    for g, (n, lo, hi) in prof.items():
-        for k in want[g]:
+    for g, ks in targets.items():
+        _, lo, hi = prof[g]
+        for k in set(ks):
             if lo == hi:
                 resolved[(g, k)] = lo
             else:
@@ -102,10 +91,9 @@ def grouped_median_selection(
         # One conditional-aggregation pass for ALL live (group, rank)
         # brackets: a bounds row per bracket broadcast-joined on group,
         # bucket index computed from the raw value each round.
-        gtype = "bigint" if isinstance(next(iter(live))[0], int) else "string"
         bounds = spark.createDataFrame(
             [(g, k, lo, hi) for (g, k), (lo, hi) in live.items()],
-            f"g {gtype}, k long, lo double, hi double",
+            f"g {_gtype(next(iter(live))[0])}, k long, lo double, hi double",
         )
         width = F.col("hi") - F.col("lo")
         bucket = F.least(
@@ -155,7 +143,11 @@ def grouped_median_selection(
     if live:
         bounds = spark.createDataFrame(
             [(g, k, *state[(g, k)]) for (g, k) in live],
-            f"g {'bigint' if isinstance(live[0][0], int) else 'string'}, k long, lo double, hi double",
+            f"g {_gtype(live[0][0])}, k long, lo double, hi double",
+        )
+        in_range = F.when(
+            (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
+            F.col("v"),
         )
         rows = (
             src.join(F.broadcast(bounds), "g")
@@ -164,20 +156,8 @@ def grouped_median_selection(
                 F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0)).alias(
                     "below"
                 ),
-                F.sort_array(
-                    F.collect_set(
-                        F.when(
-                            (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
-                            F.col("v"),
-                        )
-                    )
-                ).alias("vals"),
-                F.collect_list(
-                    F.when(
-                        (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
-                        F.col("v"),
-                    )
-                ).alias("all_in"),
+                F.sort_array(F.collect_set(in_range)).alias("vals"),
+                F.collect_list(in_range).alias("all_in"),
             )
             .collect()
         )
@@ -191,15 +171,116 @@ def grouped_median_selection(
                 if cum >= remaining:
                     resolved[(g, k)] = v
                     break
+    return resolved
 
+
+def _profile(df: DataFrame, group_col: str, value_col: str) -> tuple:
+    src = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .persist()
+    )
+    prof = {
+        r["g"]: (r["n"], float(r["lo"]), float(r["hi"]))
+        for r in src.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    return src, prof
+
+
+def grouped_median_selection(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    buckets: int = BUCKETS,
+    max_rounds: int = MAX_ROUNDS,
+) -> DataFrame:
+    """Exact per-group median via bucket bisection; returns a DataFrame
+    (group, n_values BIGINT, median_value DOUBLE) matching the
+    rank-window formulation row-for-row.
+
+    Null values are ignored (matching ``WHERE value IS NOT NULL``).
+    """
+    spark = df.sparkSession
+    src, prof = _profile(df, group_col, value_col)
+    want = {g: _kth_targets(n) for g, (n, _, _) in prof.items()}
+    resolved = _select_ranks(src, want, prof, buckets, max_rounds)
     src.unpersist()
     # Mean of the 1-2 middle values with plain IEEE a+b (commutative for
     # two terms), mirroring the rank-window oracle's SUM/COUNT.
     out = []
     for g, (n, _, _) in sorted(prof.items(), key=lambda x: str(x[0])):
         vals = [resolved[(g, k)] for k in want[g]]
-        out.append((g, n, (vals[0] + vals[-1]) / len(vals) if len(vals) == 2 else vals[0]))
-    gtype = "bigint" if out and isinstance(out[0][0], int) else "string"
+        med = (vals[0] + vals[-1]) / 2 if len(vals) == 2 else vals[0]
+        out.append((g, n, med))
     return spark.createDataFrame(
-        out, f"{group_col} {gtype}, n_values bigint, median_value double"
+        out,
+        f"{group_col} {_gtype(out[0][0]) if out else 'string'}, "
+        "n_values bigint, median_value double",
+    )
+
+
+def _spark_round6(v: float) -> float:
+    """Replicate Spark's ``F.round(double, 6)``: HALF_UP on the shortest
+    round-trip decimal representation (Scala BigDecimal(double) goes
+    through Double.toString; Python's repr is the same shortest
+    round-trip string)."""
+    return float(
+        Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def grouped_percentiles_selection(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple = (0.5, 0.9, 0.99),
+    names: tuple = ("p50", "p90", "p99"),
+    buckets: int = BUCKETS,
+    max_rounds: int = MAX_ROUNDS,
+) -> DataFrame:
+    """Exact interpolated per-group percentiles via bucket bisection,
+    bit-matching ``F.round(F.percentile(v, p), 6)``: the two bracketing
+    order statistics come from the mergeable selection core, and the
+    interpolation mirrors Spark's percentile expression exactly —
+    ``lower*(ceil(rn)-rn) + upper*(rn-floor(rn))`` with
+    ``rn = p*(n-1)`` — followed by Spark's HALF_UP round-to-6.
+
+    Returns (group, <name> DOUBLE ...) ordered by group.
+    """
+    spark = df.sparkSession
+    src, prof = _profile(df, group_col, value_col)
+    want: dict[object, list[int]] = {}
+    for g, (n, _, _) in prof.items():
+        ks = set()
+        for p in percentiles:
+            rn = p * (n - 1)
+            ks.add(int(math.floor(rn)) + 1)
+            ks.add(int(math.ceil(rn)) + 1)
+        want[g] = sorted(ks)
+    resolved = _select_ranks(src, want, prof, buckets, max_rounds)
+    src.unpersist()
+    out = []
+    for g, (n, _, _) in sorted(prof.items(), key=lambda x: str(x[0])):
+        row = [g]
+        for p in percentiles:
+            rn = p * (n - 1)
+            frn, crn = math.floor(rn), math.ceil(rn)
+            a = resolved[(g, int(frn) + 1)]
+            if frn == crn:
+                v = a
+            else:
+                b = resolved[(g, int(crn) + 1)]
+                v = a * (crn - rn) + b * (rn - frn)
+            row.append(_spark_round6(v))
+        out.append(tuple(row))
+    cols = ", ".join(f"{nm} double" for nm in names)
+    return spark.createDataFrame(
+        out,
+        f"{group_col} {_gtype(out[0][0]) if out else 'string'}, {cols}",
     )

@@ -921,6 +921,7 @@ _DRIVER_FIRST = [
     "ivfpq_topk",
     "ivfpq_recall_at_k",
     "grouped_median_scalable",
+    "exact_percentiles_scalable",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -954,7 +955,6 @@ _DRIVER_FILL = [
     "hll_distinct_sketch",
     "aqi_profile",
     "bpe_token_stats",
-    "asof_last_purchase",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -966,6 +966,7 @@ _DRIVER_TAIL_STREAMING = ['streaming_sessions', 'streaming_interval_join']
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "asof_last_purchase",
     "range_join_windows",
     "time_bucket_rollup",
     "unpivot_roundtrip",

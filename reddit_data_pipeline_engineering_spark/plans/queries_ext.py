@@ -1858,3 +1858,25 @@ def q_grouped_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_median_selection(ev, "event_type", "value").orderBy(
         "event_type"
     )
+
+
+@query(
+    "exact_percentiles_scalable",
+    _PCTL_ORACLE,
+    "Exact interpolated p50/p90/p99 per group via bucket bisection "
+    "(operators/selection.py): bracketing order statistics from "
+    "mergeable conditional counts — no per-group sort — then Spark's "
+    "own percentile interpolation replayed bit-for-bit; identical "
+    "relation and oracle as exact_percentiles, the scale-safe EXACT "
+    "percentile path",
+    tags=("relational", "stats", "scale"),
+)
+def q_exact_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.selection import (
+        grouped_percentiles_selection,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_percentiles_selection(ev, "event_type", "value").orderBy(
+        "event_type"
+    )

@@ -45,3 +45,39 @@ def test_selection_median_long_groups(spark):
     (row,) = grouped_median_selection(df, "g", "v").collect()
     assert row["median_value"] == _expected(vals)
     assert row["n_values"] == 2000
+
+
+def test_selection_percentiles_bit_match_spark_percentile(spark):
+    from pyspark.sql import functions as F
+
+    from reddit_data_pipeline_engineering_spark.operators.selection import (
+        grouped_percentiles_selection,
+    )
+
+    rng = random.Random(23)
+    data = []
+    for g, n in (("a", 501), ("b", 640), ("c", 40), ("d", 1), ("e", 333)):
+        vals = (
+            [3.25] * n
+            if g == "c"
+            else [rng.uniform(-1000, 1000) for _ in range(n)]
+        )
+        data += [(g, v) for v in vals]
+    df = spark.createDataFrame(data, "g string, v double")
+
+    want = {
+        r["g"]: (r["p50"], r["p90"], r["p99"])
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.round(F.percentile("v", F.lit(p)), 6).alias(nm)
+                for p, nm in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+            ]
+        )
+        .collect()
+    }
+    got = {
+        r["g"]: (r["p50"], r["p90"], r["p99"])
+        for r in grouped_percentiles_selection(df, "g", "v").collect()
+    }
+    assert got == want
