@@ -1847,7 +1847,7 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "past double precision; final pass reads the few distinct values "
     "left) — identical relation and oracle as grouped_median, but no "
     "per-group single-task sort anywhere: the scale-safe EXACT path",
-    tags=("relational", "stats", "scale"),
+    tags=("relational", "stats", "scale", "bench"),
 )
 def q_grouped_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.operators.selection import (
@@ -1869,7 +1869,7 @@ def q_grouped_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "own percentile interpolation replayed bit-for-bit; identical "
     "relation and oracle as exact_percentiles, the scale-safe EXACT "
     "percentile path",
-    tags=("relational", "stats", "scale"),
+    tags=("relational", "stats", "scale", "bench"),
 )
 def q_exact_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.operators.selection import (

@@ -347,3 +347,33 @@ def test_topn_per_group_uses_window_group_limit(spark):
     # so the exchange carries O(groups*N) rows, not the whole table.
     plan = plan_of(REGISTRY["topn_per_group"].fn(spark, SF_SMALL))
     assert "WindowGroupLimit" in plan
+
+
+def test_approx_percentile_twins_broadcast_sketch(spark):
+    # The sketch output (one row per group) must come back as a
+    # broadcast, never a shuffled join, and the scan side must keep
+    # map-side partial aggregation.
+    for name in ("grouped_median_approx", "percentiles_approx"):
+        plan = plan_of(REGISTRY[name].fn(spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_topk_no_cartesian_and_take_ordered(spark):
+    plan = plan_of(REGISTRY["ivfpq_topk"].fn(spark, SF_SMALL))
+    # Coarse-cell filter + ADC scoring are map-only against broadcast
+    # model rows; both the shortlist and final top-k must be
+    # TakeOrderedAndProject (no global sort), with zero shuffles.
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_selection_queries_return_literal_relation(spark):
+    # The bisection queries do their keyed-aggregate work during
+    # construction (like the kmeans/pq fits); the RETURNED plan must be
+    # the tiny literal result, not a re-execution of the passes.
+    for name in ("grouped_median_scalable", "exact_percentiles_scalable"):
+        plan = plan_of(REGISTRY[name].fn(spark, SF_SMALL))
+        assert "parquet" not in plan.lower(), name

@@ -50,11 +50,17 @@ BUDGETS = {
     "embedding_blocked_topk": 1,
     "exact_dedup": 1,
     "exact_percentiles": 2,
+    # Bisection queries: the heavy work (profile + ~6 conditional-count
+    # rounds + distinct-in-bracket pass, each one keyed shuffle of
+    # G*B counters) runs during construction like the kmeans/pq fits;
+    # the returned plan is the final sort of G literal rows.
+    "exact_percentiles_scalable": 1,
     "flagship_top_locations": 1,
     "forecast_revenue": 1,
     "forward_fill": 1,
     "funnel_conversion": 2,
     "grouped_median_approx": 3,
+    "grouped_median_scalable": 1,
     "hash_split_stats": 3,
     "hll_distinct_sketch": 4,
     "hll_union_merge": 5,
