@@ -922,6 +922,7 @@ _DRIVER_FIRST = [
     "ivfpq_recall_at_k",
     "grouped_median_scalable",
     "exact_percentiles_scalable",
+    "hll_intersection_estimate",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -953,8 +954,6 @@ _DRIVER_FILL = [
     "cube_segments",
     "ntile_spend_quartiles",
     "hll_distinct_sketch",
-    "aqi_profile",
-    "bpe_token_stats",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -962,10 +961,17 @@ _DRIVER_FILL = [
 # This round that means the two never-gated streaming queries; the two
 # r02-green drains (streaming_marts_kernel, stateful_ema_stream) rotate
 # out — both stay covered by tests/test_streaming.py + local parity.
-_DRIVER_TAIL_STREAMING = ['streaming_sessions', 'streaming_interval_join']
+_DRIVER_TAIL_STREAMING = [
+    "streaming_sessions",
+    "streaming_interval_join",
+    # NEW round 3: left-outer variant (state-expiry flush semantics).
+    "streaming_interval_join_outer",
+]
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "aqi_profile",
+    "bpe_token_stats",
     "asof_last_purchase",
     "range_join_windows",
     "time_bucket_rollup",

@@ -1880,3 +1880,129 @@ def q_exact_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_percentiles_selection(ev, "event_type", "value").orderBy(
         "event_type"
     )
+
+
+# --------------------------------------------------------------------------
+# HLL set algebra: intersection estimate by inclusion-exclusion over
+# three sketches (|A∩B| ≈ est(A) + est(B) - est(A∪B), with the union
+# sketch from the cellwise register MAX merge). The sketch-algebra step
+# every cross-corpus overlap report runs at 100 TB — no rescan of the
+# underlying keys; verified against the exact intersection distinct.
+# --------------------------------------------------------------------------
+
+_HLL_INTER_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+           % {_HLL_M} AS bucket,
+         61 - length(bin(
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 15))::BIGINT
+         )) AS rho
+  FROM events
+  WHERE event_type IN ('click', 'view')
+), per_type AS (
+  SELECT event_type, bucket, MAX(rho) AS r
+  FROM h GROUP BY event_type, bucket
+), st AS (
+  SELECT event_type,
+         CAST(SUM(CAST(POWER(2.0, -r) AS DECIMAL(38,30))) AS DOUBLE)
+         + CAST({_HLL_M} - COUNT(*) AS DOUBLE) AS denom,
+         {_HLL_M} - COUNT(*) AS zeros
+  FROM per_type GROUP BY event_type
+), ct AS (
+  SELECT event_type,
+         CASE WHEN {_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / denom
+                   <= 2.5 * {_HLL_M} AND zeros > 0
+              THEN ({_HLL_LC_SQL})[zeros]
+              ELSE {_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / denom END AS est
+  FROM st
+), typed AS (
+  SELECT MAX(CASE WHEN event_type = 'click' THEN est END) AS est_click,
+         MAX(CASE WHEN event_type = 'view' THEN est END) AS est_view
+  FROM ct
+), merged AS (
+  SELECT bucket, MAX(r) AS r FROM per_type GROUP BY bucket
+), sm AS (
+  SELECT CAST(SUM(CAST(POWER(2.0, -r) AS DECIMAL(38,30))) AS DOUBLE)
+         + CAST({_HLL_M} - COUNT(*) AS DOUBLE) AS denom,
+         {_HLL_M} - COUNT(*) AS zeros
+  FROM merged
+), cu AS (
+  SELECT CASE WHEN {_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / denom
+                   <= 2.5 * {_HLL_M} AND zeros > 0
+              THEN ({_HLL_LC_SQL})[zeros]
+              ELSE {_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / denom END
+           AS est_union
+  FROM sm
+), e AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+    SELECT user_id FROM (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE event_type IN ('click', 'view'))
+    GROUP BY user_id HAVING COUNT(*) = 2)
+)
+SELECT ROUND(est_click + est_view - est_union, 6)
+         AS hll_intersection_estimate,
+       exact_intersection,
+       ROUND(abs(est_click + est_view - est_union - exact_intersection)
+             / exact_intersection * 100.0, 4) AS rel_error_pct
+FROM typed, cu, e
+"""
+
+
+@query(
+    "hll_intersection_estimate",
+    _HLL_INTER_ORACLE,
+    "HLL set algebra: |A∩B| by inclusion-exclusion over the click/view "
+    "sketches and their register-MAX union merge — the sketch-only "
+    "overlap report (no key rescan), verified against the exact "
+    "intersection distinct",
+    tags=("llm", "sketch", "approx"),
+)
+def q_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    per_type = _hll_registers(ev, "user_id", group_cols=("event_type",))
+    typed_est = (
+        per_type.groupBy("event_type")
+        .agg(*_hll_sketch_aggs())
+        .select("event_type", _hll_estimate().alias("est"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", F.col("est"))
+            ).alias("est_click"),
+            F.max(
+                F.when(F.col("event_type") == "view", F.col("est"))
+            ).alias("est_view"),
+        )
+    )
+    union_est = (
+        per_type.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .agg(*_hll_sketch_aggs())
+        .select(_hll_estimate().alias("est_union"))
+    )
+    exact = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    inter = F.col("est_click") + F.col("est_view") - F.col("est_union")
+    return (
+        typed_est.crossJoin(union_est)
+        .crossJoin(exact)
+        .select(
+            F.round(inter, 6).alias("hll_intersection_estimate"),
+            "exact_intersection",
+            F.round(
+                F.abs(inter - F.col("exact_intersection"))
+                / F.col("exact_intersection")
+                * F.lit(100.0),
+                4,
+            ).alias("rel_error_pct"),
+        )
+    )

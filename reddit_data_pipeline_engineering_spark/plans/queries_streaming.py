@@ -366,17 +366,9 @@ FROM e JOIN c ON e.user_id = c.user_id
 """
 
 
-@query(
-    "streaming_interval_join",
-    _SSJOIN_ORACLE,
-    "Stream-stream equi-join bounded by an event-time interval (clicks "
-    "within 24h after each error, streaming/kernel.py "
-    "stream_stream_interval_join): both sides watermarked so join state "
-    "is O(interval horizon), not O(stream) — hash-verified against the "
-    "batch interval join of the same slice",
-    tags=("streaming", "stateful"),
-)
-def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _interval_join_query(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.streaming.kernel import (
         stream_stream_interval_join,
     )
@@ -425,6 +417,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_interval_join(
         left, right, key="user_id", left_ts="error_ts",
         right_ts="click_ts", watermark="2 hours", within="24 hours",
+        how=how,
     ).select(
         F.col("l.user_id").alias("user_id"),
         "error_id",
@@ -435,3 +428,40 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_completion(write_marts_stream(joined, out, ckpt))
     return spark.read.parquet(out).filter(F.col("user_id") != -1)
+
+
+@query(
+    "streaming_interval_join",
+    _SSJOIN_ORACLE,
+    "Stream-stream equi-join bounded by an event-time interval (clicks "
+    "within 24h after each error, streaming/kernel.py "
+    "stream_stream_interval_join): both sides watermarked so join state "
+    "is O(interval horizon), not O(stream) — hash-verified against the "
+    "batch interval join of the same slice",
+    tags=("streaming", "stateful"),
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _interval_join_query(spark, sf_dir, "inner")
+
+
+# LEFT OUTER replay: outer rows (errors with no click within 24h) emit
+# only after the watermark passes their interval — the no-data
+# micro-batch after the availableNow drain performs that state eviction,
+# so the sink holds the complete batch-equivalent LEFT JOIN relation.
+_SSJOIN_OUTER_ORACLE = _SSJOIN_ORACLE.replace(
+    "FROM e JOIN c", "FROM e LEFT JOIN c"
+)
+
+
+@query(
+    "streaming_interval_join_outer",
+    _SSJOIN_OUTER_ORACLE,
+    "LEFT OUTER stream-stream interval join: unmatched errors emit with "
+    "null click columns once the watermark passes their 24h interval "
+    "(state-expiry semantics — the no-data micro-batch after the "
+    "availableNow drain flushes them) — hash-verified against the batch "
+    "LEFT JOIN of the same slice",
+    tags=("streaming", "stateful"),
+)
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _interval_join_query(spark, sf_dir, "leftOuter")

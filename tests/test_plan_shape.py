@@ -207,7 +207,7 @@ def test_driver_gate_ordering():
     assert len(_DRIVER_FIRST) + len(_DRIVER_FILL) + len(_DRIVER_TAIL_STREAMING) == 50
     gate = names[:50]
     assert set(_DRIVER_FIRST) <= set(gate)
-    assert gate[-2:] == _DRIVER_TAIL_STREAMING
+    assert gate[-len(_DRIVER_TAIL_STREAMING):] == _DRIVER_TAIL_STREAMING
     assert names[50:] == _DRIVER_ROTATED_OUT
     # Round-3 contract (VERDICT r02 #2): every query with no green driver
     # row across r01-r02 is inside the gate.
