@@ -923,6 +923,7 @@ _DRIVER_FIRST = [
     "grouped_median_scalable",
     "exact_percentiles_scalable",
     "hll_intersection_estimate",
+    "jl_recall_at_k",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -953,7 +954,6 @@ _DRIVER_FILL = [
     "rollup_orders",
     "cube_segments",
     "ntile_spend_quartiles",
-    "hll_distinct_sketch",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -970,6 +970,7 @@ _DRIVER_TAIL_STREAMING = [
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "hll_distinct_sketch",
     "aqi_profile",
     "bpe_token_stats",
     "asof_last_purchase",

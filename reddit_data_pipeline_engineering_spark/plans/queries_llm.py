@@ -1671,3 +1671,106 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign projection (operators/projection.py): cut
+# 64-dim embeddings to 16 dims in one map-only pass, shortlist in the
+# projected space, exact-cosine re-rank — the cheapest pre-ANN lever at
+# 100 TB (every shortlist scan shrinks by dim_out/dim). The +-1 sign
+# matrix is deterministic md5 parity, so the oracle replays the
+# projection as explicit sign-flipped sums.
+# --------------------------------------------------------------------------
+
+from reddit_data_pipeline_engineering_spark.operators import projection as _projmod
+
+_JL_DIM_OUT = 16
+_JL_SHORTLIST = 100
+_JL_SIGNS = _projmod.jl_signs(_DIM, _JL_DIM_OUT)
+
+
+def _sql_jl_dim(j: int) -> str:
+    terms = []
+    for i in range(_DIM):
+        sign = "-" if _JL_SIGNS[i][j] < 0 else "+"
+        terms.append(f"{sign} CAST(e.embedding[{i + 1}] AS DOUBLE)")
+    expr = " ".join(terms)
+    return expr[2:] if expr.startswith("+ ") else expr
+
+
+def _sql_dot_n(a: str, b: str, n: int) -> str:
+    return " + ".join(f"{a}[{i + 1}] * {b}[{i + 1}]" for i in range(n))
+
+
+_JL_RECALL_ORACLE = f"""
+WITH proj AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding,
+         [{", ".join(_sql_jl_dim(j) for j in range(_JL_DIM_OUT))}] AS proj
+  FROM embeddings e
+), qp AS MATERIALIZED (
+  SELECT proj AS qproj, embedding AS qe FROM proj WHERE vec_id = 0
+), short AS MATERIALIZED (
+  SELECT p.vec_id,
+         ROUND(({_sql_dot_n('p.proj', 'qp.qproj', _JL_DIM_OUT)})
+               / (sqrt({_sql_dot_n('p.proj', 'p.proj', _JL_DIM_OUT)})
+                  * sqrt({_sql_dot_n('qp.qproj', 'qp.qproj', _JL_DIM_OUT)})),
+               6) AS pcos
+  FROM proj p CROSS JOIN qp
+  WHERE p.vec_id <> 0
+  ORDER BY pcos DESC, p.vec_id LIMIT {_JL_SHORTLIST}
+), scored AS MATERIALIZED (
+  SELECT p.vec_id,
+         ROUND(({_sql_dot('p.embedding', 'qp.qe')})
+               / (sqrt({_sql_dot('p.embedding', 'p.embedding')})
+                  * sqrt({_sql_dot('qp.qe', 'qp.qe')})), 6) AS cosine
+  FROM proj p CROSS JOIN qp
+  WHERE p.vec_id <> 0
+), exact AS (
+  SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id LIMIT 20
+), approx AS (
+  SELECT s.vec_id FROM scored s JOIN short USING (vec_id)
+  ORDER BY s.cosine DESC, s.vec_id LIMIT 20
+)
+SELECT 20 AS k,
+       CAST((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id)) AS BIGINT)
+         AS n_overlap,
+       ROUND((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id))
+             / 20.0, 4) AS recall_at_k
+"""
+
+
+@query(
+    "jl_recall_at_k",
+    _JL_RECALL_ORACLE,
+    "Recall@20 of JL sign-projection ANN (64->16 dims map-only, "
+    "projected-space cosine shortlist, exact re-rank) vs brute force — "
+    "the dimensionality-reduction lever quantified; deterministic md5 "
+    "sign matrix, bit-exact SQL replay of the projection",
+    tags=("llm", "similarity", "eval"),
+)
+def q_jl_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj_df = _projmod.jl_project(emb, "embedding", _JL_SIGNS)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    qproj = _projmod.project_query(qvec, _JL_SIGNS)
+    rest = proj_df.filter(F.col("vec_id") != 0)
+    short = similarity.cosine_topk(
+        rest, "proj", "vec_id", qproj, k=_JL_SHORTLIST
+    ).select("vec_id")
+    approx = similarity.cosine_topk(
+        emb.join(short, "vec_id"), "embedding", "vec_id", qvec, k=20
+    ).select("vec_id")
+    exact = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", qvec, k=20
+    ).select("vec_id")
+    overlap = exact.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(20).alias("k"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.round(F.col("n_overlap") / F.lit(20.0), 4).alias("recall_at_k"),
+    )
