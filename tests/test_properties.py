@@ -160,3 +160,84 @@ def test_scrub_pii_idempotent(spark, s):
     once = df.select(scrub_pii("t").alias("o"))
     twice = once.select(scrub_pii("o").alias("o"))
     assert once.collect() == twice.collect()
+
+
+sel_groups_st = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.sampled_from([0.0, 1.5, -2.25]),  # force duplicates
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(groups=sel_groups_st)
+@SLOW
+def test_selection_median_property(spark, groups):
+    """Bucket-bisection median == sorted-middle median for arbitrary
+    group contents (duplicates, negatives, single values)."""
+    from reddit_data_pipeline_engineering_spark.operators.selection import (
+        grouped_median_selection,
+    )
+
+    data = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(data, "g string, v double")
+    got = {
+        r["g"]: (r["n_values"], r["median_value"])
+        for r in grouped_median_selection(df, "g", "v").collect()
+    }
+    for g, vs in groups.items():
+        s = sorted(vs)
+        n = len(s)
+        exp = s[(n - 1) // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+        assert got[g] == (n, exp), (g, got[g], (n, exp))
+
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)),
+    min_size=1,
+    max_size=40,
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@given(edges=edges_st)
+@SLOW
+def test_star_components_property(spark, edges):
+    """Large-star/small-star labeling == a reference union-find on the
+    same edges, for arbitrary graphs (self-loops dropped)."""
+    from reddit_data_pipeline_engineering_spark.operators import components as cc
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            nodes |= {a, b}
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {(x, find(x)) for x in nodes}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["id"], r["component"])
+        for r in cc.connected_components(
+            df, "id_a", "id_b", algorithm="star"
+        ).collect()
+    }
+    assert got == expected
