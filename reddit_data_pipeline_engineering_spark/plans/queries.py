@@ -924,6 +924,8 @@ _DRIVER_FIRST = [
     "exact_percentiles_scalable",
     "hll_intersection_estimate",
     "jl_recall_at_k",
+    "resample_hourly_gapfill",
+    "grouped_linreg_trend",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -952,8 +954,6 @@ _DRIVER_FILL = [
     "props_flatten",
     "lag_lead_delta",
     "rollup_orders",
-    "cube_segments",
-    "ntile_spend_quartiles",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -970,6 +970,8 @@ _DRIVER_TAIL_STREAMING = [
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "cube_segments",
+    "ntile_spend_quartiles",
     "hll_distinct_sketch",
     "aqi_profile",
     "bpe_token_stats",

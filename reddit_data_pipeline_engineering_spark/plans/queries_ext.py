@@ -2006,3 +2006,167 @@ def q_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error_pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series resampling to a regular grid with gap fill — the missing
+# half of forward_fill: generate the dense hourly grid per entity
+# (sequence + explode between each user's min/max hour), left-join the
+# hourly rollup, zero-fill counts and forward-fill the running average.
+# Grid size is bounded by the TIME RANGE, not the row count, so the
+# explode is model-sized at any corpus scale.
+# --------------------------------------------------------------------------
+
+_RESAMPLE_ORACLE = """
+WITH t0 AS (
+  SELECT MIN(CAST(ts AS TIMESTAMP)) AS start_ts FROM events
+), day AS (
+  SELECT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS hb,
+         value
+  FROM events CROSS JOIN t0
+  WHERE CAST(ts AS TIMESTAMP) < start_ts + INTERVAL 1 DAY
+), b AS (
+  SELECT user_id, hb,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) / COUNT(value)
+           AS avg_v
+  FROM day GROUP BY user_id, hb
+), bounds AS (
+  SELECT user_id, MIN(hb) AS lo, MAX(hb) AS hi FROM b GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi)) AS hb FROM bounds
+)
+SELECT g.user_id,
+       to_timestamp(g.hb * 3600)::TIMESTAMP AS hour_ts,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events,
+       last_value(b.avg_v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hb
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+FROM grid g LEFT JOIN b USING (user_id, hb)
+"""
+
+
+@query(
+    "resample_hourly_gapfill",
+    _RESAMPLE_ORACLE,
+    "Resample each user's first-day events onto the dense hourly grid "
+    "(sequence/explode between per-user min/max hour — grid bounded by "
+    "the time range, not row count), left-join the hourly rollup, "
+    "zero-fill counts, forward-fill the decimal-exact hourly average",
+    tags=("relational", "timeseries"),
+)
+def q_resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("start_ts"))
+    sec = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
+    day = (
+        ev.crossJoin(F.broadcast(t0))
+        .filter(F.col("ts") < F.col("start_ts") + F.expr("INTERVAL 1 DAYS"))
+        .select(
+            "user_id",
+            (sec / 3600).cast("long").alias("hb"),
+            "value",
+        )
+    )
+    b = day.groupBy("user_id", "hb").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("double")
+            / F.count("value")
+        ).alias("avg_v"),
+    )
+    bounds = b.groupBy("user_id").agg(
+        F.min("hb").alias("lo"), F.max("hb").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("hb")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(b, ["user_id", "hb"], "left").select(
+        "user_id",
+        F.timestamp_seconds(F.col("hb") * 3600).alias("hour_ts"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.last("avg_v", ignorenulls=True).over(w).alias("filled_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-group OLS trend — closed-form regression of value on time from
+# exact-decimal power sums (Sx, Sy, Sxx, Sxy): one aggregate pass,
+# fully mergeable, the same numeric device as value_stats. Slope is
+# reported per day; x is seconds since the corpus start so the decimal
+# magnitudes stay bounded.
+# --------------------------------------------------------------------------
+
+_LINREG_ORACLE = """
+WITH t0 AS (
+  SELECT CAST(floor(epoch(MIN(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS sec0
+  FROM events
+), d AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) - sec0 AS x,
+         value
+  FROM events CROSS JOIN t0
+  WHERE value IS NOT NULL
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(value AS DECIMAL(14,4)))
+              AS DOUBLE) AS sxy
+  FROM d GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_points,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0, 6)
+         AS slope_per_day,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept
+FROM s
+ORDER BY event_type
+"""
+
+
+@query(
+    "grouped_linreg_trend",
+    _LINREG_ORACLE,
+    "Closed-form per-group OLS (value ~ time): exact-decimal power sums "
+    "in ONE mergeable aggregate pass, slope/intercept from the normal "
+    "equations in mirrored double arithmetic — the trend-per-segment "
+    "report without any iterative fitting",
+    tags=("relational", "stats"),
+)
+def q_grouped_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    sec = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
+    t0 = ev.agg(F.min(sec).alias("sec0"))
+    d = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        (sec - F.col("sec0")).alias("x"),
+        "value",
+    )
+    xd = F.col("x").cast("decimal(18,0)")
+    vd = F.col("value").cast("decimal(14,4)")
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(vd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(xd * vd).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_points"),
+        F.round(slope * F.lit(86400.0), 6).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    ).orderBy("event_type")
