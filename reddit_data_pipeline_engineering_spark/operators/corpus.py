@@ -145,6 +145,30 @@ def md5_bucket(col: Column | str, buckets: int) -> Column:
     )
 
 
+def chunk_documents(
+    docs: DataFrame, text_col: str, id_col: str, chunk_words: int = 10
+) -> DataFrame:
+    """Split each document into consecutive ``chunk_words``-word chunks.
+
+    The C4 pipeline dedups at the LINE level; this corpus has no line
+    structure, so the deterministic equivalent is fixed-width word
+    windows. Chunking is MAP-ONLY: the word array is sliced in place
+    (``transform(sequence(...), slice)``) and exploded — no
+    posexplode-then-regroup shuffle. Output: (id, chunk_idx, chunk_text).
+    """
+    arr = F.split(F.col(text_col), " ")
+    n_chunks = F.floor((F.size(arr) + (chunk_words - 1)) / chunk_words)
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(arr, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    return docs.select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+
+
 def apply_mix_plan(
     df: DataFrame, plan: DataFrame, group_col: str, id_col: str
 ) -> DataFrame:

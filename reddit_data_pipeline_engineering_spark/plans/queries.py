@@ -861,6 +861,7 @@ def _register_all() -> None:
     """Import every query module for its registration side effect."""
     import reddit_data_pipeline_engineering_spark.plans.queries_ext  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_llm  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_llm2  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_prep  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_streaming  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch  # noqa: F401
@@ -926,6 +927,12 @@ _DRIVER_FIRST = [
     "jl_recall_at_k",
     "resample_hourly_gapfill",
     "grouped_linreg_trend",
+    "chunk_dedup_stats",
+    "tfidf_topk_terms",
+    "incremental_dedup",
+    "bpe_merge_learn",
+    "triangle_count_sampled",
+    "mad_outliers",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -948,12 +955,6 @@ _DRIVER_FILL = [
     "topk_orders",
     "set_ops",
     "marts_kernel",
-    "aqi_bundle",
-    "running_sum",
-    "sessionize",
-    "props_flatten",
-    "lag_lead_delta",
-    "rollup_orders",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -970,6 +971,12 @@ _DRIVER_TAIL_STREAMING = [
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "aqi_bundle",
+    "running_sum",
+    "sessionize",
+    "props_flatten",
+    "lag_lead_delta",
+    "rollup_orders",
     "cube_segments",
     "ntile_spend_quartiles",
     "hll_distinct_sketch",

@@ -2170,3 +2170,93 @@ def q_grouped_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope * F.lit(86400.0), 6).alias("slope_per_day"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Robust outlier audit: median / MAD (median absolute deviation) — the
+# skew-immune twin of zscore_outliers. Both medians are LOWER-MIDDLE rank
+# selections (rn = (n+1) div 2), so they are actual data values and no
+# interpolation formula enters; |x - med| and 3*mad are single mirrored
+# IEEE ops. Two keyed windows (bounded group count, same documented
+# caveat as grouped_median; the bisection core in operators/selection.py
+# is the unbounded-cardinality path) + one broadcast-joined rollup.
+# --------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type, value AS med FROM ranked WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY ABS(e.value - m.med), e.event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY e.event_type) AS n
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL
+),
+mad AS (
+  SELECT event_type, med, adev AS mad FROM dev WHERE rn = (n + 1) // 2
+)
+SELECT e.event_type, m.med, m.mad,
+  CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3 * m.mad THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_outliers,
+  COUNT(*) AS n_values
+FROM events e JOIN mad m USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type, m.med, m.mad
+ORDER BY e.event_type
+"""
+
+
+@query(
+    "mad_outliers",
+    _MAD_ORACLE,
+    "Median/MAD robust outlier audit per event type: two lower-middle "
+    "rank selections (actual data values, no interpolation), broadcast "
+    "5-row med/mad dim back onto the fact scan, |x-med| > 3*MAD flag — "
+    "the heavy-tail-safe alternative to z-scores",
+    tags=("relational", "stats", "bench"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+    def lower_middle(df: DataFrame, order_col, out_name: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(order_col, "event_id")
+        wc = Window.partitionBy("event_type")
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wc))
+            .filter(F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+            .select("event_type", order_col.alias(out_name))
+        )
+
+    med = lower_middle(
+        ev.select("event_type", "value", "event_id"), F.col("value"), "med"
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = lower_middle(
+        dev.select("event_type", "adev", "event_id"), F.col("adev"), "mad"
+    )
+    mdim = med.join(mad, "event_type")
+    return (
+        ev.join(F.broadcast(mdim), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+        .orderBy("event_type")
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reddit_data_pipeline_engineering_spark.operators import pagerank as pr
+from reddit_data_pipeline_engineering_spark.operators import triangles as tri
 from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, query
 from reddit_data_pipeline_engineering_spark.sources.tables import load_table
 
@@ -115,5 +116,88 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             kind.alias("node_kind"),
             node_id.cast("long").alias("node_id"),
             "rank",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (operators/triangles.py): degree-oriented wedge
+# generation over a DOULION-sampled co-purchase graph. Degree orientation
+# caps per-node wedge fan-out by arboricity (the power-law skew killer);
+# the deterministic md5 edge sample bounds total work and the p^-3
+# estimator recovers the full-graph count. Everything integer ->
+# bit-exact SQL replay including the estimator.
+# --------------------------------------------------------------------------
+
+_TRI_PCT = 10  # DOULION keep-rate: 10% of edges -> estimator x1000
+
+_TRIANGLES_ORACLE = f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), sampled AS MATERIALIZED (
+  SELECT u, v FROM pairs
+  WHERE ('0x' || substr(md5(CAST(u AS VARCHAR) || ':'
+                            || CAST(v AS VARCHAR)), 1, 8))::BIGINT
+        % 100 < {_TRI_PCT}
+), deg AS MATERIALIZED (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM sampled UNION ALL SELECT v FROM sampled)
+  GROUP BY node
+), oriented AS MATERIALIZED (
+  SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
+         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst
+  FROM sampled p
+  JOIN deg du ON p.u = du.node
+  JOIN deg dv ON p.v = dv.node
+), wedges AS MATERIALIZED (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM oriented e1 JOIN oriented e2
+    ON e1.src = e2.src AND e1.dst < e2.dst
+), closed AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM wedges wg JOIN sampled s ON wg.v = s.u AND wg.w = s.v
+)
+SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+       (SELECT COUNT(*) FROM sampled) AS n_sampled,
+       (SELECT COUNT(*) FROM wedges) AS n_wedges,
+       n_triangles,
+       CAST(n_triangles * {(100 // _TRI_PCT) ** 3} AS BIGINT)
+         AS est_triangles_scaled
+FROM closed
+"""
+
+
+@query(
+    "triangle_count_sampled",
+    _TRIANGLES_ORACLE,
+    "DOULION triangle counting on the part co-purchase graph: "
+    "deterministic md5 10% edge sample, degree-oriented wedge join "
+    "(hub fan-out capped by arboricity, Suri-Vassilvitskii WWW'11), "
+    "two-column equi-join closure, p^-3 unbiased estimator — all "
+    "integer, bit-exact replay",
+    tags=("relational", "graph", "bench"),
+)
+def q_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = tri.copurchase_edges(li)
+    sampled = tri.sample_edges(edges, _TRI_PCT)
+    counts = tri.triangle_count(sampled)
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_sampled = sampled.agg(F.count(F.lit(1)).alias("n_sampled"))
+    mult = (100 // _TRI_PCT) ** 3
+    return (
+        n_edges.crossJoin(n_sampled)
+        .crossJoin(counts)
+        .select(
+            "n_edges",
+            "n_sampled",
+            "n_wedges",
+            "n_triangles",
+            (F.col("n_triangles") * mult).cast("long").alias(
+                "est_triangles_scaled"
+            ),
         )
     )

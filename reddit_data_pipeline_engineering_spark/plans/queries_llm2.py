@@ -1,0 +1,365 @@
+"""LLM training-data pipeline queries, round 3: chunk-level dedup,
+TF-IDF indexing, incremental shard ingestion, BPE merge learning.
+
+Same contract as every registry module: the Spark side is idiomatic
+DataFrame code over the engine's operators; the oracle is hand-mirrored
+DuckDB SQL, integer/mirrored-IEEE arithmetic throughout so value hashes
+match bit-for-bit. No reference counterpart (the reference is an OpenAQ
+ETL, ``glue_jobs/process_openaq_raw.py``); these are the corpus ops a
+100 TB pretraining pipeline runs between crawl and tokenizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.operators import corpus as corpus_ops
+from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, query
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table, spread
+
+__all__ = ["REGISTRY"]
+
+
+# --------------------------------------------------------------------------
+# C4-style chunk-level dedup. C4 drops duplicated LINES corpus-wide
+# (keeping one occurrence); this corpus has no newlines, so the chunk
+# unit is a fixed 10-word window (operators/corpus.chunk_documents —
+# map-only slicing, no regroup shuffle). Survivorship is deterministic:
+# the first (doc_id, chunk_idx) occurrence of each distinct chunk wins.
+# Whole plan = 1 content-hash window shuffle + 1 per-doc aggregate.
+# --------------------------------------------------------------------------
+
+_CHUNK_DEDUP_ORACLE = """
+WITH split AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+words AS (
+  SELECT doc_id, a[i] AS word, i - 1 AS pos
+  FROM split, UNNEST(generate_series(1, len(a))) AS t(i)
+),
+chunks AS (
+  SELECT doc_id, pos // 10 AS chunk_idx,
+         string_agg(word, ' ' ORDER BY pos) AS chunk_text
+  FROM words GROUP BY doc_id, pos // 10
+),
+ranked AS (
+  SELECT doc_id, chunk_text,
+         row_number() OVER (PARTITION BY md5(chunk_text)
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+  COUNT(*) AS n_chunks,
+  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  CAST(SUM(CASE WHEN rn = 1 THEN LENGTH(chunk_text) ELSE 0 END) AS BIGINT)
+    AS kept_chars
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query(
+    "chunk_dedup_stats",
+    _CHUNK_DEDUP_ORACLE,
+    "C4-style corpus-wide chunk dedup (10-word windows, first occurrence "
+    "survives): map-only chunking, one md5-window shuffle, per-doc "
+    "kept/dropped accounting",
+    tags=("llm", "dedup", "bench"),
+)
+def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    chunks = corpus_ops.chunk_documents(docs, "text", "doc_id")
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("rn") == 1, F.length("chunk_text")).otherwise(0)
+            ).alias("kept_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms. The inverted-index build: per-(doc, term) counts, a
+# vocabulary-sized document-frequency dim (BROADCAST — the vocab is
+# bounded, the corpus is not), and an integer-scaled idf so no float
+# division enters the ordering: score = tf * n_docs * 10000 div df.
+# One corpus shuffle on (doc, term); everything else is broadcast.
+# --------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH split AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+words AS (
+  SELECT doc_id, a[i] AS word
+  FROM split, UNNEST(generate_series(1, len(a))) AS t(i)
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, word, tf, df,
+       CAST(tf * n_docs * 10000 // df AS BIGINT) AS score_scaled
+FROM tf JOIN df USING (word), n
+QUALIFY row_number()
+  OVER (PARTITION BY doc_id ORDER BY score_scaled DESC, word) <= 3
+ORDER BY doc_id, score_scaled DESC, word
+"""
+
+
+@query(
+    "tfidf_topk_terms",
+    _TFIDF_ORACLE,
+    "Top-3 TF-IDF terms per document: one (doc, term) count shuffle, "
+    "broadcast vocabulary df dim, integer-scaled idf (tf * N * 10000 div "
+    "df) so the ranking is engine-exact with zero float division",
+    tags=("llm", "text", "bench"),
+)
+def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_scaled",
+            F.expr("(tf * n_docs * 10000) div df").cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_scaled"), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tf", "df", "score_scaled")
+        .orderBy("doc_id", F.desc("score_scaled"), "word")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental shard ingestion — the dedup shape a CONTINUOUS crawl runs:
+# new shard vs. accumulated history. History is fingerprint-only (the
+# first 10 words — the md5 of full text never collides in this synthetic
+# corpus, a prefix fingerprint shows real collisions), so at 100 TB the
+# history side is a compact fingerprint table, the join is one hash
+# shuffle (bloom-prefilterable, see operators/bloom.py), and within-shard
+# survivorship is a window over the NEW shard only.
+# --------------------------------------------------------------------------
+
+_INCR_DEDUP_ORACLE = """
+WITH tagged AS (
+  SELECT doc_id, source,
+         md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS h,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           >= 80 AS is_new
+  FROM documents
+),
+hist AS (SELECT DISTINCT h FROM tagged WHERE NOT is_new),
+news AS (
+  SELECT t.doc_id, t.source, (hi.h IS NOT NULL) AS dup_hist,
+         row_number() OVER (PARTITION BY t.h ORDER BY t.doc_id) AS rn
+  FROM tagged t LEFT JOIN hist hi ON t.h = hi.h
+  WHERE t.is_new
+)
+SELECT source, COUNT(*) AS n_new,
+  CAST(SUM(CASE WHEN dup_hist THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_history,
+  CAST(SUM(CASE WHEN NOT dup_hist AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_within,
+  CAST(SUM(CASE WHEN NOT dup_hist AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_ingested
+FROM news GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "incremental_dedup",
+    _INCR_DEDUP_ORACLE,
+    "Incremental crawl ingestion: new shard (md5-bucket 20%) deduped "
+    "against history fingerprints (10-word-prefix md5) then within-shard; "
+    "one fingerprint hash join + one shard-local window — history never "
+    "rescanned beyond its fingerprint column",
+    tags=("llm", "dedup"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 10), " "))
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        fp.alias("h"),
+        (corpus_ops.md5_bucket("doc_id", 100) >= 80).alias("is_new"),
+    )
+    hist = tagged.filter(~F.col("is_new")).select("h").distinct()
+    news = (
+        tagged.filter(F.col("is_new"))
+        .join(hist.withColumn("__in_hist", F.lit(True)), "h", "left")
+        .withColumn("dup_hist", F.col("__in_hist").isNotNull())
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("h").orderBy("doc_id")),
+        )
+    )
+    not_hist = ~F.col("dup_hist")
+    return (
+        news.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.when(F.col("dup_hist"), 1).otherwise(0)).alias(
+                "n_dup_history"
+            ),
+            F.sum(F.when(not_hist & (F.col("rn") > 1), 1).otherwise(0)).alias(
+                "n_dup_within"
+            ),
+            F.sum(F.when(not_hist & (F.col("rn") == 1), 1).otherwise(0)).alias(
+                "n_ingested"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning — tokenizer induction as an iterative Spark plan.
+# State per iteration is the SPELLED VOCABULARY (distinct words + corpus
+# frequency — bounded, tiny next to the corpus), so after one corpus-wide
+# word count every merge round is an aggregate over ~vocab rows: adjacent
+# symbol pairs are sliced map-only from the spelling, weighted by word
+# frequency, and the argmax pair (count desc, pair asc tiebreak) is
+# applied with a 1-row broadcast + replace() — no driver collect, the
+# whole k-round fit is ONE Catalyst plan, and both engines' replace()
+# scan left-to-right non-overlapping so the rewrite is deterministic.
+# --------------------------------------------------------------------------
+
+_BPE_ITERS = 3
+
+
+def _bpe_pair_cte(t: int) -> str:
+    return f"""
+p{t} AS (
+  SELECT pr AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, a[i] || ' ' || a[i + 1] AS pr
+    FROM (SELECT freq, string_split(spelled, ' ') AS a FROM s{t - 1}),
+         UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+  ) GROUP BY pr
+),
+b{t} AS (
+  SELECT pair, cnt, replace(pair, ' ', '') AS merged
+  FROM p{t} ORDER BY cnt DESC, pair LIMIT 1
+),
+s{t} AS (
+  SELECT s.word, s.freq,
+         trim(replace(' ' || s.spelled || ' ',
+                      ' ' || b.pair || ' ',
+                      ' ' || b.merged || ' ')) AS spelled
+  FROM s{t - 1} s, b{t} b
+)"""
+
+
+_BPE_ORACLE = (
+    """
+WITH vocab AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT a[i] AS word FROM
+      (SELECT string_split(text, ' ') AS a FROM documents),
+      UNNEST(generate_series(1, len(a))) AS t(i)
+  ) GROUP BY word
+),
+s0 AS (
+  SELECT word, freq,
+         regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS spelled
+  FROM vocab
+),"""
+    + ",".join(_bpe_pair_cte(t) for t in range(1, _BPE_ITERS + 1))
+    + """
+SELECT * FROM (
+  SELECT 1 AS it, pair, merged, cnt FROM b1
+  UNION ALL SELECT 2, pair, merged, cnt FROM b2
+  UNION ALL SELECT 3, pair, merged, cnt FROM b3
+) ORDER BY it
+"""
+)
+
+
+def _bpe_best(spelled: DataFrame) -> DataFrame:
+    """Most frequent adjacent symbol pair of a spelled vocab (1 row)."""
+    a = F.split("spelled", " ")
+    prs = F.transform(
+        F.sequence(F.lit(1), (F.size(a) - 1).cast("int")),
+        lambda i: F.concat(
+            F.element_at(a, i), F.lit(" "), F.element_at(a, i + 1)
+        ),
+    )
+    return (
+        spelled.select("freq", F.explode(prs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(1)
+        .withColumn("merged", F.replace("pair", F.lit(" "), F.lit("")))
+    )
+
+
+def _bpe_apply(spelled: DataFrame, best: DataFrame) -> DataFrame:
+    """Rewrite every spelling with the winning merge (1-row broadcast)."""
+    padded = F.concat(F.lit(" "), F.col("spelled"), F.lit(" "))
+    return spelled.crossJoin(
+        F.broadcast(best.select("pair", "merged"))
+    ).select(
+        "word",
+        "freq",
+        F.trim(
+            F.replace(
+                padded,
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("merged"), F.lit(" ")),
+            )
+        ).alias("spelled"),
+    )
+
+
+@query(
+    "bpe_merge_learn",
+    _BPE_ORACLE,
+    "BPE tokenizer induction, 3 merge rounds as ONE Catalyst plan: corpus "
+    "word count once, then per-round pair aggregates over the bounded "
+    "vocabulary with the argmax merge applied via 1-row broadcast "
+    "replace() — no driver collect, deterministic count-desc/pair-asc "
+    "tiebreak, oracle replays every round as unrolled CTEs",
+    tags=("llm", "text"),
+)
+def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    spelled = vocab.select(
+        "word",
+        "freq",
+        F.concat(
+            F.regexp_replace("word", "(.)", "$1 "), F.lit("</w>")
+        ).alias("spelled"),
+    )
+    outs = []
+    for t in range(1, _BPE_ITERS + 1):
+        best = _bpe_best(spelled)
+        outs.append(
+            best.select(
+                F.lit(t).alias("it"), "pair", "merged", F.col("cnt")
+            )
+        )
+        if t < _BPE_ITERS:
+            spelled = _bpe_apply(spelled, best)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("it")

@@ -44,6 +44,8 @@ BUDGETS = {
     # must not double-count its pairs.
     "copurchase_pairs": 3,
     "corpus_prep_stats": 3,
+    # spread + md5-window + per-doc rollup + output sort.
+    "chunk_dedup_stats": 4,
     "cosine_topk": 0,
     "daily_topk": 1,
     "decontaminate_ngrams": 3,
@@ -86,6 +88,17 @@ BUDGETS = {
     "scd2_dimension": 2,
     "shipping_priority": 1,
     "sliding_window_rollup": 2,
+    # med + mad each need a rank window over events (textually replayed
+    # per branch; identical subtrees reuse at runtime) + final rollup.
+    "mad_outliers": 5,
+    # The (doc, term) count subtree prints once per consumer branch (df
+    # dim, n_docs scalar, ranking window) — runtime ReuseExchange dedups;
+    # real data movement is the tf shuffle + window + output sort.
+    "tfidf_topk_terms": 9,
+    # Textual count dominated by the pairs/sampled subtree replayed in
+    # every scalar branch (n_edges/n_sampled/n_wedges/closure) — all
+    # identical, so AQE reuses one materialization of each at runtime.
+    "triangle_count_sampled": 40,
     "value_stats": 2,
     "vocab_topk": 2,
     "waiting_suppliers": 3,
