@@ -954,7 +954,6 @@ _DRIVER_FILL = [
     "date_partition_rollup",
     "topk_orders",
     "set_ops",
-    "marts_kernel",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -965,12 +964,15 @@ _DRIVER_FILL = [
 _DRIVER_TAIL_STREAMING = [
     "streaming_sessions",
     "streaming_interval_join",
-    # NEW round 3: left-outer variant (state-expiry flush semantics).
+    # NEW round 3: left-outer variant (state-expiry flush semantics) and
+    # the CUSUM change-point detector (second stateful operator).
     "streaming_interval_join_outer",
+    "streaming_cusum_drift",
 ]
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "marts_kernel",
     "aqi_bundle",
     "running_sum",
     "sessionize",

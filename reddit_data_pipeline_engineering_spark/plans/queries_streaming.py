@@ -465,3 +465,117 @@ _SSJOIN_OUTER_ORACLE = _SSJOIN_ORACLE.replace(
 )
 def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _interval_join_query(spark, sf_dir, "leftOuter")
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detection as the second applyInPandasWithState operator:
+# unlike the EMA (a float recurrence replayed by sequential list_reduce),
+# the CUSUM recurrence s_i = max(0, s_{i-1} + y_i) UNROLLS to two window
+# passes — s_i = c_i - least(0, min prefix of c) — so the oracle is pure
+# windowed SQL over the integer grid, no fold at all. Ordering among
+# equal (ts, v) rows cannot change the output multiset (tied rows take
+# the tied slots' scores in either order).
+# --------------------------------------------------------------------------
+
+_CUSUM_DRIFT = 5000      # 50.00 per-event drift allowance (x100 grid)
+_CUSUM_THRESHOLD = 20000  # alarm when accumulated excess > 200.00
+
+_CUSUM_ORACLE = f"""
+WITH day AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) <
+        (SELECT MIN(CAST(ts AS TIMESTAMP)) FROM events) + INTERVAL 1 DAY
+), c AS (
+  SELECT user_id, ts, v,
+         SUM(v - {_CUSUM_DRIFT}) OVER (PARTITION BY user_id
+                                       ORDER BY ts, v
+                                       ROWS UNBOUNDED PRECEDING) AS c
+  FROM day
+)
+SELECT user_id, ts, v AS v_scaled,
+       CAST(c - LEAST(0, MIN(c) OVER (PARTITION BY user_id ORDER BY ts, v
+                                      ROWS UNBOUNDED PRECEDING))
+            AS BIGINT) AS cusum,
+       (c - LEAST(0, MIN(c) OVER (PARTITION BY user_id ORDER BY ts, v
+                                  ROWS UNBOUNDED PRECEDING)))
+         > {_CUSUM_THRESHOLD} AS alarm
+FROM c
+ORDER BY user_id, ts, v
+"""
+
+
+@query(
+    "streaming_cusum_drift",
+    _CUSUM_ORACLE,
+    "applyInPandasWithState CUSUM change-point detector: per-user "
+    "max(0, s + v - k) recurrence on an integer grid folded across two "
+    "micro-batches (cross-trigger state carry); oracle replays the "
+    "recurrence CLOSED-FORM as cumsum minus its clamped prefix minimum "
+    "— two keyed windows, bit-exact",
+    tags=("streaming", "stateful"),
+)
+def q_streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.streaming.stateful import (
+        cusum_stream,
+    )
+
+    import glob
+
+    ev = load_table(spark, sf_dir, "events")
+    day = _with_min_ts(ev).filter(
+        F.col("ts") < F.col("t0") + F.expr("INTERVAL 1 DAYS")
+    ).filter(F.col("value").isNotNull())
+    tmp = tempfile.mkdtemp(prefix="rdpe_cusumq_")
+    raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
+    os.makedirs(raw)
+    # Two time-split micro-batch files, pinned mtimes so
+    # maxFilesPerTrigger=1 drains them in order (cross-batch state carry
+    # is exercised by construction — same staging as the EMA query).
+    cut = F.col("t0") + F.expr("INTERVAL 12 HOURS")
+    for i, cond in enumerate((F.col("ts") < cut, F.col("ts") >= cut)):
+        stage = os.path.join(tmp, f"stage{i}")
+        (
+            day.filter(cond)
+            .select(
+                "user_id",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias(
+                    "ts"
+                ),
+                "value",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(stage)
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.json"))
+        p = os.path.join(raw, f"b{i}.json")
+        os.rename(part, p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, ts string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .load(raw)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        cusum_stream(
+            stream,
+            "user_id",
+            "ts",
+            "value",
+            drift=_CUSUM_DRIFT,
+            threshold=_CUSUM_THRESHOLD,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    return spark.read.parquet(out)

@@ -97,3 +97,75 @@ def ema_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cusum_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    drift: int,
+    threshold: int,
+) -> DataFrame:
+    """Per-key one-sided CUSUM drift detector across micro-batches.
+
+    ``s_i = max(0, s_{i-1} + v_scaled_i - drift)`` with an alarm when
+    ``s_i > threshold`` — the classic change-point recurrence (Page 1954)
+    over an INTEGER grid: values are scaled by 100 and rounded to int64,
+    so state, scores and alarms are bit-exact on any engine.
+
+    Emits one row per event: (key, ts, v_scaled, cusum, alarm). Within a
+    micro-batch rows fold in (ts, value) order (value tiebreak — tied
+    rows produce the same output multiset regardless of their relative
+    order); across batches arrival order governs, like every online
+    detector. State is one int64 per key.
+
+    Batch replay (the oracle identity): with ``y_i = v_scaled_i - drift``
+    and ``c_i = sum(y_1..y_i)``, the recurrence unrolls to
+    ``s_i = c_i - least(0, min(c_1..c_i))`` — two keyed window passes, no
+    recursion. The worker below is the streaming form of exactly that
+    fold.
+    """
+    k, h = int(drift), int(threshold)
+    kc, tc, vc = key_col, ts_col, value_col
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        s = state.get[0] if state.exists else 0
+        outs = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([tc, vc], kind="stable").reset_index(
+                drop=True
+            )
+            scaled = (pdf[vc] * 100.0).round().astype("int64")
+            ss = []
+            for v in scaled:
+                s = max(0, s + int(v) - k)
+                ss.append(s)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        kc: pdf[kc],
+                        tc: pdf[tc],
+                        "v_scaled": scaled,
+                        "cusum": ss,
+                        "alarm": [x > h for x in ss],
+                    }
+                )
+            )
+        state.update((s,))
+        for out in outs:
+            yield out
+
+    out_schema = (
+        f"{kc} long, {tc} timestamp, v_scaled long, cusum long, "
+        "alarm boolean"
+    )
+    return df.groupBy(kc).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="s long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
