@@ -57,3 +57,39 @@ def quantize(col: Column, lo: float, step: float, bits: int = 4) -> Column:
     """
     q = F.floor((col - F.lit(lo)) / F.lit(step)).cast("long")
     return F.greatest(F.lit(0), F.least(F.lit(2**bits - 1), q))
+
+
+def hilbert_key_2d(x: Column, y: Column, bits: int = 4) -> Column:
+    """Hilbert-curve index of two (already-quantized, ``[0, 2**bits)``)
+    integer columns — the locality-tighter alternative to
+    :func:`zorder_key`: consecutive Hilbert indices are UNIT-ADJACENT
+    cells (no Morton "seam jumps"), so a range of key values maps to an
+    even tighter region and parquet min/max pruning sheds more files for
+    the same sort.
+
+    This is the classic xy2d bit-level recurrence (rx/ry quadrant bits,
+    ``d += s*s*((3*rx) xor ry)``, reflect+swap rotation) unrolled
+    ``bits`` times as pure integer/conditional expressions — no UDF, no
+    shuffle, whole-stage codegen, and exactly replayable in any SQL
+    engine (the oracle mirrors each round as a chained CTE).
+    """
+    n = 2**bits
+    xx, yy = x.cast("long"), y.cast("long")
+    d = F.lit(0).cast("long")
+    s = n // 2
+    while s > 0:
+        rx = F.when(xx.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        ry = F.when(yy.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        d = d + F.lit(s * s) * (rx * 3).bitwiseXOR(ry)
+        # rot: when ry == 0 reflect (if rx == 1) then swap x and y.
+        refl_x = F.when(rx == 1, F.lit(n - 1) - xx).otherwise(xx)
+        refl_y = F.when(rx == 1, F.lit(n - 1) - yy).otherwise(yy)
+        nxt_x = F.when(ry == 0, refl_y).otherwise(xx)
+        nxt_y = F.when(ry == 0, refl_x).otherwise(yy)
+        xx, yy = nxt_x, nxt_y
+        s //= 2
+    return d.cast("long")

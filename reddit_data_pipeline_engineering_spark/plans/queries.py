@@ -933,6 +933,7 @@ _DRIVER_FIRST = [
     "bpe_merge_learn",
     "triangle_count_sampled",
     "mad_outliers",
+    "hilbert_layout",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -953,7 +954,6 @@ _DRIVER_FILL = [
     "normalize_group",
     "date_partition_rollup",
     "topk_orders",
-    "set_ops",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -972,6 +972,7 @@ _DRIVER_TAIL_STREAMING = [
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "set_ops",
     "marts_kernel",
     "aqi_bundle",
     "running_sum",

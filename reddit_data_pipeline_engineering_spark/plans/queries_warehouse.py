@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from reddit_data_pipeline_engineering_spark.operators import bloom
 from reddit_data_pipeline_engineering_spark.operators.layout import (
+    hilbert_key_2d,
     quantize,
     zorder_key,
 )
@@ -381,4 +382,98 @@ def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
         .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve layout audit — the locality-tighter twin of
+# zorder_layout (same quantization grid, same output shape, directly
+# comparable extents). Consecutive Hilbert indices are UNIT-ADJACENT
+# cells, so a key range maps to a tighter hyper-rectangle than Morton's
+# seam-jumping order; tests/test_warehouse.py quantifies the win. The
+# oracle replays the xy2d recurrence round-by-round as chained CTEs (in
+# each round's SELECT, hx/hy references bind to the CTE's INPUT columns
+# — they exist in the FROM relation, so DuckDB's lateral-alias rule
+# never applies).
+# --------------------------------------------------------------------------
+
+_HILBERT_BITS = 4
+
+
+def _hilbert_ctes(bits: int = _HILBERT_BITS) -> str:
+    n = 2**bits
+    parts = [
+        """r0 AS (
+  SELECT o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+         CAST(0 AS BIGINT) AS d,
+         CAST(GREATEST(0, LEAST(15, CAST(FLOOR((o_totalprice - 0.0)
+             / 40000.0) AS BIGINT))) AS BIGINT) AS hx,
+         CAST(GREATEST(0, LEAST(15, CAST(FLOOR((
+             (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+           - 0.0) / 6.0) AS BIGINT))) AS BIGINT) AS hy
+  FROM orders)"""
+    ]
+    s, t = n // 2, 0
+    while s > 0:
+        t += 1
+        parts.append(f"""b{t} AS (
+  SELECT *, CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+            CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+  FROM r{t - 1})""")
+        parts.append(f"""r{t} AS (
+  SELECT o_totalprice, o_orderdate,
+         d + {s * s} * xor(3 * rx, ry) AS d,
+         CASE WHEN ry = 0
+              THEN (CASE WHEN rx = 1 THEN {n - 1} - hy ELSE hy END)
+              ELSE hx END AS hx,
+         CASE WHEN ry = 0
+              THEN (CASE WHEN rx = 1 THEN {n - 1} - hx ELSE hx END)
+              ELSE hy END AS hy
+  FROM b{t})""")
+        s //= 2
+    return ",\n".join(parts), t
+
+
+_HILBERT_CTES, _HILBERT_LAST = _hilbert_ctes()
+
+_HILBERT_ORACLE = f"""
+WITH {_HILBERT_CTES}
+SELECT CAST(d AS BIGINT) AS hkey, COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+FROM r{_HILBERT_LAST}
+GROUP BY d
+ORDER BY hkey
+"""
+
+
+@query(
+    "hilbert_layout",
+    _HILBERT_ORACLE,
+    "Hilbert-curve layout audit: xy2d recurrence over the same quantized "
+    "(price, order-month) grid as zorder_layout, unrolled to pure "
+    "integer/conditional codegen (no UDF, no shuffle for the key); "
+    "per-bucket extents show the tighter-than-Morton pruning profile. "
+    "Oracle replays every recurrence round as chained CTEs.",
+    tags=("relational", "warehouse", "layout", "bench"),
+)
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    months = (
+        (F.year("o_orderdate") - F.lit(1992)) * 12
+        + F.month("o_orderdate") - F.lit(1)
+    )
+    pb = quantize(F.col("o_totalprice"), lo=0.0, step=40000.0, bits=4)
+    db = quantize(months, lo=0.0, step=6.0, bits=4)
+    return (
+        orders.withColumn("hkey", hilbert_key_2d(pb, db, bits=_HILBERT_BITS))
+        .groupBy("hkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+        .orderBy("hkey")
     )

@@ -64,6 +64,7 @@ BUDGETS = {
     "grouped_median_approx": 3,
     "grouped_median_scalable": 1,
     "hash_split_stats": 3,
+    "hilbert_layout": 2,
     "hll_distinct_sketch": 4,
     "hll_union_merge": 5,
     "ivf_kmeans_topk": 0,

@@ -5,6 +5,7 @@ import datetime
 from pyspark.sql import functions as F
 
 from reddit_data_pipeline_engineering_spark.operators.layout import (
+    hilbert_key_2d,
     quantize,
     zorder_key,
 )
@@ -147,3 +148,56 @@ def test_bloom_query_plan_broadcasts_and_prefilters(spark):
     # post-join residual.
     assert "BroadcastHashJoin" in plan
     assert plan.count("md5") >= 3  # k literal-array probes in the filter
+
+
+def test_hilbert_key_is_bijective_and_unit_adjacent(spark):
+    # The Hilbert index must visit every cell exactly once AND step to a
+    # Manhattan-distance-1 neighbor each time — the property Morton
+    # order lacks (its seam jumps are why Hilbert buckets are tighter).
+    import itertools
+
+    rows = [(x, y) for x, y in itertools.product(range(16), range(16))]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.h
+        for r in df.select(
+            "x", "y", hilbert_key_2d(F.col("x"), F.col("y"), 4).alias("h")
+        ).collect()
+    }
+    assert sorted(got.values()) == list(range(256))
+    pos = {h: xy for xy, h in got.items()}
+    assert all(
+        abs(pos[i][0] - pos[i + 1][0]) + abs(pos[i][1] - pos[i + 1][1]) == 1
+        for i in range(255)
+    )
+
+
+def test_hilbert_buckets_no_looser_than_zorder(spark):
+    # Same 16-bucket layout audit as the z-order test: every Hilbert
+    # bucket is a 4x4 tile too (spans == 3), and the total span is <=
+    # the Morton layout's — the comparable pruning profile.
+    import itertools
+
+    rows = [(float(x), float(y)) for x, y in itertools.product(range(16), range(16))]
+    df = spark.createDataFrame(rows, "x double, y double")
+    qx = quantize(F.col("x"), 0.0, 1.0, 4)
+    qy = quantize(F.col("y"), 0.0, 1.0, 4)
+
+    def spans(key):
+        out = (
+            df.withColumn("k", key)
+            .withColumn("bucket", (F.col("k") / 16).cast("long"))
+            .groupBy("bucket")
+            .agg(
+                (F.max("x") - F.min("x")).alias("xspan"),
+                (F.max("y") - F.min("y")).alias("yspan"),
+            )
+            .collect()
+        )
+        return sum(r.xspan + r.yspan for r in out)
+
+    h = spans(hilbert_key_2d(qx, qy, 4))
+    z = spans(zorder_key([qx, qy], 4))
+    assert h <= z
+    # 16 buckets x (3 + 3): every Hilbert bucket is a tight 4x4 tile.
+    assert h == 96.0
