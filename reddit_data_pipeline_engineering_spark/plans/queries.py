@@ -934,6 +934,9 @@ _DRIVER_FIRST = [
     "triangle_count_sampled",
     "mad_outliers",
     "hilbert_layout",
+    "item_similarity_topk",
+    "fuzzy_blocked_matches",
+    "winsorized_stats",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -951,9 +954,6 @@ _DRIVER_FILL = [
     "conditional_counts",
     "daily_topk",
     "null_audit",
-    "normalize_group",
-    "date_partition_rollup",
-    "topk_orders",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -972,6 +972,9 @@ _DRIVER_TAIL_STREAMING = [
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "normalize_group",
+    "date_partition_rollup",
+    "topk_orders",
     "set_ops",
     "marts_kernel",
     "aqi_bundle",

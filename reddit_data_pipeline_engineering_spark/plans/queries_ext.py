@@ -2260,3 +2260,88 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized robust stats — the third robust-stats tool next to
+# zscore_outliers and mad_outliers: clamp each value into the exact
+# [p10, p90] rank-selected bounds, then a decimal-exact mean of the
+# clamped column. Bounds are ACTUAL data values (row_number selection,
+# no interpolation); the clamp is least/greatest (exact); the mean is an
+# exact decimal sum / count. Same bounded-group-window caveat and the
+# same bisection escape hatch as the median family.
+# --------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+), bounds AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = GREATEST(1, (n * 10) // 100) THEN value END)
+           AS lo,
+         MIN(CASE WHEN rn = LEAST(n, (n * 90) // 100 + 1) THEN value END)
+           AS hi
+  FROM ranked GROUP BY event_type
+)
+SELECT e.event_type, b.lo, b.hi,
+       COUNT(*) AS n_values,
+       CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+       CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi)
+                     AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*)
+         AS winsor_mean
+FROM events e JOIN bounds b USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type, b.lo, b.hi
+ORDER BY e.event_type
+"""
+
+
+@query(
+    "winsorized_stats",
+    _WINSOR_ORACLE,
+    "Winsorized per-group mean: exact rank-selected [p10, p90] bounds "
+    "(actual data values), least/greatest clamp, decimal-exact mean — "
+    "the outlier-robust mean with a broadcast 5-row bounds dim",
+    tags=("relational", "stats"),
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    lo_rn = F.greatest(F.lit(1), F.expr("(n * 10) div 100"))
+    hi_rn = F.least(F.col("n"), F.expr("(n * 90) div 100") + 1)
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == lo_rn, F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("rn") == hi_rn, F.col("value"))).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clamped"),
+            (
+                F.sum(clamped.cast("decimal(14,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsor_mean"),
+        )
+        .orderBy("event_type")
+    )

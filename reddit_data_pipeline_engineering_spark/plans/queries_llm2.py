@@ -363,3 +363,68 @@ def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionAll(o)
     return res.orderBy("it")
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy matching (entity resolution / near-dup detection by EDIT
+# distance): candidates come from an exact-equality BLOCK key (the first
+# 5 words), so the quadratic comparator only runs inside blocks — the
+# standard ER decomposition (block -> compare -> classify). The
+# comparator is levenshtein(), a built-in exact integer DP in BOTH
+# engines, over the next-10-word probe string; no float similarity, no
+# libm. At 100 TB the block key join is one hash shuffle and block sizes
+# bound the pair fan-out (cap-and-observe like the LSH pair generators).
+# --------------------------------------------------------------------------
+
+_FUZZY_THRESHOLD = 10
+
+_FUZZY_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:5], ' ') AS blk,
+         array_to_string(string_split(text, ' ')[6:15], ' ') AS probe
+  FROM documents
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       levenshtein(x.probe, y.probe) AS edit_dist,
+       levenshtein(x.probe, y.probe) <= {_FUZZY_THRESHOLD} AS matched
+FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "fuzzy_blocked_matches",
+    _FUZZY_ORACLE,
+    "Entity-resolution fuzzy matching: exact 5-word-prefix blocking "
+    "bounds the candidate set, then an integer Levenshtein comparator "
+    "over the next-10-word probe classifies near-duplicates — the "
+    "block/compare/classify ER decomposition with zero all-pairs work",
+    tags=("llm", "dedup"),
+)
+def q_fuzzy_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    b = docs.select(
+        "doc_id",
+        F.array_join(F.slice(arr, 1, 5), " ").alias("blk"),
+        F.array_join(F.slice(arr, 6, 10), " ").alias("probe"),
+    )
+    x = b.select(
+        F.col("doc_id").alias("doc_a"), "blk", F.col("probe").alias("pa")
+    )
+    y = b.select(
+        F.col("doc_id").alias("doc_b"), "blk", F.col("probe").alias("pb")
+    )
+    dist = F.levenshtein("pa", "pb")
+    return (
+        x.join(y, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_dist"),
+            (dist <= _FUZZY_THRESHOLD).alias("matched"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

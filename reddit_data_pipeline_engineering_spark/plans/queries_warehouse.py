@@ -477,3 +477,76 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item similarity from co-occurrence (the classic item-based
+# collaborative-filtering kernel, Sarwar et al. WWW'01): cosine^2 between
+# items' basket-membership vectors is co^2 / (n_a * n_b) — all integers
+# after a 10^6 scale, so the ranking is engine-exact with no sqrt or
+# float division. Co-occurrence reuses the bounded basket self-join
+# (output <= orders * basket^2); the per-item frequency dim is |items|-
+# sized and broadcast onto the pair relation.
+# --------------------------------------------------------------------------
+
+_ITEMSIM_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), freq AS (
+  SELECT pk, COUNT(*) AS n FROM baskets GROUP BY pk
+), co AS (
+  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS co
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+)
+SELECT pa, pb, co, fa.n AS na, fb.n AS nb,
+       CAST(co * co * 1000000 // (fa.n * fb.n) AS BIGINT) AS cosine2_scaled
+FROM co JOIN freq fa ON co.pa = fa.pk JOIN freq fb ON co.pb = fb.pk
+QUALIFY row_number()
+  OVER (PARTITION BY pa ORDER BY cosine2_scaled DESC, pb) <= 2
+ORDER BY pa, cosine2_scaled DESC, pb
+"""
+
+
+@query(
+    "item_similarity_topk",
+    _ITEMSIM_ORACLE,
+    "Item-based collaborative filtering: top-2 most-similar parts per "
+    "part by integer-scaled cosine^2 of basket co-occurrence (co^2 * "
+    "10^6 div (n_a*n_b) — no sqrt, no float division); bounded basket "
+    "self-join + broadcast item-frequency dim",
+    tags=("relational", "warehouse", "bench"),
+)
+def q_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    freq = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.select("ok", F.col("pk").alias("pa"))
+    b = baskets.select("ok", F.col("pk").alias("pb"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    fa = freq.select(F.col("pk").alias("pa"), F.col("n").alias("na"))
+    fb = freq.select(F.col("pk").alias("pb"), F.col("n").alias("nb"))
+    scored = (
+        co.join(F.broadcast(fa), "pa")
+        .join(F.broadcast(fb), "pb")
+        .withColumn(
+            "cosine2_scaled",
+            F.expr("(co * co * 1000000) div (na * nb)").cast("long"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.desc("cosine2_scaled"), "pb")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("pa", "pb", "co", "na", "nb", "cosine2_scaled")
+        .orderBy("pa", F.desc("cosine2_scaled"), "pb")
+    )

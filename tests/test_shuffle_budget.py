@@ -67,6 +67,10 @@ BUDGETS = {
     "hilbert_layout": 2,
     "hll_distinct_sketch": 4,
     "hll_union_merge": 5,
+    # The (order, part) distinct subtree prints once per consumer (pair
+    # join sides + both frequency dims) — identical, so AQE reuses one
+    # materialization; real movement is distinct + pair agg + windows.
+    "item_similarity_topk": 9,
     "ivf_kmeans_topk": 0,
     "ivf_probe_topk": 0,
     "ivfpq_topk": 0,
