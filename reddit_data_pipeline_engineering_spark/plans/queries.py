@@ -937,6 +937,8 @@ _DRIVER_FIRST = [
     "item_similarity_topk",
     "fuzzy_blocked_matches",
     "winsorized_stats",
+    "benford_first_digit",
+    "key_skew_gini",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -952,8 +954,6 @@ _DRIVER_FILL = [
     "inactive_antijoin",
     "minmax_profile",
     "conditional_counts",
-    "daily_topk",
-    "null_audit",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -972,6 +972,8 @@ _DRIVER_TAIL_STREAMING = [
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "daily_topk",
+    "null_audit",
     "normalize_group",
     "date_partition_rollup",
     "topk_orders",

@@ -2345,3 +2345,136 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-significant-digit audit — the classic fraud/anomaly scan
+# over a financial column. Digit extraction is a bounded CASE ladder of
+# FLOOR-divides (never log10 — libm is engine-specific; and FLOOR is
+# explicit because DuckDB CAST(double AS BIGINT) ROUNDS where Spark
+# truncates). Map-only projection + 9-row aggregate: nothing to shuffle
+# but the digit counts.
+# --------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CASE
+     WHEN o_totalprice >= 100000 THEN CAST(FLOOR(o_totalprice / 100000) AS BIGINT)
+     WHEN o_totalprice >= 10000  THEN CAST(FLOOR(o_totalprice / 10000) AS BIGINT)
+     WHEN o_totalprice >= 1000   THEN CAST(FLOOR(o_totalprice / 1000) AS BIGINT)
+     WHEN o_totalprice >= 100    THEN CAST(FLOOR(o_totalprice / 100) AS BIGINT)
+     WHEN o_totalprice >= 10     THEN CAST(FLOOR(o_totalprice / 10) AS BIGINT)
+     ELSE CAST(FLOOR(o_totalprice) AS BIGINT) END AS digit
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT digit, COUNT(*) AS n,
+       CAST(COUNT(*) * 1000000 // (SELECT COUNT(*) FROM d) AS BIGINT)
+         AS freq_ppm
+FROM d GROUP BY digit ORDER BY digit
+"""
+
+
+@query(
+    "benford_first_digit",
+    _BENFORD_ORACLE,
+    "Benford's-law first-digit audit of order totals: bounded FLOOR-"
+    "divide CASE ladder (no log10/libm), map-only projection, 9-row "
+    "aggregate with integer ppm frequencies",
+    tags=("relational", "audit"),
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    digit = (
+        F.when(p >= 100000, F.floor(p / 100000))
+        .when(p >= 10000, F.floor(p / 10000))
+        .when(p >= 1000, F.floor(p / 1000))
+        .when(p >= 100, F.floor(p / 100))
+        .when(p >= 10, F.floor(p / 10))
+        .otherwise(F.floor(p))
+        .cast("long")
+    )
+    d = orders.filter(p >= 1).select(digit.alias("digit"))
+    total = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 1000000) div total").cast("long").alias("freq_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------------------------------
+# Key-skew Gini diagnostic — the number that DECIDES when to salt a join
+# (operators/salt.py). Exact Gini normally needs a global per-key rank
+# sort (the low-cardinality-window trap); here it is computed from the
+# COUNT-OF-COUNTS HISTOGRAM instead: keys with equal count collapse into
+# one histogram row, a rank-block contributes x*(m*R + m(m+1)/2) in
+# closed form, and the only windows run over the histogram (distinct
+# count values — bounded by basket size, not key count). One corpus
+# shuffle (per-key count) + one tiny aggregate. All integer, ppm-scaled.
+# --------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH counts AS (
+  SELECT l_orderkey AS k, COUNT(*) AS x FROM lineitem GROUP BY l_orderkey
+), hist AS (
+  SELECT x, COUNT(*) AS m FROM counts GROUP BY x
+), cum AS (
+  SELECT x, m,
+         COALESCE(SUM(m) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS r,
+         SUM(m) OVER () AS n, SUM(x * m) OVER () AS s
+  FROM hist
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_keys,
+       CAST(MAX(s) AS BIGINT) AS n_rows,
+       CAST(MAX(x) AS BIGINT) AS max_count,
+       CAST((2 * SUM(x * (m * r + m * (m + 1) // 2)) - (MAX(n) + 1) * MAX(s))
+            * 1000000 // (MAX(n) * MAX(s)) AS BIGINT) AS gini_ppm
+FROM cum
+"""
+
+
+@query(
+    "key_skew_gini",
+    _GINI_ORACLE,
+    "Exact Gini coefficient of the lineitem order-key distribution from "
+    "the count-of-counts histogram — rank-block closed form, windows "
+    "only over the bounded histogram (never a global per-key sort); the "
+    "salt-or-not diagnostic, integer ppm",
+    tags=("relational", "audit", "scale"),
+)
+def q_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    hist = counts.groupBy("x").agg(F.count(F.lit(1)).alias("m"))
+    wprev = (
+        Window.partitionBy()
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "x",
+        "m",
+        F.coalesce(F.sum("m").over(wprev), F.lit(0)).alias("r"),
+        F.sum("m").over(wall).alias("n"),
+        F.sum(F.col("x") * F.col("m")).over(wall).alias("s"),
+    )
+    return cum.agg(
+        F.max("n").cast("long").alias("n_keys"),
+        F.max("s").cast("long").alias("n_rows"),
+        F.max("x").cast("long").alias("max_count"),
+        F.expr(
+            "CAST((2 * SUM(x * (m * r + (m * (m + 1)) div 2)) - (MAX(n) + 1)"
+            " * MAX(s)) * 1000000 div (MAX(n) * MAX(s)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

@@ -73,3 +73,40 @@ def test_benchmark_overlap_broadcasts_bench_dim(spark):
         _docs(spark), "text", "doc_id", bench_pred=F.col("doc_id") == 0
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_roundtrip(spark):
+    """Chunks reassembled in chunk_idx order reproduce every document
+    exactly (no word lost/duplicated at chunk boundaries), including a
+    doc shorter than one chunk and one at an exact chunk multiple."""
+    from pyspark.sql import functions as F
+
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    rows = [
+        (1, "a b c"),                                   # < 1 chunk
+        (2, " ".join(f"w{i}" for i in range(20))),      # exactly 2 chunks
+        (3, " ".join(f"x{i}" for i in range(25))),      # ragged tail
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(docs, "text", "doc_id", chunk_words=10)
+    back = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    joined = docs.join(back, "doc_id").collect()
+    assert len(joined) == 3
+    for r in joined:
+        assert r.rebuilt == r.text, r.doc_id

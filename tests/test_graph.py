@@ -43,3 +43,43 @@ def test_iterations_are_deterministic_across_partitionings(spark):
     r1 = {r.node: r.rank for r in pr.pagerank(df1).collect()}
     r8 = {r.node: r.rank for r in pr.pagerank(df8).collect()}
     assert r1 == r8
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Degree-oriented wedge counting must equal the O(V^3) definition on
+    a fixed graph with hubs, chains, and overlapping triangles."""
+    import itertools
+
+    from reddit_data_pipeline_engineering_spark.operators import triangles as tri
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),          # triangle
+        (3, 4), (4, 5), (3, 5),          # triangle sharing node 3
+        (1, 4),                          # closes (1,3,4)
+        (5, 6), (6, 7),                  # chain, no triangle
+        (1, 5),                          # closes (1,4,5)? needs (1,4)+(4,5): yes
+        (8, 9),                          # isolated edge
+    ]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = tri.triangle_count(df).head()
+    nodes = sorted({n for e in edges for n in e})
+    es = {frozenset(e) for e in edges}
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {frozenset((a, b)), frozenset((a, c)), frozenset((b, c))} <= es
+    )
+    # (1,2,3), (3,4,5), (1,3,4), (1,4,5), (1,3,5)
+    assert got.n_triangles == expected == 5
+
+
+def test_triangle_orientation_counts_each_once(spark):
+    """K4: every one of the C(4,3)=4 triangles is counted exactly once
+    even though all nodes have equal degree (tiebreak by node id)."""
+    import itertools
+
+    from reddit_data_pipeline_engineering_spark.operators import triangles as tri
+
+    edges = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    assert tri.triangle_count(df).head().n_triangles == 4
