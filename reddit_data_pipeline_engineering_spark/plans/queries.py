@@ -939,6 +939,8 @@ _DRIVER_FIRST = [
     "winsorized_stats",
     "benford_first_digit",
     "key_skew_gini",
+    "bitmap_intersection",
+    "weighted_sample",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -952,8 +954,6 @@ _DRIVER_FILL = [
     "enrich_metadata",
     "active_semijoin",
     "inactive_antijoin",
-    "minmax_profile",
-    "conditional_counts",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -972,6 +972,8 @@ _DRIVER_TAIL_STREAMING = [
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "minmax_profile",
+    "conditional_counts",
     "daily_topk",
     "null_audit",
     "normalize_group",

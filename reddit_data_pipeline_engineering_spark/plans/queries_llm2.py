@@ -428,3 +428,62 @@ def q_fuzzy_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling (A-Res shape, Efraimidis-Spirakis):
+# priority = uniform(hash) / weight, keep the k smallest per stratum.
+# The uniform comes from the same md5-bucket device as every sampler
+# here (engine/rerun/cluster-invariant, no RNG) and stays INTEGER:
+# (md5_32 % 10^6) * 10^6 div weight — longer documents get smaller
+# priorities in distribution, so the sample is size-biased the way
+# token-budget-weighted corpus sampling needs. Map-only priority + one
+# per-stratum top-k window.
+# --------------------------------------------------------------------------
+
+_WEIGHTED_SAMPLE_K = 5
+
+_WEIGHTED_ORACLE = f"""
+WITH pr AS (
+  SELECT lang, doc_id, n_chars,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000) * 1000000 // n_chars AS priority
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, priority
+FROM pr
+QUALIFY row_number()
+  OVER (PARTITION BY lang ORDER BY priority, doc_id) <= {_WEIGHTED_SAMPLE_K}
+ORDER BY lang, priority, doc_id
+"""
+
+
+@query(
+    "weighted_sample",
+    _WEIGHTED_ORACLE,
+    "Deterministic weighted reservoir sample (Efraimidis-Spirakis "
+    "priority = hash-uniform div weight, integer-scaled): top-5 per "
+    "language stratum, biased toward long documents; map-only priority "
+    "+ one bounded per-stratum window — no RNG, engine-invariant",
+    tags=("llm", "sampling"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pr = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            " % 1000000) * 1000000 div n_chars"
+        )
+        .cast("long")
+        .alias("priority"),
+    )
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        pr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WEIGHTED_SAMPLE_K)
+        .select("lang", "doc_id", "n_chars", "priority")
+        .orderBy("lang", "priority", "doc_id")
+    )

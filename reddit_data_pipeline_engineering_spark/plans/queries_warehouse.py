@@ -550,3 +550,125 @@ def q_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb", "co", "na", "nb", "cosine2_scaled")
         .orderBy("pa", F.desc("cosine2_scaled"), "pb")
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed bitmap index (roaring-style audience segmentation, dense
+# words): each event type's user set becomes a (word = user_id div 64,
+# bits = bit_or(1 << user_id mod 64)) bitmap relation — ONE hash
+# aggregate builds all types' bitmaps at once. Set algebra then runs on
+# 64-user words, not users: intersection = bit_count(a & b), difference
+# = bit_count(a & ~b), summed per word. The same query carries the
+# exact distinct-intersection audit, so the bitmap algebra is verified
+# against the set it encodes. At 100 TB this is how audience overlap is
+# computed without ever shuffling raw user ids twice. Words hold 32
+# users (shift <= 31): DuckDB range-checks 1 << 63 on BIGINT where the
+# JVM wraps, so the sign bit is simply never used.
+# --------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+WITH bm AS (
+  SELECT event_type, user_id // 32 AS w,
+         BIT_OR(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bits
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY event_type, user_id // 32
+),
+c AS (SELECT w, bits FROM bm WHERE event_type = 'click'),
+v AS (SELECT w, bits FROM bm WHERE event_type = 'view'),
+alg AS (
+  SELECT
+    CAST(SUM(bit_count(c.bits & v.bits)) AS BIGINT) AS n_both,
+    CAST(SUM(bit_count(c.bits & ~v.bits)) AS BIGINT) AS n_click_only_j
+  FROM c JOIN v USING (w)
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN bit_count(bits) ELSE 0 END) AS BIGINT)
+           AS n_click,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN bit_count(bits) ELSE 0 END) AS BIGINT)
+           AS n_view
+  FROM bm
+),
+exact AS (
+  SELECT COUNT(*) AS n_both_exact FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+)
+SELECT t.n_click, t.n_view, a.n_both,
+       t.n_click - a.n_both AS n_click_only,
+       e.n_both_exact,
+       a.n_both = e.n_both_exact AS bitmap_exact
+FROM alg a, tot t, exact e
+"""
+
+
+@query(
+    "bitmap_intersection",
+    _BITMAP_ORACLE,
+    "Distributed bitmap index: one (type, user-word) bit_or aggregate "
+    "builds both audience bitmaps; overlap and difference are "
+    "bit_count word algebra (32 users per row of set math), verified "
+    "in-query against the exact distinct intersection",
+    tags=("relational", "warehouse", "bench"),
+)
+def q_bitmap_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    bm = (
+        ev.groupBy(
+            "event_type", F.expr("user_id div 32").alias("w")
+        ).agg(
+            F.expr(
+                "bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))"
+            ).alias("bits")
+        )
+    )
+    c = bm.filter(F.col("event_type") == "click").select(
+        "w", F.col("bits").alias("cb")
+    )
+    v = bm.filter(F.col("event_type") == "view").select(
+        "w", F.col("bits").alias("vb")
+    )
+    alg = c.join(v, "w").agg(
+        F.sum(F.bit_count(F.expr("cb & vb"))).cast("long").alias("n_both")
+    )
+    tot = bm.agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "click", F.bit_count("bits")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_click"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "view", F.bit_count("bits")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_view"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id"
+    ).distinct()
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id"
+    ).distinct()
+    exact = clicks.join(views, "user_id").agg(
+        F.count(F.lit(1)).alias("n_both_exact")
+    )
+    return (
+        alg.crossJoin(tot)
+        .crossJoin(exact)
+        .select(
+            "n_click",
+            "n_view",
+            "n_both",
+            (F.col("n_click") - F.col("n_both")).alias("n_click_only"),
+            "n_both_exact",
+            (F.col("n_both") == F.col("n_both_exact")).alias("bitmap_exact"),
+        )
+    )

@@ -33,6 +33,10 @@ queries()  # force registration
 
 BUDGETS = {
     "asof_last_purchase": 2,
+    # One bitmap build replayed per consumer branch (click/view/totals)
+    # — identical subtrees, runtime-reused; real movement is the (type,
+    # word) aggregate + the exact-audit distincts.
+    "bitmap_intersection": 8,
     "bloom_semijoin_reduction": 2,
     # one collect_set shuffle on user_id + the (cohort, offset) rollup +
     # the final range sort (was 7 with the distinct/re-join/
