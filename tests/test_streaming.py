@@ -506,3 +506,76 @@ def test_foreach_batch_upsert_keyed_two_windows(spark, tmp_path):
     )
     assert len(rows) == 2  # both windows present
     assert [r["total"] for r in rows] == [1.0, 5.0]
+
+
+def test_cusum_stream_restart_from_checkpoint(spark, tmp_path):
+    """The strongest stateful guarantee: a NEW query started on the SAME
+    checkpoint after more data lands must CONTINUE each key's CUSUM state
+    (not re-seed it), and the two drains together must equal the closed-
+    form batch replay over all three micro-batches."""
+    import os
+
+    from reddit_data_pipeline_engineering_spark.streaming.stateful import (
+        cusum_stream,
+    )
+
+    src = tmp_path / "cusum_raw"
+    src.mkdir()
+    # drift k=10 (scaled 1000), threshold h=1500. Values chosen so the
+    # running score crosses 0 and the threshold across batch boundaries.
+    batches = [
+        [{"user_id": 1, "datetime": "2025-02-01T08:00:00+00:00", "value": 25.0},
+         {"user_id": 1, "datetime": "2025-02-01T08:10:00+00:00", "value": 5.0}],
+        [{"user_id": 1, "datetime": "2025-02-01T09:00:00+00:00", "value": 22.0}],
+        [{"user_id": 1, "datetime": "2025-02-01T10:00:00+00:00", "value": 13.0},
+         {"user_id": 1, "datetime": "2025-02-01T10:10:00+00:00", "value": 2.0}],
+    ]
+
+    def write_batch(i):
+        p = src / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in batches[i]:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    out = str(tmp_path / "cusum_out")
+    ckpt = str(tmp_path / "cusum_ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.format("json")
+            .schema("user_id long, datetime string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+            .withColumn("ts", F.col("datetime").cast("timestamp"))
+            .select("user_id", "ts", "value")
+        )
+        q = (
+            cusum_stream(stream, "user_id", "ts", "value",
+                         drift=1000, threshold=1500)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_stream_to_completion(q)
+
+    write_batch(0)
+    write_batch(1)
+    drain()                      # first run: batches 0-1
+    write_batch(2)
+    drain()                      # RESTART from checkpoint: batch 2 only
+
+    got = sorted(
+        (r["cusum"], r["alarm"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # Hand fold (scaled x100, k=1000):
+    # 2500: s=1500 F(=h, not >) | 500: s=max(0,1500-500)=1000 F
+    # 2200: s=2200 T | 1300: s=2500 T | 200: s=1700 T
+    assert got == sorted(
+        [(1500, False), (1000, False), (2200, True), (2500, True),
+         (1700, True)]
+    )
