@@ -110,3 +110,62 @@ def test_chunk_documents_roundtrip(spark):
     assert len(joined) == 3
     for r in joined:
         assert r.rebuilt == r.text, r.doc_id
+
+
+def test_bpe_merges_match_reference_fold(spark):
+    """The Spark BPE rounds (pair count -> argmax -> broadcast replace)
+    must learn the same merges, in the same order, as a plain-Python BPE
+    over the same vocabulary — including the count-desc/pair-asc
+    tiebreak and left-to-right non-overlapping replacement."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from reddit_data_pipeline_engineering_spark.plans.queries_llm2 import (
+        _bpe_apply,
+        _bpe_best,
+    )
+
+    vocab = {"aaab": 3, "abab": 2, "bbb": 4, "aab": 1}
+
+    def ref_merges(vocab, iters):
+        spelled = {w: list(w) + ["</w>"] for w in vocab}
+        out = []
+        for _ in range(iters):
+            pairs = Counter()
+            for w, syms in spelled.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += vocab[w]
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            out.append((" ".join(best), "".join(best),
+                        pairs[best]))
+            for w, syms in spelled.items():
+                ns, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms)
+                            and (syms[i], syms[i + 1]) == best):
+                        ns.append("".join(best))
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                spelled[w] = ns
+        return out
+
+    expected = ref_merges(vocab, 3)
+
+    df = spark.createDataFrame(list(vocab.items()), "word string, freq long")
+    spelled = df.select(
+        "word",
+        "freq",
+        F.concat(
+            F.regexp_replace("word", "(.)", "$1 "), F.lit("</w>")
+        ).alias("spelled"),
+    )
+    got = []
+    for _ in range(3):
+        best = _bpe_best(spelled)
+        r = best.head()
+        got.append((r.pair, r.merged, r.cnt))
+        spelled = _bpe_apply(spelled, best)
+    assert got == expected
