@@ -941,6 +941,7 @@ _DRIVER_FIRST = [
     "key_skew_gini",
     "bitmap_intersection",
     "weighted_sample",
+    "bfs_reachability",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -953,7 +954,6 @@ _DRIVER_FILL = [
     "pivot_wide",
     "enrich_metadata",
     "active_semijoin",
-    "inactive_antijoin",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -972,6 +972,7 @@ _DRIVER_TAIL_STREAMING = [
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "inactive_antijoin",
     "minmax_profile",
     "conditional_counts",
     "daily_topk",

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reddit_data_pipeline_engineering_spark.operators import pagerank as pr
+from reddit_data_pipeline_engineering_spark.operators import bfs
 from reddit_data_pipeline_engineering_spark.operators import triangles as tri
 from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, query
 from reddit_data_pipeline_engineering_spark.sources.tables import load_table
@@ -200,4 +201,85 @@ def q_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "est_triangles_scaled"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# BFS k-hop reachability (operators/bfs.py) on the same tagged-id
+# customer-supplier graph PageRank uses: per-round frontier ⋈ edges +
+# min-merge — the frontier-expansion kernel behind reachability and
+# delta-stepping SSSP. The oracle unrolls all rounds as CTEs; output is
+# the per-distance node histogram (bounded rows at any graph size).
+# --------------------------------------------------------------------------
+
+_BFS_ROUNDS = 4
+_BFS_SOURCE = 0  # customer node custkey=0 -> tagged id 0
+
+
+def _bfs_ctes(rounds: int = _BFS_ROUNDS) -> str:
+    parts = [
+        """pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)""",
+        """edges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+)""",
+        f"""l0 AS (
+  SELECT CAST({_BFS_SOURCE} AS BIGINT) AS node, 0 AS dist
+)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""l{t} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM l{t - 1}
+    UNION ALL
+    SELECT e.dst AS node, {t} AS dist
+    FROM l{t - 1} f JOIN edges e ON e.src = f.node
+    WHERE f.dist = {t - 1}
+  ) GROUP BY node
+)""")
+    return ",\n".join(parts)
+
+
+_BFS_ORACLE = f"""
+WITH {_bfs_ctes()}
+SELECT dist, COUNT(*) AS n_nodes
+FROM l{_BFS_ROUNDS}
+GROUP BY dist ORDER BY dist
+"""
+
+
+@query(
+    "bfs_reachability",
+    _BFS_ORACLE,
+    "BFS 4-hop reachability from customer 0 over the symmetrized "
+    "customer-supplier graph: per-round frontier-join + min-merge "
+    "(operators/bfs.py, lineage checkpointed), per-distance node "
+    "histogram; oracle unrolls every round as CTEs",
+    tags=("relational", "graph", "iterative", "bench"),
+)
+def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    up = pairs.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    down = pairs.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+    )
+    levels = bfs.bfs_levels(up.union(down), _BFS_SOURCE, _BFS_ROUNDS)
+    return (
+        levels.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("dist")
     )

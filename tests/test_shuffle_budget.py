@@ -33,6 +33,9 @@ queries()  # force registration
 
 BUDGETS = {
     "asof_last_purchase": 2,
+    # Returned plan is the post-checkpoint histogram (per-round
+    # frontier-join shuffles happen during construction, like pagerank).
+    "bfs_reachability": 2,
     # One bitmap build replayed per consumer branch (click/view/totals)
     # — identical subtrees, runtime-reused; real movement is the (type,
     # word) aggregate + the exact-audit distincts.
