@@ -169,3 +169,34 @@ def test_bpe_merges_match_reference_fold(spark):
         got.append((r.pair, r.merged, r.cnt))
         spelled = _bpe_apply(spelled, best)
     assert got == expected
+
+
+def test_weighted_sample_is_size_biased():
+    """Efraimidis-Spirakis with priority = u/w must over-select heavy
+    items: on the deterministic sf0.001 fixture the pooled sampled-doc
+    mean length clearly exceeds the corpus mean (per-stratum k=5 is too
+    small for a per-stratum guarantee — one stratum sits ~3% under)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    rows = con.execute("""
+        WITH pr AS (
+          SELECT lang, n_chars,
+                 (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000000) * 1000000 // n_chars AS priority,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                              % 1000000) * 1000000 // n_chars,
+                                             doc_id) AS rn
+          FROM documents
+        )
+        SELECT AVG(CASE WHEN rn <= 5 THEN n_chars END) AS samp_mean,
+               AVG(n_chars) AS corpus_mean
+        FROM pr
+    """).fetchall()
+    (samp_mean, corpus_mean), = rows
+    assert samp_mean > corpus_mean * 1.15, (samp_mean, corpus_mean)

@@ -201,3 +201,35 @@ def test_hilbert_buckets_no_looser_than_zorder(spark):
     assert h <= z
     # 16 buckets x (3 + 3): every Hilbert bucket is a tight 4x4 tile.
     assert h == 96.0
+
+
+def test_zorder_write_path_yields_disjoint_file_ranges(spark, tmp_path):
+    """The documented write path — repartitionByRange(zkey) +
+    sortWithinPartitions + write — must produce files whose zkey ranges
+    are pairwise DISJOINT, i.e. every file covers a contiguous key slice
+    (that is what makes parquet min/max stats prune on both quantized
+    dimensions at once)."""
+    import itertools
+
+    rows = [(float(x), float(y)) for x, y in itertools.product(range(16), range(16))]
+    df = spark.createDataFrame(rows, "x double, y double")
+    qx = quantize(F.col("x"), 0.0, 1.0, 4)
+    qy = quantize(F.col("y"), 0.0, 1.0, 4)
+    keyed = df.withColumn("zkey", zorder_key([qx, qy], 4))
+    out = str(tmp_path / "zsorted")
+    (
+        keyed.repartitionByRange(4, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    spans = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
+        .collect()
+    )
+    assert len(spans) == 4
+    ordered = sorted((r.lo, r.hi) for r in spans)
+    for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
+        assert hi1 < lo2  # pairwise disjoint, contiguous slices
