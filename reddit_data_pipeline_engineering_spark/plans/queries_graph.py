@@ -183,8 +183,13 @@ FROM closed
 )
 def q_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    edges = tri.copurchase_edges(li)
-    sampled = tri.sample_edges(edges, _TRI_PCT)
+    # The edge/sample relations feed FIVE consumers (degree build, two
+    # wedge sides, closure probe, scalar counts); localCheckpoint
+    # materializes each once — same device as pagerank/kmeans — instead
+    # of replaying the basket self-join per branch (30% at sf0.1, and
+    # the recompute would dominate at corpus scale).
+    edges = tri.copurchase_edges(li).localCheckpoint(eager=True)
+    sampled = tri.sample_edges(edges, _TRI_PCT).localCheckpoint(eager=True)
     counts = tri.triangle_count(sampled)
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     n_sampled = sampled.agg(F.count(F.lit(1)).alias("n_sampled"))

@@ -107,10 +107,10 @@ BUDGETS = {
     # dim, n_docs scalar, ranking window) — runtime ReuseExchange dedups;
     # real data movement is the tf shuffle + window + output sort.
     "tfidf_topk_terms": 9,
-    # Textual count dominated by the pairs/sampled subtree replayed in
-    # every scalar branch (n_edges/n_sampled/n_wedges/closure) — all
-    # identical, so AQE reuses one materialization of each at runtime.
-    "triangle_count_sampled": 40,
+    # Edge/sample relations are localCheckpointed (materialized once);
+    # the remaining exchanges are the degree build, wedge join, closure
+    # probe and the scalar-count branches over the checkpointed RDDs.
+    "triangle_count_sampled": 18,
     "value_stats": 2,
     "vocab_topk": 2,
     "waiting_suppliers": 3,
