@@ -1,5 +1,6 @@
 """LLM training-data pipeline queries, round 3: chunk-level dedup,
-TF-IDF indexing, incremental shard ingestion, BPE merge learning.
+TF-IDF indexing, incremental shard ingestion, BPE merge learning,
+blocked fuzzy (Levenshtein) entity resolution, weighted sampling.
 
 Same contract as every registry module: the Spark side is idiomatic
 DataFrame code over the engine's operators; the oracle is hand-mirrored
@@ -486,4 +487,121 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _WEIGHTED_SAMPLE_K)
         .select("lang", "doc_id", "n_chars", "priority")
         .orderBy("lang", "priority", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-3 capstone: chunk dedup -> dedup-survival quality gate ->
+# weighted sample, ONE Catalyst plan. A document's kept_chars (its
+# unique-chunk mass after corpus-wide chunk dedup) gates admission
+# (>= 60% must survive) and then WEIGHTS the stratified sample — the
+# "sample by how much novel text a page actually contributes" policy a
+# crawl pipeline wants. Stages: one md5-chunk window + one per-doc
+# rollup + one doc-keyed join + one bounded per-lang window.
+# --------------------------------------------------------------------------
+
+_PREP2_ORACLE = """
+WITH split AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+words AS (
+  SELECT doc_id, a[i] AS word, i - 1 AS pos
+  FROM split, UNNEST(generate_series(1, len(a))) AS t(i)
+),
+chunks AS (
+  SELECT doc_id, pos // 10 AS chunk_idx,
+         string_agg(word, ' ' ORDER BY pos) AS chunk_text
+  FROM words GROUP BY doc_id, pos // 10
+),
+ranked AS (
+  SELECT doc_id, chunk_text,
+         row_number() OVER (PARTITION BY md5(chunk_text)
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN rn = 1 THEN LENGTH(chunk_text) ELSE 0 END)
+              AS BIGINT) AS kept_chars
+  FROM ranked GROUP BY doc_id
+),
+gated AS (
+  SELECT d.lang, d.doc_id, p.kept_chars,
+         (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000) * 1000000 // p.kept_chars AS priority
+  FROM documents d JOIN per_doc p USING (doc_id)
+  WHERE p.kept_chars * 100 >= d.n_chars * 60
+),
+sampled AS (
+  SELECT lang, doc_id, kept_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY priority, doc_id) AS srn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_candidates
+  FROM gated
+)
+SELECT lang,
+       CAST(MIN(n_candidates) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN srn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled,
+       CAST(SUM(CASE WHEN srn <= 5 THEN kept_chars ELSE 0 END) AS BIGINT)
+         AS sampled_kept_chars
+FROM sampled GROUP BY lang ORDER BY lang
+"""
+
+
+@query(
+    "corpus_prep_v2",
+    _PREP2_ORACLE,
+    "Round-3 capstone in ONE plan: corpus-wide chunk dedup -> per-doc "
+    "novel-text mass -> 60%-survival quality gate -> novelty-weighted "
+    "deterministic sample (priority = hash div kept_chars) -> per-lang "
+    "stats. One chunk-hash window + per-doc rollup + doc-keyed join + "
+    "bounded per-lang window",
+    tags=("llm", "dedup", "sampling", "bench"),
+)
+def q_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    chunks = corpus_ops.chunk_documents(docs, "text", "doc_id")
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_idx")
+    per_doc = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") == 1, F.length("chunk_text")).otherwise(0)
+            ).alias("kept_chars")
+        )
+    )
+    gated = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(per_doc, "doc_id")
+        .filter(F.col("kept_chars") * 100 >= F.col("n_chars") * 60)
+        .withColumn(
+            "priority",
+            F.expr(
+                "(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+                " % 1000000) * 1000000 div kept_chars"
+            ).cast("long"),
+        )
+    )
+    ws = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    wc = Window.partitionBy("lang")
+    sampled = gated.select(
+        "lang",
+        "kept_chars",
+        F.row_number().over(ws).alias("srn"),
+        F.count(F.lit(1)).over(wc).alias("n_candidates"),
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.min("n_candidates").cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("srn") <= 5, 1).otherwise(0)).alias(
+                "n_sampled"
+            ),
+            F.sum(
+                F.when(F.col("srn") <= 5, F.col("kept_chars")).otherwise(0)
+            ).alias("sampled_kept_chars"),
+        )
+        .orderBy("lang")
     )

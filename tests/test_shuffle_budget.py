@@ -51,6 +51,9 @@ BUDGETS = {
     # must not double-count its pairs.
     "copurchase_pairs": 3,
     "corpus_prep_stats": 3,
+    # chunk window + per-doc rollup + doc join + per-lang window + final
+    # rollup/sort (spread exchange included).
+    "corpus_prep_v2": 6,
     # spread + md5-window + per-doc rollup + output sort.
     "chunk_dedup_stats": 4,
     "cosine_topk": 0,
