@@ -29,6 +29,12 @@ def bfs_levels(
     the probed radius.
     """
     spark = edges.sparkSession
+    if checkpoint:
+        # Materialize the edge relation ONCE — every round scans it, and
+        # without this the upstream plan (e.g. a fact-table join) would
+        # recompute per round. The visited set is checkpointed per round
+        # for the same reason plus lineage truncation.
+        edges = edges.localCheckpoint(eager=True)
     levels = spark.createDataFrame(
         [(source, 0)], "node long, dist int"
     )
