@@ -377,3 +377,28 @@ def test_selection_queries_return_literal_relation(spark):
     for name in ("grouped_median_scalable", "exact_percentiles_scalable"):
         plan = plan_of(REGISTRY[name].fn(spark, SF_SMALL))
         assert "parquet" not in plan.lower(), name
+
+
+def test_round3_scans_prune_columns(spark):
+    """The round-3 corpus/audit queries must column-prune their scans:
+    a documents scan that drags `text`'s siblings (or an orders scan
+    that reads more than o_totalprice) multiplies 100 TB of IO."""
+    plan = plan_of(REGISTRY["tfidf_topk_terms"].fn(spark, SF_SMALL))
+    # documents scan: only doc_id + text reach the reader.
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "lang" not in plan.split("ReadSchema")[1][:200]
+
+    plan = plan_of(REGISTRY["benford_first_digit"].fn(spark, SF_SMALL))
+    assert "ReadSchema: struct<o_totalprice:double>" in plan
+    # The >= 1 filter is pushed into the parquet scan.
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThanOrEqual(o_totalprice,1" in plan
+
+    plan = plan_of(REGISTRY["key_skew_gini"].fn(spark, SF_SMALL))
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+
+
+def test_item_similarity_dims_broadcast(spark):
+    """The item-frequency dims join the pair relation by BROADCAST —
+    a sort-merge there would shuffle the pair set twice more."""
+    plan = plan_of(REGISTRY["item_similarity_topk"].fn(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2
