@@ -249,3 +249,50 @@ def test_pq_fit_assign_adc_match_reference(spark):
         assert r["approx_dist"] == sum(
             dtab[s][coded[r["vec_id"]][s]] for s in range(m)
         )
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The runtime skew path SCALE.md §3 leans on: with one hot key, AQE
+    must rewrite the sort-merge join to SortMergeJoin(skew=true) —
+    splitting the oversized partition — in the FINAL adaptive plan.
+    (Thresholds are lowered so test-sized data crosses them; salting in
+    operators/salt.py is the plan-level fallback when AQE can't apply.)"""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 50), F.col("id").cast("string")).alias(
+                "payload"
+            ),
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = big.join(small, "k")
+        rows = j.count()
+        # count() executes its own plan; force THIS DataFrame's execution
+        # so its adaptive plan finalizes, then inspect it.
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert rows == 270100
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
