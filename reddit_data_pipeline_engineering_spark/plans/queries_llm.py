@@ -1774,3 +1774,63 @@ def q_jl_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_overlap").cast("long").alias("n_overlap"),
         F.round(F.col("n_overlap") / F.lit(20.0), 4).alias("recall_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal frame sampling (sources/multimodal.sample_frames): the
+# OTHER mapInPandas path — one output row per sampled frame timestamp
+# for video/audio assets. Frame grids are pure arithmetic over each
+# asset's duration (every 5000 ms, inclusive of t=0), so the oracle
+# reproduces the per-modality rollup in closed form: k = dur//step + 1
+# frames, sum of frame_ms = step * k * (k-1) / 2.
+# --------------------------------------------------------------------------
+
+_MM_FRAME_STEP = 5000
+
+_FRAMES_ORACLE = f"""
+WITH ids AS (
+  SELECT unnest(range({_MM_N_ASSETS})) AS i
+), av AS (
+  SELECT i,
+         CASE i % 3 WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         1000 * (i % 30) AS dur
+  FROM ids WHERE i % 3 <> 0
+), per_asset AS (
+  SELECT modality, dur // {_MM_FRAME_STEP} + 1 AS k FROM av
+)
+SELECT modality,
+       COUNT(*) AS n_assets,
+       CAST(SUM(k) AS BIGINT) AS n_frames,
+       CAST(SUM({_MM_FRAME_STEP} * k * (k - 1) // 2) AS BIGINT)
+         AS sum_frame_ms
+FROM per_asset
+GROUP BY modality ORDER BY modality
+"""
+
+
+@query(
+    "multimodal_frame_sample",
+    _FRAMES_ORACLE,
+    "Frame-sampling plan for video/audio assets: Arrow-batched "
+    "mapInPandas emits one row per sampled timestamp (every 5 s, "
+    "inclusive of t=0); per-modality rollup of frame counts and "
+    "timestamp mass, oracle-closed-form over the deterministic "
+    "durations",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.sources import multimodal as mm
+
+    assets = mm.synthesize_assets(spark, n=_MM_N_ASSETS)
+    frames = mm.sample_frames(assets, every_ms=_MM_FRAME_STEP)
+    return (
+        frames.join(F.broadcast(assets.select("asset_id", "modality")),
+                    "asset_id")
+        .groupBy("modality")
+        .agg(
+            F.countDistinct("asset_id").alias("n_assets"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("frame_ms").cast("long").alias("sum_frame_ms"),
+        )
+        .orderBy("modality")
+    )
