@@ -944,6 +944,7 @@ _DRIVER_FIRST = [
     "bfs_reachability",
     "corpus_prep_v2",
     "multimodal_frame_sample",
+    "hll_sliding_distinct",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -953,7 +954,6 @@ _DRIVER_FILL = [
     "pricing_summary",
     "flagship_top_locations",
     "window_dedup",
-    "pivot_wide",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -972,6 +972,7 @@ _DRIVER_TAIL_STREAMING = [
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "pivot_wide",
     "enrich_metadata",
     "active_semijoin",
     "inactive_antijoin",

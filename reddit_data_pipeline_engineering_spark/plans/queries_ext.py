@@ -2478,3 +2478,104 @@ def q_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * MAX(s)) * 1000000 div (MAX(n) * MAX(s)) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window DISTINCT USERS via HLL — the composition that makes
+# sliding distinct affordable at scale: exact sliding distinct pays
+# (window/slide) × a distinct shuffle; the register sketch pays the same
+# expansion but the per-window state is 64 mergeable registers, and the
+# same registers would serve ANY window arithmetic (tumbling rollups of
+# register MAX). Exact counts ride along per window, so the sketch's
+# error contract is a verified output for every window.
+# --------------------------------------------------------------------------
+
+_HLL_SLIDING_ORACLE = f"""
+WITH base AS (
+  SELECT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+  FROM events
+), grids AS (
+  SELECT user_id, to_timestamp(sec - (sec % 3600))::TIMESTAMP AS window_start
+  FROM base
+  UNION ALL
+  SELECT user_id,
+         to_timestamp(sec - (sec % 3600) - 3600)::TIMESTAMP AS window_start
+  FROM base
+), h AS (
+  SELECT window_start,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+           % {_HLL_M} AS bucket,
+         61 - length(bin(
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 15))::BIGINT
+         )) AS rho
+  FROM grids
+), regs AS (
+  SELECT window_start, bucket, MAX(rho) AS r FROM h
+  GROUP BY window_start, bucket
+), s AS (
+  SELECT window_start,
+         CAST(SUM(CAST(POWER(2.0, -r) AS DECIMAL(38,30))) AS DOUBLE)
+         + CAST({_HLL_M} - COUNT(*) AS DOUBLE) AS denom,
+         {_HLL_M} - COUNT(*) AS zeros
+  FROM regs GROUP BY window_start
+), est AS (
+  SELECT window_start, zeros,
+         {_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / denom AS raw_est
+  FROM s
+), corrected AS (
+  SELECT window_start,
+         CASE WHEN raw_est <= 2.5 * {_HLL_M} AND zeros > 0
+              THEN ({_HLL_LC_SQL})[zeros]
+              ELSE raw_est END AS hll_est
+  FROM est
+), exact AS (
+  SELECT window_start, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM grids GROUP BY window_start
+)
+SELECT c.window_start,
+       ROUND(c.hll_est, 6) AS hll_estimate,
+       e.exact_distinct,
+       ROUND(abs(c.hll_est - e.exact_distinct)
+             / e.exact_distinct * 100.0, 4) AS rel_error_pct
+FROM corrected c JOIN exact e USING (window_start)
+ORDER BY c.window_start
+"""
+
+
+@query(
+    "hll_sliding_distinct",
+    _HLL_SLIDING_ORACLE,
+    "Distinct users per 2h/1h sliding window via the mergeable HLL "
+    "registers: window expansion -> (window, bucket) MAX -> per-window "
+    "estimate with the literal linear-counting table; exact distincts "
+    "ride along so every window's error contract is verified",
+    tags=("relational", "timeseries", "sketch", "approx", "bench"),
+)
+def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "2 hours", "1 hour")
+    base = ev.select(
+        win.alias("w"), "user_id"
+    ).select(F.col("w.start").alias("window_start"), "user_id")
+    regs = _hll_registers(base, "user_id", group_cols=("window_start",))
+    sketch = regs.groupBy("window_start").agg(*_hll_sketch_aggs())
+    est = _hll_estimate()
+    exact = base.groupBy("window_start").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        sketch.join(exact, "window_start")
+        .select(
+            "window_start",
+            F.round(est, 6).alias("hll_estimate"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                * F.lit(100.0),
+                4,
+            ).alias("rel_error_pct"),
+        )
+        .orderBy("window_start")
+    )

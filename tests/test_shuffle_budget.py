@@ -76,6 +76,9 @@ BUDGETS = {
     "hash_split_stats": 3,
     "hilbert_layout": 2,
     "hll_distinct_sketch": 4,
+    # window-expanded register build + per-window sketch rollup + exact
+    # distinct branch + join + output sort.
+    "hll_sliding_distinct": 5,
     "hll_union_merge": 5,
     # The (order, part) distinct subtree prints once per consumer (pair
     # join sides + both frequency dims) — identical, so AQE reuses one
