@@ -953,7 +953,6 @@ _DRIVER_FIRST = [
 _DRIVER_FILL = [
     "pricing_summary",
     "flagship_top_locations",
-    "window_dedup",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -968,10 +967,12 @@ _DRIVER_TAIL_STREAMING = [
     # the CUSUM change-point detector (second stateful operator).
     "streaming_interval_join_outer",
     "streaming_cusum_drift",
+    "streaming_hll_windows",
 ]
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "window_dedup",
     "pivot_wide",
     "enrich_metadata",
     "active_semijoin",

@@ -579,3 +579,143 @@ def q_streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_completion(q)
     return spark.read.parquet(out)
+
+
+# --------------------------------------------------------------------------
+# Streaming windowed HLL — sketches ARE streaming state: the per-window
+# distinct-user registers build incrementally as a watermarked streaming
+# aggregate (groupBy window+bucket MAX rho — mergeable, so late data
+# folds in for free), the append drain emits each window's final 64
+# registers, and the estimate is read off the sink. The oracle rebuilds
+# the same registers in batch SQL — the batch/stream equivalence that
+# makes sketch state trustworthy.
+# --------------------------------------------------------------------------
+
+from reddit_data_pipeline_engineering_spark.plans.queries_ext import (  # noqa: E402
+    _HLL_ALPHA,
+    _HLL_LC_SQL,
+    _HLL_M,
+    _hll_estimate,
+    _hll_registers,
+    _hll_sketch_aggs,
+)
+
+_STREAM_HLL_ORACLE = f"""
+WITH week AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) <
+        (SELECT MIN(CAST(ts AS TIMESTAMP)) FROM events) + INTERVAL 7 DAY
+), base AS (
+  SELECT user_id,
+         to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)
+                      - (CAST(floor(epoch(ts)) AS BIGINT) % 3600))::TIMESTAMP
+           AS window_start
+  FROM week
+), h AS (
+  SELECT window_start,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+           % {_HLL_M} AS bucket,
+         61 - length(bin(
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 15))::BIGINT
+         )) AS rho
+  FROM base
+), regs AS (
+  SELECT window_start, bucket, MAX(rho) AS r FROM h
+  GROUP BY window_start, bucket
+), s AS (
+  SELECT window_start,
+         CAST(SUM(CAST(POWER(2.0, -r) AS DECIMAL(38,30))) AS DOUBLE)
+         + CAST({_HLL_M} - COUNT(*) AS DOUBLE) AS denom,
+         {_HLL_M} - COUNT(*) AS zeros
+  FROM regs GROUP BY window_start
+), est AS (
+  SELECT window_start, zeros,
+         {_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / denom AS raw_est
+  FROM s
+), corrected AS (
+  SELECT window_start,
+         CASE WHEN raw_est <= 2.5 * {_HLL_M} AND zeros > 0
+              THEN ({_HLL_LC_SQL})[zeros]
+              ELSE raw_est END AS hll_est
+  FROM est
+), exact AS (
+  SELECT window_start, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM base GROUP BY window_start
+)
+SELECT c.window_start,
+       ROUND(c.hll_est, 6) AS hll_estimate,
+       e.exact_distinct
+FROM corrected c JOIN exact e USING (window_start)
+ORDER BY c.window_start
+"""
+
+
+@query(
+    "streaming_hll_windows",
+    _STREAM_HLL_ORACLE,
+    "Streaming windowed HLL: per-window distinct-user registers build as "
+    "a watermarked streaming aggregate (window+bucket MAX — mergeable, "
+    "late data folds in free), append drain emits final registers, "
+    "estimate read off the sink; hash-verified against the batch "
+    "register build",
+    tags=("streaming", "sketch", "approx"),
+)
+def q_streaming_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = _with_min_ts(ev).filter(
+        F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAYS")
+    ).select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "2030-01-01T00:00:00.000000")], "user_id long, ts string"
+    )
+    tmp = tempfile.mkdtemp(prefix="rdpe_hllq_")
+    raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
+    week.unionByName(sentinel).write.mode("overwrite").json(raw)
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, ts string")
+        .option("maxFilesPerTrigger", "1000000")  # single-batch drain
+        .load(raw)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+    )
+    # Project the window first (event-time metadata rides the window
+    # struct), so the register builder can group by a plain column name.
+    swin = stream.select(F.window("ts", "1 hour").alias("window"), "user_id")
+    regs = _hll_registers(swin, "user_id", group_cols=("window",))
+    q = (
+        regs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    drained = (
+        spark.read.parquet(out)
+        .select(F.col("window.start").alias("window_start"), "bucket", "r")
+        .filter(F.col("window_start") < F.lit("2029-01-01").cast("timestamp"))
+    )
+    sketch = drained.groupBy("window_start").agg(*_hll_sketch_aggs())
+    exact = (
+        _with_min_ts(ev)
+        .filter(F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAYS"))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .select(F.col("w.start").alias("window_start"), "exact_distinct")
+    )
+    return (
+        sketch.join(exact, "window_start")
+        .select(
+            "window_start",
+            F.round(_hll_estimate(), 6).alias("hll_estimate"),
+            "exact_distinct",
+        )
+        .orderBy("window_start")
+    )
