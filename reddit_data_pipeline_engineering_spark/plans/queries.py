@@ -945,6 +945,7 @@ _DRIVER_FIRST = [
     "corpus_prep_v2",
     "multimodal_frame_sample",
     "hll_sliding_distinct",
+    "pit_dimension_lookup",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -952,7 +953,6 @@ _DRIVER_FIRST = [
 # gate slots the never-gated block doesn't need, so their rows refresh.
 _DRIVER_FILL = [
     "pricing_summary",
-    "flagship_top_locations",
 ]
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
@@ -972,6 +972,7 @@ _DRIVER_TAIL_STREAMING = [
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "flagship_top_locations",
     "window_dedup",
     "pivot_wide",
     "enrich_metadata",

@@ -672,3 +672,118 @@ def q_bitmap_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_both") == F.col("n_both_exact")).alias("bitmap_exact"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time dimension lookup — SCD2 composed with the range join:
+# the browsing-state dimension (click/view SCD2 versions) is probed AT
+# each purchase's timestamp, i.e. "what state was this user in when
+# they bought". Intervals tile each user's timeline half-open
+# [valid_from, valid_to), so every probe matches AT MOST one version
+# deterministically (same-timestamp version flips leave an empty
+# interval that can't match); probes before the first version roll up
+# under 'none'. Equi-key hash join + range residual — never a
+# broadcast-nested-loop (operators/asof.range_join).
+# --------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH src AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events WHERE event_type IN ('click', 'view')
+),
+ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+versioned AS (
+  SELECT user_id, ts, event_type,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+  FROM ordered
+),
+grouped AS (
+  SELECT user_id, version, min(event_type) AS state,
+         min(ts) AS valid_from
+  FROM versioned GROUP BY user_id, version
+),
+dim AS MATERIALIZED (
+  SELECT user_id, state, valid_from,
+         COALESCE(lead(valid_from)
+                    OVER (PARTITION BY user_id ORDER BY version),
+                  TIMESTAMP '2100-01-01') AS valid_to
+  FROM grouped
+),
+probes AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+pit AS (
+  SELECT p.user_id, d.state
+  FROM probes p LEFT JOIN dim d
+    ON p.user_id = d.user_id
+   AND p.ts >= d.valid_from AND p.ts < d.valid_to
+)
+SELECT COALESCE(state, 'none') AS state_at_purchase,
+       COUNT(*) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pit
+GROUP BY COALESCE(state, 'none')
+ORDER BY state_at_purchase
+"""
+
+
+@query(
+    "pit_dimension_lookup",
+    _PIT_ORACLE,
+    "Point-in-time enrichment: SCD2 browsing-state history (click/view "
+    "versions) probed at each purchase timestamp via the half-open "
+    "range join — exactly-one-version determinism by interval tiling; "
+    "the time-correct alternative to snapshot joins",
+    tags=("relational", "warehouse", "bench"),
+)
+def q_pit_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import asof
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2(
+        ev.filter(F.col("event_type").isin("click", "view")),
+        key="user_id",
+        attr="event_type",
+        ts="ts",
+        order_cols=("event_id",),
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        F.coalesce(
+            "valid_to", F.lit("2100-01-01").cast("timestamp")
+        ).alias("valid_to_f"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    pit = asof.range_join(
+        probes,
+        dim,
+        on="user_id",
+        point_ts="ts",
+        interval_start="valid_from",
+        interval_end="valid_to_f",
+        how="left",
+    )
+    return (
+        pit.groupBy(
+            F.coalesce(F.col("state"), F.lit("none")).alias(
+                "state_at_purchase"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("state_at_purchase")
+    )

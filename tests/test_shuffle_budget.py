@@ -96,6 +96,8 @@ BUDGETS = {
     "ngram_jaccard_topk": 3,
     "pagerank_topk": 0,
     "percentiles_approx": 3,
+    # SCD2 build window/rollup + probe-dim hash join + final rollup.
+    "pit_dimension_lookup": 4,
     "pivot_wide": 1,
     "pq_topk": 0,
     "pricing_summary": 2,
