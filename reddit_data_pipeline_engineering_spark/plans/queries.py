@@ -946,14 +946,13 @@ _DRIVER_FIRST = [
     "multimodal_frame_sample",
     "hll_sliding_distinct",
     "pit_dimension_lookup",
+    "volume_anomaly_days",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
 # registration order). These already have green rows; they occupy the
 # gate slots the never-gated block doesn't need, so their rows refresh.
-_DRIVER_FILL = [
-    "pricing_summary",
-]
+_DRIVER_FILL = []
 
 # Wall-clock-heavy streaming drains sit LAST inside the gate (positions
 # 49-50) in case the driver cap is a time budget rather than a count.
@@ -972,6 +971,7 @@ _DRIVER_TAIL_STREAMING = [
 
 _DRIVER_ROTATED_OUT = [
     # Displaced from _DRIVER_FILL by this round's new queries:
+    "pricing_summary",
     "flagship_top_locations",
     "window_dedup",
     "pivot_wide",

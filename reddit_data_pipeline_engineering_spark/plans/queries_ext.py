@@ -2579,3 +2579,69 @@ def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Ingest-volume drift audit — the pipeline-health check every scheduled
+# ingest needs: each day's row count vs its trailing-7-day window, with
+# spike (> 1.5x trailing mean) and drop (< 1/3) flags as INTEGER
+# cross-multiplications (n*cnt*2 > sum*3 — no float division, no
+# NULL-mean edge cases). The unpartitioned window runs over the DAILY
+# relation (bounded by calendar days, not rows — same justification as
+# ratio_to_report).
+# --------------------------------------------------------------------------
+
+_VOLUME_ORACLE = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+), trail AS (
+  SELECT day, n,
+         SUM(n) OVER (ORDER BY day
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tsum,
+         COUNT(n) OVER (ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tcnt
+  FROM daily
+)
+SELECT day, n,
+       CAST(COALESCE(tsum, 0) AS BIGINT) AS trail_sum,
+       CAST(tcnt AS BIGINT) AS trail_days,
+       (tcnt >= 3 AND n * tcnt * 2 > tsum * 3) AS volume_spike,
+       (tcnt >= 3 AND n * tcnt * 3 < tsum) AS volume_drop
+FROM trail ORDER BY day
+"""
+
+
+@query(
+    "volume_anomaly_days",
+    _VOLUME_ORACLE,
+    "Ingest-volume drift audit: per-day counts vs the trailing-7-day "
+    "window with integer cross-multiplied spike/drop flags (no float "
+    "division); window over the bounded daily relation only",
+    tags=("relational", "audit", "timeseries"),
+)
+def q_volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("timestamp").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    trail = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).alias("tsum"),
+        F.count("n").over(w).alias("tcnt"),
+    )
+    cnt3 = F.col("tcnt") >= 3
+    return trail.select(
+        "day",
+        "n",
+        F.coalesce(F.col("tsum"), F.lit(0)).cast("long").alias("trail_sum"),
+        F.col("tcnt").cast("long").alias("trail_days"),
+        (cnt3 & (F.col("n") * F.col("tcnt") * 2 > F.col("tsum") * 3)).alias(
+            "volume_spike"
+        ),
+        (cnt3 & (F.col("n") * F.col("tcnt") * 3 < F.col("tsum"))).alias(
+            "volume_drop"
+        ),
+    ).orderBy("day")
