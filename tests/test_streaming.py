@@ -567,6 +567,7 @@ def test_cusum_stream_restart_from_checkpoint(spark, tmp_path):
     drain()                      # first run: batches 0-1
     write_batch(2)
     drain()                      # RESTART from checkpoint: batch 2 only
+    drain()                      # no new data: must be a no-op (idempotent)
 
     got = sorted(
         (r["cusum"], r["alarm"])
