@@ -241,3 +241,52 @@ def test_star_components_property(spark, edges):
         ).collect()
     }
     assert got == expected
+
+
+def test_hash_split_membership_invariant_across_sf(spark):
+    """The md5-bucket split's WHOLE value proposition: a document's
+    train/val/test assignment depends only on its id — identical across
+    scale factors, reruns, and engines. The documents table shares ids
+    across sf0.001 and sf0.01, so the assignment maps must agree on the
+    intersection."""
+    from pyspark.sql import functions as F
+
+    from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+    def assignment(sf):
+        docs = load_table(spark, sf, "documents")
+        b = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long") % 100
+        split = (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+        return {
+            r.doc_id: r.split
+            for r in docs.select("doc_id", split.alias("split")).collect()
+        }
+
+    a = assignment("/root/testdata/sf0.001")
+    b = assignment("/root/testdata/sf0.01")
+    common = set(a) & set(b)
+    assert common
+    assert all(a[d] == b[d] for d in common)
+
+
+def test_triangle_count_partitioning_invariant(spark):
+    """Degree orientation + equi-join closure must give the same count
+    regardless of how the edge list is physically partitioned."""
+    import itertools
+
+    from reddit_data_pipeline_engineering_spark.operators import triangles as tri
+
+    edges = [(a, b) for a, b in itertools.combinations(range(7), 2)
+             if (a * 7 + b) % 3 != 0]
+    df = spark.createDataFrame(edges, "u long, v long")
+    base = tri.triangle_count(df).head()
+    for n in (1, 5, 13):
+        got = tri.triangle_count(df.repartition(n)).head()
+        assert (got.n_wedges, got.n_triangles) == (
+            base.n_wedges,
+            base.n_triangles,
+        )
