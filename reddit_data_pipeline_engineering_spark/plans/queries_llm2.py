@@ -605,3 +605,84 @@ def q_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# INT8 embedding quantization audit — the storage-compression lever for
+# vector corpora (4x smaller than fp32, the standard serving format).
+# Quantizer: q = clamp(floor(x * S + 0.5), -127, 127) with a FIXED
+# literal scale S = 127 / 0.6 (domain bound, never data-derived — same
+# policy as layout.quantize), floor-based so no rounding-mode parity
+# risk. The reconstruction-error rollup mirrors the engine's exact
+# fold: per-vector squared error is a left-associated 64-term chain in
+# BOTH engines, cross-vector sums go through DECIMAL.
+# --------------------------------------------------------------------------
+
+_Q8_DIM = 64
+_Q8_SCALE = repr(127.0 / 0.6)
+
+
+def _q8_term_sql(i: int) -> str:
+    x = f"CAST(embedding[{i + 1}] AS DOUBLE)"
+    q = (f"GREATEST(-127.0, LEAST(127.0, FLOOR({x} * {_Q8_SCALE} + 0.5)))")
+    e = f"({x} - {q} / {_Q8_SCALE})"
+    return f"{e} * {e}"
+
+
+_Q8_ORACLE = f"""
+WITH per_vec AS (
+  SELECT label,
+         {" + ".join(_q8_term_sql(i) for i in range(_Q8_DIM))} AS e2
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(e2 AS DECIMAL(38,30))) AS DOUBLE)
+             / (COUNT(*) * {_Q8_DIM}) * 1e9, 4) AS mse_e9
+FROM per_vec
+GROUP BY label ORDER BY label
+"""
+
+
+@query(
+    "int8_quant_audit",
+    _Q8_ORACLE,
+    "INT8 embedding quantization audit: clamp(floor(x*S + 0.5)) with a "
+    "fixed literal scale (floor-based — no rounding-mode parity risk), "
+    "per-label reconstruction MSE via the mirrored left-associated "
+    "per-vector fold + decimal cross-vector sum — the 4x storage lever "
+    "quantified",
+    tags=("llm", "similarity", "audit"),
+)
+def q_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    S = float(_Q8_SCALE)
+
+    def term(v):
+        x = v.cast("double")
+        q = F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x * F.lit(S) + F.lit(0.5))),
+        )
+        e = x - q / F.lit(S)
+        return e * e
+
+    e2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: acc + term(v),
+    )
+    per_vec = emb.select("label", e2.alias("e2"))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("e2").cast("decimal(38,30)")).cast("double")
+                / (F.count(F.lit(1)) * _Q8_DIM)
+                * F.lit(1e9),
+                4,
+            ).alias("mse_e9"),
+        )
+        .orderBy("label")
+    )
