@@ -915,7 +915,6 @@ _DRIVER_FIRST = [
     # registered, dropping the tail of _DRIVER_FILL to keep the gate at
     # exactly 50 (test_driver_gate_ordering enforces the arithmetic):
     "grouped_median_approx",
-    "percentiles_approx",
     "ivfpq_topk",
     "ivfpq_recall_at_k",
     "grouped_median_scalable",
@@ -945,6 +944,7 @@ _DRIVER_FIRST = [
     "pit_dimension_lookup",
     "volume_anomaly_days",
     "int8_quant_audit",
+    "conversion_within_hour",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -972,6 +972,11 @@ _DRIVER_ROTATED_OUT = [
     # (_DRIVER_FIRST outgrew the fill; everything here keeps its r01/r02
     # green row and the every-round local differential check):
     "embedding_blocked_topk",
+    # percentiles_approx waits for its row until r04: its sibling
+    # grouped_median_approx (same percentile_approx code path, same
+    # oracle pattern) IS gated this round, and the local differential
+    # suite checks it every run.
+    "percentiles_approx",
     "pricing_summary",
     "flagship_top_locations",
     "window_dedup",

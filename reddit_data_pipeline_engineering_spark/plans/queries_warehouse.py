@@ -787,3 +787,82 @@ def q_pit_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state_at_purchase")
     )
+
+
+# --------------------------------------------------------------------------
+# Attribution with a freshness bound — the as-of join's TOLERANCE path:
+# a purchase converts only if the user's latest click is at most 1 hour
+# old. Same union+window as-of plan (one keyed shuffle, no inequality
+# join); the tolerance is a post-match void, so stale matches cost
+# nothing extra. Latency mass in exact integer microseconds; conversion
+# rate integer-scaled to basis points.
+# --------------------------------------------------------------------------
+
+_CONV_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+  FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'purchase'
+), matched AS (
+  SELECT p.event_id, p.pts, MAX(c.cts) AS click_ts
+  FROM purch p LEFT JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 1 HOUR
+  GROUP BY p.event_id, p.pts
+)
+SELECT COUNT(*) AS n_purchases,
+       CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END)
+            * 10000 // COUNT(*) AS BIGINT) AS conversion_bps,
+       CAST(COALESCE(SUM(epoch_us(pts) - epoch_us(click_ts)), 0) AS BIGINT)
+         AS total_latency_us
+FROM matched
+"""
+
+
+@query(
+    "conversion_within_hour",
+    _CONV_ORACLE,
+    "Freshness-bounded attribution: purchase converts iff the user's "
+    "latest click is <= 1 hour old — the as-of join's tolerance path "
+    "(union + keyed window, stale matches voided post-hoc, zero "
+    "inequality-join blowup); exact integer latency mass + basis-point "
+    "rate",
+    tags=("relational", "warehouse", "timeseries"),
+)
+def q_conversion_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import asof
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    m = asof.asof_join(
+        purch,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=(),
+        tolerance_seconds=3600,
+    )
+    conv = F.col("ts_right").isNotNull()
+    return m.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.when(conv, 1).otherwise(0)).alias("n_converted"),
+        F.expr(
+            "CAST(SUM(CASE WHEN ts_right IS NOT NULL THEN 1 ELSE 0 END)"
+            " * 10000 div COUNT(*) AS BIGINT)"
+        ).alias("conversion_bps"),
+        F.coalesce(
+            F.sum(F.unix_micros("ts") - F.unix_micros("ts_right")), F.lit(0)
+        )
+        .cast("long")
+        .alias("total_latency_us"),
+    )
