@@ -1,5 +1,7 @@
-"""Warehouse extensions: SCD2 history, Z-order layout, Bloom semi-join
-reduction, market-basket co-occurrence, sliding event-time windows.
+"""Warehouse extensions: SCD2 history + point-in-time lookup, Z-order
+and Hilbert layouts, Bloom semi-join reduction, market-basket
+co-occurrence + item-CF similarity, sliding event-time windows, bitmap
+audience index, freshness-bounded attribution.
 
 None has a reference counterpart (the reference materializes
 point-in-time snapshots and Hive date partitions only — SURVEY.md §2.2);
