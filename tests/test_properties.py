@@ -290,3 +290,35 @@ def test_triangle_count_partitioning_invariant(spark):
             base.n_wedges,
             base.n_triangles,
         )
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_gini_rank_block_closed_form_matches_sorted_ranks(counts):
+    """key_skew_gini's histogram formula must equal the textbook
+    per-element rank formula for ANY count multiset: a tie block of m
+    equal values x starting after R predecessors contributes
+    x * (m*R + m*(m+1)/2) to the rank-weighted sum."""
+    n = len(counts)
+    s = sum(counts)
+    xs = sorted(counts)
+    rank_sum = sum((i + 1) * x for i, x in enumerate(xs))
+
+    hist = {}
+    for x in counts:
+        hist[x] = hist.get(x, 0) + 1
+    r = 0
+    block_sum = 0
+    for x in sorted(hist):
+        m = hist[x]
+        block_sum += x * (m * r + m * (m + 1) // 2)
+        r += m
+    assert block_sum == rank_sum
+    # and therefore the integer-scaled Gini agrees exactly
+    assert (2 * block_sum - (n + 1) * s) * 1_000_000 // (n * s) == (
+        2 * rank_sum - (n + 1) * s
+    ) * 1_000_000 // (n * s)
