@@ -968,6 +968,10 @@ _DRIVER_TAIL_STREAMING = [
 ]
 
 _DRIVER_ROTATED_OUT = [
+    # Added after the round-3 gate filled — r04 rotation queue (locally
+    # differential-checked every run like everything below):
+    "topn_with_ties",
+    "nested_order_lines",
     # Displaced from _DRIVER_FILL by this round's new queries
     # (_DRIVER_FIRST outgrew the fill; everything here keeps its r01/r02
     # green row and the every-round local differential check):

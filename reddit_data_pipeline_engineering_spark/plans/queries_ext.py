@@ -2645,3 +2645,99 @@ def q_volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume_drop"
         ),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Top-N WITH TIES — the rank-semantics completion of the window family:
+# row_number (dedup), ntile (quartiles) and rank/percent_rank exist;
+# dense_rank <= N is the "top N distinct VALUES, keep all tied rows"
+# contract (SQL:2008 FETCH ... WITH TIES), which no row_number query can
+# express without losing ties nondeterministically.
+# --------------------------------------------------------------------------
+
+_TIES_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY n DESC)
+            AS INTEGER) AS value_rank
+FROM daily
+QUALIFY dense_rank() OVER (PARTITION BY event_type ORDER BY n DESC) <= 2
+ORDER BY event_type, n DESC, day
+"""
+
+
+@query(
+    "topn_with_ties",
+    _TIES_ORACLE,
+    "Top-2 busiest day-counts per event type WITH TIES (dense_rank <= "
+    "N keeps every day sharing a top value — the FETCH WITH TIES "
+    "contract row_number cannot express deterministically)",
+    tags=("relational", "window"),
+)
+def q_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("timestamp").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"))
+    return (
+        daily.withColumn(
+            "value_rank", F.dense_rank().over(w).cast("int")
+        )
+        .filter(F.col("value_rank") <= 2)
+        .orderBy("event_type", F.desc("n"), "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Nested-array materialization — denormalize order lines into a sorted
+# ARRAY column (the document/struct modeling step before writing nested
+# parquet for point-lookup serving) and prove the roundtrip: re-exploded
+# line counts must reconcile. One keyed aggregate; array order pinned by
+# (line number, part key) — the synthetic lineitem REUSES line numbers
+# within an order, so the secondary key is what makes the nested value
+# engine-exact.
+# --------------------------------------------------------------------------
+
+_NESTED_ORACLE = """
+WITH nested AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines,
+         list(l_partkey ORDER BY l_linenumber, l_partkey) AS parts
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey, n_lines, parts,
+       len(parts) = n_lines AS roundtrip_ok
+FROM nested ORDER BY l_orderkey
+"""
+
+
+@query(
+    "nested_order_lines",
+    _NESTED_ORACLE,
+    "Denormalize order lines into a line-number-ordered ARRAY column "
+    "(nested-parquet modeling for point-lookup serving) with the "
+    "explode-roundtrip reconciliation in-query; one keyed aggregate",
+    tags=("relational", "nested"),
+)
+def q_nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", "l_partkey"))
+            ),
+            lambda s: s.l_partkey,
+        ).alias("parts"),
+    )
+    return nested.select(
+        "l_orderkey",
+        "n_lines",
+        "parts",
+        (F.size("parts") == F.col("n_lines")).alias("roundtrip_ok"),
+    ).orderBy("l_orderkey")
