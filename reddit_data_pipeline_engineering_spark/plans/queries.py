@@ -972,6 +972,7 @@ _DRIVER_ROTATED_OUT = [
     # differential-checked every run like everything below):
     "topn_with_ties",
     "nested_order_lines",
+    "mad_outliers_scalable",
     # Displaced from _DRIVER_FILL by this round's new queries
     # (_DRIVER_FIRST outgrew the fill; everything here keeps its r01/r02
     # green row and the every-round local differential check):

@@ -2741,3 +2741,72 @@ def q_nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parts",
         (F.size("parts") == F.col("n_lines")).alias("roundtrip_ok"),
     ).orderBy("l_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Scalable twin of mad_outliers — SAME oracle, hash-for-hash — with both
+# medians resolved by the bucket-bisection selection core instead of
+# rank windows: ~6 rounds of mergeable conditional counts per median, no
+# per-group sort, driver state = G brackets. The pattern that already
+# covers grouped_median/exact_percentiles extended to the two-level
+# median-of-deviations statistic.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mad_outliers_scalable",
+    _MAD_ORACLE,
+    "mad_outliers computed scale-safe: med and MAD each resolved by the "
+    "bisection selection core (mergeable conditional counts, no "
+    "per-group sort) then the identical broadcast rollup — same oracle, "
+    "same hash as the rank-window variant",
+    tags=("relational", "stats", "scale"),
+)
+def q_mad_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import selection as sel
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+    def lower_middle_ranks(prof):
+        return {g: [(n + 1) // 2] for g, (n, _, _) in prof.items()}
+
+    src, prof = sel._profile(ev, "event_type", "value")
+    targets = lower_middle_ranks(prof)
+    med = sel._select_ranks(src, targets, prof, sel.BUCKETS, sel.MAX_ROUNDS)
+    src.unpersist()
+    med_rows = [
+        (g, med[(g, (prof[g][0] + 1) // 2)]) for g in sorted(prof)
+    ]
+    med_df = spark.createDataFrame(med_rows, "event_type string, med double")
+
+    dev = ev.join(F.broadcast(med_df), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    src2, prof2 = sel._profile(dev, "event_type", "adev")
+    targets2 = lower_middle_ranks(prof2)
+    madr = sel._select_ranks(src2, targets2, prof2, sel.BUCKETS, sel.MAX_ROUNDS)
+    src2.unpersist()
+    mdim_rows = [
+        (
+            g,
+            med[(g, (prof[g][0] + 1) // 2)],
+            madr[(g, (prof2[g][0] + 1) // 2)],
+        )
+        for g in sorted(prof2)
+    ]
+    mdim = spark.createDataFrame(
+        mdim_rows, "event_type string, med double, mad double"
+    )
+    return (
+        ev.join(F.broadcast(mdim), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+        .orderBy("event_type")
+    )
