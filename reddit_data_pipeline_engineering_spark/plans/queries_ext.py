@@ -2810,3 +2810,60 @@ def q_mad_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Scalable twin of winsorized_stats — SAME oracle, hash-for-hash: the
+# [p10, p90] clamp bounds are two rank selections per group, resolved
+# together in ONE bisection run (the core tracks every (group, k)
+# bracket concurrently), then the identical broadcast clamp rollup.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "winsorized_scalable",
+    _WINSOR_ORACLE,
+    "winsorized_stats computed scale-safe: both clamp bounds resolved "
+    "in one bisection run (mergeable conditional counts, no per-group "
+    "sort), identical broadcast rollup — same oracle, same hash as the "
+    "rank-window variant",
+    tags=("relational", "stats", "scale"),
+)
+def q_winsorized_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import selection as sel
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    src, prof = sel._profile(ev, "event_type", "value")
+    targets = {
+        g: [max(1, (n * 10) // 100), min(n, (n * 90) // 100 + 1)]
+        for g, (n, _, _) in prof.items()
+    }
+    got = sel._select_ranks(src, targets, prof, sel.BUCKETS, sel.MAX_ROUNDS)
+    src.unpersist()
+    rows = [
+        (g, got[(g, targets[g][0])], got[(g, targets[g][1])])
+        for g in sorted(prof)
+    ]
+    bounds = spark.createDataFrame(
+        rows, "event_type string, lo double, hi double"
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clamped"),
+            (
+                F.sum(clamped.cast("decimal(14,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsor_mean"),
+        )
+        .orderBy("event_type")
+    )
