@@ -2867,3 +2867,71 @@ def q_winsorized_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month growth — the reporting staple done engine-exact:
+# monthly revenue is summed in DECIMAL and carried as INTEGER CENTS, so
+# the growth rate is a pure integer cross-multiplication in basis
+# points ((cur - prev) * 10000 div prev). The lag window runs over the
+# bounded month relation (84 rows at any data size).
+# --------------------------------------------------------------------------
+
+_MOM_ORACLE = """
+WITH monthly AS (
+  SELECT (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+           AS month_idx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT month_idx, rev_cents,
+       CAST(lag(rev_cents) OVER (ORDER BY month_idx) AS BIGINT)
+         AS prev_cents,
+       CAST(CASE WHEN lag(rev_cents) OVER (ORDER BY month_idx) IS NULL
+                 THEN NULL
+                 ELSE (rev_cents - lag(rev_cents) OVER (ORDER BY month_idx))
+                      * 10000 // lag(rev_cents) OVER (ORDER BY month_idx)
+            END AS BIGINT) AS growth_bps
+FROM monthly ORDER BY month_idx
+"""
+
+
+@query(
+    "mom_revenue_growth",
+    _MOM_ORACLE,
+    "Month-over-month revenue growth: decimal-exact monthly sums carried "
+    "as integer cents, growth as an integer basis-point division — the "
+    "reporting staple with zero float drift; lag window over the "
+    "bounded month relation",
+    tags=("relational", "timeseries", "window"),
+)
+def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    month_idx = (
+        (F.year("o_orderdate") - F.lit(1992)) * 12
+        + F.month("o_orderdate") - F.lit(1)
+    )
+    monthly = orders.groupBy(month_idx.alias("month_idx")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("month_idx")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "month_idx",
+        "rev_cents",
+        prev.cast("long").alias("prev_cents"),
+        F.when(
+            prev.isNull(), F.lit(None).cast("long")
+        )
+        .otherwise(
+            F.expr(
+                "(rev_cents - lag(rev_cents) OVER (ORDER BY month_idx))"
+                " * 10000 div lag(rev_cents) OVER (ORDER BY month_idx)"
+            )
+        )
+        .cast("long")
+        .alias("growth_bps"),
+    ).orderBy("month_idx")
