@@ -686,3 +686,58 @@ def q_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-based dedup survivorship — the OTHER survivorship policy:
+# first-occurrence (chunk_dedup/corpus_prep) is deterministic but
+# arbitrary; retention pipelines usually keep the BEST duplicate. The
+# argmax rides the group-by as a struct MAX ((quality, id) — both
+# engines compare structs field-lexicographically, the id tiebreaks),
+# so survivorship costs the SAME single shuffle as counting the group.
+# --------------------------------------------------------------------------
+
+_SURVIVOR_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, n_chars,
+         md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS h
+  FROM documents
+), dups AS (
+  SELECT h, COUNT(*) AS group_size,
+         MAX({'n_chars': n_chars, 'doc_id': doc_id}) AS best
+  FROM fp GROUP BY h HAVING COUNT(*) > 1
+)
+SELECT h, group_size,
+       CAST(best.doc_id AS BIGINT) AS survivor_doc_id,
+       CAST(best.n_chars AS BIGINT) AS survivor_chars
+FROM dups ORDER BY h
+"""
+
+
+@query(
+    "dedup_best_survivor",
+    _SURVIVOR_ORACLE,
+    "Quality-based dedup survivorship: within each fingerprint-duplicate "
+    "group keep the LONGEST document (struct-max argmax with id "
+    "tiebreak) — the keep-the-best policy at the same one-shuffle cost "
+    "as first-occurrence survivorship",
+    tags=("llm", "dedup"),
+)
+def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 10), " "))
+    grouped = (
+        docs.select("doc_id", "n_chars", fp.alias("h"))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.max(F.struct("n_chars", "doc_id")).alias("best"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+    return grouped.select(
+        "h",
+        "group_size",
+        F.col("best.doc_id").cast("long").alias("survivor_doc_id"),
+        F.col("best.n_chars").cast("long").alias("survivor_chars"),
+    ).orderBy("h")
