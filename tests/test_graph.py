@@ -83,3 +83,34 @@ def test_triangle_orientation_counts_each_once(spark):
     edges = [(a, b) for a, b in itertools.combinations(range(4), 2)]
     df = spark.createDataFrame(edges, "u long, v long")
     assert tri.triangle_count(df).head().n_triangles == 4
+
+
+def test_bfs_levels_match_brute_force(spark):
+    """Frontier expansion must produce exact hop distances — compared
+    against a plain Python BFS on a graph with a cycle, a chain, and an
+    unreachable component; nodes beyond the probe radius are absent."""
+    from collections import deque
+
+    from reddit_data_pipeline_engineering_spark.operators import bfs
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (7, 8)]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    rounds = 3
+    got = {r.node: r.dist for r in bfs.bfs_levels(df, 1, rounds).collect()}
+
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, []).append(b)
+    dist = {1: 0}
+    q = deque([1])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    expected = {n: d for n, d in dist.items() if d <= rounds}
+    assert got == expected
+    assert 6 not in got          # 4 hops away: beyond the probe radius
+    assert 7 not in got and 8 not in got  # unreachable component
