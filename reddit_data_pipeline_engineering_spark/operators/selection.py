@@ -133,7 +133,20 @@ def _select_ranks(
                         # Bracket collapsed to a single representable
                         # double — every value in it IS that double.
                         resolved[(g, k)] = new_lo
-                    state[(g, k)] = (new_lo, min(new_hi, hi))
+                        state[(g, k)] = (new_lo, min(new_hi, hi))
+                        break
+                    # Widen by w/2^30: the engine classifies buckets via
+                    # floor((v-lo)/w*B) whose few-ulp rounding can drop a
+                    # value JUST outside the recomputed boundary (e.g. a
+                    # subnormal absorbed into 0.0 lands below new_lo=0.0
+                    # and the terminal bracket goes empty). The widening
+                    # strictly dominates that error while still shrinking
+                    # the bracket ~B/2 per round.
+                    eps = w / (1 << 30)
+                    state[(g, k)] = (
+                        max(lo, new_lo - eps),
+                        min(new_hi + eps, hi),
+                    )
                     break
                 cum += c
 
