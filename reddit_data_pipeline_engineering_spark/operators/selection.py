@@ -130,10 +130,19 @@ def _select_ranks(
                     new_lo = lo + (w * b) / buckets
                     new_hi = lo + (w * (b + 1)) / buckets if b < buckets - 1 else hi
                     if new_lo >= new_hi:
-                        # Bracket collapsed to a single representable
-                        # double — every value in it IS that double.
-                        resolved[(g, k)] = new_lo
-                        state[(g, k)] = (new_lo, min(new_hi, hi))
+                        # Bracket collapsed to ~1 ulp. Do NOT read the
+                        # boundary off as the answer (the same few-ulp
+                        # classification error fixed below could make it
+                        # 1 ulp from the true DATA value) — pin a
+                        # minimal positive-width bracket and let the
+                        # final pass read the exact value.
+                        delta = 4 * math.ulp(
+                            max(abs(new_lo), abs(new_hi), 1e-300)
+                        )
+                        state[(g, k)] = (
+                            max(lo, min(new_lo, new_hi) - delta),
+                            min(max(new_lo, new_hi) + delta, hi),
+                        )
                         break
                     # Widen by w/2^30: the engine classifies buckets via
                     # floor((v-lo)/w*B) whose few-ulp rounding can drop a
