@@ -2935,3 +2935,117 @@ def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("growth_bps"),
     ).orderBy("month_idx")
+
+
+# --------------------------------------------------------------------------
+# One-pass table profiler — the stats backbone of every data-quality /
+# query-planning layer: per-column row count, null count, exact distinct
+# count, min and max for four measure columns of lineitem, computed in
+# ONE aggregate pass (Spark plans the multi-countDistinct via a single
+# expand) and unpivoted into a row per column.
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN({c}) AS min_v, MAX({c}) AS max_v
+FROM lineitem"""
+
+
+_TABLE_PROFILE_ORACLE = (
+    " UNION ALL ".join(_profile_col_sql(c) for c in _PROFILE_COLS)
+    + " ORDER BY column_name"
+)
+
+
+@query(
+    "table_profile",
+    _TABLE_PROFILE_ORACLE,
+    "One-pass multi-column profiler: rows / nulls / exact distincts / "
+    "min / max for four lineitem measures in a single aggregate "
+    "(one expand, one shuffle), unpivoted to a row per column — the "
+    "stats layer planners and DQ checks read",
+    tags=("relational", "audit"),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__dist, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return (
+        wide.selectExpr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(column_name, n_rows, n_null, n_distinct, min_v, max_v)"
+        )
+        .withColumn("n_distinct", F.col("n_distinct").cast("long"))
+        .orderBy("column_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join-cardinality estimator audit — the planner arithmetic made a
+# query: predicted |A ⋈ B| on a key = Σ_k n_A(k)·n_B(k); built from the
+# FULL per-key histogram the prediction is exact, and the query proves
+# it against the materialized join's count. At 100 TB the same formula
+# runs over count-min histograms (operators/bloom.py's sibling) with a
+# bounded overcount — this is the exactness baseline for that.
+# --------------------------------------------------------------------------
+
+_JOINCARD_ORACLE = """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n * n) AS BIGINT) AS predicted_rows,
+       (SELECT COUNT(*) FROM events a JOIN events b USING (user_id))
+         AS actual_rows,
+       CAST(SUM(n * n) AS BIGINT)
+         = (SELECT COUNT(*) FROM events a JOIN events b USING (user_id))
+         AS estimator_exact
+FROM c
+"""
+
+
+@query(
+    "join_cardinality_audit",
+    _JOINCARD_ORACLE,
+    "Join-cardinality estimation audit: predicted self-join size from "
+    "the per-key count histogram (sum of n_k^2) proven equal to the "
+    "materialized join count — the exactness baseline the sketched "
+    "(count-min) estimator degrades from at scale",
+    tags=("relational", "audit", "scale"),
+)
+def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    pred = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("predicted_rows"),
+    )
+    a = ev.select("user_id")
+    b = ev.select("user_id")
+    actual = a.join(b, "user_id").agg(
+        F.count(F.lit(1)).alias("actual_rows")
+    )
+    return pred.crossJoin(actual).select(
+        "n_keys",
+        "predicted_rows",
+        "actual_rows",
+        (F.col("predicted_rows") == F.col("actual_rows")).alias(
+            "estimator_exact"
+        ),
+    )
