@@ -3049,3 +3049,51 @@ def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "estimator_exact"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# The bisection core in its TARGET regime — hundreds of groups: exact
+# interpolated p90 of line price per ship WEEK (~350 groups at sf0.1).
+# This is where the rank-window formulation's per-group sorts multiply
+# while the bisection's cost stays ~rounds x one conditional-count pass
+# whose key space is (weeks x brackets) — driver state is bounded by
+# group count, not row count.
+# --------------------------------------------------------------------------
+
+_WEEKLY_P90_ORACLE = """
+WITH weekly AS (
+  SELECT (CAST(l_shipdate AS DATE) - DATE '1992-01-01') // 7 AS week_idx,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT week_idx, ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+FROM weekly GROUP BY week_idx ORDER BY week_idx
+"""
+
+
+@query(
+    "weekly_p90_scalable",
+    _WEEKLY_P90_ORACLE,
+    "Exact interpolated p90 of line price per ship week via bucket "
+    "bisection — the selection core at hundreds of groups, its target "
+    "regime (driver state = per-group brackets; no per-group sorts "
+    "anywhere)",
+    tags=("relational", "stats", "scale"),
+)
+def q_weekly_p90_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.selection import (
+        grouped_percentiles_selection,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = li.select(
+        F.floor(
+            F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
+            / 7
+        ).alias("week_idx"),
+        "l_extendedprice",
+    )
+    return grouped_percentiles_selection(
+        weekly, "week_idx", "l_extendedprice",
+        percentiles=(0.9,), names=("p90",),
+    ).orderBy("week_idx")
