@@ -3097,3 +3097,81 @@ def q_weekly_p90_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         weekly, "week_idx", "l_extendedprice",
         percentiles=(0.9,), names=("p90",),
     ).orderBy("week_idx")
+
+
+# --------------------------------------------------------------------------
+# Session path analysis — the first-order Markov view of behavior:
+# within-session event-type transitions (same 30-minute gap rule as
+# sessionize) counted and normalized per source state in integer basis
+# points. One keyed window (lag over user) + one bounded aggregate over
+# the |types|^2 transition matrix.
+# --------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) >=
+                   lag(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), t AS (
+  SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM o WHERE brk = 0 AND prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS share_bps
+FROM t ORDER BY from_type, to_type
+"""
+
+
+@query(
+    "session_transitions",
+    _TRANSITIONS_ORACLE,
+    "Within-session event-type transition matrix (30-min gap rule): one "
+    "lag window + bounded |types|^2 aggregate, per-source shares in "
+    "integer basis points — the first-order Markov behavior view",
+    tags=("relational", "window", "timeseries"),
+)
+def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    prev_type = F.lag("event_type").over(w)
+    prev_ts = F.lag(F.col("ts").cast("timestamp")).over(w)
+    brk = F.when(
+        prev_ts.isNull()
+        | (
+            F.col("ts").cast("timestamp")
+            >= prev_ts + F.expr("INTERVAL 30 MINUTES")
+        ),
+        1,
+    ).otherwise(0)
+    o = ev.select(
+        "user_id",
+        "event_type",
+        prev_type.alias("prev_type"),
+        brk.alias("brk"),
+    )
+    t = (
+        o.filter((F.col("brk") == 0) & F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr(
+            "CAST((n * 10000) div SUM(n) OVER (PARTITION BY from_type)"
+            " AS BIGINT)"
+        ).alias("share_bps"),
+    ).orderBy("from_type", "to_type")
