@@ -3175,3 +3175,72 @@ def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("share_bps"),
     ).orderBy("from_type", "to_type")
+
+
+# --------------------------------------------------------------------------
+# Weighted median — the order statistic under a weight measure (price
+# weighted by quantity): first value whose cumulative weight covers
+# half the total. Weights ride as integer cents (decimal-exact), the
+# crossing test is an integer cross-multiplication (cum*2 >= total),
+# and ties in (v, wt) cannot move the crossing off the value. Same
+# keyed-window regime note as the median family.
+# --------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS wt
+  FROM lineitem
+), c AS (
+  SELECT g, v, wt,
+         SUM(wt) OVER (PARTITION BY g ORDER BY v, wt
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(wt) OVER (PARTITION BY g) AS tot
+  FROM w
+)
+SELECT g AS l_returnflag, CAST(MAX(tot) AS BIGINT) AS total_weight,
+       MIN(CASE WHEN cum * 2 >= tot THEN v END) AS weighted_median
+FROM c GROUP BY g ORDER BY g
+"""
+
+
+@query(
+    "weighted_median_price",
+    _WMEDIAN_ORACLE,
+    "Quantity-weighted median price per return flag: integer-cent "
+    "weights, cumulative-weight crossing by integer cross-"
+    "multiplication (cum*2 >= total) — the weighted order statistic "
+    "with zero float arithmetic in the selection",
+    tags=("relational", "stats"),
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("wt"),
+    )
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("v", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt_all = Window.partitionBy("g")
+    c = w.select(
+        "g",
+        "v",
+        F.sum("wt").over(wc).alias("cum"),
+        F.sum("wt").over(wt_all).alias("tot"),
+    )
+    return (
+        c.groupBy(F.col("g").alias("l_returnflag"))
+        .agg(
+            F.max("tot").cast("long").alias("total_weight"),
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("tot"), F.col("v"))
+            ).alias("weighted_median"),
+        )
+        .orderBy("l_returnflag")
+    )
