@@ -981,6 +981,7 @@ _DRIVER_ROTATED_OUT = [
     "weekly_p90_scalable",
     "session_transitions",
     "weighted_median_price",
+    "functional_dependency_audit",
     # Displaced from _DRIVER_FILL by this round's new queries
     # (_DRIVER_FIRST outgrew the fill; everything here keeps its r01/r02
     # green row and the every-round local differential check):

@@ -3244,3 +3244,72 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency audit — the profiling step schema-inference and
+# normalization tools run: A -> B holds iff |distinct A| =
+# |distinct (A, B)|. Four candidate pairs over orders checked in ONE
+# aggregate pass (multi-countDistinct through a single expand),
+# unpivoted to a row per pair — exact integers, no sampling.
+# --------------------------------------------------------------------------
+
+_FD_PAIRS = (
+    ("o_orderkey", "o_custkey"),     # key -> attribute: holds
+    ("o_custkey", "o_orderkey"),     # attribute -> key: fails
+    ("o_orderkey", "o_orderstatus"),  # key -> attribute: holds
+    ("o_orderdate", "o_orderpriority"),  # unrelated: fails
+)
+
+
+def _fd_sql(a: str, b: str) -> str:
+    return f"""
+SELECT '{a} -> {b}' AS dependency,
+       CAST(COUNT(DISTINCT {a}) AS BIGINT) AS n_distinct_lhs,
+       CAST(COUNT(DISTINCT ({a}, {b})) AS BIGINT) AS n_distinct_pair,
+       COUNT(DISTINCT {a}) = COUNT(DISTINCT ({a}, {b})) AS holds
+FROM orders"""
+
+
+_FD_ORACLE = (
+    " UNION ALL ".join(_fd_sql(a, b) for a, b in _FD_PAIRS)
+    + " ORDER BY dependency"
+)
+
+
+@query(
+    "functional_dependency_audit",
+    _FD_ORACLE,
+    "Functional-dependency audit over orders: A -> B iff |distinct A| "
+    "= |distinct (A,B)|, four candidate pairs in one aggregate pass "
+    "(single expand), exact — the schema-profiling primitive",
+    tags=("relational", "audit"),
+)
+def q_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for a, b in _FD_PAIRS:
+        tag = f"{a}__{b}"
+        aggs += [
+            F.countDistinct(a).alias(f"{tag}__l"),
+            F.countDistinct(a, b).alias(f"{tag}__p"),
+        ]
+    wide = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{a} -> {b}', {a}__{b}__l, {a}__{b}__p" for a, b in _FD_PAIRS
+    )
+    return (
+        wide.selectExpr(
+            f"stack({len(_FD_PAIRS)}, {stack}) AS "
+            "(dependency, n_distinct_lhs, n_distinct_pair)"
+        )
+        .select(
+            "dependency",
+            F.col("n_distinct_lhs").cast("long").alias("n_distinct_lhs"),
+            F.col("n_distinct_pair").cast("long").alias("n_distinct_pair"),
+            (F.col("n_distinct_lhs") == F.col("n_distinct_pair")).alias(
+                "holds"
+            ),
+        )
+        .orderBy("dependency")
+    )
