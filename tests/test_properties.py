@@ -8,6 +8,7 @@ to shrink but expensive to run).
 
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from reddit_data_pipeline_engineering_spark.functions import aqi
@@ -327,3 +328,59 @@ def test_gini_rank_block_closed_form_matches_sorted_ranks(counts):
     assert (2 * block_sum - (n + 1) * s) * 1_000_000 // (n * s) == (
         2 * rank_sum - (n + 1) * s
     ) * 1_000_000 // (n * s)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.floats(-100, 100, allow_nan=False).map(lambda x: round(x, 2)),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SLOW
+def test_weighted_median_crossing_matches_brute_force(spark, rows):
+    """The cumulative-weight crossing rule must pick the same value as a
+    direct scan of the sorted (value, weight) list for arbitrary
+    weights, duplicates, and group contents."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "g string, v double, wt long")
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("v", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt_all = Window.partitionBy("g")
+    c = df.select(
+        "g",
+        "v",
+        F.sum("wt").over(wc).alias("cum"),
+        F.sum("wt").over(wt_all).alias("tot"),
+    )
+    got = {
+        r["g"]: r["wm"]
+        for r in c.groupBy("g")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("tot"), F.col("v"))
+            ).alias("wm")
+        )
+        .collect()
+    }
+    by_g = {}
+    for g, v, wt in rows:
+        by_g.setdefault(g, []).append((v, wt))
+    for g, vw in by_g.items():
+        tot = sum(w for _, w in vw)
+        cum = 0
+        exp = None
+        for v, w in sorted(vw):
+            cum += w
+            if cum * 2 >= tot:
+                exp = v
+                break
+        assert got[g] == exp, (g, got[g], exp, vw)
