@@ -862,6 +862,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_ext  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_llm  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_llm2  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_llm3  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_prep  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_streaming  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch  # noqa: F401
@@ -982,6 +983,8 @@ _DRIVER_ROTATED_OUT = [
     "session_transitions",
     "weighted_median_price",
     "functional_dependency_audit",
+    "setsim_prefix_join",
+    "eval_overlap_fraction",
     # Displaced from _DRIVER_FILL by this round's new queries
     # (_DRIVER_FIRST outgrew the fill; everything here keeps its r01/r02
     # green row and the every-round local differential check):

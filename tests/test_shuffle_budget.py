@@ -106,6 +106,11 @@ BUDGETS = {
     "returned_item_losses": 1,
     "rollup_orders": 1,
     "scd2_dimension": 2,
+    # shingle-df/size aggs + rank join/window + prefix self-join +
+    # candidate distinct + verify joins/agg + final sort; the dominant
+    # subtree (distinct doc-shingle pairs) feeds four consumers, so its
+    # exchanges print once per branch.
+    "setsim_prefix_join": 15,
     "shipping_priority": 1,
     "sliding_window_rollup": 2,
     # med + mad each need a rank window over events (textually replayed
