@@ -1,0 +1,79 @@
+"""k-core peeling — dense-subgraph extraction by iterative degree filter.
+
+The fifth distributed graph kernel (components, PageRank, triangles, BFS
+are the others): repeatedly delete every node whose degree is below k
+until only the k-core remains — the standard preprocessing step before
+community mining, spam/bot subgraph isolation, and graph sparsification
+of a co-occurrence graph.
+
+Scale shape per round: ONE degree aggregate (keyed shuffle on node id)
+plus two semi-joins that keep only edges whose endpoints both survive —
+all keyed on uniform node ids, nothing quadratic, state bounded by the
+(shrinking) edge list. The edge relation is localCheckpointed each round
+(same device as components/pagerank/bfs) so lineage stays flat and the
+round's filter result is not recomputed by the next round or by the
+stats branch. Rounds are a FIXED parameter, so the DuckDB oracle replays
+the whole peel as unrolled CTEs and the result is engine-exact; peeling
+to fixpoint is the same loop with a convergence check on the counts.
+
+Reference parity: the reference (an OpenAQ ETL) has no graph operator;
+this extends the engine's iterative-algorithm family per SURVEY.md §2's
+"beyond the reference" mandate.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Peel ``rounds`` times; return (round, nodes_alive, edges_alive).
+
+    ``edges`` must be SYMMETRIZED (each undirected edge present in both
+    directions) so the out-degree on ``src`` is the full degree;
+    ``edges_alive`` counts undirected edges (directed count div 2).
+    ``nodes_alive`` after round r is the number of nodes whose degree in
+    the round-(r-1) graph was >= k — isolated survivors are impossible
+    because any node with degree >= k >= 1 still owns an edge unless its
+    neighbors died, which the NEXT round's count reflects.
+    """
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+    stats: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        alive = (
+            edges.groupBy(src)
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select(F.col(src).alias("__node"))
+        )
+        edges = (
+            edges.join(alive, edges[src] == alive["__node"], "left_semi")
+            .join(alive, edges[dst] == alive["__node"], "left_semi")
+        )
+        if checkpoint:
+            edges = edges.localCheckpoint(eager=True)
+        stats.append(
+            alive.agg(F.count(F.lit(1)).alias("nodes_alive"))
+            .crossJoin(
+                edges.agg(
+                    F.floor(F.count(F.lit(1)) / 2).alias("edges_alive")
+                )
+            )
+            .select(
+                F.lit(r).alias("round"),
+                F.col("nodes_alive").cast("long"),
+                F.col("edges_alive").cast("long"),
+            )
+        )
+    return reduce(DataFrame.unionAll, stats).orderBy("round")

@@ -985,6 +985,7 @@ _DRIVER_ROTATED_OUT = [
     "functional_dependency_audit",
     "setsim_prefix_join",
     "eval_overlap_fraction",
+    "kcore_peel_counts",
     # Displaced from _DRIVER_FILL by this round's new queries
     # (_DRIVER_FIRST outgrew the fill; everything here keeps its r01/r02
     # green row and the every-round local differential check):

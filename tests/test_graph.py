@@ -114,3 +114,39 @@ def test_bfs_levels_match_brute_force(spark):
     assert got == expected
     assert 6 not in got          # 4 hops away: beyond the probe radius
     assert 7 not in got and 8 not in got  # unreachable component
+
+
+def test_kcore_peel_matches_brute_force(spark):
+    """Fixed-round peeling must match a plain Python peel on a graph
+    with a clique (survives), a pendant chain (peels immediately), and
+    a triangle fringe (peels on the cascade round)."""
+    from reddit_data_pipeline_engineering_spark.operators import kcore
+
+    # 4-clique {1,2,3,4}; pendant chain 4-5-6; vertex 7 tied to 1 and 2
+    # (degree 2) plus 8 tied to 7 (degree 1).
+    und = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6), (1, 7), (2, 7), (7, 8),
+    ]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    rounds, k = 3, 3
+    got = [
+        (r.round, r.nodes_alive, r.edges_alive)
+        for r in kcore.kcore_peel(df, k=k, rounds=rounds).collect()
+    ]
+
+    edges = set(map(tuple, sym))
+    expected = []
+    for r in range(1, rounds + 1):
+        deg = {}
+        for a, _ in edges:
+            deg[a] = deg.get(a, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        edges = {(a, b) for a, b in edges if a in alive and b in alive}
+        expected.append((r, len(alive), len(edges) // 2))
+    assert got == expected
+    # the 4-clique is a 3-core: it must survive every round intact
+    assert got[-1] == (rounds, 4, 6)
+    # survival curve is monotone non-increasing
+    assert all(got[i][1] >= got[i + 1][1] for i in range(len(got) - 1))

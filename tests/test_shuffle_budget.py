@@ -87,6 +87,10 @@ BUDGETS = {
     "ivf_kmeans_topk": 0,
     "ivf_probe_topk": 0,
     "ivfpq_topk": 0,
+    # Per-round peel shuffles happen during construction against the
+    # checkpointed edge list; the returned stats plan re-derives each
+    # round's alive set (1 degree agg) + two 1-row count aggregates.
+    "kcore_peel_counts": 12,
     "large_volume_customers": 2,
     "local_supplier_volume": 2,
     "market_share": 2,
