@@ -986,6 +986,8 @@ _DRIVER_ROTATED_OUT = [
     "setsim_prefix_join",
     "eval_overlap_fraction",
     "kcore_peel_counts",
+    "zonemap_pruning_audit",
+    "k_anonymity_audit",
     # Displaced from _DRIVER_FILL by this round's new queries
     # (_DRIVER_FIRST outgrew the fill; everything here keeps its r01/r02
     # green row and the every-round local differential check):

@@ -868,3 +868,250 @@ def q_conversion_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_latency_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zone-map (min/max data-skipping) pruning audit — the mechanism that
+# makes the Z-order/Hilbert layout queries MATTER: a scan can skip a
+# file iff the predicate's range misses the file's min/max zone. Two
+# layouts are simulated from pure column expressions (no global sort,
+# no real write): 'month_clustered' assigns rows to files by calendar
+# month (what ingestion-partitioned parquet produces — tight date
+# zones, wide key zones) and 'hash_unclustered' by md5 of the order key
+# (every zone spans the full domain). Per (layout, file): min/max
+# zones for the two audited columns in ONE aggregate; per (layout,
+# predicate): files/rows scanned under min/max skipping plus true
+# matching rows, so read amplification is an audited output. The whole
+# audit is two keyed aggregates over a unioned map-only assignment —
+# at 100 TB this is exactly the footprint of reading the parquet
+# footer statistics.
+# --------------------------------------------------------------------------
+
+_ZM_DATE_LO, _ZM_DATE_HI = "1995-03-01", "1995-03-31"
+_ZM_KEY_LO, _ZM_KEY_HI = 100, 199
+_ZM_HASH_FILES = 80  # ~ the month-file count over TPC-H's 7-year range
+
+_ZONEMAP_ORACLE = f"""
+WITH assign AS (
+  SELECT 'month_clustered' AS layout,
+         (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS file,
+         o_orderdate, o_custkey
+  FROM orders
+  UNION ALL
+  SELECT 'hash_unclustered' AS layout,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_ZM_HASH_FILES} AS file,
+         o_orderdate, o_custkey
+  FROM orders
+),
+zones AS (
+  SELECT layout, file, COUNT(*) AS n_rows,
+         MIN(o_orderdate) AS min_d, MAX(o_orderdate) AS max_d,
+         MIN(o_custkey) AS min_c, MAX(o_custkey) AS max_c,
+         CAST(SUM(CASE WHEN o_orderdate BETWEEN DATE '{_ZM_DATE_LO}'
+                        AND DATE '{_ZM_DATE_HI}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS match_date,
+         CAST(SUM(CASE WHEN o_custkey BETWEEN {_ZM_KEY_LO} AND {_ZM_KEY_HI}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS match_key
+  FROM assign GROUP BY layout, file
+),
+per_layout AS (
+  SELECT layout,
+         COUNT(*) AS files_total, CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+         COUNT(*) FILTER (NOT (max_d < DATE '{_ZM_DATE_LO}'
+                               OR min_d > DATE '{_ZM_DATE_HI}'))
+           AS date_files,
+         CAST(COALESCE(SUM(n_rows) FILTER (NOT (max_d < DATE '{_ZM_DATE_LO}'
+                               OR min_d > DATE '{_ZM_DATE_HI}')), 0)
+           AS BIGINT) AS date_rows,
+         CAST(SUM(match_date) AS BIGINT) AS date_match,
+         COUNT(*) FILTER (NOT (max_c < {_ZM_KEY_LO} OR min_c > {_ZM_KEY_HI}))
+           AS key_files,
+         CAST(COALESCE(SUM(n_rows) FILTER (NOT (max_c < {_ZM_KEY_LO}
+                               OR min_c > {_ZM_KEY_HI})), 0)
+           AS BIGINT) AS key_rows,
+         CAST(SUM(match_key) AS BIGINT) AS key_match
+  FROM zones GROUP BY layout
+)
+SELECT layout, predicate, files_total, files_scanned, rows_scanned,
+       rows_matching,
+       rows_scanned * 10000 // rows_total AS scan_bps
+FROM (
+  SELECT layout, 'date_month' AS predicate, files_total, rows_total,
+         date_files AS files_scanned, date_rows AS rows_scanned,
+         date_match AS rows_matching
+  FROM per_layout
+  UNION ALL
+  SELECT layout, 'custkey_range', files_total, rows_total,
+         key_files, key_rows, key_match
+  FROM per_layout
+)
+ORDER BY layout, predicate
+"""
+
+
+@query(
+    "zonemap_pruning_audit",
+    _ZONEMAP_ORACLE,
+    "Min/max zone-map data-skipping audit: month-clustered vs "
+    "hash-unclustered file layouts, per-file zones in one aggregate, "
+    "files/rows scanned + read amplification per predicate — the "
+    "footer-statistics footprint that justifies clustered layouts",
+    tags=("warehouse", "layout"),
+)
+def q_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    month_file = (
+        (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+    ).cast("long")
+    hash_file = F.expr(
+        "conv(substr(md5(cast(o_orderkey as string)), 1, 8), 16, 10)"
+    ).cast("long") % _ZM_HASH_FILES
+    assign = o.select(
+        F.lit("month_clustered").alias("layout"), month_file.alias("file"),
+        "o_orderdate", "o_custkey",
+    ).unionAll(
+        o.select(
+            F.lit("hash_unclustered").alias("layout"), hash_file.alias("file"),
+            "o_orderdate", "o_custkey",
+        )
+    )
+    in_date = F.col("o_orderdate").between(_ZM_DATE_LO, _ZM_DATE_HI)
+    in_key = F.col("o_custkey").between(_ZM_KEY_LO, _ZM_KEY_HI)
+    zones = assign.groupBy("layout", "file").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderdate").alias("min_d"),
+        F.max("o_orderdate").alias("max_d"),
+        F.min("o_custkey").alias("min_c"),
+        F.max("o_custkey").alias("max_c"),
+        F.sum(F.when(in_date, 1).otherwise(0)).alias("match_date"),
+        F.sum(F.when(in_key, 1).otherwise(0)).alias("match_key"),
+    )
+    date_hit = ~(
+        (F.col("max_d") < F.lit(_ZM_DATE_LO))
+        | (F.col("min_d") > F.lit(_ZM_DATE_HI))
+    )
+    key_hit = ~(
+        (F.col("max_c") < _ZM_KEY_LO) | (F.col("min_c") > _ZM_KEY_HI)
+    )
+    per_layout = zones.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("files_total"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(date_hit, 1).otherwise(0)).alias("date_files"),
+        F.sum(F.when(date_hit, F.col("n_rows")).otherwise(0)).alias("date_rows"),
+        F.sum("match_date").alias("date_match"),
+        F.sum(F.when(key_hit, 1).otherwise(0)).alias("key_files"),
+        F.sum(F.when(key_hit, F.col("n_rows")).otherwise(0)).alias("key_rows"),
+        F.sum("match_key").alias("key_match"),
+    )
+    unp = per_layout.selectExpr(
+        "layout",
+        "files_total",
+        "rows_total",
+        """stack(2,
+             'date_month', date_files, date_rows, date_match,
+             'custkey_range', key_files, key_rows, key_match)
+           AS (predicate, files_scanned, rows_scanned, rows_matching)""",
+    )
+    return unp.select(
+        "layout",
+        "predicate",
+        F.col("files_total").cast("long"),
+        F.col("files_scanned").cast("long"),
+        F.col("rows_scanned").cast("long"),
+        F.col("rows_matching").cast("long"),
+        F.expr("rows_scanned * 10000 div rows_total")
+        .cast("long")
+        .alias("scan_bps"),
+    ).orderBy("layout", "predicate")
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit — the privacy-side profiling primitive a training-
+# data release runs next to PII scrubbing (functions/text.scrub_pii):
+# how many rows sit in quasi-identifier equivalence classes smaller
+# than k and would need suppression or generalization. Three
+# generalization levels of the customer QI tuple are audited in one
+# query; each level is one hash aggregate on the QI key followed by a
+# bounded rollup — uniform keys, no skew hazard, and the class-size
+# histogram shape mirrors key_skew_gini's count-of-counts device.
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+WITH fine AS (
+  SELECT 'nation+segment+balbucket' AS level, COUNT(*) AS sz
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, FLOOR(c_acctbal / 1000)
+),
+mid AS (
+  SELECT 'nation+segment' AS level, COUNT(*) AS sz
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+coarse AS (
+  SELECT 'segment' AS level, COUNT(*) AS sz
+  FROM customer GROUP BY c_mktsegment
+),
+classes AS (
+  SELECT * FROM fine UNION ALL SELECT * FROM mid UNION ALL
+  SELECT * FROM coarse
+)
+SELECT level,
+       COUNT(*) AS n_classes,
+       CAST(SUM(sz) AS BIGINT) AS n_rows,
+       CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+       CAST(COALESCE(SUM(sz) FILTER (sz < {_KANON_K}), 0) AS BIGINT)
+         AS rows_below_k,
+       CAST(COALESCE(SUM(sz) FILTER (sz < {_KANON_K}), 0) * 10000
+            // SUM(sz) AS BIGINT) AS suppressed_bps
+FROM classes GROUP BY level ORDER BY level
+"""
+
+
+@query(
+    "k_anonymity_audit",
+    _KANON_ORACLE,
+    "k-anonymity audit over three quasi-identifier generalization "
+    "levels: per-level class-size aggregate + bounded rollup — the "
+    "suppression-rate number a privacy release gate needs, computed "
+    "next to the PII scrub",
+    tags=("llm", "audit"),
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+
+    def level(name: str, *keys) -> DataFrame:
+        return (
+            c.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .select(F.lit(name).alias("level"), "sz")
+        )
+
+    classes = (
+        level(
+            "nation+segment+balbucket",
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).alias("balbucket"),
+        )
+        .unionAll(level("nation+segment", "c_nationkey", "c_mktsegment"))
+        .unionAll(level("segment", "c_mktsegment"))
+    )
+    below = F.when(F.col("sz") < _KANON_K, F.col("sz")).otherwise(0)
+    return (
+        classes.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("sz").cast("long").alias("n_rows"),
+            F.min("sz").cast("long").alias("k_anonymity"),
+            F.sum(below).cast("long").alias("rows_below_k"),
+        )
+        .withColumn(
+            "suppressed_bps",
+            F.expr("rows_below_k * 10000 div n_rows").cast("long"),
+        )
+        .orderBy("level")
+    )
