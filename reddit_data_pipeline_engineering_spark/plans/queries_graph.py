@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from reddit_data_pipeline_engineering_spark.operators import pagerank as pr
 from reddit_data_pipeline_engineering_spark.operators import bfs
 from reddit_data_pipeline_engineering_spark.operators import kcore
+from reddit_data_pipeline_engineering_spark.operators import lpa
 from reddit_data_pipeline_engineering_spark.operators import triangles as tri
 from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, query
 from reddit_data_pipeline_engineering_spark.sources.tables import load_table
@@ -362,3 +363,82 @@ def q_kcore_peel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     return kcore.kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# Synchronous label propagation (operators/lpa.py) on the part
+# co-purchase graph: per round one edge ⋈ label join + one (node,
+# label) count + one per-node argmax window, deterministic tie-break —
+# community detection, the sixth graph kernel. Fixed rounds →
+# unrolled-CTE oracle replay; output is the top-20 communities by
+# size (bounded at any graph size).
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_ctes(rounds: int = _LPA_ROUNDS) -> str:
+    parts = [
+        """lpairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)""",
+        """le AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM lpairs UNION ALL SELECT v, u FROM lpairs
+)""",
+        """l0 AS MATERIALIZED (
+  SELECT node, node AS label FROM (
+    SELECT DISTINCT src AS node FROM le)
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""lc{r} AS MATERIALIZED (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM le e JOIN l{r - 1} l ON e.src = l.node
+  GROUP BY e.dst, l.label
+)""")
+        parts.append(f"""l{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rn
+    FROM lc{r})
+  WHERE rn = 1
+)""")
+    return ",\n".join(parts)
+
+
+_LPA_ORACLE = f"""
+WITH {_lpa_ctes()}
+SELECT CAST(label AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l{_LPA_ROUNDS}
+GROUP BY label
+ORDER BY n_members DESC, community
+LIMIT 20
+"""
+
+
+@query(
+    "lpa_communities",
+    _LPA_ORACLE,
+    "Synchronous label propagation (3 rounds, deterministic argmax "
+    "tie-break) on the part co-purchase graph: one edge-label join + "
+    "count + per-node argmax window per round — top-20 communities, "
+    "engine-exact via unrolled-CTE replay",
+    tags=("relational", "graph", "bench"),
+)
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    und = tri.copurchase_edges(li)
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    labels = lpa.label_propagation(edges, rounds=_LPA_ROUNDS)
+    return (
+        labels.groupBy(F.col("label").cast("long").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )

@@ -150,3 +150,43 @@ def test_kcore_peel_matches_brute_force(spark):
     assert got[-1] == (rounds, 4, 6)
     # survival curve is monotone non-increasing
     assert all(got[i][1] >= got[i + 1][1] for i in range(len(got) - 1))
+
+
+def test_label_propagation_matches_brute_force(spark):
+    """Synchronous LPA with (max count, min label) tie-break against a
+    plain Python replay: two cliques joined by one bridge edge must
+    settle into two communities."""
+    from reddit_data_pipeline_engineering_spark.operators import lpa
+
+    und = [
+        (1, 2), (1, 3), (2, 3),           # triangle A
+        (4, 5), (4, 6), (5, 6), (4, 7), (5, 7), (6, 7),  # 4-clique B
+        (3, 4),                            # bridge
+    ]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    rounds = 3
+    got = {
+        r.node: r.label
+        for r in lpa.label_propagation(df, rounds=rounds).collect()
+    }
+
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = min(
+                (lbl for lbl in counts),
+                key=lambda lbl: (-counts[lbl], lbl),
+            )
+        labels = new
+    assert got == labels
+    # the 4-clique side must share one label distinct from the triangle's
+    assert len({got[n] for n in (4, 5, 6, 7)}) == 1
+    assert got[1] != got[4]

@@ -92,6 +92,10 @@ BUDGETS = {
     # round's alive set (1 degree agg) + two 1-row count aggregates.
     "kcore_peel_counts": 12,
     "large_volume_customers": 2,
+    # Per-round LPA shuffles run during construction against
+    # checkpointed label state; the returned plan is the final
+    # community rollup of the checkpointed (node, label) relation.
+    "lpa_communities": 1,
     "local_supplier_volume": 2,
     "market_share": 2,
     "marts_kernel": 2,
