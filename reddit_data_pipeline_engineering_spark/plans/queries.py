@@ -989,6 +989,8 @@ _DRIVER_ROTATED_OUT = [
     "zonemap_pruning_audit",
     "k_anonymity_audit",
     "lpa_communities",
+    "temperature_mixture",
+    "hard_negative_mining",
     # Displaced from _DRIVER_FILL by this round's new queries
     # (_DRIVER_FIRST outgrew the fill; everything here keeps its r01/r02
     # green row and the every-round local differential check):

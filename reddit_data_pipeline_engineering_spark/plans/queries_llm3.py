@@ -258,3 +258,156 @@ def q_eval_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based mixture weights (alpha = 0.5). The multilingual-
+# corpus sampling scheme of XLM / mT5: sample language i proportional
+# to n_i^alpha so low-resource languages are up-weighted. alpha = 1/2
+# makes the weight an INTEGER-exact floor(sqrt(n)) — IEEE sqrt is
+# correctly rounded in both engines and n < 2^52, so the engines agree
+# bit-for-bit with no float division anywhere (shares and resampling
+# factors are integer bps). One language-keyed aggregate over the
+# corpus + a bounded rollup: the per-language mixture plan a 100 TB
+# multilingual pipeline feeds into apply_mix_plan.
+# --------------------------------------------------------------------------
+
+_TEMP_MIX_ORACLE = """
+WITH bylang AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_docs,
+         CAST(FLOOR(SQRT(n_docs)) AS BIGINT) AS weight,
+         CAST(SUM(n_docs) OVER () AS BIGINT) AS total_docs,
+         CAST(SUM(CAST(FLOOR(SQRT(n_docs)) AS BIGINT)) OVER () AS BIGINT)
+           AS total_weight
+  FROM bylang
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       n_docs * 10000 // total_docs AS raw_bps,
+       weight * 10000 // total_weight AS temp_bps,
+       (weight * 10000 // total_weight) * 10000
+         // (n_docs * 10000 // total_docs) AS resample_bps
+FROM w ORDER BY lang
+"""
+
+
+@query(
+    "temperature_mixture",
+    _TEMP_MIX_ORACLE,
+    "Temperature-based (alpha=0.5) multilingual mixture weights: "
+    "floor(sqrt(n)) integer weights per language, raw vs smoothed "
+    "share and the resampling factor in bps — one language aggregate "
+    "+ bounded rollup (the XLM/mT5 sampling plan)",
+    tags=("llm", "mixture"),
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bylang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    w = bylang.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.floor(F.sqrt(F.col("n_docs"))).cast("long").alias("weight"),
+    ).select(
+        "lang",
+        "n_docs",
+        "weight",
+        F.sum("n_docs").over(w_all).cast("long").alias("total_docs"),
+        F.sum("weight").over(w_all).cast("long").alias("total_weight"),
+    )
+    return w.select(
+        "lang",
+        "n_docs",
+        F.expr("n_docs * 10000 div total_docs").alias("raw_bps"),
+        F.expr("weight * 10000 div total_weight").alias("temp_bps"),
+        F.expr(
+            "(weight * 10000 div total_weight) * 10000"
+            " div (n_docs * 10000 div total_docs)"
+        ).alias("resample_bps"),
+    ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining for contrastive training. For each anchor in a
+# bounded deterministic anchor set (vec_id % 20 == 0): the most-similar
+# SAME-label vector (the positive) and the most-similar DIFFERENT-label
+# vector (the hard negative) by exact cosine. The anchor set is a
+# broadcast dim, so the corpus is scanned ONCE and expanded map-side
+# (|anchors| rows per vector) — the multi-query brute-force shape; the
+# IVF/PQ operators are the scale path when the anchor set itself is
+# unbounded. Cosine mirrors the engine's left-associated fold; ranking
+# ties break on candidate id, so the argmax is engine-exact.
+# --------------------------------------------------------------------------
+
+
+def _build_hard_negative_oracle() -> str:
+    from reddit_data_pipeline_engineering_spark.plans.queries_llm import _sql_dot
+
+    return f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding AS ae, label AS al
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+scored AS (
+  SELECT a.anchor_id,
+         e.vec_id AS cand_id,
+         CASE WHEN e.label = a.al THEN 'positive'
+              ELSE 'hard_negative' END AS kind,
+         ROUND(({_sql_dot('e.embedding', 'a.ae')})
+               / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                  * sqrt({_sql_dot('a.ae', 'a.ae')})), 6) AS cosine
+  FROM a JOIN embeddings e ON e.vec_id <> a.anchor_id
+)
+SELECT anchor_id, kind, cand_id, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id, kind
+                               ORDER BY cosine DESC, cand_id) AS rn
+  FROM scored)
+WHERE rn = 1
+ORDER BY anchor_id, kind
+"""
+
+
+@query(
+    "hard_negative_mining",
+    _build_hard_negative_oracle(),
+    "Contrastive-training pair mining: per bounded anchor set, the "
+    "top same-label (positive) and different-label (hard negative) "
+    "vector by exact cosine — anchors broadcast, corpus scanned once "
+    "with map-side expansion; IVF/PQ is the unbounded-anchor path",
+    tags=("llm", "similarity"),
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("ae"),
+        F.col("label").alias("al"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("cand_id"),
+            F.when(F.col("label") == F.col("al"), "positive")
+            .otherwise("hard_negative")
+            .alias("kind"),
+            F.round(cosine(F.col("embedding"), F.col("ae")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "kind").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", "kind", "cand_id", "cosine")
+        .orderBy("anchor_id", "kind")
+    )
