@@ -991,6 +991,7 @@ _DRIVER_ROTATED_OUT = [
     "lpa_communities",
     "temperature_mixture",
     "hard_negative_mining",
+    "embedding_dim_profile",
     # Displaced from _DRIVER_FILL by this round's new queries
     # (_DRIVER_FIRST outgrew the fill; everything here keeps its r01/r02
     # green row and the every-round local differential check):

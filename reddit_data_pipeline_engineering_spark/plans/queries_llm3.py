@@ -411,3 +411,64 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "kind", "cand_id", "cosine")
         .orderBy("anchor_id", "kind")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding profile — the calibration pass an INT8
+# quantizer (int8_quant_audit) needs before choosing its scale: range
+# and mean per coordinate. Values enter on a fixed integer micro-grid
+# (floor(x * 10^6) — the float->double widening and the double multiply
+# are identical IEEE ops on both engines, floor is explicit) so every
+# statistic is exact integer arithmetic. Shape: map-side posexplode
+# (x64 rows) into ONE dimension-keyed aggregate with map-side partials;
+# output is bounded by the dimensionality at any corpus size.
+# --------------------------------------------------------------------------
+
+_DIM_PROFILE_ORACLE = """
+WITH vals AS (
+  SELECT t.i - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+)
+SELECT dim,
+       COUNT(*) AS n,
+       MIN(v) AS min_scaled,
+       MAX(v) AS max_scaled,
+       CAST(SUM(v) AS BIGINT) AS sum_scaled,
+       CAST(SUM(v) // COUNT(*) AS BIGINT) AS mean_scaled
+FROM vals GROUP BY dim ORDER BY dim
+"""
+
+
+@query(
+    "embedding_dim_profile",
+    _DIM_PROFILE_ORACLE,
+    "Per-dimension embedding range/mean on an exact 1e-6 integer grid: "
+    "map-side posexplode into one dimension-keyed aggregate, output "
+    "bounded by dimensionality — the INT8-quantizer calibration pass",
+    tags=("llm", "similarity"),
+)
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "dim",
+        F.floor(F.col("x").cast("double") * 1000000.0)
+        .cast("long")
+        .alias("v"),
+    )
+    return (
+        vals.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_scaled"),
+            F.max("v").alias("max_scaled"),
+            F.sum("v").cast("long").alias("sum_scaled"),
+        )
+        .withColumn(
+            "mean_scaled", F.expr("sum_scaled div n").cast("long")
+        )
+        .orderBy("dim")
+    )
