@@ -1,0 +1,122 @@
+"""Exact set-similarity self-join via prefix filtering (PPJoin-lite).
+
+Bayardo et al., "Scaling Up All Pairs Similarity Search" (WWW'07) /
+Chaudhuri et al. (ICDE'06): for Jaccard(A, B) >= t, order all set
+elements by a consistent global ranking and keep each set's first
+|X| - ceil(t*|X|) + 1 elements (its PREFIX); any qualifying pair must
+share a prefix element, so candidate generation joins prefixes only and
+exact verification runs on the (small) candidate set. Ranking
+rarest-first (global document frequency ascending) makes the prefix
+buckets the smallest ones the data allows.
+
+This is the zero-false-negative complement of the MinHash/LSH path in
+``operators/text_dedup.py``: no bands, no hash collisions, no recall
+knob — the output is the exact Jaccard-threshold relation. The
+correctness of the prefix bound is property-tested against brute-force
+Jaccard in ``tests/test_properties.py``.
+
+Scale shape (SCALE.md §4): one explode + distinct for (doc, shingle);
+the df dim is O(shingle vocab) so it is NOT broadcast — the rank join
+shuffles on the shingle key, colocated with the df build; candidates
+are bounded by sum of df^2 over prefix shingles; verification fan-out
+by candidates x doc size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.functions.text import shingles_of, tokens
+
+
+def shingle_sets(
+    docs: DataFrame, text_col: str, id_col: str, shingle_len: int
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the set representation."""
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return toked.select(
+        id_col,
+        F.explode(
+            F.array_distinct(shingles_of("__toks", shingle_len))
+        ).alias("s"),
+    )
+
+
+def setsim_join(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_len: int,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """All pairs (doc_a < doc_b) with shingle-set Jaccard >= t_num/t_den.
+
+    Returns (doc_a, doc_b, n_inter, n_union, jacc_bps), jacc_bps =
+    n_inter * 10000 div n_union — integer arithmetic throughout, so the
+    relation is engine-exact.
+    """
+    sh = shingle_sets(docs, text_col, id_col, shingle_len)
+    sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "s")
+    ranked = (
+        sh.join(df, "s")
+        .join(sz, id_col)
+        .withColumn("pos", F.row_number().over(w))
+    )
+    # prefix length |d| - ceil(t*|d|) + 1, ceil via (num*n + den - 1) div den
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n")
+        - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
+        + 1
+    ).select(id_col, "s", "n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # n is functional on the id, so carrying (na, nb) through the
+    # candidate distinct costs nothing and saves two size re-joins (and
+    # a second sz aggregation subtree) at the tail.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col(f"x.{id_col}") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col(f"y.{id_col}") == F.col("doc_b"))
+            & (F.col("y.s") == F.col("x.s")),
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.filter(
+            F.col("n_inter") * t_den
+            >= t_num * (F.col("na") + F.col("nb") - F.col("n_inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            (F.col("na") + F.col("nb") - F.col("n_inter"))
+            .cast("long")
+            .alias("n_union"),
+            F.expr("n_inter * 10000 div (na + nb - n_inter)")
+            .cast("long")
+            .alias("jacc_bps"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reddit_data_pipeline_engineering_spark.functions.text import shingles_of, tokens
+from reddit_data_pipeline_engineering_spark.operators import setsim
 from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, query
 from reddit_data_pipeline_engineering_spark.sources.tables import load_table, spread
 
@@ -107,77 +108,13 @@ ORDER BY doc_a, doc_b
 )
 def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    toked = docs.select("doc_id", tokens("text").alias("__toks"))
-    sh = (
-        toked.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(shingles_of("__toks", _SETSIM_SHINGLE))
-            ).alias("s"),
-        )
-    )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "s")
-    ranked = (
-        sh.join(df, "s")
-        .join(sz, "doc_id")
-        .withColumn("pos", F.row_number().over(w))
-    )
-    # prefix length |d| - ceil(t*|d|) + 1, ceil via (num*n + den - 1) div den
-    prefix = ranked.filter(
-        F.col("pos")
-        <= F.col("n")
-        - F.expr(
-            f"({_SETSIM_T_NUM} * n + {_SETSIM_T_DEN} - 1) div {_SETSIM_T_DEN}"
-        )
-        + 1
-    ).select("doc_id", "s", "n")
-    a, b = prefix.alias("a"), prefix.alias("b")
-    # n is functional on doc_id, so carrying (na, nb) through the
-    # candidate distinct costs nothing and saves two size re-joins (and
-    # a second sz aggregation subtree) at the tail.
-    cand = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-        .distinct()
-    )
-    x, y = sh.alias("x"), sh.alias("y")
-    inter = (
-        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.s") == F.col("x.s")),
-        )
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return (
-        inter.filter(
-            F.col("n_inter") * _SETSIM_T_DEN
-            >= _SETSIM_T_NUM * (F.col("na") + F.col("nb") - F.col("n_inter"))
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("n_inter").cast("long").alias("n_inter"),
-            (F.col("na") + F.col("nb") - F.col("n_inter"))
-            .cast("long")
-            .alias("n_union"),
-            F.expr("n_inter * 10000 div (na + nb - n_inter)")
-            .cast("long")
-            .alias("jacc_bps"),
-        )
-        .orderBy("doc_a", "doc_b")
+    return setsim.setsim_join(
+        docs,
+        "text",
+        "doc_id",
+        shingle_len=_SETSIM_SHINGLE,
+        t_num=_SETSIM_T_NUM,
+        t_den=_SETSIM_T_DEN,
     )
 
 

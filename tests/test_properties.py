@@ -384,3 +384,50 @@ def test_weighted_median_crossing_matches_brute_force(spark, rows):
                 exp = v
                 break
         assert got[g] == exp, (g, got[g], exp, vw)
+
+
+# ---- PPJoin prefix filtering: zero false negatives vs brute force ----
+
+_ssj_word = st.sampled_from(["a", "b", "c", "d", "e"])
+_ssj_doc = st.lists(_ssj_word, min_size=1, max_size=8).map(" ".join)
+_ssj_corpus = st.lists(_ssj_doc, min_size=2, max_size=8)
+
+
+@given(docs=_ssj_corpus)
+@SLOW
+def test_setsim_prefix_join_exact_vs_brute_force(spark, docs):
+    """The prefix filter may only PRUNE non-qualifying pairs: every pair
+    with shingle-set Jaccard >= 1/2 must be emitted with exact
+    intersection/union sizes, and nothing below threshold may appear.
+    Tiny 5-word alphabet + 2-gram shingles force heavy collisions —
+    the regime where a wrong prefix bound would drop pairs."""
+    from reddit_data_pipeline_engineering_spark.operators import setsim
+
+    n = 2  # shingle length
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_union)
+        for r in setsim.setsim_join(
+            df, "text", "doc_id", shingle_len=n, t_num=1, t_den=2
+        ).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    sets = {i: shingles(t) for i, t in enumerate(docs)}
+    expected = {}
+    for i in sorted(sets):
+        for j in sorted(sets):
+            if i >= j or not sets[i] or not sets[j]:
+                continue
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if inter * 2 >= union:
+                expected[(i, j)] = (inter, union)
+    assert got == expected
