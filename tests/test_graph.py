@@ -190,3 +190,31 @@ def test_label_propagation_matches_brute_force(spark):
     # the 4-clique side must share one label distinct from the triangle's
     assert len({got[n] for n in (4, 5, 6, 7)}) == 1
     assert got[1] != got[4]
+
+
+def test_lpa_and_kcore_deterministic_across_partitionings(spark):
+    """Both new kernels must produce identical results regardless of
+    input partitioning — the window tie-breaks and count aggregates
+    cannot depend on row order."""
+    from reddit_data_pipeline_engineering_spark.operators import kcore, lpa
+
+    und = [
+        (1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6),
+        (6, 7), (7, 8), (8, 9), (9, 7),
+    ]
+    sym = und + [(b, a) for a, b in und]
+    base = spark.createDataFrame(sym, "src long, dst long")
+    for parts in (1, 3, 7):
+        df = base.repartition(parts)
+        got_l = sorted(
+            (r.node, r.label)
+            for r in lpa.label_propagation(df, rounds=3).collect()
+        )
+        got_k = sorted(
+            tuple(r) for r in kcore.kcore_peel(df, k=2, rounds=3).collect()
+        )
+        if parts == 1:
+            ref_l, ref_k = got_l, got_k
+        else:
+            assert got_l == ref_l
+            assert got_k == ref_k
