@@ -992,6 +992,8 @@ _DRIVER_ROTATED_OUT = [
     "temperature_mixture",
     "hard_negative_mining",
     "embedding_dim_profile",
+    "lang_confusion_matrix",
+    "shard_balance_audit",
     # Displaced from _DRIVER_FILL by this round's new queries
     # (_DRIVER_FIRST outgrew the fill; everything here keeps its r01/r02
     # green row and the every-round local differential check):

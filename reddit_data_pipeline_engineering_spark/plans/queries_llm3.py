@@ -409,3 +409,150 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix — the evaluation rollup of the lang_id
+# heuristic against the stored language label: per (actual, predicted)
+# cell counts plus the within-language share and a per-language
+# accuracy flag, all integer bps. One aggregate over the per-doc
+# scored relation (cells bounded by |langs|^2); the eval op a corpus
+# pipeline runs before trusting a classifier gate for filtering.
+# --------------------------------------------------------------------------
+
+
+def _build_lang_confusion_oracle() -> str:
+    from reddit_data_pipeline_engineering_spark.plans.queries_llm import (
+        _lang_id_oracle,
+    )
+
+    return f"""
+WITH scored AS ({_lang_id_oracle()}),
+cells AS (
+  SELECT lang, pred_lang, COUNT(*) AS n_docs
+  FROM scored GROUP BY lang, pred_lang
+)
+SELECT lang, pred_lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs * 10000
+            // SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+         AS row_share_bps,
+       lang = pred_lang AS is_diagonal
+FROM cells
+ORDER BY lang, pred_lang
+"""
+
+
+@query(
+    "lang_confusion_matrix",
+    _build_lang_confusion_oracle(),
+    "Language-ID evaluation: confusion matrix of the marker-argmax "
+    "heuristic vs stored labels, within-language shares in bps — one "
+    "aggregate over the scored relation, cells bounded by |langs|^2",
+    tags=("llm", "text"),
+)
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.plans.queries_llm import q_lang_id
+
+    scored = q_lang_id(spark, sf_dir)
+    cells = scored.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cells.select(
+            "lang",
+            "pred_lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("n_docs") * 10000)
+            .cast("long")
+            .alias("__num"),
+            F.sum("n_docs").over(w).cast("long").alias("__den"),
+        )
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.expr("__num div __den").cast("long").alias("row_share_bps"),
+            (F.col("lang") == F.col("pred_lang")).alias("is_diagonal"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shard-balance audit — after deterministic md5 sharding (the layout a
+# training data loader consumes), how even are the shards in documents
+# AND tokens? Map-only shard assignment, one shard-keyed aggregate
+# (bounded output), imbalance as max-vs-ideal in integer bps. The
+# number that decides whether the shard count or the hash key needs to
+# change before a 100 TB tokenization run.
+# --------------------------------------------------------------------------
+
+_SHARD_N = 16
+
+_SHARD_BALANCE_ORACLE = rf"""
+WITH assigned AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_SHARD_N} AS shard,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per_shard AS (
+  SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM assigned GROUP BY shard
+)
+SELECT shard, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+       CAST(n_tokens * 10000 // SUM(n_tokens) OVER () AS BIGINT)
+         AS token_share_bps,
+       CAST(n_tokens * {_SHARD_N} * 10000 // SUM(n_tokens) OVER ()
+            AS BIGINT) AS vs_ideal_bps
+FROM per_shard ORDER BY shard
+"""
+
+
+@query(
+    "shard_balance_audit",
+    _SHARD_BALANCE_ORACLE,
+    "Training-shard balance: md5 doc sharding (map-only) + one "
+    "shard-keyed aggregate; per-shard doc/token counts, token share "
+    "and deviation vs the ideal shard in bps",
+    tags=("llm", "layout"),
+)
+def q_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        (
+            F.expr("conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+            .cast("long")
+            % _SHARD_N
+        ).alias("shard"),
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    per_shard = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return (
+        per_shard.select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("long").alias("__tot"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 10000 div __tot")
+            .cast("long")
+            .alias("token_share_bps"),
+            F.expr(f"n_tokens * {_SHARD_N} * 10000 div __tot")
+            .cast("long")
+            .alias("vs_ideal_bps"),
+        )
+        .orderBy("shard")
+    )
