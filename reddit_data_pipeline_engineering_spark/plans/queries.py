@@ -994,6 +994,7 @@ _DRIVER_ROTATED_OUT = [
     "embedding_dim_profile",
     "lang_confusion_matrix",
     "shard_balance_audit",
+    "corpus_release_gate",
     # Displaced from _DRIVER_FILL by this round's new queries
     # (_DRIVER_FIRST outgrew the fill; everything here keeps its r01/r02
     # green row and the every-round local differential check):

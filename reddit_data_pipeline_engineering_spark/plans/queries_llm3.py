@@ -556,3 +556,188 @@ def q_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-3 capstone: the corpus RELEASE GATE. One Catalyst plan chains
+# the four checks a corpus ships through before release — exact dedup
+# (md5 first-occurrence), eval holdout + shingle decontamination (eval
+# 3-gram dim, broadcast at scale), PII detection (same deterministic
+# augmentation as pii_scrub_stats so counts are non-trivial), and a
+# token-count quality gate — and rolls the verdicts up per source.
+# Shapes: one text-hash window + one shingle semi-join + map-only
+# flags + one source-keyed rollup; nothing scans the corpus twice.
+# --------------------------------------------------------------------------
+
+_RG_MIN_TOKENS = 30
+_RG_MIN_OVERLAP = 5
+
+_RELEASE_GATE_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')
+           AS a
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(a) - 2)) AS t(i)
+),
+eval_sh AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0
+),
+shared AS (
+  SELECT d.doc_id, COUNT(*) AS n_shared
+  FROM sh d JOIN eval_sh e ON d.s = e.s
+  WHERE d.doc_id % 50 <> 0
+  GROUP BY d.doc_id
+),
+aug AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END AS t
+  FROM documents
+),
+flags AS (
+  SELECT k.doc_id, k.source,
+         k.doc_id % 50 = 0 AS is_eval,
+         row_number() OVER (PARTITION BY md5(k.text)
+                            ORDER BY k.doc_id) > 1 AS is_dup,
+         COALESCE(s.n_shared, 0) >= {_RG_MIN_OVERLAP} AS is_contaminated,
+         len(regexp_extract_all(g.t, '{{EMAIL}}')) +
+         len(regexp_extract_all(g.t, '{{PHONE}}')) > 0 AS has_pii,
+         len(toks.a) >= {_RG_MIN_TOKENS} AS quality_ok
+  FROM documents k
+  JOIN toks ON k.doc_id = toks.doc_id
+  JOIN aug g ON k.doc_id = g.doc_id
+  LEFT JOIN shared s ON k.doc_id = s.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(SUM(CASE WHEN is_contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pii_docs,
+       CAST(SUM(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_fail,
+       CAST(SUM(CASE WHEN NOT is_eval AND NOT is_dup
+                      AND NOT is_contaminated AND quality_ok
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_released,
+       CAST(SUM(CASE WHEN NOT is_eval AND NOT is_dup
+                      AND NOT is_contaminated AND quality_ok
+                     THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         AS released_bps
+FROM flags GROUP BY source ORDER BY source
+"""
+
+
+def _release_gate_oracle() -> str:
+    from reddit_data_pipeline_engineering_spark.functions import text as tx
+
+    return _RELEASE_GATE_ORACLE.replace("{EMAIL}", tx.EMAIL_PATTERN).replace(
+        "{PHONE}", tx.PHONE_PATTERN
+    )
+
+
+@query(
+    "corpus_release_gate",
+    _release_gate_oracle(),
+    "Release-gate capstone: exact-dup window + eval holdout + shingle "
+    "decontamination (broadcast eval dim) + PII detection + token "
+    "quality gate, rolled up per source in one plan — the ship/no-ship "
+    "scoreboard before a corpus release",
+    tags=("llm", "prep", "bench"),
+)
+def q_corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.functions import text as tx
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select(
+        "doc_id", "source", "text", tokens("text").alias("__toks")
+    )
+    sh = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of("__toks", 3))).alias("s"),
+    )
+    eval_sh = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    shared = (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(eval_sh), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    email_part = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.lit(""))
+    phone_part = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flags = (
+        toked.withColumn("__t", F.concat(F.col("text"), email_part, phone_part))
+        .withColumn("is_eval", F.col("doc_id") % 50 == 0)
+        .withColumn("is_dup", F.row_number().over(w_dup) > 1)
+        .join(shared, "doc_id", "left")
+        .withColumn(
+            "is_contaminated",
+            F.coalesce("n_shared", F.lit(0)) >= _RG_MIN_OVERLAP,
+        )
+        .withColumn(
+            "has_pii",
+            (tx.email_count("__t") + tx.phone_count("__t")) > 0,
+        )
+        .withColumn("quality_ok", F.size("__toks") >= _RG_MIN_TOKENS)
+    )
+    released = (
+        ~F.col("is_eval")
+        & ~F.col("is_dup")
+        & ~F.col("is_contaminated")
+        & F.col("quality_ok")
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_eval"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_eval"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dups"),
+            F.sum(F.when(F.col("is_contaminated"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum(F.when(F.col("has_pii"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pii_docs"),
+            F.sum(F.when(~F.col("quality_ok"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_quality_fail"),
+            F.sum(F.when(released, 1).otherwise(0))
+            .cast("long")
+            .alias("n_released"),
+        )
+        .withColumn(
+            "released_bps",
+            F.expr("n_released * 10000 div n_docs").cast("long"),
+        )
+        .orderBy("source")
+    )
