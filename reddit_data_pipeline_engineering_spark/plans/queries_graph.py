@@ -305,7 +305,7 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _KCORE_K = 90
-_KCORE_ROUNDS = 4
+_KCORE_ROUNDS = 3
 
 
 def _kcore_ctes(rounds: int = _KCORE_ROUNDS) -> str:

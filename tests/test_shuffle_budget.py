@@ -93,7 +93,7 @@ BUDGETS = {
     # Per-round peel shuffles happen during construction against the
     # checkpointed edge list; the returned stats plan re-derives each
     # round's alive set (1 degree agg) + two 1-row count aggregates.
-    "kcore_peel_counts": 12,
+    "kcore_peel_counts": 9,
     "large_volume_customers": 2,
     # Per-round LPA shuffles run during construction against
     # checkpointed label state; the returned plan is the final
