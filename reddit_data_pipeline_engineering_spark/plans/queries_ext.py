@@ -3313,3 +3313,101 @@ def q_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("dependency")
     )
+
+
+# --------------------------------------------------------------------------
+# RANGE-interval window frame (round 3). The rolling-revenue window a
+# reporting layer runs: per order priority, the trailing-7-day order
+# total where the frame is a VALUE range over the day number — rows
+# from absent days contribute nothing and sparse days don't shift the
+# frame, which a ROWS frame gets wrong. Pre-aggregating to (priority,
+# day) BEFORE the window keeps the window input bounded by days x
+# priorities, never order rows; revenue rides as exact integer cents.
+# --------------------------------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         datediff('day', DATE '1992-01-01', o_orderdate) AS day_no,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, day_no, cents,
+       CAST(SUM(cents) OVER (PARTITION BY priority ORDER BY day_no
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cents_7d
+FROM daily ORDER BY priority, day_no
+"""
+
+
+@query(
+    "rolling_range_frame",
+    _RANGE_FRAME_ORACLE,
+    "Trailing-7-day revenue per priority with a RANGE-value frame over "
+    "the day number (absent days contribute nothing — the frame a ROWS "
+    "window gets wrong); window input pre-aggregated to (priority, day) "
+    "so it is bounded by days, not orders; exact integer cents",
+    tags=("relational", "window"),
+)
+def q_rolling_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("day_no"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("priority", "day_no")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day_no")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "priority",
+        "day_no",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("cents_7d"),
+    ).orderBy("priority", "day_no")
+
+
+# --------------------------------------------------------------------------
+# Explicit GROUPING SETS (round 3). ROLLUP (`rollup_orders`) and CUBE
+# (`cube_segments`) cover the hierarchical and full-lattice cases; this
+# is the ARBITRARY subset case — (priority, status), (priority), () but
+# NOT (status) — which neither shorthand can express. Same verbatim-SQL
+# device as sql_surface: the identical ANSI text runs on both engines,
+# and grouping_id() disambiguates NULL-as-subtotal from NULL data. One
+# expand + hash aggregate; output bounded by the lattice size.
+# --------------------------------------------------------------------------
+
+_GROUPING_SETS_TEXT = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())
+ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+@query(
+    "grouping_sets_report",
+    _GROUPING_SETS_TEXT,
+    "Arbitrary-subset GROUPING SETS — the lattice neither ROLLUP nor "
+    "CUBE expresses — as verbatim ANSI text through spark.sql (the "
+    "sql_surface device): one expand + hash aggregate, grouping_id() "
+    "separating subtotal NULLs from data NULLs",
+    tags=("relational", "sql"),
+)
+def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(_GROUPING_SETS_TEXT)
