@@ -36,15 +36,25 @@ def asof_join(
     right_cols: Sequence[str] = (),
     suffix: str = "_right",
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join (pandas merge_asof / DuckDB ASOF JOIN semantics,
-    inclusive: right_ts == left_ts matches).
+    """As-of join (pandas merge_asof / DuckDB ASOF JOIN semantics,
+    inclusive: right_ts == left_ts matches in either direction).
+
+    ``direction="backward"`` (default) matches the most recent right row
+    at-or-before the left timestamp; ``"forward"`` the earliest right
+    row at-or-after it (pandas merge_asof's direction= parity — the
+    next-shipment / next-purchase attribution shape).
 
     ``right_cols`` are the payload columns carried from the matched right
     row (each emitted as ``<name><suffix>``, plus ``<right_ts><suffix>``).
-    Rows with no prior right row keep NULL payloads; ``tolerance_seconds``
-    additionally voids matches older than the window.
+    Rows with no match keep NULL payloads; ``tolerance_seconds``
+    additionally voids matches outside the window. Right rows sharing an
+    exact (key, ts) should be pre-deduplicated — ordering among them is
+    otherwise not deterministic (same contract in both directions).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r} (backward|forward)")
     from pyspark.sql import types as T
 
     on = [on] if isinstance(on, str) else list(on)
@@ -75,18 +85,33 @@ def asof_join(
     # (src 0 < 1), making the match inclusive; last(ignorenulls) carries
     # the most recent right payload forward.
     merged = l.unionByName(r)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("__evt_ts", "__src")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("__evt_ts", "__src")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        match = F.last("__payload", ignorenulls=True)
+    else:
+        # Forward: left rows (src 1) sort BEFORE right rows (src 0) at
+        # equal timestamps, so a following-frame first(ignorenulls)
+        # still sees the tied right row — inclusive, mirrored.
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__evt_ts"), F.col("__src").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        match = F.first("__payload", ignorenulls=True)
+    carried = merged.withColumn("__match", match.over(w)).filter(
+        F.col("__src") == 1
     )
-    carried = merged.withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    ).filter(F.col("__src") == 1)
 
     if tolerance_seconds is not None:
-        in_window = F.col("__match.__ts") >= (
-            F.col("__evt_ts") - F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
+        delta = F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
+        in_window = (
+            F.col("__match.__ts") >= (F.col("__evt_ts") - delta)
+            if direction == "backward"
+            else F.col("__match.__ts") <= (F.col("__evt_ts") + delta)
         )
         carried = carried.withColumn(
             "__match", F.when(in_window, F.col("__match"))

@@ -3411,3 +3411,76 @@ ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, names=("orders",))
     return spark.sql(_GROUPING_SETS_TEXT)
+
+
+# --------------------------------------------------------------------------
+# Forward as-of join (round 3): each view event picks up the user's
+# NEXT purchase at-or-after it — merge_asof direction="forward", the
+# attribution shape "did a purchase follow this impression". Same
+# union + one-keyed-window composition as the backward variant (no
+# inequality join anywhere); oracle = DuckDB's native forward ASOF
+# (v.ts <= p.ts) — two independent implementations again.
+# --------------------------------------------------------------------------
+
+_ASOF_FWD_ORACLE = """
+WITH views AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+), purchases AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+)
+SELECT v.event_id, v.user_id, CAST(v.ts AS TIMESTAMP) AS ts, v.value,
+       CAST(p.ts AS TIMESTAMP) AS ts_next,
+       p.event_id AS next_event_id,
+       p.value AS next_value
+FROM views v
+ASOF LEFT JOIN purchases p
+  ON v.user_id = p.user_id AND v.ts <= p.ts
+"""
+
+
+@query(
+    "forward_asof_next_purchase",
+    _ASOF_FWD_ORACLE,
+    "Forward as-of join: each view event matched to the user's next "
+    "purchase at-or-after it (merge_asof direction='forward'); union + "
+    "one keyed window, no inequality-join blowup; oracle = DuckDB's "
+    "native forward ASOF JOIN",
+    tags=("relational", "timeseries"),
+)
+def q_forward_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.asof import asof_join
+    from reddit_data_pipeline_engineering_spark.operators.dedup import window_dedup
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = window_dedup(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        ["user_id", "ts"],
+        ["event_id"],
+        keep="first",
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=("event_id", "value"),
+        suffix="_next",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "ts_next",
+        F.col("event_id_next").alias("next_event_id"),
+        F.col("value_next").alias("next_value"),
+    )

@@ -78,3 +78,43 @@ def test_range_join_half_open(spark):
     # Half-open: 09:00 in, 10:00 (== hi) out, 08:00 out.
     assert len(rows) == 1 and str(rows[0]["ts"]) == "2025-01-01 09:00:00"
     assert rows[0]["name"] == "w1"
+
+def test_asof_join_forward_matches_brute_force(spark):
+    """direction='forward' must pick the EARLIEST right row at-or-after
+    each left timestamp (inclusive at ties), void matches beyond the
+    tolerance, and leave unmatched rows NULL."""
+    from reddit_data_pipeline_engineering_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205), (1, 300), (2, 50), (3, 10)],
+        "k long, ts long",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (1, 290, "c"), (2, 40, "d")],
+        "k long, ts long, v string",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+    got = {
+        (r.k, r.ts.timestamp()): r.v_next
+        for r in asof_join(
+            left, right, on="k", right_cols=("v",), suffix="_next",
+            direction="forward",
+        ).collect()
+    }
+    assert got == {
+        (1, 100.0): "a",   # inclusive tie
+        (1, 205.0): "c",   # next at-or-after
+        (1, 300.0): None,  # nothing after
+        (2, 50.0): None,   # right row is BEFORE the left ts
+        (3, 10.0): None,   # key absent from right
+    }
+
+    bounded = {
+        (r.k, r.ts.timestamp()): r.v_next
+        for r in asof_join(
+            left, right, on="k", right_cols=("v",), suffix="_next",
+            direction="forward", tolerance_seconds=60,
+        ).collect()
+    }
+    assert bounded[(1, 205.0)] is None  # 290 is 85s away > 60s tolerance
+    assert bounded[(1, 100.0)] == "a"
