@@ -77,3 +77,41 @@ def kcore_peel(
             )
         )
     return reduce(DataFrame.unionAll, stats).orderBy("round")
+
+
+def kcore_survivors(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[DataFrame, int]:
+    """Peel to FIXPOINT: the exact k-core's edge list plus rounds used.
+
+    Same per-round plan as :func:`kcore_peel`; convergence is detected
+    by comparing per-round edge counts (one bounded scalar per round,
+    the same driver-state envelope as the k-means/bisection fits).
+    Returns (surviving symmetrized edges, rounds executed); an empty
+    DataFrame means the k-core is empty. ``max_rounds`` bounds the
+    cascade on adversarial chains (the fixed-round query form is the
+    oracle-verified one — fixpoint rounds are data-dependent).
+    """
+    edges = edges.localCheckpoint(eager=True)
+    prev = edges.count()
+    for r in range(1, max_rounds + 1):
+        alive = (
+            edges.groupBy(src)
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select(F.col(src).alias("__node"))
+        )
+        edges = (
+            edges.join(alive, edges[src] == alive["__node"], "left_semi")
+            .join(alive, edges[dst] == alive["__node"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        cur = edges.count()
+        if cur == prev:
+            return edges, r
+        prev = cur
+    return edges, max_rounds

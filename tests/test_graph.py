@@ -218,3 +218,27 @@ def test_lpa_and_kcore_deterministic_across_partitionings(spark):
         else:
             assert got_l == ref_l
             assert got_k == ref_k
+
+
+def test_kcore_fixpoint_is_exact_core(spark):
+    """Fixpoint peeling must return exactly the k-core: the 4-clique
+    survives k=3 (every member keeps degree 3), everything else—
+    including the triangle fringe that only dies on the cascade—is
+    peeled, and convergence is detected (rounds << max_rounds)."""
+    from reddit_data_pipeline_engineering_spark.operators import kcore
+
+    und = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6), (1, 7), (2, 7), (7, 8),
+    ]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    surv, rounds = kcore.kcore_survivors(df, k=3, max_rounds=20)
+    nodes = {r.src for r in surv.collect()}
+    assert nodes == {1, 2, 3, 4}
+    assert surv.count() == 12  # 4-clique, both directions
+    assert rounds < 20
+    # degree invariant: every survivor has >= k neighbors in the core
+    from pyspark.sql import functions as SF
+    degs = [r["cnt"] for r in surv.groupBy("src").agg(SF.count(SF.lit(1)).alias("cnt")).collect()]
+    assert all(d >= 3 for d in degs)
