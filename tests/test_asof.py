@@ -118,3 +118,55 @@ def test_asof_join_forward_matches_brute_force(spark):
     }
     assert bounded[(1, 205.0)] is None  # 290 is 85s away > 60s tolerance
     assert bounded[(1, 100.0)] == "a"
+
+
+def test_asof_join_differential_vs_pandas_merge_asof(spark):
+    """Both directions, with and without tolerance, against pandas
+    merge_asof — the reference implementation of the semantics — on a
+    deterministic multi-key dataset with duplicate left timestamps,
+    exact ties, and sparse keys."""
+    import pandas as pd
+
+    from reddit_data_pipeline_engineering_spark.operators.asof import asof_join
+
+    rng = [(k, t) for k in (1, 2, 3) for t in (5, 10, 10, 17, 40, 41)]
+    left_pd = pd.DataFrame(
+        {"k": [k for k, _ in rng], "ts": [t for _, t in rng]}
+    )
+    right_rows = [(1, 4, 10.0), (1, 10, 11.0), (1, 39, 12.0),
+                  (2, 10, 20.0), (2, 25, 21.0), (3, 100, 30.0)]
+    right_pd = pd.DataFrame(
+        {"k": [k for k, _, _ in right_rows],
+         "ts": [t for _, t, _ in right_rows],
+         "v": [v for _, _, v in right_rows]}
+    )
+    left = spark.createDataFrame(left_pd).withColumn(
+        "ts", F.timestamp_seconds("ts")
+    )
+    right = spark.createDataFrame(right_pd).withColumn(
+        "ts", F.timestamp_seconds("ts")
+    )
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 6):
+            got = asof_join(
+                left, right, on="k", right_cols=("v",),
+                direction=direction, tolerance_seconds=tol,
+            ).collect()
+            got_sorted = sorted(
+                (r.k, r.ts.timestamp(), r.v_right) for r in got
+            )
+            exp = pd.merge_asof(
+                left_pd.assign(ts=pd.to_datetime(left_pd.ts, unit="s"))
+                .sort_values(["ts", "k"]),
+                right_pd.assign(ts=pd.to_datetime(right_pd.ts, unit="s"))
+                .sort_values(["ts", "k"]),
+                on="ts", by="k", direction=direction,
+                tolerance=pd.Timedelta(seconds=tol) if tol else None,
+            )
+            exp_sorted = sorted(
+                (int(r.k), r.ts.timestamp(),
+                 None if pd.isna(r.v) else float(r.v))
+                for r in exp.itertuples()
+            )
+            assert got_sorted == exp_sorted, (direction, tol)
