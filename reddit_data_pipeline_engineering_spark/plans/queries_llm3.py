@@ -741,3 +741,135 @@ def q_corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# LSH quality certification. The MinHash/LSH candidate generator
+# (minhash_lsh_pairs) trades recall for join-free pair generation; the
+# exact prefix-filtered join (setsim_join) is ground truth for the SAME
+# similarity (3-gram shingle Jaccard, threshold 1/2 = the 4x2 banding
+# scheme's S-curve midpoint). This query runs BOTH on the same corpus
+# and reports candidate-set precision/recall in bps — the dedup
+# analogue of the ANN recall@k certifications (ivf/pq/jl_recall_at_k):
+# the number that says whether the banding knobs are safe to ship.
+# Everything is deterministic (md5 minhash, exact join), so the metric
+# itself is oracle-pinned.
+# --------------------------------------------------------------------------
+
+
+def _build_lsh_quality_oracle() -> str:
+    from reddit_data_pipeline_engineering_spark.plans.queries_llm import (
+        _TOKS,
+        _lsh_bands_sql,
+        _sql_shingles,
+    )
+
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct({_sql_shingles('toks', 3)})) AS s
+  FROM toks
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sdf AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+ranked AS (
+  SELECT sh.doc_id, sh.s, sz.n,
+         row_number() OVER (PARTITION BY sh.doc_id
+                            ORDER BY sdf.df, sh.s) AS pos
+  FROM sh JOIN sdf USING (s) JOIN sz USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, s FROM ranked WHERE pos <= n - ((n + 1) // 2) + 1
+),
+pcand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS i
+  FROM pcand c
+  JOIN sh x ON x.doc_id = c.da
+  JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+  GROUP BY c.da, c.db
+),
+exact AS MATERIALIZED (
+  SELECT i.da, i.db
+  FROM inter i JOIN sz sa ON i.da = sa.doc_id JOIN sz sb ON i.db = sb.doc_id
+  WHERE i.i * 2 >= (sa.n + sb.n - i.i)
+),
+shl AS (
+  SELECT doc_id, list_distinct({_sql_shingles('toks', 3)}) AS shingles
+  FROM toks
+),
+sigs AS (
+  SELECT doc_id,
+    {", ".join(f"list_min(list_transform(shingles, s -> md5('{k}|' || s))) AS sig_{k}" for k in range(8))}
+  FROM shl
+),
+buckets AS (
+  {_lsh_bands_sql()}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM buckets a
+  JOIN buckets b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+tp AS (SELECT COUNT(*) AS n FROM cand JOIN exact USING (da, db))
+SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST(tp.n AS BIGINT) AS n_true_positives,
+       CAST(tp.n * 10000 // (SELECT COUNT(*) FROM cand) AS BIGINT)
+         AS precision_bps,
+       CAST(tp.n * 10000 // (SELECT COUNT(*) FROM exact) AS BIGINT)
+         AS recall_bps
+FROM tp
+"""
+
+
+@query(
+    "lsh_quality_eval",
+    _build_lsh_quality_oracle(),
+    "LSH candidate-set certification: MinHash 4x2 banding vs the exact "
+    "prefix-filtered Jaccard>=0.5 join on the same 3-gram shingle sets "
+    "— precision/recall in bps, the dedup analogue of the ANN recall@k "
+    "queries",
+    tags=("llm", "dedup", "eval"),
+)
+def q_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import text_dedup
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    exact = setsim.setsim_join(
+        docs, "text", "doc_id", shingle_len=3, t_num=1, t_den=2
+    ).select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
+    sigs = text_dedup.minhash_signature(
+        docs, "text", "doc_id", num_hashes=8, shingle_len=3
+    )
+    cand = (
+        text_dedup.minhash_lsh_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+        .select(F.col("id_a").alias("da"), F.col("id_b").alias("db"))
+        .distinct()
+    )
+    tp = cand.join(exact, ["da", "db"]).agg(
+        F.count(F.lit(1)).alias("n_true_positives")
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        n_cand.crossJoin(n_exact)
+        .crossJoin(tp)
+        .select(
+            F.col("n_candidates").cast("long"),
+            F.col("n_exact").cast("long"),
+            F.col("n_true_positives").cast("long"),
+            F.expr("n_true_positives * 10000 div n_candidates")
+            .cast("long")
+            .alias("precision_bps"),
+            F.expr("n_true_positives * 10000 div n_exact")
+            .cast("long")
+            .alias("recall_bps"),
+        )
+    )
