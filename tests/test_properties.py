@@ -431,3 +431,71 @@ def test_setsim_prefix_join_exact_vs_brute_force(spark, docs):
             if inter * 2 >= union:
                 expected[(i, j)] = (inter, union)
     assert got == expected
+
+
+# ---- round-3 graph kernels vs brute force on random graphs ----
+
+_edge_st = st.tuples(st.integers(1, 8), st.integers(1, 8)).filter(
+    lambda e: e[0] != e[1]
+)
+_graph_st = st.lists(_edge_st, min_size=1, max_size=14)
+
+
+def _symmetrize(und):
+    return sorted({(a, b) for a, b in und} | {(b, a) for a, b in und})
+
+
+@given(und=_graph_st, k=st.integers(1, 4))
+@SLOW
+def test_kcore_peel_random_graphs(spark, und, k):
+    """Fixed-round peeling equals the Python replay on arbitrary small
+    graphs for arbitrary k — including immediate collapse and no-op
+    (already-a-core) cases."""
+    from reddit_data_pipeline_engineering_spark.operators import kcore
+
+    sym = _symmetrize(und)
+    df = spark.createDataFrame(sym, "src long, dst long")
+    rounds = 3
+    got = [
+        (r.round, r.nodes_alive, r.edges_alive)
+        for r in kcore.kcore_peel(df, k=k, rounds=rounds).collect()
+    ]
+    edges = set(sym)
+    expected = []
+    for r in range(1, rounds + 1):
+        deg = {}
+        for a, _ in edges:
+            deg[a] = deg.get(a, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        edges = {(a, b) for a, b in edges if a in alive and b in alive}
+        expected.append((r, len(alive), len(edges) // 2))
+    assert got == expected
+
+
+@given(und=_graph_st)
+@SLOW
+def test_lpa_random_graphs(spark, und):
+    """Synchronous LPA with the (max count, min label) tie-break equals
+    the Python replay on arbitrary small graphs."""
+    from reddit_data_pipeline_engineering_spark.operators import lpa
+
+    sym = _symmetrize(und)
+    df = spark.createDataFrame(sym, "src long, dst long")
+    rounds = 2
+    got = {
+        r.node: r.label
+        for r in lpa.label_propagation(df, rounds=rounds).collect()
+    }
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = min(counts, key=lambda lbl: (-counts[lbl], lbl))
+        labels = new
+    assert got == labels
