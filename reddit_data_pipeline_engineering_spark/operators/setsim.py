@@ -50,13 +50,30 @@ def setsim_join(
     shingle_len: int,
     t_num: int,
     t_den: int,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """All pairs (doc_a < doc_b) with shingle-set Jaccard >= t_num/t_den.
+    """All pairs (doc_a < doc_b) with shingle-set similarity >= t_num/t_den.
 
-    Returns (doc_a, doc_b, n_inter, n_union, jacc_bps), jacc_bps =
-    n_inter * 10000 div n_union — integer arithmetic throughout, so the
-    relation is engine-exact.
+    ``metric="jaccard"`` returns (doc_a, doc_b, n_inter, n_union,
+    jacc_bps), jacc_bps = n_inter * 10000 div n_union. The prefix bound
+    is |d| - ceil(t*|d|) + 1: Jaccard >= t forces an overlap of at
+    least ceil(t*|d|) elements, so a qualifying pair must share one of
+    the first |d| - ceil(t*|d|) + 1 elements under the global order.
+
+    ``metric="cosine"`` (binary set cosine i / sqrt(na*nb) — Bayardo et
+    al.'s original metric) returns (doc_a, doc_b, n_inter, cos2_ppm),
+    cos2_ppm = n_inter^2 * 10^6 div (na*nb), verified as i^2 * t_den^2
+    >= t_num^2 * na * nb — squaring keeps everything integer. The
+    prefix bound uses t^2: cos >= t implies i >= t*sqrt(na*nb) >=
+    t*sqrt(na*i) (since nb >= i), hence i >= ceil(t^2 * na) — so the
+    prefix is |d| - ceil(t^2 * |d|) + 1, a LONGER prefix than
+    Jaccard's at the same threshold (cosine is the laxer metric).
+
+    Integer arithmetic throughout either way — the relation is
+    engine-exact.
     """
+    if metric not in ("jaccard", "cosine"):
+        raise ValueError(f"unknown metric {metric!r} (jaccard|cosine)")
     sh = shingle_sets(docs, text_col, id_col, shingle_len)
     sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -66,12 +83,16 @@ def setsim_join(
         .join(sz, id_col)
         .withColumn("pos", F.row_number().over(w))
     )
-    # prefix length |d| - ceil(t*|d|) + 1, ceil via (num*n + den - 1) div den
+    # ceil(x*n) via (num*n + den - 1) div den on the (possibly squared) ratio
+    if metric == "jaccard":
+        min_overlap = f"({t_num} * n + {t_den} - 1) div {t_den}"
+    else:
+        min_overlap = (
+            f"({t_num * t_num} * n + {t_den * t_den} - 1)"
+            f" div {t_den * t_den}"
+        )
     prefix = ranked.filter(
-        F.col("pos")
-        <= F.col("n")
-        - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
-        + 1
+        F.col("pos") <= F.col("n") - F.expr(min_overlap) + 1
     ).select(id_col, "s", "n")
     a, b = prefix.alias("a"), prefix.alias("b")
     # n is functional on the id, so carrying (na, nb) through the
@@ -102,21 +123,37 @@ def setsim_join(
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    if metric == "jaccard":
+        return (
+            inter.filter(
+                F.col("n_inter") * t_den
+                >= t_num * (F.col("na") + F.col("nb") - F.col("n_inter"))
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.col("n_inter").cast("long").alias("n_inter"),
+                (F.col("na") + F.col("nb") - F.col("n_inter"))
+                .cast("long")
+                .alias("n_union"),
+                F.expr("n_inter * 10000 div (na + nb - n_inter)")
+                .cast("long")
+                .alias("jacc_bps"),
+            )
+            .orderBy("doc_a", "doc_b")
+        )
     return (
         inter.filter(
-            F.col("n_inter") * t_den
-            >= t_num * (F.col("na") + F.col("nb") - F.col("n_inter"))
+            F.col("n_inter") * F.col("n_inter") * (t_den * t_den)
+            >= (t_num * t_num) * F.col("na") * F.col("nb")
         )
         .select(
             "doc_a",
             "doc_b",
             F.col("n_inter").cast("long").alias("n_inter"),
-            (F.col("na") + F.col("nb") - F.col("n_inter"))
+            F.expr("n_inter * n_inter * 1000000 div (na * nb)")
             .cast("long")
-            .alias("n_union"),
-            F.expr("n_inter * 10000 div (na + nb - n_inter)")
-            .cast("long")
-            .alias("jacc_bps"),
+            .alias("cos2_ppm"),
         )
         .orderBy("doc_a", "doc_b")
     )

@@ -999,6 +999,7 @@ _DRIVER_ROTATED_OUT = [
     "grouping_sets_report",
     "forward_asof_next_purchase",
     "lsh_quality_eval",
+    "setsim_cosine_join",
     # Displaced from _DRIVER_FILL by this round's new queries
     # (_DRIVER_FIRST outgrew the fill; everything here keeps its r01/r02
     # green row and the every-round local differential check):

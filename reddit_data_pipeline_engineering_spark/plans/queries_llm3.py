@@ -873,3 +873,80 @@ def q_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_bps"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cosine set-similarity join — Bayardo et al.'s ORIGINAL all-pairs
+# metric (binary cosine i / sqrt(na*nb)), alongside the Jaccard form.
+# The prefix bound differs: cos >= t only forces an overlap of
+# ceil(t^2 * |d|) (via i >= t*sqrt(na*nb) >= t*sqrt(na*i)), so the
+# prefix is longer at the same nominal threshold — cosine is the laxer
+# metric and the candidate set grows accordingly; verification squares
+# the inequality (i^2 * den^2 >= num^2 * na * nb) so no sqrt or float
+# ever runs. Same shapes as the Jaccard join otherwise.
+# --------------------------------------------------------------------------
+
+_SETSIM_COS_NUM, _SETSIM_COS_DEN = 7, 10  # t = 0.7
+
+_SETSIM_COS_ORACLE = f"""
+WITH split AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(a[i:i+{_SETSIM_SHINGLE - 1}], ' ') AS s
+  FROM split, UNNEST(generate_series(1, len(a) - {_SETSIM_SHINGLE - 1})) AS t(i)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+ranked AS (
+  SELECT sh.doc_id, sh.s, sz.n,
+         row_number() OVER (PARTITION BY sh.doc_id
+                            ORDER BY df.df, sh.s) AS pos
+  FROM sh JOIN df USING (s) JOIN sz USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, s, n FROM ranked
+  WHERE pos <= n - (({_SETSIM_COS_NUM ** 2} * n + {_SETSIM_COS_DEN ** 2} - 1)
+                    // {_SETSIM_COS_DEN ** 2}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.n AS na, b.n AS nb
+  FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b, c.na, c.nb
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_inter * n_inter * 1000000 // (na * nb) AS BIGINT) AS cos2_ppm
+FROM inter
+WHERE n_inter * n_inter * {_SETSIM_COS_DEN ** 2}
+      >= {_SETSIM_COS_NUM ** 2} * na * nb
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "setsim_cosine_join",
+    _SETSIM_COS_ORACLE,
+    "Exact cosine>=0.7 set-similarity self-join (Bayardo's all-pairs "
+    "metric): t^2 prefix bound, squared-integer verification (no sqrt, "
+    "no float) — the laxer-metric twin of the Jaccard prefix join",
+    tags=("llm", "dedup"),
+)
+def q_setsim_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return setsim.setsim_join(
+        docs,
+        "text",
+        "doc_id",
+        shingle_len=_SETSIM_SHINGLE,
+        t_num=_SETSIM_COS_NUM,
+        t_den=_SETSIM_COS_DEN,
+        metric="cosine",
+    )

@@ -499,3 +499,42 @@ def test_lpa_random_graphs(spark, und):
             new[n] = min(counts, key=lambda lbl: (-counts[lbl], lbl))
         labels = new
     assert got == labels
+
+
+@given(docs=_ssj_corpus)
+@SLOW
+def test_setsim_cosine_join_exact_vs_brute_force(spark, docs):
+    """The cosine variant's t^2 prefix bound may only prune: every pair
+    with binary cosine >= 0.7 must be emitted with the exact squared
+    score, and nothing below threshold may appear."""
+    from reddit_data_pipeline_engineering_spark.operators import setsim
+
+    n = 2
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.cos2_ppm)
+        for r in setsim.setsim_join(
+            df, "text", "doc_id", shingle_len=n, t_num=7, t_den=10,
+            metric="cosine",
+        ).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    sets = {i: shingles(t) for i, t in enumerate(docs)}
+    expected = {}
+    for i in sorted(sets):
+        for j in sorted(sets):
+            if i >= j or not sets[i] or not sets[j]:
+                continue
+            inter = len(sets[i] & sets[j])
+            na, nb = len(sets[i]), len(sets[j])
+            if inter * inter * 100 >= 49 * na * nb:
+                expected[(i, j)] = (inter, inter * inter * 1000000 // (na * nb))
+    assert got == expected
