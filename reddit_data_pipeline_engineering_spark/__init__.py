@@ -10,7 +10,9 @@ Spark-first engine:
                   (replaces S3 + Glue Crawler + Athena submit/poll).
 - ``operators`` — relational operators (dedup, pivot, enrich, top-k,
                   audit) plus large-scale LLM-data-pipeline operators
-                  (MinHash/SimHash/Jaccard dedup, embedding similarity).
+                  (MinHash/SimHash/Jaccard/prefix-filtered exact dedup,
+                  embedding similarity + IVF/PQ ANN, graph kernels:
+                  PageRank, components, triangles, BFS, k-core, LPA).
 - ``functions`` — column-expression bundles (datetime, text analysis,
                   AQI, vector math). No row-at-a-time Python UDFs.
 - ``plans``     — end-to-end pipelines (the marts kernel) and the named
@@ -26,6 +28,6 @@ Python touches rows only in Arrow-batched mapInPandas stages (multimodal
 decode, vectorized embedding scoring) — never row-at-a-time UDFs.
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 from reddit_data_pipeline_engineering_spark.session import get_spark  # noqa: F401
