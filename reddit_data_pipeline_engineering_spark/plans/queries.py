@@ -874,103 +874,32 @@ def _register_all() -> None:
 # --------------------------------------------------------------------------
 # Driver-gate ordering. Round-1 evidence (CORRECTNESS_r01.json): the
 # verification driver records rows for exactly the FIRST 50 entries of
-# queries() in iteration order — the 12 entries past position 50 got no
-# row at all. The registry is larger than 50, so the returned dict is
-# explicitly ordered and ROTATED each round:
+# queries() in iteration order. The registry is larger than 50, so the
+# returned dict is explicitly ordered and ROTATED each round:
 #
-# - _DRIVER_FIRST: queries with no driver row yet (previous round's
-#   rotated-out block + newly added queries) go first, so every query
-#   gets a hard driver signal within two consecutive rounds.
-# - middle: everything else, registration order.
-# - _DRIVER_TAIL_STREAMING: the two wall-clock-heavy rows-only streaming
-#   queries sit at positions 49-50 (inside the gate, but last, in case
-#   the cap is a time budget rather than a count).
-# - _DRIVER_ROTATED_OUT: this round's sacrifice — all green in
-#   CORRECTNESS_r01.json, all still checked every round by the local
-#   differential suite (tests/test_oracle_parity.py), and all with a
-#   same-family query remaining inside the gate.
+# - _DRIVER_FIRST: queries that MUST gate this round — anything with no
+#   hard driver row yet, anything whose only row predates a semantic
+#   change, plus queries newly added this round.
+# - _DRIVER_FILL: re-confirmation slots — oldest green rows first, so
+#   stale r01 signals refresh while the backlog drains.
+# - _DRIVER_TAIL_STREAMING: wall-clock-heavy streaming drains sit LAST
+#   inside the gate (in case the driver cap is a time budget rather than
+#   a count). Empty this round: all seven streaming queries earned green
+#   rows in r02/r03 and none changed semantics.
+# - _DRIVER_ROTATED_OUT: outside the gate — every name here has a green
+#   driver row under its current semantics and is re-verified every
+#   local run by tests/test_oracle_parity.py (same canonicalization as
+#   the driver plus the type-family gate). Ordered oldest-row-first so
+#   the head IS the r05 re-confirmation queue.
 # --------------------------------------------------------------------------
 
 _DRIVER_FIRST = [
-    # ---- ROUND 3 ROTATION (VERDICT r02 "Next round" #2) ----
-    # The 16 queries with NO green driver row across r01-r02 lead the
-    # gate: 13 were added after the r02 gate filled, 3 failed r02 on the
-    # (now fixed) uncast-HUGEINT oracle bug. The two streaming members of
-    # the 16 sit in _DRIVER_TAIL_STREAMING (in-gate, last). After this
-    # round every registered query has at least one hard driver row.
-    "zscore_outliers",
-    "topn_per_group",
-    "props_struct_parse",
-    "hll_grouped_distinct",
-    "cohort_retention",
-    "funnel_conversion",
-    "ratio_to_report",
-    "grouped_median",
-    "hll_union_merge",
-    "hash_split_stats",
-    "stratified_sample",
-    "corpus_prep_stats",
-    "copurchase_pairs",
-    "sliding_window_rollup",
-    # NEW this round — append new-query names here as they are
-    # registered, dropping the tail of _DRIVER_FILL to keep the gate at
-    # exactly 50 (test_driver_gate_ordering enforces the arithmetic):
-    "grouped_median_approx",
-    "ivfpq_topk",
-    "ivfpq_recall_at_k",
-    "grouped_median_scalable",
-    "exact_percentiles_scalable",
-    "hll_intersection_estimate",
-    "jl_recall_at_k",
-    "resample_hourly_gapfill",
-    "grouped_linreg_trend",
-    "chunk_dedup_stats",
-    "tfidf_topk_terms",
-    "incremental_dedup",
-    "bpe_merge_learn",
-    "triangle_count_sampled",
-    "mad_outliers",
-    "hilbert_layout",
-    "item_similarity_topk",
-    "fuzzy_blocked_matches",
-    "winsorized_stats",
-    "benford_first_digit",
-    "key_skew_gini",
-    "bitmap_intersection",
-    "weighted_sample",
-    "bfs_reachability",
-    "corpus_prep_v2",
-    "multimodal_frame_sample",
-    "hll_sliding_distinct",
-    "pit_dimension_lookup",
-    "volume_anomaly_days",
-    "int8_quant_audit",
-    "conversion_within_hour",
-]
-
-# Re-confirmation fill: oldest driver rows first (r01-only-green, in
-# registration order). These already have green rows; they occupy the
-# gate slots the never-gated block doesn't need, so their rows refresh.
-_DRIVER_FILL = []
-
-# Wall-clock-heavy streaming drains sit LAST inside the gate (positions
-# 49-50) in case the driver cap is a time budget rather than a count.
-# This round that means the two never-gated streaming queries; the two
-# r02-green drains (streaming_marts_kernel, stateful_ema_stream) rotate
-# out — both stay covered by tests/test_streaming.py + local parity.
-_DRIVER_TAIL_STREAMING = [
-    "streaming_sessions",
-    "streaming_interval_join",
-    # NEW round 3: left-outer variant (state-expiry flush semantics) and
-    # the CUSUM change-point detector (second stateful operator).
-    "streaming_interval_join_outer",
-    "streaming_cusum_drift",
-    "streaming_hll_windows",
-]
-
-_DRIVER_ROTATED_OUT = [
-    # Added after the round-3 gate filled — r04 rotation queue (locally
-    # differential-checked every run like everything below):
+    # ---- ROUND 4 ROTATION (VERDICT r03 "Next round" #1) ----
+    # The 30 queries with NO driver row across r01-r03 (added after the
+    # r03 gate filled), in their r04-queue order from the r03 rotation
+    # comment, plus embedding_blocked_topk, whose only green row (r01)
+    # predates the r02 skew-cap semantic change. After this round every
+    # registered query has a green row under its CURRENT semantics.
     "topn_with_ties",
     "nested_order_lines",
     "mad_outliers_scalable",
@@ -1000,15 +929,19 @@ _DRIVER_ROTATED_OUT = [
     "forward_asof_next_purchase",
     "lsh_quality_eval",
     "setsim_cosine_join",
-    # Displaced from _DRIVER_FILL by this round's new queries
-    # (_DRIVER_FIRST outgrew the fill; everything here keeps its r01/r02
-    # green row and the every-round local differential check):
-    "embedding_blocked_topk",
-    # percentiles_approx waits for its row until r04: its sibling
-    # grouped_median_approx (same percentile_approx code path, same
-    # oracle pattern) IS gated this round, and the local differential
-    # suite checks it every run.
     "percentiles_approx",
+    "embedding_blocked_topk",
+    # NEW this round — append new-query names here as they are
+    # registered, dropping the tail of _DRIVER_FILL to keep the gate at
+    # exactly 50 (test_driver_gate_ordering enforces the arithmetic).
+    # VERDICT r03 #2 caps r04 additions at 19 (the fill headroom) so the
+    # never-gated backlog drains to zero.
+]
+
+# Re-confirmation fill: oldest driver rows first (r01-only-green, in
+# registration order). These already have green rows; they occupy the
+# gate slots the must-gate block doesn't need, so their rows refresh.
+_DRIVER_FILL = [
     "pricing_summary",
     "flagship_top_locations",
     "window_dedup",
@@ -1028,6 +961,22 @@ _DRIVER_ROTATED_OUT = [
     "aqi_bundle",
     "running_sum",
     "sessionize",
+]
+
+# Empty this round: every streaming query (streaming_marts_kernel,
+# stateful_ema_stream r02; streaming_sessions, streaming_interval_join,
+# streaming_interval_join_outer, streaming_cusum_drift,
+# streaming_hll_windows r03) has a green row and unchanged semantics;
+# all stay covered by tests/test_streaming.py + local parity.
+_DRIVER_TAIL_STREAMING: list[str] = []
+
+_DRIVER_ROTATED_OUT = [
+    # Everything below has a green driver row under its current
+    # semantics (see CORRECTNESS_r0*.json) and is hash-checked against
+    # DuckDB on every local run by tests/test_oracle_parity.py with the
+    # type-family gate. Ordered oldest-row-first: r01-only rows lead (the
+    # r05 re-confirmation queue), then r02, then r03.
+    # -- r01-only rows (re-confirm next) --
     "props_flatten",
     "lag_lead_delta",
     "rollup_orders",
@@ -1042,30 +991,27 @@ _DRIVER_ROTATED_OUT = [
     "unpivot_roundtrip",
     "value_stats",
     "value_histogram",
-    # This round's sacrifice: every name below has a green driver row
-    # (r01 or r02, see CORRECTNESS_r0*.json), and every one is still
-    # hash-checked against DuckDB on every local run by
-    # tests/test_oracle_parity.py with the type-family gate.
     "exact_percentiles",
     "sql_surface",
-    "forward_fill",
-    "snapshot_diff_counts",
-    "dq_expectations",
-    "countmin_heavy_hitters",
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_pairs",
-    "ngram_jaccard_topk",
     "simhash",
     "dup_clusters",
     "token_stats",
     "quality_score",
     "lang_id",
     "fingerprint",
-    "multimodal_decode_profile",
     "cosine_topk",
     "ivf_probe_topk",
     "semantic_dedup_survivors",
+    # -- r02 rows --
+    "forward_fill",
+    "snapshot_diff_counts",
+    "dq_expectations",
+    "countmin_heavy_hitters",
+    "ngram_jaccard_topk",
+    "multimodal_decode_profile",
     "ann_lsh_buckets",
     "ivf_recall_at_k",
     "repetition_stats",
@@ -1107,6 +1053,57 @@ _DRIVER_ROTATED_OUT = [
     "scd2_dimension",
     "zorder_layout",
     "bloom_semijoin_reduction",
+    # -- r03 rows --
+    "zscore_outliers",
+    "topn_per_group",
+    "props_struct_parse",
+    "hll_grouped_distinct",
+    "cohort_retention",
+    "funnel_conversion",
+    "ratio_to_report",
+    "grouped_median",
+    "hll_union_merge",
+    "hash_split_stats",
+    "stratified_sample",
+    "corpus_prep_stats",
+    "copurchase_pairs",
+    "sliding_window_rollup",
+    "grouped_median_approx",
+    "ivfpq_topk",
+    "ivfpq_recall_at_k",
+    "grouped_median_scalable",
+    "exact_percentiles_scalable",
+    "hll_intersection_estimate",
+    "jl_recall_at_k",
+    "resample_hourly_gapfill",
+    "grouped_linreg_trend",
+    "chunk_dedup_stats",
+    "tfidf_topk_terms",
+    "incremental_dedup",
+    "bpe_merge_learn",
+    "triangle_count_sampled",
+    "mad_outliers",
+    "hilbert_layout",
+    "item_similarity_topk",
+    "fuzzy_blocked_matches",
+    "winsorized_stats",
+    "benford_first_digit",
+    "key_skew_gini",
+    "bitmap_intersection",
+    "weighted_sample",
+    "bfs_reachability",
+    "corpus_prep_v2",
+    "multimodal_frame_sample",
+    "hll_sliding_distinct",
+    "pit_dimension_lookup",
+    "volume_anomaly_days",
+    "int8_quant_audit",
+    "conversion_within_hour",
+    "streaming_sessions",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_cusum_drift",
+    "streaming_hll_windows",
 ]
 
 

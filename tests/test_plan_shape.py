@@ -207,19 +207,32 @@ def test_driver_gate_ordering():
     assert len(_DRIVER_FIRST) + len(_DRIVER_FILL) + len(_DRIVER_TAIL_STREAMING) == 50
     gate = names[:50]
     assert set(_DRIVER_FIRST) <= set(gate)
-    assert gate[-len(_DRIVER_TAIL_STREAMING):] == _DRIVER_TAIL_STREAMING
+    if _DRIVER_TAIL_STREAMING:
+        assert gate[-len(_DRIVER_TAIL_STREAMING):] == _DRIVER_TAIL_STREAMING
     assert names[50:] == _DRIVER_ROTATED_OUT
-    # Round-3 contract (VERDICT r02 #2): every query with no green driver
-    # row across r01-r02 is inside the gate.
-    never_gated = [
-        "zscore_outliers", "topn_per_group", "props_struct_parse",
-        "hll_grouped_distinct", "cohort_retention", "copurchase_pairs",
-        "sliding_window_rollup", "funnel_conversion", "ratio_to_report",
-        "grouped_median", "hll_union_merge", "hash_split_stats",
-        "stratified_sample", "corpus_prep_stats", "streaming_sessions",
-        "streaming_interval_join",
+    # Round-4 contract (VERDICT r03 #1): the 30 queries with no driver
+    # row across r01-r03, plus embedding_blocked_topk (its only row
+    # predates the r02 skew-cap semantic change), all gate this round.
+    must_gate = [
+        "topn_with_ties", "nested_order_lines", "mad_outliers_scalable",
+        "winsorized_scalable", "mom_revenue_growth", "dedup_best_survivor",
+        "table_profile", "join_cardinality_audit", "weekly_p90_scalable",
+        "session_transitions", "weighted_median_price",
+        "functional_dependency_audit", "setsim_prefix_join",
+        "eval_overlap_fraction", "kcore_peel_counts",
+        "zonemap_pruning_audit", "k_anonymity_audit", "lpa_communities",
+        "temperature_mixture", "hard_negative_mining",
+        "embedding_dim_profile", "lang_confusion_matrix",
+        "shard_balance_audit", "corpus_release_gate", "rolling_range_frame",
+        "grouping_sets_report", "forward_asof_next_purchase",
+        "lsh_quality_eval", "setsim_cosine_join", "percentiles_approx",
+        "embedding_blocked_topk",
     ]
-    assert set(never_gated) <= set(gate)
+    assert set(must_gate) <= set(gate)
+    # VERDICT r03 #2: registry growth frozen until the gate drains —
+    # at most 19 additions this round (the re-confirmation headroom),
+    # i.e. _DRIVER_FIRST beyond the 31 must-gate names stays <= 19.
+    assert len(_DRIVER_FIRST) - len(must_gate) <= 19
 
 
 def test_vocab_topk_partial_agg_and_take_ordered(spark):
