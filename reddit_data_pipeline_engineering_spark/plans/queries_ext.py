@@ -551,8 +551,15 @@ def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    lo = ev.agg(F.min("ts")).head()[0]
-    two_days = ev.filter(F.col("ts") < F.lit(lo) + F.expr("INTERVAL 2 DAYS"))
+    # min(ts) bound folded into the plan as a broadcast 1-row scalar
+    # (same device as queries_streaming._with_min_ts) — one Spark job,
+    # no driver-side .head() fetch.
+    bound = ev.agg((F.min("ts") + F.expr("INTERVAL 2 DAYS")).alias("t_hi"))
+    two_days = (
+        ev.crossJoin(F.broadcast(bound))
+        .filter(F.col("ts") < F.col("t_hi"))
+        .drop("t_hi")
+    )
     return (
         two_days.groupBy(
             time_bucket("ts", 15).alias("bucket_15m"), F.col("event_type")

