@@ -40,8 +40,13 @@ def kcore_peel(
     """Peel ``rounds`` times; return (round, nodes_alive, edges_alive).
 
     ``edges`` must be SYMMETRIZED (each undirected edge present in both
-    directions) so the out-degree on ``src`` is the full degree;
-    ``edges_alive`` counts undirected edges (directed count div 2).
+    directions) AND DEDUPLICATED (no repeated (src, dst) pairs): degree
+    is computed as a raw row count per ``src``, so multi-edges would
+    silently inflate degrees (same implicit contract as ``lpa.py``,
+    where duplicate edges would double-weight a neighbor's label).
+    Callers pass DISTINCT pairs (``copurchase_edges`` aggregates by
+    pair). ``edges_alive`` counts undirected edges (directed count
+    div 2).
     ``nodes_alive`` after round r is the number of nodes whose degree in
     the round-(r-1) graph was >= k — isolated survivors are impossible
     because any node with degree >= k >= 1 still owns an edge unless its

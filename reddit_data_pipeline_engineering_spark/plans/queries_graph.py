@@ -350,10 +350,10 @@ SELECT * FROM stats ORDER BY round
 @query(
     "kcore_peel_counts",
     _KCORE_ORACLE,
-    "k-core peeling on the part co-purchase graph (k=90, 4 rounds): one "
-    "degree aggregate + two endpoint semi-joins per round, edge list "
-    "checkpointed — the dense-subgraph survival curve, engine-exact via "
-    "unrolled-CTE replay",
+    f"k-core peeling on the part co-purchase graph (k={_KCORE_K}, "
+    f"{_KCORE_ROUNDS} rounds): one degree aggregate + two endpoint "
+    "semi-joins per round, edge list checkpointed — the dense-subgraph "
+    "survival curve, engine-exact via unrolled-CTE replay",
     tags=("relational", "graph", "bench"),
 )
 def q_kcore_peel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
