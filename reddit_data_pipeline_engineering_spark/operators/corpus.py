@@ -169,6 +169,58 @@ def chunk_documents(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame, text_col: str, id_col: str, chunk_words: int = 10
+) -> DataFrame:
+    """Maximal duplicated-span extraction — exact substring dedup at
+    chunk resolution (the missing grain between doc-level and
+    chunk-level survivorship; Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", find exact duplicated spans via
+    suffix arrays — a sequential structure with no bounded distributed
+    analogue, so this engine quantizes span boundaries to the existing
+    ``chunk_documents`` windows instead).
+
+    Pipeline (2 shuffles total, nothing all-pairs):
+
+    1. map-only chunking into ``chunk_words``-word windows;
+    2. corpus-wide duplicate flag per window: ``count() over
+       (partition by md5(chunk_text))`` — one shuffle keyed on content
+       hash (uniform by construction, no skew);
+    3. gaps-and-islands run merge per document: ``chunk_idx -
+       row_number() over (partition by id order by chunk_idx)`` groups
+       consecutive duplicated windows into maximal spans — one shuffle
+       keyed on ``id_col``, partition size bounded by document length;
+    4. span aggregate on (id, run) — REUSES the step-3 hash
+       partitioning on ``id_col`` (subset clustering), so no third
+       shuffle.
+
+    Adjacent duplicated windows merge into one span even when their
+    copies live in different documents — the span is "text that exists
+    elsewhere", not "text with a single common source", matching the
+    remove-all-duplicated-bytes semantics of substring dedup.
+
+    Output: (id_col, span_start [chunk index], span_chunks, span_chars).
+    """
+    chunks = chunk_documents(docs, text_col, id_col, chunk_words)
+    freq_w = Window.partitionBy(F.md5("chunk_text"))
+    run_w = Window.partitionBy(id_col).orderBy("chunk_idx")
+    dup = chunks.withColumn("__n_occ", F.count(F.lit(1)).over(freq_w)).filter(
+        F.col("__n_occ") > 1
+    )
+    runs = dup.withColumn(
+        "__run", F.col("chunk_idx") - F.row_number().over(run_w)
+    )
+    return (
+        runs.groupBy(id_col, "__run")
+        .agg(
+            F.min("chunk_idx").alias("span_start"),
+            F.count(F.lit(1)).alias("span_chunks"),
+            F.sum(F.length("chunk_text")).alias("span_chars"),
+        )
+        .drop("__run")
+    )
+
+
 def apply_mix_plan(
     df: DataFrame, plan: DataFrame, group_col: str, id_col: str
 ) -> DataFrame:

@@ -86,6 +86,80 @@ def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Substring-level (duplicated-span) dedup — the production mode between
+# doc-grain and chunk-grain: find maximal runs of consecutive 10-word
+# windows whose content exists elsewhere in the corpus
+# (operators/corpus.duplicate_spans; Lee et al. 2022 exact-substring
+# dedup quantized to chunk boundaries). 2 shuffles: content-hash window
+# + per-doc run window; the span/doc aggregates reuse the doc_id
+# partitioning.
+# --------------------------------------------------------------------------
+
+_DUP_SPAN_ORACLE = """
+WITH split AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+words AS (
+  SELECT doc_id, a[i] AS word, i - 1 AS pos
+  FROM split, UNNEST(generate_series(1, len(a))) AS t(i)
+),
+chunks AS (
+  SELECT doc_id, pos // 10 AS chunk_idx,
+         string_agg(word, ' ' ORDER BY pos) AS chunk_text
+  FROM words GROUP BY doc_id, pos // 10
+),
+freq AS (
+  SELECT md5(chunk_text) AS h, COUNT(*) AS n_occ FROM chunks GROUP BY 1
+),
+dup AS (
+  SELECT c.doc_id, c.chunk_idx, LENGTH(c.chunk_text) AS len
+  FROM chunks c JOIN freq f ON md5(c.chunk_text) = f.h
+  WHERE f.n_occ > 1
+),
+runs AS (
+  SELECT doc_id, chunk_idx, len,
+         chunk_idx - row_number()
+           OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS run
+  FROM dup
+),
+spans AS (
+  SELECT doc_id, COUNT(*) AS span_chunks, SUM(len) AS span_chars
+  FROM runs GROUP BY doc_id, run
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(MAX(span_chunks) AS BIGINT) AS max_span_chunks,
+       CAST(SUM(span_chunks) AS BIGINT) AS dup_chunks,
+       CAST(SUM(span_chars) AS BIGINT) AS dup_chars
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query(
+    "duplicate_span_stats",
+    _DUP_SPAN_ORACLE,
+    "Substring-level dedup accounting (Lee et al.-style duplicated-span "
+    "removal at 10-word-chunk resolution): consecutive corpus-duplicated "
+    "windows merged into maximal spans via gaps-and-islands, per-doc "
+    "span count / longest span / duplicated chunks+chars",
+    tags=("llm", "dedup", "bench"),
+)
+def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    spans = corpus_ops.duplicate_spans(docs, "text", "doc_id")
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("span_chunks").alias("max_span_chunks"),
+            F.sum("span_chunks").alias("dup_chunks"),
+            F.sum("span_chars").alias("dup_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # TF-IDF top terms. The inverted-index build: per-(doc, term) counts, a
 # vocabulary-sized document-frequency dim (BROADCAST — the vocab is
 # bounded, the corpus is not), and an integer-scaled idf so no float

@@ -112,6 +112,43 @@ def test_chunk_documents_roundtrip(spark):
         assert r.rebuilt == r.text, r.doc_id
 
 
+def test_duplicate_spans_merges_adjacent_windows(spark):
+    """Hand-built corpus: doc 1 and doc 2 share chunks 1-2 (one maximal
+    2-chunk span each), doc 3 repeats doc 1's chunk 4 (a second,
+    separate 1-chunk span for doc 1 — non-adjacent duplicates must NOT
+    merge), and doc 4 is fully unique (no span row at all)."""
+    from pyspark.sql import functions as F
+
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        duplicate_spans,
+    )
+
+    w = lambda tag, n: " ".join(f"{tag}{n}_{i}" for i in range(10))
+    shared12 = w("s", 1) + " " + w("s", 2)   # chunks shared by docs 1+2
+    rep4 = w("r", 4)                          # chunk shared by docs 1+3
+    rows = [
+        (1, w("a", 0) + " " + shared12 + " " + w("a", 3) + " " + rep4),
+        (2, w("b", 0) + " " + shared12),
+        (3, rep4 + " " + w("c", 1)),
+        (4, w("d", 0) + " " + w("d", 1)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(docs, "text", "doc_id", chunk_words=10)
+    got = {
+        (r.doc_id, r.span_start): (r.span_chunks, r.span_chars)
+        for r in spans.collect()
+    }
+    # doc 1: chunks 1-2 merge into one span; chunk 4 is its own span.
+    assert got[(1, 1)][0] == 2
+    assert got[(1, 4)][0] == 1
+    # doc 2: chunks 1-2; doc 3: chunk 0. doc 4: absent.
+    assert got[(2, 1)][0] == 2
+    assert got[(3, 0)][0] == 1
+    assert len(got) == 4
+    # span_chars = sum of chunk text lengths (joining spaces not counted).
+    assert got[(1, 1)][1] == len(w("s", 1)) + len(w("s", 2))
+
+
 def test_bpe_merges_match_reference_fold(spark):
     """The Spark BPE rounds (pair count -> argmax -> broadcast replace)
     must learn the same merges, in the same order, as a plain-Python BPE

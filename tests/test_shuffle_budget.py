@@ -56,6 +56,9 @@ BUDGETS = {
     "corpus_prep_v2": 6,
     # spread + md5-window + per-doc rollup + output sort.
     "chunk_dedup_stats": 4,
+    # spread + content-hash window + per-doc run window + output sort
+    # (span and per-doc aggregates fuse into the doc-window stage).
+    "duplicate_span_stats": 4,
     # dup window + shingle semi-join/agg + doc re-join + source rollup
     # (spread exchange + eval-dim distinct included).
     "corpus_release_gate": 8,
