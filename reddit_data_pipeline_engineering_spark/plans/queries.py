@@ -260,7 +260,7 @@ LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
     "Broadcast left-join enrichment + static map-literal override + "
     "null-fill defaults (J1+J3+P5+F8: process_openaq_raw.py:179-198, "
     "extract_api.py:355-372)",
-    tags=("relational",),
+    tags=("relational", "bench"),
 )
 def q_enrich_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -303,7 +303,7 @@ WHERE EXISTS (
     _Q06_ORACLE,
     "Active-entity filter as a left-semi join with a 7-day lookback off the "
     "max timestamp (P2, extract_api.py:111-186: datetimeLast >= now - 7d)",
-    tags=("relational",),
+    tags=("relational", "bench"),
 )
 def q_active_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -335,7 +335,7 @@ WHERE NOT EXISTS (
     _Q07_ORACLE,
     "Anti-join: entities with no purchase facts (the complement of P2; "
     "left_anti == NOT EXISTS)",
-    tags=("relational",),
+    tags=("relational", "bench"),
 )
 def q_inactive_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
@@ -365,7 +365,7 @@ ORDER BY event_type
     _Q08_ORACLE,
     "Partition-profile aggregate: COUNT/MIN/MAX/COUNT DISTINCT (A6, "
     "historical_backfill_2025_plan.md:352-359)",
-    tags=("relational",),
+    tags=("relational", "bench"),
 )
 def q_minmax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -400,7 +400,7 @@ ORDER BY l_returnflag
     _Q09_ORACLE,
     "Conditional SUM(CASE WHEN ...) counts (A7, "
     "historical_backfill_2025_plan.md:362-375)",
-    tags=("relational",),
+    tags=("relational", "bench"),
 )
 def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -464,7 +464,7 @@ FROM events
     _Q11_ORACLE,
     "Single-pass null audit over critical columns (P6, "
     "process_openaq_raw.py:228-231) — one aggregate job, not N",
-    tags=("relational",),
+    tags=("relational", "bench"),
 )
 def q_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -488,7 +488,7 @@ ORDER BY norm_type
     _Q12_ORACLE,
     "Parameter-name normalization lower+strip-dots before grouping "
     "(F4, extract_api.py:168-179: 'PM2.5' -> 'pm25')",
-    tags=("relational",),
+    tags=("relational", "bench"),
 )
 def q_normalize_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.functions.text import normalize_token
@@ -522,7 +522,7 @@ ORDER BY 1, 2, 3
     _Q13_ORACLE,
     "Date-part derivation with zero-padded partition strings (F2+F3, "
     "process_openaq_raw.py:124-127) and per-partition rollup (A6)",
-    tags=("relational",),
+    tags=("relational", "bench"),
 )
 def q_date_partition_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
@@ -552,7 +552,7 @@ LIMIT 10
     _Q14_ORACLE,
     "Global top-k with deterministic tiebreak (O2 — plans as "
     "TakeOrderedAndProject: no full sort at any scale)",
-    tags=("relational",),
+    tags=("relational", "bench"),
 )
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -582,7 +582,7 @@ FROM events WHERE event_type = 'error'
     _Q15_ORACLE,
     "Set union + difference over (entity, day) activity sets (U1/U2; "
     "union of page scans, exceptAll in tests — extract_api.py:94,256)",
-    tags=("relational",),
+    tags=("relational", "bench"),
 )
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -740,7 +740,7 @@ FROM with_aqi
     "level) as native expressions — the reference's unshipped UDF plan "
     "(doc/archive/AQI Calculation Implementation Plan.md) done the "
     "Catalyst-friendly way (SURVEY.md §2.10)",
-    tags=("relational", "aqi"),
+    tags=("relational", "aqi", "bench"),
 )
 def q_aqi_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
@@ -796,7 +796,7 @@ FROM events
     _Q18_ORACLE,
     "Cumulative windowed sum + sequence per entity (window-frame extension "
     "beyond the reference's W1; rowsBetween frame)",
-    tags=("relational", "window"),
+    tags=("relational", "window", "bench"),
 )
 def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -2683,7 +2683,7 @@ ORDER BY event_type, n DESC, day
     "Top-2 busiest day-counts per event type WITH TIES (dense_rank <= "
     "N keeps every day sharing a top value — the FETCH WITH TIES "
     "contract row_number cannot express deterministically)",
-    tags=("relational", "window"),
+    tags=("relational", "window", "bench"),
 )
 def q_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -2729,7 +2729,7 @@ FROM nested ORDER BY l_orderkey
     "Denormalize order lines into a line-number-ordered ARRAY column "
     "(nested-parquet modeling for point-lookup serving) with the "
     "explode-roundtrip reconciliation in-query; one keyed aggregate",
-    tags=("relational", "nested"),
+    tags=("relational", "nested", "bench"),
 )
 def q_nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -2767,7 +2767,7 @@ def q_nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bisection selection core (mergeable conditional counts, no "
     "per-group sort) then the identical broadcast rollup — same oracle, "
     "same hash as the rank-window variant",
-    tags=("relational", "stats", "scale"),
+    tags=("relational", "stats", "scale", "bench"),
 )
 def q_mad_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.operators import selection as sel
@@ -2834,7 +2834,7 @@ def q_mad_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in one bisection run (mergeable conditional counts, no per-group "
     "sort), identical broadcast rollup — same oracle, same hash as the "
     "rank-window variant",
-    tags=("relational", "stats", "scale"),
+    tags=("relational", "stats", "scale", "bench"),
 )
 def q_winsorized_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.operators import selection as sel
@@ -2911,7 +2911,7 @@ FROM monthly ORDER BY month_idx
     "as integer cents, growth as an integer basis-point division — the "
     "reporting staple with zero float drift; lag window over the "
     "bounded month relation",
-    tags=("relational", "timeseries", "window"),
+    tags=("relational", "timeseries", "window", "bench"),
 )
 def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -2977,7 +2977,7 @@ _TABLE_PROFILE_ORACLE = (
     "min / max for four lineitem measures in a single aggregate "
     "(one expand, one shuffle), unpivoted to a row per column — the "
     "stats layer planners and DQ checks read",
-    tags=("relational", "audit"),
+    tags=("relational", "audit", "bench"),
 )
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -3034,7 +3034,7 @@ FROM c
     "the per-key count histogram (sum of n_k^2) proven equal to the "
     "materialized join count — the exactness baseline the sketched "
     "(count-min) estimator degrades from at scale",
-    tags=("relational", "audit", "scale"),
+    tags=("relational", "audit", "scale", "bench"),
 )
 def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -3085,7 +3085,7 @@ FROM weekly GROUP BY week_idx ORDER BY week_idx
     "bisection — the selection core at hundreds of groups, its target "
     "regime (driver state = per-group brackets; no per-group sorts "
     "anywhere)",
-    tags=("relational", "stats", "scale"),
+    tags=("relational", "stats", "scale", "bench"),
 )
 def q_weekly_p90_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.operators.selection import (
@@ -3142,7 +3142,7 @@ FROM t ORDER BY from_type, to_type
     "Within-session event-type transition matrix (30-min gap rule): one "
     "lag window + bounded |types|^2 aggregate, per-source shares in "
     "integer basis points — the first-order Markov behavior view",
-    tags=("relational", "window", "timeseries"),
+    tags=("relational", "window", "timeseries", "bench"),
 )
 def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -3218,7 +3218,7 @@ FROM c GROUP BY g ORDER BY g
     "weights, cumulative-weight crossing by integer cross-"
     "multiplication (cum*2 >= total) — the weighted order statistic "
     "with zero float arithmetic in the selection",
-    tags=("relational", "stats"),
+    tags=("relational", "stats", "bench"),
 )
 def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -3290,7 +3290,7 @@ _FD_ORACLE = (
     "Functional-dependency audit over orders: A -> B iff |distinct A| "
     "= |distinct (A,B)|, four candidate pairs in one aggregate pass "
     "(single expand), exact — the schema-profiling primitive",
-    tags=("relational", "audit"),
+    tags=("relational", "audit", "bench"),
 )
 def q_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -3354,7 +3354,7 @@ FROM daily ORDER BY priority, day_no
     "the day number (absent days contribute nothing — the frame a ROWS "
     "window gets wrong); window input pre-aggregated to (priority, day) "
     "so it is bounded by days, not orders; exact integer cents",
-    tags=("relational", "window"),
+    tags=("relational", "window", "bench"),
 )
 def q_rolling_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -3413,7 +3413,7 @@ ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
     "CUBE expresses — as verbatim ANSI text through spark.sql (the "
     "sql_surface device): one expand + hash aggregate, grouping_id() "
     "separating subtotal NULLs from data NULLs",
-    tags=("relational", "sql"),
+    tags=("relational", "sql", "bench"),
 )
 def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, names=("orders",))
@@ -3454,7 +3454,7 @@ ASOF LEFT JOIN purchases p
     "purchase at-or-after it (merge_asof direction='forward'); union + "
     "one keyed window, no inequality-join blowup; oracle = DuckDB's "
     "native forward ASOF JOIN",
-    tags=("relational", "timeseries"),
+    tags=("relational", "timeseries", "bench"),
 )
 def q_forward_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.operators.asof import asof_join

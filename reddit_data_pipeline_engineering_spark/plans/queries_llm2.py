@@ -795,7 +795,7 @@ FROM dups ORDER BY h
     "group keep the LONGEST document (struct-max argmax with id "
     "tiebreak) — the keep-the-best policy at the same one-shuffle cost "
     "as first-occurrence survivorship",
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "bench"),
 )
 def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

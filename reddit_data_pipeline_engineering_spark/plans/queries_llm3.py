@@ -164,7 +164,7 @@ ORDER BY doc_id
     "its 5-gram shingles present anywhere in the training corpus — one "
     "shingle-keyed semi-join, corpus scanned once (the scoring mirror of "
     "decontaminate_ngrams' binary drop)",
-    tags=("llm", "text"),
+    tags=("llm", "text", "bench"),
 )
 def q_eval_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -237,7 +237,7 @@ FROM w ORDER BY lang
     "floor(sqrt(n)) integer weights per language, raw vs smoothed "
     "share and the resampling factor in bps — one language aggregate "
     "+ bounded rollup (the XLM/mT5 sampling plan)",
-    tags=("llm", "mixture"),
+    tags=("llm", "mixture", "bench"),
 )
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -314,7 +314,7 @@ ORDER BY anchor_id, kind
     "top same-label (positive) and different-label (hard negative) "
     "vector by exact cosine — anchors broadcast, corpus scanned once "
     "with map-side expansion; IVF/PQ is the unbounded-anchor path",
-    tags=("llm", "similarity"),
+    tags=("llm", "similarity", "bench"),
 )
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.functions.vectors import cosine
@@ -384,7 +384,7 @@ FROM vals GROUP BY dim ORDER BY dim
     "Per-dimension embedding range/mean on an exact 1e-6 integer grid: "
     "map-side posexplode into one dimension-keyed aggregate, output "
     "bounded by dimensionality — the INT8-quantizer calibration pass",
-    tags=("llm", "similarity"),
+    tags=("llm", "similarity", "bench"),
 )
 def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -448,7 +448,7 @@ ORDER BY lang, pred_lang
     "Language-ID evaluation: confusion matrix of the marker-argmax "
     "heuristic vs stored labels, within-language shares in bps — one "
     "aggregate over the scored relation, cells bounded by |langs|^2",
-    tags=("llm", "text"),
+    tags=("llm", "text", "bench"),
 )
 def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.plans.queries_llm import q_lang_id
@@ -517,7 +517,7 @@ FROM per_shard ORDER BY shard
     "Training-shard balance: md5 doc sharding (map-only) + one "
     "shard-keyed aggregate; per-shard doc/token counts, token share "
     "and deviation vs the ideal shard in bps",
-    tags=("llm", "layout"),
+    tags=("llm", "layout", "bench"),
 )
 def q_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.functions.text import token_count
@@ -836,7 +836,7 @@ FROM tp
     "prefix-filtered Jaccard>=0.5 join on the same 3-gram shingle sets "
     "— precision/recall in bps, the dedup analogue of the ANN recall@k "
     "queries",
-    tags=("llm", "dedup", "eval"),
+    tags=("llm", "dedup", "eval", "bench"),
 )
 def q_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.operators import text_dedup
@@ -937,7 +937,7 @@ ORDER BY doc_a, doc_b
     "Exact cosine>=0.7 set-similarity self-join (Bayardo's all-pairs "
     "metric): t^2 prefix bound, squared-integer verification (no sqrt, "
     "no float) — the laxer-metric twin of the Jaccard prefix join",
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "bench"),
 )
 def q_setsim_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))

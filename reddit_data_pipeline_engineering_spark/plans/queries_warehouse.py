@@ -957,7 +957,7 @@ ORDER BY layout, predicate
     "hash-unclustered file layouts, per-file zones in one aggregate, "
     "files/rows scanned + read amplification per predicate — the "
     "footer-statistics footprint that justifies clustered layouts",
-    tags=("warehouse", "layout"),
+    tags=("warehouse", "layout", "bench"),
 )
 def q_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
@@ -1078,7 +1078,7 @@ FROM classes GROUP BY level ORDER BY level
     "levels: per-level class-size aggregate + bounded rollup — the "
     "suppression-rate number a privacy release gate needs, computed "
     "next to the PII scrub",
-    tags=("llm", "audit"),
+    tags=("llm", "audit", "bench"),
 )
 def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")

@@ -143,6 +143,52 @@ BUDGETS = {
     "waiting_suppliers": 3,
     "window_dedup": 1,
     "zorder_layout": 2,
+    # ---- r04: every driver-gated query is now bench-tagged (VERDICT
+    # r03 #6) — measured counts at sf0.001, engine session, sp=4. ----
+    "topn_with_ties": 3,
+    "nested_order_lines": 2,
+    "mad_outliers_scalable": 2,
+    "winsorized_scalable": 2,
+    "mom_revenue_growth": 2,
+    "dedup_best_survivor": 2,
+    "table_profile": 2,
+    "join_cardinality_audit": 3,
+    "weekly_p90_scalable": 1,
+    "session_transitions": 4,
+    "weighted_median_price": 2,
+    "functional_dependency_audit": 2,
+    # eval-shingle build replayed per overlap branch (binary + graded);
+    # the corpus side is scanned once, eval dim is broadcast.
+    "eval_overlap_fraction": 7,
+    "zonemap_pruning_audit": 3,
+    "k_anonymity_audit": 5,
+    "temperature_mixture": 2,
+    "hard_negative_mining": 2,
+    "embedding_dim_profile": 2,
+    "lang_confusion_matrix": 3,
+    "shard_balance_audit": 2,
+    "rolling_range_frame": 3,
+    "grouping_sets_report": 2,
+    "forward_asof_next_purchase": 2,
+    # Runs the exact PPJoin AND the banded-LSH pipeline, then compares
+    # the two pair sets (precision/recall): both multi-stage subplans
+    # appear in one tree, several branches replayed per metric leg.
+    "lsh_quality_eval": 37,
+    # PPJoin with the cosine t^2 bound: prefix build + candidate join +
+    # verification legs (df dim rebuilt per leg, runtime-reused).
+    "setsim_cosine_join": 15,
+    "enrich_metadata": 1,
+    "active_semijoin": 1,
+    "inactive_antijoin": 0,
+    "minmax_profile": 3,
+    "conditional_counts": 2,
+    "null_audit": 2,
+    "normalize_group": 2,
+    "date_partition_rollup": 2,
+    "topk_orders": 0,
+    "set_ops": 4,
+    "aqi_bundle": 1,
+    "running_sum": 1,
 }
 
 
