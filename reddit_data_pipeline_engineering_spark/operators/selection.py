@@ -15,6 +15,11 @@ conditional aggregates:
    keyed shuffle of G*B counters), then narrow [lo, hi] to the bucket
    containing the target rank. Width shrinks by B per round, so ~6
    rounds of B=1024 exceed double precision (B^6 = 2^60 > 2^52 ulps);
+   brackets that collapse to a few ulps retire from later rounds (and
+   the loop stops once all do), so the typical pass count is
+   log_B(range/ulp), not the max_rounds ceiling; ranks of a group
+   sharing a bracket (all of them in round 1) are counted once per
+   bracket, not once per rank;
 3. one final pass aggregating the few DISTINCT values left in [lo, hi]
    per group (after step 2 the bracket spans a handful of ulps — a
    single distinct value unless two neighbors straddle the boundary),
@@ -76,6 +81,12 @@ def _select_ranks(
     spark = src.sparkSession
     state: dict[tuple[object, int], tuple[float, float]] = {}
     resolved: dict[tuple[object, int], float] = {}
+    # Brackets narrowed to a few ulps: excluded from further bisection
+    # rounds (they cannot shrink any more — only the final distinct-value
+    # pass can resolve them). Retiring them early is what lets the loop
+    # stop after ~log_B(width/ulp) rounds instead of always paying
+    # max_rounds full-input passes.
+    converged: set[tuple[object, int]] = set()
     for g, ks in targets.items():
         _, lo, hi = prof[g]
         for k in set(ks):
@@ -85,15 +96,26 @@ def _select_ranks(
                 state[(g, k)] = (lo, hi)
 
     for _ in range(max_rounds):
-        live = {key: b for key, b in state.items() if key not in resolved}
+        live = {
+            key: b
+            for key, b in state.items()
+            if key not in resolved and key not in converged
+        }
         if not live:
             break
         # One conditional-aggregation pass for ALL live (group, rank)
-        # brackets: a bounds row per bracket broadcast-joined on group,
-        # bucket index computed from the raw value each round.
+        # brackets: a bounds row per DISTINCT bracket broadcast-joined on
+        # group, bucket index computed from the raw value each round.
+        # Different ranks of a group usually share a bracket (all of them
+        # do in round 1, median pairs for many rounds), so keying the
+        # pass by bracket instead of by rank avoids multiplying the
+        # joined row count by ranks-per-group.
+        brackets: dict[tuple[object, float, float], int] = {}
+        for (g, k), (lo, hi) in live.items():
+            brackets.setdefault((g, lo, hi), len(brackets))
         bounds = spark.createDataFrame(
-            [(g, k, lo, hi) for (g, k), (lo, hi) in live.items()],
-            f"g {_gtype(next(iter(live))[0])}, k long, lo double, hi double",
+            [(g, bid, lo, hi) for (g, lo, hi), bid in brackets.items()],
+            f"g {_gtype(next(iter(live))[0])}, bid long, lo double, hi double",
         )
         width = F.col("hi") - F.col("lo")
         bucket = F.least(
@@ -107,25 +129,29 @@ def _select_ranks(
             src.join(F.broadcast(bounds), "g")
             .select(
                 "g",
-                "k",
+                "bid",
                 F.when(F.col("v") < F.col("lo"), F.lit(-1))
                 .when(F.col("v") > F.col("hi"), F.lit(buckets))
                 .otherwise(bucket)
                 .alias("b"),
             )
-            .groupBy("g", "k", "b")
+            .groupBy("g", "bid", "b")
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )
-        per_key: dict[tuple[object, int], dict[int, int]] = {}
+        per_bracket: dict[int, dict[int, int]] = {}
         for r in counts:
-            per_key.setdefault((r["g"], r["k"]), {})[r["b"]] = r["c"]
-        for (g, k), bc in per_key.items():
-            lo, hi = state[(g, k)]
+            per_bracket.setdefault(r["bid"], {})[r["b"]] = r["c"]
+        for (g, k), (lo, hi) in live.items():
+            bc = per_bracket[brackets[(g, lo, hi)]]
             cum = bc.get(-1, 0)
             w = hi - lo
-            for b in range(buckets):
-                c = bc.get(b, 0)
+            # Only non-empty buckets need scanning: the bracket contains
+            # the target rank (loop invariant), and the cumulative count
+            # can only cross k inside a bucket that holds rows — so the
+            # driver-side narrowing is O(occupied) per bracket, not O(B).
+            for b in sorted(bb for bb in bc if 0 <= bb < buckets):
+                c = bc[b]
                 if cum + c >= k:
                     new_lo = lo + (w * b) / buckets
                     new_hi = lo + (w * (b + 1)) / buckets if b < buckets - 1 else hi
@@ -143,6 +169,7 @@ def _select_ranks(
                             max(lo, min(new_lo, new_hi) - delta),
                             min(max(new_lo, new_hi) + delta, hi),
                         )
+                        converged.add((g, k))
                         break
                     # Widen by w/2^30: the engine classifies buckets via
                     # floor((v-lo)/w*B) whose few-ulp rounding can drop a
@@ -152,10 +179,16 @@ def _select_ranks(
                     # strictly dominates that error while still shrinking
                     # the bracket ~B/2 per round.
                     eps = w / (1 << 30)
-                    state[(g, k)] = (
-                        max(lo, new_lo - eps),
-                        min(new_hi + eps, hi),
-                    )
+                    nlo = max(lo, new_lo - eps)
+                    nhi = min(new_hi + eps, hi)
+                    state[(g, k)] = (nlo, nhi)
+                    # A bracket a few ulps wide cannot be split further
+                    # by B equal sub-ranges — retire it to the final
+                    # distinct-value pass instead of rescanning.
+                    if nhi - nlo <= 8 * math.ulp(
+                        max(abs(nlo), abs(nhi), 1e-300)
+                    ):
+                        converged.add((g, k))
                     break
                 cum += c
 
