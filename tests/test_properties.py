@@ -538,3 +538,66 @@ def test_setsim_cosine_join_exact_vs_brute_force(spark, docs):
             if inter * inter * 100 >= 49 * na * nb:
                 expected[(i, j)] = (inter, inter * inter * 1000000 // (na * nb))
     assert got == expected
+
+
+# Random docs over a 3-word vocabulary: chunk-grain duplicates are
+# plentiful, so span merging/retirement paths all get exercised.
+span_docs_st = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=30),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=span_docs_st, chunk_words=st.integers(2, 4))
+@SLOW
+def test_duplicate_spans_match_bruteforce(spark, docs, chunk_words):
+    """duplicate_spans == a direct Python replay: fixed-width chunks,
+    corpus-wide duplicate flag, adjacent duplicated chunks merged into
+    maximal per-doc spans."""
+    from collections import Counter
+
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        duplicate_spans,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start): (r.span_chunks, r.span_chars)
+        for r in duplicate_spans(df, "text", "doc_id", chunk_words).collect()
+    }
+
+    chunks = {}  # (doc, idx) -> chunk text
+    for i, words in enumerate(docs):
+        for idx in range(0, (len(words) + chunk_words - 1) // chunk_words):
+            chunks[(i, idx)] = " ".join(
+                words[idx * chunk_words : (idx + 1) * chunk_words]
+            )
+    freq = Counter(chunks.values())
+    expected = {}
+    for i in range(len(docs)):
+        idxs = sorted(
+            idx for (d, idx), txt in chunks.items() if d == i and freq[txt] > 1
+        )
+        run_start, prev = None, None
+        for idx in idxs + [None]:
+            if idx is not None and (prev is None or idx != prev + 1):
+                if run_start is not None:
+                    expected[(i, run_start)] = (
+                        prev - run_start + 1,
+                        sum(
+                            len(chunks[(i, j)])
+                            for j in range(run_start, prev + 1)
+                        ),
+                    )
+                run_start = idx
+            elif idx is None and run_start is not None:
+                expected[(i, run_start)] = (
+                    prev - run_start + 1,
+                    sum(
+                        len(chunks[(i, j)]) for j in range(run_start, prev + 1)
+                    ),
+                )
+            prev = idx if idx is not None else prev
+    assert got == expected
