@@ -339,13 +339,22 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("anchor_id", "kind").orderBy(
-        F.col("cosine").desc(), F.col("cand_id").asc()
-    )
+    # Struct-max argmax (max cosine, min cand_id tiebreak via negation)
+    # instead of a row_number window: the top-1 reduces MAP-SIDE, so the
+    # shuffle carries one partial row per (anchor, kind, partition)
+    # rather than every scored pair, and no per-partition sort runs.
+    s = F.max(
+        F.struct(F.col("cosine"), (-F.col("cand_id")).alias("neg_id"))
+    ).alias("s")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("anchor_id", "kind", "cand_id", "cosine")
+        scored.groupBy("anchor_id", "kind")
+        .agg(s)
+        .select(
+            "anchor_id",
+            "kind",
+            (-F.col("s.neg_id")).cast("long").alias("cand_id"),
+            F.col("s.cosine").alias("cosine"),
+        )
         .orderBy("anchor_id", "kind")
     )
 
@@ -853,25 +862,33 @@ def q_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("da"), F.col("id_b").alias("db"))
         .distinct()
     )
-    tp = cand.join(exact, ["da", "db"]).agg(
-        F.count(F.lit(1)).alias("n_true_positives")
+    # One full-outer pair alignment + ONE aggregate: the exact-join and
+    # LSH pipelines each execute once, instead of once per metric branch
+    # (three branches previously — the count trio replayed both
+    # multi-stage subplans).
+    both = exact.withColumn("is_exact", F.lit(1)).join(
+        cand.withColumn("is_cand", F.lit(1)), ["da", "db"], "full_outer"
     )
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    return (
-        n_cand.crossJoin(n_exact)
-        .crossJoin(tp)
-        .select(
-            F.col("n_candidates").cast("long"),
-            F.col("n_exact").cast("long"),
-            F.col("n_true_positives").cast("long"),
-            F.expr("n_true_positives * 10000 div n_candidates")
-            .cast("long")
-            .alias("precision_bps"),
-            F.expr("n_true_positives * 10000 div n_exact")
-            .cast("long")
-            .alias("recall_bps"),
+    return both.agg(
+        F.sum("is_cand").cast("long").alias("n_candidates"),
+        F.sum("is_exact").cast("long").alias("n_exact"),
+        F.sum(
+            F.when(
+                F.col("is_cand").isNotNull() & F.col("is_exact").isNotNull(), 1
+            ).otherwise(0)
         )
+        .cast("long")
+        .alias("n_true_positives"),
+    ).select(
+        "n_candidates",
+        "n_exact",
+        "n_true_positives",
+        F.expr("n_true_positives * 10000 div n_candidates")
+        .cast("long")
+        .alias("precision_bps"),
+        F.expr("n_true_positives * 10000 div n_exact")
+        .cast("long")
+        .alias("recall_bps"),
     )
 
 

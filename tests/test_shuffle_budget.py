@@ -170,10 +170,10 @@ BUDGETS = {
     "rolling_range_frame": 3,
     "grouping_sets_report": 2,
     "forward_asof_next_purchase": 2,
-    # Runs the exact PPJoin AND the banded-LSH pipeline, then compares
-    # the two pair sets (precision/recall): both multi-stage subplans
-    # appear in one tree, several branches replayed per metric leg.
-    "lsh_quality_eval": 37,
+    # Runs the exact PPJoin AND the banded-LSH pipeline once each, then
+    # one full-outer pair alignment + one aggregate for all three
+    # metrics (was 37 with the count trio replaying both subplans).
+    "lsh_quality_eval": 19,
     # PPJoin with the cosine t^2 bound: prefix build + candidate join +
     # verification legs (df dim rebuilt per leg, runtime-reused).
     "setsim_cosine_join": 15,
