@@ -13,15 +13,16 @@ one that maps to a distributed engine anyway.)
 
 Scale shape per round: one join of the edge list against the bounded
 (node, label) relation on ``src`` (keyed shuffle), one (dst, label)
-count aggregate, one per-node argmax window — all keyed on uniform
-node ids; label state is one row per node. Labels are checkpointed per
-round (same device as components/pagerank/bfs/kcore) to keep lineage
-flat.
+count aggregate, one per-node struct-max argmax (map-side partial
+aggregation — no per-node sort, the shuffle carries one partial row
+per node per map partition) — all keyed on uniform node ids; label
+state is one row per node. Labels are checkpointed per round (same
+device as components/pagerank/bfs/kcore) to keep lineage flat.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -45,9 +46,13 @@ def label_propagation(
     )
     if checkpoint:
         labels = labels.localCheckpoint(eager=True)
-    w = Window.partitionBy("node").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
+    # Deterministic argmax (highest count, then smallest label) as a
+    # struct max — label negated so the max picks the smallest on count
+    # ties. Aggregates partially map-side; the row_number-window
+    # formulation shuffled and SORTED every (node, label) count row.
+    best = F.max(
+        F.struct(F.col("c"), (-F.col("label")).alias("neg_label"))
+    ).alias("s")
     for _ in range(rounds):
         counts = (
             edges.join(labels, edges[src] == labels["node"])
@@ -56,9 +61,9 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            counts.groupBy("node")
+            .agg(best)
+            .select("node", (-F.col("s.neg_label")).alias("label"))
         )
         if checkpoint:
             labels = labels.localCheckpoint(eager=True)
