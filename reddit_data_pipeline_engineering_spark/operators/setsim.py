@@ -123,6 +123,12 @@ def setsim_join(
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    return _setsim_finish(inter, metric, t_num, t_den)
+
+
+def _setsim_finish(
+    inter: DataFrame, metric: str, t_num: int, t_den: int
+) -> DataFrame:
     if metric == "jaccard":
         return (
             inter.filter(
@@ -154,6 +160,80 @@ def setsim_join(
             F.expr("n_inter * n_inter * 1000000 div (na * nb)")
             .cast("long")
             .alias("cos2_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def containment_join(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_len: int,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """All ORDERED pairs (doc_a != doc_b) with shingle-set containment
+    |A ∩ B| / |A| >= t_num/t_den — the asymmetric dedup mode (quote /
+    subset / excerpt detection) the symmetric Jaccard and cosine joins
+    cannot express: a short document fully quoted inside a long one has
+    high containment but low Jaccard.
+
+    Prefix filtering is one-sided: containment >= t forces an overlap
+    of ceil(t*na), so a qualifying pair shares one of A's first
+    na - ceil(t*na) + 1 elements under the rarest-first global order —
+    but B's own size bounds nothing (it only appears in the numerator),
+    so the B side indexes ALL its shingles. Candidates are therefore
+    bounded by sum over A-prefix shingles of df(s) — rarest-first
+    ordering makes those the shortest posting lists the data allows
+    (this is why the ranking exists). Verification and output are exact
+    integer arithmetic: cont_bps = n_inter * 10000 div na.
+
+    Returns (doc_a, doc_b, n_inter, na, cont_bps) — doc_a is the
+    contained (quoted) document.
+    """
+    sh = shingle_sets(docs, text_col, id_col, shingle_len)
+    sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "s")
+    ranked = (
+        sh.join(df, "s")
+        .join(sz, id_col)
+        .withColumn("pos", F.row_number().over(w))
+    )
+    min_overlap = f"({t_num} * n + {t_den} - 1) div {t_den}"  # ceil(t*na)
+    prefix_a = ranked.filter(
+        F.col("pos") <= F.col("n") - F.expr(min_overlap) + 1
+    ).select(F.col(id_col).alias("doc_a"), "s", F.col("n").alias("na"))
+    full_b = sh.select(F.col(id_col).alias("doc_b"), "s")
+    cand = (
+        prefix_a.join(
+            full_b,
+            (prefix_a["s"] == full_b["s"])
+            & (F.col("doc_a") != F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "na")
+        .distinct()
+    )
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col(f"x.{id_col}") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col(f"y.{id_col}") == F.col("doc_b"))
+            & (F.col("y.s") == F.col("x.s")),
+        )
+        .groupBy("doc_a", "doc_b", "na")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.filter(F.col("n_inter") * t_den >= t_num * F.col("na"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("na").cast("long").alias("na"),
+            F.expr("n_inter * 10000 div na").cast("long").alias("cont_bps"),
         )
         .orderBy("doc_a", "doc_b")
     )

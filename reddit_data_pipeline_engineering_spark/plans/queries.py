@@ -937,6 +937,7 @@ _DRIVER_FIRST = [
     # VERDICT r03 #2 caps r04 additions at 19 (the fill headroom) so the
     # never-gated backlog drains to zero.
     "duplicate_span_stats",
+    "setsim_containment_join",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -960,7 +961,6 @@ _DRIVER_FILL = [
     "set_ops",
     "marts_kernel",
     "aqi_bundle",
-    "running_sum",
 ]
 
 # Empty this round: every streaming query (streaming_marts_kernel,
@@ -977,6 +977,7 @@ _DRIVER_ROTATED_OUT = [
     # type-family gate. Ordered oldest-row-first: r01-only rows lead (the
     # r05 re-confirmation queue), then r02, then r03.
     # -- r01-only rows (re-confirm next) --
+    "running_sum",  # displaced from the r04 fill by setsim_containment_join
     "sessionize",  # displaced from the r04 fill by duplicate_span_stats
     "props_flatten",
     "lag_lead_delta",

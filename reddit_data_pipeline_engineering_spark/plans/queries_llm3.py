@@ -119,6 +119,82 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Containment join — the ASYMMETRIC set-similarity mode (quote / subset
+# / excerpt detection): |A∩B| / |A| >= t. A short document fully quoted
+# inside a long one scores 10000 bps here but low Jaccard, so neither
+# symmetric join can find it. Prefix filtering is one-sided (only A's
+# prefix shrinks; B indexes all its shingles — see
+# operators/setsim.containment_join for the candidate bound). The
+# oracle replays the one-sided prefix path so the bound itself is
+# verified end-to-end, not just the final relation.
+# --------------------------------------------------------------------------
+
+_CONT_T_NUM, _CONT_T_DEN = 7, 10  # t = 0.7
+
+_CONTAINMENT_ORACLE = f"""
+WITH split AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(a[i:i+{_SETSIM_SHINGLE - 1}], ' ') AS s
+  FROM split, UNNEST(generate_series(1, len(a) - {_SETSIM_SHINGLE - 1})) AS t(i)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+ranked AS (
+  SELECT sh.doc_id, sh.s, sz.n,
+         row_number() OVER (PARTITION BY sh.doc_id
+                            ORDER BY df.df, sh.s) AS pos
+  FROM sh JOIN df USING (s) JOIN sz USING (doc_id)
+),
+prefix_a AS (
+  SELECT doc_id, s, n FROM ranked
+  WHERE pos <= n - (({_CONT_T_NUM} * n + {_CONT_T_DEN} - 1)
+                    // {_CONT_T_DEN}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na
+  FROM prefix_a a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.na, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b, c.na
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(na AS BIGINT) AS na,
+       CAST(n_inter * 10000 // na AS BIGINT) AS cont_bps
+FROM inter
+WHERE n_inter * {_CONT_T_DEN} >= {_CONT_T_NUM} * na
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "setsim_containment_join",
+    _CONTAINMENT_ORACLE,
+    "Exact containment>=0.7 join (|A inter B| / |A| — asymmetric quote/"
+    "subset detection): one-sided prefix filter on the contained side, "
+    "full shingle index on the container side, exact integer "
+    "verification — finds excerpts that symmetric Jaccard/cosine miss",
+    tags=("llm", "dedup", "bench"),
+)
+def q_setsim_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return setsim.containment_join(
+        docs,
+        "text",
+        "doc_id",
+        shingle_len=_SETSIM_SHINGLE,
+        t_num=_CONT_T_NUM,
+        t_den=_CONT_T_DEN,
+    )
+
+
+# --------------------------------------------------------------------------
 # Graded benchmark contamination. operators/corpus.benchmark_overlap
 # (query decontaminate_ngrams) answers the BINARY question "does this
 # corpus doc share any shingle with the eval set"; this is the mirrored

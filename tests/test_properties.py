@@ -601,3 +601,43 @@ def test_duplicate_spans_match_bruteforce(spark, docs, chunk_words):
                 )
             prev = idx if idx is not None else prev
     assert got == expected
+
+
+@given(docs=_ssj_corpus)
+@SLOW
+def test_containment_join_exact_vs_brute_force(spark, docs):
+    """One-sided prefix filtering may only PRUNE non-qualifying ordered
+    pairs: every (a, b), a != b, with |A∩B|/|A| >= 7/10 on 2-gram
+    shingle sets must be emitted with the exact intersection size, and
+    nothing below threshold may appear. The tiny alphabet forces heavy
+    shingle collisions and many full containments (short docs inside
+    longer ones) — the asymmetric cases Jaccard-side tests never hit."""
+    from reddit_data_pipeline_engineering_spark.operators import setsim
+
+    n = 2
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.na)
+        for r in setsim.containment_join(
+            df, "text", "doc_id", shingle_len=n, t_num=7, t_den=10
+        ).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    sets = {i: shingles(t) for i, t in enumerate(docs)}
+    expected = {}
+    for i in sorted(sets):
+        for j in sorted(sets):
+            if i == j or not sets[i] or not sets[j]:
+                continue
+            inter = len(sets[i] & sets[j])
+            if inter * 10 >= 7 * len(sets[i]):
+                expected[(i, j)] = (inter, len(sets[i]))
+    assert got == expected

@@ -177,6 +177,9 @@ BUDGETS = {
     # PPJoin with the cosine t^2 bound: prefix build + candidate join +
     # verification legs (df dim rebuilt per leg, runtime-reused).
     "setsim_cosine_join": 15,
+    # One-sided prefix (contained side) + full-index container side +
+    # exact verification legs.
+    "setsim_containment_join": 10,
     "enrich_metadata": 1,
     "active_semijoin": 1,
     "inactive_antijoin": 0,
