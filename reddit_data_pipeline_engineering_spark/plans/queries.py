@@ -468,8 +468,15 @@ FROM events
 )
 def q_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    counts = audit.null_counts(ev, ["user_id", "value", "props"])
-    return ev.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(counts)
+    # n_rows fused into the same single aggregate pass as the per-column
+    # null counts — one scan, one reduce, no second branch over events.
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"{c}_nulls")
+            for c in ["user_id", "value", "props"]
+        ],
+    )
 
 
 _Q12_ORACLE = r"""
