@@ -22,11 +22,23 @@ HEADLINE = [
     "marts_kernel",
     "minhash_lsh_pairs",
     "setsim_prefix_join",
+    "setsim_containment_join",
     "ivfpq_topk",
     "grouped_median_scalable",
+    "exact_percentiles_scalable",
+    "weekly_p90_scalable",
     "pagerank_topk",
-    "corpus_release_gate",
+    "kcore_peel_counts",
+    "lpa_communities",
+    "bfs_reachability",
+    "triangle_count_sampled",
+    "tfidf_topk_terms",
+    "chunk_dedup_stats",
     "duplicate_span_stats",
+    "hard_negative_mining",
+    "item_similarity_topk",
+    "lsh_quality_eval",
+    "corpus_release_gate",
 ]
 
 
