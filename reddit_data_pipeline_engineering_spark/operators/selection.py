@@ -13,7 +13,13 @@ conditional aggregates:
    [lo, hi] into B equal sub-ranges, count rows per (group, bucket)
    map-side (a conditional aggregation — fully partial-aggregated, one
    keyed shuffle of G*B counters), then narrow [lo, hi] to the bucket
-   containing the target rank. Width shrinks by B per round, so ~6
+   whose cumulative count crosses the target rank. With many live
+   brackets the crossing bucket is selected IN THE PLAN
+   (cumulative-count window per bracket + broadcast rank join), so the
+   driver receives one row per live bracket rather than the
+   O(G * occupied-buckets) counter relation; with few brackets the
+   counters are small and are scanned driver-side (the hybrid cutover
+   is PLAN_SIDE_NARROW_MIN). Width shrinks by B per round, so ~6
    rounds of B=1024 exceed double precision (B^6 = 2^60 > 2^52 ulps);
    brackets that collapse to a few ulps retire from later rounds (and
    the loop stops once all do), so the typical pass count is
@@ -48,11 +54,17 @@ import math
 from collections import Counter
 from decimal import ROUND_HALF_UP, Decimal
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 1024
 MAX_ROUNDS = 8
+# At or above this many live brackets, the per-round crossing-bucket
+# selection runs in the plan (cumulative window + broadcast rank join,
+# O(live) rows to the driver) instead of collecting the occupied counter
+# relation (O(brackets * occupied) rows). Below it, the counter collect
+# is small and the extra window stage costs more than it saves.
+PLAN_SIDE_NARROW_MIN = 64
 
 
 def _kth_targets(n: int) -> list[int]:
@@ -137,60 +149,92 @@ def _select_ranks(
             )
             .groupBy("g", "bid", "b")
             .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
         )
-        per_bracket: dict[int, dict[int, int]] = {}
-        for r in counts:
-            per_bracket.setdefault(r["bid"], {})[r["b"]] = r["c"]
-        for (g, k), (lo, hi) in live.items():
-            bc = per_bracket[brackets[(g, lo, hi)]]
-            cum = bc.get(-1, 0)
-            w = hi - lo
-            # Only non-empty buckets need scanning: the bracket contains
-            # the target rank (loop invariant), and the cumulative count
-            # can only cross k inside a bucket that holds rows — so the
-            # driver-side narrowing is O(occupied) per bracket, not O(B).
-            for b in sorted(bb for bb in bc if 0 <= bb < buckets):
-                c = bc[b]
-                if cum + c >= k:
-                    new_lo = lo + (w * b) / buckets
-                    new_hi = lo + (w * (b + 1)) / buckets if b < buckets - 1 else hi
-                    if new_lo >= new_hi:
-                        # Bracket collapsed to ~1 ulp. Do NOT read the
-                        # boundary off as the answer (the same few-ulp
-                        # classification error fixed below could make it
-                        # 1 ulp from the true DATA value) — pin a
-                        # minimal positive-width bracket and let the
-                        # final pass read the exact value.
-                        delta = 4 * math.ulp(
-                            max(abs(new_lo), abs(new_hi), 1e-300)
-                        )
-                        state[(g, k)] = (
-                            max(lo, min(new_lo, new_hi) - delta),
-                            min(max(new_lo, new_hi) + delta, hi),
-                        )
-                        converged.add((g, k))
+        # The crossing bucket: first b (ascending, the -1 underflow
+        # bucket leading) whose cumulative count reaches the rank.
+        # Many brackets -> select it IN THE PLAN (cumulative window +
+        # broadcast rank join): the driver receives exactly one row per
+        # live (bracket, rank) instead of the occupied counter relation,
+        # whose size grows with brackets * distinct-values. Few brackets
+        # -> collect the (small) counters and scan occupied buckets
+        # driver-side; the extra window stage would cost more than it
+        # saves. Both paths pick the identical bucket.
+        chosen: dict[tuple[int, int], int] = {}
+        if len(brackets) >= PLAN_SIDE_NARROW_MIN:
+            ranks_df = spark.createDataFrame(
+                [
+                    (brackets[(g, lo, hi)], k)
+                    for (g, k), (lo, hi) in live.items()
+                ],
+                "bid long, k long",
+            )
+            cw = (
+                Window.partitionBy("bid")
+                .orderBy("b")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            crossed = (
+                counts.withColumn("cum", F.sum("c").over(cw))
+                .join(F.broadcast(ranks_df), "bid")
+                .filter(
+                    (F.col("cum") >= F.col("k"))
+                    & (F.col("cum") - F.col("c") < F.col("k"))
+                )
+                .select("bid", "k", "b")
+                .collect()
+            )
+            for r in crossed:
+                chosen[(r["bid"], r["k"])] = r["b"]
+        else:
+            per_bracket: dict[int, dict[int, int]] = {}
+            for r in counts.collect():
+                per_bracket.setdefault(r["bid"], {})[r["b"]] = r["c"]
+            for (g, k), (lo, hi) in live.items():
+                bid = brackets[(g, lo, hi)]
+                if (bid, k) in chosen:
+                    continue
+                bc = per_bracket[bid]
+                cum = bc.get(-1, 0)
+                for b in sorted(bb for bb in bc if 0 <= bb < buckets):
+                    cum += bc[b]
+                    if cum >= k:
+                        chosen[(bid, k)] = b
                         break
-                    # Widen by w/2^30: the engine classifies buckets via
-                    # floor((v-lo)/w*B) whose few-ulp rounding can drop a
-                    # value JUST outside the recomputed boundary (e.g. a
-                    # subnormal absorbed into 0.0 lands below new_lo=0.0
-                    # and the terminal bracket goes empty). The widening
-                    # strictly dominates that error while still shrinking
-                    # the bracket ~B/2 per round.
-                    eps = w / (1 << 30)
-                    nlo = max(lo, new_lo - eps)
-                    nhi = min(new_hi + eps, hi)
-                    state[(g, k)] = (nlo, nhi)
-                    # A bracket a few ulps wide cannot be split further
-                    # by B equal sub-ranges — retire it to the final
-                    # distinct-value pass instead of rescanning.
-                    if nhi - nlo <= 8 * math.ulp(
-                        max(abs(nlo), abs(nhi), 1e-300)
-                    ):
-                        converged.add((g, k))
-                    break
-                cum += c
+        for (g, k), (lo, hi) in live.items():
+            # Same narrowing arithmetic as the driver-side scan used —
+            # b is the identical crossing bucket, now plan-selected.
+            b = chosen[(brackets[(g, lo, hi)], k)]
+            w = hi - lo
+            new_lo = lo + (w * b) / buckets
+            new_hi = lo + (w * (b + 1)) / buckets if b < buckets - 1 else hi
+            if new_lo >= new_hi:
+                # Bracket collapsed to ~1 ulp. Do NOT read the boundary
+                # off as the answer (the same few-ulp classification
+                # error fixed below could make it 1 ulp from the true
+                # DATA value) — pin a minimal positive-width bracket and
+                # let the final pass read the exact value.
+                delta = 4 * math.ulp(max(abs(new_lo), abs(new_hi), 1e-300))
+                state[(g, k)] = (
+                    max(lo, min(new_lo, new_hi) - delta),
+                    min(max(new_lo, new_hi) + delta, hi),
+                )
+                converged.add((g, k))
+                continue
+            # Widen by w/2^30: the engine classifies buckets via
+            # floor((v-lo)/w*B) whose few-ulp rounding can drop a value
+            # JUST outside the recomputed boundary (e.g. a subnormal
+            # absorbed into 0.0 lands below new_lo=0.0 and the terminal
+            # bracket goes empty). The widening strictly dominates that
+            # error while still shrinking the bracket ~B/2 per round.
+            eps = w / (1 << 30)
+            nlo = max(lo, new_lo - eps)
+            nhi = min(new_hi + eps, hi)
+            state[(g, k)] = (nlo, nhi)
+            # A bracket a few ulps wide cannot be split further by B
+            # equal sub-ranges — retire it to the final distinct-value
+            # pass instead of rescanning.
+            if nhi - nlo <= 8 * math.ulp(max(abs(nlo), abs(nhi), 1e-300)):
+                converged.add((g, k))
 
     # Final pass: distinct values inside each remaining bracket (a few
     # ulps wide -> a handful of rows per group), k-th read off exactly.
