@@ -81,3 +81,32 @@ def test_selection_percentiles_bit_match_spark_percentile(spark):
         for r in grouped_percentiles_selection(df, "g", "v").collect()
     }
     assert got == want
+
+
+def test_plan_side_and_driver_side_narrowing_agree(spark, monkeypatch):
+    """The hybrid cutover (PLAN_SIDE_NARROW_MIN) is a pure performance
+    choice: forcing EVERY round through the plan-side cumulative-window
+    path and forcing every round through the driver-side counter scan
+    must resolve identical medians on a dataset with enough groups to
+    exercise both regimes."""
+    import random
+
+    from reddit_data_pipeline_engineering_spark.operators import selection
+
+    rng = random.Random(7)
+    data = [
+        (g, rng.uniform(-50, 50))
+        for g in range(80)  # > PLAN_SIDE_NARROW_MIN brackets in round 1
+        for _ in range(rng.randint(1, 60))
+    ]
+    df = spark.createDataFrame(data, "g long, v double")
+
+    results = {}
+    for label, cutover in (("plan", 1), ("driver", 10**9)):
+        monkeypatch.setattr(selection, "PLAN_SIDE_NARROW_MIN", cutover)
+        results[label] = {
+            r["g"]: (r["n_values"], r["median_value"])
+            for r in selection.grouped_median_selection(df, "g", "v").collect()
+        }
+    assert results["plan"] == results["driver"]
+    assert len(results["plan"]) == 80
