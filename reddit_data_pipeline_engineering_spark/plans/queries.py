@@ -945,6 +945,7 @@ _DRIVER_FIRST = [
     # never-gated backlog drains to zero.
     "duplicate_span_stats",
     "setsim_containment_join",
+    "semantic_decontamination",
 ]
 
 # Re-confirmation fill: oldest driver rows first (r01-only-green, in
@@ -967,7 +968,6 @@ _DRIVER_FILL = [
     "topk_orders",
     "set_ops",
     "marts_kernel",
-    "aqi_bundle",
 ]
 
 # Empty this round: every streaming query (streaming_marts_kernel,
@@ -984,6 +984,7 @@ _DRIVER_ROTATED_OUT = [
     # type-family gate. Ordered oldest-row-first: r01-only rows lead (the
     # r05 re-confirmation queue), then r02, then r03.
     # -- r01-only rows (re-confirm next) --
+    "aqi_bundle",  # displaced from the r04 fill by semantic_decontamination
     "running_sum",  # displaced from the r04 fill by setsim_containment_join
     "sessionize",  # displaced from the r04 fill by duplicate_span_stats
     "props_flatten",

@@ -436,6 +436,95 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Semantic decontamination — the embedding-space member of the
+# decontamination family (n-gram binary `decontaminate_ngrams`, n-gram
+# graded `eval_overlap_fraction`, and now similarity-based): for each
+# EVAL vector, the closest training-corpus vector and how many corpus
+# vectors sit above the leakage threshold — paraphrased/near-duplicate
+# eval leakage that no n-gram overlap can see. Same scale shape as
+# hard-negative mining: the eval dim is broadcast, the corpus is
+# scanned ONCE and expanded map-side; the per-eval argmax is a
+# struct-max aggregate (map-side partials, no window sort). Cosine is
+# rounded to 6 before ranking/thresholding on both engines, ties break
+# on candidate id — engine-exact.
+# --------------------------------------------------------------------------
+
+_SEMDECON_T = 0.30  # rounded-cosine leakage threshold
+
+
+def _build_semantic_decon_oracle() -> str:
+    from reddit_data_pipeline_engineering_spark.plans.queries_llm import _sql_dot
+
+    return f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding AS ee
+  FROM embeddings WHERE vec_id % 20 = 1
+),
+scored AS (
+  SELECT ev.eval_id, e.vec_id AS cand,
+         ROUND(({_sql_dot('e.embedding', 'ev.ee')})
+               / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                  * sqrt({_sql_dot('ev.ee', 'ev.ee')})), 6) AS cos
+  FROM ev JOIN embeddings e ON e.vec_id % 20 <> 1
+),
+sel AS (
+  SELECT eval_id, cand, cos,
+         row_number() OVER (PARTITION BY eval_id
+                            ORDER BY cos DESC, cand) AS rn,
+         SUM(CASE WHEN cos >= {_SEMDECON_T} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY eval_id) AS n_cont
+  FROM scored
+)
+SELECT eval_id, cand AS best_match_id, cos AS best_cosine,
+       CAST(n_cont AS BIGINT) AS n_contaminating
+FROM sel WHERE rn = 1 ORDER BY eval_id
+"""
+
+
+@query(
+    "semantic_decontamination",
+    _build_semantic_decon_oracle(),
+    "Embedding-space eval-leakage check (the similarity member of the "
+    "decontamination family): per eval vector, the nearest training "
+    "vector and the count above the cosine threshold — broadcast eval "
+    "dim, one corpus scan, struct-max argmax",
+    tags=("llm", "similarity", "eval", "bench"),
+)
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 20 == 1).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ee")
+    )
+    corpus = emb.filter(F.col("vec_id") % 20 != 1)
+    scored = corpus.crossJoin(F.broadcast(ev)).select(
+        "eval_id",
+        F.col("vec_id").alias("cand"),
+        F.round(cosine(F.col("embedding"), F.col("ee")), 6).alias("cos"),
+    )
+    best = F.max(
+        F.struct(F.col("cos"), (-F.col("cand")).alias("neg_id"))
+    ).alias("s")
+    return (
+        scored.groupBy("eval_id")
+        .agg(
+            best,
+            F.sum(
+                F.when(F.col("cos") >= _SEMDECON_T, 1).otherwise(0)
+            ).alias("n_contaminating"),
+        )
+        .select(
+            "eval_id",
+            (-F.col("s.neg_id")).cast("long").alias("best_match_id"),
+            F.col("s.cos").alias("best_cosine"),
+            F.col("n_contaminating").cast("long"),
+        )
+        .orderBy("eval_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-dimension embedding profile — the calibration pass an INT8
 # quantizer (int8_quant_audit) needs before choosing its scale: range
 # and mean per coordinate. Values enter on a fixed integer micro-grid

@@ -180,6 +180,9 @@ BUDGETS = {
     # One-sided prefix (contained side) + full-index container side +
     # exact verification legs.
     "setsim_containment_join": 10,
+    # Broadcast eval dim + one corpus scan; argmax/count fuse into one
+    # eval-keyed aggregate + output sort.
+    "semantic_decontamination": 2,
     "enrich_metadata": 1,
     "active_semijoin": 1,
     "inactive_antijoin": 0,
