@@ -9,12 +9,22 @@ of a co-occurrence graph.
 Scale shape per round: ONE degree aggregate (keyed shuffle on node id)
 plus two semi-joins that keep only edges whose endpoints both survive —
 all keyed on uniform node ids, nothing quadratic, state bounded by the
-(shrinking) edge list. The edge relation is localCheckpointed each round
-(same device as components/pagerank/bfs) so lineage stays flat and the
-round's filter result is not recomputed by the next round or by the
-stats branch. Rounds are a FIXED parameter, so the DuckDB oracle replays
-the whole peel as unrolled CTEs and the result is engine-exact; peeling
-to fixpoint is the same loop with a convergence check on the counts.
+(shrinking) edge list. The edge relation is
+persisted (compressed COLUMNAR cache — measured 2x smaller-footprint
+and faster at 10x scale than deserialized localCheckpoint storage)
+each round, and the PREVIOUS round's blocks are released
+deterministically (persist -> materialize -> unpersist(previous)):
+per-round stats are one bounded scalar row collected eagerly, so
+nothing ever re-reads an old round and at most TWO edge generations
+are live at once — the round-4 fix for the GC stall the sf1.0 scaling
+curve exposed when every round's checkpoint accumulated in the single
+local-mode heap (SCALE.md §9c; 50s -> 12s at sf1.0). Lineage is not
+truncated (cache hits serve reads; an evicted block spills to disk
+rather than recomputing), which is the right trade for a FIXED small
+round count. Rounds are a FIXED parameter, so the DuckDB oracle
+replays the whole peel as unrolled CTEs and the result is engine-exact;
+peeling to fixpoint is the same loop with a convergence check on the
+counts.
 
 Reference parity: the reference (an OpenAQ ETL) has no graph operator;
 this extends the engine's iterative-algorithm family per SURVEY.md §2's
@@ -22,8 +32,6 @@ this extends the engine's iterative-algorithm family per SURVEY.md §2's
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,9 +60,13 @@ def kcore_peel(
     because any node with degree >= k >= 1 still owns an edge unless its
     neighbors died, which the NEXT round's count reflects.
     """
+    spark = edges.sparkSession
+    prev = None
     if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
-    stats: list[DataFrame] = []
+        edges = edges.persist()
+        edges.count()
+        prev = edges
+    rows: list[tuple[int, int, int]] = []
     for r in range(1, rounds + 1):
         alive = (
             edges.groupBy(src)
@@ -67,21 +79,29 @@ def kcore_peel(
             .join(alive, edges[dst] == alive["__node"], "left_semi")
         )
         if checkpoint:
-            edges = edges.localCheckpoint(eager=True)
-        stats.append(
+            edges = edges.persist()
+        # One bounded scalar row per round, collected EAGERLY — this is
+        # what makes releasing the previous round's blocks safe: nothing
+        # will ever read an old edge generation again.
+        stat = (
             alive.agg(F.count(F.lit(1)).alias("nodes_alive"))
             .crossJoin(
                 edges.agg(
                     F.floor(F.count(F.lit(1)) / 2).alias("edges_alive")
                 )
             )
-            .select(
-                F.lit(r).alias("round"),
-                F.col("nodes_alive").cast("long"),
-                F.col("edges_alive").cast("long"),
-            )
+            .head()
         )
-    return reduce(DataFrame.unionAll, stats).orderBy("round")
+        rows.append((r, stat["nodes_alive"], int(stat["edges_alive"])))
+        if checkpoint:
+            if prev is not None:
+                prev.unpersist()
+            prev = edges
+    if checkpoint and prev is not None:
+        prev.unpersist()
+    return spark.createDataFrame(
+        rows, "round int, nodes_alive long, edges_alive long"
+    ).orderBy("round")
 
 
 def kcore_survivors(
@@ -101,8 +121,9 @@ def kcore_survivors(
     cascade on adversarial chains (the fixed-round query form is the
     oracle-verified one — fixpoint rounds are data-dependent).
     """
-    edges = edges.localCheckpoint(eager=True)
-    prev = edges.count()
+    edges = edges.persist()
+    prev_n = edges.count()
+    prev_df = edges
     for r in range(1, max_rounds + 1):
         alive = (
             edges.groupBy(src)
@@ -113,10 +134,16 @@ def kcore_survivors(
         edges = (
             edges.join(alive, edges[src] == alive["__node"], "left_semi")
             .join(alive, edges[dst] == alive["__node"], "left_semi")
-            .localCheckpoint(eager=True)
+            .persist()
         )
         cur = edges.count()
-        if cur == prev:
+        # This round is materialized and counted; the previous round's
+        # blocks are dead weight from here on — release them instead of
+        # letting up to max_rounds edge generations pile up in the block
+        # manager (the sf1.0 GC-stall class, SCALE.md 9c).
+        prev_df.unpersist()
+        prev_df = edges
+        if cur == prev_n:
             return edges, r
-        prev = cur
+        prev_n = cur
     return edges, max_rounds
