@@ -96,7 +96,10 @@ BUDGETS = {
     # Per-round peel shuffles happen during construction against the
     # checkpointed edge list; the returned stats plan re-derives each
     # round's alive set (1 degree agg) + two 1-row count aggregates.
-    "kcore_peel_counts": 9,
+    # Returned plan is the collected per-round stats (the per-round
+    # degree/semi-join shuffles run eagerly during construction, like
+    # pagerank) — only the output sort remains.
+    "kcore_peel_counts": 1,
     "large_volume_customers": 2,
     # Per-round LPA shuffles run during construction against
     # checkpointed label state; the returned plan is the final
