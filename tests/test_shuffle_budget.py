@@ -93,9 +93,6 @@ BUDGETS = {
     "ivf_kmeans_topk": 0,
     "ivf_probe_topk": 0,
     "ivfpq_topk": 0,
-    # Per-round peel shuffles happen during construction against the
-    # checkpointed edge list; the returned stats plan re-derives each
-    # round's alive set (1 degree agg) + two 1-row count aggregates.
     # Returned plan is the collected per-round stats (the per-round
     # degree/semi-join shuffles run eagerly during construction, like
     # pagerank) — only the output sort remains.
