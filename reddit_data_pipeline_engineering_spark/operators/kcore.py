@@ -9,19 +9,16 @@ of a co-occurrence graph.
 Scale shape per round: ONE degree aggregate (keyed shuffle on node id)
 plus two semi-joins that keep only edges whose endpoints both survive —
 all keyed on uniform node ids, nothing quadratic, state bounded by the
-(shrinking) edge list. The edge relation is
-persisted (compressed COLUMNAR cache — measured 2x smaller-footprint
-and faster at 10x scale than deserialized localCheckpoint storage)
-each round, and the PREVIOUS round's blocks are released
-deterministically (persist -> materialize -> unpersist(previous)):
-per-round stats are one bounded scalar row collected eagerly, so
-nothing ever re-reads an old round and at most TWO edge generations
-are live at once — the round-4 fix for the GC stall the sf1.0 scaling
-curve exposed when every round's checkpoint accumulated in the single
-local-mode heap (SCALE.md §9c; 50s -> 12s at sf1.0). Lineage is not
-truncated (cache hits serve reads; an evicted block spills to disk
-rather than recomputing), which is the right trade for a FIXED small
-round count. Rounds are a FIXED parameter, so the DuckDB oracle
+(shrinking) edge list. Storage is
+ADAPTIVE on edge count: small graphs use the lazy path (per-round
+localCheckpoint, stats as one union plan — cheapest at bench scale);
+at >= BOUNDED_STORAGE_MIN_EDGES directed rows the peel switches to
+bounded storage — eager scalar stats + compressed columnar persist
+with deterministic unpersist of the previous generation, at most two
+generations live at once — the round-4 fix for the GC stall the sf1.0
+scaling curve exposed when every round's checkpoint accumulated in the
+single local-mode heap (SCALE.md §9c; 50s -> 12s at sf1.0). Both paths
+run the identical per-round algorithm and return identical rows. Rounds are a FIXED parameter, so the DuckDB oracle
 replays the whole peel as unrolled CTEs and the result is engine-exact;
 peeling to fixpoint is the same loop with a convergence check on the
 counts.
@@ -33,8 +30,16 @@ this extends the engine's iterative-algorithm family per SURVEY.md §2's
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Edge lists at or above this directed-row count peel with bounded
+# storage (eager per-round stats + persist/unpersist-previous); smaller
+# graphs keep the lazy accumulate-localCheckpoint path, whose per-round
+# scan is cheaper and whose total retained footprint is small anyway.
+BOUNDED_STORAGE_MIN_EDGES = 10_000_000
 
 
 def kcore_peel(
@@ -61,12 +66,11 @@ def kcore_peel(
     neighbors died, which the NEXT round's count reflects.
     """
     spark = edges.sparkSession
-    prev = None
     if checkpoint:
-        edges = edges.persist()
-        edges.count()
-        prev = edges
-    rows: list[tuple[int, int, int]] = []
+        edges = edges.localCheckpoint(eager=True)
+        if edges.count() >= BOUNDED_STORAGE_MIN_EDGES:
+            return _kcore_peel_bounded(spark, edges, k, rounds, src, dst)
+    stats: list[DataFrame] = []
     for r in range(1, rounds + 1):
         alive = (
             edges.groupBy(src)
@@ -79,10 +83,51 @@ def kcore_peel(
             .join(alive, edges[dst] == alive["__node"], "left_semi")
         )
         if checkpoint:
-            edges = edges.persist()
-        # One bounded scalar row per round, collected EAGERLY — this is
-        # what makes releasing the previous round's blocks safe: nothing
-        # will ever read an old edge generation again.
+            edges = edges.localCheckpoint(eager=True)
+        stats.append(
+            alive.agg(F.count(F.lit(1)).alias("nodes_alive"))
+            .crossJoin(
+                edges.agg(
+                    F.floor(F.count(F.lit(1)) / 2).alias("edges_alive")
+                )
+            )
+            .select(
+                F.lit(r).alias("round"),
+                F.col("nodes_alive").cast("long"),
+                F.col("edges_alive").cast("long"),
+            )
+        )
+    return reduce(DataFrame.unionAll, stats).orderBy("round")
+
+
+def _kcore_peel_bounded(
+    spark, edges: DataFrame, k: int, rounds: int, src: str, dst: str
+) -> DataFrame:
+    """Bounded-storage peel for LARGE edge lists (the sf1.0 GC-stall
+    fix, SCALE.md 9c): per-round stats are one scalar row collected
+    eagerly, which makes it safe to persist each edge generation as
+    compressed columnar cache and unpersist the previous one
+    deterministically — at most two generations live at once (50s ->
+    12s at 10x scale). Lineage is not truncated: cache hits serve
+    reads, an evicted block spills to disk, and a FIXED small round
+    count keeps the plan shallow. Identical results to the lazy path
+    (same per-round algorithm)."""
+    edges = edges.persist()
+    edges.count()
+    prev = edges
+    rows: list[tuple[int, int, int]] = []
+    for r in range(1, rounds + 1):
+        alive = (
+            edges.groupBy(src)
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select(F.col(src).alias("__node"))
+        )
+        edges = (
+            edges.join(alive, edges[src] == alive["__node"], "left_semi")
+            .join(alive, edges[dst] == alive["__node"], "left_semi")
+            .persist()
+        )
         stat = (
             alive.agg(F.count(F.lit(1)).alias("nodes_alive"))
             .crossJoin(
@@ -93,12 +138,9 @@ def kcore_peel(
             .head()
         )
         rows.append((r, stat["nodes_alive"], int(stat["edges_alive"])))
-        if checkpoint:
-            if prev is not None:
-                prev.unpersist()
-            prev = edges
-    if checkpoint and prev is not None:
         prev.unpersist()
+        prev = edges
+    prev.unpersist()
     return spark.createDataFrame(
         rows, "round int, nodes_alive long, edges_alive long"
     ).orderBy("round")

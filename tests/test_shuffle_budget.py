@@ -93,10 +93,12 @@ BUDGETS = {
     "ivf_kmeans_topk": 0,
     "ivf_probe_topk": 0,
     "ivfpq_topk": 0,
-    # Returned plan is the collected per-round stats (the per-round
-    # degree/semi-join shuffles run eagerly during construction, like
-    # pagerank) — only the output sort remains.
-    "kcore_peel_counts": 1,
+    # Lazy path at test scale (< BOUNDED_STORAGE_MIN_EDGES): per-round
+    # peel shuffles against the checkpointed edge list + the stats
+    # branch re-deriving each round's alive set. Above the threshold
+    # the peel switches to bounded storage and the returned plan is the
+    # collected stats (budget would be 1) — see operators/kcore.py.
+    "kcore_peel_counts": 9,
     "large_volume_customers": 2,
     # Per-round LPA shuffles run during construction against
     # checkpointed label state; the returned plan is the final
