@@ -155,9 +155,12 @@ def kcore_survivors(
 ) -> tuple[DataFrame, int]:
     """Peel to FIXPOINT: the exact k-core's edge list plus rounds used.
 
-    Same per-round plan as :func:`kcore_peel`; convergence is detected
-    by comparing per-round edge counts (one bounded scalar per round,
-    the same driver-state envelope as the k-means/bisection fits).
+    Same per-round algorithm as :func:`kcore_peel`, always in the
+    bounded-storage mode (the fixpoint loop may run up to ``max_rounds``
+    generations, so deterministic release matters regardless of size);
+    convergence is detected by comparing per-round edge counts (one
+    bounded scalar per round, the same driver-state envelope as the
+    k-means/bisection fits).
     Returns (surviving symmetrized edges, rounds executed); an empty
     DataFrame means the k-core is empty. ``max_rounds`` bounds the
     cascade on adversarial chains (the fixed-round query form is the
