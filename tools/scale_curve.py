@@ -36,6 +36,7 @@ HEADLINE = [
     "chunk_dedup_stats",
     "duplicate_span_stats",
     "hard_negative_mining",
+    "semantic_decontamination",
     "item_similarity_topk",
     "lsh_quality_eval",
     "corpus_release_gate",
