@@ -3,9 +3,17 @@
 
 Runs the engine's headline queries (registry entries tagged ``bench``) at
 ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]``.
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Output contract (r04 lesson — BENCH_r04.json came back ``parsed: null``
+because the single per-query JSON line grew past the driver's tail
+capture, truncating the suite total off the FRONT): the full per-query
+dict is written to ``bench_full.json`` and printed as an intermediate
+line, then the LAST stdout line is a compact summary (< 1 KB at any
+registry size) the driver can always parse::
+
+    {"metric": "bench_suite_total", "value": N, "unit": "sec",
+     "sf": ..., "n_queries": N, "queries_file": "bench_full.json"}
 
 Each query is forced with a cheap ``count()`` (full plan execution, no
 driver-side result materialization cost) after a warm-up of the input scans.
@@ -65,14 +73,31 @@ def main() -> None:
         sf = 0.1
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "bench_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Full per-query detail: persisted to a file AND printed as an
+    # intermediate line (human-visible, but never the line the driver
+    # must parse).
+    with open(os.path.join(_REPO_DIR, "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(full))
+    # LAST line: compact summary, bounded size regardless of registry
+    # growth — this is what the driver's tail capture records.
     print(
         json.dumps(
             {
                 "metric": "bench_suite_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries_file": "bench_full.json",
             }
         )
     )

@@ -200,6 +200,14 @@ def _select_ranks(
                     if cum >= k:
                         chosen[(bid, k)] = b
                         break
+                else:
+                    # Invariant violation (k-th value escaped above hi —
+                    # possible only on inconsistent bounds): fall through
+                    # to the overflow bucket, exactly as the plan-side
+                    # filter does (its cum >= k first triggers at
+                    # b == buckets), so both paths collapse the bracket
+                    # identically instead of raising KeyError below.
+                    chosen[(bid, k)] = buckets
         for (g, k), (lo, hi) in live.items():
             # Same narrowing arithmetic as the driver-side scan used —
             # b is the identical crossing bucket, now plan-selected.

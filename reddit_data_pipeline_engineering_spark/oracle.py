@@ -96,6 +96,24 @@ def _family_spark(dt: T.DataType) -> str:
     }.get(type(dt), dt.simpleString())
 
 
+def driver_unsortable_cols(families: dict[str, str]) -> list[str]:
+    """Top-level columns the DRIVER's canonicalization cannot grade.
+
+    The driver sorts result rows with pandas ``sort_values``, which
+    factorizes each column — list/struct/map cells are unhashable and
+    raise ``TypeError`` (the CORRECTNESS_r04 ``nested_order_lines``
+    failure). The local harness sorts by ``repr`` and would pass, so
+    this guard makes the local harness REJECT what the driver cannot
+    grade: serialize nested values to a canonical string in both the
+    query output and the oracle SQL instead.
+    """
+    return sorted(
+        c
+        for c, fam in families.items()
+        if fam.startswith("list<") or fam in ("struct", "map")
+    )
+
+
 def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -133,6 +151,15 @@ def compare(
     sdf = fn(spark, sf_dir)
     scols = sdf.columns
     stypes = {f.name: _family_spark(f.dataType) for f in sdf.schema.fields}
+    unsortable = driver_unsortable_cols(stypes)
+    if unsortable:
+        return CompareResult(
+            name, False,
+            f"driver-unsortable top-level column(s) {unsortable}: pandas "
+            "sort_values cannot factorize array/map/struct cells "
+            "(CORRECTNESS_r04 nested_order_lines) — emit a canonical "
+            "string in both the query and the oracle",
+        )
     srows = [tuple(r) for r in sdf.collect()]
 
     close = con is None

@@ -871,6 +871,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_llm2  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_llm3  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_prep  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_seq  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_streaming  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch2  # noqa: F401
@@ -901,92 +902,37 @@ def _register_all() -> None:
 # --------------------------------------------------------------------------
 
 _DRIVER_FIRST = [
-    # ---- ROUND 4 ROTATION (VERDICT r03 "Next round" #1) ----
-    # The 30 queries with NO driver row across r01-r03 (added after the
-    # r03 gate filled), in their r04-queue order from the r03 rotation
-    # comment, plus embedding_blocked_topk, whose only green row (r01)
-    # predates the r02 skew-cap semantic change. After this round every
-    # registered query has a green row under its CURRENT semantics.
-    "topn_with_ties",
+    # ---- ROUND 5 ROTATION (VERDICT r04 "Next round" #1 and #4) ----
+    # The backlog is drained (177/178 green r01-r04), so FIRST holds only
+    # the queries whose output or plan CHANGED this round:
+    # - nested_order_lines: the single red r04 row — its ARRAY column is
+    #   now serialized to a canonical string (driver's pandas
+    #   canonicalization cannot sort list cells); gated at position 1.
+    # - mad_outliers_scalable: r05 perf rework (cached source + shared
+    #   per-group counts across the two bisections), same oracle.
+    # - lsh_quality_eval: empty-input semantics fix (coalesce SUM->0,
+    #   ADVICE r04), same result on real data.
     "nested_order_lines",
     "mad_outliers_scalable",
-    "winsorized_scalable",
-    "mom_revenue_growth",
-    "dedup_best_survivor",
-    "table_profile",
-    "join_cardinality_audit",
-    "weekly_p90_scalable",
-    "session_transitions",
-    "weighted_median_price",
-    "functional_dependency_audit",
-    "setsim_prefix_join",
-    "eval_overlap_fraction",
-    "kcore_peel_counts",
-    "zonemap_pruning_audit",
-    "k_anonymity_audit",
-    "lpa_communities",
-    "temperature_mixture",
-    "hard_negative_mining",
-    "embedding_dim_profile",
-    "lang_confusion_matrix",
-    "shard_balance_audit",
-    "corpus_release_gate",
-    "rolling_range_frame",
-    "grouping_sets_report",
-    "forward_asof_next_purchase",
     "lsh_quality_eval",
-    "setsim_cosine_join",
-    "percentiles_approx",
-    "embedding_blocked_topk",
     # NEW this round — append new-query names here as they are
     # registered, dropping the tail of _DRIVER_FILL to keep the gate at
     # exactly 50 (test_driver_gate_ordering enforces the arithmetic).
-    # VERDICT r03 #2 caps r04 additions at 19 (the fill headroom) so the
-    # never-gated backlog drains to zero.
-    "duplicate_span_stats",
-    "setsim_containment_join",
-    "semantic_decontamination",
+    "skyline_pareto",
+    "event_rate_cusum",
+    "peak_concurrency",
 ]
 
-# Re-confirmation fill: oldest driver rows first (r01-only-green, in
-# registration order). These already have green rows; they occupy the
-# gate slots the must-gate block doesn't need, so their rows refresh.
+# Re-confirmation fill: oldest driver rows first. All 31 remaining
+# r01-only-green rows (the head of last round's rotated-out queue), then
+# the oldest r02 rows, in their stale-queue order. Every name here has a
+# green row under unchanged semantics; these slots refresh the oldest
+# signals per VERDICT r04 #4.
 _DRIVER_FILL = [
-    "pricing_summary",
-    "flagship_top_locations",
-    "window_dedup",
-    "pivot_wide",
-    "enrich_metadata",
-    "active_semijoin",
-    "inactive_antijoin",
-    "minmax_profile",
-    "conditional_counts",
-    "daily_topk",
-    "null_audit",
-    "normalize_group",
-    "date_partition_rollup",
-    "topk_orders",
-    "set_ops",
-    "marts_kernel",
-]
-
-# Empty this round: every streaming query (streaming_marts_kernel,
-# stateful_ema_stream r02; streaming_sessions, streaming_interval_join,
-# streaming_interval_join_outer, streaming_cusum_drift,
-# streaming_hll_windows r03) has a green row and unchanged semantics;
-# all stay covered by tests/test_streaming.py + local parity.
-_DRIVER_TAIL_STREAMING: list[str] = []
-
-_DRIVER_ROTATED_OUT = [
-    # Everything below has a green driver row under its current
-    # semantics (see CORRECTNESS_r0*.json) and is hash-checked against
-    # DuckDB on every local run by tests/test_oracle_parity.py with the
-    # type-family gate. Ordered oldest-row-first: r01-only rows lead (the
-    # r05 re-confirmation queue), then r02, then r03.
-    # -- r01-only rows (re-confirm next) --
-    "aqi_bundle",  # displaced from the r04 fill by semantic_decontamination
-    "running_sum",  # displaced from the r04 fill by setsim_containment_join
-    "sessionize",  # displaced from the r04 fill by duplicate_span_stats
+    # -- r01-only rows (all of them) --
+    "aqi_bundle",
+    "running_sum",
+    "sessionize",
     "props_flatten",
     "lag_lead_delta",
     "rollup_orders",
@@ -1015,7 +961,7 @@ _DRIVER_ROTATED_OUT = [
     "cosine_topk",
     "ivf_probe_topk",
     "semantic_dedup_survivors",
-    # -- r02 rows --
+    # -- oldest r02 rows (stale-queue order) --
     "forward_fill",
     "snapshot_diff_counts",
     "dq_expectations",
@@ -1029,6 +975,23 @@ _DRIVER_ROTATED_OUT = [
     "kmeans_recall_at_k",
     "pq_topk",
     "pq_recall_at_k",
+]
+
+# Empty this round: every streaming query (streaming_marts_kernel,
+# stateful_ema_stream r02; streaming_sessions, streaming_interval_join,
+# streaming_interval_join_outer, streaming_cusum_drift,
+# streaming_hll_windows r03) has a green row and unchanged semantics;
+# all stay covered by tests/test_streaming.py + local parity.
+_DRIVER_TAIL_STREAMING: list[str] = []
+
+_DRIVER_ROTATED_OUT = [
+    # Everything below has a green driver row under its current
+    # semantics (see CORRECTNESS_r0*.json) and is hash-checked against
+    # DuckDB on every local run by tests/test_oracle_parity.py with the
+    # type-family + driver-sortability gates. Ordered oldest-row-first:
+    # remaining r02 rows lead (the r06 re-confirmation queue), then r03,
+    # then r04/r05.
+    # -- r02 rows (re-confirm next) --
     "decontaminate_ngrams",
     "pii_scrub_stats",
     "quality_filter_gates",
@@ -1114,6 +1077,56 @@ _DRIVER_ROTATED_OUT = [
     "streaming_interval_join_outer",
     "streaming_cusum_drift",
     "streaming_hll_windows",
+    # -- r04 rows (gated green in CORRECTNESS_r04; the three r04 names
+    #    re-gated this round — nested_order_lines, mad_outliers_scalable,
+    #    lsh_quality_eval — are in _DRIVER_FIRST instead) --
+    "topn_with_ties",
+    "winsorized_scalable",
+    "mom_revenue_growth",
+    "dedup_best_survivor",
+    "table_profile",
+    "join_cardinality_audit",
+    "weekly_p90_scalable",
+    "session_transitions",
+    "weighted_median_price",
+    "functional_dependency_audit",
+    "setsim_prefix_join",
+    "eval_overlap_fraction",
+    "kcore_peel_counts",
+    "zonemap_pruning_audit",
+    "k_anonymity_audit",
+    "lpa_communities",
+    "temperature_mixture",
+    "hard_negative_mining",
+    "embedding_dim_profile",
+    "lang_confusion_matrix",
+    "shard_balance_audit",
+    "corpus_release_gate",
+    "rolling_range_frame",
+    "grouping_sets_report",
+    "forward_asof_next_purchase",
+    "setsim_cosine_join",
+    "percentiles_approx",
+    "embedding_blocked_topk",
+    "duplicate_span_stats",
+    "setsim_containment_join",
+    "semantic_decontamination",
+    "pricing_summary",
+    "flagship_top_locations",
+    "window_dedup",
+    "pivot_wide",
+    "enrich_metadata",
+    "active_semijoin",
+    "inactive_antijoin",
+    "minmax_profile",
+    "conditional_counts",
+    "daily_topk",
+    "null_audit",
+    "normalize_group",
+    "date_partition_rollup",
+    "topk_orders",
+    "set_ops",
+    "marts_kernel",
 ]
 
 

@@ -2709,16 +2709,24 @@ def q_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (line number, part key) — the synthetic lineitem REUSES line numbers
 # within an order, so the secondary key is what makes the nested value
 # engine-exact.
+#
+# OUTPUT SHAPE (r04 lesson): the nested array is built internally but the
+# returned column is its canonical comma-joined string — the driver's
+# pandas canonicalization cannot sort list cells (CORRECTNESS_r04 err:
+# "unhashable type: 'list'"), and tests/test_plan_shape.py now rejects
+# any top-level array/map/struct output column registry-wide. The
+# roundtrip check (size(parts) == n_lines) still runs on the real array.
 # --------------------------------------------------------------------------
 
 _NESTED_ORACLE = """
 WITH nested AS (
   SELECT l_orderkey, COUNT(*) AS n_lines,
-         list(l_partkey ORDER BY l_linenumber, l_partkey) AS parts
+         list(l_partkey ORDER BY l_linenumber, l_partkey) AS parts_arr
   FROM lineitem GROUP BY l_orderkey
 )
-SELECT l_orderkey, n_lines, parts,
-       len(parts) = n_lines AS roundtrip_ok
+SELECT l_orderkey, n_lines,
+       array_to_string(parts_arr, ',') AS parts,
+       len(parts_arr) = n_lines AS roundtrip_ok
 FROM nested ORDER BY l_orderkey
 """
 
@@ -2726,9 +2734,10 @@ FROM nested ORDER BY l_orderkey
 @query(
     "nested_order_lines",
     _NESTED_ORACLE,
-    "Denormalize order lines into a line-number-ordered ARRAY column "
+    "Denormalize order lines into a line-number-ordered nested array "
     "(nested-parquet modeling for point-lookup serving) with the "
-    "explode-roundtrip reconciliation in-query; one keyed aggregate",
+    "explode-roundtrip reconciliation in-query, emitted as a canonical "
+    "comma-joined string; one keyed aggregate",
     tags=("relational", "nested", "bench"),
 )
 def q_nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2740,13 +2749,15 @@ def q_nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.collect_list(F.struct("l_linenumber", "l_partkey"))
             ),
             lambda s: s.l_partkey,
-        ).alias("parts"),
+        ).alias("parts_arr"),
     )
     return nested.select(
         "l_orderkey",
         "n_lines",
-        "parts",
-        (F.size("parts") == F.col("n_lines")).alias("roundtrip_ok"),
+        F.array_join(
+            F.transform("parts_arr", lambda x: x.cast("string")), ","
+        ).alias("parts"),
+        (F.size("parts_arr") == F.col("n_lines")).alias("roundtrip_ok"),
     ).orderBy("l_orderkey")
 
 
@@ -2780,18 +2791,31 @@ def q_mad_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, prof = sel._profile(ev, "event_type", "value")
     targets = lower_middle_ranks(prof)
     med = sel._select_ranks(src, targets, prof, sel.BUCKETS, sel.MAX_ROUNDS)
-    src.unpersist()
     med_rows = [
         (g, med[(g, (prof[g][0] + 1) // 2)]) for g in sorted(prof)
     ]
     med_df = spark.createDataFrame(med_rows, "event_type string, med double")
 
-    dev = ev.join(F.broadcast(med_df), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    # Phase 2 shares phase 1's work instead of rescanning (r05 rework,
+    # VERDICT r04 #6): the deviation relation derives from the CACHED
+    # phase-1 projection (broadcast med attach + abs — no second parquet
+    # scan), and its profile needs no aggregate pass at all — the count
+    # is identical (same non-null rows) and max|v-med| is attained at an
+    # endpoint, so the bracket is exactly [0, max(hi-med, med-lo)].
+    src2 = (
+        src.join(
+            F.broadcast(med_df.withColumnRenamed("event_type", "g")), "g"
+        )
+        .select("g", F.abs(F.col("v") - F.col("med")).alias("v"))
+        .persist()
     )
-    src2, prof2 = sel._profile(dev, "event_type", "adev")
+    prof2 = {}
+    for g, (n, lo, hi) in prof.items():
+        m = med[(g, (n + 1) // 2)]
+        prof2[g] = (n, 0.0, max(hi - m, m - lo))
     targets2 = lower_middle_ranks(prof2)
     madr = sel._select_ranks(src2, targets2, prof2, sel.BUCKETS, sel.MAX_ROUNDS)
+    src.unpersist()
     src2.unpersist()
     mdim_rows = [
         (

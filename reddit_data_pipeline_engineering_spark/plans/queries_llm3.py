@@ -1030,17 +1030,23 @@ def q_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One full-outer pair alignment + ONE aggregate: the exact-join and
     # LSH pipelines each execute once, instead of once per metric branch
     # (three branches previously — the count trio replayed both
-    # multi-stage subplans).
+    # multi-stage subplans). The sums are coalesced to 0 so empty pair
+    # sets keep COUNT semantics (SUM over an empty relation is NULL;
+    # the oracle's COUNT yields 0 — ADVICE r04).
     both = exact.withColumn("is_exact", F.lit(1)).join(
         cand.withColumn("is_cand", F.lit(1)), ["da", "db"], "full_outer"
     )
     return both.agg(
-        F.sum("is_cand").cast("long").alias("n_candidates"),
-        F.sum("is_exact").cast("long").alias("n_exact"),
-        F.sum(
-            F.when(
-                F.col("is_cand").isNotNull() & F.col("is_exact").isNotNull(), 1
-            ).otherwise(0)
+        F.coalesce(F.sum("is_cand"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("is_exact"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("is_cand").isNotNull() & F.col("is_exact").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_true_positives"),

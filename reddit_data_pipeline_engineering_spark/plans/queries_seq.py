@@ -1,0 +1,253 @@
+"""Sequential / order-dependent analytics: Pareto skyline, batch CUSUM
+drift detection, and sweep-line peak concurrency.
+
+Round-5 additions. Each operator has semantics that a naive translation
+would make quadratic or inherently serial; all three are re-expressed as
+window compositions with integer-exact arithmetic so the DuckDB oracle
+hashes bit-for-bit:
+
+- ``skyline_pareto``: 2-D dominance (skyline) query — O(n^2) as the
+  textbook NOT EXISTS anti-join — done in O(n log n) as sort + running
+  max, after collapsing to distinct value points.
+- ``event_rate_cusum``: the one-sided CUSUM recurrence
+  ``s_i = max(0, s_{i-1} + x_i - k)`` looks inherently sequential, but
+  has the closed form ``s_i = S_i - min(0, min_{j<=i} S_j)`` over prefix
+  sums S — two ordered windows. (Page 1954's CUSUM; the closed form is
+  the standard max-drawdown identity.)
+- ``peak_concurrency``: max concurrently-open intervals via the
+  sweep-line +1/-1 trick — union of start/end points, one running sum.
+
+The batch CUSUM complements the streaming variant
+(``streaming_cusum_drift``, streaming/drift.py) the way marts_kernel
+pairs with streaming_marts_kernel: same statistic, batch closed form vs
+incremental state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.plans.queries import query
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Pareto skyline over part: minimize price, maximize size. A part point
+# is dominated iff another point has price <= AND size >= with at least
+# one strict. Plan: collapse to distinct (price, size) points with
+# counts (bounded by the value domain, not the row count — the 100 TB
+# guard), keep only the max size per price, then one pass ordered by
+# price keeping points whose size exceeds the running max of all
+# strictly cheaper prices. For unbounded value domains the same operator
+# composes hierarchically via skyline(A ∪ B) = skyline(skyline(A) ∪
+# skyline(B)) — partition-local skylines first, then this plan on their
+# union.
+# --------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH pts AS (
+  SELECT p_retailprice AS price, p_size AS size,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1, 2
+), best AS (
+  SELECT price, size, n_parts FROM (
+    SELECT pts.*, MAX(size) OVER (PARTITION BY price) AS mx FROM pts
+  ) WHERE size = mx
+), sky AS (
+  SELECT price, size, n_parts,
+         MAX(size) OVER (ORDER BY price
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev_max
+  FROM best
+)
+SELECT price, size, n_parts FROM sky
+WHERE prev_max IS NULL OR size > prev_max
+ORDER BY price
+"""
+
+
+@query(
+    "skyline_pareto",
+    _SKYLINE_ORACLE,
+    "2-D Pareto skyline (min price, max size) in O(n log n): distinct "
+    "value points -> per-price max -> running-max dominance pass; "
+    "composes hierarchically via skyline-of-skylines for scale-out",
+    tags=("relational", "window", "bench"),
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    pts = (
+        part.groupBy(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    # Per price keep the max size (everything else at that price is
+    # dominated by it).
+    w_price = Window.partitionBy("price")
+    best = (
+        pts.withColumn("mx", F.max("size").over(w_price))
+        .filter(F.col("size") == F.col("mx"))
+        .drop("mx")
+    )
+    # One row per distinct price now: a ROWS frame ending 1 preceding is
+    # exactly "all strictly cheaper prices". Global window over the
+    # distinct-price set (bounded), not the raw rows.
+    w_sky = (
+        Window.orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        best.withColumn("prev_max", F.max("size").over(w_sky))
+        .filter(F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max")))
+        .select("price", "size", "n_parts")
+        .orderBy("price")
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch CUSUM over daily event rates, per event type. Reference level k
+# = the type's mean daily count; to keep the oracle hash exact we scale
+# by n_days so every term is integer: dev_i = n_i*D - total (= D*(x_i -
+# k)), S = integer prefix sum, cusum_num = S - min(0, running min S)
+# (= D * CUSUM). Alarm when CUSUM exceeds 5 events of cumulative excess
+# (cusum_num > 5*D). All-window plan: one keyed aggregate then three
+# windows sharing the event_type partitioning.
+# --------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT *, SUM(n) OVER (PARTITION BY event_type) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+), pre AS (
+  SELECT *, SUM(n * n_days - total) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM tot
+), run AS (
+  SELECT *, MIN(s) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+  FROM pre
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+       CAST(s - LEAST(0, runmin) AS BIGINT) AS cusum_num,
+       (s - LEAST(0, runmin)) > 5 * n_days AS alarm
+FROM run ORDER BY event_type, day
+"""
+
+
+@query(
+    "event_rate_cusum",
+    _CUSUM_ORACLE,
+    "Batch one-sided CUSUM drift detection on daily event rates via the "
+    "prefix-sum closed form s_i = S_i - min(0, min_j<=i S_j) — the "
+    "'inherently sequential' recurrence as two ordered windows, integer-"
+    "exact (scaled by n_days); batch twin of streaming_cusum_drift",
+    tags=("relational", "window", "stats", "bench"),
+)
+def q_event_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_t = Window.partitionBy("event_type")
+    w_o = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = daily.withColumn("total", F.sum("n").over(w_t)).withColumn(
+        "n_days", F.count(F.lit(1)).over(w_t)
+    )
+    pre = tot.withColumn(
+        "s", F.sum(F.col("n") * F.col("n_days") - F.col("total")).over(w_o)
+    )
+    run = pre.withColumn("runmin", F.min("s").over(w_o))
+    cusum = F.col("s") - F.least(F.lit(0).cast("long"), F.col("runmin"))
+    return run.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_events"),
+        cusum.alias("cusum_num"),
+        (cusum > 5 * F.col("n_days")).alias("alarm"),
+    ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# Peak concurrency: treat each event as a 15-minute open interval
+# [ts, ts+15m) and find, per event type, the maximum number of
+# simultaneously open intervals and the earliest instant it is reached.
+# Sweep line: +1 at start, -1 at end, running sum ordered by (t, delta)
+# — delta ascending processes closings before openings at the same
+# instant, matching half-open semantics. Peak and its first timestamp
+# are order-stable under ties (the max value attained at any instant is
+# the post-run value of its tie group). One shuffle: the union is
+# partitioned once by event_type and every window + the final rollup
+# reuse that layout.
+# --------------------------------------------------------------------------
+
+_PEAK_ORACLE = """
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 15 MINUTE AS t, -1 AS delta FROM events
+), swept AS (
+  SELECT event_type, t,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                         ) AS conc
+  FROM pts
+), peaked AS (
+  SELECT *, MAX(conc) OVER (PARTITION BY event_type) AS peak FROM swept
+)
+SELECT event_type, CAST(peak AS BIGINT) AS peak,
+       MIN(t) AS first_peak_ts
+FROM peaked WHERE conc = peak
+GROUP BY event_type, peak
+ORDER BY event_type
+"""
+
+
+@query(
+    "peak_concurrency",
+    _PEAK_ORACLE,
+    "Max concurrently-open 15-min event intervals per type + earliest "
+    "peak instant, via the sweep-line +1/-1 union and one running sum; "
+    "single event_type shuffle reused by both windows and the rollup",
+    tags=("relational", "window", "interval", "bench"),
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionAll(ends)
+    w_sweep = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = pts.withColumn(
+        "conc", F.sum("delta").over(w_sweep).cast("long")
+    )
+    peaked = swept.withColumn(
+        "peak", F.max("conc").over(Window.partitionBy("event_type"))
+    )
+    return (
+        peaked.filter(F.col("conc") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min("t").alias("first_peak_ts"))
+        .select("event_type", "peak", "first_peak_ts")
+        .orderBy("event_type")
+    )

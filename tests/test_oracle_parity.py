@@ -29,6 +29,11 @@ def test_query_matches_oracle(name, spark, duck):
     spec = REGISTRY[name]
     if spec.oracle is None:
         df = spec.fn(spark, SF_SMALL)
+        # Even rows-only queries must keep a driver-gradable shape:
+        # no top-level array/map/struct output columns (r04 lesson).
+        fams = {f.name: ora._family_spark(f.dataType) for f in df.schema.fields}
+        bad = ora.driver_unsortable_cols(fams)
+        assert not bad, f"{name}: driver-unsortable column(s) {bad}"
         assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
         return
     res = ora.compare(name, spark, SF_SMALL, spec.fn, spec.oracle, con=duck)
@@ -56,3 +61,28 @@ def test_uncast_sum_oracle_fails_type_gate(spark, duck):
     good = "SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents"
     res = ora.compare("cast_sum", spark, SF_SMALL, fn, good, con=duck)
     assert res.ok, res.detail
+
+
+def test_array_output_fails_sortability_gate(spark, duck):
+    """Regression for the round-4 driver failure: a top-level ARRAY output
+    column passes the local repr-sorted compare but crashes the driver's
+    pandas canonicalization (``TypeError: unhashable type: 'list'``). The
+    sortability gate must reject it locally, for the Spark side AND via
+    the type-family gate if only the oracle returns a list."""
+    from pyspark.sql import functions as F
+    from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+    def fn(sp, sf):
+        return (
+            load_table(sp, sf, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.collect_list("l_partkey").alias("parts"))
+            .limit(5)
+        )
+
+    sql = (
+        "SELECT l_orderkey, list(l_partkey) AS parts "
+        "FROM lineitem GROUP BY l_orderkey LIMIT 5"
+    )
+    res = ora.compare("array_out", spark, SF_SMALL, fn, sql, con=duck)
+    assert not res.ok and "driver-unsortable" in res.detail, res.detail

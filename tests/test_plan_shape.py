@@ -210,29 +210,35 @@ def test_driver_gate_ordering():
     if _DRIVER_TAIL_STREAMING:
         assert gate[-len(_DRIVER_TAIL_STREAMING):] == _DRIVER_TAIL_STREAMING
     assert names[50:] == _DRIVER_ROTATED_OUT
-    # Round-4 contract (VERDICT r03 #1): the 30 queries with no driver
-    # row across r01-r03, plus embedding_blocked_topk (its only row
-    # predates the r02 skew-cap semantic change), all gate this round.
+    # Round-5 contract (VERDICT r04 #1/#4): the only red r04 row gates
+    # at position 1, the other changed-semantics queries follow, then
+    # the three round-5 additions; the fill is the stale-green queue
+    # (all remaining r01-only rows first, then the oldest r02 rows).
+    assert gate[0] == "nested_order_lines"
     must_gate = [
-        "topn_with_ties", "nested_order_lines", "mad_outliers_scalable",
-        "winsorized_scalable", "mom_revenue_growth", "dedup_best_survivor",
-        "table_profile", "join_cardinality_audit", "weekly_p90_scalable",
-        "session_transitions", "weighted_median_price",
-        "functional_dependency_audit", "setsim_prefix_join",
-        "eval_overlap_fraction", "kcore_peel_counts",
-        "zonemap_pruning_audit", "k_anonymity_audit", "lpa_communities",
-        "temperature_mixture", "hard_negative_mining",
-        "embedding_dim_profile", "lang_confusion_matrix",
-        "shard_balance_audit", "corpus_release_gate", "rolling_range_frame",
-        "grouping_sets_report", "forward_asof_next_purchase",
-        "lsh_quality_eval", "setsim_cosine_join", "percentiles_approx",
-        "embedding_blocked_topk",
+        "nested_order_lines",      # r04 err: array column, now stringified
+        "mad_outliers_scalable",   # r05 plan rework (shared profile pass)
+        "lsh_quality_eval",        # r05 empty-input coalesce fix
+        "skyline_pareto",          # new r05
+        "event_rate_cusum",        # new r05
+        "peak_concurrency",        # new r05
     ]
-    assert set(must_gate) <= set(gate)
-    # VERDICT r03 #2: registry growth frozen until the gate drains —
-    # at most 19 additions this round (the re-confirmation headroom),
-    # i.e. _DRIVER_FIRST beyond the 31 must-gate names stays <= 19.
-    assert len(_DRIVER_FIRST) - len(must_gate) <= 19
+    assert _DRIVER_FIRST == must_gate
+    # Every fill slot re-confirms a STALE row: no r01-only-green query
+    # may be left out of the gate while a newer-rowed query occupies it.
+    r01_only = [
+        "aqi_bundle", "running_sum", "sessionize", "props_flatten",
+        "lag_lead_delta", "rollup_orders", "cube_segments",
+        "ntile_spend_quartiles", "hll_distinct_sketch", "aqi_profile",
+        "bpe_token_stats", "asof_last_purchase", "range_join_windows",
+        "time_bucket_rollup", "unpivot_roundtrip", "value_stats",
+        "value_histogram", "exact_percentiles", "sql_surface",
+        "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
+        "simhash", "dup_clusters", "token_stats", "quality_score",
+        "lang_id", "fingerprint", "cosine_topk", "ivf_probe_topk",
+        "semantic_dedup_survivors",
+    ]
+    assert set(r01_only) <= set(_DRIVER_FILL)
 
 
 def test_vocab_topk_partial_agg_and_take_ordered(spark):

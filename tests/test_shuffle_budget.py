@@ -66,6 +66,9 @@ BUDGETS = {
     "daily_topk": 1,
     "decontaminate_ngrams": 3,
     "embedding_blocked_topk": 1,
+    # daily aggregate + event_type window partitioning + final sort
+    # (both ordered windows and the rollup reuse the type layout).
+    "event_rate_cusum": 3,
     "exact_dedup": 1,
     "exact_percentiles": 2,
     # Bisection queries: the heavy work (profile + ~6 conditional-count
@@ -111,6 +114,9 @@ BUDGETS = {
     "minhash_signatures": 0,
     "ngram_jaccard_topk": 3,
     "pagerank_topk": 0,
+    # one event_type partitioning shared by both windows + the peak
+    # rollup, then the final sort (sweep-line union is shuffle-free).
+    "peak_concurrency": 2,
     "percentiles_approx": 3,
     # SCD2 build window/rollup + probe-dim hash join + final rollup.
     "pit_dimension_lookup": 4,
@@ -128,6 +134,9 @@ BUDGETS = {
     # exchanges print once per branch.
     "setsim_prefix_join": 15,
     "shipping_priority": 1,
+    # distinct-point aggregate + per-price window + the single-partition
+    # dominance pass over distinct prices (final sort folds into it).
+    "skyline_pareto": 3,
     "sliding_window_rollup": 2,
     # med + mad each need a rank window over events (textually replayed
     # per branch; identical subtrees reuse at runtime) + final rollup.
