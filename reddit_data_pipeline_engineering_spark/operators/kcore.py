@@ -67,9 +67,19 @@ def kcore_peel(
     """
     spark = edges.sparkSession
     if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
+        # Decide the storage path BEFORE materializing a checkpoint:
+        # persist + count once, then either enter the bounded loop on
+        # the already-persisted base generation or swap to the lazy
+        # path's localCheckpoint. Checkpointing first and THEN
+        # persisting inside the bounded loop would double-retain the
+        # largest generation at exactly the >=10M-edge scale the
+        # GC-stall fix targets (ADVICE r04).
+        edges = edges.persist()
         if edges.count() >= BOUNDED_STORAGE_MIN_EDGES:
             return _kcore_peel_bounded(spark, edges, k, rounds, src, dst)
+        ckpt = edges.localCheckpoint(eager=True)
+        edges.unpersist()
+        edges = ckpt
     stats: list[DataFrame] = []
     for r in range(1, rounds + 1):
         alive = (
@@ -111,9 +121,12 @@ def _kcore_peel_bounded(
     12s at 10x scale). Lineage is not truncated: cache hits serve
     reads, an evicted block spills to disk, and a FIXED small round
     count keeps the plan shallow. Identical results to the lazy path
-    (same per-round algorithm)."""
-    edges = edges.persist()
-    edges.count()
+    (same per-round algorithm; equivalence pinned by
+    tests/test_graph.py's BOUNDED_STORAGE_MIN_EDGES=0 monkeypatch).
+
+    Precondition: ``edges`` arrives ALREADY persisted and materialized
+    (kcore_peel persists + counts before choosing this path), so the
+    base generation is never retained twice."""
     prev = edges
     rows: list[tuple[int, int, int]] = []
     for r in range(1, rounds + 1):

@@ -152,6 +152,41 @@ def test_kcore_peel_matches_brute_force(spark):
     assert all(got[i][1] >= got[i + 1][1] for i in range(len(got) - 1))
 
 
+def test_kcore_bounded_path_equivalence(spark, monkeypatch):
+    """The bounded-storage peel is only reachable at >=10M edges, so no
+    ordinary test executes it (ADVICE r04). Force it by dropping the
+    cutover to 0 and pin: identical rows to the lazy path on the same
+    graph, and the full registry query still matches its DuckDB oracle
+    while routed through the bounded loop."""
+    from reddit_data_pipeline_engineering_spark import oracle as ora
+    from reddit_data_pipeline_engineering_spark.operators import kcore
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+
+    from .conftest import SF_SMALL
+
+    und = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6), (1, 7), (2, 7), (7, 8),
+    ]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    lazy = [tuple(r) for r in kcore.kcore_peel(df, k=3, rounds=3).collect()]
+
+    monkeypatch.setattr(kcore, "BOUNDED_STORAGE_MIN_EDGES", 0)
+    bounded = [tuple(r) for r in kcore.kcore_peel(df, k=3, rounds=3).collect()]
+    assert bounded == lazy
+
+    queries()
+    spec = REGISTRY["kcore_peel_counts"]
+    res = ora.compare(
+        "kcore_peel_counts[bounded]", spark, SF_SMALL, spec.fn, spec.oracle
+    )
+    assert res.ok, res.detail
+
+
 def test_label_propagation_matches_brute_force(spark):
     """Synchronous LPA with (max count, min label) tie-break against a
     plain Python replay: two cliques joined by one bridge edge must

@@ -64,8 +64,13 @@ SHARED_MODULUS = {
 
 
 def _suffix_words(texts: pa.ChunkedArray, copy: int) -> pa.Array:
+    # The separator must be OUTSIDE the source vocabulary: a bare digit
+    # suffix collides when a source word already ends in a digit ('foo1'
+    # in copy 0 == 'foo'+'1' in copy 1), weakening the
+    # no-cross-copy-duplicates property the dedup scaling curve relies
+    # on (ADVICE r04). '§' never appears in the synthetic corpus.
     out = []
-    tag = str(copy)
+    tag = "§" + str(copy)
     for chunk in texts.chunks:
         for t in chunk.to_pylist():
             out.append(" ".join(w + tag for w in t.split(" ")))
