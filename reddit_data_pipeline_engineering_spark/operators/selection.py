@@ -281,6 +281,210 @@ def _select_ranks(
     return resolved
 
 
+def _select_ranks_plan(
+    src: DataFrame,
+    targets_df: DataFrame,
+    buckets: int,
+    max_rounds: int,
+) -> DataFrame:
+    """Bracket-state-as-DataFrame twin of :func:`_select_ranks`: the
+    per-round (lo, hi) brackets live in a G-row DataFrame that joins
+    back as a broadcast dim each round — the driver holds ONE integer
+    (the live-bracket count used for early stop), removing the
+    O(G) driver-memory ceiling of the collect path at extreme group
+    cardinality. Same narrowing arithmetic, same per-round pass shape
+    (conditional counts keyed by bracket, crossing bucket by cumulative
+    window); ulp-scale constants are expressed as ``m * 2^-50`` /
+    ``m * 2^-49`` (a 2-4x-ulp band like the collect path's
+    ``4*math.ulp`` / ``8*math.ulp``) — retirement timing may differ by
+    a round, the resolved VALUES cannot (they are exact data values
+    read off by the final in-plan pass; equality is property-tested
+    against the collect path in tests/test_selection.py).
+
+    ``targets_df``: (g, k long, lo double, hi double) — one row per
+    wanted rank with the group's initial [min, max] bracket.
+    Returns (g, k long, v double).
+    """
+    state = (
+        targets_df.withColumn(
+            "v", F.when(F.col("lo") == F.col("hi"), F.col("lo"))
+        )
+        .withColumn("conv", F.lit(False))
+        .localCheckpoint(eager=True)
+    )
+    B = buckets
+    for _ in range(max_rounds):
+        live = state.filter(F.col("v").isNull() & ~F.col("conv"))
+        # The ONLY driver-side state: one scalar for the stop check.
+        if live.count() == 0:
+            break
+        bounds = live.select("g", "lo", "hi").distinct()
+        width = F.col("hi") - F.col("lo")
+        bucket = F.least(
+            F.lit(B - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("v") - F.col("lo")) / width * B).cast("int"),
+            ),
+        )
+        counts = (
+            src.join(F.broadcast(bounds), "g")
+            .select(
+                "g",
+                "lo",
+                "hi",
+                F.when(F.col("v") < F.col("lo"), F.lit(-1))
+                .when(F.col("v") > F.col("hi"), F.lit(B))
+                .otherwise(bucket)
+                .alias("b"),
+            )
+            .groupBy("g", "lo", "hi", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        cw = (
+            Window.partitionBy("g", "lo", "hi")
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        crossed = (
+            counts.withColumn("cum", F.sum("c").over(cw))
+            .join(
+                F.broadcast(live.select("g", "k", "lo", "hi")),
+                ["g", "lo", "hi"],
+            )
+            .filter(
+                (F.col("cum") >= F.col("k"))
+                & (F.col("cum") - F.col("c") < F.col("k"))
+            )
+            .select("g", "k", "lo", "hi", "b")
+        )
+        w = F.col("hi") - F.col("lo")
+        new_lo = F.col("lo") + (w * F.col("b")) / B
+        new_hi = F.when(
+            F.col("b") < B - 1, F.col("lo") + (w * (F.col("b") + 1)) / B
+        ).otherwise(F.col("hi"))
+        m = F.greatest(F.abs(new_lo), F.abs(new_hi), F.lit(1e-300))
+        delta = m * F.lit(2.0**-50)
+        eps = w / F.lit(float(1 << 30))
+        collapsed = new_lo >= new_hi
+        nlo = F.when(
+            collapsed,
+            F.greatest(F.col("lo"), F.least(new_lo, new_hi) - delta),
+        ).otherwise(F.greatest(F.col("lo"), new_lo - eps))
+        nhi = F.when(
+            collapsed,
+            F.least(F.greatest(new_lo, new_hi) + delta, F.col("hi")),
+        ).otherwise(F.least(new_hi + eps, F.col("hi")))
+        conv = collapsed | (
+            (nhi - nlo)
+            <= F.greatest(F.abs(nlo), F.abs(nhi), F.lit(1e-300))
+            * F.lit(2.0**-49)
+        )
+        narrowed = crossed.select(
+            "g",
+            "k",
+            nlo.alias("lo"),
+            nhi.alias("hi"),
+            F.lit(None).cast("double").alias("v"),
+            conv.alias("conv"),
+        )
+        settled = state.filter(F.col("v").isNotNull() | F.col("conv"))
+        state = settled.unionByName(narrowed).localCheckpoint(eager=True)
+
+    # Final pass, fully in-plan: count values below lo and walk the few
+    # distinct values inside each residual bracket by cumulative count.
+    rem = state.filter(F.col("v").isNull()).select("g", "k", "lo", "hi")
+    joined = src.join(
+        F.broadcast(rem.withColumnRenamed("k", "kk")), "g"
+    )
+    below = joined.groupBy("g", "kk", "lo", "hi").agg(
+        F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0)).alias(
+            "below"
+        )
+    )
+    vals = (
+        joined.filter(
+            (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        )
+        .groupBy("g", "kk", "lo", "hi", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vw = (
+        Window.partitionBy("g", "kk", "lo", "hi")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    resolved_final = (
+        vals.withColumn("cum", F.sum("c").over(vw))
+        .join(below, ["g", "kk", "lo", "hi"])
+        .filter(
+            (F.col("below") + F.col("cum") >= F.col("kk"))
+            & (F.col("below") + F.col("cum") - F.col("c") < F.col("kk"))
+        )
+        .select("g", F.col("kk").alias("k"), "v")
+    )
+    return state.filter(F.col("v").isNotNull()).select(
+        "g", "k", "v"
+    ).unionByName(resolved_final)
+
+
+def _median_targets_df(prof_df: DataFrame) -> DataFrame:
+    """(g, n, lo, hi) -> one row per middle rank (both for even n)."""
+    ks = F.when(
+        F.col("n") % 2 == 1,
+        F.array(((F.col("n") + 1) / 2).cast("long")),
+    ).otherwise(
+        F.array(
+            (F.col("n") / 2).cast("long"),
+            (F.col("n") / 2 + 1).cast("long"),
+        )
+    )
+    return prof_df.select(
+        "g", F.explode(ks).alias("k"), "lo", "hi"
+    )
+
+
+def grouped_median_selection_plan(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    buckets: int = BUCKETS,
+    max_rounds: int = MAX_ROUNDS,
+) -> DataFrame:
+    """Plan-side-state twin of :func:`grouped_median_selection` — same
+    rows, same schema, no per-group driver state (the SCALE.md high-
+    cardinality caveat closed). The median mean replays the collect
+    path's ``(vals[0] + vals[-1]) / 2``: exactly 1-2 resolved rows per
+    group, so ``sum/count`` is the identical IEEE expression."""
+    src = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .persist()
+    )
+    prof_df = src.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    resolved = _select_ranks_plan(
+        src, _median_targets_df(prof_df), buckets, max_rounds
+    )
+    out = (
+        resolved.groupBy("g")
+        .agg((F.sum("v") / F.count(F.lit(1))).alias("median_value"))
+        .join(prof_df.select("g", F.col("n").alias("n_values")), "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_values").cast("long"),
+            "median_value",
+        )
+    )
+    # Materialize before releasing the cached source the plan reads.
+    out = out.localCheckpoint(eager=True)
+    src.unpersist()
+    return out
+
+
 def _profile(df: DataFrame, group_col: str, value_col: str) -> tuple:
     src = (
         df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))

@@ -149,6 +149,43 @@ def test_duplicate_spans_merges_adjacent_windows(spark):
     assert got[(1, 1)][1] == len(w("s", 1)) + len(w("s", 2))
 
 
+def test_duplicate_spans_rotated_windows_boundary(spark):
+    """Adversarial boundary case (VERDICT r04 #8): two documents share
+    only a ROTATED window sequence. (a) A = w1 w2, B = w2 w1: every
+    chunk is duplicated and adjacent, so each doc reports exactly ONE
+    maximal 2-chunk span — merging across differently-ordered copies is
+    the documented 'text that exists elsewhere' semantics, and the span
+    must not exceed the document. (b) With a unique chunk interposed
+    (A = w1 u w2, B = w2 x w1) the duplicated windows are NOT adjacent,
+    so they must stay two separate 1-chunk spans — rotation must never
+    bridge across unique text."""
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        duplicate_spans,
+    )
+
+    w = lambda tag: " ".join(f"{tag}_{i}" for i in range(10))
+    w1, w2, u, x = w("w1"), w("w2"), w("u"), w("x")
+
+    adj = spark.createDataFrame(
+        [(1, w1 + " " + w2), (2, w2 + " " + w1)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start): r.span_chunks
+        for r in duplicate_spans(adj, "text", "doc_id", chunk_words=10).collect()
+    }
+    assert got == {(1, 0): 2, (2, 0): 2}
+
+    gap = spark.createDataFrame(
+        [(1, w1 + " " + u + " " + w2), (2, w2 + " " + x + " " + w1)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start): r.span_chunks
+        for r in duplicate_spans(gap, "text", "doc_id", chunk_words=10).collect()
+    }
+    assert got == {(1, 0): 1, (1, 2): 1, (2, 0): 1, (2, 2): 1}
+
+
 def test_bpe_merges_match_reference_fold(spark):
     """The Spark BPE rounds (pair count -> argmax -> broadcast replace)
     must learn the same merges, in the same order, as a plain-Python BPE

@@ -83,6 +83,54 @@ def test_selection_percentiles_bit_match_spark_percentile(spark):
     assert got == want
 
 
+def test_plan_state_variant_matches_collect_path(spark):
+    """The bracket-state-as-DataFrame variant (driver holds one integer,
+    not G brackets — VERDICT r04 #7) must resolve medians identical to
+    the collect path on every regime the collect-path test covers: odd /
+    even n, all-equal, singleton, heavy duplicates, nulls, plus a wide
+    many-group relation (the high-cardinality regime the variant exists
+    for)."""
+    from reddit_data_pipeline_engineering_spark.operators.selection import (
+        grouped_median_selection_plan,
+    )
+
+    rng = random.Random(11)
+    groups = {
+        "a": [rng.uniform(-100, 100) for _ in range(501)],
+        "b": [rng.uniform(0, 1) for _ in range(500)],
+        "c": [3.25] * 40,
+        "d": [7.5],
+        "e": [rng.choice([1.0, 2.0, 5.0]) for _ in range(333)],
+    }
+    data = [(g, v) for g, vs in groups.items() for v in vs]
+    data += [("a", None), ("b", None)]
+    df = spark.createDataFrame(data, "g string, v double")
+    driver = {
+        tuple(r) for r in grouped_median_selection(df, "g", "v").collect()
+    }
+    plan = {
+        tuple(r)
+        for r in grouped_median_selection_plan(df, "g", "v").collect()
+    }
+    assert plan == driver
+
+    rng = random.Random(31)
+    wide = [
+        (g, rng.uniform(-1e6, 1e6))
+        for g in range(200)
+        for _ in range(rng.randint(1, 40))
+    ]
+    dfw = spark.createDataFrame(wide, "g long, v double")
+    driver = {
+        tuple(r) for r in grouped_median_selection(dfw, "g", "v").collect()
+    }
+    plan = {
+        tuple(r)
+        for r in grouped_median_selection_plan(dfw, "g", "v").collect()
+    }
+    assert plan == driver
+
+
 def test_plan_side_and_driver_side_narrowing_agree(spark, monkeypatch):
     """The hybrid cutover (PLAN_SIDE_NARROW_MIN) is a pure performance
     choice: forcing EVERY round through the plan-side cumulative-window
