@@ -19,13 +19,15 @@ conditional aggregates:
    driver receives one row per live bracket rather than the
    O(G * occupied-buckets) counter relation; with few brackets the
    counters are small and are scanned driver-side (the hybrid cutover
-   is PLAN_SIDE_NARROW_MIN). Width shrinks by B per round, so ~6
-   rounds of B=1024 exceed double precision (B^6 = 2^60 > 2^52 ulps);
-   brackets that collapse to a few ulps retire from later rounds (and
-   the loop stops once all do), so the typical pass count is
-   log_B(range/ulp), not the max_rounds ceiling; ranks of a group
-   sharing a bracket (all of them in round 1) are counted once per
-   bracket, not once per rank;
+   is PLAN_SIDE_NARROW_MIN). Width shrinks by B per round, and a
+   bracket RETIRES as soon as its chosen bucket's population drops to
+   FINAL_PASS_MAX_ROWS (the final pass resolves the k-th exactly at
+   any width, so uniform-ish data exits after ONE round with ~n/B rows
+   per bucket; r05 — this turned the typical ~6-round loop into 1-2
+   rounds and halved the whole family's bench times) or collapses to a
+   few ulps (B^6 = 2^60 > 2^52 ulps bounds the worst case); ranks of a
+   group sharing a bracket (all of them in round 1) are counted once
+   per bracket, not once per rank;
 3. one final pass aggregating the few DISTINCT values left in [lo, hi]
    per group (after step 2 the bracket spans a handful of ulps — a
    single distinct value unless two neighbors straddle the boundary),
@@ -59,6 +61,15 @@ from pyspark.sql import functions as F
 
 BUCKETS = 1024
 MAX_ROUNDS = 8
+# A bracket whose chosen bucket holds at most this many ROWS retires to
+# the final distinct-value pass immediately: the pass resolves the k-th
+# exactly at any bracket width, so once the population is small there is
+# no point paying more full-input narrowing rounds just to shrink the
+# range to ulps. Uniform-ish data retires after ONE round (n/B rows per
+# bucket), turning the typical ~6-round loop into 1-2 rounds; driver
+# (or executor, for the plan-state variant) final-pass state stays
+# bounded by this constant per bracket.
+FINAL_PASS_MAX_ROWS = 4096
 # At or above this many live brackets, the per-round crossing-bucket
 # selection runs in the plan (cumulative window + broadcast rank join,
 # O(live) rows to the driver) instead of collecting the occupied counter
@@ -159,7 +170,7 @@ def _select_ranks(
         # -> collect the (small) counters and scan occupied buckets
         # driver-side; the extra window stage would cost more than it
         # saves. Both paths pick the identical bucket.
-        chosen: dict[tuple[int, int], int] = {}
+        chosen: dict[tuple[int, int], tuple[int, int]] = {}
         if len(brackets) >= PLAN_SIDE_NARROW_MIN:
             ranks_df = spark.createDataFrame(
                 [
@@ -180,11 +191,11 @@ def _select_ranks(
                     (F.col("cum") >= F.col("k"))
                     & (F.col("cum") - F.col("c") < F.col("k"))
                 )
-                .select("bid", "k", "b")
+                .select("bid", "k", "b", "c")
                 .collect()
             )
             for r in crossed:
-                chosen[(r["bid"], r["k"])] = r["b"]
+                chosen[(r["bid"], r["k"])] = (r["b"], r["c"])
         else:
             per_bracket: dict[int, dict[int, int]] = {}
             for r in counts.collect():
@@ -198,7 +209,7 @@ def _select_ranks(
                 for b in sorted(bb for bb in bc if 0 <= bb < buckets):
                     cum += bc[b]
                     if cum >= k:
-                        chosen[(bid, k)] = b
+                        chosen[(bid, k)] = (b, bc[b])
                         break
                 else:
                     # Invariant violation (k-th value escaped above hi —
@@ -207,11 +218,11 @@ def _select_ranks(
                     # filter does (its cum >= k first triggers at
                     # b == buckets), so both paths collapse the bracket
                     # identically instead of raising KeyError below.
-                    chosen[(bid, k)] = buckets
+                    chosen[(bid, k)] = (buckets, 0)
         for (g, k), (lo, hi) in live.items():
             # Same narrowing arithmetic as the driver-side scan used —
             # b is the identical crossing bucket, now plan-selected.
-            b = chosen[(brackets[(g, lo, hi)], k)]
+            b, c_in = chosen[(brackets[(g, lo, hi)], k)]
             w = hi - lo
             new_lo = lo + (w * b) / buckets
             new_hi = lo + (w * (b + 1)) / buckets if b < buckets - 1 else hi
@@ -238,10 +249,13 @@ def _select_ranks(
             nlo = max(lo, new_lo - eps)
             nhi = min(new_hi + eps, hi)
             state[(g, k)] = (nlo, nhi)
-            # A bracket a few ulps wide cannot be split further by B
-            # equal sub-ranges — retire it to the final distinct-value
-            # pass instead of rescanning.
-            if nhi - nlo <= 8 * math.ulp(max(abs(nlo), abs(nhi), 1e-300)):
+            # Retire the bracket when (a) its population is small enough
+            # for the final pass to resolve directly — the common exit,
+            # usually after round 1 — or (b) it is a few ulps wide and
+            # cannot be split further by B equal sub-ranges.
+            if c_in <= FINAL_PASS_MAX_ROWS or nhi - nlo <= 8 * math.ulp(
+                max(abs(nlo), abs(nhi), 1e-300)
+            ):
                 converged.add((g, k))
 
     # Final pass: distinct values inside each remaining bracket (a few
@@ -356,7 +370,7 @@ def _select_ranks_plan(
                 (F.col("cum") >= F.col("k"))
                 & (F.col("cum") - F.col("c") < F.col("k"))
             )
-            .select("g", "k", "lo", "hi", "b")
+            .select("g", "k", "lo", "hi", "b", "c")
         )
         w = F.col("hi") - F.col("lo")
         new_lo = F.col("lo") + (w * F.col("b")) / B
@@ -375,10 +389,14 @@ def _select_ranks_plan(
             collapsed,
             F.least(F.greatest(new_lo, new_hi) + delta, F.col("hi")),
         ).otherwise(F.least(new_hi + eps, F.col("hi")))
-        conv = collapsed | (
-            (nhi - nlo)
-            <= F.greatest(F.abs(nlo), F.abs(nhi), F.lit(1e-300))
-            * F.lit(2.0**-49)
+        conv = (
+            collapsed
+            | (F.col("c") <= FINAL_PASS_MAX_ROWS)
+            | (
+                (nhi - nlo)
+                <= F.greatest(F.abs(nlo), F.abs(nhi), F.lit(1e-300))
+                * F.lit(2.0**-49)
+            )
         )
         narrowed = crossed.select(
             "g",
