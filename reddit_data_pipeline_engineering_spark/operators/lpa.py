@@ -18,12 +18,32 @@ aggregation — no per-node sort, the shuffle carries one partial row
 per node per map partition) — all keyed on uniform node ids; label
 state is one row per node. Labels are checkpointed per round (same
 device as components/pagerank/bfs/kcore) to keep lineage flat.
+
+Adaptive co-location (r05, from the sf10 probe): while the label
+relation fits the broadcast threshold the per-round join is a broadcast
+hash join and the edges never move — the bench-scale plan. Once labels
+outgrow it (~2M nodes at sf10) Spark silently flips to a sort-merge
+join that re-shuffles AND re-sorts the full edge list EVERY round —
+measured 16.6x time for 10x data, the probe's one super-linear point.
+At >= COLOCATE_MIN_EDGES directed edges the loop therefore pins the
+scalable shape up front: edges are hash-partitioned by ``src`` and
+sorted within partitions ONCE (cached columnar; InMemoryRelation
+preserves both outputPartitioning and outputOrdering), so every round's
+SMJ streams the cached edge run and only the label side — one row per
+node — shuffles and sorts. Same rows either way (equivalence pinned by
+the COLOCATE_MIN_EDGES=0 monkeypatch test).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# At or above this many directed edges, pre-partition + pre-sort the
+# edge list once so per-round joins never move it (the label side may
+# exceed the broadcast threshold there). Below it, broadcast joins are
+# cheaper and the co-location pass would be pure overhead.
+COLOCATE_MIN_EDGES = 10_000_000
 
 
 def label_propagation(
@@ -38,8 +58,17 @@ def label_propagation(
     ``edges`` must be symmetrized; the node universe is derived from
     edge endpoints, so every tracked node has at least one neighbor.
     """
+    colocated = False
     if checkpoint:
         edges = edges.localCheckpoint(eager=True)
+        if edges.count() >= COLOCATE_MIN_EDGES:
+            edges = (
+                edges.repartition(F.col(src))
+                .sortWithinPartitions(src)
+                .persist()
+            )
+            edges.count()
+            colocated = True
     labels = (
         edges.select(F.col(src).alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -67,4 +96,8 @@ def label_propagation(
         )
         if checkpoint:
             labels = labels.localCheckpoint(eager=True)
+    if colocated:
+        # Labels are materialized (eager checkpoint); the co-located
+        # edge cache has no further readers.
+        edges.unpersist()
     return labels

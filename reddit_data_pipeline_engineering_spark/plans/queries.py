@@ -918,9 +918,14 @@ _DRIVER_FIRST = [
     # NEW this round — append new-query names here as they are
     # registered, dropping the tail of _DRIVER_FILL to keep the gate at
     # exactly 50 (test_driver_gate_ordering enforces the arithmetic).
+    # r05 adds: Pareto skyline, batch CUSUM (closed form), sweep-line
+    # peak concurrency, and the plan-side-bracket-state median (the
+    # no-driver-state bisection variant earning its own driver row).
     "skyline_pareto",
     "event_rate_cusum",
     "peak_concurrency",
+    "grouped_median_plan_state",
+    "lsh_quality_eval_sampled",
 ]
 
 # Re-confirmation fill: oldest driver rows first. All 31 remaining
@@ -973,8 +978,6 @@ _DRIVER_FILL = [
     "repetition_stats",
     "ivf_kmeans_topk",
     "kmeans_recall_at_k",
-    "pq_topk",
-    "pq_recall_at_k",
 ]
 
 # Empty this round: every streaming query (streaming_marts_kernel,
@@ -992,6 +995,8 @@ _DRIVER_ROTATED_OUT = [
     # remaining r02 rows lead (the r06 re-confirmation queue), then r03,
     # then r04/r05.
     # -- r02 rows (re-confirm next) --
+    "pq_topk",  # displaced from the r05 fill by lsh_quality_eval_sampled
+    "pq_recall_at_k",  # displaced from the r05 fill by grouped_median_plan_state
     "decontaminate_ngrams",
     "pii_scrub_stats",
     "quality_filter_gates",

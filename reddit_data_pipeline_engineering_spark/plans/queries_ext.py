@@ -1868,6 +1868,29 @@ def q_grouped_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouped_median_plan_state",
+    _MEDIAN_ORACLE,
+    "Exact per-group median by bucket bisection with the bracket state "
+    "held IN THE PLAN (operators/selection.grouped_median_selection_plan, "
+    "r05): brackets broadcast-join back each round, crossing buckets and "
+    "the final value read-off resolve via cumulative windows, and the "
+    "driver holds one integer — identical relation and oracle as "
+    "grouped_median/grouped_median_scalable, with zero per-group driver "
+    "state (the extreme-group-cardinality path)",
+    tags=("relational", "stats", "scale", "bench"),
+)
+def q_grouped_median_plan_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.selection import (
+        grouped_median_selection_plan,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_median_selection_plan(ev, "event_type", "value").orderBy(
+        "event_type"
+    )
+
+
+@query(
     "exact_percentiles_scalable",
     _PCTL_ORACLE,
     "Exact interpolated p50/p90/p99 per group via bucket bisection "

@@ -931,7 +931,7 @@ def q_corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _build_lsh_quality_oracle() -> str:
+def _build_lsh_quality_oracle(where: str = "") -> str:
     from reddit_data_pipeline_engineering_spark.plans.queries_llm import (
         _TOKS,
         _lsh_bands_sql,
@@ -940,7 +940,7 @@ def _build_lsh_quality_oracle() -> str:
 
     return f"""
 WITH toks AS MATERIALIZED (
-  SELECT doc_id, {_TOKS} AS toks FROM documents
+  SELECT doc_id, {_TOKS} AS toks FROM documents {where}
 ),
 sh AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct({_sql_shingles('toks', 3)})) AS s
@@ -995,9 +995,9 @@ tp AS (SELECT COUNT(*) AS n FROM cand JOIN exact USING (da, db))
 SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
        CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
        CAST(tp.n AS BIGINT) AS n_true_positives,
-       CAST(tp.n * 10000 // (SELECT COUNT(*) FROM cand) AS BIGINT)
+       CAST(tp.n * 10000 // nullif((SELECT COUNT(*) FROM cand), 0) AS BIGINT)
          AS precision_bps,
-       CAST(tp.n * 10000 // (SELECT COUNT(*) FROM exact) AS BIGINT)
+       CAST(tp.n * 10000 // nullif((SELECT COUNT(*) FROM exact), 0) AS BIGINT)
          AS recall_bps
 FROM tp
 """
@@ -1013,9 +1013,39 @@ FROM tp
     tags=("llm", "dedup", "eval", "bench"),
 )
 def q_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return _lsh_quality_pipeline(docs)
+
+
+@query(
+    "lsh_quality_eval_sampled",
+    _build_lsh_quality_oracle(
+        where="WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT % 10 = 0"
+    ),
+    "LSH certification on a deterministic 10% md5-bucket document "
+    "sample — the 100 TB form of lsh_quality_eval: the exact "
+    "ground-truth join is quadratic-ish in corpus candidates (measured "
+    ">60 GB of shuffle at 100x bench scale), so production certifies "
+    "banding parameters on a sampled slice whose recall/precision "
+    "estimate the full-corpus values; identical pipeline, same metric "
+    "columns",
+    tags=("llm", "dedup", "eval", "bench"),
+)
+def q_lsh_quality_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        md5_bucket,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        md5_bucket("doc_id", 10) == 0
+    )
+    return _lsh_quality_pipeline(docs)
+
+
+def _lsh_quality_pipeline(docs: DataFrame) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.operators import text_dedup
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
     exact = setsim.setsim_join(
         docs, "text", "doc_id", shingle_len=3, t_num=1, t_den=2
     ).select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
@@ -1054,10 +1084,13 @@ def q_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_candidates",
         "n_exact",
         "n_true_positives",
-        F.expr("n_true_positives * 10000 div n_candidates")
+        # nullif: on an empty pair set (possible on small samples) the
+        # metric is undefined — NULL, not a division error (Spark ANSI
+        # div raises on zero).
+        F.expr("n_true_positives * 10000 div nullif(n_candidates, 0)")
         .cast("long")
         .alias("precision_bps"),
-        F.expr("n_true_positives * 10000 div n_exact")
+        F.expr("n_true_positives * 10000 div nullif(n_exact, 0)")
         .cast("long")
         .alias("recall_bps"),
     )

@@ -255,6 +255,48 @@ def test_lpa_and_kcore_deterministic_across_partitionings(spark):
             assert got_k == ref_k
 
 
+def test_lpa_colocated_path_equivalence(spark, monkeypatch):
+    """The co-located LPA path (edges pre-partitioned/pre-sorted by src
+    once, labels the only moving side — the sf10 fix for the broadcast->
+    SMJ flip) is only reachable at >=10M edges. Force it with a zero
+    cutover and pin identical labels to the default path, plus a green
+    oracle compare for lpa_communities routed through it."""
+    from reddit_data_pipeline_engineering_spark import oracle as ora
+    from reddit_data_pipeline_engineering_spark.operators import lpa
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+
+    from .conftest import SF_SMALL
+
+    und = [
+        (1, 2), (1, 3), (2, 3),          # clique A
+        (4, 5), (4, 6), (5, 6),          # clique B
+        (3, 4),                          # bridge
+        (6, 7),                          # pendant
+    ]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    default = {
+        (r.node, r.label)
+        for r in lpa.label_propagation(df, rounds=3).collect()
+    }
+    monkeypatch.setattr(lpa, "COLOCATE_MIN_EDGES", 0)
+    colocated = {
+        (r.node, r.label)
+        for r in lpa.label_propagation(df, rounds=3).collect()
+    }
+    assert colocated == default
+
+    queries()
+    spec = REGISTRY["lpa_communities"]
+    res = ora.compare(
+        "lpa_communities[colocated]", spark, SF_SMALL, spec.fn, spec.oracle
+    )
+    assert res.ok, res.detail
+
+
 def test_kcore_fixpoint_is_exact_core(spark):
     """Fixpoint peeling must return exactly the k-core: the 4-clique
     survives k=3 (every member keeps degree 3), everything else—

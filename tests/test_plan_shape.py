@@ -222,6 +222,8 @@ def test_driver_gate_ordering():
         "skyline_pareto",          # new r05
         "event_rate_cusum",        # new r05
         "peak_concurrency",        # new r05
+        "grouped_median_plan_state",  # new r05: plan-side bracket state
+        "lsh_quality_eval_sampled",   # new r05: sampled LSH certification
     ]
     assert _DRIVER_FIRST == must_gate
     # Every fill slot re-confirms a STALE row: no r01-only-green query

@@ -81,6 +81,10 @@ BUDGETS = {
     "forward_fill": 1,
     "funnel_conversion": 2,
     "grouped_median_approx": 3,
+    # Bisection rounds run in-plan during construction (bracket-state-
+    # as-DataFrame); the returned plan reads the checkpointed G-row
+    # result and sorts it.
+    "grouped_median_plan_state": 1,
     "grouped_median_scalable": 1,
     "hash_split_stats": 3,
     "hilbert_layout": 2,
@@ -185,6 +189,9 @@ BUDGETS = {
     # one full-outer pair alignment + one aggregate for all three
     # metrics (was 37 with the count trio replaying both subplans).
     "lsh_quality_eval": 19,
+    # Identical pipeline over the 10% md5-bucket sample (the filter is
+    # map-side; no extra movement).
+    "lsh_quality_eval_sampled": 19,
     # PPJoin with the cosine t^2 bound: prefix build + candidate join +
     # verification legs (df dim rebuilt per leg, runtime-reused).
     "setsim_cosine_join": 15,
