@@ -977,15 +977,15 @@ _DRIVER_FILL = [
     "ivf_recall_at_k",
     "repetition_stats",
     "ivf_kmeans_topk",
-    "kmeans_recall_at_k",
 ]
 
-# Empty this round: every streaming query (streaming_marts_kernel,
-# stateful_ema_stream r02; streaming_sessions, streaming_interval_join,
-# streaming_interval_join_outer, streaming_cusum_drift,
-# streaming_hll_windows r03) has a green row and unchanged semantics;
-# all stay covered by tests/test_streaming.py + local parity.
-_DRIVER_TAIL_STREAMING: list[str] = []
+# The one NEW streaming query sits last inside the gate per the
+# standing policy (wall-clock-heavy drains at the tail in case the
+# driver cap is a time budget). The seven older streaming queries all
+# have green rows with unchanged semantics and stay rotated out.
+_DRIVER_TAIL_STREAMING: list[str] = [
+    "streaming_dedup",  # new r05: dropDuplicatesWithinWatermark
+]
 
 _DRIVER_ROTATED_OUT = [
     # Everything below has a green driver row under its current
@@ -995,6 +995,7 @@ _DRIVER_ROTATED_OUT = [
     # remaining r02 rows lead (the r06 re-confirmation queue), then r03,
     # then r04/r05.
     # -- r02 rows (re-confirm next) --
+    "kmeans_recall_at_k",  # displaced from the r05 fill by streaming_dedup
     "pq_topk",  # displaced from the r05 fill by lsh_quality_eval_sampled
     "pq_recall_at_k",  # displaced from the r05 fill by grouped_median_plan_state
     "decontaminate_ngrams",

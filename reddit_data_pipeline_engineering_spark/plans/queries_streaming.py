@@ -719,3 +719,100 @@ def q_streaming_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-batch streaming dedup — dropDuplicatesWithinWatermark (§2.9).
+# The raw zone is written DOUBLED: the same one-day event slice lands as
+# two identical micro-batch files (maxFilesPerTrigger=1 -> two triggers),
+# so every event_id arrives exactly twice, once per batch. The 48-hour
+# watermark exceeds the slice's 24-hour span, so batch 1's keys are all
+# still in state when batch 2 replays them — the dedup is therefore
+# CROSS-BATCH by construction, and the oracle hash proves it: if state
+# were not carried, every per-type count would come out doubled. (This
+# is the streaming form of the batch exact_dedup/window_dedup family;
+# at 100 TB the state store holds one key per event inside the
+# watermark horizon — the retention bound IS the watermark delay.)
+# --------------------------------------------------------------------------
+
+_STREAM_DEDUP_ORACLE = """
+WITH day AS (
+  SELECT event_id, event_type, value
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) <
+        (SELECT MIN(CAST(ts AS TIMESTAMP)) FROM events) + INTERVAL 1 DAY
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_events,
+       CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valued
+FROM day GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "streaming_dedup",
+    _STREAM_DEDUP_ORACLE,
+    "Cross-batch streaming dedup via dropDuplicatesWithinWatermark: the "
+    "one-day slice is drained TWICE as two micro-batches, the 48h "
+    "watermark keeps batch-1 keys in state when batch 2 replays them, "
+    "and the sink rollup hash-matches the single-copy batch relation — "
+    "doubled counts would mean the state carry failed",
+    tags=("streaming", "stateful"),
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    ev = load_table(spark, sf_dir, "events")
+    day = _with_min_ts(ev).filter(
+        F.col("ts") < F.col("t0") + F.expr("INTERVAL 1 DAYS")
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "event_type",
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="rdpe_sdedupq_")
+    raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
+    os.makedirs(raw)
+    # Two IDENTICAL micro-batch files: every event is a cross-batch
+    # duplicate (pinned mtimes drain them in order).
+    for i in (0, 1):
+        stage = os.path.join(tmp, f"stage{i}")
+        day.coalesce(1).write.mode("overwrite").json(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.json"))
+        p = os.path.join(raw, f"b{i}.json")
+        os.rename(part, p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(raw)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = stream.withWatermark("ts", "48 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_events"),
+            F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_valued"),
+        )
+        .orderBy("event_type")
+    )
