@@ -503,6 +503,75 @@ def grouped_median_selection_plan(
     return out
 
 
+def grouped_percentiles_selection_plan(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple = (0.5, 0.9, 0.99),
+    names: tuple = ("p50", "p90", "p99"),
+    buckets: int = BUCKETS,
+    max_rounds: int = MAX_ROUNDS,
+) -> DataFrame:
+    """Plan-side-state twin of :func:`grouped_percentiles_selection`:
+    identical values (the interpolation replays the same IEEE
+    expression tree — ``lower*(crn-rn) + upper*(rn-frn)`` with
+    ``rn = p*(n-1)`` — and ``F.round(.., 6)`` IS the HALF_UP rounding
+    ``_spark_round6`` replicates), zero per-group driver state."""
+    src = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .persist()
+    )
+    prof_df = src.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    pcts = F.array(*[F.lit(float(p)) for p in percentiles])
+    rn = F.col("p") * (F.col("n") - 1)
+    tgt = prof_df.select(
+        "g", "n", "lo", "hi", F.explode(pcts).alias("p")
+    ).select(
+        "g",
+        "n",
+        "lo",
+        "hi",
+        "p",
+        rn.alias("rn"),
+        (F.floor(rn) + 1).cast("long").alias("kf"),
+        (F.ceil(rn) + 1).cast("long").alias("kc"),
+    )
+    ks = (
+        tgt.select("g", F.explode(F.array("kf", "kc")).alias("k"), "lo", "hi")
+        .distinct()
+    )
+    resolved = _select_ranks_plan(src, ks, buckets, max_rounds)
+    a = resolved.select(
+        "g", F.col("k").alias("kf"), F.col("v").alias("va")
+    )
+    b = resolved.select(
+        "g", F.col("k").alias("kc"), F.col("v").alias("vb")
+    )
+    interp = F.when(F.col("kf") == F.col("kc"), F.col("va")).otherwise(
+        F.col("va") * (F.ceil("rn") - F.col("rn"))
+        + F.col("vb") * (F.col("rn") - F.floor("rn"))
+    )
+    per_p = (
+        tgt.join(a, ["g", "kf"])
+        .join(b, ["g", "kc"])
+        .select("g", "p", F.round(interp, 6).alias("val"))
+    )
+    out = per_p.groupBy("g").agg(
+        *[
+            F.max(F.when(F.col("p") == float(p), F.col("val"))).alias(nm)
+            for p, nm in zip(percentiles, names)
+        ]
+    ).select(F.col("g").alias(group_col), *names)
+    out = out.localCheckpoint(eager=True)
+    src.unpersist()
+    return out
+
+
 def _profile(df: DataFrame, group_col: str, value_col: str) -> tuple:
     src = (
         df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))

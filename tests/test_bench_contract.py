@@ -1,0 +1,30 @@
+"""Driver-facing bench output contract (the BENCH_r04 parsed:null bug).
+
+The verification driver records the TAIL of bench.py's stdout; the last
+line must therefore stay small and self-contained at any registry size.
+"""
+
+import json
+
+from bench import emit_lines
+
+
+def test_last_line_bounded_and_parseable(tmp_path):
+    # Far larger than any plausible registry: 2000 bench queries.
+    timings = {f"query_with_a_rather_long_name_{i:04d}": 1.234 for i in range(2000)}
+    full_line, compact_line = emit_lines(timings, 0.1, str(tmp_path))
+
+    # The compact (LAST) line: < 1 KB, parseable, carries the total.
+    assert len(compact_line.encode()) < 1024
+    d = json.loads(compact_line)
+    assert d["metric"] == "bench_suite_total"
+    assert d["value"] == round(1.234 * 2000, 3)
+    assert d["n_queries"] == 2000
+    assert d["unit"] == "sec" and d["sf"] == 0.1
+
+    # The full line carries every per-query timing...
+    f = json.loads(full_line)
+    assert len(f["queries"]) == 2000 and f["value"] == d["value"]
+    # ...and the same dict is persisted for the judge.
+    on_disk = json.loads((tmp_path / "bench_full.json").read_text())
+    assert on_disk == f

@@ -131,6 +131,36 @@ def test_plan_state_variant_matches_collect_path(spark):
     assert plan == driver
 
 
+def test_plan_state_percentiles_match_collect_path(spark):
+    """grouped_percentiles_selection_plan must be value-identical to the
+    collect path (which itself bit-matches F.round(F.percentile(...),6))
+    across odd/even/all-equal/singleton/heavy-dup groups."""
+    from reddit_data_pipeline_engineering_spark.operators.selection import (
+        grouped_percentiles_selection,
+        grouped_percentiles_selection_plan,
+    )
+
+    rng = random.Random(23)
+    data = []
+    for g, n in (("a", 501), ("b", 640), ("c", 40), ("d", 1), ("e", 333)):
+        vals = (
+            [3.25] * n
+            if g == "c"
+            else [rng.uniform(-1000, 1000) for _ in range(n)]
+        )
+        data += [(g, v) for v in vals]
+    df = spark.createDataFrame(data, "g string, v double")
+    driver = {
+        tuple(r)
+        for r in grouped_percentiles_selection(df, "g", "v").collect()
+    }
+    plan = {
+        tuple(r)
+        for r in grouped_percentiles_selection_plan(df, "g", "v").collect()
+    }
+    assert plan == driver
+
+
 def test_plan_side_and_driver_side_narrowing_agree(spark, monkeypatch):
     """The hybrid cutover (PLAN_SIDE_NARROW_MIN) is a pure performance
     choice: forcing EVERY round through the plan-side cumulative-window
