@@ -1,0 +1,150 @@
+"""Brute-force property checks for the round-5 sequential operators.
+
+Oracle parity pins these queries on the synthetic tables; these tests
+pin the OPERATOR SEMANTICS on adversarial random data — a plain-Python
+replay of the definition (dominance scan, CUSUM recurrence, sweep
+count) must agree with the windowed Spark formulation.
+"""
+
+import random
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+
+def test_skyline_matches_dominance_bruteforce(spark):
+    """The running-max skyline must equal the textbook O(n^2) dominance
+    filter on random points with heavy duplicates (min price, max size;
+    dominated = other point <= price, >= size, strict somewhere)."""
+    from reddit_data_pipeline_engineering_spark.plans.queries_seq import (
+        q_skyline_pareto,
+    )
+
+    rng = random.Random(42)
+    pts = [
+        (round(rng.uniform(1, 20), 1), rng.randint(1, 15))
+        for _ in range(400)
+    ]
+
+    # Brute force at distinct-point granularity with counts.
+    from collections import Counter
+
+    counts = Counter(pts)
+    uniq = list(counts)
+    sky = {
+        (p, s)
+        for (p, s) in uniq
+        if not any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for (p2, s2) in uniq
+        )
+    }
+    expected = {(p, s, counts[(p, s)]) for (p, s) in sky}
+
+    # Route the query through a temp parquet 'part' table.
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="rdpe_sky_")
+    spark.createDataFrame(
+        [(i, f"n{i}", "b", "t", s, p) for i, (p, s) in enumerate(pts)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "part.parquet"))
+    got = {
+        (r.price, r.size, r.n_parts)
+        for r in q_skyline_pareto(spark, tmp).collect()
+    }
+    assert got == expected
+
+
+def test_cusum_closed_form_matches_recurrence(spark):
+    """The prefix-sum closed form must replay the literal one-sided
+    CUSUM recurrence s_i = max(0, s_{i-1} + (x_i - mean)) step by step
+    (integer-scaled by n_days, per event type)."""
+    from reddit_data_pipeline_engineering_spark.plans.queries_seq import (
+        q_event_rate_cusum,
+    )
+
+    rng = random.Random(7)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    series = {}
+    for et in ("a", "b"):
+        days = [rng.randint(1, 40) for _ in range(30)]
+        series[et] = days
+        for d, n in enumerate(days):
+            for _ in range(n):
+                rows.append(
+                    (eid, t0 + timedelta(days=d, hours=1), 1, et, 1.0, "{}")
+                )
+                eid += 1
+
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="rdpe_cusum_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+
+    got = {
+        (r.event_type, str(r.day)): (r.n_events, r.cusum_num, r.alarm)
+        for r in q_event_rate_cusum(spark, tmp).collect()
+    }
+
+    for et, days in series.items():
+        D, total = len(days), sum(days)
+        s = 0
+        for d, n in enumerate(days):
+            s = max(0, s + (n * D - total))  # scaled recurrence
+            day = str((t0 + timedelta(days=d)).date())
+            assert got[(et, day)] == (n, s, s > 5 * D), (et, day)
+
+
+def test_peak_concurrency_matches_sweep_bruteforce(spark):
+    """Peak + earliest peak instant must match a per-microsecond brute
+    sweep over random bursty timestamps (15-minute intervals, half-open
+    [s, e) semantics)."""
+    from reddit_data_pipeline_engineering_spark.plans.queries_seq import (
+        q_peak_concurrency,
+    )
+
+    rng = random.Random(13)
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    stamps = []
+    for i in range(300):
+        # Bursts: many events inside a few tight windows, some ties.
+        ts = t0 + timedelta(
+            minutes=rng.choice([0, 1, 2, 5, 14, 15, 16, 30, 60]),
+            seconds=rng.randint(0, 59),
+        )
+        stamps.append(ts)
+        rows.append((i, ts, 1, "x", 1.0, "{}"))
+
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="rdpe_peak_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+
+    (row,) = q_peak_concurrency(spark, tmp).collect()
+
+    # Brute force: concurrency changes only at interval endpoints.
+    delta = timedelta(minutes=15)
+    points = sorted({t for t in stamps} | {t + delta for t in stamps})
+    best, best_t = -1, None
+    for p in points:
+        c = sum(1 for t in stamps if t <= p < t + delta)
+        if c > best:
+            best, best_t = c, p
+    assert row.peak == best
+    assert row.first_peak_ts == best_t
