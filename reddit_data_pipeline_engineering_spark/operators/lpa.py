@@ -83,11 +83,22 @@ def label_propagation(
         F.struct(F.col("c"), (-F.col("label")).alias("neg_label"))
     ).alias("s")
     for _ in range(rounds):
-        counts = (
-            edges.join(labels, edges[src] == labels["node"])
-            .select(F.col(dst).alias("node"), "label")
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
+        msgs = edges.join(labels, edges[src] == labels["node"]).select(
+            F.col(dst).alias("node"), "label"
+        )
+        if colocated:
+            # One explicit transpose exchange on node: hash-partitioning
+            # by node alone satisfies the ClusteredDistribution of BOTH
+            # downstream aggregates (subset rule), so the (node, label)
+            # count AND the per-node argmax run exchange-free on top of
+            # it — one O(E) shuffle per round instead of two (the
+            # (node,label)-keyed exchange plus the counts re-exchange
+            # on node). Below the cutover the default two-aggregate
+            # shape keeps map-side partial aggregation, which wins when
+            # the relation fits in memory.
+            msgs = msgs.repartition(F.col("node"))
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
         )
         labels = (
             counts.groupBy("node")
