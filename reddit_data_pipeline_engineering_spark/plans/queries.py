@@ -926,6 +926,8 @@ _DRIVER_FIRST = [
     "peak_concurrency",
     "grouped_median_plan_state",
     "lsh_quality_eval_sampled",
+    "user_active_streaks",
+    "order_attribution",
 ]
 
 # Re-confirmation fill: oldest driver rows first. All 31 remaining
@@ -975,8 +977,6 @@ _DRIVER_FILL = [
     "multimodal_decode_profile",
     "ann_lsh_buckets",
     "ivf_recall_at_k",
-    "repetition_stats",
-    "ivf_kmeans_topk",
 ]
 
 # The one NEW streaming query sits last inside the gate per the
@@ -995,6 +995,8 @@ _DRIVER_ROTATED_OUT = [
     # remaining r02 rows lead (the r06 re-confirmation queue), then r03,
     # then r04/r05.
     # -- r02 rows (re-confirm next) --
+    "repetition_stats",  # displaced from the r05 fill by user_active_streaks
+    "ivf_kmeans_topk",  # displaced from the r05 fill by order_attribution
     "kmeans_recall_at_k",  # displaced from the r05 fill by streaming_dedup
     "pq_topk",  # displaced from the r05 fill by lsh_quality_eval_sampled
     "pq_recall_at_k",  # displaced from the r05 fill by grouped_median_plan_state

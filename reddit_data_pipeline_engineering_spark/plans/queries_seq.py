@@ -251,3 +251,132 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "peak", "first_peak_ts")
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Longest consecutive-day activity streak per user — gaps-and-islands on
+# DATES (the classic `date - dense-sequence` island key, here date_sub by
+# row_number over deduplicated active days). One distinct + one keyed
+# window + bounded per-user rollup; partition size bounded by days in
+# range, not events.
+# --------------------------------------------------------------------------
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), isl AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS grp
+  FROM days
+), runs AS (
+  SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query(
+    "user_active_streaks",
+    _STREAKS_ORACLE,
+    "Longest consecutive-day activity streak per user: gaps-and-islands "
+    "on distinct active dates (date minus row_number island key) — one "
+    "distinct, one keyed window, per-user rollup; window partitions "
+    "bounded by calendar days, not event volume",
+    tags=("relational", "window", "bench"),
+)
+def q_user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.max("len").cast("long").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Last-touch revenue attribution — each order credits the customer's
+# most recent event at-or-before the order timestamp, voided beyond a
+# 7-day window ('unattributed'). Composition of the engine's as-of join
+# (union + keyed window — one shuffle, no inequality-join blowup) with
+# a deterministic (user, ts) event dedup; oracle = DuckDB's native ASOF
+# JOIN — two independent implementations of the semantics, as with
+# asof_last_purchase. Revenue via the decimal-cast sum idiom.
+# --------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, MAX(event_type) AS event_type
+  FROM events GROUP BY user_id, ts
+), j AS (
+  SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate,
+         e.ts AS ets, e.event_type
+  FROM orders o
+  ASOF LEFT JOIN ev e
+    ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+)
+SELECT CASE WHEN ets IS NULL OR ets < o_orderdate - INTERVAL 7 DAY
+            THEN 'unattributed' ELSE event_type END AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM j GROUP BY 1 ORDER BY channel
+"""
+
+
+@query(
+    "order_attribution",
+    _ATTRIBUTION_ORACLE,
+    "Last-touch attribution: every order credits the customer's most "
+    "recent event at-or-before the order time (7-day lookback, else "
+    "'unattributed') via the union+window as-of join — one keyed "
+    "shuffle, no inequality join; decimal-exact revenue rollup",
+    tags=("relational", "asof", "bench"),
+)
+def q_order_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.asof import asof_join
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        DEC_PRICE,
+        _dsum,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id"), F.col("ts"))
+        .agg(F.max("event_type").alias("event_type"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    j = asof_join(
+        orders,
+        ev,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=("event_type",),
+        tolerance_seconds=7 * 86400,
+    )
+    channel = F.coalesce(F.col("event_type_right"), F.lit("unattributed"))
+    return (
+        j.groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), DEC_PRICE).alias("revenue"),
+        )
+        .orderBy("channel")
+    )

@@ -224,6 +224,8 @@ def test_driver_gate_ordering():
         "peak_concurrency",        # new r05
         "grouped_median_plan_state",  # new r05: plan-side bracket state
         "lsh_quality_eval_sampled",   # new r05: sampled LSH certification
+        "user_active_streaks",        # new r05: gaps-and-islands streaks
+        "order_attribution",          # new r05: as-of last-touch attribution
     ]
     assert _DRIVER_FIRST == must_gate
     # Every fill slot re-confirms a STALE row: no r01-only-green query

@@ -161,6 +161,12 @@ BUDGETS = {
     # ---- r04: every driver-gated query is now bench-tagged (VERDICT
     # r03 #6) — measured counts at sf0.001, engine session, sp=4. ----
     "topn_with_ties": 3,
+    # distinct (user, day) + user window (reused by the islands rollup)
+    # + final sort.
+    "user_active_streaks": 3,
+    # event (user, ts) dedup + the as-of union's user_id window + the
+    # channel rollup + final sort.
+    "order_attribution": 4,
     "nested_order_lines": 2,
     "mad_outliers_scalable": 2,
     "winsorized_scalable": 2,
