@@ -54,3 +54,59 @@ def bfs_levels(
         if checkpoint:
             levels = levels.localCheckpoint(eager=True)
     return levels
+
+
+def sssp_distances(
+    edges: DataFrame, source: int, rounds: int, checkpoint: bool = True
+) -> DataFrame:
+    """Weighted single-source shortest paths, ``rounds`` Bellman-Ford
+    relaxations with frontier pruning.
+
+    ``edges`` must be directed (src, dst, w) with non-negative integer
+    weights — symmetrize first for undirected semantics. Returns
+    (node, dist) where dist is the exact minimum path weight over paths
+    of at most ``rounds`` edges.
+
+    Scale shape per round: one hash join of the IMPROVED FRONTIER
+    against the edge list on ``src``, one min-merge groupBy on ``node``,
+    and one keyed join against the previous distances to detect
+    improvement. Frontier pruning is a pure optimization: if a node's
+    distance did not improve in round t-1, every candidate it would emit
+    in round t was already emitted (with the same value) in an earlier
+    round and min-merged — so the (node, dist) relation after each round
+    is IDENTICAL to textbook full relaxation, which is what the DuckDB
+    oracle replays as unrolled CTEs. With non-negative weights the
+    settled region only grows, so the frontier shrinks toward the
+    wavefront — the work per round tracks the expansion boundary, not
+    the visited set (the delta-stepping scale property).
+    """
+    spark = edges.sparkSession
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+    dist = spark.createDataFrame([(source, 0)], "node long, dist long")
+    frontier = dist
+    for t in range(1, rounds + 1):
+        cand = (
+            frontier.withColumnRenamed("node", "src")
+            .join(edges, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        merged = (
+            dist.unionAll(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint:
+            merged = merged.localCheckpoint(eager=True)
+        if t < rounds:  # the last round's frontier is never expanded
+            prev = dist.select("node", F.col("dist").alias("old"))
+            frontier = (
+                merged.join(prev, "node", "left")
+                .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+                .select("node", "dist")
+            )
+        dist = merged
+    return dist

@@ -928,6 +928,7 @@ _DRIVER_FIRST = [
     "lsh_quality_eval_sampled",
     "user_active_streaks",
     "order_attribution",
+    "sssp_weighted_hist",
 ]
 
 # Re-confirmation fill: oldest driver rows first. All 31 remaining
@@ -976,7 +977,6 @@ _DRIVER_FILL = [
     "ngram_jaccard_topk",
     "multimodal_decode_profile",
     "ann_lsh_buckets",
-    "ivf_recall_at_k",
 ]
 
 # The one NEW streaming query sits last inside the gate per the
@@ -995,6 +995,7 @@ _DRIVER_ROTATED_OUT = [
     # remaining r02 rows lead (the r06 re-confirmation queue), then r03,
     # then r04/r05.
     # -- r02 rows (re-confirm next) --
+    "ivf_recall_at_k",  # displaced from the r05 fill by sssp_weighted_hist
     "repetition_stats",  # displaced from the r05 fill by user_active_streaks
     "ivf_kmeans_topk",  # displaced from the r05 fill by order_attribution
     "kmeans_recall_at_k",  # displaced from the r05 fill by streaming_dedup

@@ -442,3 +442,94 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_members").desc(), "community")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted SSSP (operators/bfs.sssp_distances) on the customer-supplier
+# graph: edge weight = min shipped quantity over the pair's lineitems
+# (integer 1..50 — the "lightest shipment link"), 4 Bellman-Ford rounds
+# with frontier pruning. The Spark side relaxes only IMPROVED nodes per
+# round; the oracle replays textbook full relaxation — identical
+# (node, dist) after every round, because an unimproved node re-emits
+# candidates already min-merged in an earlier round (equivalence also
+# pinned by the brute-force property test in test_graph.py). Output is
+# the per-distance node histogram: bounded by the VALUE DOMAIN
+# (dist <= rounds * 50), not the graph size.
+# --------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 4
+_SSSP_SOURCE = 0  # customer node custkey=0 -> tagged id 0
+
+
+def _sssp_ctes(rounds: int = _SSSP_ROUNDS) -> str:
+    parts = [
+        """wpairs AS MATERIALIZED (
+  SELECT o_custkey AS c, l_suppkey AS s,
+         MIN(CAST(l_quantity AS BIGINT)) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+)""",
+        """wedges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst, w FROM wpairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst, w FROM wpairs
+)""",
+        f"""d0 AS (
+  SELECT CAST({_SSSP_SOURCE} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""d{t} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{t - 1}
+    UNION ALL
+    SELECT e.dst AS node, f.dist + e.w AS dist
+    FROM d{t - 1} f JOIN wedges e ON e.src = f.node
+  ) GROUP BY node
+)""")
+    return ",\n".join(parts)
+
+
+_SSSP_ORACLE = f"""
+WITH {_sssp_ctes()}
+SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM d{_SSSP_ROUNDS}
+GROUP BY dist ORDER BY dist
+"""
+
+
+@query(
+    "sssp_weighted_hist",
+    _SSSP_ORACLE,
+    "Weighted SSSP (4 Bellman-Ford rounds, frontier-pruned) from "
+    "customer 0 over the customer-supplier graph with min-quantity edge "
+    "weights: improved-frontier join + min-merge per round "
+    "(operators/bfs.sssp_distances), per-distance node histogram "
+    "bounded by the weight domain; oracle replays full relaxation as "
+    "unrolled CTEs",
+    tags=("relational", "graph", "iterative", "bench"),
+)
+def q_sssp_weighted_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    wpairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    up = wpairs.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        "w",
+    )
+    down = wpairs.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+        "w",
+    )
+    dist = bfs.sssp_distances(up.union(down), _SSSP_SOURCE, _SSSP_ROUNDS)
+    return (
+        dist.groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("dist")
+    )

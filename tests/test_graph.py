@@ -319,3 +319,44 @@ def test_kcore_fixpoint_is_exact_core(spark):
     from pyspark.sql import functions as SF
     degs = [r["cnt"] for r in surv.groupBy("src").agg(SF.count(SF.lit(1)).alias("cnt")).collect()]
     assert all(d >= 3 for d in degs)
+
+
+def test_sssp_distances_match_brute_force(spark):
+    """Frontier-pruned Bellman-Ford must equal textbook full relaxation
+    round-for-round — compared against a Python replay on a graph where
+    the cheap path uses MORE hops than the direct edge (so a pure BFS
+    would get it wrong), plus an unreachable component. Also pins the
+    bounded-round semantics: the cheap long path to node 4 needs 3 edges,
+    so a 2-round probe must report the expensive direct value instead."""
+    from reddit_data_pipeline_engineering_spark.operators import bfs
+
+    # 1 -> 4 direct costs 100; 1 -> 2 -> 3 -> 4 costs 3.
+    edges = [
+        (1, 4, 100),
+        (1, 2, 1),
+        (2, 3, 1),
+        (3, 4, 1),
+        (4, 5, 10),
+        (7, 8, 1),  # unreachable from 1
+    ]
+    sym = edges + [(b, a, w) for a, b, w in edges]
+    df = spark.createDataFrame(sym, "src long, dst long, w long")
+
+    def brute(rounds):
+        dist = {1: 0}
+        for _ in range(rounds):
+            nxt = dict(dist)
+            for a, b, w in sym:
+                if a in dist and dist[a] + w < nxt.get(b, float("inf")):
+                    nxt[b] = dist[a] + w
+            dist = nxt
+        return dist
+
+    for rounds in (1, 2, 3, 4):
+        got = {
+            r.node: r.dist
+            for r in bfs.sssp_distances(df, 1, rounds).collect()
+        }
+        assert got == brute(rounds), f"rounds={rounds}"
+    assert bfs.sssp_distances(df, 1, 2).filter("node = 4").head().dist == 100
+    assert bfs.sssp_distances(df, 1, 3).filter("node = 4").head().dist == 3

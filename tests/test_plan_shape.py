@@ -226,6 +226,7 @@ def test_driver_gate_ordering():
         "lsh_quality_eval_sampled",   # new r05: sampled LSH certification
         "user_active_streaks",        # new r05: gaps-and-islands streaks
         "order_attribution",          # new r05: as-of last-touch attribution
+        "sssp_weighted_hist",         # new r05: weighted Bellman-Ford SSSP
     ]
     assert _DRIVER_FIRST == must_gate
     # Every fill slot re-confirms a STALE row: no r01-only-green query

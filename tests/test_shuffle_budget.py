@@ -167,6 +167,10 @@ BUDGETS = {
     # event (user, ts) dedup + the as-of union's user_id window + the
     # channel rollup + final sort.
     "order_attribution": 4,
+    # Returned plan is the post-checkpoint distance histogram (per-round
+    # frontier-join + min-merge shuffles happen during construction,
+    # like bfs_reachability/pagerank).
+    "sssp_weighted_hist": 2,
     "nested_order_lines": 2,
     "mad_outliers_scalable": 2,
     "winsorized_scalable": 2,
