@@ -929,6 +929,7 @@ _DRIVER_FIRST = [
     "user_active_streaks",
     "order_attribution",
     "sssp_weighted_hist",
+    "random_walk_corpus",
 ]
 
 # Re-confirmation fill: oldest driver rows first. All 31 remaining
@@ -976,7 +977,6 @@ _DRIVER_FILL = [
     "countmin_heavy_hitters",
     "ngram_jaccard_topk",
     "multimodal_decode_profile",
-    "ann_lsh_buckets",
 ]
 
 # The one NEW streaming query sits last inside the gate per the
@@ -995,6 +995,7 @@ _DRIVER_ROTATED_OUT = [
     # remaining r02 rows lead (the r06 re-confirmation queue), then r03,
     # then r04/r05.
     # -- r02 rows (re-confirm next) --
+    "ann_lsh_buckets",  # displaced from the r05 fill by random_walk_corpus
     "ivf_recall_at_k",  # displaced from the r05 fill by sssp_weighted_hist
     "repetition_stats",  # displaced from the r05 fill by user_active_streaks
     "ivf_kmeans_topk",  # displaced from the r05 fill by order_attribution

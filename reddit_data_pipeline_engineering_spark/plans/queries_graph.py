@@ -533,3 +533,101 @@ def q_sssp_weighted_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy("dist")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic random-walk corpus (operators/walks.py) on the
+# customer-supplier graph: one walker per customer node with custkey <
+# 40 that trades at all, 3 hops, neighbor choice = md5("u|v|t") argmin
+# (uniform, step-dependent, engine-independent). This is the
+# DeepWalk/node2vec walk-corpus generator; the oracle replays every
+# step with a row_number-over-md5 window. Output: one bounded row per
+# walker (end node + full path string).
+# --------------------------------------------------------------------------
+
+_WALK_STEPS = 3
+_WALK_MAX_NODE = 80  # customer tag ids are even; custkey < 40 -> node < 80
+
+
+def _walk_ctes(steps: int = _WALK_STEPS) -> str:
+    parts = [
+        """wkpairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)""",
+        """wkedges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM wkpairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM wkpairs
+)""",
+        f"""w0 AS (
+  SELECT src AS walker, src AS node, CAST(src AS VARCHAR) AS path
+  FROM (SELECT DISTINCT src FROM wkedges
+        WHERE src % 2 = 0 AND src < {_WALK_MAX_NODE})
+)""",
+    ]
+    for t in range(1, steps + 1):
+        parts.append(f"""w{t} AS MATERIALIZED (
+  SELECT walker, node, path FROM (
+    SELECT w.walker, e.dst AS node,
+           w.path || '->' || CAST(e.dst AS VARCHAR) AS path,
+           row_number() OVER (
+             PARTITION BY w.walker
+             ORDER BY md5(CAST(e.src AS VARCHAR) || '|' ||
+                          CAST(e.dst AS VARCHAR) || '|' || '{t}'),
+                      e.dst) AS rn
+    FROM w{t - 1} w JOIN wkedges e ON e.src = w.node
+  ) WHERE rn = 1
+)""")
+    return ",\n".join(parts)
+
+
+_WALK_ORACLE = f"""
+WITH {_walk_ctes()}
+SELECT walker, node AS end_node, path
+FROM w{_WALK_STEPS}
+ORDER BY walker
+"""
+
+
+@query(
+    "random_walk_corpus",
+    _WALK_ORACLE,
+    "DeepWalk-style walk corpus: 3 deterministic md5-argmin hops per "
+    "walker (one per low-id customer node) over the customer-supplier "
+    "graph — per round one frontier-edge join + per-walker struct-min "
+    "argmin (operators/walks.py, no windows); cost per round is "
+    "walkers x degree, graph-size independent; oracle replays each "
+    "step via row_number over the same md5",
+    tags=("relational", "graph", "iterative", "bench"),
+)
+def q_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import walks as wk
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    up = pairs.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    down = pairs.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+    )
+    edges = up.union(down)
+    anchors = (
+        edges.filter(
+            (F.col("src") % 2 == 0) & (F.col("src") < _WALK_MAX_NODE)
+        )
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    out = wk.random_walks(edges, anchors, _WALK_STEPS)
+    return out.select(
+        "walker", F.col("node").alias("end_node"), "path"
+    ).orderBy("walker")

@@ -360,3 +360,44 @@ def test_sssp_distances_match_brute_force(spark):
         assert got == brute(rounds), f"rounds={rounds}"
     assert bfs.sssp_distances(df, 1, 2).filter("node = 4").head().dist == 100
     assert bfs.sssp_distances(df, 1, 3).filter("node = 4").head().dist == 3
+
+
+def test_random_walks_match_brute_force(spark):
+    """The md5-argmin hop choice must be replayable in plain Python
+    (hashlib md5 over the same 'u|v|t' strings) — pins engine
+    independence of the 'randomness' plus dead-end dropout and the
+    path-string format."""
+    import hashlib
+
+    from reddit_data_pipeline_engineering_spark.operators import walks as wk
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 5)]  # 5 is a dead end
+    df = spark.createDataFrame(edges, "src long, dst long")
+    anchors = spark.createDataFrame([(1,), (4,)], "node long")
+    steps = 3
+    got = {
+        r.walker: (r.node, r.path)
+        for r in wk.random_walks(df, anchors, steps).collect()
+    }
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+
+    def h(u, v, t):
+        return hashlib.md5(f"{u}|{v}|{t}".encode()).hexdigest()
+
+    expected = {}
+    for start in (1, 4):
+        node, path, alive = start, str(start), True
+        for t in range(1, steps + 1):
+            nbrs = adj.get(node)
+            if not nbrs:
+                alive = False  # walker drops out, like the inner join
+                break
+            node = min(nbrs, key=lambda v: (h(node, v, t), v))
+            path += f"->{node}"
+        if alive:
+            expected[start] = (node, path)
+    assert got == expected
+    assert 4 not in got  # died at the dead end before completing 3 hops

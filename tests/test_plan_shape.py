@@ -227,6 +227,7 @@ def test_driver_gate_ordering():
         "user_active_streaks",        # new r05: gaps-and-islands streaks
         "order_attribution",          # new r05: as-of last-touch attribution
         "sssp_weighted_hist",         # new r05: weighted Bellman-Ford SSSP
+        "random_walk_corpus",         # new r05: md5-argmin walk sampling
     ]
     assert _DRIVER_FIRST == must_gate
     # Every fill slot re-confirms a STALE row: no r01-only-green query

@@ -171,6 +171,9 @@ BUDGETS = {
     # frontier-join + min-merge shuffles happen during construction,
     # like bfs_reachability/pagerank).
     "sssp_weighted_hist": 2,
+    # Post-checkpoint walker relation + final sort; per-step
+    # frontier-edge join + argmin aggregates run during construction.
+    "random_walk_corpus": 1,
     "nested_order_lines": 2,
     "mad_outliers_scalable": 2,
     "winsorized_scalable": 2,
