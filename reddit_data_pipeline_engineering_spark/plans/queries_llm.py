@@ -309,6 +309,25 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.duplicate_clusters(pairs)
 
 
+@query(
+    "dup_clusters_star",
+    _DUP_CLUSTERS_ORACLE,
+    "Duplicate-cluster election via the large-star/small-star "
+    "contraction (Kiveris et al. SoCC'14) — O(log n) rounds regardless "
+    "of diameter, the >10^9-edge / long-chain scale path behind the "
+    "min-label default; SAME pairs, SAME oracle, SAME result as "
+    "dup_clusters.",
+    tags=("llm", "dedup", "iterative"),
+)
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = text_dedup.minhash_signature(
+        docs, "text", "doc_id", num_hashes=8, shingle_len=2
+    )
+    pairs = text_dedup.minhash_lsh_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    return components.duplicate_clusters(pairs, algorithm="star")
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
