@@ -304,3 +304,71 @@ def read_rollup(spark: SparkSession, agg_path: str):
         "avg_value",
         F.col("sum_value").cast("double") / F.col("n_values"),
     )
+
+
+def incremental_join_view(
+    spark: SparkSession,
+    view_path: str,
+    delta_left,
+    delta_right,
+    on: Sequence[str] | str,
+) -> int:
+    """Incremental maintenance of a materialized JOIN view over two
+    append-only inputs (the delta rule: with accumulated bases A, B and
+    new batches dA, dB, the view grows by exactly
+    ``dA join (B union dB)  UNION  A join dB`` — every new pair contains
+    at least one delta row, counted once).
+
+    Layout under ``view_path``: ``base_left/`` and ``base_right/``
+    accumulate the raw inputs (append-only), ``view/`` accumulates the
+    join rows. The invariant — ``view/`` equals the full join of the
+    accumulated bases — holds after every increment, so any split of the
+    inputs into batches converges to the identical view (the batch-split
+    convergence test in test_pipeline.py).
+
+    At 100 TB: each increment joins the DELTAS against the bases, never
+    base-against-base, and each base side is first semi-join-pruned to
+    the join keys present in the opposite delta — a broadcast of the
+    (small) delta key set turns the base scan into a pushdown-filtered
+    read instead of a full shuffle. All three writes are pure appends:
+    no partition is ever rewritten. Deltas are assumed delivered
+    exactly-once (pair with write_stream_upsert / merge_upsert keyed
+    sinks when replays are possible — an append-only view cannot dedupe
+    a replayed batch by construction).
+
+    Returns the number of view rows appended.
+    """
+    import os
+
+    keys = [on] if isinstance(on, str) else list(on)
+    left_path = os.path.join(view_path, "base_left")
+    right_path = os.path.join(view_path, "base_right")
+    out_path = os.path.join(view_path, "view")
+
+    if os.path.isdir(left_path):
+        base_left = spark.read.parquet(left_path)
+        base_right = spark.read.parquet(right_path)
+        # Prune each base to keys the opposite delta actually touches.
+        right_keys = delta_left.select(*keys).distinct()
+        left_keys = delta_right.select(*keys).distinct()
+        b_pruned = base_right.join(F.broadcast(right_keys), keys, "left_semi")
+        a_pruned = base_left.join(F.broadcast(left_keys), keys, "left_semi")
+        new_rows = (
+            delta_left.join(b_pruned.unionByName(delta_right), keys)
+            .unionByName(a_pruned.join(delta_right, keys))
+        )
+    else:
+        new_rows = delta_left.join(delta_right, keys)
+    new_rows = new_rows.localCheckpoint(eager=True)  # pin before appends
+    n = new_rows.count()
+    delta_left.write.mode("append").parquet(left_path)
+    delta_right.write.mode("append").parquet(right_path)
+    new_rows.write.mode("append").parquet(out_path)
+    return n
+
+
+def read_join_view(spark: SparkSession, view_path: str):
+    """Read the maintained join view."""
+    import os
+
+    return spark.read.parquet(os.path.join(view_path, "view"))

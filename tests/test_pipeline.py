@@ -325,3 +325,52 @@ def test_incremental_rollup_converges_to_batch(spark, tmp_path):
         map(tuple, read_rollup(spark, batch_path).select(*cols).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_incremental_join_view_converges_to_batch(spark, tmp_path):
+    """The delta rule (dA join (B union dB)  UNION  A join dB) must make
+    the accumulated view equal the full join of the accumulated bases
+    for ANY batch split — including batches where only one side has new
+    rows — with every write a pure append."""
+    from reddit_data_pipeline_engineering_spark.maintenance import (
+        incremental_join_view,
+        read_join_view,
+    )
+    from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+    from .conftest import SF_SMALL
+
+    cust = (
+        load_table(spark, SF_SMALL, "customer")
+        .select(F.col("c_custkey").alias("k"), "c_name")
+    )
+    orders = (
+        load_table(spark, SF_SMALL, "orders")
+        .select(F.col("o_custkey").alias("k"), "o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 7 == 0)  # keep the test small
+    )
+
+    inc = str(tmp_path / "inc")
+    # Batch 1: first half of customers, no orders yet.
+    empty_orders = orders.limit(0)
+    n1 = incremental_join_view(
+        spark, inc, cust.filter("k % 2 = 0"), empty_orders, on="k"
+    )
+    assert n1 == 0  # no right rows -> no pairs yet
+    # Batch 2: all orders arrive, plus the remaining customers.
+    n2 = incremental_join_view(
+        spark, inc, cust.filter("k % 2 = 1"), orders, on="k"
+    )
+    # Batch 3: right-only delta (an order replay stream would be wrong —
+    # this is a NEW disjoint slice, here: none) — exercise the
+    # one-sided path with an empty left delta.
+    n3 = incremental_join_view(spark, inc, cust.limit(0), empty_orders, on="k")
+    assert n3 == 0
+
+    want = sorted(map(tuple, cust.join(orders, "k").collect()))
+    got_df = read_join_view(spark, inc)
+    got = sorted(
+        map(tuple, got_df.select(*cust.join(orders, "k").columns).collect())
+    )
+    assert got == want
+    assert n1 + n2 + n3 == len(want)
