@@ -931,6 +931,7 @@ _DRIVER_FIRST = [
     "sssp_weighted_hist",
     "random_walk_corpus",
     "dup_clusters_star",
+    "seasonal_dow_anomalies",
 ]
 
 # Re-confirmation fill: oldest driver rows first. All 31 remaining
@@ -976,7 +977,6 @@ _DRIVER_FILL = [
     "snapshot_diff_counts",
     "dq_expectations",
     "countmin_heavy_hitters",
-    "ngram_jaccard_topk",
 ]
 
 # The one NEW streaming query sits last inside the gate per the
@@ -995,6 +995,7 @@ _DRIVER_ROTATED_OUT = [
     # remaining r02 rows lead (the r06 re-confirmation queue), then r03,
     # then r04/r05.
     # -- r02 rows (re-confirm next) --
+    "ngram_jaccard_topk",  # displaced from the r05 fill by seasonal_dow_anomalies
     "multimodal_decode_profile",  # displaced from the r05 fill by dup_clusters_star
     "ann_lsh_buckets",  # displaced from the r05 fill by random_walk_corpus
     "ivf_recall_at_k",  # displaced from the r05 fill by sssp_weighted_hist

@@ -380,3 +380,82 @@ def q_order_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal (day-of-week) anomaly detection on daily event rates. Each
+# day's count is scored against its OWN weekday's distribution — the
+# seasonal complement of event_rate_cusum's trend drift. The z² > 4
+# test is integer-exact without any division or sqrt:
+#   z² > 4  <=>  (n·m − S)² > 4·(m·Σn² − S²)
+# with m = days in the (type, weekday) stratum, S = Σ counts,
+# Σn² = Σ counts² (the decimal-moment trick, all in BIGINT range).
+# Weekday = epoch-day mod 7 — Spark's dayofweek() is 1-based Sunday,
+# DuckDB's 0-based, so neither is used.
+# --------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), strat AS (
+  SELECT *,
+         CAST(day - DATE '1970-01-01' AS INTEGER) % 7 AS dow,
+         COUNT(*) OVER w AS m,
+         SUM(n) OVER w AS s,
+         SUM(n * n) OVER w AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type,
+               CAST(day - DATE '1970-01-01' AS INTEGER) % 7)
+)
+SELECT event_type, day, n AS n_events,
+       CAST(n * m - s AS BIGINT) AS dev_num,
+       (n * m - s) * (n * m - s) > 4 * (m * ss - s * s) AS is_anomaly
+FROM strat ORDER BY event_type, day
+"""
+
+
+def seasonal_dow_scores(daily: DataFrame) -> DataFrame:
+    """Score a (event_type, day, n) daily-count relation against its
+    weekday strata. Extracted so the anomaly branch is unit-testable on
+    a synthetic spike (the test tables are near-uniform, so the 2-sigma
+    flag is legitimately all-False there — max measured z^2 is 3.4)."""
+    dow = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7
+    w = Window.partitionBy("event_type", dow)
+    # One projection over one window spec: chained withColumn would give
+    # each aggregate its own generated partition alias and Catalyst
+    # would plan THREE stacked Window exchanges for the same layout.
+    strat = daily.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("m"),
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+    )
+    dev = F.col("n") * F.col("m") - F.col("s")
+    return strat.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_events"),
+        dev.cast("long").alias("dev_num"),
+        (dev * dev > 4 * (F.col("m") * F.col("ss") - F.col("s") * F.col("s"))).alias(
+            "is_anomaly"
+        ),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "seasonal_dow_anomalies",
+    _SEASONAL_ORACLE,
+    "Day-of-week seasonal anomaly flags on daily event rates: each day "
+    "scored against its own weekday stratum via the division-free "
+    "z-square test (n*m - S)^2 > 4*(m*SS - S^2) — one daily aggregate "
+    "+ one stratum window, integer-exact; the seasonal complement of "
+    "event_rate_cusum",
+    tags=("relational", "window", "stats", "bench"),
+)
+def q_seasonal_dow_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return seasonal_dow_scores(daily)

@@ -229,6 +229,7 @@ def test_driver_gate_ordering():
         "sssp_weighted_hist",         # new r05: weighted Bellman-Ford SSSP
         "random_walk_corpus",         # new r05: md5-argmin walk sampling
         "dup_clusters_star",          # new r05: star-contraction CC path
+        "seasonal_dow_anomalies",     # new r05: DOW seasonal z-square flags
     ]
     assert _DRIVER_FIRST == must_gate
     # Every fill slot re-confirms a STALE row: no r01-only-green query

@@ -148,3 +148,40 @@ def test_peak_concurrency_matches_sweep_bruteforce(spark):
             best, best_t = c, p
     assert row.peak == best
     assert row.first_peak_ts == best_t
+
+
+def test_seasonal_dow_spike_trips_the_flag(spark):
+    """The z-square inequality must fire on (and only on) a genuine
+    same-weekday outlier: 4 calm weeks plus one spiked Monday. Also pins
+    the direction of dev_num and that OTHER weekdays' strata are
+    untouched by the spike."""
+    import datetime
+
+    from reddit_data_pipeline_engineering_spark.plans.queries_seq import (
+        seasonal_dow_scores,
+    )
+
+    base = datetime.date(2024, 1, 1)  # a Monday
+    rows = []
+    # A single spike in an otherwise-constant stratum has z^2 = m - 1
+    # exactly (the one-outlier maximum), so m = 5 weeks sits ON the
+    # z^2 > 4 boundary and must NOT flag — 7 weeks (z^2 = 6) must.
+    for week in range(7):
+        for d in range(7):
+            day = base + datetime.timedelta(days=week * 7 + d)
+            n = 100
+            if week == 2 and d == 0:  # one wild Monday
+                n = 500
+            rows.append(("click", day, n))
+    daily = spark.createDataFrame(rows, "event_type string, day date, n long")
+    out = {r.day: r for r in seasonal_dow_scores(daily).collect()}
+    spike = base + datetime.timedelta(days=14)
+    assert out[spike].is_anomaly and out[spike].dev_num > 0
+    flagged = [d for d, r in out.items() if r.is_anomaly]
+    # The other four Mondays sit below the spiked stratum's mean -> all
+    # four trip TOO iff their z^2 > 4; with one 5x outlier the four calm
+    # Mondays are only ~0.5 sigma off, so the spike is the single flag.
+    assert flagged == [spike]
+    # Non-Monday strata are constant: zero deviation everywhere.
+    tuesday = base + datetime.timedelta(days=1)
+    assert out[tuesday].dev_num == 0 and not out[tuesday].is_anomaly

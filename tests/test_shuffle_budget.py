@@ -174,6 +174,10 @@ BUDGETS = {
     # Post-checkpoint walker relation + final sort; per-step
     # frontier-edge join + argmin aggregates run during construction.
     "random_walk_corpus": 1,
+    # daily aggregate + ONE fused stratum window + final range sort
+    # (three window aggs share one spec — see the query's projection
+    # comment; chained withColumn would cost 5).
+    "seasonal_dow_anomalies": 3,
     "nested_order_lines": 2,
     "mad_outliers_scalable": 2,
     "winsorized_scalable": 2,
