@@ -67,19 +67,17 @@ def kcore_peel(
     """
     spark = edges.sparkSession
     if checkpoint:
-        # Decide the storage path BEFORE materializing a checkpoint:
-        # persist + count once, then either enter the bounded loop on
-        # the already-persisted base generation or swap to the lazy
-        # path's localCheckpoint. Checkpointing first and THEN
-        # persisting inside the bounded loop would double-retain the
-        # largest generation at exactly the >=10M-edge scale the
-        # GC-stall fix targets (ADVICE r04).
+        # Decide the storage path BEFORE materializing anything twice:
+        # persist + count once, then either path runs on the
+        # already-persisted base generation. (An earlier version swapped
+        # the lazy path onto a localCheckpoint here — that paid a full
+        # block COPY of the largest generation for nothing: the
+        # persisted form has identical lifetime semantics, round 1 is
+        # its only consumer either way, and persist keeps lineage so an
+        # evicted block recomputes instead of failing.)
         edges = edges.persist()
         if edges.count() >= BOUNDED_STORAGE_MIN_EDGES:
             return _kcore_peel_bounded(spark, edges, k, rounds, src, dst)
-        ckpt = edges.localCheckpoint(eager=True)
-        edges.unpersist()
-        edges = ckpt
     stats: list[DataFrame] = []
     for r in range(1, rounds + 1):
         alive = (

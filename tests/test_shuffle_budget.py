@@ -101,11 +101,15 @@ BUDGETS = {
     "ivf_probe_topk": 0,
     "ivfpq_topk": 0,
     # Lazy path at test scale (< BOUNDED_STORAGE_MIN_EDGES): per-round
-    # peel shuffles against the checkpointed edge list + the stats
-    # branch re-deriving each round's alive set. Above the threshold
-    # the peel switches to bounded storage and the returned plan is the
-    # collected stats (budget would be 1) — see operators/kcore.py.
-    "kcore_peel_counts": 9,
+    # peel shuffles against the persisted edge list + the stats branch
+    # re-deriving each round's alive set. r05 raised 9 -> 13: the base
+    # generation is now PERSISTED instead of localCheckpointed (the
+    # checkpoint block copy was a measured 1.5-2 s regression at sf0.1),
+    # so its 4 upstream pair-build exchanges stay textually in the plan
+    # but are served by InMemoryTableScan at runtime, never re-executed.
+    # Above the threshold the peel switches to bounded storage and the
+    # returned plan is the collected stats (budget would be 1).
+    "kcore_peel_counts": 13,
     "large_volume_customers": 2,
     # Per-round LPA shuffles run during construction against
     # checkpointed label state; the returned plan is the final
