@@ -30,11 +30,14 @@ def bfs_levels(
     """
     spark = edges.sparkSession
     if checkpoint:
-        # Materialize the edge relation ONCE — every round scans it, and
+        # Cache the edge relation ONCE — every round scans it, and
         # without this the upstream plan (e.g. a fact-table join) would
-        # recompute per round. The visited set is checkpointed per round
-        # for the same reason plus lineage truncation.
-        edges = edges.localCheckpoint(eager=True)
+        # recompute per round. persist (not localCheckpoint): the cache
+        # fills during the first round's join — no separate
+        # materialization pass, no checkpoint block copy — and lineage
+        # survives eviction. The visited set IS checkpointed per round:
+        # that's where lineage truncation matters.
+        edges = edges.persist()
     levels = spark.createDataFrame(
         [(source, 0)], "node long, dist int"
     )
@@ -82,7 +85,7 @@ def sssp_distances(
     """
     spark = edges.sparkSession
     if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
+        edges = edges.persist()  # see bfs_levels: cache, don't copy
     dist = spark.createDataFrame([(source, 0)], "node long, dist long")
     frontier = dist
     for t in range(1, rounds + 1):

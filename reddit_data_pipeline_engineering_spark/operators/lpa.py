@@ -60,14 +60,23 @@ def label_propagation(
     """
     colocated = False
     if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
+        # Persist (not localCheckpoint) the base: identical cache
+        # semantics for the per-round joins without paying a block COPY
+        # of the edge list (the same regression kcore_peel had, fixed
+        # r05), and lineage survives eviction. On the co-located path
+        # the base cache is dropped once the repartitioned+sorted cache
+        # is materialized, so the largest relation is never retained
+        # twice (the kcore ADVICE r04 issue, applied here too).
+        edges = edges.persist()
         if edges.count() >= COLOCATE_MIN_EDGES:
+            base = edges
             edges = (
                 edges.repartition(F.col(src))
                 .sortWithinPartitions(src)
                 .persist()
             )
             edges.count()
+            base.unpersist()
             colocated = True
     labels = (
         edges.select(F.col(src).alias("node")).distinct()

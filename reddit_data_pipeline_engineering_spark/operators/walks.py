@@ -39,7 +39,7 @@ def random_walks(
     ``path`` is the '->'-joined node sequence, bounded by ``steps``.
     """
     if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
+        edges = edges.persist()  # cache, don't copy (see bfs.bfs_levels)
     walks = anchors.select(
         F.col("node").alias("walker"),
         F.col("node"),
