@@ -641,3 +641,35 @@ def test_containment_join_exact_vs_brute_force(spark, docs):
             if inter * 10 >= 7 * len(sets[i]):
                 expected[(i, j)] = (inter, len(sets[i]))
     assert got == expected
+
+
+wedges_st = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15), st.integers(1, 9)),
+    min_size=1,
+    max_size=30,
+).filter(lambda es: any(a != b for a, b, _ in es))
+
+
+@given(edges=wedges_st, rounds=st.integers(1, 4))
+@SLOW
+def test_sssp_bounded_relaxation_property(spark, edges, rounds):
+    """Frontier-pruned Bellman-Ford == textbook full relaxation after
+    every round, on arbitrary weighted digraphs (parallel edges and
+    self-loops included; source fixed at the smallest endpoint)."""
+    from reddit_data_pipeline_engineering_spark.operators import bfs
+
+    source = min(min(a, b) for a, b, _ in edges)
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r.node: r.dist
+        for r in bfs.sssp_distances(df, source, rounds).collect()
+    }
+
+    dist = {source: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for a, b, w in edges:
+            if a in dist and dist[a] + w < nxt.get(b, float("inf")):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    assert got == dist
