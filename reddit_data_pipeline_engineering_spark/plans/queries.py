@@ -876,6 +876,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch2  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_graph  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_retrieval  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_warehouse  # noqa: F401
 
 
@@ -932,6 +933,12 @@ _DRIVER_FIRST = [
     "random_walk_corpus",
     "dup_clusters_star",
     "seasonal_dow_anomalies",
+    # Late-r05 additions (retrieval-quality family + link prediction) —
+    # each displaces one r02 re-confirmation slot from the fill tail:
+    "bm25_topk",
+    "rrf_fusion_topk",
+    "bigram_lm_familiarity",
+    "ra_linkpred_topk",
 ]
 
 # Re-confirmation fill: oldest driver rows first. All 31 remaining
@@ -972,11 +979,6 @@ _DRIVER_FILL = [
     "cosine_topk",
     "ivf_probe_topk",
     "semantic_dedup_survivors",
-    # -- oldest r02 rows (stale-queue order) --
-    "forward_fill",
-    "snapshot_diff_counts",
-    "dq_expectations",
-    "countmin_heavy_hitters",
 ]
 
 # The one NEW streaming query sits last inside the gate per the
@@ -995,6 +997,10 @@ _DRIVER_ROTATED_OUT = [
     # remaining r02 rows lead (the r06 re-confirmation queue), then r03,
     # then r04/r05.
     # -- r02 rows (re-confirm next) --
+    "forward_fill",  # displaced from the r05 fill by bm25_topk
+    "snapshot_diff_counts",  # displaced from the r05 fill by rrf_fusion_topk
+    "dq_expectations",  # displaced from the r05 fill by bigram_lm_familiarity
+    "countmin_heavy_hitters",  # displaced from the r05 fill by ra_linkpred_topk
     "ngram_jaccard_topk",  # displaced from the r05 fill by seasonal_dow_anomalies
     "multimodal_decode_profile",  # displaced from the r05 fill by dup_clusters_star
     "ann_lsh_buckets",  # displaced from the r05 fill by random_walk_corpus

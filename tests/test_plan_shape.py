@@ -230,6 +230,10 @@ def test_driver_gate_ordering():
         "random_walk_corpus",         # new r05: md5-argmin walk sampling
         "dup_clusters_star",          # new r05: star-contraction CC path
         "seasonal_dow_anomalies",     # new r05: DOW seasonal z-square flags
+        "bm25_topk",                  # new r05: integer-scaled BM25 retrieval
+        "rrf_fusion_topk",            # new r05: reciprocal-rank fusion
+        "bigram_lm_familiarity",      # new r05: CCNet-style LM scoring
+        "ra_linkpred_topk",           # new r05: resource-allocation linkpred
     ]
     assert _DRIVER_FIRST == must_gate
     # Every fill slot re-confirms a STALE row: no r01-only-green query

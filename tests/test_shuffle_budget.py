@@ -40,6 +40,14 @@ BUDGETS = {
     # — identical subtrees, runtime-reused; real movement is the (type,
     # word) aggregate + the exact-audit distincts.
     "bitmap_intersection": 8,
+    # spread + (doc,term) tf agg + df re-agg printed once per consumer
+    # branch (identical subtrees, runtime-reused) + scalar profile +
+    # final TakeOrdered staging.
+    "bm25_topk": 8,
+    # bigram explode feeds BOTH the model agg and the scoring join (the
+    # model subtree prints under each consumer); real movement is the
+    # model count agg + the per-doc rollup + the per-source rollup.
+    "bigram_lm_familiarity": 9,
     "bloom_semijoin_reduction": 2,
     # one collect_set shuffle on user_id + the (cohort, offset) rollup +
     # the final range sort (was 7 with the distinct/re-join/
@@ -158,6 +166,14 @@ BUDGETS = {
     # probe and the scalar-count branches over the checkpointed RDDs.
     "triangle_count_sampled": 18,
     "value_stats": 2,
+    # The distinct (c,s) pair scan prints under both self-join sides and
+    # the degree agg (runtime-reused); real movement is the pair
+    # distinct + degree agg + the (supp_a, supp_b) rollup.
+    "ra_linkpred_topk": 9,
+    # Both rankings are TakeOrderedAndProject top-100s (one partition
+    # out), so the rank windows and the full-outer fuse need NO
+    # exchange: a fully shuffle-free returned plan.
+    "rrf_fusion_topk": 0,
     "vocab_topk": 2,
     "waiting_suppliers": 3,
     "window_dedup": 1,
