@@ -939,6 +939,15 @@ _DRIVER_FIRST = [
     "rrf_fusion_topk",
     "bigram_lm_familiarity",
     "ra_linkpred_topk",
+    # Batch 2 of the late-r05 additions. These displace four r01-only
+    # re-confirmation slots — a deliberate priority call: a query with
+    # NO driver row (these) is strictly weaker evidence than a stale
+    # green row (the displaced r01 queries, which stay covered by the
+    # local parity suite and lead the r06 re-confirmation queue).
+    "hits_topk",
+    "source_wjaccard",
+    "chisq_source_drift",
+    "matryoshka_recall_at_k",
 ]
 
 # Re-confirmation fill: oldest driver rows first. All 31 remaining
@@ -975,10 +984,6 @@ _DRIVER_FILL = [
     "token_stats",
     "quality_score",
     "lang_id",
-    "fingerprint",
-    "cosine_topk",
-    "ivf_probe_topk",
-    "semantic_dedup_survivors",
 ]
 
 # The one NEW streaming query sits last inside the gate per the
@@ -996,6 +1001,12 @@ _DRIVER_ROTATED_OUT = [
     # type-family + driver-sortability gates. Ordered oldest-row-first:
     # remaining r02 rows lead (the r06 re-confirmation queue), then r03,
     # then r04/r05.
+    # -- r01 rows displaced by the batch-2 additions (re-confirm FIRST
+    # in r06 — oldest rows in the queue) --
+    "fingerprint",  # displaced from the r05 fill by hits_topk
+    "cosine_topk",  # displaced from the r05 fill by source_wjaccard
+    "ivf_probe_topk",  # displaced from the r05 fill by chisq_source_drift
+    "semantic_dedup_survivors",  # displaced by matryoshka_recall_at_k
     # -- r02 rows (re-confirm next) --
     "forward_fill",  # displaced from the r05 fill by bm25_topk
     "snapshot_diff_counts",  # displaced from the r05 fill by rrf_fusion_topk

@@ -709,3 +709,113 @@ def q_ra_linkpred_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ra_scaled"), "supp_a", "supp_b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg, JACM 1999) on the DIRECTED
+# customer→supplier purchase graph: authorities are suppliers scored by
+# who buys from them, hubs are customers scored by what they buy. Two
+# mutual-reinforcement rounds in exact integer arithmetic; instead of
+# the float L2 normalization, every aggregate is floor-divided by 8 —
+# a deterministic rescale both engines replay bit-identically (the
+# ranking, which is all HITS is used for, is unaffected). Growth per
+# round is bounded by max-degree/8; at extreme scales the scores move
+# to DECIMAL(38,0)/HUGEINT — a type swap, not a plan change. Each round
+# is one edge⋈score join + one keyed aggregate — the same
+# round-dominated shape as PageRank/LPA.
+# --------------------------------------------------------------------------
+
+_HITS_RESCALE = 8
+_HITS_TOPK = 10
+
+_HITS_ORACLE = f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+a1 AS MATERIALIZED (
+  SELECT s, COUNT(*) // {_HITS_RESCALE} AS a FROM pairs GROUP BY s
+),
+h1 AS MATERIALIZED (
+  SELECT p.c, SUM(a1.a) // {_HITS_RESCALE} AS h
+  FROM pairs p JOIN a1 USING (s) GROUP BY p.c
+),
+a2 AS MATERIALIZED (
+  SELECT p.s, SUM(h1.h) // {_HITS_RESCALE} AS a
+  FROM pairs p JOIN h1 USING (c) GROUP BY p.s
+),
+h2 AS MATERIALIZED (
+  SELECT p.c, SUM(a2.a) // {_HITS_RESCALE} AS h
+  FROM pairs p JOIN a2 USING (s) GROUP BY p.c
+),
+topa AS (
+  SELECT 'authority' AS kind, s AS node_id, CAST(a AS BIGINT) AS score
+  FROM a2 ORDER BY a DESC, s LIMIT {_HITS_TOPK}
+),
+toph AS (
+  SELECT 'hub' AS kind, c AS node_id, CAST(h AS BIGINT) AS score
+  FROM h2 ORDER BY h DESC, c LIMIT {_HITS_TOPK}
+)
+SELECT * FROM topa
+UNION ALL
+SELECT * FROM toph
+ORDER BY kind, score DESC, node_id
+"""
+
+
+@query(
+    "hits_topk",
+    _HITS_ORACLE,
+    "HITS hubs/authorities (Kleinberg 1999), 2 mutual-reinforcement "
+    "rounds on the directed customer→supplier graph: one edge⋈score "
+    "join + keyed aggregate per half-round, float normalization "
+    "replaced by deterministic div-8 rescale so the oracle replays "
+    "every round exactly; top-10 authorities + top-10 hubs",
+    tags=("relational", "graph", "iterative", "bench"),
+)
+def q_hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    r = _HITS_RESCALE
+    a1 = pairs.groupBy("s").agg(
+        F.expr(f"count(1) div {r}").alias("a")
+    )
+    h1 = (
+        pairs.join(a1, "s")
+        .groupBy("c")
+        .agg(F.expr(f"sum(a) div {r}").alias("h"))
+    )
+    a2 = (
+        pairs.join(h1, "c")
+        .groupBy("s")
+        .agg(F.expr(f"sum(h) div {r}").alias("a"))
+    )
+    h2 = (
+        pairs.join(a2, "s")
+        .groupBy("c")
+        .agg(F.expr(f"sum(a) div {r}").alias("h"))
+    )
+    topa = (
+        a2.orderBy(F.desc("a"), "s")
+        .limit(_HITS_TOPK)
+        .select(
+            F.lit("authority").alias("kind"),
+            F.col("s").alias("node_id"),
+            F.col("a").cast("long").alias("score"),
+        )
+    )
+    toph = (
+        h2.orderBy(F.desc("h"), "c")
+        .limit(_HITS_TOPK)
+        .select(
+            F.lit("hub").alias("kind"),
+            F.col("c").alias("node_id"),
+            F.col("h").cast("long").alias("score"),
+        )
+    )
+    return topa.unionAll(toph).orderBy("kind", F.desc("score"), "node_id")

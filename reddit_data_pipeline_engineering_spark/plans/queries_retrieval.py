@@ -354,3 +354,283 @@ def q_bigram_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise weighted Jaccard between source word distributions — the
+# corpus-mixture similarity matrix a data-curation pipeline uses to
+# spot redundant sources before setting mixture weights. For count
+# vectors A, B: J_W = Σ min(A_w,B_w) / Σ max(A_w,B_w), and the max-sum
+# is totA + totB − Σ min — so ONE inner self-join on the word key
+# (Σ min is zero for words absent from either side) computes the whole
+# matrix. Candidate volume per word is #sources² — a dimension-bounded
+# constant, not a corpus-scale quantity; the heavy part is the one
+# (source, word) count shuffle, which is the data's own size.
+# --------------------------------------------------------------------------
+
+_WJ_SCALE = 1_000_000
+
+_WJACCARD_ORACLE = f"""
+WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+words AS (
+  SELECT source, t[i] AS word
+  FROM tok, UNNEST(generate_series(1, len(t))) s(i)
+),
+cnt AS (
+  SELECT source, word, COUNT(*) AS c FROM words GROUP BY source, word
+),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+minsum AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         COUNT(*) AS n_common_words,
+         CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS msum
+  FROM cnt a JOIN cnt b ON a.word = b.word AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT m.src_a, m.src_b,
+       CAST(m.n_common_words AS BIGINT) AS n_common_words,
+       CAST(m.msum * {_WJ_SCALE} // (ta.n + tb.n - m.msum) AS BIGINT)
+         AS wjaccard_scaled
+FROM minsum m
+JOIN tot ta ON ta.source = m.src_a
+JOIN tot tb ON tb.source = m.src_b
+ORDER BY m.src_a, m.src_b
+"""
+
+
+@query(
+    "source_wjaccard",
+    _WJACCARD_ORACLE,
+    "Pairwise weighted Jaccard between source word distributions: one "
+    "(source, word) count shuffle, Σmax rewritten as totA+totB−Σmin so "
+    "a single inner self-join on the word key scores every source pair "
+    "(per-word candidates bounded by #sources², a dimension constant), "
+    "broadcast per-source totals, integer 1e6 scaling",
+    tags=("llm", "text", "bench"),
+)
+def q_source_wjaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    cnt = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = cnt.select(
+        F.col("source").alias("src_a"), "word", F.col("c").alias("ca")
+    )
+    b = cnt.select(
+        F.col("source").alias("src_b"), "word", F.col("c").alias("cb")
+    )
+    minsum = (
+        a.join(b, "word")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_words"),
+            F.sum(F.least("ca", "cb")).cast("long").alias("msum"),
+        )
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("src_a"), F.col("n").alias("na")))
+    tb = F.broadcast(tot.select(F.col("source").alias("src_b"), F.col("n").alias("nb")))
+    return (
+        minsum.join(ta, "src_a")
+        .join(tb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common_words").cast("long").alias("n_common_words"),
+            F.expr(f"(msum * {_WJ_SCALE}) div (na + nb - msum)")
+            .cast("long")
+            .alias("wjaccard_scaled"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source vocabulary drift: a χ²-style divergence of each source's
+# word-rate vector from the corpus-wide distribution, over the source's
+# observed vocabulary. Rates are per-million integers (c·1e6 // n), so
+# the squared deviations stay far from BIGINT limits at any corpus
+# size and the oracle replays the arithmetic exactly:
+#
+#   drift = Σ_w (rate_s(w) − rate_corpus(w))² // (rate_corpus(w) + 1)
+#
+# High drift = the source's language is unlike the mixture — the same
+# signal CCNet uses LM perplexity for, computable with no model and two
+# bounded-width aggregates (word vocab, then #sources rows out).
+# --------------------------------------------------------------------------
+
+_DRIFT_RATE = 1_000_000
+
+_DRIFT_ORACLE = f"""
+WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+words AS (
+  SELECT source, t[i] AS word
+  FROM tok, UNNEST(generate_series(1, len(t))) s(i)
+),
+cnt AS (
+  SELECT source, word, COUNT(*) AS c FROM words GROUP BY source, word
+),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+corpus AS (
+  SELECT word, CAST(SUM(c) AS BIGINT) AS cw FROM cnt GROUP BY word
+),
+nall AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cnt)
+SELECT s.source,
+       CAST(t.n AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(SUM(
+         ((s.c * {_DRIFT_RATE} // t.n) - (k.cw * {_DRIFT_RATE} // a.nn))
+         * ((s.c * {_DRIFT_RATE} // t.n) - (k.cw * {_DRIFT_RATE} // a.nn))
+         // (k.cw * {_DRIFT_RATE} // a.nn + 1)
+       ) AS BIGINT) AS drift_scaled
+FROM cnt s
+JOIN tot t USING (source)
+JOIN corpus k USING (word), nall a
+GROUP BY s.source, t.n
+ORDER BY s.source
+"""
+
+
+@query(
+    "chisq_source_drift",
+    _DRIFT_ORACLE,
+    "χ²-style vocabulary drift per source vs the corpus mixture: one "
+    "(source, word) count shuffle, vocabulary-bounded corpus dim + "
+    "per-source totals broadcast, per-million integer rates so squared "
+    "deviations never approach BIGINT limits, #sources rows out",
+    tags=("llm", "text", "quality", "bench"),
+)
+def q_chisq_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    cnt = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    corpus = cnt.groupBy("word").agg(F.sum("c").cast("long").alias("cw"))
+    nall = cnt.agg(F.sum("c").cast("long").alias("nn"))
+    R = _DRIFT_RATE
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .join(F.broadcast(corpus), "word")
+        .crossJoin(F.broadcast(nall))
+        .withColumn(
+            "term",
+            F.expr(
+                f"((c * {R} div n) - (cw * {R} div nn))"
+                f" * ((c * {R} div n) - (cw * {R} div nn))"
+                f" div (cw * {R} div nn + 1)"
+            ),
+        )
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_vocab"),
+            F.sum("term").cast("long").alias("drift_scaled"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_words"),
+            F.col("n_vocab").cast("long").alias("n_vocab"),
+            "drift_scaled",
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-truncation recall (Kusupati et al., NeurIPS 2022): modern
+# embedding models are trained so a PREFIX of the vector is itself a
+# valid embedding; serving pipelines shortlist on the first few dims
+# (prefix scan is dim_out/dim of the I/O) and re-rank exact. This
+# certifies that lever on this corpus: shortlist-100 by cosine over the
+# first 8 of 64 dims, exact re-rank, recall@20 vs full brute force —
+# the truncation analogue of jl_recall_at_k (which needs a projection
+# matrix; truncation needs none).
+# --------------------------------------------------------------------------
+
+_MRL_DIM = 8
+_MRL_SHORTLIST = 100
+
+
+def _sql_dot_pre(a: str, b: str, n: int) -> str:
+    return " + ".join(
+        f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)"
+        for i in range(n)
+    )
+
+
+_MRL_ORACLE = f"""
+WITH q AS MATERIALIZED (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+),
+short AS MATERIALIZED (
+  SELECT e.vec_id,
+         ROUND(({_sql_dot_pre('e.embedding', 'q.qe', _MRL_DIM)})
+               / (sqrt({_sql_dot_pre('e.embedding', 'e.embedding', _MRL_DIM)})
+                  * sqrt({_sql_dot_pre('q.qe', 'q.qe', _MRL_DIM)})), 6)
+           AS pcos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+  ORDER BY pcos DESC, e.vec_id LIMIT {_MRL_SHORTLIST}
+),
+scored AS MATERIALIZED (
+  SELECT e.vec_id,
+         ROUND(({_sql_dot('e.embedding', 'q.qe')})
+               / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                  * sqrt({_sql_dot('q.qe', 'q.qe')})), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+),
+exact AS (SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id LIMIT 20),
+approx AS (
+  SELECT s.vec_id FROM scored s JOIN short USING (vec_id)
+  ORDER BY s.cosine DESC, s.vec_id LIMIT 20
+)
+SELECT 20 AS k,
+       {_MRL_DIM} AS dim_prefix,
+       CAST((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id)) AS BIGINT)
+         AS n_overlap,
+       ROUND((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id))
+             / 20.0, 4) AS recall_at_k
+"""
+
+
+@query(
+    "matryoshka_recall_at_k",
+    _MRL_ORACLE,
+    "Recall@20 of Matryoshka prefix-truncation ANN (shortlist-100 on "
+    "the first 8 of 64 dims — 1/8th the scan I/O, no projection "
+    "matrix — exact cosine re-rank) vs full brute force; the "
+    "truncation counterpart of jl_recall_at_k",
+    tags=("llm", "similarity", "eval"),
+)
+def q_matryoshka_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(emb)
+    pre = emb.withColumn("pre", F.slice("embedding", 1, _MRL_DIM))
+    short = similarity.cosine_topk(
+        pre.filter(F.col("vec_id") != 0),
+        "pre",
+        "vec_id",
+        qvec[:_MRL_DIM],
+        k=_MRL_SHORTLIST,
+    ).select("vec_id")
+    approx = similarity.cosine_topk(
+        emb.join(short, "vec_id"), "embedding", "vec_id", qvec, k=20
+    ).select("vec_id")
+    exact = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", qvec, k=20
+    ).select("vec_id")
+    overlap = exact.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(20).alias("k"),
+        F.lit(_MRL_DIM).alias("dim_prefix"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.round(F.col("n_overlap") / F.lit(20.0), 4).alias("recall_at_k"),
+    )

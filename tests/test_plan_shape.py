@@ -234,10 +234,17 @@ def test_driver_gate_ordering():
         "rrf_fusion_topk",            # new r05: reciprocal-rank fusion
         "bigram_lm_familiarity",      # new r05: CCNet-style LM scoring
         "ra_linkpred_topk",           # new r05: resource-allocation linkpred
+        "hits_topk",                  # new r05: HITS hubs/authorities
+        "source_wjaccard",            # new r05: source-pair weighted Jaccard
+        "chisq_source_drift",         # new r05: per-source vocab drift
+        "matryoshka_recall_at_k",     # new r05: prefix-truncation recall
     ]
     assert _DRIVER_FIRST == must_gate
-    # Every fill slot re-confirms a STALE row: no r01-only-green query
-    # may be left out of the gate while a newer-rowed query occupies it.
+    # Every fill slot re-confirms a STALE row, and no slot is wasted on
+    # a newer-rowed query while an r01-only row waits. New queries with
+    # NO driver row outrank stale-but-green rows, so the batch-2
+    # additions displaced the four newest r01-only rows — those lead
+    # the rotated-out queue (the r06 re-confirmation head) instead.
     r01_only = [
         "aqi_bundle", "running_sum", "sessionize", "props_flatten",
         "lag_lead_delta", "rollup_orders", "cube_segments",
@@ -247,10 +254,15 @@ def test_driver_gate_ordering():
         "value_histogram", "exact_percentiles", "sql_surface",
         "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
         "simhash", "dup_clusters", "token_stats", "quality_score",
-        "lang_id", "fingerprint", "cosine_topk", "ivf_probe_topk",
-        "semantic_dedup_survivors",
+        "lang_id",
     ]
     assert set(r01_only) <= set(_DRIVER_FILL)
+    assert set(_DRIVER_FILL) == set(r01_only)  # fill is ONLY stale rows
+    displaced_r01 = [
+        "fingerprint", "cosine_topk", "ivf_probe_topk",
+        "semantic_dedup_survivors",
+    ]
+    assert _DRIVER_ROTATED_OUT[:4] == displaced_r01
 
 
 def test_vocab_topk_partial_agg_and_take_ordered(spark):

@@ -49,6 +49,11 @@ BUDGETS = {
     # model count agg + the per-doc rollup + the per-source rollup.
     "bigram_lm_familiarity": 9,
     "bloom_semijoin_reduction": 2,
+    # the (source, word) count subtree prints under all four consumers
+    # (source counts, totals, corpus dim, grand total — identical
+    # subtrees, runtime-reused); real movement is the one count shuffle
+    # + the per-source rollup.
+    "chisq_source_drift": 13,
     # one collect_set shuffle on user_id + the (cohort, offset) rollup +
     # the final range sort (was 7 with the distinct/re-join/
     # count-distinct formulation).
@@ -170,6 +175,14 @@ BUDGETS = {
     # the degree agg (runtime-reused); real movement is the pair
     # distinct + degree agg + the (supp_a, supp_b) rollup.
     "ra_linkpred_topk": 9,
+    # The distinct-pair subtree prints under every HITS half-round and
+    # both top-k branches (runtime-reused); real movement per
+    # half-round is one edge⋈score join + one keyed aggregate.
+    "hits_topk": 19,
+    # (source, word) counts print under the two self-join sides + the
+    # totals dim (runtime-reused); real movement is the count shuffle +
+    # the word-key self-join + the pair rollup.
+    "source_wjaccard": 12,
     # Both rankings are TakeOrderedAndProject top-100s (one partition
     # out), so the rank windows and the full-outer fuse need NO
     # exchange: a fully shuffle-free returned plan.
