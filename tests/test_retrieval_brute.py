@@ -1,0 +1,235 @@
+"""Brute-force differential tests for the late-r05 retrieval/link
+families: a THIRD independent implementation (pure Python over the
+sf0.001 parquet) against the Spark plans, complementing the DuckDB
+oracles. Each brute force re-derives the integer-scaled arithmetic from
+the definitions — if the Spark plan and the oracle shared a mistake,
+this layer would catch it.
+"""
+
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+import pytest
+
+from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, queries
+
+from .conftest import SF_SMALL
+
+queries()  # force registration
+
+
+def _docs():
+    t = pq.read_table(f"{SF_SMALL}/documents.parquet")
+    return t.to_pylist()
+
+
+def _pairs():
+    orders = pq.read_table(
+        f"{SF_SMALL}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pylist()
+    li = pq.read_table(
+        f"{SF_SMALL}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    ).to_pylist()
+    cust_of = {r["o_orderkey"]: r["o_custkey"] for r in orders}
+    return {
+        (cust_of[r["l_orderkey"]], r["l_suppkey"])
+        for r in li
+        if r["l_orderkey"] in cust_of
+    }
+
+
+def test_bm25_topk_matches_brute_force(spark):
+    docs = _docs()
+    terms = ("join", "hash", "dup")
+    toks = {d["doc_id"]: d["text"].split(" ") for d in docs}
+    n_docs = len(docs)
+    w_total = sum(len(t) for t in toks.values())
+    tf = {
+        (doc, w): c
+        for doc, t in toks.items()
+        for w, c in Counter(x for x in t if x in terms).items()
+    }
+    df = Counter(w for (_, w) in tf)
+    exp = defaultdict(lambda: [0, 0, 0])  # doc -> [len, n_terms, score]
+    for (doc, w), c in tf.items():
+        l = len(toks[doc])
+        idf = (n_docs * 10000) // df[w]
+        sat = (22000 * c * w_total) // (
+            10 * w_total * c + 3 * w_total + 9 * l * n_docs
+        )
+        exp[doc][0] = l
+        exp[doc][1] += 1
+        exp[doc][2] += idf * sat
+    want = sorted(
+        ((d, *v) for d, v in exp.items()), key=lambda r: (-r[3], r[0])
+    )[:20]
+    got = [
+        (r["doc_id"], r["doc_len"], r["n_terms"], r["bm25_scaled"])
+        for r in REGISTRY["bm25_topk"].fn(spark, SF_SMALL).collect()
+    ]
+    assert got == [tuple(w) for w in want]
+
+
+def test_source_wjaccard_matches_brute_force(spark):
+    docs = _docs()
+    cnt: dict[str, Counter] = defaultdict(Counter)
+    for d in docs:
+        cnt[d["source"]].update(d["text"].split(" "))
+    srcs = sorted(cnt)
+    want = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            common = set(cnt[a]) & set(cnt[b])
+            msum = sum(min(cnt[a][w], cnt[b][w]) for w in common)
+            ta, tb = sum(cnt[a].values()), sum(cnt[b].values())
+            want.append(
+                (a, b, len(common), msum * 1_000_000 // (ta + tb - msum))
+            )
+    got = [
+        (r["src_a"], r["src_b"], r["n_common_words"], r["wjaccard_scaled"])
+        for r in REGISTRY["source_wjaccard"].fn(spark, SF_SMALL).collect()
+    ]
+    assert got == want
+
+
+def test_chisq_source_drift_matches_brute_force(spark):
+    docs = _docs()
+    cnt: dict[str, Counter] = defaultdict(Counter)
+    for d in docs:
+        cnt[d["source"]].update(d["text"].split(" "))
+    corpus = Counter()
+    for c in cnt.values():
+        corpus.update(c)
+    nn = sum(corpus.values())
+    R = 1_000_000
+    want = []
+    for s in sorted(cnt):
+        n = sum(cnt[s].values())
+        drift = 0
+        for w, c in cnt[s].items():
+            rs = c * R // n
+            rc = corpus[w] * R // nn
+            drift += (rs - rc) * (rs - rc) // (rc + 1)
+        want.append((s, n, len(cnt[s]), drift))
+    got = [
+        (r["source"], r["n_words"], r["n_vocab"], r["drift_scaled"])
+        for r in REGISTRY["chisq_source_drift"].fn(spark, SF_SMALL).collect()
+    ]
+    assert got == want
+
+
+def test_bigram_lm_familiarity_matches_brute_force(spark):
+    import hashlib
+
+    docs = _docs()
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        return int(h, 16) % 100
+
+    def bigrams(text: str):
+        t = text.split(" ")
+        return [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    model: Counter = Counter()
+    for d in docs:
+        if bucket(d["doc_id"]) < 80:
+            model.update(bigrams(d["text"]))
+    mt = sum(model.values())
+    S = 1_000_000_000
+    per_source: dict[str, list[int]] = defaultdict(list)
+    for d in docs:
+        if bucket(d["doc_id"]) >= 80:
+            bgs = bigrams(d["text"])
+            if not bgs:
+                continue
+            tot = sum(model.get(g, 0) * S // mt for g in bgs)
+            per_source[d["source"]].append(tot // len(bgs))
+    want = [
+        (s, len(v), sum(v) // len(v), min(v), max(v))
+        for s, v in sorted(per_source.items())
+    ]
+    got = [
+        tuple(r)
+        for r in REGISTRY["bigram_lm_familiarity"].fn(spark, SF_SMALL).collect()
+    ]
+    assert got == want
+
+
+def test_ra_linkpred_matches_brute_force(spark):
+    pairs = _pairs()
+    deg = Counter(c for c, _ in pairs)
+    by_cust = defaultdict(set)
+    for c, s in pairs:
+        if deg[c] <= 40:
+            by_cust[c].add(s)
+    score: Counter = Counter()
+    shared: Counter = Counter()
+    for c, supps in by_cust.items():
+        ss = sorted(supps)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1 :]:
+                score[(a, b)] += 1_000_000 // deg[c]
+                shared[(a, b)] += 1
+    want = sorted(
+        ((a, b, shared[(a, b)], sc) for (a, b), sc in score.items()),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )[:20]
+    got = [
+        (r["supp_a"], r["supp_b"], r["n_shared"], r["ra_scaled"])
+        for r in REGISTRY["ra_linkpred_topk"].fn(spark, SF_SMALL).collect()
+    ]
+    assert got == want
+
+
+def test_hits_topk_matches_brute_force(spark):
+    pairs = _pairs()
+    a1: Counter = Counter(s for _, s in pairs)
+    a1 = Counter({s: v // 8 for s, v in a1.items()})
+    h1: Counter = Counter()
+    for c, s in pairs:
+        h1[c] += a1[s]
+    h1 = Counter({c: v // 8 for c, v in h1.items()})
+    a2: Counter = Counter()
+    for c, s in pairs:
+        a2[s] += h1[c]
+    a2 = Counter({s: v // 8 for s, v in a2.items()})
+    h2: Counter = Counter()
+    for c, s in pairs:
+        h2[c] += a2[s]
+    h2 = Counter({c: v // 8 for c, v in h2.items()})
+    topa = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    toph = sorted(h2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    want = sorted(
+        [("authority", n, v) for n, v in topa]
+        + [("hub", n, v) for n, v in toph],
+        key=lambda r: (r[0], -r[2], r[1]),
+    )
+    got = [
+        (r["kind"], r["node_id"], r["score"])
+        for r in REGISTRY["hits_topk"].fn(spark, SF_SMALL).collect()
+    ]
+    assert got == want
+
+
+def test_rrf_fusion_ranks_consistent(spark):
+    """Structural invariants of the fused output: ranks are within the
+    shortlist depth, the score is exactly the RRF formula of the two
+    rank columns, and the top row dominates."""
+    rows = REGISTRY["rrf_fusion_topk"].fn(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert 0 <= r["rank_cos"] <= 100 and 0 <= r["rank_dot"] <= 100
+        want = (1_000_000 // (60 + r["rank_cos"]) if r["rank_cos"] else 0) + (
+            1_000_000 // (60 + r["rank_dot"]) if r["rank_dot"] else 0
+        )
+        assert r["rrf_scaled"] == want
+    scores = [r["rrf_scaled"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_matryoshka_recall_bounds(spark):
+    row = REGISTRY["matryoshka_recall_at_k"].fn(spark, SF_SMALL).collect()[0]
+    assert row["k"] == 20 and row["dim_prefix"] == 8
+    assert 0 <= row["n_overlap"] <= 20
+    assert abs(row["recall_at_k"] - round(row["n_overlap"] / 20.0, 4)) < 1e-9

@@ -40,7 +40,22 @@ HEADLINE = [
     "item_similarity_topk",
     "lsh_quality_eval",
     "corpus_release_gate",
+    # late-r05 additions (retrieval-quality + link-analysis families)
+    "bm25_topk",
+    "rrf_fusion_topk",
+    "bigram_lm_familiarity",
+    "ra_linkpred_topk",
+    "hits_topk",
+    "source_wjaccard",
+    "chisq_source_drift",
 ]
+
+# Optional subset selection: SCALE_CURVE_ONLY=q1,q2 restricts the run
+# (used to extend the curve with new queries without re-timing the rest).
+_ONLY = os.environ.get("SCALE_CURVE_ONLY")
+if _ONLY:
+    only = {s.strip() for s in _ONLY.split(",") if s.strip()}
+    HEADLINE = [n for n in HEADLINE if n in only] or sorted(only)
 
 
 def main() -> None:
