@@ -843,7 +843,7 @@ ORDER BY user_id
     _Q19_ORACLE,
     "Sessionization via lag + gap threshold (common OLAP pattern; "
     "streaming twin uses session_window — streaming/kernel.py)",
-    tags=("relational", "window"),
+    tags=("relational", "window", "bench"),
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -872,6 +872,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_llm3  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_prep  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_seq  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_stats  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_streaming  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch2  # noqa: F401
@@ -948,6 +949,13 @@ _DRIVER_FIRST = [
     "source_wjaccard",
     "chisq_source_drift",
     "matryoshka_recall_at_k",
+    # Batch 3 (plans/queries_stats.py: series/corpus statistics). Same
+    # priority call as batch 2 — each displaces one r01 fill slot whose
+    # green row stays parity-covered and leads the r06 queue:
+    "acf_lag_profile",
+    "spearman_daily_corr",
+    "pmi_collocations",
+    "dedup_quality_shift",
 ]
 
 # Re-confirmation fill: oldest driver rows first. All 31 remaining
@@ -980,10 +988,6 @@ _DRIVER_FILL = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
-    "dup_clusters",
-    "token_stats",
-    "quality_score",
-    "lang_id",
 ]
 
 # The one NEW streaming query sits last inside the gate per the
@@ -1001,8 +1005,12 @@ _DRIVER_ROTATED_OUT = [
     # type-family + driver-sortability gates. Ordered oldest-row-first:
     # remaining r02 rows lead (the r06 re-confirmation queue), then r03,
     # then r04/r05.
-    # -- r01 rows displaced by the batch-2 additions (re-confirm FIRST
+    # -- r01 rows displaced by the batch-2/3 additions (re-confirm FIRST
     # in r06 — oldest rows in the queue) --
+    "dup_clusters",  # displaced from the r05 fill by acf_lag_profile
+    "token_stats",  # displaced from the r05 fill by spearman_daily_corr
+    "quality_score",  # displaced from the r05 fill by pmi_collocations
+    "lang_id",  # displaced from the r05 fill by dedup_quality_shift
     "fingerprint",  # displaced from the r05 fill by hits_topk
     "cosine_topk",  # displaced from the r05 fill by source_wjaccard
     "ivf_probe_topk",  # displaced from the r05 fill by chisq_source_drift

@@ -44,7 +44,7 @@ ORDER BY k_bucket
     "Nested-JSON field extraction + rollup (F7, extract_api.py:240-247: "
     "dot-path flattening; here get_json_object over a JSON-string column, "
     "evaluated JVM-side in the scan projection)",
-    tags=("relational", "json"),
+    tags=("relational", "json", "bench"),
 )
 def q_props_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -79,7 +79,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     _LAG_ORACLE,
     "Per-entity lag/lead with value deltas (window-frame family beyond the "
     "reference's W1; one shuffle on the partition key)",
-    tags=("relational", "window"),
+    tags=("relational", "window", "bench"),
 )
 def q_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -157,7 +157,7 @@ GROUP BY CUBE(c_mktsegment, o_orderpriority)
     "CUBE over (market segment x order priority): all four grouping sets "
     "in one pass with partial aggregation; the join side is the customer "
     "dim (broadcast) so the only exchange is the aggregate's",
-    tags=("relational", "olap"),
+    tags=("relational", "olap", "bench"),
 )
 def q_cube_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -200,7 +200,7 @@ FROM spend
     "Per-customer spend quartiles (ntile) + percent_rank: decimal-exact "
     "spend aggregate, then one global-sort window with a deterministic "
     "(spend, custkey) tiebreak so bucket edges are engine-independent",
-    tags=("relational", "window"),
+    tags=("relational", "window", "bench"),
 )
 def q_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -326,7 +326,7 @@ ORDER BY event_date
     _aqi_profile_oracle(),
     "AQI validation profile: COUNT(*)/COUNT(aqi)/AVG/MIN/MAX per day (A9, "
     "AQI plan lines 132-137) over the native-expression AQI bundle",
-    tags=("relational", "aqi"),
+    tags=("relational", "aqi", "bench"),
 )
 def q_aqi_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aqi_rows = REGISTRY["aqi_bundle"].fn(spark, sf_dir)
@@ -370,7 +370,7 @@ FROM documents
     _BPE_ORACLE,
     "BPE-style pre-tokenizer counts per document (letter runs / digit runs "
     "/ punctuation marks via one regexp_extract_all scan projection)",
-    tags=("llm", "text"),
+    tags=("llm", "text", "bench"),
 )
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -487,7 +487,7 @@ ORDER BY b.user_id, session_start
     "purchase-to-purchase windows counted against subsequent activity — "
     "hash join on the key, range predicate as the join residual (never a "
     "nested-loop)",
-    tags=("relational", "timeseries"),
+    tags=("relational", "timeseries", "bench"),
 )
 def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.operators.asof import range_join
@@ -543,7 +543,7 @@ ORDER BY 1, 2
     "two days (time_bucket = pure epoch integer arithmetic, codegen'd; "
     "the bucket is the groupBy/shuffle key — hypertable continuous-"
     "aggregate shape)",
-    tags=("relational", "timeseries"),
+    tags=("relational", "timeseries", "bench"),
 )
 def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.functions.datetime_fns import (
@@ -601,7 +601,7 @@ WHERE value IS NOT NULL
     _unpivot_oracle(),
     "Wide->long unpivot (melt) of the pivoted marts shape — the built-in "
     "unpivot operator, NULL cells dropped to mirror sparse long form",
-    tags=("relational",),
+    tags=("relational", "bench"),
 )
 def q_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.config import EVENT_TYPES
@@ -704,7 +704,7 @@ ORDER BY bucket
     _HIST_ORACLE,
     "Fixed-width histogram binning (floor-divide bucketing): single "
     "hash-aggregate pass, the building block for distribution profiling",
-    tags=("relational", "stats"),
+    tags=("relational", "stats", "bench"),
 )
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -775,7 +775,7 @@ ORDER BY n_customers DESC, nation_name
     "The SQL entry point (S10/A5): verbatim ANSI text through spark.sql "
     "over registered views — the oracle runs the IDENTICAL string on "
     "DuckDB, proving dialect-portable output",
-    tags=("relational", "sql"),
+    tags=("relational", "sql", "bench"),
 )
 def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, names=("customer", "nation"))

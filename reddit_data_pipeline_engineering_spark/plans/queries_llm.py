@@ -251,7 +251,7 @@ SELECT doc_id, ({bit_terms}) AS simhash FROM bits
     _simhash_oracle(32),
     "32-bit SimHash per document (md5-derived bit planes, token-count "
     "weighted majority): explode + one doc-keyed shuffle with partial agg",
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "bench"),
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -298,7 +298,7 @@ FROM comp GROUP BY component
     "components via iterative min-label propagation (cached, lineage-cut "
     "rounds) -> per-cluster canonical id. The oracle computes the same "
     "components with a recursive-CTE transitive closure.",
-    tags=("llm", "dedup", "iterative"),
+    tags=("llm", "dedup", "iterative", "bench"),
 )
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -317,7 +317,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of diameter, the >10^9-edge / long-chain scale path behind the "
     "min-label default; SAME pairs, SAME oracle, SAME result as "
     "dup_clusters.",
-    tags=("llm", "dedup", "iterative"),
+    tags=("llm", "dedup", "iterative", "bench"),
 )
 def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -349,7 +349,7 @@ FROM documents
     _TOKEN_STATS_ORACLE,
     "Token counting per document (whitespace tokenizer): char/token/"
     "distinct-token counts and mean token length, all JVM expressions",
-    tags=("llm", "text"),
+    tags=("llm", "text", "bench"),
 )
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -388,7 +388,7 @@ FROM base
     _QUALITY_ORACLE,
     "Document quality scoring: lexical-diversity + stopword-density "
     "composite (training-data filter heuristic), pure expressions",
-    tags=("llm", "text"),
+    tags=("llm", "text", "bench"),
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -445,7 +445,7 @@ FROM scores
     _lang_id_oracle(),
     "Heuristic language ID: per-language marker-token counts, first-max "
     "argmax (n-gram heuristic family; deterministic + SQL-mirrorable)",
-    tags=("llm", "text"),
+    tags=("llm", "text", "bench"),
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -604,7 +604,7 @@ SELECT 20 AS k,
     "the first 8 of 64 dims — 1/8th the scan I/O, no projection "
     "matrix — exact cosine re-rank) vs full brute force; the "
     "truncation counterpart of jl_recall_at_k",
-    tags=("llm", "similarity", "eval"),
+    tags=("llm", "similarity", "eval", "bench"),
 )
 def q_matryoshka_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.operators import similarity

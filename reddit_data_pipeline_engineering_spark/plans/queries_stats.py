@@ -1,0 +1,420 @@
+"""Corpus / series statistics: autocorrelation, rank correlation,
+PMI collocations, and the dedup quality-shift audit.
+
+Late round-5 additions. House rules as everywhere else: integer-exact
+arithmetic end to end (scaled ``div``, never float division in a ranked
+or hashed column), staged products with documented magnitude ceilings,
+and a DuckDB oracle that replays the same expressions bit-for-bit.
+
+- ``acf_lag_profile``: the sample autocorrelation of the daily event
+  count series at lags 1..7 — the standard pre-modeling seasonality
+  diagnostic (a weekly cycle shows as a spike at lag 7). The lag
+  alignment is a self-join on ``date_add`` (a 7-row lag dim crossed
+  with the bounded daily series), never a window per lag.
+- ``spearman_daily_corr``: Spearman rank correlation between daily
+  order count and daily revenue per order priority. Ranks are
+  ``row_number`` with a deterministic ``(value, day)`` tie-break, so
+  Sum d^2 is integer-exact; ties get distinct ranks (documented
+  variant — the classical tie-corrected estimator needs average ranks,
+  i.e. rationals).
+- ``pmi_collocations``: top word-bigram collocations by pointwise
+  mutual information. PMI = log p(xy)/(p(x)p(y)) is monotone in the
+  ratio, so ranking by the *scaled integer ratio* c(xy)*N/(c(x)*c(y))
+  IS ranking by PMI — no log, no float.
+- ``dedup_quality_shift``: what exact dedup does to corpus quality —
+  per source, lexical-diversity quality (scaled) over all docs vs the
+  fingerprint-survivor subset. The audit a training-data curator runs
+  before committing to a dedup policy.
+
+Scale notes are inline per query; none of the four does all-pairs work
+and every join side that is vocabulary- or calendar-bounded is
+documented as such.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.functions import text as tx
+from reddit_data_pipeline_engineering_spark.plans.queries import query
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table, spread
+
+# --------------------------------------------------------------------------
+# Autocorrelation of the daily event-count series, lags 1..7.
+#
+# Pearson r over the lag-k aligned pairs (x_d, x_{d+k}), computed from
+# the six exact integer sums (n, Sx, Sy, Sxy, Sxx, Syy) via the
+# product-moment identity:
+#
+#   num  = n*Sxy - Sx*Sy        denx = n*Sxx - Sx^2     deny = n*Syy - Sy^2
+#   r^2  = num^2 / (denx*deny)
+#
+# The signed scaled output is sign(num) * (num^2 * 10^4 div denx*deny):
+# integer-exact, and |r| recoverable as sqrt(|acf2_bp|/1e4). Magnitudes:
+# the series is calendar-bounded (<=366 points), daily counts c; the
+# int64 sums hold to c ~ 3e6/day, and the decimal(38,0) products
+# (num^2*1e4 ~ (n^2*c^2)^2*1e4) to c ~ 2e4; above that pre-scale the
+# daily counts (x div C) before the moment pass — the estimator is
+# scale-invariant. One count shuffle builds the daily series; the lag
+# alignment is a broadcast 7-row lag dim + a self-join on day+k over
+# the bounded series; the final rollup groups by 7 lag keys.
+#
+# Both engines divide non-negative num^2 by positive denx*deny, so
+# Spark's truncating `div` and DuckDB's flooring `//` agree.
+# --------------------------------------------------------------------------
+
+_ACF_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), lags AS (
+  SELECT unnest(generate_series(1, 7)) AS lag
+), pairs AS (
+  SELECT l.lag, a.x AS x, b.x AS y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+), moms AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag
+), parts AS (
+  SELECT lag, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS denx,
+         n * syy - sy * sy AS deny
+  FROM moms
+)
+SELECT lag, n AS n_pairs, num, denx, deny,
+       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+            * (CAST(num AS HUGEINT) * num * 10000
+               // (CAST(denx AS HUGEINT) * deny)) AS BIGINT) AS acf2_bp
+FROM parts ORDER BY lag
+"""
+
+
+@query(
+    "acf_lag_profile",
+    _ACF_ORACLE,
+    "Sample autocorrelation of the daily event-count series at lags "
+    "1..7 (weekly-seasonality diagnostic): exact integer product-moment "
+    "sums over date_add-aligned pairs, signed r^2 scaled by 1e4 via "
+    "decimal(38,0) products — no log, no float; series length is "
+    "calendar-bounded so the lag self-join is O(days*7)",
+    tags=("relational", "stats", "timeseries", "bench"),
+)
+def q_acf_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    b = daily.select(F.col("day").alias("bday"), F.col("x").alias("y"))
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("bday = date_add(day, lag)"))
+    )
+    moms = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    parts = moms.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+    )
+    acf2 = F.expr(
+        "cast(sign(num) as long) * cast("
+        "(cast(num as decimal(38,0)) * num * 10000)"
+        " div (cast(denx as decimal(38,0)) * deny) as long)"
+    )
+    return parts.select(
+        "lag", "n_pairs", "num", "denx", "deny", acf2.alias("acf2_bp")
+    ).orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation between daily order count and daily revenue,
+# per order priority.
+#
+# rho = 1 - 6*Sum(d^2) / (n*(n^2-1)) with d = rank(x) - rank(y). Ranks
+# are row_number ordered by (value, day): deterministic, integer, and
+# identical in both engines; under ties this is the "random ranks made
+# deterministic" variant (the tie-corrected estimator needs average
+# ranks = rationals). Output is rho scaled by 1e4 with trunc-toward-zero
+# semantics in BOTH engines: the numerator can be negative and DuckDB's
+# `//` floors, so both sides compute sign * (|numer|*1e4 div denom).
+# Windows partition by priority and hold <=366 rows each (calendar-
+# bounded) — the single-partition sort never sees raw fact rows, only
+# the daily aggregate. Magnitudes: n<=366 so n^3*1e4 < 5e11, int64-safe
+# to series of ~6e4 points.
+# --------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue
+  FROM orders GROUP BY 1, 2
+), ranked AS (
+  SELECT priority,
+         CAST(ROW_NUMBER() OVER (PARTITION BY priority
+                                 ORDER BY n_orders, day) AS BIGINT) AS rx,
+         CAST(ROW_NUMBER() OVER (PARTITION BY priority
+                                 ORDER BY revenue, day) AS BIGINT) AS ry
+  FROM daily
+), agg AS (
+  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+  FROM ranked GROUP BY priority
+)
+SELECT priority, n_days, sd2,
+       CAST(CASE WHEN n_days < 2 THEN NULL ELSE
+         CASE WHEN n_days * (n_days * n_days - 1) - 6 * sd2 >= 0
+              THEN 1 ELSE -1 END
+         * (abs(n_days * (n_days * n_days - 1) - 6 * sd2) * 10000
+            // (n_days * (n_days * n_days - 1)))
+       END AS BIGINT) AS rho_bp
+FROM agg ORDER BY priority
+"""
+
+
+@query(
+    "spearman_daily_corr",
+    _SPEARMAN_ORACLE,
+    "Spearman rank correlation between daily order count and daily "
+    "revenue per order priority: row_number ranks with deterministic "
+    "(value, day) tie-break, integer Sum d^2, rho scaled by 1e4 with "
+    "explicit sign*abs-div so trunc (Spark) and floor (DuckDB) agree; "
+    "windows are calendar-bounded per priority",
+    tags=("relational", "stats", "timeseries", "bench"),
+)
+def q_spearman_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("revenue"),
+    )
+    wx = Window.partitionBy("priority").orderBy("n_orders", "day")
+    wy = Window.partitionBy("priority").orderBy("revenue", "day")
+    ranked = daily.select(
+        "priority",
+        F.row_number().over(wx).cast("long").alias("rx"),
+        F.row_number().over(wy).cast("long").alias("ry"),
+    )
+    agg = ranked.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))).alias(
+            "sd2"
+        ),
+    )
+    rho = F.expr(
+        "cast(case when n_days < 2 then null else "
+        "  cast(case when n_days * (n_days * n_days - 1) - 6 * sd2 >= 0 "
+        "       then 1 else -1 end as long) "
+        "  * (abs(n_days * (n_days * n_days - 1) - 6 * sd2) * 10000 "
+        "     div (n_days * (n_days * n_days - 1))) end as long)"
+    )
+    return agg.select("priority", "n_days", "sd2", rho.alias("rho_bp")).orderBy(
+        "priority"
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations: top word bigrams by pointwise mutual information.
+#
+# PMI(x,y) = log[ p(xy) / (p(x)p(y)) ] with p(xy) = c(xy)/N over bigram
+# occurrences and p(x) = c(x)/N_w over unigrams. log is monotone, so the
+# RANKING by PMI equals the ranking by the ratio — computed as the
+# staged integer  (c(xy)*1e6 div c(x)) * N div c(y)  (c(xy) <= c(x), so
+# the first stage is <= 1e6; the second is <= 1e6*N — int64-safe to
+# N ~ 9e12 bigrams, i.e. ~50 TB of text; beyond, drop the scale to 1e4).
+# Staging loses < 1e-6 relative precision per candidate — ties are then
+# broken by bigram text, so the output is a deterministic total order
+# regardless. Min-support c(xy) >= 20 prunes the hapax noise PMI is
+# notorious for. Plan: one (bigram) count shuffle + one (word) count
+# shuffle; the unigram side is vocabulary-bounded (plain hash joins;
+# AQE broadcasts when small) and the result is TakeOrdered top-30.
+# --------------------------------------------------------------------------
+
+_PMI_SCALE = 1_000_000
+_PMI_MIN_COUNT = 20
+_PMI_TOP = 30
+
+_PMI_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), uni AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok, UNNEST(t) s(w) GROUP BY 1
+), bg AS (
+  SELECT t[i] AS x, t[i + 1] AS y, CAST(COUNT(*) AS BIGINT) AS cxy
+  FROM tok, UNNEST(generate_series(1, len(t) - 1)) s(i)
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM bg
+)
+SELECT x || ' ' || y AS bigram, cxy, ux.c AS cx, uy.c AS cy,
+       CAST((cxy * {_PMI_SCALE} // ux.c) * t.n // uy.c AS BIGINT)
+         AS pmi_scaled
+FROM bg
+JOIN uni ux ON ux.word = x
+JOIN uni uy ON uy.word = y
+CROSS JOIN tot t
+WHERE cxy >= {_PMI_MIN_COUNT}
+ORDER BY pmi_scaled DESC, bigram
+LIMIT {_PMI_TOP}
+"""
+
+
+@query(
+    "pmi_collocations",
+    _PMI_ORACLE,
+    "Top-30 word-bigram collocations by PMI: log-free ranking via the "
+    "monotone scaled ratio (c(xy)*1e6 div c(x)) * N div c(y), exact "
+    "integers end to end, min-support 20 against hapax noise; one "
+    "bigram-count + one unigram-count shuffle, vocabulary-bounded "
+    "unigram joins, TakeOrdered top-k",
+    tags=("llm", "text", "stats", "bench"),
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select(F.split("text", " ").alias("t"))
+    uni = (
+        toked.select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = (
+        toked.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, "
+                    "size(t) - 1), (a, b) -> struct(a as x, b as y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= _PMI_MIN_COUNT)
+    )
+    tot = (
+        toked.select(F.size("t").alias("k"))
+        .agg((F.sum("k") - F.count(F.lit(1))).cast("long").alias("n"))
+    )
+    ux = uni.select(F.col("word").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("word").alias("y"), F.col("c").alias("cy"))
+    scored = (
+        bg.join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            "cxy",
+            "cx",
+            "cy",
+            F.expr(f"(cxy * {_PMI_SCALE} div cx) * n div cy").alias(
+                "pmi_scaled"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_scaled"), "bigram").limit(_PMI_TOP)
+
+
+# --------------------------------------------------------------------------
+# Dedup quality shift: the audit a curator runs before committing to a
+# dedup policy — does dropping exact duplicates change the quality
+# profile of what remains, and differently per source?
+#
+# Quality proxy: lexical diversity scaled to basis points,
+# n_distinct_tokens * 1e4 div n_tokens per doc (the integer core of
+# quality_score). Survivors: first occurrence (min doc_id) per full-
+# text fingerprint — the same md5-of-normalized-token-stream key as
+# the `fingerprint` / `exact_dedup` family, so this composes with them.
+# Plan: map-only per-doc stats, one fingerprint shuffle for the
+# survivor window, one source rollup reusing nothing exotic; output is
+# bounded by the source domain. The duplicate-heavy source shows its
+# dedup penalty as (mean_dr_bp_surv - mean_dr_bp_all).
+# --------------------------------------------------------------------------
+
+_QSHIFT_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+
+_QSHIFT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_transform({_QSHIFT_TOKS},
+             t -> lower(t)), ' ')) AS fp,
+         CAST(len(list_distinct({_QSHIFT_TOKS})) AS BIGINT) * 10000
+           // CAST(len({_QSHIFT_TOKS}) AS BIGINT) AS dr_bp
+  FROM documents
+), flagged AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+              AS survives
+  FROM base
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN survives THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors,
+       CAST(SUM(dr_bp) // COUNT(*) AS BIGINT) AS mean_dr_bp_all,
+       CAST(SUM(CASE WHEN survives THEN dr_bp ELSE 0 END)
+            // SUM(CASE WHEN survives THEN 1 ELSE 0 END) AS BIGINT)
+         AS mean_dr_bp_surv
+FROM flagged
+GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "dedup_quality_shift",
+    _QSHIFT_ORACLE,
+    "Per-source quality-profile shift under exact dedup: scaled lexical-"
+    "diversity mean over all docs vs fingerprint first-occurrence "
+    "survivors (same md5 token-stream key as the exact_dedup family); "
+    "map-only doc stats + one fingerprint window shuffle + one bounded "
+    "source rollup",
+    tags=("llm", "text", "dedup", "bench"),
+)
+def q_dedup_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        tx.full_fingerprint_of(tx.tokens("text")).alias("fp"),
+        tx.distinct_token_count("text").cast("long").alias("n_distinct"),
+        tx.token_count("text").cast("long").alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "source",
+        "fp",
+        F.expr("n_distinct * 10000 div n_tokens").alias("dr_bp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = base.withColumn("survives", F.row_number().over(w) == 1)
+    surv = F.when(F.col("survives"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(surv).cast("long").alias("n_survivors"),
+            F.expr("sum(dr_bp) div count(1)").alias("mean_dr_bp_all"),
+            F.expr(
+                "sum(case when survives then dr_bp else 0 end) div "
+                "sum(case when survives then 1 else 0 end)"
+            ).alias("mean_dr_bp_surv"),
+        )
+        .orderBy("source")
+    )

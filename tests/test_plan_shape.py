@@ -238,6 +238,10 @@ def test_driver_gate_ordering():
         "source_wjaccard",            # new r05: source-pair weighted Jaccard
         "chisq_source_drift",         # new r05: per-source vocab drift
         "matryoshka_recall_at_k",     # new r05: prefix-truncation recall
+        "acf_lag_profile",            # new r05: daily-series autocorrelation
+        "spearman_daily_corr",        # new r05: rank correlation, scaled
+        "pmi_collocations",           # new r05: log-free PMI top bigrams
+        "dedup_quality_shift",        # new r05: dedup quality-profile audit
     ]
     assert _DRIVER_FIRST == must_gate
     # Every fill slot re-confirms a STALE row, and no slot is wasted on
@@ -253,16 +257,16 @@ def test_driver_gate_ordering():
         "time_bucket_rollup", "unpivot_roundtrip", "value_stats",
         "value_histogram", "exact_percentiles", "sql_surface",
         "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
-        "simhash", "dup_clusters", "token_stats", "quality_score",
-        "lang_id",
+        "simhash",
     ]
     assert set(r01_only) <= set(_DRIVER_FILL)
     assert set(_DRIVER_FILL) == set(r01_only)  # fill is ONLY stale rows
     displaced_r01 = [
+        "dup_clusters", "token_stats", "quality_score", "lang_id",
         "fingerprint", "cosine_topk", "ivf_probe_topk",
         "semantic_dedup_survivors",
     ]
-    assert _DRIVER_ROTATED_OUT[:4] == displaced_r01
+    assert _DRIVER_ROTATED_OUT[:8] == displaced_r01
 
 
 def test_vocab_topk_partial_agg_and_take_ordered(spark):

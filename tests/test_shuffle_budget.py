@@ -32,32 +32,40 @@ from .conftest import SF_SMALL
 queries()  # force registration
 
 BUDGETS = {
+    "acf_lag_profile": 4,
+    "active_semijoin": 1,
+    "aqi_bundle": 1,
+    "aqi_profile": 3,
     "asof_last_purchase": 2,
     # Returned plan is the post-checkpoint histogram (per-round
     # frontier-join shuffles happen during construction, like pagerank).
     "bfs_reachability": 2,
-    # One bitmap build replayed per consumer branch (click/view/totals)
-    # — identical subtrees, runtime-reused; real movement is the (type,
-    # word) aggregate + the exact-audit distincts.
-    "bitmap_intersection": 8,
-    # spread + (doc,term) tf agg + df re-agg printed once per consumer
-    # branch (identical subtrees, runtime-reused) + scalar profile +
-    # final TakeOrdered staging.
-    "bm25_topk": 8,
     # bigram explode feeds BOTH the model agg and the scoring join (the
     # model subtree prints under each consumer); real movement is the
     # model count agg + the per-doc rollup + the per-source rollup.
     "bigram_lm_familiarity": 9,
+    # One bitmap build replayed per consumer branch (click/view/totals)
+    # — identical subtrees, runtime-reused; real movement is the (type,
+    # word) aggregate + the exact-audit distincts.
+    "bitmap_intersection": 8,
     "bloom_semijoin_reduction": 2,
+    # spread + (doc,term) tf agg + df re-agg printed once per consumer
+    # branch (identical subtrees, runtime-reused) + scalar profile +
+    # final TakeOrdered staging.
+    "bm25_topk": 8,
+    "bpe_token_stats": 0,
     # the (source, word) count subtree prints under all four consumers
     # (source counts, totals, corpus dim, grand total — identical
     # subtrees, runtime-reused); real movement is the one count shuffle
     # + the per-source rollup.
     "chisq_source_drift": 13,
+    # spread + md5-window + per-doc rollup + output sort.
+    "chunk_dedup_stats": 4,
     # one collect_set shuffle on user_id + the (cohort, offset) rollup +
     # the final range sort (was 7 with the distinct/re-join/
     # count-distinct formulation).
     "cohort_retention": 4,
+    "conditional_counts": 2,
     # 1 pair-agg + the (order, part) distinct printed once per join side
     # (identical subplans — AQE ReuseExchange dedups them at runtime).
     # The distinct is the correctness fix: an order holding a part twice
@@ -67,18 +75,27 @@ BUDGETS = {
     # chunk window + per-doc rollup + doc join + per-lang window + final
     # rollup/sort (spread exchange included).
     "corpus_prep_v2": 6,
-    # spread + md5-window + per-doc rollup + output sort.
-    "chunk_dedup_stats": 4,
-    # spread + content-hash window + per-doc run window + output sort
-    # (span and per-doc aggregates fuse into the doc-window stage).
-    "duplicate_span_stats": 4,
     # dup window + shingle semi-join/agg + doc re-join + source rollup
     # (spread exchange + eval-dim distinct included).
     "corpus_release_gate": 8,
     "cosine_topk": 0,
+    "cube_segments": 1,
     "daily_topk": 1,
+    "date_partition_rollup": 2,
     "decontaminate_ngrams": 3,
+    "dedup_best_survivor": 2,
+    "dedup_quality_shift": 4,
+    "dup_clusters": 1,
+    "dup_clusters_star": 3,
+    # spread + content-hash window + per-doc run window + output sort
+    # (span and per-doc aggregates fuse into the doc-window stage).
+    "duplicate_span_stats": 4,
     "embedding_blocked_topk": 1,
+    "embedding_dim_profile": 2,
+    "enrich_metadata": 1,
+    # eval-shingle build replayed per overlap branch (binary + graded);
+    # the corpus side is scanned once, eval dim is broadcast.
+    "eval_overlap_fraction": 7,
     # daily aggregate + event_type window partitioning + final sort
     # (both ordered windows and the rollup reuse the type layout).
     "event_rate_cusum": 3,
@@ -91,7 +108,9 @@ BUDGETS = {
     "exact_percentiles_scalable": 1,
     "flagship_top_locations": 1,
     "forecast_revenue": 1,
+    "forward_asof_next_purchase": 2,
     "forward_fill": 1,
+    "functional_dependency_audit": 2,
     "funnel_conversion": 2,
     "grouped_median_approx": 3,
     # Bisection rounds run in-plan during construction (bracket-state-
@@ -99,13 +118,20 @@ BUDGETS = {
     # result and sorts it.
     "grouped_median_plan_state": 1,
     "grouped_median_scalable": 1,
+    "grouping_sets_report": 2,
+    "hard_negative_mining": 2,
     "hash_split_stats": 3,
     "hilbert_layout": 2,
+    # The distinct-pair subtree prints under every HITS half-round and
+    # both top-k branches (runtime-reused); real movement per
+    # half-round is one edge⋈score join + one keyed aggregate.
+    "hits_topk": 19,
     "hll_distinct_sketch": 4,
     # window-expanded register build + per-window sketch rollup + exact
     # distinct branch + join + output sort.
     "hll_sliding_distinct": 5,
     "hll_union_merge": 5,
+    "inactive_antijoin": 0,
     # The (order, part) distinct subtree prints once per consumer (pair
     # join sides + both frequency dims) — identical, so AQE reuses one
     # materialization; real movement is distinct + pair agg + windows.
@@ -113,6 +139,8 @@ BUDGETS = {
     "ivf_kmeans_topk": 0,
     "ivf_probe_topk": 0,
     "ivfpq_topk": 0,
+    "join_cardinality_audit": 3,
+    "k_anonymity_audit": 5,
     # Lazy path at test scale (< BOUNDED_STORAGE_MIN_EDGES): per-round
     # peel shuffles against the persisted edge list + the stats branch
     # re-deriving each round's alive set. r05 raised 9 -> 13: the base
@@ -123,17 +151,41 @@ BUDGETS = {
     # Above the threshold the peel switches to bounded storage and the
     # returned plan is the collected stats (budget would be 1).
     "kcore_peel_counts": 13,
+    "lag_lead_delta": 1,
+    "lang_confusion_matrix": 3,
+    "lang_id": 0,
     "large_volume_customers": 2,
+    "local_supplier_volume": 2,
     # Per-round LPA shuffles run during construction against
     # checkpointed label state; the returned plan is the final
     # community rollup of the checkpointed (node, label) relation.
     "lpa_communities": 1,
-    "local_supplier_volume": 2,
+    # Runs the exact PPJoin AND the banded-LSH pipeline once each, then
+    # one full-outer pair alignment + one aggregate for all three
+    # metrics (was 37 with the count trio replaying both subplans).
+    "lsh_quality_eval": 19,
+    # Identical pipeline over the 10% md5-bucket sample (the filter is
+    # map-side; no extra movement).
+    "lsh_quality_eval_sampled": 19,
+    # med + mad each need a rank window over events (textually replayed
+    # per branch; identical subtrees reuse at runtime) + final rollup.
+    "mad_outliers": 5,
+    "mad_outliers_scalable": 2,
     "market_share": 2,
     "marts_kernel": 2,
+    "matryoshka_recall_at_k": 0,
     "minhash_lsh_pairs": 2,
     "minhash_signatures": 0,
+    "minmax_profile": 3,
+    "mom_revenue_growth": 2,
+    "nested_order_lines": 2,
     "ngram_jaccard_topk": 3,
+    "normalize_group": 2,
+    "ntile_spend_quartiles": 2,
+    "null_audit": 2,
+    # event (user, ts) dedup + the as-of union's user_id window + the
+    # channel rollup + final sort.
+    "order_attribution": 4,
     "pagerank_topk": 0,
     # one event_type partitioning shared by both windows + the peak
     # rollup, then the final sort (sweep-line union is shuffle-free).
@@ -142,127 +194,98 @@ BUDGETS = {
     # SCD2 build window/rollup + probe-dim hash join + final rollup.
     "pit_dimension_lookup": 4,
     "pivot_wide": 1,
+    "pmi_collocations": 8,
     "pq_topk": 0,
     "pricing_summary": 2,
+    "props_flatten": 2,
     "quality_filter_gates": 2,
+    "quality_score": 0,
+    # The distinct (c,s) pair scan prints under both self-join sides and
+    # the degree agg (runtime-reused); real movement is the pair
+    # distinct + degree agg + the (supp_a, supp_b) rollup.
+    "ra_linkpred_topk": 9,
+    # Post-checkpoint walker relation + final sort; per-step
+    # frontier-edge join + argmin aggregates run during construction.
+    "random_walk_corpus": 1,
+    "range_join_windows": 3,
     "repetition_stats": 3,
     "returned_item_losses": 1,
+    "rolling_range_frame": 3,
     "rollup_orders": 1,
+    # Both rankings are TakeOrderedAndProject top-100s (one partition
+    # out), so the rank windows and the full-outer fuse need NO
+    # exchange: a fully shuffle-free returned plan.
+    "rrf_fusion_topk": 0,
+    "running_sum": 1,
     "scd2_dimension": 2,
+    # daily aggregate + ONE fused stratum window + final range sort
+    # (three window aggs share one spec — see the query's projection
+    # comment; chained withColumn would cost 5).
+    "seasonal_dow_anomalies": 3,
+    # Broadcast eval dim + one corpus scan; argmax/count fuse into one
+    # eval-keyed aggregate + output sort.
+    "semantic_decontamination": 2,
+    "session_transitions": 4,
+    "sessionize": 2,
+    "set_ops": 4,
+    # One-sided prefix (contained side) + full-index container side +
+    # exact verification legs.
+    "setsim_containment_join": 10,
+    # PPJoin with the cosine t^2 bound: prefix build + candidate join +
+    # verification legs (df dim rebuilt per leg, runtime-reused).
+    "setsim_cosine_join": 15,
     # shingle-df/size aggs + rank join/window + prefix self-join +
     # candidate distinct + verify joins/agg + final sort; the dominant
     # subtree (distinct doc-shingle pairs) feeds four consumers, so its
     # exchanges print once per branch.
     "setsim_prefix_join": 15,
+    "shard_balance_audit": 2,
     "shipping_priority": 1,
+    "simhash": 2,
     # distinct-point aggregate + per-price window + the single-partition
     # dominance pass over distinct prices (final sort folds into it).
     "skyline_pareto": 3,
     "sliding_window_rollup": 2,
-    # med + mad each need a rank window over events (textually replayed
-    # per branch; identical subtrees reuse at runtime) + final rollup.
-    "mad_outliers": 5,
-    # The (doc, term) count subtree prints once per consumer branch (df
-    # dim, n_docs scalar, ranking window) — runtime ReuseExchange dedups;
-    # real data movement is the tf shuffle + window + output sort.
-    "tfidf_topk_terms": 9,
-    # Edge/sample relations are localCheckpointed (materialized once);
-    # the remaining exchanges are the degree build, wedge join, closure
-    # probe and the scalar-count branches over the checkpointed RDDs.
-    "triangle_count_sampled": 18,
-    "value_stats": 2,
-    # The distinct (c,s) pair scan prints under both self-join sides and
-    # the degree agg (runtime-reused); real movement is the pair
-    # distinct + degree agg + the (supp_a, supp_b) rollup.
-    "ra_linkpred_topk": 9,
-    # The distinct-pair subtree prints under every HITS half-round and
-    # both top-k branches (runtime-reused); real movement per
-    # half-round is one edge⋈score join + one keyed aggregate.
-    "hits_topk": 19,
     # (source, word) counts print under the two self-join sides + the
     # totals dim (runtime-reused); real movement is the count shuffle +
     # the word-key self-join + the pair rollup.
     "source_wjaccard": 12,
-    # Both rankings are TakeOrderedAndProject top-100s (one partition
-    # out), so the rank windows and the full-outer fuse need NO
-    # exchange: a fully shuffle-free returned plan.
-    "rrf_fusion_topk": 0,
-    "vocab_topk": 2,
-    "waiting_suppliers": 3,
-    "window_dedup": 1,
-    "zorder_layout": 2,
-    # ---- r04: every driver-gated query is now bench-tagged (VERDICT
-    # r03 #6) — measured counts at sf0.001, engine session, sp=4. ----
-    "topn_with_ties": 3,
-    # distinct (user, day) + user window (reused by the islands rollup)
-    # + final sort.
-    "user_active_streaks": 3,
-    # event (user, ts) dedup + the as-of union's user_id window + the
-    # channel rollup + final sort.
-    "order_attribution": 4,
+    "spearman_daily_corr": 3,
+    "sql_surface": 2,
     # Returned plan is the post-checkpoint distance histogram (per-round
     # frontier-join + min-merge shuffles happen during construction,
     # like bfs_reachability/pagerank).
     "sssp_weighted_hist": 2,
-    # Post-checkpoint walker relation + final sort; per-step
-    # frontier-edge join + argmin aggregates run during construction.
-    "random_walk_corpus": 1,
-    # daily aggregate + ONE fused stratum window + final range sort
-    # (three window aggs share one spec — see the query's projection
-    # comment; chained withColumn would cost 5).
-    "seasonal_dow_anomalies": 3,
-    "nested_order_lines": 2,
-    "mad_outliers_scalable": 2,
-    "winsorized_scalable": 2,
-    "mom_revenue_growth": 2,
-    "dedup_best_survivor": 2,
     "table_profile": 2,
-    "join_cardinality_audit": 3,
-    "weekly_p90_scalable": 1,
-    "session_transitions": 4,
-    "weighted_median_price": 2,
-    "functional_dependency_audit": 2,
-    # eval-shingle build replayed per overlap branch (binary + graded);
-    # the corpus side is scanned once, eval dim is broadcast.
-    "eval_overlap_fraction": 7,
-    "zonemap_pruning_audit": 3,
-    "k_anonymity_audit": 5,
     "temperature_mixture": 2,
-    "hard_negative_mining": 2,
-    "embedding_dim_profile": 2,
-    "lang_confusion_matrix": 3,
-    "shard_balance_audit": 2,
-    "rolling_range_frame": 3,
-    "grouping_sets_report": 2,
-    "forward_asof_next_purchase": 2,
-    # Runs the exact PPJoin AND the banded-LSH pipeline once each, then
-    # one full-outer pair alignment + one aggregate for all three
-    # metrics (was 37 with the count trio replaying both subplans).
-    "lsh_quality_eval": 19,
-    # Identical pipeline over the 10% md5-bucket sample (the filter is
-    # map-side; no extra movement).
-    "lsh_quality_eval_sampled": 19,
-    # PPJoin with the cosine t^2 bound: prefix build + candidate join +
-    # verification legs (df dim rebuilt per leg, runtime-reused).
-    "setsim_cosine_join": 15,
-    # One-sided prefix (contained side) + full-index container side +
-    # exact verification legs.
-    "setsim_containment_join": 10,
-    # Broadcast eval dim + one corpus scan; argmax/count fuse into one
-    # eval-keyed aggregate + output sort.
-    "semantic_decontamination": 2,
-    "enrich_metadata": 1,
-    "active_semijoin": 1,
-    "inactive_antijoin": 0,
-    "minmax_profile": 3,
-    "conditional_counts": 2,
-    "null_audit": 2,
-    "normalize_group": 2,
-    "date_partition_rollup": 2,
+    # The (doc, term) count subtree prints once per consumer branch (df
+    # dim, n_docs scalar, ranking window) — runtime ReuseExchange dedups;
+    # real data movement is the tf shuffle + window + output sort.
+    "tfidf_topk_terms": 9,
+    "time_bucket_rollup": 3,
+    "token_stats": 0,
     "topk_orders": 0,
-    "set_ops": 4,
-    "aqi_bundle": 1,
-    "running_sum": 1,
+    # ---- r04: every driver-gated query is now bench-tagged (VERDICT
+    # r03 #6) — measured counts at sf0.001, engine session, sp=4. ----
+    "topn_with_ties": 3,
+    # Edge/sample relations are localCheckpointed (materialized once);
+    # the remaining exchanges are the degree build, wedge join, closure
+    # probe and the scalar-count branches over the checkpointed RDDs.
+    "triangle_count_sampled": 18,
+    "unpivot_roundtrip": 1,
+    # distinct (user, day) + user window (reused by the islands rollup)
+    # + final sort.
+    "user_active_streaks": 3,
+    "value_histogram": 2,
+    "value_stats": 2,
+    "vocab_topk": 2,
+    "waiting_suppliers": 3,
+    "weekly_p90_scalable": 1,
+    "weighted_median_price": 2,
+    "window_dedup": 1,
+    "winsorized_scalable": 2,
+    "zonemap_pruning_audit": 3,
+    "zorder_layout": 2,
 }
 
 

@@ -1,0 +1,170 @@
+"""Brute-force differential tests for the queries_stats family.
+
+Each test recomputes the statistic independently (pandas/numpy/hashlib
+over the raw parquet — no SQL, no Spark expressions) and compares the
+query's output, so a shared misconception between the Spark plan and
+the DuckDB oracle can't hide: the replay here uses float math and
+library rank/corr primitives where the queries use scaled integers, and
+the assertions bridge the two representations explicitly.
+"""
+
+import hashlib
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, queries
+
+from .conftest import SF_SMALL
+
+queries()  # force registration
+
+
+def _pdf(name, spark):
+    return REGISTRY[name].fn(spark, SF_SMALL).toPandas()
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    return duckdb.sql(
+        f"SELECT ts, user_id, event_type, value FROM "
+        f"'{SF_SMALL}/events.parquet'"
+    ).df()
+
+
+def test_acf_matches_numpy_pearson(spark, events_pdf):
+    out = _pdf("acf_lag_profile", spark).set_index("lag")
+    daily = (
+        events_pdf.assign(day=events_pdf["ts"].dt.normalize())
+        .groupby("day")
+        .size()
+        .sort_index()
+    )
+    days = daily.index
+    for lag in range(1, 8):
+        shifted = days + pd.Timedelta(days=lag)
+        aligned = daily.reindex(shifted)
+        mask = aligned.notna().to_numpy()
+        x = daily.to_numpy()[mask].astype(float)
+        y = aligned.to_numpy()[mask].astype(float)
+        r = np.corrcoef(x, y)[0, 1]
+        row = out.loc[lag]
+        assert row["n_pairs"] == mask.sum()
+        # acf2_bp is sign(r) * floor(r^2 * 1e4): same sign, r^2 within
+        # one basis point of the float recomputation.
+        got = row["acf2_bp"]
+        assert np.sign(got) == np.sign(round(r, 10)) or got == 0
+        assert abs(abs(got) / 1e4 - r * r) < 2e-4
+
+
+def test_spearman_matches_pandas_ranks(spark):
+    out = _pdf("spearman_daily_corr", spark).set_index("priority")
+    orders = duckdb.sql(
+        f"SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) "
+        f"AS day, o_totalprice FROM '{SF_SMALL}/orders.parquet'"
+    ).df()
+    daily = (
+        orders.groupby(["priority", "day"])
+        .agg(n_orders=("o_totalprice", "size"), revenue=("o_totalprice", "sum"))
+        .reset_index()
+    )
+    for prio, g in daily.groupby("priority"):
+        g = g.reset_index(drop=True)
+        # Deterministic (value, day) tie-break = ordinal rank assigned
+        # along each lexicographic sort — the query's row_number
+        # semantics — attached back to the rows by position.
+        rx = pd.Series(0, index=g.index)
+        rx.loc[g.sort_values(["n_orders", "day"]).index] = np.arange(
+            1, len(g) + 1
+        )
+        ry = pd.Series(0, index=g.index)
+        ry.loc[g.sort_values(["revenue", "day"]).index] = np.arange(
+            1, len(g) + 1
+        )
+        n = len(g)
+        sd2 = int(((rx - ry) ** 2).sum())
+        row = out.loc[prio]
+        assert row["n_days"] == n
+        assert row["sd2"] == sd2
+        num = n * (n * n - 1) - 6 * sd2
+        expect = int(math.copysign(abs(num) * 10000 // (n * (n * n - 1)), num))
+        assert row["rho_bp"] == expect
+
+
+def test_pmi_matches_counter_bruteforce(spark):
+    out = _pdf("pmi_collocations", spark)
+    docs = duckdb.sql(
+        f"SELECT text FROM '{SF_SMALL}/documents.parquet'"
+    ).df()["text"]
+    from collections import Counter
+
+    uni, bg = Counter(), Counter()
+    n_bigrams = 0
+    for t in docs:
+        ws = t.split(" ")
+        uni.update(ws)
+        bg.update(zip(ws, ws[1:]))
+        n_bigrams += max(0, len(ws) - 1)
+    scored = []
+    for (x, y), cxy in bg.items():
+        if cxy < 20:
+            continue
+        s = (cxy * 1_000_000 // uni[x]) * n_bigrams // uni[y]
+        scored.append((f"{x} {y}", cxy, uni[x], uni[y], s))
+    scored.sort(key=lambda r: (-r[4], r[0]))
+    expect = scored[:30]
+    got = [
+        (r[0], int(r[1]), int(r[2]), int(r[3]), int(r[4]))
+        for r in out.itertuples(index=False, name=None)
+    ]
+    assert got == expect
+
+
+def test_dedup_quality_shift_matches_hashlib(spark):
+    out = _pdf("dedup_quality_shift", spark).set_index("source")
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{SF_SMALL}/documents.parquet' "
+        f"ORDER BY doc_id"
+    ).df()
+    toks = docs["text"].map(lambda t: [w for w in t.strip().split() if w])
+    docs["fp"] = toks.map(
+        lambda ws: hashlib.md5(" ".join(w.lower() for w in ws).encode()).hexdigest()
+    )
+    docs["dr_bp"] = toks.map(lambda ws: len(set(ws)) * 10000 // len(ws))
+    docs["survives"] = ~docs.duplicated("fp")  # first occurrence by doc_id
+    for src, g in docs.groupby("source"):
+        row = out.loc[src]
+        surv = g[g["survives"]]
+        assert row["n_docs"] == len(g)
+        assert row["n_survivors"] == len(surv)
+        assert row["mean_dr_bp_all"] == int(g["dr_bp"].sum()) // len(g)
+        assert row["mean_dr_bp_surv"] == int(surv["dr_bp"].sum()) // len(surv)
+
+
+def test_acf_detects_weekly_cycle_on_synthetic(spark):
+    """A pure 7-day cycle must spike acf2_bp at lag 7 and sit negative
+    or near zero at the off-phase lags — the diagnostic the query
+    exists for, pinned on a constructed series via the same plan
+    arithmetic (moments recomputed here in exact ints)."""
+    x = [100, 100, 100, 100, 100, 300, 300] * 8  # 8 weeks, weekend spike
+    n = len(x)
+    for lag, expect_high in ((7, True), (3, False)):
+        xs = x[: n - lag]
+        ys = x[lag:]
+        m = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        num = m * sxy - sx * sy
+        denx, deny = m * sxx - sx * sx, m * syy - sy * sy
+        acf2 = (1 if num > 0 else -1 if num < 0 else 0) * (
+            num * num * 10000 // (denx * deny)
+        )
+        if expect_high:
+            assert acf2 == 10000  # perfect periodicity: r = 1 exactly
+        else:
+            assert acf2 < 0  # off-phase lag anti-correlates
