@@ -63,9 +63,25 @@ def _cc_label(
     max_iterations: int,
     stats: dict | None,
 ) -> DataFrame:
+    # Symmetrize in ONE pass over the (possibly expensive, unpersisted)
+    # pair-generation subtree: union(edges, edges.swap) would evaluate
+    # that subtree twice — LSH candidate generation is the typical
+    # input — while explode(array(fwd, rev)) reads it once for the
+    # same rows.
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("a"), F.col(dst).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("a"), F.col(src).alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .persist()
     )
