@@ -106,3 +106,91 @@ def pagerank(
     deg.unpersist()
     edges.unpersist()
     return ranks
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Personalized PageRank: restart mass lands ONLY on ``seeds``.
+
+    Same integer grid and iteration shape as :func:`pagerank` (one keyed
+    shuffle per round, truncating per-edge division, exact 64-bit
+    arithmetic → bit-identical SQL replay), with the teleport vector
+    concentrated on the seed set instead of uniform: r0 = ``scale`` on
+    seeds / 0 elsewhere, and each round adds the per-seed teleport
+    constant only to seed rows. The result ranks every node by its
+    proximity to the seed set under the random-walk-with-restart model
+    (Haveliwala, "Topic-Sensitive PageRank", WWW'02 — public algorithm).
+
+    ``seeds``: one column named ``node``; must be a subset of the graph
+    nodes (rows outside the graph get no mass to spread and are ignored).
+    Seeds are typically a dimension-derived, bounded set — the plan
+    broadcast-joins the seed flag, so the per-round cost over
+    :func:`pagerank` is one broadcast hash join, no extra shuffle.
+
+    Overflow: total mass is bounded by n_seeds * scale (strictly less
+    than the uniform variant's n_nodes * scale), so the §module-header
+    bound applies with n_seeds in place of n_nodes — tighter at any
+    realistic seed-set size.
+    """
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg")).persist()
+    teleport = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    seed_flag = F.broadcast(
+        seeds.select(F.col("node"), F.lit(True).alias("__seed")).distinct()
+    )
+
+    ranks = (
+        nodes.join(seed_flag, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("__seed"), F.lit(scale))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank"),
+        )
+        .persist()
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(deg, src)
+            .select(
+                F.col(dst).alias("node"),
+                F.expr("rank DIV __deg").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__m"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .join(seed_flag, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("__seed"), F.lit(teleport))
+                    .otherwise(F.lit(0))
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(__m, 0L)) DIV {DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+    nodes.unpersist()
+    deg.unpersist()
+    edges.unpersist()
+    return ranks

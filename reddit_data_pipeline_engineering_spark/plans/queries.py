@@ -956,6 +956,11 @@ _DRIVER_FIRST = [
     "spearman_daily_corr",
     "pmi_collocations",
     "dedup_quality_shift",
+    # Batch 4: personalized PageRank (the random-walk-with-restart
+    # recommender primitive) and the l-diversity disclosure audit
+    # (k-anonymity's necessary complement):
+    "ppr_topk",
+    "l_diversity_audit",
 ]
 
 # Re-confirmation fill: oldest driver rows first. All 31 remaining
@@ -986,8 +991,6 @@ _DRIVER_FILL = [
     "sql_surface",
     "exact_dedup",
     "minhash_signatures",
-    "minhash_lsh_pairs",
-    "simhash",
 ]
 
 # The one NEW streaming query sits last inside the gate per the
@@ -1007,6 +1010,8 @@ _DRIVER_ROTATED_OUT = [
     # then r04/r05.
     # -- r01 rows displaced by the batch-2/3 additions (re-confirm FIRST
     # in r06 — oldest rows in the queue) --
+    "minhash_lsh_pairs",  # displaced from the r05 fill by ppr_topk
+    "simhash",  # displaced from the r05 fill by l_diversity_audit
     "dup_clusters",  # displaced from the r05 fill by acf_lag_profile
     "token_stats",  # displaced from the r05 fill by spearman_daily_corr
     "quality_score",  # displaced from the r05 fill by pmi_collocations

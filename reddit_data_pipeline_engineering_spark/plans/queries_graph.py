@@ -819,3 +819,134 @@ def q_hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return topa.unionAll(toph).orderBy("kind", F.desc("score"), "node_id")
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank (operators/pagerank.personalized_pagerank):
+# random-walk-with-restart proximity to a SEED set — the recommender /
+# related-entity primitive global PageRank cannot express (its uniform
+# teleport ranks global authority; PPR ranks closeness to the seeds).
+# Seeds: supplier nodes of the lowest nation present — a dimension-
+# derived, bounded set
+# (broadcast-joined seed flag, so each round still costs the single
+# edges⋈ranks keyed shuffle + contribution aggregate). Output: top-20
+# CUSTOMER nodes by proximity — "which customers trade closest to
+# nation-0's supplier base", the segmentation question the transaction
+# graph answers. Exact 64-bit integer grid throughout → the oracle
+# replays all rounds as unrolled CTEs, bit-identically.
+# --------------------------------------------------------------------------
+
+
+def _ppr_ctes(iters: int = _PR_ITERS) -> str:
+    teleport = (pr.SCALE * (pr.DAMP_DEN - pr.DAMP_NUM)) // pr.DAMP_DEN
+    parts = [
+        """pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)""",
+        """edges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+)""",
+        """deg AS MATERIALIZED (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+)""",
+        """nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+)""",
+        """seeds AS MATERIALIZED (
+  -- lowest nation PRESENT, not a literal: non-empty at every SF (the
+  -- sf0.001 slice holds no nation-0 suppliers)
+  SELECT DISTINCT s_suppkey * 2 + 1 AS node FROM supplier
+  WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+)""",
+        f"""r0 AS MATERIALIZED (
+  SELECT n.node,
+         CAST(CASE WHEN s.node IS NOT NULL THEN {pr.SCALE} ELSE 0 END
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN seeds s USING (node)
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""c{t} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(r.rank // d.d) AS m
+  FROM edges e
+  JOIN r{t - 1} r ON e.src = r.node
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+)""")
+        parts.append(f"""r{t} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(CASE WHEN s.node IS NOT NULL THEN {teleport} ELSE 0 END
+              + ({pr.DAMP_NUM} * COALESCE(c.m, 0)) // {pr.DAMP_DEN}
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN seeds s USING (node)
+  LEFT JOIN c{t} c USING (node)
+)""")
+    return ",\n".join(parts)
+
+
+_PPR_ORACLE = f"""
+WITH {_ppr_ctes()}
+SELECT CAST(node // 2 AS BIGINT) AS customer_id, rank
+FROM r{_PR_ITERS}
+WHERE node % 2 = 0 AND rank > 0
+ORDER BY rank DESC, node
+LIMIT 20
+"""
+
+
+@query(
+    "ppr_topk",
+    _PPR_ORACLE,
+    "Personalized PageRank ({} power iterations) seeded on the "
+    "lowest-present nation's suppliers over the symmetrized customer-"
+    "supplier graph: "
+    "teleport mass restricted to the broadcast seed flag, one keyed "
+    "shuffle per round, exact integer grid so the oracle replays every "
+    "round as unrolled CTEs; top-20 customers by seed proximity — the "
+    "random-walk-with-restart recommender primitive "
+    "(Haveliwala WWW'02)".format(_PR_ITERS),
+    tags=("relational", "graph", "iterative", "bench"),
+)
+def q_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    up = pairs.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    down = pairs.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+    )
+    # Seed nation = the lowest nation key PRESENT (broadcast 1-row
+    # scalar), so the seed set is non-empty at every SF slice.
+    min_nation = supp.agg(F.min("s_nationkey").alias("__mn"))
+    seeds = (
+        supp.crossJoin(F.broadcast(min_nation))
+        .filter(F.col("s_nationkey") == F.col("__mn"))
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    ranks = pr.personalized_pagerank(
+        up.union(down), seeds, iters=_PR_ITERS
+    )
+    return (
+        ranks.filter((F.col("node") % 2 == 0) & (F.col("rank") > 0))
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+        .select(
+            F.shiftright(F.col("node").cast("long"), 1)
+            .cast("long")
+            .alias("customer_id"),
+            "rank",
+        )
+    )

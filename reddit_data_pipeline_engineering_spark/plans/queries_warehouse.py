@@ -1115,3 +1115,101 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit — k-anonymity's necessary complement (Machanavajjhala
+# et al., ICDE'06): a class can be k-large yet still leak the sensitive
+# attribute if every member SHARES it (homogeneity attack). Here the
+# sensitive attribute is the market segment; quasi-identifiers are two
+# generalization levels of (nation, account-balance bucket). Distinct
+# l-diversity per class is computed WITHOUT count(distinct) expansion:
+# one (QI, segment) aggregate collapses duplicates, then the per-class
+# rollup counts rows (= distinct segments) and sums sizes — two
+# mergeable hash aggregates per level, uniform keys, bounded output.
+# --------------------------------------------------------------------------
+
+_LDIV_L = 2  # classes with l < 2 are fully homogeneous → disclosure
+
+_LDIV_ORACLE = f"""
+WITH fine_cells AS (
+  SELECT c_nationkey AS qi1, FLOOR(c_acctbal / 1000) AS qi2,
+         c_mktsegment AS sens, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+), fine AS (
+  SELECT 'nation+balbucket' AS level, COUNT(*) AS l, SUM(n) AS sz
+  FROM fine_cells GROUP BY qi1, qi2
+), coarse_cells AS (
+  SELECT c_nationkey AS qi1, c_mktsegment AS sens, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2
+), coarse AS (
+  SELECT 'nation' AS level, COUNT(*) AS l, SUM(n) AS sz
+  FROM coarse_cells GROUP BY qi1
+), classes AS (
+  SELECT * FROM fine UNION ALL SELECT * FROM coarse
+)
+SELECT level,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(sz) AS BIGINT) AS n_rows,
+       CAST(MIN(l) AS BIGINT) AS l_diversity,
+       CAST(COALESCE(COUNT(*) FILTER (l < {_LDIV_L}), 0) AS BIGINT)
+         AS homogeneous_classes,
+       CAST(COALESCE(SUM(sz) FILTER (l < {_LDIV_L}), 0) AS BIGINT)
+         AS rows_at_risk,
+       CAST(COALESCE(SUM(sz) FILTER (l < {_LDIV_L}), 0) * 10000
+            // SUM(sz) AS BIGINT) AS at_risk_bps
+FROM classes GROUP BY level ORDER BY level
+"""
+
+
+@query(
+    "l_diversity_audit",
+    _LDIV_ORACLE,
+    "l-diversity audit (Machanavajjhala ICDE'06) over two QI "
+    "generalization levels with market segment as the sensitive "
+    "attribute: distinct-l per class via a (QI, segment) pre-aggregate "
+    "(no count-distinct expansion), homogeneous-class and rows-at-risk "
+    "rollups — the disclosure check k-anonymity alone misses",
+    tags=("llm", "audit", "bench"),
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+
+    def level(name: str, keys: list) -> DataFrame:
+        # keys: (expr, out_name) pairs — the second aggregate groups on
+        # the FIRST aggregate's output columns by name.
+        cells = c.groupBy(
+            *[e.alias(n) for e, n in keys], F.col("c_mktsegment")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        return (
+            cells.groupBy(*[n for _, n in keys])
+            .agg(F.count(F.lit(1)).alias("l"), F.sum("n").alias("sz"))
+            .select(F.lit(name).alias("level"), "l", "sz")
+        )
+
+    fine = level(
+        "nation+balbucket",
+        [
+            (F.col("c_nationkey"), "qi1"),
+            (F.floor(F.col("c_acctbal") / 1000), "qi2"),
+        ],
+    )
+    coarse = level("nation", [(F.col("c_nationkey"), "qi1")])
+    classes = fine.unionAll(coarse)
+    risk = F.when(F.col("l") < _LDIV_L, F.col("sz")).otherwise(0)
+    homog = F.when(F.col("l") < _LDIV_L, 1).otherwise(0)
+    return (
+        classes.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("sz").cast("long").alias("n_rows"),
+            F.min("l").cast("long").alias("l_diversity"),
+            F.sum(homog).cast("long").alias("homogeneous_classes"),
+            F.sum(risk).cast("long").alias("rows_at_risk"),
+        )
+        .withColumn(
+            "at_risk_bps",
+            F.expr("rows_at_risk * 10000 div n_rows").cast("long"),
+        )
+        .orderBy("level")
+    )

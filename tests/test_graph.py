@@ -401,3 +401,72 @@ def test_random_walks_match_brute_force(spark):
             expected[start] = (node, path)
     assert got == expected
     assert 4 not in got  # died at the dead end before completing 3 hops
+
+
+def _ppr_ranks(spark, edges, seed_nodes, iters=3):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(s,) for s in seed_nodes], "node long")
+    out = pr.personalized_pagerank(df, seeds, iters=iters)
+    return {r.node: r.rank for r in out.collect()}
+
+
+def _ppr_brute(edges, seed_nodes, iters=3, scale=pr.SCALE):
+    """Pure-python replay of the exact-integer PPR recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    teleport = (scale * (pr.DAMP_DEN - pr.DAMP_NUM)) // pr.DAMP_DEN
+    rank = {n: (scale if n in seed_nodes else 0) for n in nodes}
+    for _ in range(iters):
+        m = {n: 0 for n in nodes}
+        for u, v in edges:
+            m[v] += rank[u] // deg[u]
+        rank = {
+            n: (teleport if n in seed_nodes else 0)
+            + (pr.DAMP_NUM * m[n]) // pr.DAMP_DEN
+            for n in nodes
+        }
+    return rank
+
+
+def test_ppr_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(11)
+    n = 15
+    edges = list(
+        {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(40)
+        }
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    seeds = {0, 1}
+    got = _ppr_ranks(spark, edges, seeds)
+    assert got == _ppr_brute(edges, seeds)
+
+
+def test_ppr_unreachable_nodes_hold_zero_mass(spark):
+    # Two disjoint components; seeds live in one. The other component
+    # must end with rank exactly 0 everywhere — restart mass never
+    # teleports outside the seed set (the defining PPR property vs the
+    # uniform-teleport pagerank, where every node holds >= teleport).
+    edges = [(1, 2), (2, 1), (10, 11), (11, 10)]
+    got = _ppr_ranks(spark, edges, {1})
+    assert got[10] == got[11] == 0
+    assert got[1] > 0 and got[2] > 0
+
+
+def test_ppr_seed_proximity_ordering(spark):
+    # Chain seeded at one end. A path is bipartite, so finite power
+    # iteration oscillates between parities (node 1 can transiently
+    # trail node 2 — verified against the brute replay); the stable
+    # proximity signal is WITHIN each parity class: rank decays with
+    # distance from the seed among even positions and among odd ones.
+    edges = []
+    for i in range(4):
+        edges += [(i, i + 1), (i + 1, i)]
+    got = _ppr_ranks(spark, edges, {0}, iters=3)
+    assert got[0] > got[2] > got[4]
+    assert got[1] > got[3]

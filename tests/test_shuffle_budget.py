@@ -151,6 +151,7 @@ BUDGETS = {
     # Above the threshold the peel switches to bounded storage and the
     # returned plan is the collected stats (budget would be 1).
     "kcore_peel_counts": 13,
+    "l_diversity_audit": 6,
     "lag_lead_delta": 1,
     "lang_confusion_matrix": 3,
     "lang_id": 0,
@@ -195,6 +196,9 @@ BUDGETS = {
     "pit_dimension_lookup": 4,
     "pivot_wide": 1,
     "pmi_collocations": 8,
+    # Returned plan reads the final localCheckpoint (per-round keyed
+    # shuffles happen during construction, like pagerank_topk).
+    "ppr_topk": 0,
     "pq_topk": 0,
     "pricing_summary": 2,
     "props_flatten": 2,

@@ -233,3 +233,48 @@ def test_zorder_write_path_yields_disjoint_file_ranges(spark, tmp_path):
     ordered = sorted((r.lo, r.hi) for r in spans)
     for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
         assert hi1 < lo2  # pairwise disjoint, contiguous slices
+
+
+def test_l_diversity_matches_pandas_bruteforce(spark):
+    """Independent replay of the l-diversity audit: pandas groupby over
+    the raw parquet, no SQL and no Spark expressions shared with the
+    query (the oracle-parity suite covers Spark vs DuckDB; this covers
+    both against a third formulation)."""
+    import duckdb
+    import math
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries as _q,
+    )
+    from .conftest import SF_SMALL
+
+    _q()
+    out = (
+        REGISTRY["l_diversity_audit"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .set_index("level")
+    )
+    c = duckdb.sql(
+        f"SELECT c_nationkey, c_acctbal, c_mktsegment FROM "
+        f"'{SF_SMALL}/customer.parquet'"
+    ).df()
+    c["balbucket"] = (c["c_acctbal"] / 1000).map(math.floor)
+    for level, keys in (
+        ("nation+balbucket", ["c_nationkey", "balbucket"]),
+        ("nation", ["c_nationkey"]),
+    ):
+        g = c.groupby(keys).agg(
+            l=("c_mktsegment", "nunique"), sz=("c_mktsegment", "size")
+        )
+        row = out.loc[level]
+        assert row["n_classes"] == len(g)
+        assert row["n_rows"] == int(g["sz"].sum())
+        assert row["l_diversity"] == int(g["l"].min())
+        homog = g[g["l"] < 2]
+        assert row["homogeneous_classes"] == len(homog)
+        assert row["rows_at_risk"] == int(homog["sz"].sum())
+        assert row["at_risk_bps"] == int(homog["sz"].sum()) * 10000 // int(
+            g["sz"].sum()
+        )
