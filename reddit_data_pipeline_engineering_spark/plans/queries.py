@@ -961,6 +961,10 @@ _DRIVER_FIRST = [
     # (k-anonymity's necessary complement):
     "ppr_topk",
     "l_diversity_audit",
+    # Batch 5 (queries_stats.py): Heaps'-law vocabulary growth and
+    # inter-arrival burstiness:
+    "heaps_vocab_growth",
+    "interarrival_burstiness",
 ]
 
 # Re-confirmation fill: oldest driver rows first. All 31 remaining
@@ -989,8 +993,6 @@ _DRIVER_FILL = [
     "value_histogram",
     "exact_percentiles",
     "sql_surface",
-    "exact_dedup",
-    "minhash_signatures",
 ]
 
 # The one NEW streaming query sits last inside the gate per the
@@ -1010,6 +1012,8 @@ _DRIVER_ROTATED_OUT = [
     # then r04/r05.
     # -- r01 rows displaced by the batch-2/3 additions (re-confirm FIRST
     # in r06 — oldest rows in the queue) --
+    "exact_dedup",  # displaced from the r05 fill by heaps_vocab_growth
+    "minhash_signatures",  # displaced by interarrival_burstiness
     "minhash_lsh_pairs",  # displaced from the r05 fill by ppr_topk
     "simhash",  # displaced from the r05 fill by l_diversity_audit
     "dup_clusters",  # displaced from the r05 fill by acf_lag_profile

@@ -1,5 +1,6 @@
 """Corpus / series statistics: autocorrelation, rank correlation,
-PMI collocations, and the dedup quality-shift audit.
+PMI collocations, the dedup quality-shift audit, Heaps'-law vocabulary
+growth, and inter-arrival burstiness.
 
 Late round-5 additions. House rules as everywhere else: integer-exact
 arithmetic end to end (scaled ``div``, never float division in a ranked
@@ -25,8 +26,12 @@ and a DuckDB oracle that replays the same expressions bit-for-bit.
   per source, lexical-diversity quality (scaled) over all docs vs the
   fingerprint-survivor subset. The audit a training-data curator runs
   before committing to a dedup policy.
+- ``heaps_vocab_growth``: vocabulary size vs corpus-prefix decile
+  (Heaps 1978) — first-occurrence doc per word, no global sort.
+- ``interarrival_burstiness``: scaled CV^2 of per-user inter-event
+  gaps per type (Poisson = 10000 bp) — sqrt-free burstiness.
 
-Scale notes are inline per query; none of the four does all-pairs work
+Scale notes are inline per query; none of the six does all-pairs work
 and every join side that is vocabulary- or calendar-bounded is
 documented as such.
 """
@@ -418,3 +423,167 @@ def q_dedup_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary growth: distinct vocabulary as a function of
+# corpus prefix — the curve that sizes tokenizer vocabularies and
+# predicts how much NEW vocabulary another shard of data buys
+# (V(n) ~ K*n^beta, Heaps 1978). Prefixes are doc_id deciles (id-order
+# prefix, max-id broadcast scalar — NO global sort, NO corpus-sized
+# window: the 100 TB guard). One explode feeds (a) per-word
+# min(doc_id) — the vocabulary aggregate, bounded by the vocab — and
+# (b) per-decile token counts; the cumulative pass windows over the
+# 10-row decile rollup only.
+# --------------------------------------------------------------------------
+
+_HEAPS_ORACLE = """
+WITH mx AS (
+  SELECT MAX(doc_id) + 1 AS n_docs FROM documents
+), tok AS (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       UNNEST(t) s(w)
+), firsts AS (
+  SELECT word, MIN(doc_id) AS first_doc FROM tok GROUP BY word
+), new_words AS (
+  SELECT CAST(first_doc * 10 // n_docs AS BIGINT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_new_words
+  FROM firsts, mx GROUP BY 1
+), tokens AS (
+  SELECT CAST(doc_id * 10 // n_docs AS BIGINT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM tok, mx GROUP BY 1
+)
+SELECT decile, COALESCE(n_new_words, 0) AS n_new_words,
+       CAST(SUM(COALESCE(n_new_words, 0)) OVER (ORDER BY decile)
+            AS BIGINT) AS cum_vocab,
+       n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens
+FROM tokens LEFT JOIN new_words USING (decile)
+ORDER BY decile
+"""
+
+
+@query(
+    "heaps_vocab_growth",
+    _HEAPS_ORACLE,
+    "Heaps'-law vocabulary-growth curve over doc-id-decile corpus "
+    "prefixes: per-word MIN(doc_id) first occurrence (vocab-bounded "
+    "aggregate), per-decile new-word and token counts, cumulative "
+    "windows over the 10-row rollup only — no global sort, no "
+    "corpus-sized window; the how-much-new-vocab-does-more-data-buy "
+    "curve that sizes tokenizers",
+    tags=("llm", "text", "stats", "bench"),
+)
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    mx = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).crossJoin(F.broadcast(mx))
+    firsts = tok.groupBy("word").agg(
+        F.min("doc_id").alias("first_doc"), F.first("n_docs").alias("n_docs")
+    )
+    new_words = firsts.groupBy(
+        F.expr("first_doc * 10 div n_docs").alias("decile")
+    ).agg(F.count(F.lit(1)).alias("n_new_words"))
+    tokens = tok.groupBy(
+        F.expr("doc_id * 10 div n_docs").alias("decile")
+    ).agg(F.count(F.lit(1)).alias("n_tokens"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # tokens drives the join: every decile has documents (dense ids),
+    # but a decile can introduce zero NEW words — coalesce, don't drop.
+    nw = F.coalesce("n_new_words", F.lit(0))
+    return (
+        tokens.join(new_words, "decile", "left")
+        .select(
+            "decile",
+            nw.alias("n_new_words"),
+            F.sum(nw).over(w).alias("cum_vocab"),
+            "n_tokens",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival burstiness: is event traffic Poisson or bursty? The
+# scaled squared coefficient of variation of per-user inter-event gaps,
+# per event type: CV^2 = (n*S2 - S1^2) / S1^2 over gap seconds
+# (S1 = sum g, S2 = sum g^2). Poisson arrivals give CV^2 = 1 (10000 bp);
+# heavier values mean burst-and-silence traffic (Goh & Barabasi 2008
+# use the equivalent (sigma-mu)/(sigma+mu); CV^2 carries the same
+# signal without the sqrt, keeping the pipeline integer-exact). Gaps
+# come from ONE lag window partitioned by (user, type) — per-key
+# sequences, the sessionize partitioning, never a global order. The
+# moment sums run in decimal(38,0) (HUGEINT in the oracle): gap <= ~3e7
+# s, so S2 fits int64 only to ~1e4 events/key-family — the decimal
+# ceiling is ~1e9 events per type at worst-case gaps.
+# --------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH secs AS (
+  -- whole-second truncation via date_trunc, NOT epoch()'s DOUBLE
+  -- (a double's ~2e-7 s spacing at epoch magnitudes could round a
+  -- .9999999 fraction across the second boundary); mirrors Spark's
+  -- flooring unix_timestamp exactly
+  SELECT event_type, user_id, ts, event_id,
+         epoch_us(date_trunc('second', ts)) // 1000000 AS es
+  FROM events
+), gaps AS (
+  SELECT event_type,
+         CAST(es - LAG(es) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS BIGINT) AS g
+  FROM secs
+), moms AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(g) AS BIGINT) AS s1,
+         CAST(SUM(CAST(g AS HUGEINT) * g) AS HUGEINT) AS s2
+  FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n_gaps, s1, CAST(s2 AS BIGINT) AS s2,
+       CAST((n_gaps * s2 - CAST(s1 AS HUGEINT) * s1) * 10000
+            // (CAST(s1 AS HUGEINT) * s1) AS BIGINT) AS cv2_bp
+FROM moms ORDER BY event_type
+"""
+
+
+@query(
+    "interarrival_burstiness",
+    _BURST_ORACLE,
+    "Inter-arrival burstiness per event type: scaled CV^2 of per-user "
+    "inter-event gaps (Poisson = 10000 bp; more = bursty) from one lag "
+    "window partitioned by (user, type) — per-key sequences, never a "
+    "global order — with decimal(38,0)/HUGEINT moment products; the "
+    "sqrt-free twin of the Goh-Barabasi burstiness parameter",
+    tags=("relational", "stats", "timeseries", "bench"),
+)
+def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    moms = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("g").alias("s1"),
+        F.sum(F.expr("cast(g as decimal(38,0)) * g")).alias("__s2"),
+    )
+    return moms.select(
+        "event_type",
+        "n_gaps",
+        "s1",
+        F.col("__s2").cast("long").alias("s2"),
+        F.expr(
+            "cast((n_gaps * __s2 - cast(s1 as decimal(38,0)) * s1) * 10000"
+            " div (cast(s1 as decimal(38,0)) * s1) as long)"
+        ).alias("cv2_bp"),
+    ).orderBy("event_type")

@@ -244,6 +244,8 @@ def test_driver_gate_ordering():
         "dedup_quality_shift",        # new r05: dedup quality-profile audit
         "ppr_topk",                   # new r05: personalized PageRank
         "l_diversity_audit",          # new r05: l-diversity disclosure audit
+        "heaps_vocab_growth",         # new r05: Heaps'-law vocab curve
+        "interarrival_burstiness",    # new r05: CV^2 gap burstiness
     ]
     assert _DRIVER_FIRST == must_gate
     # Every fill slot re-confirms a STALE row, and no slot is wasted on
@@ -258,17 +260,17 @@ def test_driver_gate_ordering():
         "bpe_token_stats", "asof_last_purchase", "range_join_windows",
         "time_bucket_rollup", "unpivot_roundtrip", "value_stats",
         "value_histogram", "exact_percentiles", "sql_surface",
-        "exact_dedup", "minhash_signatures",
     ]
     assert set(r01_only) <= set(_DRIVER_FILL)
     assert set(_DRIVER_FILL) == set(r01_only)  # fill is ONLY stale rows
     displaced_r01 = [
+        "exact_dedup", "minhash_signatures",
         "minhash_lsh_pairs", "simhash",
         "dup_clusters", "token_stats", "quality_score", "lang_id",
         "fingerprint", "cosine_topk", "ivf_probe_topk",
         "semantic_dedup_survivors",
     ]
-    assert _DRIVER_ROTATED_OUT[:10] == displaced_r01
+    assert _DRIVER_ROTATED_OUT[:12] == displaced_r01
 
 
 def test_vocab_topk_partial_agg_and_take_ordered(spark):

@@ -121,6 +121,10 @@ BUDGETS = {
     "grouping_sets_report": 2,
     "hard_negative_mining": 2,
     "hash_split_stats": 3,
+    # the explode subtree prints under both consumers (first-occurrence
+    # agg + per-decile token counts); real movement is the vocab agg,
+    # the two decile rollups, the 10-row window and the final sort.
+    "heaps_vocab_growth": 10,
     "hilbert_layout": 2,
     # The distinct-pair subtree prints under every HITS half-round and
     # both top-k branches (runtime-reused); real movement per
@@ -132,6 +136,7 @@ BUDGETS = {
     "hll_sliding_distinct": 5,
     "hll_union_merge": 5,
     "inactive_antijoin": 0,
+    "interarrival_burstiness": 3,
     # The (order, part) distinct subtree prints once per consumer (pair
     # join sides + both frequency dims) — identical, so AQE reuses one
     # materialization; real movement is distinct + pair agg + windows.

@@ -168,3 +168,69 @@ def test_acf_detects_weekly_cycle_on_synthetic(spark):
             assert acf2 == 10000  # perfect periodicity: r = 1 exactly
         else:
             assert acf2 < 0  # off-phase lag anti-correlates
+
+
+def test_heaps_matches_first_occurrence_bruteforce(spark):
+    out = _pdf("heaps_vocab_growth", spark)
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+    ).df()
+    n_docs = int(docs["doc_id"].max()) + 1
+    first_seen = {}
+    tokens_per_decile = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        d = int(doc_id) * 10 // n_docs
+        ws = text.split(" ")
+        tokens_per_decile[d] = tokens_per_decile.get(d, 0) + len(ws)
+        for w in ws:
+            if w not in first_seen or first_seen[w] > int(doc_id):
+                first_seen[w] = int(doc_id)
+    new_per_decile = {}
+    for w, fd in first_seen.items():
+        d = fd * 10 // n_docs
+        new_per_decile[d] = new_per_decile.get(d, 0) + 1
+    cum_v = cum_t = 0
+    for row in out.itertuples(index=False):
+        cum_v += new_per_decile.get(row.decile, 0)
+        cum_t += tokens_per_decile.get(row.decile, 0)
+        assert row.n_new_words == new_per_decile.get(row.decile, 0)
+        assert row.cum_vocab == cum_v
+        assert row.n_tokens == tokens_per_decile.get(row.decile, 0)
+        assert row.cum_tokens == cum_t
+    # The full corpus vocabulary is exactly the final cumulative point.
+    assert cum_v == len(first_seen)
+
+
+def test_burstiness_matches_pandas_bruteforce(spark):
+    out = _pdf("interarrival_burstiness", spark).set_index("event_type")
+    ev = duckdb.sql(
+        f"SELECT event_type, user_id, event_id, "
+        f"epoch_us(date_trunc('second', ts)) // 1000000 AS es, ts "
+        f"FROM '{SF_SMALL}/events.parquet'"
+    ).df()
+    for etype, g in ev.groupby("event_type"):
+        gaps = []
+        for _, u in g.groupby("user_id"):
+            es = u.sort_values(["ts", "event_id"])["es"].to_list()
+            gaps += [b - a for a, b in zip(es, es[1:])]
+        n = len(gaps)
+        s1 = sum(gaps)
+        s2 = sum(x * x for x in gaps)
+        row = out.loc[etype]
+        assert row["n_gaps"] == n
+        assert row["s1"] == s1
+        assert row["s2"] == s2
+        assert row["cv2_bp"] == (n * s2 - s1 * s1) * 10000 // (s1 * s1)
+
+
+def test_burstiness_poisson_vs_bursty_distinguishes():
+    """The statistic itself (pure python, same integer formula): regular
+    arrivals score ~0, exponential-ish arrivals ~10000, bursty >>10000."""
+    regular = [60] * 500
+    # alternating burst/silence: 9 one-second gaps then one 600 s gap
+    bursty = ([1] * 9 + [600]) * 50
+    def cv2(gaps):
+        n, s1, s2 = len(gaps), sum(gaps), sum(x * x for x in gaps)
+        return (n * s2 - s1 * s1) * 10000 // (s1 * s1)
+    assert cv2(regular) == 0
+    assert cv2(bursty) > 80000
