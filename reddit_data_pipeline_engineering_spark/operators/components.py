@@ -151,6 +151,10 @@ def _cc_star(
         .distinct()
         .persist()
     )
+    # Carried across rounds: this round's `e.count()` is last round's
+    # `small.count()` (both read the same checkpointed relation), so the
+    # convergence check costs ONE count job per round, not two.
+    e_count = None
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
@@ -179,10 +183,14 @@ def _cc_star(
             .distinct()
             .localCheckpoint(eager=True)  # cut lineage each round
         )
+        if e_count is None:
+            e_count = e.count()
+        small_count = small.count()
         changed = (
-            small.count() != e.count()
+            small_count != e_count
             or small.exceptAll(e).limit(1).count() > 0
         )
+        e_count = small_count
         old = e
         e = small.persist()
         old.unpersist()
