@@ -62,21 +62,24 @@ def pagerank(
     # Persist the iteration-invariant relations: every localCheckpoint
     # action below re-evaluates its inputs, so an unpersisted edge list
     # would re-run the caller's upstream joins once per iteration.
-    edges = edges.persist()
+    # Out-degree is ITERATION-INVARIANT, so it is attached to the edge
+    # rows once here — each round then does a single edges⋈ranks join
+    # instead of re-joining the degree dim every iteration.
+    base = edges.persist()
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        base.select(F.col(src).alias("node"))
+        .union(base.select(F.col(dst).alias("node")))
         .distinct()
         .persist()
     )
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg")).persist()
+    deg = base.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    edges = base.join(deg, src).persist()
     teleport = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
 
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long")).persist()
     for _ in range(iters):
         contrib = (
             edges.join(ranks, edges[src] == ranks["node"])
-            .join(deg, src)
             .select(
                 F.col(dst).alias("node"),
                 F.expr("rank DIV __deg").alias("__c"),
@@ -103,8 +106,8 @@ def pagerank(
         ranks.unpersist()
         ranks = new_ranks
     nodes.unpersist()
-    deg.unpersist()
     edges.unpersist()
+    base.unpersist()
     return ranks
 
 
@@ -138,14 +141,17 @@ def personalized_pagerank(
     bound applies with n_seeds in place of n_nodes — tighter at any
     realistic seed-set size.
     """
-    edges = edges.persist()
+    base = edges.persist()
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        base.select(F.col(src).alias("node"))
+        .union(base.select(F.col(dst).alias("node")))
         .distinct()
         .persist()
     )
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg")).persist()
+    # Out-degree attached to the edge rows once (iteration-invariant) —
+    # one edges⋈ranks join per round, no per-round degree join.
+    deg = base.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    edges = base.join(deg, src).persist()
     teleport = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
     seed_flag = F.broadcast(
         seeds.select(F.col("node"), F.lit(True).alias("__seed")).distinct()
@@ -165,7 +171,6 @@ def personalized_pagerank(
     for _ in range(iters):
         contrib = (
             edges.join(ranks, edges[src] == ranks["node"])
-            .join(deg, src)
             .select(
                 F.col(dst).alias("node"),
                 F.expr("rank DIV __deg").alias("__c"),
@@ -191,6 +196,6 @@ def personalized_pagerank(
         ranks.unpersist()
         ranks = new_ranks
     nodes.unpersist()
-    deg.unpersist()
     edges.unpersist()
+    base.unpersist()
     return ranks
