@@ -246,9 +246,15 @@ def q_spearman_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # staged integer  (c(xy)*1e6 div c(x)) * N div c(y)  (c(xy) <= c(x), so
 # the first stage is <= 1e6; the second is <= 1e6*N — int64-safe to
 # N ~ 9e12 bigrams, i.e. ~50 TB of text; beyond, drop the scale to 1e4).
-# Staging loses < 1e-6 relative precision per candidate — ties are then
-# broken by bigram text, so the output is a deterministic total order
-# regardless. Min-support c(xy) >= 20 prunes the hapax noise PMI is
+# Staging truncation costs at most N/c(y) + 1 ABSOLUTE on the
+# 1e6-scaled score (stage-1's <1 error amplified by N div c(y), plus
+# stage-2's own <1) — property-pinned in test_stats_queries.py: two
+# candidates can invert vs the exact rational ratio only when their
+# exact scaled scores sit within that bound of each other, which for
+# ranking-relevant collocations (large scores, c(x) comparable to
+# c(xy)) is a vanishing relative band; the bigram-text tiebreak keeps
+# the output a deterministic total order regardless. Min-support
+# c(xy) >= 20 prunes the hapax noise PMI is
 # notorious for. Plan: one (bigram) count shuffle + one (word) count
 # shuffle; the unigram side is vocabulary-bounded (plain hash joins;
 # AQE broadcasts when small) and the result is TakeOrdered top-30.

@@ -234,3 +234,51 @@ def test_burstiness_poisson_vs_bursty_distinguishes():
         return (n * s2 - s1 * s1) * 10000 // (s1 * s1)
     assert cv2(regular) == 0
     assert cv2(bursty) > 80000
+
+
+from fractions import Fraction
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=20, max_value=10_000),   # cxy
+            st.integers(min_value=0, max_value=1_000_000), # cx surplus
+            st.integers(min_value=0, max_value=1_000_000), # cy surplus
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=10**9),  # extra corpus bigrams
+)
+def test_pmi_staged_ranking_tracks_exact_ratio(rows, extra_n):
+    """The staged integer score (cxy*1e6 div cx) * N div cy may deviate
+    from the exact rational 1e6-scaled ratio cxy*1e6*N/(cx*cy) by at
+    most N/cy + 1 ABSOLUTE (stage-1's <1 truncation amplified by
+    N div cy, plus stage-2's own <1) — the documented bound in
+    queries_stats.py. Two properties over the same formula the query
+    and oracle share (c(xy) <= c(x), c(y) as in any real count table):
+    the per-candidate error bound holds, and any ranking inversion vs
+    the exact ratio only happens between candidates whose exact scores
+    sit within the sum of their bounds (staging reorders only
+    effective ties)."""
+    n_total = sum(r[0] for r in rows) + extra_n
+    cands = []
+    for i, (cxy, sx, sy) in enumerate(rows):
+        cx, cy = cxy + sx, cxy + sy
+        staged = (cxy * 1_000_000 // cx) * n_total // cy
+        exact = Fraction(cxy * 1_000_000 * n_total, cx * cy)
+        bound = Fraction(n_total, cy) + 1
+        assert 0 <= exact - staged <= bound, (staged, exact, bound)
+        cands.append((staged, exact, bound, i))
+    staged_order = [c[3] for c in sorted(cands, key=lambda c: -c[0])]
+    by_i = {i: (staged, exact, bound) for staged, exact, bound, i in cands}
+    for a, b in zip(staged_order, staged_order[1:]):
+        _, ea, ba = by_i[a]
+        _, eb, bb = by_i[b]
+        if ea < eb:  # inverted vs exact ranking
+            assert eb - ea <= ba + bb, (ea, eb, ba, bb)
