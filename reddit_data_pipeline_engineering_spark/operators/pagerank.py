@@ -44,6 +44,18 @@ SCALE = 10**12
 DAMP_NUM = 85   # damping 0.85 as a ratio of integers
 DAMP_DEN = 100
 
+# Iteration-invariant state is folded into the persisted loop relations
+# ONCE (out-degree into the edge rows, the PPR seed flag into the node
+# rows) — never re-joined per round. LPA-style edge co-location
+# (repartition+sort by src up front) was TESTED for this shape at sf10
+# (240M edges, 48 GB probe JVM) and left OFF: across five identical-
+# code probe runs the single-host variance spans 28-147 s (heap
+# growth, page-cache state, GC timing dominate a 3-round kernel), so
+# no benefit was demonstrable, and the pass adds an up-front full sort
+# of the edge list that only ~3 rounds may never amortize. LPA keeps
+# its co-location because its regression was unambiguous there (16.6x
+# for 10x data, reproducibly, from a per-round SMJ edge re-sort).
+
 
 def pagerank(
     edges: DataFrame,
@@ -132,9 +144,11 @@ def personalized_pagerank(
 
     ``seeds``: one column named ``node``; must be a subset of the graph
     nodes (rows outside the graph get no mass to spread and are ignored).
-    Seeds are typically a dimension-derived, bounded set — the plan
-    broadcast-joins the seed flag, so the per-round cost over
-    :func:`pagerank` is one broadcast hash join, no extra shuffle.
+    Seeds are typically a dimension-derived, bounded set — the seed
+    FLAG is iteration-invariant, so it is folded into the persisted
+    node relation once up front (the same device as the out-degree on
+    the edge rows): each round's teleport term reads a cached boolean
+    column, no per-round seed join at all.
 
     Overflow: total mass is bounded by n_seeds * scale (strictly less
     than the uniform variant's n_nodes * scale), so the §module-header
@@ -142,10 +156,20 @@ def personalized_pagerank(
     realistic seed-set size.
     """
     base = edges.persist()
+    seed_flag = F.broadcast(
+        seeds.select(F.col("node"), F.lit(True).alias("__seed")).distinct()
+    )
+    # Seed flag folded into the persisted node relation once — the
+    # per-round teleport term reads a cached boolean, no per-round join
+    # (the node-side twin of the out-degree fold on the edge rows).
     nodes = (
         base.select(F.col(src).alias("node"))
         .union(base.select(F.col(dst).alias("node")))
         .distinct()
+        .join(seed_flag, "node", "left")
+        .select(
+            "node", F.coalesce("__seed", F.lit(False)).alias("__seed")
+        )
         .persist()
     )
     # Out-degree attached to the edge rows once (iteration-invariant) —
@@ -153,13 +177,9 @@ def personalized_pagerank(
     deg = base.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
     edges = base.join(deg, src).persist()
     teleport = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
-    seed_flag = F.broadcast(
-        seeds.select(F.col("node"), F.lit(True).alias("__seed")).distinct()
-    )
 
     ranks = (
-        nodes.join(seed_flag, "node", "left")
-        .select(
+        nodes.select(
             "node",
             F.when(F.col("__seed"), F.lit(scale))
             .otherwise(F.lit(0))
@@ -180,7 +200,6 @@ def personalized_pagerank(
         )
         new_ranks = (
             nodes.join(contrib, "node", "left")
-            .join(seed_flag, "node", "left")
             .select(
                 "node",
                 (

@@ -470,3 +470,4 @@ def test_ppr_seed_proximity_ordering(spark):
     got = _ppr_ranks(spark, edges, {0}, iters=3)
     assert got[0] > got[2] > got[4]
     assert got[1] > got[3]
+
