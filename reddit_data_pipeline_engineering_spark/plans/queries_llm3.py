@@ -1003,18 +1003,40 @@ FROM tp
 """
 
 
+# Scale ceiling for the FULL-EXACT certification form (VERDICT r05 #3):
+# the exact prefix-filtered ground-truth join is quadratic-ish in corpus
+# candidates — measured >60 GB of shuffle / DNF at sf10 (~500k docs,
+# SCALE.md §9d). The guard refuses loudly above ~sf1.0 (50k docs ran at a
+# 5.0x first-decade ratio; 100k keeps 2x headroom) instead of silently
+# launching a job its own SCALE.md entry says cannot finish. Production
+# certifies banding parameters with lsh_quality_eval_sampled.
+LSH_EXACT_MAX_DOCS = 100_000
+
+
 @query(
     "lsh_quality_eval",
     _build_lsh_quality_oracle(),
     "LSH candidate-set certification: MinHash 4x2 banding vs the exact "
     "prefix-filtered Jaccard>=0.5 join on the same 3-gram shingle sets "
     "— precision/recall in bps, the dedup analogue of the ANN recall@k "
-    "queries",
+    "queries. Guarded: refuses corpora above LSH_EXACT_MAX_DOCS (the "
+    "exact ground-truth join DNFs at sf10); the sampled twin is the "
+    "production form",
     tags=("llm", "dedup", "eval", "bench"),
 )
 def q_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return _lsh_quality_pipeline(docs)
+    raw = load_table(spark, sf_dir, "documents")
+    n_docs = raw.count()  # parquet metadata count — no shuffle, ~ms
+    if n_docs > LSH_EXACT_MAX_DOCS:
+        raise ValueError(
+            f"lsh_quality_eval: corpus has {n_docs} documents, above the "
+            f"{LSH_EXACT_MAX_DOCS}-doc ceiling for the full-exact "
+            "ground-truth join (measured DNF with >60 GB shuffle at sf10, "
+            "SCALE.md §9d). Use lsh_quality_eval_sampled — the same "
+            "pipeline on a deterministic 10% md5-bucket sample — to "
+            "certify banding parameters at scale."
+        )
+    return _lsh_quality_pipeline(spread(raw))
 
 
 @query(

@@ -497,9 +497,11 @@ ORDER BY s.source
     "chisq_source_drift",
     _DRIFT_ORACLE,
     "χ²-style vocabulary drift per source vs the corpus mixture: one "
-    "(source, word) count shuffle, vocabulary-bounded corpus dim + "
-    "per-source totals broadcast, per-million integer rates so squared "
-    "deviations never approach BIGINT limits, #sources rows out",
+    "(source, word) count shuffle; per-source totals broadcast (bounded "
+    "by #sources) while the corpus word dim stays a plain hash join — "
+    "vocabulary grows with corpus size, AQE broadcasts it only when "
+    "small; per-million integer rates so squared deviations never "
+    "approach BIGINT limits, #sources rows out",
     tags=("llm", "text", "quality", "bench"),
 )
 def q_chisq_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,7 +516,12 @@ def q_chisq_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     R = _DRIFT_RATE
     return (
         cnt.join(F.broadcast(tot), "source")
-        .join(F.broadcast(corpus), "word")
+        # No broadcast hint on the corpus word dim: vocabulary grows with
+        # corpus size (Heaps' law), so forcing it driver-side is unbounded
+        # at large SF. Plain hash join — AQE broadcasts it only when it is
+        # actually small, matching q_pmi_collocations / the bigram-LM
+        # model join (ADVICE r05).
+        .join(corpus, "word")
         .crossJoin(F.broadcast(nall))
         .withColumn(
             "term",

@@ -28,3 +28,28 @@ def test_last_line_bounded_and_parseable(tmp_path):
     # ...and the same dict is persisted for the judge.
     on_disk = json.loads((tmp_path / "bench_full.json").read_text())
     assert on_disk == f
+
+
+def test_lsh_exact_guard_refuses_oversized_corpus(spark, monkeypatch):
+    """VERDICT r05 #3: the full-exact LSH certification DNFs at sf10, so
+    it must refuse loudly above its documented ceiling instead of
+    launching an impossible job. (Cap patched tiny so sf0.001 trips it.)"""
+    import pytest as _pytest
+
+    from reddit_data_pipeline_engineering_spark.plans import queries_llm3 as m
+    from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, queries
+
+    queries()
+    monkeypatch.setattr(m, "LSH_EXACT_MAX_DOCS", 10)
+    with _pytest.raises(ValueError, match="lsh_quality_eval_sampled"):
+        REGISTRY["lsh_quality_eval"].fn(spark, "/root/testdata/sf0.001")
+    # The sampled twin has no ceiling — it must still build a plan.
+    assert REGISTRY["lsh_quality_eval_sampled"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).columns == [
+        "n_candidates",
+        "n_exact",
+        "n_true_positives",
+        "precision_bps",
+        "recall_bps",
+    ]

@@ -55,7 +55,13 @@ HEADLINE = [
 _ONLY = os.environ.get("SCALE_CURVE_ONLY")
 if _ONLY:
     only = {s.strip() for s in _ONLY.split(",") if s.strip()}
-    HEADLINE = [n for n in HEADLINE if n in only] or sorted(only)
+    # Union, not filter-with-fallback: requested names already in HEADLINE
+    # keep their curve order, NON-headline names are appended (sorted) so
+    # mixing a headline query with a new one runs both (ADVICE r05 — the
+    # old `or` fallback silently dropped the new name).
+    HEADLINE = [n for n in HEADLINE if n in only] + sorted(
+        only - set(HEADLINE)
+    )
 
 
 def main() -> None:
