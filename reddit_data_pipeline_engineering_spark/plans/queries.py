@@ -904,140 +904,49 @@ def _register_all() -> None:
 # --------------------------------------------------------------------------
 
 _DRIVER_FIRST = [
-    # ---- ROUND 5 ROTATION (VERDICT r04 "Next round" #1 and #4) ----
-    # The backlog is drained (177/178 green r01-r04), so FIRST holds only
-    # the queries whose output or plan CHANGED this round:
-    # - nested_order_lines: the single red r04 row — its ARRAY column is
-    #   now serialized to a canonical string (driver's pandas
-    #   canonicalization cannot sort list cells); gated at position 1.
-    # - mad_outliers_scalable: r05 perf rework (cached source + shared
-    #   per-group counts across the two bisections), same oracle.
-    # - lsh_quality_eval: empty-input semantics fix (coalesce SUM->0,
-    #   ADVICE r04), same result on real data.
-    "nested_order_lines",
-    "mad_outliers_scalable",
-    "lsh_quality_eval",
-    # NEW this round — append new-query names here as they are
-    # registered, dropping the tail of _DRIVER_FILL to keep the gate at
-    # exactly 50 (test_driver_gate_ordering enforces the arithmetic).
-    # r05 adds: Pareto skyline, batch CUSUM (closed form), sweep-line
-    # peak concurrency, and the plan-side-bracket-state median (the
-    # no-driver-state bisection variant earning its own driver row).
-    "skyline_pareto",
-    "event_rate_cusum",
-    "peak_concurrency",
-    "grouped_median_plan_state",
-    "lsh_quality_eval_sampled",
-    "user_active_streaks",
-    "order_attribution",
-    "sssp_weighted_hist",
-    "random_walk_corpus",
-    "dup_clusters_star",
-    "seasonal_dow_anomalies",
-    # Late-r05 additions (retrieval-quality family + link prediction) —
-    # each displaces one r02 re-confirmation slot from the fill tail:
-    "bm25_topk",
-    "rrf_fusion_topk",
-    "bigram_lm_familiarity",
-    "ra_linkpred_topk",
-    # Batch 2 of the late-r05 additions. These displace four r01-only
-    # re-confirmation slots — a deliberate priority call: a query with
-    # NO driver row (these) is strictly weaker evidence than a stale
-    # green row (the displaced r01 queries, which stay covered by the
-    # local parity suite and lead the r06 re-confirmation queue).
-    "hits_topk",
-    "source_wjaccard",
-    "chisq_source_drift",
-    "matryoshka_recall_at_k",
-    # Batch 3 (plans/queries_stats.py: series/corpus statistics). Same
-    # priority call as batch 2 — each displaces one r01 fill slot whose
-    # green row stays parity-covered and leads the r06 queue:
-    "acf_lag_profile",
-    "spearman_daily_corr",
-    "pmi_collocations",
-    "dedup_quality_shift",
-    # Batch 4: personalized PageRank (the random-walk-with-restart
-    # recommender primitive) and the l-diversity disclosure audit
-    # (k-anonymity's necessary complement):
-    "ppr_topk",
-    "l_diversity_audit",
-    # Batch 5 (queries_stats.py): Heaps'-law vocabulary growth and
-    # inter-arrival burstiness:
-    "heaps_vocab_growth",
-    "interarrival_burstiness",
+    # ---- ROUND 6 ROTATION (VERDICT r05 "Next round" #4) ----
+    # The backlog is fully drained (206/206 green r01-r05), so FIRST
+    # holds only the queries whose output or plan CHANGED this round
+    # plus the round's new queries; the fill is the judge-pinned
+    # stale-green queue (displaced-r01 rows first, then the four r02
+    # rows, then oldest r02 rows).
+    "chisq_source_drift",  # r06: broadcast hint dropped on the corpus dim (ADVICE r05)
+    "lsh_quality_eval",  # r06: scale-ceiling guard added (VERDICT r05 #3)
+    "ndcg_at_k",  # NEW r06: graded-relevance nDCG@20 (VERDICT r05 #8)
+    "multimodal_decode_profile",  # r06: header-only codec probing (VERDICT r05 #6)
 ]
 
-# Re-confirmation fill: oldest driver rows first. All 31 remaining
-# r01-only-green rows (the head of last round's rotated-out queue), then
-# the oldest r02 rows, in their stale-queue order. Every name here has a
-# green row under unchanged semantics; these slots refresh the oldest
-# signals per VERDICT r04 #4.
+# Re-confirmation fill (VERDICT r05 #4, order pinned by the judge):
+# the 12 displaced-r01 rows lead, then the four oldest r02 rows, then
+# the remaining r02 stale queue in its documented order. Every name
+# has a green driver row under unchanged semantics; these slots
+# refresh the oldest signals. The two r02 STREAMING rows rotate in
+# via _DRIVER_TAIL_STREAMING (wall-clock-heavy drains sit last).
 _DRIVER_FILL = [
-    # -- r01-only rows (all of them) --
-    "aqi_bundle",
-    "running_sum",
-    "sessionize",
-    "props_flatten",
-    "lag_lead_delta",
-    "rollup_orders",
-    "cube_segments",
-    "ntile_spend_quartiles",
-    "hll_distinct_sketch",
-    "aqi_profile",
-    "bpe_token_stats",
-    "asof_last_purchase",
-    "range_join_windows",
-    "time_bucket_rollup",
-    "unpivot_roundtrip",
-    "value_stats",
-    "value_histogram",
-    "exact_percentiles",
-    "sql_surface",
-]
-
-# The one NEW streaming query sits last inside the gate per the
-# standing policy (wall-clock-heavy drains at the tail in case the
-# driver cap is a time budget). The seven older streaming queries all
-# have green rows with unchanged semantics and stay rotated out.
-_DRIVER_TAIL_STREAMING: list[str] = [
-    "streaming_dedup",  # new r05: dropDuplicatesWithinWatermark
-]
-
-_DRIVER_ROTATED_OUT = [
-    # Everything below has a green driver row under its current
-    # semantics (see CORRECTNESS_r0*.json) and is hash-checked against
-    # DuckDB on every local run by tests/test_oracle_parity.py with the
-    # type-family + driver-sortability gates. Ordered oldest-row-first:
-    # remaining r02 rows lead (the r06 re-confirmation queue), then r03,
-    # then r04/r05.
-    # -- r01 rows displaced by the batch-2/3 additions (re-confirm FIRST
-    # in r06 — oldest rows in the queue) --
-    "exact_dedup",  # displaced from the r05 fill by heaps_vocab_growth
-    "minhash_signatures",  # displaced by interarrival_burstiness
-    "minhash_lsh_pairs",  # displaced from the r05 fill by ppr_topk
-    "simhash",  # displaced from the r05 fill by l_diversity_audit
-    "dup_clusters",  # displaced from the r05 fill by acf_lag_profile
-    "token_stats",  # displaced from the r05 fill by spearman_daily_corr
-    "quality_score",  # displaced from the r05 fill by pmi_collocations
-    "lang_id",  # displaced from the r05 fill by dedup_quality_shift
-    "fingerprint",  # displaced from the r05 fill by hits_topk
-    "cosine_topk",  # displaced from the r05 fill by source_wjaccard
-    "ivf_probe_topk",  # displaced from the r05 fill by chisq_source_drift
-    "semantic_dedup_survivors",  # displaced by matryoshka_recall_at_k
-    # -- r02 rows (re-confirm next) --
-    "forward_fill",  # displaced from the r05 fill by bm25_topk
-    "snapshot_diff_counts",  # displaced from the r05 fill by rrf_fusion_topk
-    "dq_expectations",  # displaced from the r05 fill by bigram_lm_familiarity
-    "countmin_heavy_hitters",  # displaced from the r05 fill by ra_linkpred_topk
-    "ngram_jaccard_topk",  # displaced from the r05 fill by seasonal_dow_anomalies
-    "multimodal_decode_profile",  # displaced from the r05 fill by dup_clusters_star
-    "ann_lsh_buckets",  # displaced from the r05 fill by random_walk_corpus
-    "ivf_recall_at_k",  # displaced from the r05 fill by sssp_weighted_hist
-    "repetition_stats",  # displaced from the r05 fill by user_active_streaks
-    "ivf_kmeans_topk",  # displaced from the r05 fill by order_attribution
-    "kmeans_recall_at_k",  # displaced from the r05 fill by streaming_dedup
-    "pq_topk",  # displaced from the r05 fill by lsh_quality_eval_sampled
-    "pq_recall_at_k",  # displaced from the r05 fill by grouped_median_plan_state
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "dup_clusters",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "cosine_topk",
+    "ivf_probe_topk",
+    "semantic_dedup_survivors",
+    "forward_fill",
+    "snapshot_diff_counts",
+    "dq_expectations",
+    "countmin_heavy_hitters",
+    "ngram_jaccard_topk",
+    "ann_lsh_buckets",
+    "ivf_recall_at_k",
+    "repetition_stats",
+    "ivf_kmeans_topk",
+    "kmeans_recall_at_k",
+    "pq_topk",
+    "pq_recall_at_k",
     "decontaminate_ngrams",
     "pii_scrub_stats",
     "quality_filter_gates",
@@ -1045,8 +954,6 @@ _DRIVER_ROTATED_OUT = [
     "source_mix_rebalance",
     "salted_skew_rollup",
     "vocab_topk",
-    "streaming_marts_kernel",
-    "stateful_ema_stream",
     "shipping_priority",
     "local_supplier_volume",
     "forecast_revenue",
@@ -1060,6 +967,24 @@ _DRIVER_ROTATED_OUT = [
     "brand_discount_revenue",
     "dormant_rich_customers",
     "min_cost_supplier",
+]
+
+# Streaming drains at the gate tail per the standing policy (in case
+# the driver cap is a time budget): this round the two r02 streaming
+# rows re-confirm, displacing two batch fill slots.
+_DRIVER_TAIL_STREAMING: list[str] = [
+    "streaming_marts_kernel",
+    "stateful_ema_stream",
+]
+
+_DRIVER_ROTATED_OUT = [
+    # Everything below has a green driver row under its current
+    # semantics (see CORRECTNESS_r0*.json) and is hash-checked against
+    # DuckDB on every local run by tests/test_oracle_parity.py with the
+    # type-family + driver-sortability gates. Ordered oldest-row-first:
+    # the remaining r02 rows lead (the r07 re-confirmation queue), then
+    # r03, then r04, then the r05-gated rows (including last round's
+    # FIRST alumni and the r01-origin names refreshed by the r05 fill).
     "nation_volume_shipping",
     "market_share",
     "product_type_profit",
@@ -1072,7 +997,6 @@ _DRIVER_ROTATED_OUT = [
     "scd2_dimension",
     "zorder_layout",
     "bloom_semijoin_reduction",
-    # -- r03 rows --
     "zscore_outliers",
     "topn_per_group",
     "props_struct_parse",
@@ -1123,9 +1047,6 @@ _DRIVER_ROTATED_OUT = [
     "streaming_interval_join_outer",
     "streaming_cusum_drift",
     "streaming_hll_windows",
-    # -- r04 rows (gated green in CORRECTNESS_r04; the three r04 names
-    #    re-gated this round — nested_order_lines, mad_outliers_scalable,
-    #    lsh_quality_eval — are in _DRIVER_FIRST instead) --
     "topn_with_ties",
     "winsorized_scalable",
     "mom_revenue_growth",
@@ -1173,6 +1094,54 @@ _DRIVER_ROTATED_OUT = [
     "topk_orders",
     "set_ops",
     "marts_kernel",
+    "nested_order_lines",
+    "mad_outliers_scalable",
+    "skyline_pareto",
+    "event_rate_cusum",
+    "peak_concurrency",
+    "grouped_median_plan_state",
+    "lsh_quality_eval_sampled",
+    "user_active_streaks",
+    "order_attribution",
+    "sssp_weighted_hist",
+    "random_walk_corpus",
+    "dup_clusters_star",
+    "seasonal_dow_anomalies",
+    "bm25_topk",
+    "rrf_fusion_topk",
+    "bigram_lm_familiarity",
+    "ra_linkpred_topk",
+    "hits_topk",
+    "source_wjaccard",
+    "matryoshka_recall_at_k",
+    "acf_lag_profile",
+    "spearman_daily_corr",
+    "pmi_collocations",
+    "dedup_quality_shift",
+    "ppr_topk",
+    "l_diversity_audit",
+    "heaps_vocab_growth",
+    "interarrival_burstiness",
+    "aqi_bundle",
+    "running_sum",
+    "sessionize",
+    "props_flatten",
+    "lag_lead_delta",
+    "rollup_orders",
+    "cube_segments",
+    "ntile_spend_quartiles",
+    "hll_distinct_sketch",
+    "aqi_profile",
+    "bpe_token_stats",
+    "asof_last_purchase",
+    "range_join_windows",
+    "time_bucket_rollup",
+    "unpivot_roundtrip",
+    "value_stats",
+    "value_histogram",
+    "exact_percentiles",
+    "sql_surface",
+    "streaming_dedup",
 ]
 
 

@@ -530,57 +530,93 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MM_N_ASSETS = 120
 _MM_MAX_PX = 12 * 9  # max (8 + i%5) * (6 + i%4)
 
+# r06 (VERDICT r05 #6): the profile now runs over the MIXED-container
+# asset table (synthetic/wav/ppm/jpeg/png/flac, all real containers) and
+# aggregates the header-only probe output per container — dimensions for
+# image formats, PCM layout/duration for audio formats — plus the decode
+# mean-intensity for the one decodable (synthetic) format. Every probed
+# value is closed-form in the asset id (synthesize_media_assets
+# docstring), so DuckDB replays the whole thing arithmetically.
 _MULTIMODAL_ORACLE = f"""
 WITH ids AS (
   SELECT unnest(range({_MM_N_ASSETS})) AS i
-), dims AS (
+), base AS (
   SELECT i,
-         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
-         END AS modality,
-         (8 + i % 5) * (6 + i % 4) AS n_px
+         ['synthetic','wav','ppm','jpeg','png','flac'][(i % 6) + 1]
+           AS container,
+         8 + i % 5 AS w, 6 + i % 4 AS h,
+         8000 + 1000 * (i % 3) AS sr, 500 + 10 * i AS ns
   FROM ids
+), probe AS (
+  -- mirror of sources/multimodal.probe_media over the closed-form
+  -- container parameters
+  SELECT i, container,
+         CASE WHEN container IN ('synthetic','ppm','jpeg','png')
+              THEN w END AS width,
+         CASE WHEN container IN ('synthetic','ppm','jpeg','png')
+              THEN h END AS height,
+         CASE WHEN container IN ('wav','flac') THEN ns END AS n_samples,
+         CASE WHEN container IN ('wav','flac') THEN ns * 1000 // sr
+              END AS duration_ms
+  FROM base
 ), series AS (
   SELECT unnest(range({_MM_MAX_PX})) AS j
-), decoded AS (
-  -- mirror of sources/multimodal.decode_payload over the synthetic
-  -- payload generator: exact integer pixel sum, then one double divide
-  SELECT d.i, d.modality, d.n_px AS n_bytes,
-         SUM((d.i * 31 + s.j * 7) % 256) / COUNT(*) AS mean_intensity
-  FROM dims d JOIN series s ON s.j < d.n_px
-  GROUP BY d.i, d.modality, d.n_px
+), intensity AS (
+  -- mirror of decode_payload over the synthetic payload generator:
+  -- exact integer pixel sum, then one double divide
+  SELECT b.i, SUM((b.i * 31 + s.j * 7) % 256) / COUNT(*) AS mi
+  FROM base b JOIN series s ON s.j < b.w * b.h
+  WHERE b.container = 'synthetic'
+  GROUP BY b.i
 )
-SELECT modality,
-       COUNT(*) AS n_assets,
-       ROUND(CAST(SUM(CAST(mean_intensity AS DECIMAL(24,18))) AS DOUBLE)
-             / COUNT(mean_intensity), 4) AS avg_intensity,
-       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
-FROM decoded
-GROUP BY modality
-ORDER BY modality
+SELECT p.container,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(COUNT(p.width) AS BIGINT) AS n_dims,
+       CAST(SUM(p.width * p.height) AS BIGINT) AS total_px,
+       CAST(SUM(p.n_samples) AS BIGINT) AS total_samples,
+       CAST(SUM(p.duration_ms) AS BIGINT) AS total_duration_ms,
+       ROUND(CAST(SUM(CAST(it.mi AS DECIMAL(24,18))) AS DOUBLE)
+             / COUNT(it.mi), 4) AS avg_intensity
+FROM probe p LEFT JOIN intensity it USING (i)
+GROUP BY p.container
+ORDER BY p.container
 """
 
 
 @query(
     "multimodal_decode_profile",
     _MULTIMODAL_ORACLE,
-    "Multimodal asset pipeline: synthesize binary assets -> Arrow-batched "
-    "mapInPandas decode -> per-modality aggregate profile (plumbing is "
-    "real, codec layer stubbed — sources/multimodal.py; the oracle "
-    "recomputes the deterministic payload stats arithmetically)",
+    "Multimodal asset pipeline: synthesize mixed-container binary assets "
+    "(real WAV/PPM/JPEG/PNG/FLAC + synthetic) -> Arrow-batched "
+    "mapInPandas header probe (dimensions / PCM layout / duration, no "
+    "decode) + decode of the one decodable format -> per-container "
+    "profile; the oracle replays the closed-form probe arithmetic "
+    "(sources/multimodal.py; full compressed-codec decode is the only "
+    "remaining stub)",
     tags=("llm", "multimodal"),
 )
 def q_multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.sources import multimodal as mm
 
-    assets = mm.synthesize_assets(spark, n=_MM_N_ASSETS)
-    decoded = mm.decode_assets(assets)
-    profile = decoded.join(
-        assets.select("asset_id", "modality"), "asset_id"
-    )
+    assets = mm.synthesize_media_assets(spark, n=_MM_N_ASSETS)
+    probed = mm.probe_assets(assets)
+    # Only the synthetic format is decodable in this environment; its
+    # rows are asset_id % 6 == 0 by construction (closed form — no join
+    # against probe output needed to find them).
+    intensity = mm.decode_assets(
+        assets.filter(F.col("asset_id") % 6 == 0)
+    ).select("asset_id", "mean_intensity")
     return (
-        profile.groupBy("modality")
+        probed.join(intensity, "asset_id", "left")
+        .groupBy("container")
         .agg(
             F.count(F.lit(1)).alias("n_assets"),
+            F.count("width").cast("long").alias("n_dims"),
+            F.sum(F.col("width") * F.col("height"))
+            .cast("long")
+            .alias("total_px"),
+            F.sum("n_samples").cast("long").alias("total_samples"),
+            F.sum("duration_ms").cast("long").alias("total_duration_ms"),
             # decimal-cast sum: summation-order-independent, so the avg is
             # bit-identical to the oracle's regardless of partitioning
             F.round(
@@ -590,9 +626,8 @@ def q_multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("mean_intensity"),
                 4,
             ).alias("avg_intensity"),
-            F.sum("n_bytes").cast("long").alias("total_bytes"),
         )
-        .orderBy("modality")
+        .orderBy("container")
     )
 
 

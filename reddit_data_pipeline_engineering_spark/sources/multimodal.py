@@ -11,10 +11,12 @@ Design for 100 TB of mixed-media training data:
   generators: per-batch pandas in, per-batch pandas out, so Python cost is
   amortized over Arrow batches (never row-at-a-time UDFs).
 
-Codec status: container parsing for WAV (RIFF chunk walk) and binary PPM
-(P6 header) is REAL — ``probe_media``/``probe_assets`` read genuine
-headers, PCM layout, and durations with the standard library only.
-Compressed codecs (JPEG/PNG/H.264/MP3) are the stubbed part:
+Codec status: container parsing is REAL for WAV (RIFF chunk walk),
+binary PPM (P6 header), JPEG (SOF segment scan), PNG (IHDR chunk), and
+FLAC (STREAMINFO bit unpack) — ``probe_media``/``probe_assets`` read
+genuine headers, dimensions, PCM layout, and durations with the standard
+library only (VERDICT r05 #6 shrank the stub surface to decode only).
+Full pixel/sample DECODE of compressed codecs is the one remaining stub:
 ``decode_payload`` understands the engine's deterministic synthetic
 payload format and raises ``NotImplementedError`` for anything needing a
 real decompressor, since those libraries are not in this environment. The
@@ -128,7 +130,9 @@ def _probe_wav(payload: bytes) -> dict:
             n_channels=n_channels,
             sample_rate_hz=sample_rate,
             n_samples=n_samples,
-            duration_ms=int(n_samples * 1000 / sample_rate),
+            # integer division: oracle-replayable (float divide could
+            # straddle an int() truncation boundary in another engine)
+            duration_ms=n_samples * 1000 // sample_rate,
         )
     return out
 
@@ -157,6 +161,205 @@ def _probe_ppm(payload: bytes) -> dict:
     return out
 
 
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOF0-15 minus DHT/JPG/DAC
+_JPEG_STANDALONE = frozenset({0x01, *range(0xD0, 0xD8)})  # TEM, RSTn
+
+
+def _probe_jpeg(payload: bytes) -> dict:
+    """Scan JPEG segments for the SOF frame header (dimensions/channels).
+
+    A marker walk over the entropy-free prefix only: each segment is
+    FF <marker> <len:2 BE>; the Start-Of-Frame payload carries
+    precision(1) height(2) width(2) n_components(1). Stops at SOS (the
+    entropy-coded stream needs a real decoder) or any malformed marker.
+    """
+    out = {"container": "jpeg"}
+    pos = 2  # past FFD8
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        if marker in _JPEG_SOF_MARKERS and pos + 2 + seg_len <= len(payload):
+            _, h, w, n_comp = struct.unpack_from(">BHHB", payload, pos + 4)
+            out.update(width=w, height=h, n_channels=n_comp)
+            break
+        if marker == 0xDA:  # SOS: entropy data follows, stop scanning
+            break
+        pos += 2 + seg_len
+    return out
+
+
+def _probe_png(payload: bytes) -> dict:
+    """Parse the PNG IHDR chunk (always first after the 8-byte magic)."""
+    out = {"container": "png"}
+    if len(payload) >= 24 and payload[12:16] == b"IHDR":
+        w, h = struct.unpack_from(">II", payload, 16)
+        out.update(width=w, height=h)
+    return out
+
+
+def _probe_flac(payload: bytes) -> dict:
+    """Unpack the FLAC STREAMINFO block (mandatory first metadata block).
+
+    After the 4-byte magic and the 4-byte block header, STREAMINFO packs
+    (past 10 bytes of block/frame sizes) a 64-bit big-endian field:
+    sample rate (20 bits) | channels-1 (3) | bits-per-sample-1 (5) |
+    total samples (36).
+    """
+    out = {"container": "flac"}
+    if len(payload) >= 8 + 34 and payload[4] & 0x7F == 0:  # type 0
+        (packed,) = struct.unpack_from(">Q", payload, 8 + 10)
+        sample_rate = packed >> 44
+        n_channels = ((packed >> 41) & 0x7) + 1
+        n_samples = packed & ((1 << 36) - 1)
+        if sample_rate:
+            out.update(
+                n_channels=n_channels,
+                sample_rate_hz=sample_rate,
+                n_samples=n_samples,
+                duration_ms=n_samples * 1000 // sample_rate,
+            )
+    return out
+
+
+def synth_jpeg(asset_id: int, width: int, height: int) -> bytes:
+    """A structurally valid JPEG container: real JFIF/SOF0/SOS segments
+    around a deterministic fake entropy stream (headers probe-able; only
+    full pixel decode needs a library)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, height, width, 1)
+        + b"\x01\x11\x00"
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    entropy = bytes((asset_id * 17 + i * 5) % 255 for i in range(32))  # <255: no FF
+    return b"\xff\xd8" + app0 + sof0 + sos + entropy + b"\xff\xd9"
+
+
+def synth_png(asset_id: int, width: int, height: int) -> bytes:
+    """A PNG container with a real IHDR chunk and a fake IDAT body."""
+    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    body = bytes((asset_id * 13 + i * 3) % 256 for i in range(24))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
+        + struct.pack(">I", len(body)) + b"IDAT" + body + b"\x00" * 4
+        + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4
+    )
+
+
+def synth_flac(
+    asset_id: int, sample_rate: int, n_channels: int, n_samples: int
+) -> bytes:
+    """A FLAC container with a real STREAMINFO block and fake frames."""
+    packed = (
+        (sample_rate << 44)
+        | ((n_channels - 1) << 41)
+        | ((16 - 1) << 36)
+        | n_samples
+    )
+    streaminfo = (
+        struct.pack(">HH", 1024, 1024)  # min/max block size
+        + b"\x00\x00\x00" * 2  # min/max frame size (unknown)
+        + struct.pack(">Q", packed)
+        + b"\x00" * 16  # md5 of raw samples (unset)
+    )
+    header = bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:]  # last, type 0
+    frames = bytes((asset_id * 7 + i * 11) % 256 for i in range(24))
+    return b"fLaC" + header + streaminfo + frames
+
+
+def synth_wav(
+    asset_id: int, sample_rate: int, n_channels: int, n_samples: int
+) -> bytes:
+    """A real RIFF/WAVE container (16-bit PCM) with deterministic samples."""
+    data = bytes(
+        (asset_id * 3 + i) % 256 for i in range(n_samples * n_channels * 2)
+    )
+    fmt = struct.pack(
+        "<hhiih h".replace(" ", ""),
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * n_channels * 2,
+        n_channels * 2,
+        16,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<i", len(fmt)) + fmt
+    body += b"data" + struct.pack("<i", len(data)) + data
+    return b"RIFF" + struct.pack("<i", len(body)) + body
+
+
+def synth_ppm(asset_id: int, width: int, height: int) -> bytes:
+    """A real binary PPM (P6) with deterministic pixels."""
+    pixels = bytes(
+        (asset_id * 11 + i * 2) % 256 for i in range(width * height * 3)
+    )
+    return f"P6\n{width} {height}\n255\n".encode() + pixels
+
+
+#: container -> (modality, mime); the cycle synthesize_media_assets uses.
+MEDIA_CONTAINERS = (
+    ("synthetic", "image", "image/fake"),
+    ("wav", "audio", "audio/wav"),
+    ("ppm", "image", "image/x-portable-pixmap"),
+    ("jpeg", "image", "image/jpeg"),
+    ("png", "image", "image/png"),
+    ("flac", "audio", "audio/flac"),
+)
+
+
+def synthesize_media_assets(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Mixed-container asset table: every payload is a REAL container of
+    its format (probe-able headers), cycling through the six supported
+    formats. All parameters are closed-form in the asset id, so a SQL
+    oracle can replay the probe output arithmetically:
+
+    - image containers (synthetic/ppm/jpeg/png): width 8+i%5, height 6+i%4
+    - audio containers (wav/flac): rate 8000+1000*(i%3) Hz, 1+i%2
+      channels, 500+10*i samples, 16-bit
+    """
+    rows = []
+    for i in range(n):
+        container, modality, mime = MEDIA_CONTAINERS[i % 6]
+        w, h = 8 + i % 5, 6 + i % 4
+        sr, ch, ns = 8000 + 1000 * (i % 3), 1 + i % 2, 500 + 10 * i
+        payload = {
+            "synthetic": lambda: synth_payload(i, w, h),
+            "wav": lambda: synth_wav(i, sr, ch, ns),
+            "ppm": lambda: synth_ppm(i, w, h),
+            "jpeg": lambda: synth_jpeg(i, w, h),
+            "png": lambda: synth_png(i, w, h),
+            "flac": lambda: synth_flac(i, sr, ch, ns),
+        }[container]()
+        is_img = modality == "image"
+        rows.append(
+            (
+                i,
+                modality,
+                payload,
+                mime,
+                w if is_img else None,
+                h if is_img else None,
+                ns * 1000 // sr if not is_img else None,
+                {"container": container},
+            )
+        )
+    return spark.createDataFrame(rows, MULTIMODAL_ASSET)
+
+
 def probe_media(payload: bytes) -> dict:
     """Container-level probe: format + dimensions/PCM layout, no decode.
 
@@ -174,6 +377,12 @@ def probe_media(payload: bytes) -> dict:
         return _probe_wav(payload)
     if payload[:2] == b"P6":
         return _probe_ppm(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _probe_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _probe_png(payload)
+    if payload[:4] == b"fLaC":
+        return _probe_flac(payload)
     return {"container": "unknown"}
 
 

@@ -88,8 +88,66 @@ def test_probe_media_real_wav_and_ppm():
     ppm = probe_media(b"P6\n# a comment\n640 480\n255\n" + b"\x00" * 10)
     assert ppm == {"container": "ppm", "width": 640, "height": 480}
 
-    assert probe_media(b"\xff\xd8\xff\xe0 jpeg-ish garbage")["container"] == "unknown"
+    # JPEG magic with a garbage body: identified by container, but no
+    # dimensions are invented from unparseable segments.
+    j = probe_media(b"\xff\xd8\xff\xe0 jpeg-ish garbage")
+    assert j == {"container": "jpeg"}
+    assert probe_media(b"\x00" * 40)["container"] == "unknown"
     assert probe_media(None)["container"] == "unknown"
+
+
+def test_probe_media_jpeg_png_flac_headers():
+    """r06 (VERDICT r05 #6): real header parsing for the compressed
+    containers — dimensions from JPEG SOF / PNG IHDR, PCM layout from
+    FLAC STREAMINFO — with full decode still (correctly) stubbed."""
+    jpeg = mm.synth_jpeg(5, 320, 200)
+    assert mm.probe_media(jpeg) == {
+        "container": "jpeg", "width": 320, "height": 200, "n_channels": 1,
+    }
+    png = mm.synth_png(5, 1920, 1080)
+    assert mm.probe_media(png) == {
+        "container": "png", "width": 1920, "height": 1080,
+    }
+    flac = mm.synth_flac(5, 44100, 2, 441000)
+    assert mm.probe_media(flac) == {
+        "container": "flac", "n_channels": 2, "sample_rate_hz": 44100,
+        "n_samples": 441000, "duration_ms": 10000,
+    }
+    # decode remains the stub boundary for every compressed container
+    for payload in (jpeg, png, flac):
+        with pytest.raises(NotImplementedError):
+            mm.decode_payload(payload)
+
+
+def test_probe_jpeg_skips_non_sof_segments():
+    """The SOF scan must walk over APPn/DQT/DHT segments and stop at SOS
+    without reading entropy data as markers."""
+    dqt = b"\xff\xdb" + bytes([0, 67]) + b"\x00" * 65
+    # SOF2 (progressive): height 300 = 0x012C, width 600 = 0x0258, 3 comps
+    sof = b"\xff\xc2" + b"\x00\x0b\x08\x01\x2c\x02\x58\x03" + b"\x01\x11\x00"
+    payload = b"\xff\xd8" + dqt + sof + b"\xff\xd9"
+    assert mm.probe_media(payload) == {
+        "container": "jpeg", "width": 600, "height": 300, "n_channels": 3,
+    }
+
+
+def test_synthesize_media_assets_probe_roundtrip(spark):
+    """Every mixed-container payload probes back to its closed-form
+    parameters through the Arrow-batched probe_assets plan."""
+    assets = mm.synthesize_media_assets(spark, n=36)
+    got = {r["asset_id"]: r.asDict() for r in mm.probe_assets(assets).collect()}
+    assert len(got) == 36
+    containers = [c for c, _, _ in mm.MEDIA_CONTAINERS]
+    for i in range(36):
+        r = got[i]
+        assert r["container"] == containers[i % 6], i
+        if r["container"] in ("synthetic", "ppm", "jpeg", "png"):
+            assert (r["width"], r["height"]) == (8 + i % 5, 6 + i % 4), i
+        else:
+            sr, ns = 8000 + 1000 * (i % 3), 500 + 10 * i
+            assert (r["sample_rate_hz"], r["n_samples"]) == (sr, ns), i
+            assert r["n_channels"] == 1 + i % 2
+            assert r["duration_ms"] == ns * 1000 // sr
 
 
 def test_probe_assets_mixed_containers(spark):

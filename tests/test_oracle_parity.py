@@ -3,7 +3,20 @@
 This mirrors the driver's t2 correctness gate locally (sf0.001 for speed;
 the driver runs sf0.01). A failure here means the driver's hash compare
 would fail too.
+
+Throughput (VERDICT r05 #5): the ~207 compares are precomputed ONCE by a
+module-scoped fixture over a thread pool — Spark accepts concurrent job
+submission from multiple driver threads (each compare is an independent
+DataFrame + action) and each worker thread holds its own DuckDB
+connection. The parametrized tests then assert on the cached results, so
+per-test reporting granularity is unchanged while wall time drops ~5x.
+No registry query mutates shared session state: the only conf writes are
+the idempotent apply_runtime_confs values, and the two temp-view queries
+re-register identical definitions.
 """
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
@@ -16,16 +29,12 @@ queries()  # force registration of all query modules
 
 NAMES = sorted(REGISTRY)
 
-
-@pytest.fixture(scope="module")
-def duck():
-    con = ora.duckdb_connection(SF_SMALL)
-    yield con
-    con.close()
+_WORKERS = 8
 
 
-@pytest.mark.parametrize("name", NAMES)
-def test_query_matches_oracle(name, spark, duck):
+def _run_one(spark, tl, name):
+    """One compare; returns a CompareResult-like outcome or the raised
+    exception (re-raised later inside the owning test)."""
     spec = REGISTRY[name]
     if spec.oracle is None:
         df = spec.fn(spark, SF_SMALL)
@@ -33,12 +42,48 @@ def test_query_matches_oracle(name, spark, duck):
         # no top-level array/map/struct output columns (r04 lesson).
         fams = {f.name: ora._family_spark(f.dataType) for f in df.schema.fields}
         bad = ora.driver_unsortable_cols(fams)
-        assert not bad, f"{name}: driver-unsortable column(s) {bad}"
-        assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
-        return
-    res = ora.compare(name, spark, SF_SMALL, spec.fn, spec.oracle, con=duck)
+        if bad:
+            return AssertionError(f"{name}: driver-unsortable column(s) {bad}")
+        n = df.count()
+        if n < 0:  # pragma: no cover - count is never negative
+            return AssertionError(f"{name}: negative count")
+        return None  # rows-only check passed
+    con = getattr(tl, "con", None)
+    if con is None:
+        con = tl.con = ora.duckdb_connection(SF_SMALL)
+    return ora.compare(name, spark, SF_SMALL, spec.fn, spec.oracle, con=con)
+
+
+@pytest.fixture(scope="module")
+def parity(spark):
+    tl = threading.local()
+
+    def task(name):
+        try:
+            return _run_one(spark, tl, name)
+        except Exception as exc:  # surfaced by the owning test
+            return exc
+
+    with ThreadPoolExecutor(max_workers=_WORKERS) as ex:
+        return dict(zip(NAMES, ex.map(task, NAMES)))
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(name, parity):
+    res = parity[name]
+    if isinstance(res, BaseException):
+        raise res
+    if res is None:
+        return  # rows-only check (non-SQL-expressible op) passed
     assert res.ok, f"{name}: {res.detail}"
     assert res.spark_rows > 0, f"{name}: query returned no rows"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = ora.duckdb_connection(SF_SMALL)
+    yield con
+    con.close()
 
 
 def test_uncast_sum_oracle_fails_type_gate(spark, duck):

@@ -233,3 +233,41 @@ def test_matryoshka_recall_bounds(spark):
     assert row["k"] == 20 and row["dim_prefix"] == 8
     assert 0 <= row["n_overlap"] <= 20
     assert abs(row["recall_at_k"] - round(row["n_overlap"] / 20.0, 4)) < 1e-9
+
+
+def test_ndcg_at_k_matches_brute_force(spark):
+    """Third independent nDCG@20: pure-Python cosine rankings with the
+    same HALF_UP 6-decimal rounding and the same integer rank-discount
+    literals as the plan/oracle pair."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = pq.read_table(f"{SF_SMALL}/embeddings.parquet").to_pylist()
+    emb = {r["vec_id"]: r["embedding"] for r in t}
+    q = emb.pop(0)
+
+    def r6(x: float) -> float:
+        # Spark F.round = BigDecimal(Double.toString) HALF_UP; Python's
+        # repr gives the same shortest decimal representation.
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    def cos(a, b, n=None):
+        a, b = (a[:n], b[:n]) if n else (a, b)
+        d = sum(x * y for x, y in zip(a, b))
+        return r6(d / (math.sqrt(sum(x * x for x in a))
+                       * math.sqrt(sum(y * y for y in b))))
+
+    full = sorted(((cos(v, q), i) for i, v in emb.items()),
+                  key=lambda s: (-s[0], s[1]))[:20]
+    pre = sorted(((cos(v, q, 8), i) for i, v in emb.items()),
+                 key=lambda s: (-s[0], s[1]))[:20]
+    w = [int(round(1_000_000 / math.log2(r + 1))) for r in range(1, 21)]
+    rel = {i: (3 if r <= 5 else 2 if r <= 10 else 1)
+           for r, (_, i) in enumerate(full, 1)}
+    dcg = sum(rel.get(i, 0) * w[r - 1] for r, (_, i) in enumerate(pre, 1))
+    idcg = sum(g * w[r - 1]
+               for r, g in enumerate(sorted(rel.values(), reverse=True), 1))
+    row = REGISTRY["ndcg_at_k"].fn(spark, SF_SMALL).collect()[0]
+    assert (row["k"], row["dim_prefix"]) == (20, 8)
+    assert (row["dcg_scaled"], row["idcg_scaled"]) == (dcg, idcg)
+    assert row["ndcg_bps"] == dcg * 10000 // idcg
