@@ -372,3 +372,126 @@ def read_join_view(spark: SparkSession, view_path: str):
     import os
 
     return spark.read.parquet(os.path.join(view_path, "view"))
+
+
+# --------------------------------------------------------------------------
+# Incremental raw-zone source ledger — the Glue "job bookmarks" analog
+# (reference declared-future work, /root/reference/doc/architecture.md:697;
+# VERDICT r05 #7). Batch re-runs over the raw zone should process only
+# files not yet seen, the way streaming already gets from its checkpoint's
+# seen-files log. The ledger is a small parquet table of
+# (path, mtime, size, n_rows, batch_id) rows, appended once per committed
+# batch.
+#
+# Failure-safety is process-then-commit: ``new_raw_files`` lists the
+# not-yet-committed files, the caller processes exactly those (the read is
+# pinned to the file list — a file landing mid-job cannot leak in), and
+# only after its own downstream write succeeds does it call
+# ``commit_processed``. A crash before commit re-processes the same files
+# on the next run — at-least-once, the bookmark contract — and pairing the
+# downstream write with merge_upsert/idempotent sinks upgrades it to
+# exactly-once.
+#
+# At 100 TB: the listing is driver-side file METADATA only — the same
+# cost class as Spark's own FileIndex, which lists every scan anyway —
+# via the Hadoop FileSystem API so it works on HDFS/S3A/local alike. The
+# ledger diff is a hash-set membership test on paths; for zones with
+# millions of historical files, list only recent prefixes (the
+# ``subdir`` arg) and let old partitions age out of consideration.
+# --------------------------------------------------------------------------
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[dict]:
+    """Recursive (path, mtime, size) listing of non-hidden data files."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next()
+        p = f.getPath()
+        name = p.getName()
+        if name.startswith(("_", ".")):  # _SUCCESS, hidden, temp
+            continue
+        out.append(
+            {
+                "path": p.toString(),
+                "mtime": f.getModificationTime(),
+                "size": f.getLen(),
+            }
+        )
+    return sorted(out, key=lambda d: d["path"])
+
+
+def new_raw_files(
+    spark: SparkSession, path: str, ledger_path: str
+) -> list[dict]:
+    """Files under ``path`` not yet committed to the ledger.
+
+    A file counts as new if its path is unseen OR its recorded mtime is
+    older than the file's (a rewritten file re-processes — same rule as
+    Glue bookmarks' timestamp mode).
+    """
+    import os
+
+    seen: dict[str, int] = {}
+    if os.path.isdir(ledger_path):
+        for r in spark.read.parquet(ledger_path).collect():
+            seen[r["path"]] = max(seen.get(r["path"], 0), r["mtime"])
+    return [
+        f
+        for f in _list_data_files(spark, path)
+        if seen.get(f["path"], -1) < f["mtime"]
+    ]
+
+
+def commit_processed(
+    spark: SparkSession,
+    ledger_path: str,
+    files: list[dict],
+    n_rows: int,
+    batch_id: str,
+) -> None:
+    """Append the processed-file manifest for one committed batch."""
+    if not files:
+        return
+    rows = [
+        (f["path"], f["mtime"], f["size"], n_rows, batch_id) for f in files
+    ]
+    spark.createDataFrame(
+        rows, "path string, mtime long, size long, n_rows long, batch_id string"
+    ).coalesce(1).write.mode("append").parquet(ledger_path)
+
+
+def read_raw_zone_incremental(
+    spark: SparkSession,
+    path: str,
+    ledger_path: str,
+    schema=None,
+):
+    """Bookmark-scoped raw-zone read: (df, files, commit).
+
+    ``df`` covers exactly the not-yet-committed NDJSON files (empty-schema
+    DataFrame when nothing is new); ``commit(n_rows, batch_id)`` appends
+    the manifest — call it only after the downstream write succeeds.
+    """
+    from reddit_data_pipeline_engineering_spark.schemas import RAW_MEASUREMENT
+
+    schema = schema or RAW_MEASUREMENT
+    files = new_raw_files(spark, path, ledger_path)
+    if files:
+        df = (
+            spark.read.format("json")
+            .schema(schema)
+            .load([f["path"] for f in files])
+        )
+    else:
+        df = spark.createDataFrame([], schema)
+
+    def commit(n_rows: int, batch_id: str) -> None:
+        commit_processed(spark, ledger_path, files, n_rows, batch_id)
+
+    return df, files, commit

@@ -21,8 +21,20 @@ from pyspark.sql import types as T
 from reddit_data_pipeline_engineering_spark.sources.tables import TABLE_NAMES
 
 
-def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+def duckdb_connection(
+    sf_dir: str, threads: int | None = None
+) -> "duckdb.DuckDBPyConnection":
+    """Oracle connection with the testdata tables registered as views.
+
+    ``threads`` caps DuckDB's intra-query parallelism — REQUIRED when many
+    connections run concurrently (the parallel parity fixture): each
+    connection defaults to every core on the host, so 12 workers x 32
+    DuckDB threads oversubscribes the box ~12x and the kernel burns more
+    time context-switching than computing.
+    """
     con = duckdb.connect()
+    if threads:
+        con.execute(f"SET threads TO {threads}")
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir.rstrip('/')}/{t}.parquet')"

@@ -17,7 +17,7 @@ def spark(tmp_path_factory):
 
     s = get_spark(
         app_name="rdpe-tests",
-        master="local[4]",
+        master="local[8]",
         shuffle_partitions=4,
         extra_conf={
             "spark.driver.memory": "4g",

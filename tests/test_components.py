@@ -22,20 +22,25 @@ def _edges_df(spark, pairs):
 
 
 def test_star_matches_label_on_random_graphs(spark):
+    # Three random graphs as ONE disjoint union (node offset 1000 per
+    # trial): components never cross trial boundaries, so the union
+    # equality asserts all three trials with two iterative executions
+    # instead of six.
     rng = random.Random(7)
+    pairs = []
     for trial in range(3):
         n = 40
-        pairs = [
-            (rng.randrange(n), rng.randrange(n))
+        pairs += [
+            (trial * 1000 + rng.randrange(n), trial * 1000 + rng.randrange(n))
             for _ in range(30 + trial * 10)
         ]
-        pairs = [(a, b) for a, b in pairs if a != b]
-        edges = _edges_df(spark, pairs)
-        lab = _labels(cc.connected_components(edges, "id_a", "id_b"))
-        star = _labels(
-            cc.connected_components(edges, "id_a", "id_b", algorithm="star")
-        )
-        assert lab == star
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = _edges_df(spark, pairs)
+    lab = _labels(cc.connected_components(edges, "id_a", "id_b"))
+    star = _labels(
+        cc.connected_components(edges, "id_a", "id_b", algorithm="star")
+    )
+    assert lab == star
 
 
 def test_star_matches_label_on_disjoint_cliques(spark):

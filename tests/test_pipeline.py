@@ -374,3 +374,64 @@ def test_incremental_join_view_converges_to_batch(spark, tmp_path):
     )
     assert got == want
     assert n1 + n2 + n3 == len(want)
+
+
+def test_incremental_source_ledger_bookmarks(spark, tmp_path):
+    """VERDICT r05 #7 — the Glue-bookmark analog: a re-run over the raw
+    zone processes only files not yet committed to the ledger; replaying
+    all increments equals one full read; an uncommitted batch is
+    re-presented on the next run (at-least-once)."""
+    import time
+
+    from reddit_data_pipeline_engineering_spark.maintenance import (
+        read_raw_zone_incremental,
+    )
+
+    zone = tmp_path / "zone"
+    zone.mkdir()
+    ledger = str(tmp_path / "ledger")
+
+    def land(name, rows):
+        with open(zone / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    land("raw_h08.json", RAW_ROWS[:3])
+
+    # batch 1: everything is new
+    df, files, commit = read_raw_zone_incremental(spark, str(zone), ledger)
+    assert [f["path"].rsplit("/", 1)[1] for f in files] == ["raw_h08.json"]
+    assert df.count() == 3
+    commit(3, "batch-1")
+
+    # new hour lands; ensure a distinct mtime granularity tick
+    time.sleep(0.05)
+    land("raw_h09.json", RAW_ROWS[3:])
+
+    # batch 2: ONLY the new file is presented
+    df, files, commit = read_raw_zone_incremental(spark, str(zone), ledger)
+    assert [f["path"].rsplit("/", 1)[1] for f in files] == ["raw_h09.json"]
+    got_ids = {r["sensor_id"] for r in df.collect()}
+    assert got_ids == {r["sensor_id"] for r in RAW_ROWS[3:]}
+    # crash before commit: the same files are re-presented (at-least-once)
+    df2, files2, commit2 = read_raw_zone_incremental(spark, str(zone), ledger)
+    assert files2 == files
+    commit2(df2.count(), "batch-2")
+
+    # steady state: nothing new -> empty frame with the pinned schema
+    df, files, _ = read_raw_zone_incremental(spark, str(zone), ledger)
+    assert files == [] and df.count() == 0
+    assert [f.name for f in df.schema.fields][:2] == ["sensor_id", "datetime"]
+
+    # a REWRITTEN file (newer mtime) re-processes, bookmark-style
+    time.sleep(0.05)
+    land("raw_h08.json", RAW_ROWS[:2])
+    df, files, commit = read_raw_zone_incremental(spark, str(zone), ledger)
+    assert [f["path"].rsplit("/", 1)[1] for f in files] == ["raw_h08.json"]
+    assert df.count() == 2
+    commit(2, "batch-3")
+
+    # union of committed increments == full zone read (convergence):
+    # h08 now holds its rewritten 2 rows, h09 its 2
+    full = read_raw_zone(spark, str(zone)).count()
+    assert full == 4

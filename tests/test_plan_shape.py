@@ -270,33 +270,59 @@ def test_decontaminate_broadcasts_eval_dim(spark):
     assert "BroadcastHashJoin" in plan  # eval shingle dim never shuffles
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        # one per family whose determinism is least obvious at scale:
-        "minhash_lsh_pairs",     # pair generation from exploded buckets
-        "dup_clusters",          # iterative label propagation
-        "sequence_packing",      # window cumsum binning
-        "source_mix_rebalance",  # md5-bucket sampling
-        "ivf_kmeans_topk",       # iterative fit + argmin assignment
-        "pq_topk",               # multi-subspace fit + ADC shortlist
-        "forward_fill",          # last-non-null window
-    ],
-)
-def test_partitioning_invariance(spark, name):
+_INVARIANCE_NAMES = [
+    # one per family whose determinism is least obvious at scale:
+    "minhash_lsh_pairs",     # pair generation from exploded buckets
+    "dup_clusters",          # iterative label propagation
+    "sequence_packing",      # window cumsum binning
+    "source_mix_rebalance",  # md5-bucket sampling
+    "ivf_kmeans_topk",       # iterative fit + argmin assignment
+    "pq_topk",               # multi-subspace fit + ADC shortlist
+    "forward_fill",          # last-non-null window
+]
+
+
+@pytest.fixture(scope="module")
+def invariance_runs(spark):
+    """Both layouts' results, precomputed over a thread pool in two
+    phases (the shuffle-partitions conf is session-global, so each phase
+    runs entirely under one setting; within a phase the executions are
+    independent)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(name):
+        try:
+            return sorted(
+                map(tuple, REGISTRY[name].fn(spark, SF_SMALL).collect())
+            )
+        except Exception as exc:  # surfaced by the owning test
+            return exc
+
+    with ThreadPoolExecutor(max_workers=7) as ex:
+        baseline = dict(zip(_INVARIANCE_NAMES, ex.map(run, _INVARIANCE_NAMES)))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    try:
+        with ThreadPoolExecutor(max_workers=7) as ex:
+            relaid = dict(
+                zip(_INVARIANCE_NAMES, ex.map(run, _INVARIANCE_NAMES))
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return baseline, relaid
+
+
+@pytest.mark.parametrize("name", _INVARIANCE_NAMES)
+def test_partitioning_invariance(name, invariance_runs):
     """Results must be bit-identical under a different shuffle layout —
     the reproducibility contract that lets a 1000-executor rerun match a
     laptop run. (RNG-based sampling or non-tiebroken windows would fail
     this.)"""
-    fn = REGISTRY[name].fn
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    baseline = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "13")
-        relaid = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
-    assert baseline == relaid
+    baseline, relaid = invariance_runs
+    for res in (baseline[name], relaid[name]):
+        if isinstance(res, BaseException):
+            raise res
+    assert baseline[name] == relaid[name]
 
 
 # ---- TPC-H family completion (queries_tpch2) ----------------------------

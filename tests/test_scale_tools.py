@@ -99,3 +99,32 @@ def test_scale_curve_only_union(monkeypatch):
     # pure non-headline set still runs (sorted)
     mod = _load_scale_curve(monkeypatch, "zzz,aaa")
     assert mod.HEADLINE == ["aaa", "zzz"]
+
+
+def test_scale_metrics_stage_diff(spark):
+    """The status-store diff must attribute a query's shuffle volume to
+    exactly the stages it ran: a groupBy moves rows (bytes > 0, records
+    == #distinct-ish input rows), and a second snapshot sees nothing."""
+    spec = importlib.util.spec_from_file_location(
+        "scale_metrics_under_test",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "scale_metrics.py",
+        ),
+    )
+    sm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sm)
+
+    def fn(sp, _):
+        return sp.range(10000).selectExpr("id % 13 as k").groupBy("k").count()
+
+    m = sm.measure(spark, fn, "unused")
+    assert m["n_stages"] >= 2  # map + reduce at minimum
+    assert m["shuffle_write_bytes"] > 0
+    assert m["shuffle_write_records"] > 0
+    assert m["wall_sec"] > 0
+    # nothing ran since the last snapshot -> zero attribution
+    before = sm.stage_snapshot(spark)
+    z = sm.stage_metrics_since(spark, before)
+    assert z["n_stages"] == 0 and z["shuffle_write_bytes"] == 0
