@@ -784,3 +784,151 @@ def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ndcg_bps"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-query MRR (r06): mean reciprocal rank of the dim-8 Matryoshka
+# prefix ranking at recovering each query's TRUE nearest neighbor — the
+# multi-query companion of ndcg_at_k (which grades one query's whole
+# ranking; MRR grades many queries' top hit, the metric retrieval
+# papers headline). Query set = vec_id % 25 == 2 (disjoint from the
+# eval split semantic_decontamination holds out), candidates = the
+# rest.
+#
+#   rel(q)  = argmax_c cosine64(q, c)           (exact full-dim NN)
+#   rank(q) = 1 + #{c : prefix-order c before rel(q)}   (no window sort:
+#             the rank is a COUNT against the NN's prefix score)
+#   rr(q)   = 1e6 div rank(q) if rank <= 50 else 0
+#   mrr     = sum(rr) div n_queries
+#
+# Plan shape: the bounded query dim is broadcast and the corpus scanned
+# once per consumer (scored feeds the NN argmax and the rank count; AQE
+# reuses the exchange) — same shape as semantic_decontamination. No
+# per-query sort anywhere; ties break on candidate id inside the
+# rounded-cosine comparison, mirrored exactly in the oracle.
+# --------------------------------------------------------------------------
+
+_MRR_Q_MOD, _MRR_Q_RES = 25, 2
+_MRR_CUTOFF = 50
+_MRR_SCALE = 1_000_000
+
+_MRR_ORACLE = f"""
+WITH qs AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id % {_MRR_Q_MOD} = {_MRR_Q_RES}
+),
+scored AS MATERIALIZED (
+  SELECT q.qid, e.vec_id AS cand,
+         ROUND(({_sql_dot('e.embedding', 'q.qe')})
+               / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                  * sqrt({_sql_dot('q.qe', 'q.qe')})), 6) AS cosf,
+         ROUND(({_sql_dot_pre('e.embedding', 'q.qe', _MRL_DIM)})
+               / (sqrt({_sql_dot_pre('e.embedding', 'e.embedding', _MRL_DIM)})
+                  * sqrt({_sql_dot_pre('q.qe', 'q.qe', _MRL_DIM)})), 6)
+           AS cosp
+  FROM qs q JOIN embeddings e
+    ON e.vec_id % {_MRR_Q_MOD} <> {_MRR_Q_RES}
+),
+nn AS (
+  SELECT qid, cand AS nn_id, cosp AS nn_cosp
+  FROM (SELECT qid, cand, cosp,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosf DESC, cand) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+ranked AS (
+  SELECT n.qid,
+         1 + COUNT(*) FILTER (
+               WHERE s.cosp > n.nn_cosp
+                  OR (s.cosp = n.nn_cosp AND s.cand < n.nn_id)
+             ) AS rank
+  FROM nn n JOIN scored s ON s.qid = n.qid
+  GROUP BY n.qid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) FILTER (WHERE rank <= {_MRR_CUTOFF}) AS BIGINT)
+         AS n_hits_at_{_MRR_CUTOFF},
+       CAST(SUM(CASE WHEN rank <= {_MRR_CUTOFF}
+                     THEN {_MRR_SCALE} // rank ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS mrr_scaled
+FROM ranked
+"""
+
+
+@query(
+    "mrr_prefix_rank",
+    _MRR_ORACLE,
+    "Mean reciprocal rank of the dim-8 prefix ranking at recovering "
+    "each query's exact full-dim nearest neighbor, over the vec_id%25 "
+    "query split: broadcast query dim, one corpus scan per consumer "
+    "(argmax + rank-count — the rank is a comparison COUNT, no "
+    "per-query sort), integer 1e6 div rank with a top-50 cutoff",
+    tags=("llm", "similarity", "eval", "retrieval", "bench"),
+)
+def q_mrr_prefix_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_q = F.col("vec_id") % _MRR_Q_MOD == _MRR_Q_RES
+    qs = emb.filter(is_q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cand = emb.filter(~is_q)
+    scored = cand.join(F.broadcast(qs)).select(
+        "qid",
+        F.col("vec_id").alias("cand"),
+        F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cosf"),
+        F.round(
+            cosine(
+                F.slice("embedding", 1, _MRL_DIM), F.slice("qe", 1, _MRL_DIM)
+            ),
+            6,
+        ).alias("cosp"),
+    )
+    nn = (
+        scored.groupBy("qid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cosf"),
+                    (-F.col("cand")).alias("neg_cand"),
+                    F.col("cosp").alias("nn_cosp"),
+                )
+            ).alias("s")
+        )
+        .select(
+            "qid",
+            (-F.col("s.neg_cand")).alias("nn_id"),
+            F.col("s.nn_cosp").alias("nn_cosp"),
+        )
+    )
+    ranked = (
+        scored.join(F.broadcast(nn), "qid")
+        .groupBy("qid")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        (F.col("cosp") > F.col("nn_cosp"))
+                        | (
+                            (F.col("cosp") == F.col("nn_cosp"))
+                            & (F.col("cand") < F.col("nn_id"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("rank")
+        )
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum((F.col("rank") <= _MRR_CUTOFF).cast("int"))
+        .cast("long")
+        .alias(f"n_hits_at_{_MRR_CUTOFF}"),
+        F.expr(
+            f"sum(case when rank <= {_MRR_CUTOFF} then {_MRR_SCALE} div rank "
+            "else 0 end) div count(1)"
+        )
+        .cast("long")
+        .alias("mrr_scaled"),
+    )

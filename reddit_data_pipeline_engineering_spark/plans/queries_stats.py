@@ -593,3 +593,133 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (cast(s1 as decimal(38,0)) * s1) as long)"
         ).alias("cv2_bp"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample drift (r06): per source, the KS distance
+# between that source's document token-length distribution and the REST
+# of the corpus — the distribution-free complement of chisq_source_drift
+# (which sees vocabulary shift but is blind to length/shape shift).
+#
+# Integer-exact sup: with cumulative counts cum_s(v), cum_r(v) and totals
+# n_s, n_r, the ECDF gap at value v is |cum_s/n_s - cum_r/n_r|; clearing
+# denominators, D_num = max_v |cum_s(v)*n_r - cum_r(v)*n_s| and
+# KS = D_num / (n_s*n_r), reported as ks_ppm = D_num*1e6 div (n_s*n_r).
+# No float enters the sup.
+#
+# Plan shape: one corpus scan -> (source, len) counts (one shuffle);
+# the evaluation grid is sources x distinct-lengths — BOTH bounded (a
+# length is at most the max document size, sources are an enum), so the
+# per-source cumulative windows run over grid rows, never corpus rows.
+# cum_rest = cum_all - cum_src needs no second pass. Magnitudes:
+# cum*total products stay under BIGINT while n_s*n_r < 9.2e18 — beyond
+# ~3e9 docs per side, swap the products to DECIMAL(38,0) (type change
+# only).
+# --------------------------------------------------------------------------
+
+_KS_SCALE = 1_000_000
+_KS_TOKS = r"len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))"
+
+_KS_ORACLE = f"""
+WITH lens AS (
+  SELECT source, {_KS_TOKS} AS l FROM documents
+),
+cnt AS (
+  SELECT source, l, COUNT(*) AS c FROM lens GROUP BY source, l
+),
+srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM cnt GROUP BY source),
+vals AS (SELECT DISTINCT l FROM cnt),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM cnt),
+grid AS (
+  SELECT s.source, s.n_src, v.l,
+         COALESCE(c.c, 0) AS c_src,
+         (SELECT COALESCE(SUM(c2.c), 0) FROM cnt c2 WHERE c2.l = v.l) AS c_all
+  FROM srcs s CROSS JOIN vals v
+  LEFT JOIN cnt c ON c.source = s.source AND c.l = v.l
+),
+cum AS (
+  SELECT source, n_src, l,
+         SUM(c_src) OVER (PARTITION BY source ORDER BY l) AS cum_src,
+         SUM(c_all) OVER (PARTITION BY source ORDER BY l) AS cum_all
+  FROM grid
+)
+SELECT g.source,
+       g.n_src,
+       CAST(t.n_all - g.n_src AS BIGINT) AS n_rest,
+       CAST(MAX(ABS(g.cum_src * (t.n_all - g.n_src)
+                    - (g.cum_all - g.cum_src) * g.n_src)) AS BIGINT) AS d_num,
+       CAST(MAX(ABS(g.cum_src * (t.n_all - g.n_src)
+                    - (g.cum_all - g.cum_src) * g.n_src))
+            * {_KS_SCALE} // (g.n_src * (t.n_all - g.n_src)) AS BIGINT)
+         AS ks_ppm
+FROM cum g, tot t
+GROUP BY g.source, g.n_src, t.n_all
+ORDER BY g.source
+"""
+
+
+@query(
+    "ks_source_drift",
+    _KS_ORACLE,
+    "Two-sample Kolmogorov-Smirnov drift per source vs the rest of the "
+    "corpus over document token lengths: one (source, len) count "
+    "shuffle, the sup runs over the bounded sources x distinct-lengths "
+    "grid (never corpus rows), denominators cleared so the max is "
+    "BIGINT-exact, ks_ppm = D_num*1e6 div (n_src*n_rest)",
+    tags=("llm", "stats", "quality", "bench"),
+)
+def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lens = docs.select(
+        "source", F.size(tx.tokens("text")).alias("l")
+    )
+    cnt = lens.groupBy("source", "l").agg(F.count(F.lit(1)).alias("c"))
+    srcs = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n_src"))
+    vals = cnt.select("l").distinct()
+    all_c = cnt.groupBy("l").agg(F.sum("c").alias("c_all"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("n_all"))
+    grid = (
+        srcs.crossJoin(vals)
+        .join(cnt, ["source", "l"], "left")
+        .join(F.broadcast(all_c), "l")
+        .select(
+            "source",
+            "n_src",
+            "l",
+            F.coalesce("c", F.lit(0)).alias("c_src"),
+            "c_all",
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source",
+        "n_src",
+        F.sum("c_src").over(w).alias("cum_src"),
+        F.sum("c_all").over(w).alias("cum_all"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "gap",
+            F.abs(
+                F.col("cum_src") * (F.col("n_all") - F.col("n_src"))
+                - (F.col("cum_all") - F.col("cum_src")) * F.col("n_src")
+            ),
+        )
+        .groupBy("source", "n_src", "n_all")
+        .agg(F.max("gap").alias("d_num"))
+        .select(
+            "source",
+            "n_src",
+            (F.col("n_all") - F.col("n_src")).cast("long").alias("n_rest"),
+            F.col("d_num").cast("long").alias("d_num"),
+            F.expr(f"d_num * {_KS_SCALE} div (n_src * (n_all - n_src))")
+            .cast("long")
+            .alias("ks_ppm"),
+        )
+        .orderBy("source")
+    )

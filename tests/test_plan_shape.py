@@ -220,6 +220,8 @@ def test_driver_gate_ordering():
         "lsh_quality_eval",          # r06: scale-ceiling guard
         "ndcg_at_k",                 # new r06: graded-relevance nDCG@20
         "multimodal_decode_profile", # r06: header-only codec probing
+        "ks_source_drift",           # new r06: two-sample KS drift
+        "mrr_prefix_rank",           # new r06: multi-query prefix MRR
     ]
     assert _DRIVER_FIRST == must_gate
     pinned_head = [
@@ -238,9 +240,11 @@ def test_driver_gate_ordering():
     assert _DRIVER_TAIL_STREAMING == [
         "streaming_marts_kernel", "stateful_ema_stream",
     ]
-    # The rotated-out head is the r07 re-confirmation queue: the
+    # The rotated-out head is the r07 re-confirmation queue: the two
+    # fill slots displaced by the late-r06 additions, then the
     # remaining (not-yet-refilled) r02 rows.
-    assert _DRIVER_ROTATED_OUT[:8] == [
+    assert _DRIVER_ROTATED_OUT[:10] == [
+        "dormant_rich_customers", "min_cost_supplier",
         "nation_volume_shipping", "market_share", "product_type_profit",
         "important_part_value", "top_supplier", "supplier_part_counts",
         "dominant_supplier", "waiting_suppliers",

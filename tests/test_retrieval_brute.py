@@ -271,3 +271,42 @@ def test_ndcg_at_k_matches_brute_force(spark):
     assert (row["k"], row["dim_prefix"]) == (20, 8)
     assert (row["dcg_scaled"], row["idcg_scaled"]) == (dcg, idcg)
     assert row["ndcg_bps"] == dcg * 10000 // idcg
+
+
+def test_mrr_prefix_rank_matches_brute_force(spark):
+    """Third independent MRR: pure-Python full/prefix cosine ranks with
+    the same rounding and tie-break as the plan/oracle pair."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = pq.read_table(f"{SF_SMALL}/embeddings.parquet").to_pylist()
+    emb = {r["vec_id"]: r["embedding"] for r in t}
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    def cos(a, b, n=None):
+        a, b = (a[:n], b[:n]) if n else (a, b)
+        return r6(sum(x * y for x, y in zip(a, b))
+                  / (math.sqrt(sum(x * x for x in a))
+                     * math.sqrt(sum(y * y for y in b))))
+
+    qids = sorted(i for i in emb if i % 25 == 2)
+    cands = sorted(i for i in emb if i % 25 != 2)
+    total, hits = 0, 0
+    for q in qids:
+        full = [(cos(emb[c], emb[q]), c) for c in cands]
+        nn = max(full, key=lambda s: (s[0], -s[1]))[1]
+        pre = {c: cos(emb[c], emb[q], 8) for c in cands}
+        rank = 1 + sum(
+            1
+            for c in cands
+            if pre[c] > pre[nn] or (pre[c] == pre[nn] and c < nn)
+        )
+        if rank <= 50:
+            hits += 1
+            total += 1_000_000 // rank
+    row = REGISTRY["mrr_prefix_rank"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_queries"] == len(qids)
+    assert row["n_hits_at_50"] == hits
+    assert row["mrr_scaled"] == total // len(qids)

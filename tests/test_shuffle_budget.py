@@ -156,6 +156,11 @@ BUDGETS = {
     # Above the threshold the peel switches to bounded storage and the
     # returned plan is the collected stats (budget would be 1).
     "kcore_peel_counts": 13,
+    # the (source, len) count subtree prints under all five consumers
+    # (srcs/vals/all_c/tot/grid — identical subtrees, runtime-reused);
+    # real movement is the count shuffle, the bounded grid build, the
+    # per-source cumulative window and the output sort.
+    "ks_source_drift": 14,
     "l_diversity_audit": 6,
     "lag_lead_delta": 1,
     "lang_confusion_matrix": 3,
@@ -180,6 +185,9 @@ BUDGETS = {
     "market_share": 2,
     "marts_kernel": 2,
     "matryoshka_recall_at_k": 0,
+    # broadcast query dim; scored subtree feeds the NN argmax and the
+    # rank count (AQE-reused); movement is the two qid aggregates.
+    "mrr_prefix_rank": 3,
     # two TakeOrderedAndProject top-20s + bounded 20-row windows +
     # broadcast-only joins — no hash/range exchange anywhere.
     "ndcg_at_k": 0,

@@ -282,3 +282,36 @@ def test_pmi_staged_ranking_tracks_exact_ratio(rows, extra_n):
         _, eb, bb = by_i[b]
         if ea < eb:  # inverted vs exact ranking
             assert eb - ea <= ba + bb, (ea, eb, ba, bb)
+
+
+def test_ks_source_drift_matches_brute_force(spark):
+    """Third independent KS: pure-Python ECDF sup with cleared
+    denominators, one-vs-rest per source."""
+    import re as _re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pylist()
+    lens_by_src: dict[str, list[int]] = {}
+    for d in docs:
+        n = len([t for t in _re.split(r"\s+", d["text"].strip()) if t])
+        lens_by_src.setdefault(d["source"], []).append(n)
+    all_lens = sorted({v for vs in lens_by_src.values() for v in vs})
+    n_all = sum(len(v) for v in lens_by_src.values())
+    want = []
+    for s in sorted(lens_by_src):
+        cs, ca = Counter(lens_by_src[s]), Counter()
+        for vs in lens_by_src.values():
+            ca.update(vs)
+        n_s = len(lens_by_src[s])
+        n_r = n_all - n_s
+        cum_s = cum_a = 0
+        d_num = 0
+        for v in all_lens:
+            cum_s += cs.get(v, 0)
+            cum_a += ca.get(v, 0)
+            d_num = max(d_num, abs(cum_s * n_r - (cum_a - cum_s) * n_s))
+        want.append((s, n_s, n_r, d_num, d_num * 1_000_000 // (n_s * n_r)))
+    got = [tuple(r) for r in REGISTRY["ks_source_drift"].fn(spark, SF_SMALL).collect()]
+    assert got == want
