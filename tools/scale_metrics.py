@@ -93,13 +93,33 @@ def stage_metrics_since(spark, before: set[tuple[int, int]]) -> dict:
 
 
 def measure(spark, fn, sf_dir: str) -> dict:
-    """Run one query end-to-end and return its stage-diff metrics."""
+    """Run one query end-to-end and return its stage-diff metrics.
+
+    RDPE_STAGE_DETAIL=1 additionally prints one line per non-skipped
+    stage (id, write records/bytes, truncated callsite name) to stderr —
+    the attribution view for decomposing a >10x records ratio into
+    which stages grew (e.g. map-side combine effectiveness declining as
+    distinct keys per partition rise).
+    """
     before = stage_snapshot(spark)
     t0 = time.perf_counter()
     fn(spark, sf_dir).count()
     wall = time.perf_counter() - t0
     m = stage_metrics_since(spark, before)
     m["wall_sec"] = round(wall, 3)  # footnote only - load-sensitive
+    if os.environ.get("RDPE_STAGE_DETAIL"):
+        for s in sorted(_stage_list(spark), key=lambda s: s.stageId()):
+            if (s.stageId(), s.attemptId()) in before:
+                continue
+            if s.status().toString() == "SKIPPED":
+                continue
+            print(
+                f"  stage {s.stageId():4d} wrec={s.shuffleWriteRecords():>12d} "
+                f"wbytes={s.shuffleWriteBytes():>13d} "
+                f"tasks={s.numTasks():4d} {s.name()[:70]}",
+                file=sys.stderr,
+                flush=True,
+            )
     return m
 
 
