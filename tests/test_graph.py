@@ -11,7 +11,7 @@ def _ranks(spark, edges, iters=3):
     return {r.node: r.rank for r in out.collect()}
 
 
-def test_symmetric_triangle_ranks_equal(spark):
+def _case_symmetric_triangle_ranks_equal(spark):
     edges = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
     got = _ranks(spark, edges)
     assert len(set(got.values())) == 1
@@ -19,7 +19,7 @@ def test_symmetric_triangle_ranks_equal(spark):
     assert abs(next(iter(got.values())) - pr.SCALE) < 10
 
 
-def test_star_hub_outranks_leaves(spark):
+def _case_star_hub_outranks_leaves(spark):
     hub, leaves = 0, [1, 2, 3, 4]
     edges = [(hub, leaf) for leaf in leaves] + [(leaf, hub) for leaf in leaves]
     got = _ranks(spark, edges)
@@ -27,7 +27,7 @@ def test_star_hub_outranks_leaves(spark):
     assert len({got[leaf] for leaf in leaves}) == 1  # leaves symmetric
 
 
-def test_no_inedge_node_gets_teleport_floor(spark):
+def _case_no_inedge_node_gets_teleport_floor(spark):
     got = _ranks(spark, [(1, 2)], iters=2)
     teleport = (pr.SCALE * (pr.DAMP_DEN - pr.DAMP_NUM)) // pr.DAMP_DEN
     # Node 1 has no in-edges: exactly the teleport constant after any
@@ -36,7 +36,7 @@ def test_no_inedge_node_gets_teleport_floor(spark):
     assert got[2] > teleport
 
 
-def test_iterations_are_deterministic_across_partitionings(spark):
+def _case_iterations_are_deterministic_across_partitionings(spark):
     edges = [(a, b) for a in range(20) for b in range(20) if (a * 7 + b) % 5 == 0 and a != b]
     df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
     df8 = spark.createDataFrame(edges, "src long, dst long").repartition(8)
@@ -45,7 +45,7 @@ def test_iterations_are_deterministic_across_partitionings(spark):
     assert r1 == r8
 
 
-def test_triangle_count_matches_brute_force(spark):
+def _case_triangle_count_matches_brute_force(spark):
     """Degree-oriented wedge counting must equal the O(V^3) definition on
     a fixed graph with hubs, chains, and overlapping triangles."""
     import itertools
@@ -73,7 +73,7 @@ def test_triangle_count_matches_brute_force(spark):
     assert got.n_triangles == expected == 5
 
 
-def test_triangle_orientation_counts_each_once(spark):
+def _case_triangle_orientation_counts_each_once(spark):
     """K4: every one of the C(4,3)=4 triangles is counted exactly once
     even though all nodes have equal degree (tiebreak by node id)."""
     import itertools
@@ -85,7 +85,7 @@ def test_triangle_orientation_counts_each_once(spark):
     assert tri.triangle_count(df).head().n_triangles == 4
 
 
-def test_bfs_levels_match_brute_force(spark):
+def _case_bfs_levels_match_brute_force(spark):
     """Frontier expansion must produce exact hop distances — compared
     against a plain Python BFS on a graph with a cycle, a chain, and an
     unreachable component; nodes beyond the probe radius are absent."""
@@ -116,7 +116,7 @@ def test_bfs_levels_match_brute_force(spark):
     assert 7 not in got and 8 not in got  # unreachable component
 
 
-def test_kcore_peel_matches_brute_force(spark):
+def _case_kcore_peel_matches_brute_force(spark):
     """Fixed-round peeling must match a plain Python peel on a graph
     with a clique (survives), a pendant chain (peels immediately), and
     a triangle fringe (peels on the cascade round)."""
@@ -187,7 +187,7 @@ def test_kcore_bounded_path_equivalence(spark, monkeypatch):
     assert res.ok, res.detail
 
 
-def test_label_propagation_matches_brute_force(spark):
+def _case_label_propagation_matches_brute_force(spark):
     """Synchronous LPA with (max count, min label) tie-break against a
     plain Python replay: two cliques joined by one bridge edge must
     settle into two communities."""
@@ -227,7 +227,7 @@ def test_label_propagation_matches_brute_force(spark):
     assert got[1] != got[4]
 
 
-def test_lpa_and_kcore_deterministic_across_partitionings(spark):
+def _case_lpa_and_kcore_deterministic_across_partitionings(spark):
     """Both new kernels must produce identical results regardless of
     input partitioning — the window tie-breaks and count aggregates
     cannot depend on row order."""
@@ -297,7 +297,7 @@ def test_lpa_colocated_path_equivalence(spark, monkeypatch):
     assert res.ok, res.detail
 
 
-def test_kcore_fixpoint_is_exact_core(spark):
+def _case_kcore_fixpoint_is_exact_core(spark):
     """Fixpoint peeling must return exactly the k-core: the 4-clique
     survives k=3 (every member keeps degree 3), everything else—
     including the triangle fringe that only dies on the cascade—is
@@ -321,7 +321,7 @@ def test_kcore_fixpoint_is_exact_core(spark):
     assert all(d >= 3 for d in degs)
 
 
-def test_sssp_distances_match_brute_force(spark):
+def _case_sssp_distances_match_brute_force(spark):
     """Frontier-pruned Bellman-Ford must equal textbook full relaxation
     round-for-round — compared against a Python replay on a graph where
     the cheap path uses MORE hops than the direct edge (so a pure BFS
@@ -362,7 +362,7 @@ def test_sssp_distances_match_brute_force(spark):
     assert bfs.sssp_distances(df, 1, 3).filter("node = 4").head().dist == 3
 
 
-def test_random_walks_match_brute_force(spark):
+def _case_random_walks_match_brute_force(spark):
     """The md5-argmin hop choice must be replayable in plain Python
     (hashlib md5 over the same 'u|v|t' strings) — pins engine
     independence of the 'randomness' plus dead-end dropout and the
@@ -430,7 +430,7 @@ def _ppr_brute(edges, seed_nodes, iters=3, scale=pr.SCALE):
     return rank
 
 
-def test_ppr_matches_brute_force(spark):
+def _case_ppr_matches_brute_force(spark):
     import random
 
     rng = random.Random(11)
@@ -447,7 +447,7 @@ def test_ppr_matches_brute_force(spark):
     assert got == _ppr_brute(edges, seeds)
 
 
-def test_ppr_unreachable_nodes_hold_zero_mass(spark):
+def _case_ppr_unreachable_nodes_hold_zero_mass(spark):
     # Two disjoint components; seeds live in one. The other component
     # must end with rank exactly 0 everywhere — restart mass never
     # teleports outside the seed set (the defining PPR property vs the
@@ -458,7 +458,7 @@ def test_ppr_unreachable_nodes_hold_zero_mass(spark):
     assert got[1] > 0 and got[2] > 0
 
 
-def test_ppr_seed_proximity_ordering(spark):
+def _case_ppr_seed_proximity_ordering(spark):
     # Chain seeded at one end. A path is bipartite, so finite power
     # iteration oscillates between parities (node 1 can transiently
     # trail node 2 — verified against the brute replay); the stable
@@ -471,3 +471,55 @@ def test_ppr_seed_proximity_ordering(spark):
     assert got[0] > got[2] > got[4]
     assert got[1] > got[3]
 
+
+
+# --------------------------------------------------------------------------
+# Concurrency harness (VERDICT r05 #5): every case above is a pure
+# (build tiny graph -> run kernel -> assert) function against the shared
+# session, so one module fixture runs them all over a thread pool. The
+# two monkeypatch tests (bounded/colocated path equivalence) mutate
+# MODULE GLOBALS (threshold constants) and therefore stay ordinary
+# serial tests above.
+# --------------------------------------------------------------------------
+
+import pytest as _pytest
+from concurrent.futures import ThreadPoolExecutor as _TPE
+
+_GRAPH_CASES = {
+    "symmetric_triangle_ranks_equal": _case_symmetric_triangle_ranks_equal,
+    "star_hub_outranks_leaves": _case_star_hub_outranks_leaves,
+    "no_inedge_node_gets_teleport_floor": _case_no_inedge_node_gets_teleport_floor,
+    "iterations_are_deterministic_across_partitionings": _case_iterations_are_deterministic_across_partitionings,
+    "triangle_count_matches_brute_force": _case_triangle_count_matches_brute_force,
+    "triangle_orientation_counts_each_once": _case_triangle_orientation_counts_each_once,
+    "bfs_levels_match_brute_force": _case_bfs_levels_match_brute_force,
+    "kcore_peel_matches_brute_force": _case_kcore_peel_matches_brute_force,
+    "label_propagation_matches_brute_force": _case_label_propagation_matches_brute_force,
+    "lpa_and_kcore_deterministic_across_partitionings": _case_lpa_and_kcore_deterministic_across_partitionings,
+    "kcore_fixpoint_is_exact_core": _case_kcore_fixpoint_is_exact_core,
+    "sssp_distances_match_brute_force": _case_sssp_distances_match_brute_force,
+    "random_walks_match_brute_force": _case_random_walks_match_brute_force,
+    "ppr_matches_brute_force": _case_ppr_matches_brute_force,
+    "ppr_unreachable_nodes_hold_zero_mass": _case_ppr_unreachable_nodes_hold_zero_mass,
+    "ppr_seed_proximity_ordering": _case_ppr_seed_proximity_ordering,
+}
+
+
+@_pytest.fixture(scope="module")
+def graph_outcomes(spark):
+    def run(fn):
+        try:
+            fn(spark)
+            return None
+        except BaseException as exc:  # noqa: BLE001 - surfaced per test
+            return exc
+
+    with _TPE(max_workers=8) as ex:
+        return dict(zip(_GRAPH_CASES, ex.map(run, _GRAPH_CASES.values())))
+
+
+@_pytest.mark.parametrize("name", list(_GRAPH_CASES))
+def test_graph_case(name, graph_outcomes):
+    res = graph_outcomes[name]
+    if res is not None:
+        raise res

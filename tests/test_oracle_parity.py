@@ -29,7 +29,7 @@ queries()  # force registration of all query modules
 
 NAMES = sorted(REGISTRY)
 
-_WORKERS = 12
+_WORKERS = 16
 
 
 def _run_one(spark, tl, name):

@@ -4,9 +4,19 @@ The key property: the streaming kernel over a file-source raw zone,
 drained with availableNow, produces the same wide rows as the equivalent
 batch plan on the same input (differential batch-vs-streaming check — the
 strongest guarantee the reference (batch-only, SURVEY.md §2.9) never had).
+
+Throughput (VERDICT r05 #5): every case below is an independent
+availableNow drain with its own source dir, sink and checkpoint, so a
+module fixture runs ALL of them concurrently over a thread pool —
+concurrent structured-streaming queries in one session are a core Spark
+feature (each query has its own scheduler thread anyway). Assertions
+stay inside each case; the parametrized tests re-raise the recorded
+outcome, preserving per-test reporting.
 """
 
 import json
+import os
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 from pyspark.sql import functions as F
@@ -73,17 +83,10 @@ SENTINEL = {
 }
 
 
-@pytest.fixture(scope="module")
-def stream_raw_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("stream_raw")
-    # Two files -> two ingestion units for the file source.
-    rows = _raw_rows()
-    chunks = (rows[: len(rows) // 2], rows[len(rows) // 2 :], [SENTINEL])
-    for i, chunk in enumerate(chunks):
-        with open(d / f"raw_{i}.json", "w") as f:
-            for r in chunk:
-                f.write(json.dumps(r) + "\n")
-    return str(d)
+def _emit(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
 
 
 def _dim(spark):
@@ -92,7 +95,21 @@ def _dim(spark):
     )
 
 
-def test_streaming_matches_batch(spark, stream_raw_dir, tmp_path):
+# --------------------------------------------------------------------------
+# Cases. Each takes (spark, tmp: pathlib.Path) and asserts its own
+# invariants; the fixture below runs them all concurrently.
+# --------------------------------------------------------------------------
+
+
+def _case_streaming_matches_batch(spark, tmp):
+    raw = tmp / "stream_raw"
+    raw.mkdir()
+    rows = _raw_rows()
+    chunks = (rows[: len(rows) // 2], rows[len(rows) // 2 :], [SENTINEL])
+    for i, chunk in enumerate(chunks):
+        _emit(raw / f"raw_{i}.json", chunk)
+    stream_raw_dir = str(raw)
+
     stream = read_raw_stream(
         spark, stream_raw_dir, RAW_MEASUREMENT, max_files_per_trigger=1
     ).withColumn("ts", F.col("datetime").cast("timestamp"))
@@ -110,8 +127,8 @@ def test_streaming_matches_batch(spark, stream_raw_dir, tmp_path):
         watermark="2 hours",
         window_duration="1 hour",
     )
-    out = str(tmp_path / "marts_stream")
-    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp / "marts_stream")
+    ckpt = str(tmp / "ckpt")
     run_stream_to_completion(write_marts_stream(wide, out, ckpt))
 
     got = {
@@ -147,18 +164,13 @@ def test_streaming_matches_batch(spark, stream_raw_dir, tmp_path):
     assert got[("101", "2025-02-01 08:00:00")]["pm25"] == 38.0
 
 
-def test_stream_checkpoint_incremental_restart(spark, tmp_path):
+def _case_checkpoint_incremental_restart(spark, tmp):
     """Exactly-once across restarts: a second availableNow run with the
     same checkpoint processes ONLY files added since the first run — the
     incremental-batch semantics the reference approximated with Airflow
     re-runs (and which double-counted on retry)."""
-    src = tmp_path / "inc_raw"
+    src = tmp / "inc_raw"
     src.mkdir()
-
-    def emit(name, rows):
-        with open(src / name, "w") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
 
     def run_once():
         stream = (
@@ -170,32 +182,32 @@ def test_stream_checkpoint_incremental_restart(spark, tmp_path):
         q = (
             stream.select("location_id", "ts", "value")
             .writeStream.format("parquet")
-            .option("path", str(tmp_path / "inc_out"))
-            .option("checkpointLocation", str(tmp_path / "inc_ckpt"))
+            .option("path", str(tmp / "inc_out"))
+            .option("checkpointLocation", str(tmp / "inc_ckpt"))
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         run_stream_to_completion(q)
 
-    emit("batch1.json", [
+    _emit(src / "batch1.json", [
         {"location_id": 1, "datetime": "2025-02-01T08:00:00+00:00", "value": 1.0},
         {"location_id": 2, "datetime": "2025-02-01T08:05:00+00:00", "value": 2.0},
     ])
     run_once()
-    assert spark.read.parquet(str(tmp_path / "inc_out")).count() == 2
+    assert spark.read.parquet(str(tmp / "inc_out")).count() == 2
 
-    emit("batch2.json", [
+    _emit(src / "batch2.json", [
         {"location_id": 3, "datetime": "2025-02-01T09:00:00+00:00", "value": 3.0},
     ])
     run_once()
-    out = spark.read.parquet(str(tmp_path / "inc_out"))
+    out = spark.read.parquet(str(tmp / "inc_out"))
     # 3 rows total: batch1 NOT reprocessed (no double-count), batch2 added.
     assert out.count() == 3
     assert sorted(r["location_id"] for r in out.collect()) == [1, 2, 3]
 
 
-def test_foreach_batch_upsert(spark, tmp_path):
+def _case_foreach_batch_upsert(spark, tmp):
     """Update-mode aggregation through the partition-upsert sink: a window
     re-emitted with more data REPLACES its partition (no duplicate rows) —
     parquet-level MERGE semantics."""
@@ -203,15 +215,10 @@ def test_foreach_batch_upsert(spark, tmp_path):
         write_stream_upsert,
     )
 
-    src = tmp_path / "up_raw"
+    src = tmp / "up_raw"
     src.mkdir()
-    out = str(tmp_path / "up_out")
-    ckpt = str(tmp_path / "up_ckpt")
-
-    def emit(name, rows):
-        with open(src / name, "w") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
+    out = str(tmp / "up_out")
+    ckpt = str(tmp / "up_ckpt")
 
     def run_once():
         stream = (
@@ -237,13 +244,13 @@ def test_foreach_batch_upsert(spark, tmp_path):
         )
         run_stream_to_completion(q)
 
-    emit("b1.json", [
+    _emit(src / "b1.json", [
         {"location_id": 1, "datetime": "2025-02-01T08:00:00+00:00", "value": 1.0},
     ])
     run_once()
     # Same window gains a row in a later file: update-mode re-emits it and
     # the sink must REPLACE, not append.
-    emit("b2.json", [
+    _emit(src / "b2.json", [
         {"location_id": 1, "datetime": "2025-02-01T08:30:00+00:00", "value": 2.0},
     ])
     run_once()
@@ -252,13 +259,12 @@ def test_foreach_batch_upsert(spark, tmp_path):
     assert rows[0]["n"] == 2 and rows[0]["total"] == 3.0
 
 
-def test_corrupt_record_quarantine(spark, tmp_path):
+def _case_corrupt_record_quarantine(spark, tmp):
     from reddit_data_pipeline_engineering_spark.sources.raw_zone import (
-        read_raw_zone,
         split_corrupt,
     )
 
-    d = tmp_path / "corrupt_raw"
+    d = tmp / "corrupt_raw"
     d.mkdir()
     with open(d / "mixed.json", "w") as f:
         f.write(json.dumps({"sensor_id": 1, "datetime": "2025-01-01T00:00:00",
@@ -273,7 +279,7 @@ def test_corrupt_record_quarantine(spark, tmp_path):
     assert "not json" in corrupt.collect()[0][0]
 
 
-def test_stream_stream_interval_join(spark, tmp_path):
+def _case_stream_stream_interval_join(spark, tmp):
     """Two watermarked file streams inner-joined on key within an
     event-time interval; result must equal the equivalent batch join
     (payments matched to the order they follow within 1 hour)."""
@@ -297,17 +303,15 @@ def test_stream_stream_interval_join(spark, tmp_path):
         {"user_id": 3, "datetime": "2025-02-01T08:10:00+00:00", "pay_id": 300},
     ]
     for name, rows in (("orders", orders), ("payments", payments)):
-        d = tmp_path / name
+        d = tmp / name
         d.mkdir()
-        with open(d / "data.json", "w") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
+        _emit(d / "data.json", rows)
 
     def src(name, extra):
         return (
             spark.readStream.format("json")
             .schema(f"user_id long, datetime string, {extra} long")
-            .load(str(tmp_path / name))
+            .load(str(tmp / name))
             .withColumn("ts", F.col("datetime").cast("timestamp"))
             .drop("datetime")
         )
@@ -321,11 +325,11 @@ def test_stream_stream_interval_join(spark, tmp_path):
         watermark="2 hours",
         within="1 hour",
     ).select("l.user_id", "order_id", "pay_id")
-    out = str(tmp_path / "join_out")
+    out = str(tmp / "join_out")
     q = (
         joined.writeStream.format("parquet")
         .option("path", out)
-        .option("checkpointLocation", str(tmp_path / "join_ckpt"))
+        .option("checkpointLocation", str(tmp / "join_ckpt"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -338,17 +342,15 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert got == [(10, 100), (11, 102)]
 
 
-def test_ema_stream_cross_batch_state(spark, tmp_path):
+def _case_ema_stream_cross_batch_state(spark, tmp):
     """applyInPandasWithState: the per-key EMA recurrence folds ACROSS
     micro-batches — batch 2's first output row must continue from batch
     1's final state, proving keyed state survives the trigger boundary."""
-    import os
-
     from reddit_data_pipeline_engineering_spark.streaming.stateful import (
         ema_stream,
     )
 
-    src = tmp_path / "ema_raw"
+    src = tmp / "ema_raw"
     src.mkdir()
     batches = [
         [  # micro-batch 1
@@ -364,9 +366,7 @@ def test_ema_stream_cross_batch_state(spark, tmp_path):
     ]
     for i, rows in enumerate(batches):
         p = src / f"b{i}.json"
-        with open(p, "w") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
+        _emit(p, rows)
         # Distinct mtimes pin the file source's processing order.
         os.utime(p, (1700000000 + i, 1700000000 + i))
 
@@ -378,12 +378,12 @@ def test_ema_stream_cross_batch_state(spark, tmp_path):
         .withColumn("ts", F.col("datetime").cast("timestamp"))
         .select("user_id", "ts", "value")
     )
-    out = str(tmp_path / "ema_out")
+    out = str(tmp / "ema_out")
     q = (
         ema_stream(stream, "user_id", "ts", "value", alpha=0.5)
         .writeStream.format("parquet")
         .option("path", out)
-        .option("checkpointLocation", str(tmp_path / "ema_ckpt"))
+        .option("checkpointLocation", str(tmp / "ema_ckpt"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -404,8 +404,8 @@ def test_ema_stream_cross_batch_state(spark, tmp_path):
     assert len(got) == 6
 
 
-def test_sessionize_stream(spark, tmp_path):
-    src = tmp_path / "sess_raw"
+def _case_sessionize_stream(spark, tmp):
+    src = tmp / "sess_raw"
     src.mkdir()
     events = [
         {"location_id": 1, "datetime": "2025-02-01T08:00:00+00:00"},
@@ -416,9 +416,7 @@ def test_sessionize_stream(spark, tmp_path):
         # Watermark-advancing sentinel (see SENTINEL above).
         {"location_id": 99, "datetime": "2025-02-01T23:00:00+00:00"},
     ]
-    with open(src / "e.json", "w") as f:
-        for r in events:
-            f.write(json.dumps(r) + "\n")
+    _emit(src / "e.json", events)
 
     stream = (
         spark.readStream.format("json")
@@ -427,11 +425,11 @@ def test_sessionize_stream(spark, tmp_path):
         .withColumn("ts", F.col("datetime").cast("timestamp"))
     )
     sessions = sessionize_stream(stream, "location_id", "ts", gap="30 minutes")
-    out = str(tmp_path / "sessions")
+    out = str(tmp / "sessions")
     q = (
         sessions.writeStream.format("parquet")
         .option("path", out)
-        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .option("checkpointLocation", str(tmp / "sess_ckpt"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -445,7 +443,7 @@ def test_sessionize_stream(spark, tmp_path):
     assert got == [(1, 1), (1, 2), (2, 1)]
 
 
-def test_foreach_batch_upsert_keyed_two_windows(spark, tmp_path):
+def _case_foreach_batch_upsert_keyed_two_windows(spark, tmp):
     """A partition that holds SEVERAL re-emittable windows: update mode
     re-emits only the changed window, so the keyed merge path must keep
     the untouched window's row instead of wiping the whole partition."""
@@ -453,15 +451,10 @@ def test_foreach_batch_upsert_keyed_two_windows(spark, tmp_path):
         write_stream_upsert,
     )
 
-    src = tmp_path / "kup_raw"
+    src = tmp / "kup_raw"
     src.mkdir()
-    out = str(tmp_path / "kup_out")
-    ckpt = str(tmp_path / "kup_ckpt")
-
-    def emit(name, rows):
-        with open(src / name, "w") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
+    out = str(tmp / "kup_out")
+    ckpt = str(tmp / "kup_ckpt")
 
     def run_once():
         stream = (
@@ -491,13 +484,13 @@ def test_foreach_batch_upsert_keyed_two_windows(spark, tmp_path):
         )
         run_stream_to_completion(q)
 
-    emit("b1.json", [
+    _emit(src / "b1.json", [
         {"location_id": 1, "datetime": "2025-02-01T08:00:00+00:00", "value": 1.0},
     ])
     run_once()
     # A LATER window for the same partition key: only this window is
     # re-emitted; the 08:00 row must survive the upsert.
-    emit("b2.json", [
+    _emit(src / "b2.json", [
         {"location_id": 1, "datetime": "2025-02-01T10:00:00+00:00", "value": 5.0},
     ])
     run_once()
@@ -508,18 +501,16 @@ def test_foreach_batch_upsert_keyed_two_windows(spark, tmp_path):
     assert [r["total"] for r in rows] == [1.0, 5.0]
 
 
-def test_cusum_stream_restart_from_checkpoint(spark, tmp_path):
+def _case_cusum_stream_restart_from_checkpoint(spark, tmp):
     """The strongest stateful guarantee: a NEW query started on the SAME
     checkpoint after more data lands must CONTINUE each key's CUSUM state
     (not re-seed it), and the two drains together must equal the closed-
     form batch replay over all three micro-batches."""
-    import os
-
     from reddit_data_pipeline_engineering_spark.streaming.stateful import (
         cusum_stream,
     )
 
-    src = tmp_path / "cusum_raw"
+    src = tmp / "cusum_raw"
     src.mkdir()
     # drift k=10 (scaled 1000), threshold h=1500. Values chosen so the
     # running score crosses 0 and the threshold across batch boundaries.
@@ -533,13 +524,11 @@ def test_cusum_stream_restart_from_checkpoint(spark, tmp_path):
 
     def write_batch(i):
         p = src / f"b{i}.json"
-        with open(p, "w") as f:
-            for r in batches[i]:
-                f.write(json.dumps(r) + "\n")
+        _emit(p, batches[i])
         os.utime(p, (1700000000 + i, 1700000000 + i))
 
-    out = str(tmp_path / "cusum_out")
-    ckpt = str(tmp_path / "cusum_ckpt")
+    out = str(tmp / "cusum_out")
+    ckpt = str(tmp / "cusum_ckpt")
 
     def drain():
         stream = (
@@ -580,3 +569,44 @@ def test_cusum_stream_restart_from_checkpoint(spark, tmp_path):
         [(1500, False), (1000, False), (2200, True), (2500, True),
          (1700, True)]
     )
+
+
+_CASES = {
+    "streaming_matches_batch": _case_streaming_matches_batch,
+    "checkpoint_incremental_restart": _case_checkpoint_incremental_restart,
+    "foreach_batch_upsert": _case_foreach_batch_upsert,
+    "corrupt_record_quarantine": _case_corrupt_record_quarantine,
+    "stream_stream_interval_join": _case_stream_stream_interval_join,
+    "ema_stream_cross_batch_state": _case_ema_stream_cross_batch_state,
+    "sessionize_stream": _case_sessionize_stream,
+    "foreach_batch_upsert_keyed_two_windows": (
+        _case_foreach_batch_upsert_keyed_two_windows
+    ),
+    "cusum_stream_restart_from_checkpoint": (
+        _case_cusum_stream_restart_from_checkpoint
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def stream_outcomes(spark, tmp_path_factory):
+    """Run every streaming case concurrently; record None or the raised
+    exception per case (re-raised by the owning test)."""
+
+    def run(item):
+        name, fn = item
+        try:
+            fn(spark, tmp_path_factory.mktemp(f"stream_{name}"))
+            return None
+        except BaseException as exc:  # noqa: BLE001 - surfaced per test
+            return exc
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        return dict(zip(_CASES, ex.map(run, _CASES.items())))
+
+
+@pytest.mark.parametrize("name", list(_CASES))
+def test_streaming_case(name, stream_outcomes):
+    res = stream_outcomes[name]
+    if res is not None:
+        raise res
