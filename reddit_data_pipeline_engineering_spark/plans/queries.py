@@ -916,6 +916,7 @@ _DRIVER_FIRST = [
     "multimodal_decode_profile",  # r06: header-only codec probing (VERDICT r05 #6)
     "ks_source_drift",  # NEW r06: two-sample KS length-drift per source
     "mrr_prefix_rank",  # NEW r06: multi-query MRR of the prefix ranking
+    "map_at_k",  # NEW r06: MAP@50, the multi-hit member of the eval kit
 ]
 
 # Re-confirmation fill (VERDICT r05 #4, order pinned by the judge):
@@ -966,7 +967,6 @@ _DRIVER_FILL = [
     "promo_revenue",
     "customer_order_distribution",
     "small_quantity_revenue",
-    "brand_discount_revenue",
 ]
 
 # Streaming drains at the gate tail per the standing policy (in case
@@ -985,6 +985,7 @@ _DRIVER_ROTATED_OUT = [
     # the remaining r02 rows lead (the r07 re-confirmation queue), then
     # r03, then r04, then the r05-gated rows (including last round's
     # FIRST alumni and the r01-origin names refreshed by the r05 fill).
+    "brand_discount_revenue",  # displaced from the r06 fill by map_at_k
     "dormant_rich_customers",  # displaced from the r06 fill by ks_source_drift
     "min_cost_supplier",  # displaced from the r06 fill by mrr_prefix_rank
     "nation_volume_shipping",

@@ -932,3 +932,170 @@ def q_mrr_prefix_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mrr_scaled"),
     )
+
+
+# --------------------------------------------------------------------------
+# MAP@k (r06): mean average precision of the dim-8 prefix ranking against
+# the exact full-dim cosine top-10 as the per-query relevant set — the
+# multi-hit companion of mrr_prefix_rank (first hit only) and ndcg_at_k
+# (graded, one query). AP is computed WITHOUT any per-query sort: for a
+# relevant item at prefix rank r_i, precision@r_i = i / r_i where i is
+# its 1-based index among the query's relevant items ordered by prefix
+# rank — and both i and r_i are comparison COUNTS over the bounded
+# (query x relevant=10) relation:
+#
+#   r_i = 1 + #{candidates prefix-ordered before item}       (vs corpus)
+#   i   = 1 + #{other relevant items prefix-ordered before}  (vs 10 rows)
+#   AP  = (Σ_{r_i <= k} i * 1e6 div r_i) div |relevant|
+#   MAP = Σ AP div n_queries                                 (integer)
+#
+# Plan shape: query dim and the 10-per-query relevant dim are both
+# bounded and broadcast; the corpus is scanned once for scoring; the
+# rank counts are two aggregates keyed on (qid, item). No window over
+# corpus rows anywhere.
+# --------------------------------------------------------------------------
+
+_MAP_K = 50
+_MAP_REL = 10
+
+_MAP_ORACLE = f"""
+WITH qs AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id % {_MRR_Q_MOD} = {_MRR_Q_RES}
+),
+scored AS MATERIALIZED (
+  SELECT q.qid, e.vec_id AS cand,
+         ROUND(({_sql_dot('e.embedding', 'q.qe')})
+               / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                  * sqrt({_sql_dot('q.qe', 'q.qe')})), 6) AS cosf,
+         ROUND(({_sql_dot_pre('e.embedding', 'q.qe', _MRL_DIM)})
+               / (sqrt({_sql_dot_pre('e.embedding', 'e.embedding', _MRL_DIM)})
+                  * sqrt({_sql_dot_pre('q.qe', 'q.qe', _MRL_DIM)})), 6)
+           AS cosp
+  FROM qs q JOIN embeddings e
+    ON e.vec_id % {_MRR_Q_MOD} <> {_MRR_Q_RES}
+),
+rel AS MATERIALIZED (
+  SELECT qid, cand, cosp
+  FROM (SELECT qid, cand, cosp,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosf DESC, cand) AS rn
+        FROM scored)
+  WHERE rn <= {_MAP_REL}
+),
+ranked AS (
+  SELECT r.qid, r.cand,
+         1 + (SELECT COUNT(*) FROM scored s
+              WHERE s.qid = r.qid
+                AND (s.cosp > r.cosp
+                     OR (s.cosp = r.cosp AND s.cand < r.cand))) AS prank,
+         1 + (SELECT COUNT(*) FROM rel r2
+              WHERE r2.qid = r.qid
+                AND (r2.cosp > r.cosp
+                     OR (r2.cosp = r.cosp AND r2.cand < r.cand))) AS relrank
+  FROM rel r
+),
+ap AS (
+  SELECT qid,
+         SUM(CASE WHEN prank <= {_MAP_K}
+                  THEN relrank * 1000000 // prank ELSE 0 END)
+           // {_MAP_REL} AS ap_scaled,
+         COUNT(*) FILTER (WHERE prank <= {_MAP_K}) AS n_hits
+  FROM ranked GROUP BY qid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(n_hits) AS BIGINT) AS n_hits_total,
+       CAST(SUM(ap_scaled) // COUNT(*) AS BIGINT) AS map_scaled
+FROM ap
+"""
+
+
+@query(
+    "map_at_k",
+    _MAP_ORACLE,
+    "MAP@50 of the dim-8 prefix ranking vs the exact full-dim top-10 "
+    "relevant set per query (1-in-25 query split): both prefix rank and "
+    "within-relevant index are comparison COUNTS (no per-query sort), "
+    "query and relevant dims broadcast, one corpus scan per consumer, "
+    "AP = sum(i*1e6 div r_i) div 10, BIGINT-exact",
+    tags=("llm", "similarity", "eval", "retrieval", "bench"),
+)
+def q_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_q = F.col("vec_id") % _MRR_Q_MOD == _MRR_Q_RES
+    qs = emb.filter(is_q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cand = emb.filter(~is_q)
+    scored = cand.join(F.broadcast(qs)).select(
+        "qid",
+        F.col("vec_id").alias("cand"),
+        F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cosf"),
+        F.round(
+            cosine(
+                F.slice("embedding", 1, _MRL_DIM), F.slice("qe", 1, _MRL_DIM)
+            ),
+            6,
+        ).alias("cosp"),
+    )
+    # exact top-10 per query: TakeOrdered is per-query here, so use the
+    # bounded-window trick — rank over the (qid) partition is a shuffle
+    # of the scored relation once; the window input is the corpus scan
+    # (unavoidable for a per-query top-k with many queries; partitions
+    # are per-qid, so no single-partition global sort).
+    w = Window.partitionBy("qid").orderBy(F.desc("cosf"), "cand")
+    rel = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MAP_REL)
+        .select("qid", "cand", "cosp")
+    )
+    # prefix rank vs the whole corpus: count candidates ordered before
+    # each relevant item (broadcast the bounded relevant dim).
+    prank = (
+        scored.join(
+            F.broadcast(rel.select(
+                F.col("qid").alias("r_qid"),
+                F.col("cand").alias("item"),
+                F.col("cosp").alias("r_cosp"),
+            )),
+            (F.col("qid") == F.col("r_qid"))
+            & (
+                (F.col("cosp") > F.col("r_cosp"))
+                | ((F.col("cosp") == F.col("r_cosp")) & (F.col("cand") < F.col("item")))
+            ),
+        )
+        .groupBy("r_qid", "item")
+        .agg(F.count(F.lit(1)).alias("n_before"))
+    )
+    ranked = (
+        rel.join(
+            prank,
+            (rel["qid"] == prank["r_qid"]) & (rel["cand"] == prank["item"]),
+            "left",
+        )
+        .select(
+            rel["qid"],
+            rel["cand"],
+            rel["cosp"],
+            (F.coalesce(F.col("n_before"), F.lit(0)) + 1).alias("prank"),
+        )
+    )
+    # within-relevant index: rank among the 10 relevant rows per query —
+    # a window over a 10-rows-per-query bounded relation.
+    wr = Window.partitionBy("qid").orderBy(F.desc("cosp"), "cand")
+    ap = (
+        ranked.withColumn("relrank", F.row_number().over(wr))
+        .groupBy("qid")
+        .agg(
+            F.expr(
+                f"sum(case when prank <= {_MAP_K} "
+                f"then relrank * 1000000 div prank else 0 end) div {_MAP_REL}"
+            ).alias("ap_scaled"),
+            F.sum((F.col("prank") <= _MAP_K).cast("int")).alias("n_hits"),
+        )
+    )
+    return ap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("n_hits").cast("long").alias("n_hits_total"),
+        F.expr("sum(ap_scaled) div count(1)").cast("long").alias("map_scaled"),
+    )

@@ -222,6 +222,7 @@ def test_driver_gate_ordering():
         "multimodal_decode_profile", # r06: header-only codec probing
         "ks_source_drift",           # new r06: two-sample KS drift
         "mrr_prefix_rank",           # new r06: multi-query prefix MRR
+        "map_at_k",                  # new r06: MAP@50 multi-hit eval
     ]
     assert _DRIVER_FIRST == must_gate
     pinned_head = [
@@ -243,7 +244,8 @@ def test_driver_gate_ordering():
     # The rotated-out head is the r07 re-confirmation queue: the two
     # fill slots displaced by the late-r06 additions, then the
     # remaining (not-yet-refilled) r02 rows.
-    assert _DRIVER_ROTATED_OUT[:10] == [
+    assert _DRIVER_ROTATED_OUT[:11] == [
+        "brand_discount_revenue",
         "dormant_rich_customers", "min_cost_supplier",
         "nation_volume_shipping", "market_share", "product_type_profit",
         "important_part_value", "top_supplier", "supplier_part_counts",

@@ -310,3 +310,46 @@ def test_mrr_prefix_rank_matches_brute_force(spark):
     assert row["n_queries"] == len(qids)
     assert row["n_hits_at_50"] == hits
     assert row["mrr_scaled"] == total // len(qids)
+
+
+def test_map_at_k_matches_brute_force(spark):
+    """Third independent MAP@50: pure-Python AP with the same rounding,
+    tie-breaks and integer scaling as the plan/oracle pair."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = pq.read_table(f"{SF_SMALL}/embeddings.parquet").to_pylist()
+    emb = {r["vec_id"]: r["embedding"] for r in t}
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    def cos(a, b, n=None):
+        a, b = (a[:n], b[:n]) if n else (a, b)
+        return r6(sum(x * y for x, y in zip(a, b))
+                  / (math.sqrt(sum(x * x for x in a))
+                     * math.sqrt(sum(y * y for y in b))))
+
+    qids = sorted(i for i in emb if i % 25 == 2)
+    cands = sorted(i for i in emb if i % 25 != 2)
+    aps, hits_total = [], 0
+    for q in qids:
+        full = sorted(((cos(emb[c], emb[q]), c) for c in cands),
+                      key=lambda s: (-s[0], s[1]))
+        rel = [c for _, c in full[:10]]
+        pre = {c: cos(emb[c], emb[q], 8) for c in cands}
+        by_pre = sorted(rel, key=lambda c: (-pre[c], c))
+        ap = 0
+        for i, c in enumerate(by_pre, 1):
+            prank = 1 + sum(
+                1 for o in cands
+                if pre[o] > pre[c] or (pre[o] == pre[c] and o < c)
+            )
+            if prank <= 50:
+                hits_total += 1
+                ap += i * 1_000_000 // prank
+        aps.append(ap // 10)
+    row = REGISTRY["map_at_k"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_queries"] == len(qids)
+    assert row["n_hits_total"] == hits_total
+    assert row["map_scaled"] == sum(aps) // len(qids)

@@ -185,6 +185,10 @@ BUDGETS = {
     "market_share": 2,
     "marts_kernel": 2,
     "matryoshka_recall_at_k": 0,
+    # relevant-set window (per-qid partitions of the scored relation) +
+    # prank aggregate + the bounded relrank window + final rollups; the
+    # scored subtree prints under both consumers (AQE-reused).
+    "map_at_k": 6,
     # broadcast query dim; scored subtree feeds the NN argmax and the
     # rank count (AQE-reused); movement is the two qid aggregates.
     "mrr_prefix_rank": 3,
