@@ -36,10 +36,20 @@ def test_star_matches_label_on_random_graphs(spark):
         ]
     pairs = [(a, b) for a, b in pairs if a != b]
     edges = _edges_df(spark, pairs)
-    lab = _labels(cc.connected_components(edges, "id_a", "id_b"))
-    star = _labels(
-        cc.connected_components(edges, "id_a", "id_b", algorithm="star")
-    )
+    # The two iterative algorithms are independent executions — run them
+    # concurrently (Spark schedules both job chains across the cores).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_lab = ex.submit(
+            lambda: _labels(cc.connected_components(edges, "id_a", "id_b"))
+        )
+        f_star = ex.submit(
+            lambda: _labels(
+                cc.connected_components(edges, "id_a", "id_b", algorithm="star")
+            )
+        )
+        lab, star = f_lab.result(), f_star.result()
     assert lab == star
 
 

@@ -15,7 +15,7 @@ def _expected(vals):
     return (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def test_selection_median_matches_sorted_middle(spark):
+def _case_selection_median_matches_sorted_middle(spark):
     rng = random.Random(11)
     data = []
     groups = {
@@ -38,7 +38,7 @@ def test_selection_median_matches_sorted_middle(spark):
         assert got[g][1] == _expected(vs), (g, got[g][1], _expected(vs))
 
 
-def test_selection_median_long_groups(spark):
+def _case_selection_median_long_groups(spark):
     rng = random.Random(5)
     vals = [rng.uniform(-1e6, 1e6) for _ in range(2000)]
     df = spark.createDataFrame([(1, v) for v in vals], "g bigint, v double")
@@ -47,7 +47,7 @@ def test_selection_median_long_groups(spark):
     assert row["n_values"] == 2000
 
 
-def test_selection_percentiles_bit_match_spark_percentile(spark):
+def _case_selection_percentiles_bit_match_spark_percentile(spark):
     from pyspark.sql import functions as F
 
     from reddit_data_pipeline_engineering_spark.operators.selection import (
@@ -83,7 +83,7 @@ def test_selection_percentiles_bit_match_spark_percentile(spark):
     assert got == want
 
 
-def test_plan_state_variant_matches_collect_path(spark):
+def _case_plan_state_variant_matches_collect_path(spark):
     """The bracket-state-as-DataFrame variant (driver holds one integer,
     not G brackets — VERDICT r04 #7) must resolve medians identical to
     the collect path on every regime the collect-path test covers: odd /
@@ -131,7 +131,7 @@ def test_plan_state_variant_matches_collect_path(spark):
     assert plan == driver
 
 
-def test_plan_state_percentiles_match_collect_path(spark):
+def _case_plan_state_percentiles_match_collect_path(spark):
     """grouped_percentiles_selection_plan must be value-identical to the
     collect path (which itself bit-matches F.round(F.percentile(...),6))
     across odd/even/all-equal/singleton/heavy-dup groups."""
@@ -188,3 +188,39 @@ def test_plan_side_and_driver_side_narrowing_agree(spark, monkeypatch):
         }
     assert results["plan"] == results["driver"]
     assert len(results["plan"]) == 80
+
+
+# Concurrency harness (VERDICT r05 #5): the cases above are independent
+# (build df -> run selection -> assert); the narrowing-cutover test
+# monkeypatches a module global and stays serial above.
+
+import pytest as _pytest
+from concurrent.futures import ThreadPoolExecutor as _TPE
+
+_SEL_CASES = {
+    "selection_median_matches_sorted_middle": _case_selection_median_matches_sorted_middle,
+    "selection_median_long_groups": _case_selection_median_long_groups,
+    "selection_percentiles_bit_match_spark_percentile": _case_selection_percentiles_bit_match_spark_percentile,
+    "plan_state_variant_matches_collect_path": _case_plan_state_variant_matches_collect_path,
+    "plan_state_percentiles_match_collect_path": _case_plan_state_percentiles_match_collect_path,
+}
+
+
+@_pytest.fixture(scope="module")
+def selection_outcomes(spark):
+    def run(fn):
+        try:
+            fn(spark)
+            return None
+        except BaseException as exc:  # noqa: BLE001 - surfaced per test
+            return exc
+
+    with _TPE(max_workers=5) as ex:
+        return dict(zip(_SEL_CASES, ex.map(run, _SEL_CASES.values())))
+
+
+@_pytest.mark.parametrize("name", list(_SEL_CASES))
+def test_selection_case(name, selection_outcomes):
+    res = selection_outcomes[name]
+    if res is not None:
+        raise res
