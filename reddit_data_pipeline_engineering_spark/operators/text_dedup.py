@@ -237,3 +237,88 @@ def simhash(
         )
         sig = term if sig is None else sig + term
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash",
+    bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by banded SimHash (Manku et al., WWW'07).
+
+    The fingerprint is split into ``bands`` contiguous bit blocks; by
+    pigeonhole, any pair within hamming distance ``bands - 1`` shares at
+    least one untouched block, so grouping on (band_id, block value)
+    finds EVERY pair at distance <= max_hamming (which must be
+    < bands) — the web-scale dedup scheme that needs no similarity join.
+    Verification is native bit arithmetic: popcount(sig_a XOR sig_b).
+
+    Plan shape: one bucket-keyed shuffle (map-side band explode), pair
+    generation from the collected per-bucket member list (bucket sizes
+    are bounded by the band width: 2^(bits/bands) buckets per band
+    spread the corpus, and production widens to 64-bit/4x16 so buckets
+    stay collision-bounded at any corpus size), one pair-keyed aggregate
+    to dedup multi-band matches. The signature lineage is computed ONCE
+    — no self-join.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"recall guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col(sig_col), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = signatures.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select(id_col, sig_col, "band.band_id", "band.bucket")
+    grouped = buckets.groupBy("band_id", "bucket").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
+                )
+            )
+        ).alias("members")
+    )
+    pairs = F.flatten(
+        F.transform(
+            "members",
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + F.lit(2), F.size("members")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    x["sig"].alias("sig_a"),
+                    y["id"].alias("id_b"),
+                    y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.*")
+        .groupBy("id_a", "id_b", "sig_a", "sig_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(
+            F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+        ).cast("long").alias("hamming"),
+        F.col("n_bands").cast("long").alias("n_bands"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -917,6 +917,7 @@ _DRIVER_FIRST = [
     "ks_source_drift",  # NEW r06: two-sample KS length-drift per source
     "mrr_prefix_rank",  # NEW r06: multi-query MRR of the prefix ranking
     "map_at_k",  # NEW r06: MAP@50, the multi-hit member of the eval kit
+    "simhash_hamming_pairs",  # NEW r06: Manku banded near-dup pairs
 ]
 
 # Re-confirmation fill (VERDICT r05 #4, order pinned by the judge):
@@ -965,8 +966,6 @@ _DRIVER_FILL = [
     "order_priority_counts",
     "returned_item_losses",
     "promo_revenue",
-    "customer_order_distribution",
-    "small_quantity_revenue",
 ]
 
 # Streaming drains at the gate tail per the standing policy (in case
@@ -975,6 +974,7 @@ _DRIVER_FILL = [
 _DRIVER_TAIL_STREAMING: list[str] = [
     "streaming_marts_kernel",
     "stateful_ema_stream",
+    "streaming_pit_enrich",  # NEW r06: stateless PIT stream-static join
 ]
 
 _DRIVER_ROTATED_OUT = [
@@ -985,6 +985,8 @@ _DRIVER_ROTATED_OUT = [
     # the remaining r02 rows lead (the r07 re-confirmation queue), then
     # r03, then r04, then the r05-gated rows (including last round's
     # FIRST alumni and the r01-origin names refreshed by the r05 fill).
+    "customer_order_distribution",  # displaced by streaming_pit_enrich
+    "small_quantity_revenue",  # displaced from the r06 fill by simhash_hamming_pairs
     "brand_discount_revenue",  # displaced from the r06 fill by map_at_k
     "dormant_rich_customers",  # displaced from the r06 fill by ks_source_drift
     "min_cost_supplier",  # displaced from the r06 fill by mrr_prefix_rank

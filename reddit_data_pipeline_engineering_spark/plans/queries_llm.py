@@ -1878,3 +1878,82 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash banded near-dup pairs (r06) — Manku et al. WWW'07, the scheme
+# Google used for web-crawl dedup: pairs within hamming distance 3 of a
+# 48-bit SimHash share (pigeonhole) at least one of 4 untouched 12-bit
+# blocks, so grouping on block values finds every such pair with ONE
+# bucket shuffle — no similarity join, no shingle sets. The verification
+# is native bit arithmetic (popcount of xor) on both engines. Production
+# widens to 64-bit fingerprints with 4x16-bit blocks so buckets stay
+# collision-bounded at any corpus size; the 48/12 layout here is the
+# same plan at test scale.
+# --------------------------------------------------------------------------
+
+_SH_BITS, _SH_BANDS, _SH_MAXH = 48, 4, 3
+
+
+def _simhash_pairs_oracle() -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(cnt * (CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) AS b{i}"
+        for i in range(_SH_BITS)
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(_SH_BITS)
+    )
+    width = _SH_BITS // _SH_BANDS
+    mask = (1 << width) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"((simhash >> {b * width}) & {mask}) AS bucket FROM sigs"
+        for b in range(_SH_BANDS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), counted AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+  FROM tok GROUP BY doc_id, tok
+), bits AS (
+  SELECT doc_id, {bit_sums} FROM counted GROUP BY doc_id
+), sigs AS MATERIALIZED (
+  SELECT doc_id, ({bit_terms}) AS simhash FROM bits
+), buckets AS (
+  {band_rows}
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sig_a, b.simhash AS sig_b,
+         COUNT(*) AS n_bands
+  FROM buckets a JOIN buckets b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming,
+       CAST(n_bands AS BIGINT) AS n_bands
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {_SH_MAXH}
+"""
+
+
+@query(
+    "simhash_hamming_pairs",
+    _simhash_pairs_oracle(),
+    "Banded SimHash near-dup pairs (Manku WWW'07): 48-bit fingerprint, "
+    "4x12-bit blocks — pigeonhole guarantees every pair within hamming "
+    "3 shares a block; one bucket shuffle + per-bucket pair emit + one "
+    "pair aggregate, popcount(xor) verification — no similarity join",
+    tags=("llm", "dedup", "bench"),
+)
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sigs = text_dedup.simhash(docs, "text", "doc_id", bits=_SH_BITS)
+    return text_dedup.simhash_hamming_pairs(
+        sigs, "doc_id", bits=_SH_BITS, bands=_SH_BANDS, max_hamming=_SH_MAXH
+    )

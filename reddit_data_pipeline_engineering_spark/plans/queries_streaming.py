@@ -816,3 +816,147 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming point-in-time SCD2 enrichment (r06): a stream of events
+# joined to a versioned dimension AS OF each event's own timestamp — the
+# time-correct streaming enrichment (a plain stream-static equi-join
+# would stamp every event with the dimension's LATEST attributes,
+# backdating segment changes onto history). The dimension is a
+# deterministic two-version SCD2 built from the customer table (version
+# 1 until t0+3d, version 2 with a '§v2'-suffixed segment after), so the
+# oracle replays the interval resolution as a CASE on event time.
+#
+# Streaming surface under test: a STATELESS stream-static join with a
+# compound range predicate (key equality + half-open interval
+# containment). Stateless joins need no watermark and append directly —
+# at scale the dimension broadcasts (bounded versions per key) and each
+# micro-batch resolves versions map-side; the returned relation is the
+# bounded per-(segment, version) rollup of the drained sink.
+# --------------------------------------------------------------------------
+
+_PIT_STREAM_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS TIMESTAMP)) AS t0 FROM events
+), week AS (
+  SELECT e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value
+  FROM events e CROSS JOIN bounds b
+  WHERE CAST(e.ts AS TIMESTAMP) < b.t0 + INTERVAL 7 DAY
+), enr AS (
+  SELECT w.user_id, w.value,
+         CASE WHEN w.ts < b.t0 + INTERVAL 3 DAY THEN c.c_mktsegment
+              ELSE c.c_mktsegment || '§v2' END AS mktsegment,
+         CASE WHEN w.ts < b.t0 + INTERVAL 3 DAY THEN 1 ELSE 2 END AS version
+  FROM week w
+  JOIN customer c ON w.user_id = c.c_custkey
+  CROSS JOIN bounds b
+)
+SELECT mktsegment,
+       CAST(version AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DECIMAL(24,4)) AS sum_value
+FROM enr
+GROUP BY mktsegment, version
+ORDER BY mktsegment, version
+"""
+
+
+@query(
+    "streaming_pit_enrich",
+    _PIT_STREAM_ORACLE,
+    "Point-in-time SCD2 enrichment as Structured Streaming: events "
+    "drained with availableNow through a STATELESS stream-static join "
+    "on (key, eff_from <= ts < eff_to) against a two-version dimension "
+    "— each event gets the attributes in force AT ITS OWN time, not "
+    "the latest; bounded (segment, version) rollup of the sink, "
+    "batch-SQL oracle",
+    tags=("streaming", "kernel"),
+)
+def q_streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = _with_min_ts(ev).filter(
+        F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAYS")
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "event_type",
+        "value",
+    )
+
+    tmp = tempfile.mkdtemp(prefix="rdpe_pitstream_")
+    raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
+    week.write.mode("overwrite").json(raw)
+
+    # Two-version SCD2 dimension, cut at t0 + 3 days (computed in-plan
+    # from the same broadcast scalar the stream slice used).
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    t0 = ev.agg(F.min("ts").alias("t0"))
+    base = cust.crossJoin(F.broadcast(t0)).withColumn(
+        "cut", F.col("t0") + F.expr("INTERVAL 3 DAYS")
+    )
+    dim = (
+        base.select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.lit("1970-01-01").cast("timestamp").alias("eff_from"),
+            F.col("cut").alias("eff_to"),
+            F.lit(1).alias("version"),
+        )
+        .unionByName(
+            base.select(
+                "c_custkey",
+                F.concat(F.col("c_mktsegment"), F.lit("§v2")).alias(
+                    "mktsegment"
+                ),
+                F.col("cut").alias("eff_from"),
+                F.lit("2100-01-01").cast("timestamp").alias("eff_to"),
+                F.lit(2).alias("version"),
+            )
+        )
+    )
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(_STREAM_SCHEMA)
+        .load(raw)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    joined = stream.join(
+        dim,
+        (stream["user_id"] == dim["c_custkey"])
+        & (stream["ts"] >= dim["eff_from"])
+        & (stream["ts"] < dim["eff_to"]),
+    ).select("user_id", "value", "mktsegment", "version")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    return (
+        spark.read.parquet(out)
+        .groupBy("mktsegment", "version")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast(f"decimal({DEC_VALUE})"))
+            .cast("decimal(24,4)")
+            .alias("sum_value"),
+        )
+        .select(
+            "mktsegment",
+            F.col("version").cast("long").alias("version"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+        .orderBy("mktsegment", "version")
+    )

@@ -274,3 +274,44 @@ def test_weighted_sample_is_size_biased():
     """).fetchall()
     (samp_mean, corpus_mean), = rows
     assert samp_mean > corpus_mean * 1.15, (samp_mean, corpus_mean)
+
+
+def test_simhash_hamming_pairs_brute_force(spark):
+    """Banded candidate generation must find EVERY pair within the
+    hamming radius (pigeonhole recall guarantee) and verify distances
+    exactly — checked against an all-pairs popcount scan on synthetic
+    signatures engineered around the band boundaries."""
+    from reddit_data_pipeline_engineering_spark.operators.text_dedup import (
+        simhash_hamming_pairs,
+    )
+
+    base = 0x0123456789AB  # 48-bit
+    sigs = [
+        (1, base),
+        (2, base ^ 0b111),            # hamming 3 in band 0 -> found
+        (3, base ^ (1 << 13)),        # hamming 1 in band 1 -> found
+        (4, base ^ 0b11 ^ (1 << 13) ^ (1 << 25)),  # h=4, spread -> out
+        (5, base ^ ((1 << 12) | (1 << 24) | (1 << 36))),  # h=3 across 3 bands
+        (6, 0xFFFFFFFFFFFF),          # far from everything
+        (7, base),                    # exact duplicate of 1
+    ]
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): (r["hamming"], r["n_bands"])
+        for r in simhash_hamming_pairs(df, "doc_id").collect()
+    }
+    expected = {}
+    for i, (ida, sa) in enumerate(sigs):
+        for idb, sb in sigs[i + 1:]:
+            h = bin(sa ^ sb).count("1")
+            shared = sum(
+                (sa >> (b * 12)) & 0xFFF == (sb >> (b * 12)) & 0xFFF
+                for b in range(4)
+            )
+            if h <= 3:
+                assert shared >= 1  # the pigeonhole guarantee itself
+                expected[(ida, idb)] = (h, shared)
+    assert got == expected
+    assert got[(1, 7)] == (0, 4)   # exact dup matches all bands
+    assert got[(1, 2)][0] == 3
+    assert (1, 4) not in got and (1, 6) not in got

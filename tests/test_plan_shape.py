@@ -223,6 +223,7 @@ def test_driver_gate_ordering():
         "ks_source_drift",           # new r06: two-sample KS drift
         "mrr_prefix_rank",           # new r06: multi-query prefix MRR
         "map_at_k",                  # new r06: MAP@50 multi-hit eval
+        "simhash_hamming_pairs",     # new r06: Manku banded near-dup pairs
     ]
     assert _DRIVER_FIRST == must_gate
     pinned_head = [
@@ -240,12 +241,14 @@ def test_driver_gate_ordering():
     # all were refreshed in r05 or lead this fill).
     assert _DRIVER_TAIL_STREAMING == [
         "streaming_marts_kernel", "stateful_ema_stream",
+        "streaming_pit_enrich",
     ]
     # The rotated-out head is the r07 re-confirmation queue: the two
     # fill slots displaced by the late-r06 additions, then the
     # remaining (not-yet-refilled) r02 rows.
-    assert _DRIVER_ROTATED_OUT[:11] == [
-        "brand_discount_revenue",
+    assert _DRIVER_ROTATED_OUT[:13] == [
+        "customer_order_distribution",
+        "small_quantity_revenue", "brand_discount_revenue",
         "dormant_rich_customers", "min_cost_supplier",
         "nation_volume_shipping", "market_share", "product_type_profit",
         "important_part_value", "top_supplier", "supplier_part_counts",

@@ -266,6 +266,9 @@ BUDGETS = {
     "shard_balance_audit": 2,
     "shipping_priority": 1,
     "simhash": 2,
+    # signature shuffle + bucket collect + pair aggregate (+ spread and
+    # the token-count agg upstream of the signature).
+    "simhash_hamming_pairs": 5,
     # distinct-point aggregate + per-price window + the single-partition
     # dominance pass over distinct prices (final sort folds into it).
     "skyline_pareto": 3,
