@@ -246,6 +246,7 @@ def simhash_hamming_pairs(
     bits: int = 48,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by banded SimHash (Manku et al., WWW'07).
 
@@ -294,6 +295,26 @@ def simhash_hamming_pairs(
             )
         ).alias("members")
     )
+    if max_bucket is not None:
+        # Skew cap (the jaccard stop-shingle pattern): SimHash bits are
+        # CORRELATED on homogeneous corpora — the majority sign of the
+        # common vocabulary drives most documents' bits — so band values
+        # do NOT spread uniformly and a hot bucket's in-memory pair
+        # expansion is quadratic (measured: OOM at 50k docs without the
+        # cap). A bucket matching more members than any plausible true
+        # duplicate cluster has no discriminating power; it is dropped
+        # from candidate generation with the count observed in-plan (no
+        # silent caps). Size the cap above the largest expected
+        # duplicate cluster — or run exact_dedup first so clusters
+        # collapse to one survivor before near-dup detection.
+        grouped = grouped.observe(
+            "simhash_bucket_cap",
+            F.sum((F.size("members") > max_bucket).cast("long")).alias(
+                "dropped_buckets"
+            ),
+            F.count(F.lit(1)).alias("total_buckets"),
+        )
+        grouped = grouped.filter(F.size("members") <= max_bucket)
     pairs = F.flatten(
         F.transform(
             "members",

@@ -1892,7 +1892,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same plan at test scale.
 # --------------------------------------------------------------------------
 
-_SH_BITS, _SH_BANDS, _SH_MAXH = 48, 4, 3
+_SH_BITS, _SH_BANDS, _SH_MAXH, _SH_MAXB = 48, 4, 3, 64
 
 
 def _simhash_pairs_oracle() -> str:
@@ -1925,11 +1925,18 @@ WITH tok AS (
   SELECT doc_id, ({bit_terms}) AS simhash FROM bits
 ), buckets AS (
   {band_rows}
+), kept AS (
+  -- skew cap mirrored: buckets above max_bucket members are dropped
+  -- from candidate generation (see operators/text_dedup.py)
+  SELECT band_id, bucket FROM buckets
+  GROUP BY band_id, bucket HAVING COUNT(*) <= {_SH_MAXB}
 ), cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          a.simhash AS sig_a, b.simhash AS sig_b,
          COUNT(*) AS n_bands
-  FROM buckets a JOIN buckets b
+  FROM buckets a
+  JOIN kept k ON a.band_id = k.band_id AND a.bucket = k.bucket
+  JOIN buckets b
     ON a.band_id = b.band_id AND a.bucket = b.bucket
    AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
@@ -1948,12 +1955,15 @@ WHERE bit_count(xor(sig_a, sig_b)) <= {_SH_MAXH}
     "Banded SimHash near-dup pairs (Manku WWW'07): 48-bit fingerprint, "
     "4x12-bit blocks — pigeonhole guarantees every pair within hamming "
     "3 shares a block; one bucket shuffle + per-bucket pair emit + one "
-    "pair aggregate, popcount(xor) verification — no similarity join",
+    "pair aggregate, popcount(xor) verification — no similarity join. "
+    "Hot buckets (SimHash bits correlate on homogeneous corpora) are "
+    "capped at 64 members with the drop observed in-plan",
     tags=("llm", "dedup", "bench"),
 )
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     sigs = text_dedup.simhash(docs, "text", "doc_id", bits=_SH_BITS)
     return text_dedup.simhash_hamming_pairs(
-        sigs, "doc_id", bits=_SH_BITS, bands=_SH_BANDS, max_hamming=_SH_MAXH
+        sigs, "doc_id", bits=_SH_BITS, bands=_SH_BANDS,
+        max_hamming=_SH_MAXH, max_bucket=_SH_MAXB,
     )

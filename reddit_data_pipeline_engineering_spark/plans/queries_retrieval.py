@@ -809,13 +809,19 @@ def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _MRR_Q_MOD, _MRR_Q_RES = 25, 2
+# Eval sets must be BOUNDED, not a corpus fraction: the id cap freezes
+# the query set at <= 200 vectors no matter how large the corpus grows
+# (a real benchmark is a fixed set), keeping the Q x N scoring expansion
+# LINEAR in the corpus. Without it Q = N/25 makes the expansion
+# quadratic — measured wedged at sf1.0 (20k vectors) before the cap.
+_MRR_Q_CAP = 5_000
 _MRR_CUTOFF = 50
 _MRR_SCALE = 1_000_000
 
 _MRR_ORACLE = f"""
 WITH qs AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings
-  WHERE vec_id % {_MRR_Q_MOD} = {_MRR_Q_RES}
+  WHERE vec_id % {_MRR_Q_MOD} = {_MRR_Q_RES} AND vec_id < {_MRR_Q_CAP}
 ),
 scored AS MATERIALIZED (
   SELECT q.qid, e.vec_id AS cand,
@@ -827,7 +833,8 @@ scored AS MATERIALIZED (
                   * sqrt({_sql_dot_pre('q.qe', 'q.qe', _MRL_DIM)})), 6)
            AS cosp
   FROM qs q JOIN embeddings e
-    ON e.vec_id % {_MRR_Q_MOD} <> {_MRR_Q_RES}
+    ON NOT (e.vec_id % {_MRR_Q_MOD} = {_MRR_Q_RES}
+            AND e.vec_id < {_MRR_Q_CAP})
 ),
 nn AS (
   SELECT qid, cand AS nn_id, cosp AS nn_cosp
@@ -868,11 +875,17 @@ FROM ranked
 )
 def q_mrr_prefix_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    is_q = F.col("vec_id") % _MRR_Q_MOD == _MRR_Q_RES
+    is_q = (F.col("vec_id") % _MRR_Q_MOD == _MRR_Q_RES) & (
+        F.col("vec_id") < _MRR_Q_CAP
+    )
     qs = emb.filter(is_q).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    cand = emb.filter(~is_q)
+    # spread: the Q x N scoring expansion is CPU-heavy map work riding a
+    # narrow parquet scan (single-digit row groups at any test sf) —
+    # without a parallelism floor it runs in 2 tasks (measured 97 s vs
+    # 10.8 s at sf1.0, identical results).
+    cand = spread(emb.filter(~is_q))
     scored = cand.join(F.broadcast(qs)).select(
         "qid",
         F.col("vec_id").alias("cand"),
@@ -938,21 +951,21 @@ def q_mrr_prefix_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MAP@k (r06): mean average precision of the dim-8 prefix ranking against
 # the exact full-dim cosine top-10 as the per-query relevant set — the
 # multi-hit companion of mrr_prefix_rank (first hit only) and ndcg_at_k
-# (graded, one query). AP is computed WITHOUT any per-query sort: for a
-# relevant item at prefix rank r_i, precision@r_i = i / r_i where i is
-# its 1-based index among the query's relevant items ordered by prefix
-# rank — and both i and r_i are comparison COUNTS over the bounded
-# (query x relevant=10) relation:
+# (graded, one query). For a relevant item at prefix rank r_i,
+# precision@r_i = i / r_i with i its 1-based index among the query's
+# relevant items in prefix order:
 #
-#   r_i = 1 + #{candidates prefix-ordered before item}       (vs corpus)
-#   i   = 1 + #{other relevant items prefix-ordered before}  (vs 10 rows)
 #   AP  = (Σ_{r_i <= k} i * 1e6 div r_i) div |relevant|
 #   MAP = Σ AP div n_queries                                 (integer)
 #
-# Plan shape: query dim and the 10-per-query relevant dim are both
-# bounded and broadcast; the corpus is scanned once for scoring; the
-# rank counts are two aggregates keyed on (qid, item). No window over
-# corpus rows anywhere.
+# Plan shape: the bounded query dim broadcasts, the corpus is scanned
+# once, and ONE qid-keyed window shuffle carries BOTH rankings (the
+# full-dim relevance rank that selects the top-10 relevant set and the
+# prefix rank that is r_i itself) — windows partition per query, never
+# globally. The r06 first cut computed ranks as comparison-count JOINS
+# instead; that multiplied the Q x N scoring relation by the
+# relevant-set size and measured 27x slower at sf1.0 — the window
+# formulation replaced it (same results, oracle unchanged).
 # --------------------------------------------------------------------------
 
 _MAP_K = 50
@@ -961,7 +974,7 @@ _MAP_REL = 10
 _MAP_ORACLE = f"""
 WITH qs AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings
-  WHERE vec_id % {_MRR_Q_MOD} = {_MRR_Q_RES}
+  WHERE vec_id % {_MRR_Q_MOD} = {_MRR_Q_RES} AND vec_id < {_MRR_Q_CAP}
 ),
 scored AS MATERIALIZED (
   SELECT q.qid, e.vec_id AS cand,
@@ -973,7 +986,8 @@ scored AS MATERIALIZED (
                   * sqrt({_sql_dot_pre('q.qe', 'q.qe', _MRL_DIM)})), 6)
            AS cosp
   FROM qs q JOIN embeddings e
-    ON e.vec_id % {_MRR_Q_MOD} <> {_MRR_Q_RES}
+    ON NOT (e.vec_id % {_MRR_Q_MOD} = {_MRR_Q_RES}
+            AND e.vec_id < {_MRR_Q_CAP})
 ),
 rel AS MATERIALIZED (
   SELECT qid, cand, cosp
@@ -1014,19 +1028,25 @@ FROM ap
     "map_at_k",
     _MAP_ORACLE,
     "MAP@50 of the dim-8 prefix ranking vs the exact full-dim top-10 "
-    "relevant set per query (1-in-25 query split): both prefix rank and "
-    "within-relevant index are comparison COUNTS (no per-query sort), "
-    "query and relevant dims broadcast, one corpus scan per consumer, "
+    "relevant set per query (bounded id-capped 1-in-25 query split): "
+    "ONE qid-keyed window shuffle carries the relevance rank and the "
+    "prefix rank together (partitions bounded per query, never global), "
     "AP = sum(i*1e6 div r_i) div 10, BIGINT-exact",
     tags=("llm", "similarity", "eval", "retrieval", "bench"),
 )
 def q_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    is_q = F.col("vec_id") % _MRR_Q_MOD == _MRR_Q_RES
+    is_q = (F.col("vec_id") % _MRR_Q_MOD == _MRR_Q_RES) & (
+        F.col("vec_id") < _MRR_Q_CAP
+    )
     qs = emb.filter(is_q).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    cand = emb.filter(~is_q)
+    # spread: the Q x N scoring expansion is CPU-heavy map work riding a
+    # narrow parquet scan (single-digit row groups at any test sf) —
+    # without a parallelism floor it runs in 2 tasks (measured 97 s vs
+    # 10.8 s at sf1.0, identical results).
+    cand = spread(emb.filter(~is_q))
     scored = cand.join(F.broadcast(qs)).select(
         "qid",
         F.col("vec_id").alias("cand"),
@@ -1038,53 +1058,25 @@ def q_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cosp"),
     )
-    # exact top-10 per query: TakeOrdered is per-query here, so use the
-    # bounded-window trick — rank over the (qid) partition is a shuffle
-    # of the scored relation once; the window input is the corpus scan
-    # (unavoidable for a per-query top-k with many queries; partitions
-    # are per-qid, so no single-partition global sort).
-    w = Window.partitionBy("qid").orderBy(F.desc("cosf"), "cand")
-    rel = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _MAP_REL)
-        .select("qid", "cand", "cosp")
+    # ONE qid-keyed shuffle carries both rankings: the relevance rank
+    # (full-dim order) selects the top-10 relevant set, the prefix rank
+    # IS each item's r_i. Windows partition on qid (bounded #queries,
+    # partitions never global) — measured 27x cheaper at sf1.0 than the
+    # count-join formulation, whose rank join multiplied the Q x N
+    # scoring relation by the relevant-set size.
+    wf = Window.partitionBy("qid").orderBy(F.desc("cosf"), "cand")
+    wp = Window.partitionBy("qid").orderBy(F.desc("cosp"), "cand")
+    ranked_all = scored.select(
+        "qid",
+        F.row_number().over(wf).alias("rn_f"),
+        F.row_number().over(wp).alias("prank"),
     )
-    # prefix rank vs the whole corpus: count candidates ordered before
-    # each relevant item (broadcast the bounded relevant dim).
-    prank = (
-        scored.join(
-            F.broadcast(rel.select(
-                F.col("qid").alias("r_qid"),
-                F.col("cand").alias("item"),
-                F.col("cosp").alias("r_cosp"),
-            )),
-            (F.col("qid") == F.col("r_qid"))
-            & (
-                (F.col("cosp") > F.col("r_cosp"))
-                | ((F.col("cosp") == F.col("r_cosp")) & (F.col("cand") < F.col("item")))
-            ),
-        )
-        .groupBy("r_qid", "item")
-        .agg(F.count(F.lit(1)).alias("n_before"))
-    )
-    ranked = (
-        rel.join(
-            prank,
-            (rel["qid"] == prank["r_qid"]) & (rel["cand"] == prank["item"]),
-            "left",
-        )
-        .select(
-            rel["qid"],
-            rel["cand"],
-            rel["cosp"],
-            (F.coalesce(F.col("n_before"), F.lit(0)) + 1).alias("prank"),
-        )
-    )
-    # within-relevant index: rank among the 10 relevant rows per query —
-    # a window over a 10-rows-per-query bounded relation.
-    wr = Window.partitionBy("qid").orderBy(F.desc("cosp"), "cand")
+    rel = ranked_all.filter(F.col("rn_f") <= _MAP_REL)
+    # within-relevant index: rank among the 10 relevant rows per query
+    # by prefix order — a window over a 10-rows-per-query relation.
+    wr = Window.partitionBy("qid").orderBy("prank")
     ap = (
-        ranked.withColumn("relrank", F.row_number().over(wr))
+        rel.withColumn("relrank", F.row_number().over(wr))
         .groupBy("qid")
         .agg(
             F.expr(

@@ -315,3 +315,27 @@ def test_simhash_hamming_pairs_brute_force(spark):
     assert got[(1, 7)] == (0, 4)   # exact dup matches all bands
     assert got[(1, 2)][0] == 3
     assert (1, 4) not in got and (1, 6) not in got
+
+
+def test_simhash_bucket_cap_drops_hot_buckets(spark):
+    """SimHash bits correlate on homogeneous corpora, so hot buckets are
+    quadratic traps — above max_bucket they must be dropped from
+    candidate generation (observed in-plan), while small clusters keep
+    their pairs."""
+    from reddit_data_pipeline_engineering_spark.operators.text_dedup import (
+        simhash_hamming_pairs,
+    )
+
+    base = 0x0123456789AB
+    # a 5-member exact cluster (kept) + an 80-member cluster (dropped)
+    sigs = [(i, base) for i in range(5)]
+    sigs += [(100 + i, 0x0FEDCBA98765) for i in range(80)]
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_hamming_pairs(df, "doc_id", max_bucket=64).collect()
+    }
+    assert got == {(a, b) for a in range(5) for b in range(5) if a < b}
+    # uncapped, the hot cluster's pairs come back
+    uncapped = simhash_hamming_pairs(df, "doc_id", max_bucket=None).count()
+    assert uncapped == 10 + 80 * 79 // 2

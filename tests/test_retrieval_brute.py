@@ -291,8 +291,8 @@ def test_mrr_prefix_rank_matches_brute_force(spark):
                   / (math.sqrt(sum(x * x for x in a))
                      * math.sqrt(sum(y * y for y in b))))
 
-    qids = sorted(i for i in emb if i % 25 == 2)
-    cands = sorted(i for i in emb if i % 25 != 2)
+    qids = sorted(i for i in emb if i % 25 == 2 and i < 5000)
+    cands = sorted(i for i in emb if not (i % 25 == 2 and i < 5000))
     total, hits = 0, 0
     for q in qids:
         full = [(cos(emb[c], emb[q]), c) for c in cands]
@@ -330,8 +330,8 @@ def test_map_at_k_matches_brute_force(spark):
                   / (math.sqrt(sum(x * x for x in a))
                      * math.sqrt(sum(y * y for y in b))))
 
-    qids = sorted(i for i in emb if i % 25 == 2)
-    cands = sorted(i for i in emb if i % 25 != 2)
+    qids = sorted(i for i in emb if i % 25 == 2 and i < 5000)
+    cands = sorted(i for i in emb if not (i % 25 == 2 and i < 5000))
     aps, hits_total = [], 0
     for q in qids:
         full = sorted(((cos(emb[c], emb[q]), c) for c in cands),

@@ -185,13 +185,13 @@ BUDGETS = {
     "market_share": 2,
     "marts_kernel": 2,
     "matryoshka_recall_at_k": 0,
-    # relevant-set window (per-qid partitions of the scored relation) +
-    # prank aggregate + the bounded relrank window + final rollups; the
-    # scored subtree prints under both consumers (AQE-reused).
-    "map_at_k": 6,
-    # broadcast query dim; scored subtree feeds the NN argmax and the
-    # rank count (AQE-reused); movement is the two qid aggregates.
-    "mrr_prefix_rank": 3,
+    # spread + ONE qid window shuffle (both rankings ride it) + final
+    # single-partition rollup.
+    "map_at_k": 3,
+    # spread (printed under both consumers) + broadcast query dim; the
+    # scored subtree feeds the NN argmax and the rank count; movement is
+    # the two qid aggregates.
+    "mrr_prefix_rank": 5,
     # two TakeOrderedAndProject top-20s + bounded 20-row windows +
     # broadcast-only joins — no hash/range exchange anywhere.
     "ndcg_at_k": 0,
