@@ -918,6 +918,7 @@ _DRIVER_FIRST = [
     "mrr_prefix_rank",  # NEW r06: multi-query MRR of the prefix ranking
     "map_at_k",  # NEW r06: MAP@50, the multi-hit member of the eval kit
     "simhash_hamming_pairs",  # NEW r06: Manku banded near-dup pairs
+    "split_leakage_audit",  # NEW r06: dedup-aware split integrity
 ]
 
 # Re-confirmation fill (VERDICT r05 #4, order pinned by the judge):
@@ -965,7 +966,6 @@ _DRIVER_FILL = [
     "large_volume_customers",
     "order_priority_counts",
     "returned_item_losses",
-    "promo_revenue",
 ]
 
 # Streaming drains at the gate tail per the standing policy (in case
@@ -985,6 +985,7 @@ _DRIVER_ROTATED_OUT = [
     # the remaining r02 rows lead (the r07 re-confirmation queue), then
     # r03, then r04, then the r05-gated rows (including last round's
     # FIRST alumni and the r01-origin names refreshed by the r05 fill).
+    "promo_revenue",  # displaced from the r06 fill by split_leakage_audit
     "customer_order_distribution",  # displaced by streaming_pit_enrich
     "small_quantity_revenue",  # displaced from the r06 fill by simhash_hamming_pairs
     "brand_discount_revenue",  # displaced from the r06 fill by map_at_k

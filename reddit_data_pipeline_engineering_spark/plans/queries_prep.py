@@ -29,7 +29,7 @@ from reddit_data_pipeline_engineering_spark.plans.queries_llm import (
     _sql_shingles,
     _TOKS,
 )
-from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table, spread
 
 # --------------------------------------------------------------------------
 # Benchmark decontamination
@@ -449,4 +449,95 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
         .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Split-leakage audit (r06): near-duplicate documents that land in
+# DIFFERENT train/val/test splits leak training text into evaluation —
+# the id-hash split is perfectly reproducible but completely blind to
+# content duplication, so dedup-aware split integrity is its mandatory
+# companion audit. Groups = the 10-word-prefix fingerprint (the
+# incremental_dedup convention); split = the md5-bucket 80/10/10 ranges
+# (the hash_split_stats convention). A group is LEAKY if its docs span
+# more than one split; eval-side leakage (val/test doc sharing a group
+# with a train doc) is the number that matters for benchmark honesty.
+#
+# Plan shape: one map pass derives (fingerprint, split), ONE fingerprint-
+# keyed aggregate counts per-split members per group (mergeable), a
+# second bounded rollup scores the corpus — no joins, no windows. At
+# 100 TB this is strictly cheaper than the dedup pass itself.
+# --------------------------------------------------------------------------
+
+_LEAK_ORACLE = """
+WITH tagged AS (
+  SELECT md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS h,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 < 80 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), groups AS (
+  SELECT h,
+         COUNT(*) AS n_docs,
+         COUNT(*) FILTER (WHERE split = 'train') AS n_train,
+         COUNT(*) FILTER (WHERE split <> 'train') AS n_eval,
+         COUNT(DISTINCT split) AS n_splits
+  FROM tagged GROUP BY h
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) FILTER (WHERE n_splits > 1) AS BIGINT)
+         AS n_leaky_groups,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+         AS n_docs_in_leaky_groups,
+       CAST(SUM(CASE WHEN n_train > 0 THEN n_eval ELSE 0 END) AS BIGINT)
+         AS n_eval_docs_leaked,
+       CAST(SUM(CASE WHEN n_train > 0 THEN n_eval ELSE 0 END) * 10000
+            // nullif(SUM(n_eval), 0) AS BIGINT) AS eval_leak_bps
+FROM groups
+"""
+
+
+@query(
+    "split_leakage_audit",
+    _LEAK_ORACLE,
+    "Dedup-aware split integrity: near-dup groups (10-word-prefix "
+    "fingerprint) spanning more than one md5-bucket split, and the "
+    "val/test docs sharing a group with a train doc (the benchmark-"
+    "honesty number, in bps of all eval docs) — one fingerprint-keyed "
+    "mergeable aggregate + a bounded rollup, no joins",
+    tags=("llm", "sampling", "quality", "bench"),
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    h = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 10), " "))
+    b = corpus.md5_bucket("doc_id", 100)
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    tagged = docs.select(h.alias("h"), split.alias("split"))
+    groups = tagged.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("split") == "train").cast("int")).alias("n_train"),
+        F.sum((F.col("split") != "train").cast("int")).alias("n_eval"),
+        F.countDistinct("split").alias("n_splits"),
+    )
+    leaky = F.col("n_splits") > 1
+    has_train = F.col("n_train") > 0
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(leaky.cast("int")).cast("long").alias("n_leaky_groups"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum(F.when(leaky, F.col("n_docs")).otherwise(0))
+        .cast("long")
+        .alias("n_docs_in_leaky_groups"),
+        F.sum(F.when(has_train, F.col("n_eval")).otherwise(0))
+        .cast("long")
+        .alias("n_eval_docs_leaked"),
+        F.expr(
+            "sum(case when n_train > 0 then n_eval else 0 end) * 10000 "
+            "div nullif(sum(n_eval), 0)"
+        )
+        .cast("long")
+        .alias("eval_leak_bps"),
     )

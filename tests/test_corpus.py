@@ -339,3 +339,51 @@ def test_simhash_bucket_cap_drops_hot_buckets(spark):
     # uncapped, the hot cluster's pairs come back
     uncapped = simhash_hamming_pairs(df, "doc_id", max_bucket=None).count()
     assert uncapped == 10 + 80 * 79 // 2
+
+
+def test_split_leakage_audit_matches_brute_force(spark):
+    """Third independent leakage audit: hashlib fingerprints + the
+    md5-bucket split replayed in pure Python over the sf0.001 corpus."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+
+    queries()
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+
+    def split_of(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else "val" if b < 90 else "test"
+
+    groups = defaultdict(lambda: [0, 0, set()])  # h -> [train, eval, splits]
+    for d in docs:
+        h = hashlib.md5(" ".join(d["text"].split(" ")[:10]).encode()).hexdigest()
+        s = split_of(d["doc_id"])
+        g = groups[h]
+        g[0] += s == "train"
+        g[1] += s != "train"
+        g[2].add(s)
+    n_leaky = sum(1 for g in groups.values() if len(g[2]) > 1)
+    docs_leaky = sum(g[0] + g[1] for g in groups.values() if len(g[2]) > 1)
+    eval_leaked = sum(g[1] for g in groups.values() if g[0] > 0)
+    n_eval = sum(g[1] for g in groups.values())
+    row = REGISTRY["split_leakage_audit"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["n_groups"] == len(groups)
+    assert row["n_leaky_groups"] == n_leaky
+    assert row["n_docs"] == len(docs)
+    assert row["n_docs_in_leaky_groups"] == docs_leaky
+    assert row["n_eval_docs_leaked"] == eval_leaked
+    assert row["eval_leak_bps"] == eval_leaked * 10000 // n_eval
+    # the audit has teeth on this corpus: duplicates exist, so some must
+    # span splits
+    assert row["n_leaky_groups"] > 0

@@ -224,6 +224,7 @@ def test_driver_gate_ordering():
         "mrr_prefix_rank",           # new r06: multi-query prefix MRR
         "map_at_k",                  # new r06: MAP@50 multi-hit eval
         "simhash_hamming_pairs",     # new r06: Manku banded near-dup pairs
+        "split_leakage_audit",       # new r06: dedup-aware split integrity
     ]
     assert _DRIVER_FIRST == must_gate
     pinned_head = [
@@ -246,8 +247,8 @@ def test_driver_gate_ordering():
     # The rotated-out head is the r07 re-confirmation queue: the two
     # fill slots displaced by the late-r06 additions, then the
     # remaining (not-yet-refilled) r02 rows.
-    assert _DRIVER_ROTATED_OUT[:13] == [
-        "customer_order_distribution",
+    assert _DRIVER_ROTATED_OUT[:14] == [
+        "promo_revenue", "customer_order_distribution",
         "small_quantity_revenue", "brand_discount_revenue",
         "dormant_rich_customers", "min_cost_supplier",
         "nation_volume_shipping", "market_share", "product_type_profit",

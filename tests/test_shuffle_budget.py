@@ -272,6 +272,9 @@ BUDGETS = {
     # distinct-point aggregate + per-price window + the single-partition
     # dominance pass over distinct prices (final sort folds into it).
     "skyline_pareto": 3,
+    # spread + the fingerprint-keyed group aggregate + the bounded
+    # scalar rollup (single-partition stage).
+    "split_leakage_audit": 4,
     "sliding_window_rollup": 2,
     # (source, word) counts print under the two self-join sides + the
     # totals dim (runtime-reused); real movement is the count shuffle +
