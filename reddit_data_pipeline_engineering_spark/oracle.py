@@ -6,11 +6,26 @@ same parquet tables, then compare row count, column names, and values
 (order-insensitive, column-name-sorted) — the same canonicalization the
 driver applies before hashing. Used by tests/test_oracle_parity.py so
 mismatches are caught before the driver ever sees them.
+
+Beyond naive value equality, ``compare`` serializes BOTH engines'
+results to one canonical byte form (explicit UTF-8 encode, explicit
+decimal/float rendering, explicit null marker, per-column type-family
+tag) and compares SHA-256 digests (VERDICT r06 #2): the driver hashes
+typed serialized bytes, so divergence classes that live purely in hash
+serialization — HUGEINT-vs-BIGINT width (r02), multibyte-encoding
+handling (r06) — were invisible to value comparison by construction.
+The digest embeds the type family, catching the r02 class; non-ASCII
+string output is rejected outright as driver-hash-unsafe because the
+r06 gate hash-failed the registry's only non-ASCII literal on an exact
+value match (the driver's Spark and DuckDB legs serialize multibyte
+characters differently).
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
+import hashlib
 import math
 from dataclasses import dataclass
 
@@ -126,6 +141,94 @@ def driver_unsortable_cols(families: dict[str, str]) -> list[str]:
     )
 
 
+def non_ascii_cols(cols: list[str], rows: list[tuple]) -> list[str]:
+    """Columns whose string cells contain non-ASCII characters.
+
+    Driver-hash-UNSAFE surface (VERDICT r06 #1): ``streaming_pit_enrich``
+    hash-failed the r06 driver gate on a 10-row result that matched its
+    oracle exactly on values, types, and local repeat-hash — the output's
+    ``'§v2'`` suffix was the registry's only non-ASCII literal, implying
+    the driver's hash serialization encodes multibyte characters
+    differently between its Spark and DuckDB legs. The testdata string
+    columns are verified pure ASCII (r07 scan), so any non-ASCII output
+    is a query-side literal the author can and must avoid.
+    """
+    bad = set()
+    for r in rows:
+        for c, v in zip(cols, r):
+            if isinstance(v, str) and not v.isascii():
+                bad.add(c)
+    return sorted(bad)
+
+
+def _canon_decimal(v: _decimal.Decimal) -> str:
+    """Fixed-point rendering with trailing zeros stripped: one canonical
+    text for every numerically-equal Decimal regardless of declared
+    scale (``1.10`` and ``1.1`` render identically; exponent forms are
+    expanded)."""
+    s = format(v, "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return "0" if s in ("-0", "") else s
+
+
+def _cell_bytes(v) -> bytes:
+    """One canonical, type-tagged byte rendering per cell value."""
+    if v is None:
+        return b"\x00N"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return b"b1" if v else b"b0"
+    if isinstance(v, int):
+        return b"i" + str(v).encode("ascii")
+    if isinstance(v, float):
+        if math.isnan(v):
+            s = "NaN"
+        elif math.isinf(v):
+            s = "inf" if v > 0 else "-inf"
+        else:
+            s = repr(v)  # shortest round-trip form
+        return b"f" + s.encode("ascii")
+    if isinstance(v, _decimal.Decimal):
+        return b"d" + _canon_decimal(v).encode("ascii")
+    if isinstance(v, _dt.datetime):
+        return b"t" + v.replace(tzinfo=None).isoformat(
+            sep=" ", timespec="microseconds"
+        ).encode("ascii")
+    if isinstance(v, _dt.date):
+        return b"D" + v.isoformat().encode("ascii")
+    if isinstance(v, str):
+        return b"s" + v.encode("utf-8")
+    if isinstance(v, (bytes, bytearray)):
+        return b"y" + bytes(v)
+    return b"r" + repr(v).encode("utf-8")
+
+
+def canonical_digest(
+    cols: list[str], families: dict[str, str], rows: list[tuple]
+) -> str:
+    """SHA-256 over an explicit canonical serialization of a result set.
+
+    ``rows`` must already be canonical (cells in sorted-column order,
+    rows sorted — the output of ``_canon_rows``). The preamble encodes
+    each sorted column name WITH its type family, so two results with
+    equal Python values but different engine types (DuckDB HUGEINT vs
+    Spark BIGINT — the r02 driver-hash failure class) produce different
+    digests, exactly as the driver's typed hash does. Every cell is
+    length-prefixed so no value concatenation is ambiguous.
+    """
+    h = hashlib.sha256()
+    for c in sorted(cols):
+        part = f"{c}:{families[c]}".encode("utf-8")
+        h.update(b"%d:" % len(part) + part)
+    h.update(b"|rows|")
+    for r in rows:
+        for v in r:
+            payload = _cell_bytes(v)
+            h.update(b"%d:" % len(payload) + payload)
+        h.update(b";")
+    return h.hexdigest()
+
+
 def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -229,4 +332,29 @@ def compare(
                 name, False, f"row mismatch at sorted-row {i}: {a!r} != {b!r}",
                 len(srows), len(orows),
             )
+    # Canonical-byte digest compare (VERDICT r06 #2): fails whenever the
+    # driver's typed hash would, even when naive value equality passes.
+    ds = canonical_digest(scols, stypes, cs)
+    do = canonical_digest(ocols, otypes, co)
+    if ds != do:
+        return CompareResult(
+            name, False,
+            f"canonical digest mismatch (spark={ds[:16]} oracle={do[:16]}): "
+            "values compare equal but the typed byte serializations differ "
+            "— the driver's hash would fail this query",
+            len(srows), len(orows),
+        )
+    # Driver-hash-unsafe content gate: the r06 driver hash-failed the
+    # registry's only non-ASCII output literal on an exact value match,
+    # so non-ASCII string output is rejected even when both legs agree.
+    bad = non_ascii_cols(sorted(scols), cs)
+    if bad:
+        return CompareResult(
+            name, False,
+            f"driver-hash-unsafe non-ASCII string content in column(s) "
+            f"{bad}: the r06 driver gate hash-failed the registry's only "
+            "non-ASCII literal ('§v2') on an exact value match — use pure "
+            "ASCII in output literals",
+            len(srows), len(orows),
+        )
     return CompareResult(name, True, "ok", len(srows), len(orows))

@@ -825,8 +825,14 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # would stamp every event with the dimension's LATEST attributes,
 # backdating segment changes onto history). The dimension is a
 # deterministic two-version SCD2 built from the customer table (version
-# 1 until t0+3d, version 2 with a '§v2'-suffixed segment after), so the
+# 1 until t0+3d, version 2 with a '#v2'-suffixed segment after), so the
 # oracle replays the interval resolution as a CASE on event time.
+# The suffix is deliberately pure ASCII and the staged NDJSON carries
+# ts as epoch MICROS (long), not a formatted local string: the r06
+# driver gate hash-failed this query on an exact value match, with the
+# then-'§v2' literal being the registry's only non-ASCII output and the
+# timezone-naive string round-trip the only other environmental surface
+# (VERDICT r06 #1) — both removed.
 #
 # Streaming surface under test: a STATELESS stream-static join with a
 # compound range predicate (key equality + half-open interval
@@ -835,6 +841,19 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # micro-batch resolves versions map-side; the returned relation is the
 # bounded per-(segment, version) rollup of the drained sink.
 # --------------------------------------------------------------------------
+
+# Staged-NDJSON schema for the PIT stream: ts is epoch micros (long),
+# decoded with timestamp_micros() after the read — no string parsing,
+# no session-timezone dependence.
+_PIT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("ts_us", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
 
 _PIT_STREAM_ORACLE = """
 WITH bounds AS (
@@ -846,7 +865,7 @@ WITH bounds AS (
 ), enr AS (
   SELECT w.user_id, w.value,
          CASE WHEN w.ts < b.t0 + INTERVAL 3 DAY THEN c.c_mktsegment
-              ELSE c.c_mktsegment || '§v2' END AS mktsegment,
+              ELSE c.c_mktsegment || '#v2' END AS mktsegment,
          CASE WHEN w.ts < b.t0 + INTERVAL 3 DAY THEN 1 ELSE 2 END AS version
   FROM week w
   JOIN customer c ON w.user_id = c.c_custkey
@@ -881,7 +900,10 @@ def q_streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id",
         "user_id",
-        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
         "event_type",
         "value",
     )
@@ -903,18 +925,18 @@ def q_streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(
             "c_custkey",
             F.col("c_mktsegment").alias("mktsegment"),
-            F.lit("1970-01-01").cast("timestamp").alias("eff_from"),
+            F.lit("1970-01-01").cast("timestamp_ntz").alias("eff_from"),
             F.col("cut").alias("eff_to"),
             F.lit(1).alias("version"),
         )
         .unionByName(
             base.select(
                 "c_custkey",
-                F.concat(F.col("c_mktsegment"), F.lit("§v2")).alias(
+                F.concat(F.col("c_mktsegment"), F.lit("#v2")).alias(
                     "mktsegment"
                 ),
                 F.col("cut").alias("eff_from"),
-                F.lit("2100-01-01").cast("timestamp").alias("eff_to"),
+                F.lit("2100-01-01").cast("timestamp_ntz").alias("eff_to"),
                 F.lit(2).alias("version"),
             )
         )
@@ -922,9 +944,15 @@ def q_streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.format("json")
-        .schema(_STREAM_SCHEMA)
+        .schema(_PIT_STREAM_SCHEMA)
         .load(raw)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts_us,"
+                " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+            ),
+        )
     )
     joined = stream.join(
         dim,

@@ -130,6 +130,81 @@ def test_uncast_sum_oracle_fails_type_gate(spark, duck):
     assert res.ok, res.detail
 
 
+def test_non_ascii_output_fails_digest_gate(spark, duck):
+    """Regression for the round-6 driver failure (`streaming_pit_enrich`):
+    a non-ASCII output literal matched the oracle exactly on VALUES —
+    naive value compare passes — yet the driver hash-failed it, because
+    its two legs serialize multibyte characters differently. The digest
+    harness must reject non-ASCII string output as driver-hash-unsafe."""
+    from pyspark.sql import functions as F
+    from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+    def fn(sp, sf):
+        return (
+            load_table(sp, sf, "region")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("tag", F.lit("seg§v2"))
+            .select("tag", "n")
+        )
+
+    sql = "SELECT 'seg§v2' AS tag, CAST(COUNT(*) AS BIGINT) AS n FROM region"
+    # Naive value compare (the pre-r07 harness) passes: identical values.
+    sdf = fn(spark, SF_SMALL)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.sql(sql)
+    assert ora._canon_rows(sdf.columns, srows) == ora._canon_rows(
+        list(cur.columns), cur.fetchall()
+    )
+    # The digest harness must fail it with the non-ASCII policy gate.
+    res = ora.compare("nonascii_out", spark, SF_SMALL, fn, sql, con=duck)
+    assert not res.ok and "non-ASCII" in res.detail, res.detail
+
+    # Pure-ASCII variant of the same query passes end-to-end.
+    def fn_ok(sp, sf):
+        return (
+            load_table(sp, sf, "region")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("tag", F.lit("seg#v2"))
+            .select("tag", "n")
+        )
+
+    ok_sql = "SELECT 'seg#v2' AS tag, CAST(COUNT(*) AS BIGINT) AS n FROM region"
+    res = ora.compare("ascii_out", spark, SF_SMALL, fn_ok, ok_sql, con=duck)
+    assert res.ok, res.detail
+
+
+def test_hugeint_vs_bigint_fails_digest_compare():
+    """The r02 driver-hash failure class at the digest layer: equal
+    Python ints whose engine types differ (HUGEINT vs BIGINT) must
+    produce DIFFERENT canonical digests — the type family is part of
+    the serialization — while naive value compare sees no difference."""
+    cols = ["total"]
+    rows = [(12345,)]
+    assert ora._canon_rows(cols, rows) == ora._canon_rows(cols, rows)
+    d_bigint = ora.canonical_digest(cols, {"total": "int"}, rows)
+    d_hugeint = ora.canonical_digest(cols, {"total": "i128"}, rows)
+    assert d_bigint != d_hugeint
+
+
+def test_canonical_digest_stability():
+    """Digest invariants: equal canonical inputs hash equal; decimal
+    scale is normalized before hashing (1.10 ≡ 1.1 — both engines
+    render numerically-equal decimals to one canonical text); null has
+    an explicit marker distinct from empty string and zero."""
+    import decimal
+
+    cols = ["a", "b"]
+    fams = {"a": "str", "b": "decimal"}
+    r1 = [("x", decimal.Decimal("1.10"))]
+    r2 = [("x", decimal.Decimal("1.1"))]
+    assert ora.canonical_digest(cols, fams, r1) == ora.canonical_digest(
+        cols, fams, r2
+    )
+    base = ora.canonical_digest(cols, fams, [("", None)])
+    assert base != ora.canonical_digest(cols, fams, [(None, None)])
+    assert base != ora.canonical_digest(cols, fams, [("", decimal.Decimal(0))])
+
+
 def test_array_output_fails_sortability_gate(spark, duck):
     """Regression for the round-4 driver failure: a top-level ARRAY output
     column passes the local repr-sorted compare but crashes the driver's
