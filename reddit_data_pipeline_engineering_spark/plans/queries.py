@@ -894,103 +894,37 @@ def _register_all() -> None:
 #   stale r01 signals refresh while the backlog drains.
 # - _DRIVER_TAIL_STREAMING: wall-clock-heavy streaming drains sit LAST
 #   inside the gate (in case the driver cap is a time budget rather than
-#   a count). Empty this round: all seven streaming queries earned green
-#   rows in r02/r03 and none changed semantics.
+#   a count). Empty this round: the single streaming re-gate LEADS the
+#   gate by explicit judge instruction (VERDICT r06 #1).
 # - _DRIVER_ROTATED_OUT: outside the gate — every name here has a green
 #   driver row under its current semantics and is re-verified every
-#   local run by tests/test_oracle_parity.py (same canonicalization as
-#   the driver plus the type-family gate). Ordered oldest-row-first so
-#   the head IS the r05 re-confirmation queue.
+#   local run by tests/test_oracle_parity.py (driver canonicalization +
+#   type-family gate + canonical-byte digest). Ordered oldest-row-first
+#   so the head IS the next round's re-confirmation queue.
 # --------------------------------------------------------------------------
 
 _DRIVER_FIRST = [
-    # ---- ROUND 6 ROTATION (VERDICT r05 "Next round" #4) ----
-    # The backlog is fully drained (206/206 green r01-r05), so FIRST
-    # holds only the queries whose output or plan CHANGED this round
-    # plus the round's new queries; the fill is the judge-pinned
-    # stale-green queue (displaced-r01 rows first, then the four r02
-    # rows, then oldest r02 rows).
-    "chisq_source_drift",  # r06: broadcast hint dropped on the corpus dim (ADVICE r05)
-    "lsh_quality_eval",  # r06: scale-ceiling guard added (VERDICT r05 #3)
-    "ndcg_at_k",  # NEW r06: graded-relevance nDCG@20 (VERDICT r05 #8)
-    "multimodal_decode_profile",  # r06: header-only codec probing (VERDICT r05 #6)
-    "ks_source_drift",  # NEW r06: two-sample KS length-drift per source
-    "mrr_prefix_rank",  # NEW r06: multi-query MRR of the prefix ranking
-    "map_at_k",  # NEW r06: MAP@50, the multi-hit member of the eval kit
-    "simhash_hamming_pairs",  # NEW r06: Manku banded near-dup pairs
-    "split_leakage_audit",  # NEW r06: dedup-aware split integrity
+    # ---- ROUND 7 ROTATION (VERDICT r06 "Next round" #1/#3) ----
+    # The red-row re-gate LEADS the gate by explicit judge instruction
+    # (overriding the streaming-drains-last policy for this one query):
+    # r06's only red row, now ASCII-suffixed + epoch-micros staged.
+    "streaming_pit_enrich",
+    # r07 semantic change: ks_ppm now computed in DECIMAL(38,0) (the
+    # BIGINT product ceiling fix, VERDICT r06 #6 + ADVICE r06) — the
+    # output type family changed, so the old green row is stale.
+    "ks_source_drift",
 ]
 
-# Re-confirmation fill (VERDICT r05 #4, order pinned by the judge):
-# the 12 displaced-r01 rows lead, then the four oldest r02 rows, then
-# the remaining r02 stale queue in its documented order. Every name
-# has a green driver row under unchanged semantics; these slots
-# refresh the oldest signals. The two r02 STREAMING rows rotate in
-# via _DRIVER_TAIL_STREAMING (wall-clock-heavy drains sit last).
+# Re-confirmation fill (VERDICT r06 #3, order pinned by the judge): the
+# 18 queries whose newest green row is r02, in the judge's order, then
+# the r03 stale queue head (CORRECTNESS_r03 file order) to fill 50.
 _DRIVER_FILL = [
-    "exact_dedup",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "simhash",
-    "dup_clusters",
-    "token_stats",
-    "quality_score",
-    "lang_id",
-    "fingerprint",
-    "cosine_topk",
-    "ivf_probe_topk",
-    "semantic_dedup_survivors",
-    "forward_fill",
-    "snapshot_diff_counts",
-    "dq_expectations",
-    "countmin_heavy_hitters",
-    "ngram_jaccard_topk",
-    "ann_lsh_buckets",
-    "ivf_recall_at_k",
-    "repetition_stats",
-    "ivf_kmeans_topk",
-    "kmeans_recall_at_k",
-    "pq_topk",
-    "pq_recall_at_k",
-    "decontaminate_ngrams",
-    "pii_scrub_stats",
-    "quality_filter_gates",
-    "sequence_packing",
-    "source_mix_rebalance",
-    "salted_skew_rollup",
-    "vocab_topk",
-    "shipping_priority",
-    "local_supplier_volume",
-    "forecast_revenue",
-    "lateship_priority",
-    "large_volume_customers",
-    "order_priority_counts",
-    "returned_item_losses",
-]
-
-# Streaming drains at the gate tail per the standing policy (in case
-# the driver cap is a time budget): this round the two r02 streaming
-# rows re-confirm, displacing two batch fill slots.
-_DRIVER_TAIL_STREAMING: list[str] = [
-    "streaming_marts_kernel",
-    "stateful_ema_stream",
-    "streaming_pit_enrich",  # NEW r06: stateless PIT stream-static join
-]
-
-_DRIVER_ROTATED_OUT = [
-    # Everything below has a green driver row under its current
-    # semantics (see CORRECTNESS_r0*.json) and is hash-checked against
-    # DuckDB on every local run by tests/test_oracle_parity.py with the
-    # type-family + driver-sortability gates. Ordered oldest-row-first:
-    # the remaining r02 rows lead (the r07 re-confirmation queue), then
-    # r03, then r04, then the r05-gated rows (including last round's
-    # FIRST alumni and the r01-origin names refreshed by the r05 fill).
-    "promo_revenue",  # displaced from the r06 fill by split_leakage_audit
-    "customer_order_distribution",  # displaced by streaming_pit_enrich
-    "small_quantity_revenue",  # displaced from the r06 fill by simhash_hamming_pairs
-    "brand_discount_revenue",  # displaced from the r06 fill by map_at_k
-    "dormant_rich_customers",  # displaced from the r06 fill by ks_source_drift
-    "min_cost_supplier",  # displaced from the r06 fill by mrr_prefix_rank
+    "promo_revenue",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "brand_discount_revenue",
+    "dormant_rich_customers",
+    "min_cost_supplier",
     "nation_volume_shipping",
     "market_share",
     "product_type_profit",
@@ -999,10 +933,10 @@ _DRIVER_ROTATED_OUT = [
     "supplier_part_counts",
     "dominant_supplier",
     "waiting_suppliers",
-    "pagerank_topk",
     "scd2_dimension",
     "zorder_layout",
     "bloom_semijoin_reduction",
+    "pagerank_topk",
     "zscore_outliers",
     "topn_per_group",
     "props_struct_parse",
@@ -1033,6 +967,21 @@ _DRIVER_ROTATED_OUT = [
     "triangle_count_sampled",
     "mad_outliers",
     "hilbert_layout",
+]
+
+# Streaming tail empty this round: the one streaming re-gate leads the
+# gate by judge instruction, and no other streaming query changed (the
+# five r03 streaming rows head the r08 re-confirmation queue below).
+_DRIVER_TAIL_STREAMING: list[str] = []
+
+_DRIVER_ROTATED_OUT = [
+    # Everything below has a green driver row under its current
+    # semantics (see CORRECTNESS_r0*.json) and is digest-checked against
+    # DuckDB on every local run by tests/test_oracle_parity.py (driver
+    # canonicalization + type-family gate + canonical-byte digest).
+    # Ordered oldest-row-first: the remaining r03 rows lead (the r08
+    # re-confirmation queue, streaming drains included), then r04, r05,
+    # and the r06-gated rows.
     "item_similarity_topk",
     "fuzzy_blocked_matches",
     "winsorized_stats",
@@ -1148,6 +1097,54 @@ _DRIVER_ROTATED_OUT = [
     "exact_percentiles",
     "sql_surface",
     "streaming_dedup",
+    "chisq_source_drift",
+    "lsh_quality_eval",
+    "ndcg_at_k",
+    "multimodal_decode_profile",
+    "mrr_prefix_rank",
+    "map_at_k",
+    "simhash_hamming_pairs",
+    "split_leakage_audit",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "dup_clusters",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "cosine_topk",
+    "ivf_probe_topk",
+    "semantic_dedup_survivors",
+    "forward_fill",
+    "snapshot_diff_counts",
+    "dq_expectations",
+    "countmin_heavy_hitters",
+    "ngram_jaccard_topk",
+    "ann_lsh_buckets",
+    "ivf_recall_at_k",
+    "repetition_stats",
+    "ivf_kmeans_topk",
+    "kmeans_recall_at_k",
+    "pq_topk",
+    "pq_recall_at_k",
+    "decontaminate_ngrams",
+    "pii_scrub_stats",
+    "quality_filter_gates",
+    "sequence_packing",
+    "source_mix_rebalance",
+    "salted_skew_rollup",
+    "vocab_topk",
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue",
+    "lateship_priority",
+    "large_volume_customers",
+    "order_priority_counts",
+    "returned_item_losses",
+    "streaming_marts_kernel",
+    "stateful_ema_stream",
 ]
 
 

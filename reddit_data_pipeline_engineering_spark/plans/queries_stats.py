@@ -611,10 +611,18 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the evaluation grid is sources x distinct-lengths — BOTH bounded (a
 # length is at most the max document size, sources are an enum), so the
 # per-source cumulative windows run over grid rows, never corpus rows.
-# cum_rest = cum_all - cum_src needs no second pass. Magnitudes:
-# cum*total products stay under BIGINT while n_s*n_r < 9.2e18 — beyond
-# ~3e9 docs per side, swap the products to DECIMAL(38,0) (type change
-# only).
+# cum_rest = cum_all - cum_src needs no second pass. Magnitudes
+# (VERDICT r06 #6 + ADVICE r06): every product — the cum*total gap
+# terms AND the final d_num*1e6 ppm scaling — runs in DECIMAL(38,0)
+# (Spark) / HUGEINT-then-DECIMAL(38,0) (DuckDB oracle), so the
+# arithmetic is integer-exact while every product stays under 1e38:
+# d_num <= n_src*n_rest bounds the ppm term at n_src*n_rest*1e6 < 1e38,
+# i.e. ~1e16 docs per side. The previous BIGINT form silently wrapped
+# (Spark, non-ANSI) once d_num*1e6 crossed 2^63 — n_src*n_rest ~ 9.2e12,
+# only ~3e6 docs per side in the worst case, a factor 1e6 earlier than
+# its comment claimed. ks_ppm itself is bounded by 1e6 and stays
+# BIGINT; d_num is emitted as DECIMAL(38,0), the one output that can
+# genuinely exceed 64 bits.
 # --------------------------------------------------------------------------
 
 _KS_SCALE = 1_000_000
@@ -646,11 +654,13 @@ cum AS (
 SELECT g.source,
        g.n_src,
        CAST(t.n_all - g.n_src AS BIGINT) AS n_rest,
-       CAST(MAX(ABS(g.cum_src * (t.n_all - g.n_src)
-                    - (g.cum_all - g.cum_src) * g.n_src)) AS BIGINT) AS d_num,
-       CAST(MAX(ABS(g.cum_src * (t.n_all - g.n_src)
+       CAST(MAX(ABS(CAST(g.cum_src AS HUGEINT) * (t.n_all - g.n_src)
                     - (g.cum_all - g.cum_src) * g.n_src))
-            * {_KS_SCALE} // (g.n_src * (t.n_all - g.n_src)) AS BIGINT)
+            AS DECIMAL(38,0)) AS d_num,
+       CAST(MAX(ABS(CAST(g.cum_src AS HUGEINT) * (t.n_all - g.n_src)
+                    - (g.cum_all - g.cum_src) * g.n_src))
+            * {_KS_SCALE}
+            // (CAST(g.n_src AS HUGEINT) * (t.n_all - g.n_src)) AS BIGINT)
          AS ks_ppm
 FROM cum g, tot t
 GROUP BY g.source, g.n_src, t.n_all
@@ -665,7 +675,8 @@ ORDER BY g.source
     "corpus over document token lengths: one (source, len) count "
     "shuffle, the sup runs over the bounded sources x distinct-lengths "
     "grid (never corpus rows), denominators cleared so the max is "
-    "BIGINT-exact, ks_ppm = D_num*1e6 div (n_src*n_rest)",
+    "integer-exact in DECIMAL(38,0) arithmetic (no 2^63 wrap), "
+    "ks_ppm = D_num*1e6 div (n_src*n_rest)",
     tags=("llm", "stats", "quality", "bench"),
 )
 def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,19 +685,35 @@ def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.size(tx.tokens("text")).alias("l")
     )
     cnt = lens.groupBy("source", "l").agg(F.count(F.lit(1)).alias("c"))
-    srcs = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n_src"))
+    return ks_drift_from_counts(cnt)
+
+
+def ks_drift_from_counts(cnt: DataFrame) -> DataFrame:
+    """KS sup over a ``(source, l, c)`` per-value counts relation.
+
+    DECIMAL(38,0) end to end (VERDICT r06 #6): cumulative sums and every
+    product run in decimal so nothing wraps at 2^63 — integer-exact up
+    to ~1e16 docs per side (the d_num*1e6 term is the binding product).
+    Factored out of the registry query so the overflow regression test
+    can drive it with adversarial counts near 2^63, which no parquet
+    fixture could physically materialize as rows.
+    """
+    cnt = cnt.select(
+        "source", "l", F.col("c").cast("decimal(38,0)").alias("c")
+    )
+    srcs = cnt.groupBy("source").agg(F.sum("c").alias("n_src_d"))
     vals = cnt.select("l").distinct()
     all_c = cnt.groupBy("l").agg(F.sum("c").alias("c_all"))
-    tot = cnt.agg(F.sum("c").cast("long").alias("n_all"))
+    tot = cnt.agg(F.sum("c").alias("n_all_d"))
     grid = (
         srcs.crossJoin(vals)
         .join(cnt, ["source", "l"], "left")
         .join(F.broadcast(all_c), "l")
         .select(
             "source",
-            "n_src",
+            "n_src_d",
             "l",
-            F.coalesce("c", F.lit(0)).alias("c_src"),
+            F.coalesce("c", F.lit(0).cast("decimal(38,0)")).alias("c_src"),
             "c_all",
         )
     )
@@ -697,7 +724,7 @@ def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = grid.select(
         "source",
-        "n_src",
+        "n_src_d",
         F.sum("c_src").over(w).alias("cum_src"),
         F.sum("c_all").over(w).alias("cum_all"),
     )
@@ -706,18 +733,21 @@ def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "gap",
             F.abs(
-                F.col("cum_src") * (F.col("n_all") - F.col("n_src"))
-                - (F.col("cum_all") - F.col("cum_src")) * F.col("n_src")
-            ),
+                F.col("cum_src") * (F.col("n_all_d") - F.col("n_src_d"))
+                - (F.col("cum_all") - F.col("cum_src")) * F.col("n_src_d")
+            ).cast("decimal(38,0)"),
         )
-        .groupBy("source", "n_src", "n_all")
+        .groupBy("source", "n_src_d", "n_all_d")
         .agg(F.max("gap").alias("d_num"))
         .select(
             "source",
-            "n_src",
-            (F.col("n_all") - F.col("n_src")).cast("long").alias("n_rest"),
-            F.col("d_num").cast("long").alias("d_num"),
-            F.expr(f"d_num * {_KS_SCALE} div (n_src * (n_all - n_src))")
+            F.col("n_src_d").cast("long").alias("n_src"),
+            (F.col("n_all_d") - F.col("n_src_d")).cast("long").alias("n_rest"),
+            F.col("d_num").cast("decimal(38,0)").alias("d_num"),
+            F.expr(
+                f"d_num * CAST({_KS_SCALE} AS DECIMAL(7,0))"
+                " div (n_src_d * (n_all_d - n_src_d))"
+            )
             .cast("long")
             .alias("ks_ppm"),
         )

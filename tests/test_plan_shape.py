@@ -210,51 +210,43 @@ def test_driver_gate_ordering():
     if _DRIVER_TAIL_STREAMING:
         assert gate[-len(_DRIVER_TAIL_STREAMING):] == _DRIVER_TAIL_STREAMING
     assert names[50:] == _DRIVER_ROTATED_OUT
-    # Round-6 contract (VERDICT r05 #4): FIRST holds only this round's
-    # changed/new queries; the fill leads with the judge-pinned stale
-    # queue — the 12 displaced-r01 rows, then the four oldest r02 rows —
-    # then the remaining r02 stale queue; the two r02 streaming rows
-    # re-confirm via the gate tail.
+    # Round-7 contract (VERDICT r06 #1/#3): the red-row re-gate LEADS
+    # the gate (judge-explicit, overriding the streaming-tail policy),
+    # followed by the one r07 semantic change; the fill is the 18
+    # r02-stale rows in the judge's order, then the r03 stale-queue head
+    # (CORRECTNESS_r03 file order) to exactly 50.
     must_gate = [
-        "chisq_source_drift",        # r06: corpus-dim broadcast dropped
-        "lsh_quality_eval",          # r06: scale-ceiling guard
-        "ndcg_at_k",                 # new r06: graded-relevance nDCG@20
-        "multimodal_decode_profile", # r06: header-only codec probing
-        "ks_source_drift",           # new r06: two-sample KS drift
-        "mrr_prefix_rank",           # new r06: multi-query prefix MRR
-        "map_at_k",                  # new r06: MAP@50 multi-hit eval
-        "simhash_hamming_pairs",     # new r06: Manku banded near-dup pairs
-        "split_leakage_audit",       # new r06: dedup-aware split integrity
+        "streaming_pit_enrich",  # r06 red row: ASCII suffix + epoch-us staging
+        "ks_source_drift",       # r07: ks_ppm moved to DECIMAL(38,0)
     ]
     assert _DRIVER_FIRST == must_gate
-    pinned_head = [
-        "exact_dedup", "minhash_signatures", "minhash_lsh_pairs", "simhash",
-        "dup_clusters", "token_stats", "quality_score", "lang_id",
-        "fingerprint", "cosine_topk", "ivf_probe_topk",
-        "semantic_dedup_survivors",
-        # the four oldest r02 rows, as ordered by VERDICT r05 #4:
-        "forward_fill", "snapshot_diff_counts", "dq_expectations",
-        "countmin_heavy_hitters",
-    ]
-    assert _DRIVER_FILL[:16] == pinned_head
-    # No r01-era row is left unrefreshed: every remaining fill slot and
-    # the tail re-confirm r02 rows (r01-only rows no longer exist —
-    # all were refreshed in r05 or lead this fill).
-    assert _DRIVER_TAIL_STREAMING == [
-        "streaming_marts_kernel", "stateful_ema_stream",
-        "streaming_pit_enrich",
-    ]
-    # The rotated-out head is the r07 re-confirmation queue: the two
-    # fill slots displaced by the late-r06 additions, then the
-    # remaining (not-yet-refilled) r02 rows.
-    assert _DRIVER_ROTATED_OUT[:14] == [
+    pinned_r02 = [
         "promo_revenue", "customer_order_distribution",
         "small_quantity_revenue", "brand_discount_revenue",
         "dormant_rich_customers", "min_cost_supplier",
         "nation_volume_shipping", "market_share", "product_type_profit",
         "important_part_value", "top_supplier", "supplier_part_counts",
-        "dominant_supplier", "waiting_suppliers",
+        "dominant_supplier", "waiting_suppliers", "scd2_dimension",
+        "zorder_layout", "bloom_semijoin_reduction", "pagerank_topk",
     ]
+    assert _DRIVER_FILL[:18] == pinned_r02
+    # The r03 refill head, in CORRECTNESS_r03 file order:
+    assert _DRIVER_FILL[18:22] == [
+        "zscore_outliers", "topn_per_group", "props_struct_parse",
+        "hll_grouped_distinct",
+    ]
+    assert len(_DRIVER_FILL) == 48
+    # Streaming tail empty: the only streaming query needing a fresh row
+    # leads the gate by judge instruction; no other changed.
+    assert _DRIVER_TAIL_STREAMING == []
+    # The rotated-out head is the r08 re-confirmation queue: the
+    # remaining r03 rows (streaming drains included) lead.
+    assert _DRIVER_ROTATED_OUT[:5] == [
+        "item_similarity_topk", "fuzzy_blocked_matches",
+        "winsorized_stats", "benford_first_digit", "key_skew_gini",
+    ]
+    # No r02-era row is left outside the gate.
+    assert not set(pinned_r02) & set(_DRIVER_ROTATED_OUT)
 
 
 def test_vocab_topk_partial_agg_and_take_ordered(spark):

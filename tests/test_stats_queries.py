@@ -315,3 +315,85 @@ def test_ks_source_drift_matches_brute_force(spark):
         want.append((s, n_s, n_r, d_num, d_num * 1_000_000 // (n_s * n_r)))
     got = [tuple(r) for r in REGISTRY["ks_source_drift"].fn(spark, SF_SMALL).collect()]
     assert got == want
+
+
+def test_ks_drift_decimal_survives_2_63_overflow(spark):
+    """Overflow regression (VERDICT r06 #6 + ADVICE r06): with counts
+    near 2^63 the old BIGINT pipeline silently wrapped on the d_num*1e6
+    product (from ~3e6 docs per side); the DECIMAL(38,0) form must stay
+    integer-exact. Adversarial counts can't be materialized as document
+    rows, so the factored counts-relation helper is driven directly and
+    checked against unbounded Python-int arithmetic and the DuckDB
+    HUGEINT oracle on the same counts."""
+    import duckdb
+
+    from reddit_data_pipeline_engineering_spark.plans.queries_stats import (
+        ks_drift_from_counts,
+    )
+
+    # Sides ~1e13 put d_num ~ n_src*n_rest ~ 2e26 — far past 2^63 (the
+    # old wrap point) yet inside the documented DECIMAL(38,0) ceiling
+    # (d_num*1e6 < 1e38). Beyond that ceiling Spark ANSI mode raises
+    # loudly rather than wrapping (verified while sizing this fixture).
+    big = 10**13 + 7919
+    counts = [
+        ("a", 1, big),
+        ("a", 2, 3),
+        ("b", 1, 5),
+        ("b", 2, big - 11),
+        ("c", 3, big // 3),
+    ]
+    cnt = spark.createDataFrame(counts, "source string, l int, c long")
+    got = {r["source"]: tuple(r) for r in ks_drift_from_counts(cnt).collect()}
+
+    # Unbounded Python ints: the ground truth no 64-bit engine can wrap.
+    srcs = sorted({s for s, _, _ in counts})
+    vals = sorted({v for _, v, _ in counts})
+    n_all = sum(c for _, _, c in counts)
+    for s in srcs:
+        n_s = sum(c for src, _, c in counts if src == s)
+        n_r = n_all - n_s
+        cum_s = cum_a = d_num = 0
+        for v in vals:
+            cum_s += sum(c for src, vv, c in counts if src == s and vv == v)
+            cum_a += sum(c for _, vv, c in counts if vv == v)
+            d_num = max(d_num, abs(cum_s * n_r - (cum_a - cum_s) * n_s))
+        ppm = d_num * 1_000_000 // (n_s * n_r)
+        assert d_num > 2**63, "fixture must actually exceed BIGINT"
+        assert got[s] == (s, n_s, n_r, d_num, ppm), got[s]
+
+    # DuckDB leg of the oracle arithmetic on the same counts relation.
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE cnt(source VARCHAR, l INT, c BIGINT)"
+    )
+    con.executemany("INSERT INTO cnt VALUES (?, ?, ?)", counts)
+    rows = con.execute(
+        """
+        WITH srcs AS (SELECT source, SUM(c) AS n_src FROM cnt GROUP BY source),
+        vals AS (SELECT DISTINCT l FROM cnt),
+        tot AS (SELECT SUM(c) AS n_all FROM cnt),
+        grid AS (
+          SELECT s.source, s.n_src, v.l, COALESCE(c.c, 0) AS c_src,
+                 (SELECT SUM(c2.c) FROM cnt c2 WHERE c2.l = v.l) AS c_all
+          FROM srcs s CROSS JOIN vals v
+          LEFT JOIN cnt c ON c.source = s.source AND c.l = v.l
+        ),
+        cum AS (
+          SELECT source, n_src, l,
+                 SUM(c_src) OVER (PARTITION BY source ORDER BY l) AS cum_src,
+                 SUM(COALESCE(c_all,0)) OVER (PARTITION BY source ORDER BY l) AS cum_all
+          FROM grid
+        )
+        SELECT g.source,
+               MAX(ABS(CAST(g.cum_src AS HUGEINT) * (t.n_all - g.n_src)
+                       - (g.cum_all - g.cum_src) * g.n_src)) AS d_num,
+               CAST(MAX(ABS(CAST(g.cum_src AS HUGEINT) * (t.n_all - g.n_src)
+                            - (g.cum_all - g.cum_src) * g.n_src)) * 1000000
+                    // (CAST(g.n_src AS HUGEINT) * (t.n_all - g.n_src))
+                    AS BIGINT) AS ks_ppm
+        FROM cum g, tot t GROUP BY g.source, g.n_src, t.n_all ORDER BY g.source
+        """
+    ).fetchall()
+    for s, d_num, ppm in rows:
+        assert got[s][3] == d_num and got[s][4] == ppm
