@@ -435,3 +435,19 @@ def test_incremental_source_ledger_bookmarks(spark, tmp_path):
     # h08 now holds its rewritten 2 rows, h09 its 2
     full = read_raw_zone(spark, str(zone)).count()
     assert full == 4
+
+    # a rewrite landing WITHIN the mtime granularity (equal mtime,
+    # different size) still re-processes via the size tiebreak
+    # (ADVICE r06): pin the file's mtime back to the committed value.
+    import os
+
+    target = zone / "raw_h08.json"
+    committed_mtime_ns = os.stat(target).st_mtime_ns
+    land("raw_h08.json", RAW_ROWS[:1])  # 1 row now — size shrinks
+    os.utime(target, ns=(committed_mtime_ns, committed_mtime_ns))
+    df, files, commit = read_raw_zone_incremental(spark, str(zone), ledger)
+    assert [f["path"].rsplit("/", 1)[1] for f in files] == ["raw_h08.json"]
+    assert df.count() == 1
+    commit(1, "batch-4")
+    df, files, _ = read_raw_zone_incremental(spark, str(zone), ledger)
+    assert files == [] and df.count() == 0
