@@ -571,8 +571,136 @@ def _case_cusum_stream_restart_from_checkpoint(spark, tmp):
     )
 
 
+def _case_pit_tiled_stream_matches_batch(spark, tmp):
+    """VERDICT r06 #5 — the streaming PIT interval tiling: past the
+    broadcast threshold the SCD2 dimension is exploded into half-open
+    (key, epoch-bucket) tiles and the stream-static join runs as a hash
+    equi-join on (key, bucket) with the interval containment residual.
+    Equivalence: the tiled STREAM drain, the tiled BATCH join, and the
+    broadcast BATCH join must all produce identical rows; and the tiled
+    batch plan must not contain a nested-loop join."""
+    import datetime as dt
+
+    from reddit_data_pipeline_engineering_spark.streaming.pit import (
+        pit_enrich_stream,
+        tile_scd2,
+    )
+
+    base = dt.datetime(2025, 1, 1)
+    day = dt.timedelta(days=1)
+    us = lambda t: int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+
+    # Two keys x two SCD2 versions cut at +3d; horizon [base, base+7d).
+    dim_rows = [
+        (uid, seg, dt.datetime(1970, 1, 1), base + 3 * day, 1,
+         base, base + 7 * day)
+        for uid, seg in ((1, "A"), (2, "B"))
+    ] + [
+        (uid, seg + "#v2", base + 3 * day, dt.datetime(2100, 1, 1), 2,
+         base, base + 7 * day)
+        for uid, seg in ((1, "A"), (2, "B"))
+    ]
+    dim_schema = (
+        "user_id long, seg string, eff_from timestamp_ntz, "
+        "eff_to timestamp_ntz, version int, "
+        "h_start timestamp_ntz, h_end timestamp_ntz"
+    )
+    dim = spark.createDataFrame(dim_rows, dim_schema)
+
+    # Tile audit: versions clamp to the horizon — v1 covers days 0-2
+    # (3 tiles), v2 clamps its 2100 end to day 7 (4 tiles: days 3-6).
+    tiles = tile_scd2(
+        dim, eff_from="eff_from", eff_to="eff_to",
+        horizon_start="h_start", horizon_end="h_end",
+        bucket_seconds=86_400,
+    )
+    per_version = {
+        (r["user_id"], r["version"]): r["n"]
+        for r in tiles.groupBy("user_id", "version")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_version == {(1, 1): 3, (2, 1): 3, (1, 2): 4, (2, 2): 4}
+
+    # Events inside the horizon (the tiling contract: the horizon must
+    # cover the stream's event-time range).
+    events = [
+        (1, base + 1 * day, 10.0),          # v1
+        (1, base + 3 * day, 20.0),          # boundary: eff_from inclusive -> v2
+        (2, base + 2 * day + dt.timedelta(hours=23), 30.0),  # v1
+        (2, base + 6 * day + dt.timedelta(hours=12), 40.0),  # v2
+        (3, base + 1 * day, 99.0),          # unknown key: no match
+    ]
+    want = {(1, "A", 1, 10.0), (1, "A#v2", 2, 20.0),
+            (2, "B", 1, 30.0), (2, "B#v2", 2, 40.0)}
+
+    raw = tmp / "raw"
+    raw.mkdir()
+    with open(raw / "events.json", "w") as f:
+        for uid, ts, val in events:
+            f.write(json.dumps(
+                {"user_id": uid, "ts_us": us(ts), "value": val}) + "\n")
+
+    def decode(df):
+        return df.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts_us,"
+                   " TIMESTAMP_NTZ'1970-01-01 00:00:00')"),
+        ).drop("ts_us")
+
+    schema = "user_id long, ts_us long, value double"
+    kwargs = dict(
+        on="user_id", ts_col="ts",
+        horizon_start="h_start", horizon_end="h_end",
+    )
+
+    # Stream leg, tiled (max_broadcast_rows=0 forces the tiled path).
+    out, ckpt = str(tmp / "out"), str(tmp / "ckpt")
+    stream = decode(
+        spark.readStream.format("json").schema(schema).load(str(raw))
+    )
+    q = (
+        pit_enrich_stream(stream, dim, dim_rows=4, max_broadcast_rows=0,
+                          **kwargs)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    got_stream = {
+        (r["user_id"], r["seg"], r["version"], r["value"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    # Batch legs on the same staged input: tiled and broadcast.
+    batch = decode(
+        spark.read.format("json").schema(schema).load(str(raw))
+    )
+    tiled_batch = pit_enrich_stream(
+        batch, dim, dim_rows=4, max_broadcast_rows=0, **kwargs
+    )
+    bcast_batch = pit_enrich_stream(
+        batch, dim, dim_rows=4, max_broadcast_rows=1_000, **kwargs
+    )
+    as_set = lambda df: {
+        (r["user_id"], r["seg"], r["version"], r["value"])
+        for r in df.collect()
+    }
+    assert got_stream == want
+    assert as_set(tiled_batch) == want
+    assert as_set(bcast_batch) == want
+    # The tiled join must be an equi-join on (key, bucket) — hash or
+    # sort-merge — never a nested loop over the range predicate.
+    plan = tiled_batch._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "__pit_bucket" in plan
+
+
 _CASES = {
     "streaming_matches_batch": _case_streaming_matches_batch,
+    "pit_tiled_stream_matches_batch": _case_pit_tiled_stream_matches_batch,
     "checkpoint_incremental_restart": _case_checkpoint_incremental_restart,
     "foreach_batch_upsert": _case_foreach_batch_upsert,
     "corrupt_record_quarantine": _case_corrupt_record_quarantine,
