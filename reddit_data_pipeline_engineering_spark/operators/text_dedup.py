@@ -247,6 +247,7 @@ def simhash_hamming_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int | None = 64,
+    with_dropped_buckets: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by banded SimHash (Manku et al., WWW'07).
 
@@ -264,6 +265,14 @@ def simhash_hamming_pairs(
     stay collision-bounded at any corpus size), one pair-keyed aggregate
     to dedup multi-band matches. The signature lineage is computed ONCE
     — no self-join.
+
+    ``with_dropped_buckets=True`` returns ``(pairs, dropped)`` where
+    ``dropped`` is a companion DataFrame of the (band_id, bucket,
+    n_members) rows the skew cap excluded from candidate generation —
+    recall loss is then detectable by any batch caller with a plain
+    ``dropped.count()`` / threshold check, no QueryExecutionListener
+    needed (ADVICE r06; the in-plan observe metric still fires either
+    way for callers that do listen).
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -295,7 +304,13 @@ def simhash_hamming_pairs(
             )
         ).alias("members")
     )
+    dropped = grouped.limit(0).select(
+        "band_id", "bucket", F.size("members").alias("n_members")
+    )
     if max_bucket is not None:
+        dropped = grouped.filter(F.size("members") > max_bucket).select(
+            "band_id", "bucket", F.size("members").alias("n_members")
+        )
         # Skew cap (the jaccard stop-shingle pattern): SimHash bits are
         # CORRELATED on homogeneous corpora — the majority sign of the
         # common vocabulary drives most documents' bits — so band values
@@ -335,7 +350,7 @@ def simhash_hamming_pairs(
         .groupBy("id_a", "id_b", "sig_a", "sig_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
-    return cand.select(
+    out = cand.select(
         "id_a",
         "id_b",
         F.bit_count(
@@ -343,3 +358,6 @@ def simhash_hamming_pairs(
         ).cast("long").alias("hamming"),
         F.col("n_bands").cast("long").alias("n_bands"),
     ).filter(F.col("hamming") <= max_hamming)
+    if with_dropped_buckets:
+        return out, dropped
+    return out

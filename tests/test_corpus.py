@@ -340,6 +340,23 @@ def test_simhash_bucket_cap_drops_hot_buckets(spark):
     uncapped = simhash_hamming_pairs(df, "doc_id", max_bucket=None).count()
     assert uncapped == 10 + 80 * 79 // 2
 
+    # ADVICE r06: the dropped buckets are surfaced as a companion
+    # DataFrame, so a batch caller detects recall loss with a plain
+    # count — no QueryExecutionListener. The 80-member cluster collides
+    # in all 4 bands -> 4 dropped (band_id, bucket) rows of 80 members.
+    pairs, dropped = simhash_hamming_pairs(
+        df, "doc_id", max_bucket=64, with_dropped_buckets=True
+    )
+    drows = dropped.collect()
+    assert len(drows) == 4
+    assert all(r["n_members"] == 80 for r in drows)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == got
+    # uncapped: companion is empty by construction
+    _, dropped_none = simhash_hamming_pairs(
+        df, "doc_id", max_bucket=None, with_dropped_buckets=True
+    )
+    assert dropped_none.count() == 0
+
 
 def test_split_leakage_audit_matches_brute_force(spark):
     """Third independent leakage audit: hashlib fingerprints + the
