@@ -65,6 +65,17 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Streaming throughput leg (VERDICT r06 #9): the streaming family
+    # asserts correctness and state carry elsewhere; this measures the
+    # performance leg — sustained drained rows/s per streaming query at
+    # this sf. Each registry streaming query stages the 7-day event
+    # slice as NDJSON and drains it with availableNow, so
+    # rows/s = staged input rows / end-to-end wall (staging + drain +
+    # sink rollup) — a conservative LOWER bound on pure drain
+    # throughput. One pass each (the batch loop's warm-up already paid
+    # the JIT cost for the shared scan/codegen paths).
+    streaming = streaming_throughput(spark, sf_dir, REGISTRY)
+
     # sf from the dir name (e.g. .../sf0.1 -> 0.1); fall back to 0.1.
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -72,7 +83,7 @@ def main() -> None:
     except ValueError:
         sf = 0.1
 
-    full_line, compact_line = emit_lines(timings, sf, _REPO_DIR)
+    full_line, compact_line = emit_lines(timings, sf, _REPO_DIR, streaming)
     print(full_line)
     # LAST line: compact summary, bounded size regardless of registry
     # growth — this is what the driver's tail capture records.
@@ -80,8 +91,38 @@ def main() -> None:
     spark.stop()
 
 
+def streaming_throughput(spark, sf_dir: str, registry) -> dict[str, dict]:
+    """Drained-rows/s per streaming registry query (single pass each)."""
+    from pyspark.sql import functions as F
+
+    from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    week_rows = (
+        ev.crossJoin(F.broadcast(ev.agg(F.min("ts").alias("t0"))))
+        .filter(F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAYS"))
+        .count()
+    )
+    out: dict[str, dict] = {}
+    for name, spec in sorted(registry.items()):
+        if "streaming" not in spec.tags:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        secs = time.perf_counter() - t0
+        out[name] = {
+            "sec": round(secs, 3),
+            "input_rows": week_rows,
+            "drained_rows_per_s": round(week_rows / secs, 1),
+        }
+    return out
+
+
 def emit_lines(
-    timings: dict[str, float], sf: float, repo_dir: str | None
+    timings: dict[str, float],
+    sf: float,
+    repo_dir: str | None,
+    streaming: dict[str, dict] | None = None,
 ) -> tuple[str, str]:
     """Build the two output lines and persist the full dict.
 
@@ -99,6 +140,8 @@ def emit_lines(
         "queries": timings,
         "sf": sf,
     }
+    if streaming:
+        full["streaming"] = streaming
     # Full per-query detail: persisted to a file AND printed as an
     # intermediate line (human-visible, but never the line the driver
     # must parse).

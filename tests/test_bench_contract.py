@@ -30,6 +30,30 @@ def test_last_line_bounded_and_parseable(tmp_path):
     assert on_disk == f
 
 
+def test_streaming_throughput_block_in_full_line_only(tmp_path):
+    """VERDICT r06 #9: the streaming drained-rows/s block rides the full
+    dict (file + intermediate line) but must NOT grow the compact last
+    line the driver tail-captures."""
+    timings = {"q": 1.0}
+    streaming = {
+        f"streaming_q{i}": {
+            "sec": 2.0, "input_rows": 600_000,
+            "drained_rows_per_s": 300_000.0,
+        }
+        for i in range(50)
+    }
+    full_line, compact_line = emit_lines(
+        timings, 0.1, str(tmp_path), streaming
+    )
+    f = json.loads(full_line)
+    assert f["streaming"] == streaming
+    on_disk = json.loads((tmp_path / "bench_full.json").read_text())
+    assert on_disk == f
+    d = json.loads(compact_line)
+    assert "streaming" not in d
+    assert len(compact_line.encode()) < 1024
+
+
 def test_lsh_exact_guard_refuses_oversized_corpus(spark, monkeypatch):
     """VERDICT r05 #3: the full-exact LSH certification DNFs at sf10, so
     it must refuse loudly above its documented ceiling instead of

@@ -21,7 +21,7 @@ def _edges_df(spark, pairs):
     return spark.createDataFrame(pairs, "id_a long, id_b long")
 
 
-def test_star_matches_label_on_random_graphs(spark):
+def _case_star_matches_label_on_random_graphs(spark):
     # Three random graphs as ONE disjoint union (node offset 1000 per
     # trial): components never cross trial boundaries, so the union
     # equality asserts all three trials with two iterative executions
@@ -53,7 +53,7 @@ def test_star_matches_label_on_random_graphs(spark):
     assert lab == star
 
 
-def test_star_matches_label_on_disjoint_cliques(spark):
+def _case_star_matches_label_on_disjoint_cliques(spark):
     # Three dense clusters (the near-dup shape) + one bridge pair.
     pairs = []
     for base in (0, 100, 200):
@@ -70,7 +70,7 @@ def test_star_matches_label_on_disjoint_cliques(spark):
     assert comps == {0, 200}
 
 
-def test_star_fewer_rounds_on_chain(spark):
+def _case_star_fewer_rounds_on_chain(spark):
     # Chain 0-1-2-...-L: diameter L. Label propagation moves the min one
     # hop per round (~L rounds); star contraction halves star depth per
     # round (~log L rounds).
@@ -94,10 +94,46 @@ def test_star_fewer_rounds_on_chain(spark):
     assert s_lab["rounds"] >= L - 1
 
 
-def test_duplicate_clusters_algorithm_passthrough(spark):
+def _case_duplicate_clusters_algorithm_passthrough(spark):
     pairs = _edges_df(spark, [(1, 2), (2, 3), (10, 11)])
     out = {
         (r.component, r.n_members, r.canonical_id)
         for r in cc.duplicate_clusters(pairs, algorithm="star").collect()
     }
     assert out == {(1, 3, 1), (10, 2, 10)}
+
+
+# Concurrent execution (VERDICT r06 #7, the parity/streaming fixture
+# pattern): the four cases are independent iterative-kernel executions
+# — a module fixture runs them over a thread pool and the parametrized
+# test re-raises each recorded outcome.
+
+import pytest as _pytest
+from concurrent.futures import ThreadPoolExecutor as _TPE
+
+_CC_CASES = {
+    "star_matches_label_on_random_graphs": _case_star_matches_label_on_random_graphs,
+    "star_matches_label_on_disjoint_cliques": _case_star_matches_label_on_disjoint_cliques,
+    "star_fewer_rounds_on_chain": _case_star_fewer_rounds_on_chain,
+    "duplicate_clusters_algorithm_passthrough": _case_duplicate_clusters_algorithm_passthrough,
+}
+
+
+@_pytest.fixture(scope="module")
+def cc_outcomes(spark):
+    def run(fn):
+        try:
+            fn(spark)
+            return None
+        except BaseException as exc:  # noqa: BLE001 - re-raised per test
+            return exc
+
+    with _TPE(max_workers=4) as ex:
+        return dict(zip(_CC_CASES, ex.map(run, _CC_CASES.values())))
+
+
+@_pytest.mark.parametrize("name", list(_CC_CASES))
+def test_components_case(name, cc_outcomes):
+    res = cc_outcomes[name]
+    if res is not None:
+        raise res

@@ -59,7 +59,7 @@ def _df(spark, rows):
 
 @given(rows=rows_st)
 @WIDE
-def test_window_dedup_properties(spark, rows):
+def _prop_window_dedup_properties(spark, rows):
     """Dedup yields exactly one row per key, keeps only input rows,
     is idempotent, and picks the minimal tiebreak deterministically."""
     df = _df(spark, rows)
@@ -89,7 +89,7 @@ def test_window_dedup_properties(spark, rows):
 
 @given(rows=rows_st)
 @WIDE
-def test_pivot_unpivot_roundtrip_property(spark, rows):
+def _prop_pivot_unpivot_roundtrip_property(spark, rows):
     """unpivot(pivot(long)) == mean-collapsed long, for any input."""
     df = _df(spark, rows)
     wide = pivot_conditional(df, ["entity", "ts"], "parameter", "value", PARAMS)
@@ -111,7 +111,7 @@ def test_pivot_unpivot_roundtrip_property(spark, rows):
 
 @given(conc=st.floats(0, 600, allow_nan=False))
 @SLOW
-def test_aqi_subindex_monotone_property(spark, conc):
+def _prop_aqi_subindex_monotone_property(spark, conc):
     """AQI sub-index is non-negative and monotone in concentration."""
     df = spark.createDataFrame(
         [(float(conc),), (float(conc) + 10.0,)], "c double"
@@ -140,7 +140,7 @@ doc_st = st.lists(
 
 @given(docs=doc_st, max_tokens=st.integers(2, 50))
 @WIDE
-def test_pack_sequences_properties(spark, docs, max_tokens):
+def _prop_pack_sequences_properties(spark, docs, max_tokens):
     """Every doc's pack equals floor(preceding_tokens / budget) within its
     group; packs are contiguous from 0; pack of the first doc is 0."""
     from reddit_data_pipeline_engineering_spark.operators.corpus import (
@@ -165,7 +165,7 @@ def test_pack_sequences_properties(spark, docs, max_tokens):
 
 @given(s=st.text(min_size=0, max_size=150))
 @WIDE
-def test_scrub_pii_idempotent(spark, s):
+def _prop_scrub_pii_idempotent(spark, s):
     """Scrubbing twice equals scrubbing once (replacement tokens must not
     themselves match the patterns)."""
     from reddit_data_pipeline_engineering_spark.functions.text import scrub_pii
@@ -201,7 +201,7 @@ sel_groups_st = st.dictionaries(
 @example(groups={"b": [-2.225073858507e-311, 0.0, -0.5, 1.5]})
 @example(groups={"a": [-0.5, -2.225073858507e-311, 1.5]})
 @WIDE
-def test_selection_median_property(spark, groups):
+def _prop_selection_median_property(spark, groups):
     """Bucket-bisection median == sorted-middle median for arbitrary
     group contents (duplicates, negatives, single values)."""
     from reddit_data_pipeline_engineering_spark.operators.selection import (
@@ -244,7 +244,7 @@ edges_st = (
 
 @given(edges=edges_st)
 @WIDE
-def test_star_components_property(spark, edges):
+def _prop_star_components_property(spark, edges):
     """Large-star/small-star labeling == a reference union-find on the
     same edges, for arbitrary graphs (self-loops dropped)."""
     from reddit_data_pipeline_engineering_spark.operators import components as cc
@@ -276,7 +276,7 @@ def test_star_components_property(spark, edges):
     assert got == expected
 
 
-def test_hash_split_membership_invariant_across_sf(spark):
+def _prop_hash_split_membership_invariant_across_sf(spark):
     """The md5-bucket split's WHOLE value proposition: a document's
     train/val/test assignment depends only on its id — identical across
     scale factors, reruns, and engines. The documents table shares ids
@@ -306,7 +306,7 @@ def test_hash_split_membership_invariant_across_sf(spark):
     assert all(a[d] == b[d] for d in common)
 
 
-def test_triangle_count_partitioning_invariant(spark):
+def _prop_triangle_count_partitioning_invariant(spark):
     """Degree orientation + equi-join closure must give the same count
     regardless of how the edge list is physically partitioned."""
     import itertools
@@ -369,7 +369,7 @@ def test_gini_rank_block_closed_form_matches_sorted_ranks(counts):
     )
 )
 @WIDE
-def test_weighted_median_crossing_matches_brute_force(spark, rows):
+def _prop_weighted_median_crossing_matches_brute_force(spark, rows):
     """The cumulative-weight crossing rule must pick the same value as a
     direct scan of the sorted (value, weight) list for arbitrary
     weights, duplicates, and group contents."""
@@ -422,7 +422,7 @@ _ssj_corpus = st.lists(_ssj_doc, min_size=2, max_size=14)
 
 @given(docs=_ssj_corpus)
 @WIDE
-def test_setsim_prefix_join_exact_vs_brute_force(spark, docs):
+def _prop_setsim_prefix_join_exact_vs_brute_force(spark, docs):
     """The prefix filter may only PRUNE non-qualifying pairs: every pair
     with shingle-set Jaccard >= 1/2 must be emitted with exact
     intersection/union sizes, and nothing below threshold may appear.
@@ -484,7 +484,7 @@ def _symmetrize(und):
 
 @given(und=_graph_st, k=st.integers(1, 4))
 @WIDE
-def test_kcore_peel_random_graphs(spark, und, k):
+def _prop_kcore_peel_random_graphs(spark, und, k):
     """Fixed-round peeling equals the Python replay on arbitrary small
     graphs for arbitrary k — including immediate collapse and no-op
     (already-a-core) cases."""
@@ -511,7 +511,7 @@ def test_kcore_peel_random_graphs(spark, und, k):
 
 @given(und=_graph_st)
 @WIDE
-def test_lpa_random_graphs(spark, und):
+def _prop_lpa_random_graphs(spark, und):
     """Synchronous LPA with the (max count, min label) tie-break equals
     the Python replay on arbitrary small graphs."""
     from reddit_data_pipeline_engineering_spark.operators import lpa
@@ -540,7 +540,7 @@ def test_lpa_random_graphs(spark, und):
 
 @given(docs=_ssj_corpus)
 @WIDE
-def test_setsim_cosine_join_exact_vs_brute_force(spark, docs):
+def _prop_setsim_cosine_join_exact_vs_brute_force(spark, docs):
     """The cosine variant's t^2 prefix bound may only prune: every pair
     with binary cosine >= 0.7 must be emitted with the exact squared
     score, and nothing below threshold may appear."""
@@ -588,7 +588,7 @@ span_docs_st = st.lists(
 
 @given(docs=span_docs_st, chunk_words=st.integers(2, 4))
 @WIDE
-def test_duplicate_spans_match_bruteforce(spark, docs, chunk_words):
+def _prop_duplicate_spans_match_bruteforce(spark, docs, chunk_words):
     """duplicate_spans == a direct Python replay: fixed-width chunks,
     corpus-wide duplicate flag, adjacent duplicated chunks merged into
     maximal per-doc spans."""
@@ -642,7 +642,7 @@ def test_duplicate_spans_match_bruteforce(spark, docs, chunk_words):
 
 @given(docs=_ssj_corpus)
 @WIDE
-def test_containment_join_exact_vs_brute_force(spark, docs):
+def _prop_containment_join_exact_vs_brute_force(spark, docs):
     """One-sided prefix filtering may only PRUNE non-qualifying ordered
     pairs: every (a, b), a != b, with |A∩B|/|A| >= 7/10 on 2-gram
     shingle sets must be emitted with the exact intersection size, and
@@ -689,7 +689,7 @@ wedges_st = st.lists(
 
 @given(edges=wedges_st, rounds=st.integers(1, 4))
 @WIDE
-def test_sssp_bounded_relaxation_property(spark, edges, rounds):
+def _prop_sssp_bounded_relaxation_property(spark, edges, rounds):
     """Frontier-pruned Bellman-Ford == textbook full relaxation after
     every round, on arbitrary weighted digraphs (parallel edges and
     self-loops included; source fixed at the smallest endpoint)."""
@@ -710,3 +710,59 @@ def test_sssp_bounded_relaxation_property(spark, edges, rounds):
                 nxt[b] = dist[a] + w
         dist = nxt
     assert got == dist
+
+
+# --------------------------------------------------------------------------
+# Concurrent execution (VERDICT r06 #7, the parity/streaming fixture
+# pattern): every property above is an independent chain of small Spark
+# jobs, so a module fixture runs ALL of them over a thread pool — Spark
+# accepts concurrent job submission from driver threads — and the
+# parametrized test re-raises each recorded outcome, preserving per-test
+# reporting. Each worker calls the @given-decorated function directly,
+# which runs its full hypothesis search exactly as pytest would.
+# --------------------------------------------------------------------------
+
+import pytest as _pytest
+from concurrent.futures import ThreadPoolExecutor as _TPE
+
+_PROPERTY_CASES = {
+    "window_dedup_properties": _prop_window_dedup_properties,
+    "pivot_unpivot_roundtrip_property": _prop_pivot_unpivot_roundtrip_property,
+    "aqi_subindex_monotone_property": _prop_aqi_subindex_monotone_property,
+    "pack_sequences_properties": _prop_pack_sequences_properties,
+    "scrub_pii_idempotent": _prop_scrub_pii_idempotent,
+    "selection_median_property": _prop_selection_median_property,
+    "star_components_property": _prop_star_components_property,
+    "hash_split_membership_invariant_across_sf": _prop_hash_split_membership_invariant_across_sf,
+    "triangle_count_partitioning_invariant": _prop_triangle_count_partitioning_invariant,
+    "weighted_median_crossing_matches_brute_force": _prop_weighted_median_crossing_matches_brute_force,
+    "setsim_prefix_join_exact_vs_brute_force": _prop_setsim_prefix_join_exact_vs_brute_force,
+    "kcore_peel_random_graphs": _prop_kcore_peel_random_graphs,
+    "lpa_random_graphs": _prop_lpa_random_graphs,
+    "setsim_cosine_join_exact_vs_brute_force": _prop_setsim_cosine_join_exact_vs_brute_force,
+    "duplicate_spans_match_bruteforce": _prop_duplicate_spans_match_bruteforce,
+    "containment_join_exact_vs_brute_force": _prop_containment_join_exact_vs_brute_force,
+    "sssp_bounded_relaxation_property": _prop_sssp_bounded_relaxation_property,
+}
+
+
+@_pytest.fixture(scope="module")
+def property_outcomes(spark):
+    def run(fn):
+        try:
+            fn(spark)
+            return None
+        except BaseException as exc:  # noqa: BLE001 - re-raised per test
+            return exc
+
+    with _TPE(max_workers=8) as ex:
+        return dict(
+            zip(_PROPERTY_CASES, ex.map(run, _PROPERTY_CASES.values()))
+        )
+
+
+@_pytest.mark.parametrize("name", list(_PROPERTY_CASES))
+def test_property_case(name, property_outcomes):
+    res = property_outcomes[name]
+    if res is not None:
+        raise res
