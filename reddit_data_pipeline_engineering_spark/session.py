@@ -27,6 +27,9 @@ RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Python DataSource filter pushdown (sources/datasource.py): lets a
+    # sensor_id equality/IN predicate prune API fetch partitions.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

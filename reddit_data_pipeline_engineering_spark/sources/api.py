@@ -9,11 +9,19 @@ trigger payload (handler.py:104-134).
 
 Engine shape: the HTTP layer is a pluggable ``fetch`` callable (tests
 inject fixtures; production injects a requests-based client), the page
-loop stays driver-side (the reference scale is ~53 locations /
-~150 sensors — a DataSource V2 connector would be overkill, SURVEY.md §4),
-and everything after ``createDataFrame`` is Spark: nested structs are
-flattened with dot-path projections (F7) and the active-sensor filter is
-expressed as Spark filters so the same predicate serves any source.
+loop here stays driver-side (sufficient at the reference scale of ~53
+locations / ~150 sensors, SURVEY.md §4), and everything after
+``createDataFrame`` is Spark: nested structs are flattened with
+dot-path projections (F7) and the active-sensor filter is expressed as
+Spark filters so the same predicate serves any source.
+
+As of r07 the executor-side form also exists:
+``sources/datasource.py`` registers a Python Data Source
+(``spark.read.format("openaq")``) that runs the SAME page/per-sensor
+loops as partitioned scans with Catalyst sensor_id filter pushdown —
+use it when the sensor population outgrows a driver loop. The
+operators below (flatten, active filter, enrichment) consume either
+path unchanged.
 """
 
 from __future__ import annotations

@@ -1,0 +1,305 @@
+"""Python DataSource connector for the paginated measurements API.
+
+Closes the last driver-side extraction path (VERDICT r06 "What's
+missing" #2): ``sources/api.py`` fetches pages on the driver and
+``createDataFrame``s them — fine at the reference's ~150 sensors
+(``/root/reference/doc/architecture.md:623``), but a scan, not a
+source. This module is the Spark-native form using PySpark 4's Python
+Data Source API (SPARK-44076): register once, then
+
+    spark.dataSource.register(OpenAQDataSource)
+    spark.read.format("openaq")
+         .option("table", "locations").option("api_key", ...).load()
+    spark.read.format("openaq")
+         .option("table", "measurements")
+         .option("sensor_ids", "101,202,303")
+         .option("date_from", "2025-01-01T00:00:00Z")
+         .option("date_to", "2025-01-02T00:00:00Z").load()
+
+Executor-side parallelism replaces the driver loop:
+
+- **locations**: N strided page partitions — partition *i* walks pages
+  ``i+1, i+1+N, i+1+2N, …`` until its first empty page (the API's
+  pages are prefix-contiguous, so an empty page means past-the-end on
+  every stride). The page loop's stop condition is unchanged from the
+  reference (``extract_api.py:94-104``); it just runs N-wide.
+- **measurements**: one partition per sensor-id chunk; the time-range
+  predicate stays pushed into the API call itself (S2's server-side
+  pushdown), and Catalyst-pushed ``sensor_id`` equality/IN filters
+  prune the sensor set BEFORE partition planning — a filter on
+  ``sensor_id`` never even plans a fetch for other sensors.
+
+Retry/backoff/fault-isolation come from the shared ``OpenAQClient``
+(429 Retry-After, bounded 5xx backoff, failing sensor yields no rows).
+Readers are pickled to executors, so the transport is configured by
+NAME (options are strings): ``transport=requests`` (default) or
+``transport=synthetic`` — a deterministic, clearly-synthetic in-process
+fake for tests/demos with no network (same shapes as
+``data/mock_locations_vn.json``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+
+from reddit_data_pipeline_engineering_spark.sources.api import API_LOCATION
+
+MEASUREMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("sensor_id", T.LongType(), True),
+        T.StructField("datetime", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("parameter", T.StringType(), True),
+        T.StructField("unit", T.StringType(), True),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# Deterministic synthetic transport (tests/demo). SYNTHETIC DATA — not a
+# stand-in for the live API's content, only for its shapes and paging
+# behavior: 7 locations over 3 pages (page_size-respecting), 2 sensors
+# each, hourly measurements derived from (sensor_id, hour).
+# --------------------------------------------------------------------------
+
+_SYN_N_LOCATIONS = 7
+_SYN_PARAMS = ("pm25", "pm10")
+
+
+def synthetic_transport(
+    url: str, params: dict, headers: dict, timeout: float
+) -> tuple[int, dict, dict]:
+    if url.endswith("/locations"):
+        page = int(params.get("page", 1))
+        size = int(params.get("limit", 3))
+        start = (page - 1) * size
+        ids = range(start + 1, min(start + size, _SYN_N_LOCATIONS) + 1)
+        results = [
+            {
+                "id": i,
+                "name": f"loc{i}",
+                "locality": f"city{i % 3}",
+                "timezone": "UTC",
+                "coordinates": {"latitude": 10.0 + i, "longitude": 106.0 + i},
+                "country": {"id": 56, "code": "VN", "name": "Vietnam"},
+                "datetimeLast": {"utc": "2025-06-01T00:00:00Z"},
+                "sensors": [
+                    {
+                        "id": i * 10 + k,
+                        "parameter": {
+                            "id": k,
+                            "name": p,
+                            "units": "µg/m³",
+                        },
+                    }
+                    for k, p in enumerate(_SYN_PARAMS)
+                ],
+            }
+            for i in ids
+        ]
+        return 200, {"results": results}, {}
+    if "/sensors/" in url and url.endswith("/measurements"):
+        sid = int(url.rsplit("/", 2)[-2])
+        d0 = _dt.datetime.fromisoformat(
+            params["datetime_from"].replace("Z", "+00:00")
+        )
+        d1 = _dt.datetime.fromisoformat(
+            params["datetime_to"].replace("Z", "+00:00")
+        )
+        hours = int((d1 - d0).total_seconds() // 3600)
+        results = [
+            {
+                "period": {
+                    "datetimeFrom": {
+                        "utc": (d0 + _dt.timedelta(hours=h)).strftime(
+                            "%Y-%m-%dT%H:%M:%SZ"
+                        )
+                    }
+                },
+                "parameter": {
+                    "name": _SYN_PARAMS[sid % len(_SYN_PARAMS)],
+                    "units": "µg/m³",
+                },
+                "value": float(sid % 100) + h * 0.5,
+            }
+            for h in range(min(hours, int(params.get("limit", 1000))))
+        ]
+        return 200, {"results": results}, {}
+    return 404, {}, {}
+
+
+_TRANSPORTS = {"requests": None, "synthetic": synthetic_transport}
+
+
+def _client(options):
+    from reddit_data_pipeline_engineering_spark.sources.http_client import (
+        DEFAULT_BASE_URL,
+        OpenAQClient,
+        requests_transport,
+    )
+
+    name = options.get("transport", "requests")
+    if name not in _TRANSPORTS:
+        raise ValueError(
+            f"unknown transport {name!r}: expected one of {sorted(_TRANSPORTS)}"
+        )
+    transport = _TRANSPORTS[name] or requests_transport
+    sleep = (lambda s: None) if name == "synthetic" else None
+    return OpenAQClient(
+        api_key=options.get("api_key", ""),
+        base_url=options.get("base_url", DEFAULT_BASE_URL),
+        transport=transport,
+        sleep=sleep,
+    )
+
+
+def _location_row(d: dict) -> tuple:
+    """Nested dict -> tuple aligned with API_LOCATION field order."""
+    coord = d.get("coordinates") or {}
+    country = d.get("country") or {}
+    last = d.get("datetimeLast") or {}
+    return (
+        d.get("id"),
+        d.get("name"),
+        d.get("locality"),
+        d.get("timezone"),
+        (coord.get("latitude"), coord.get("longitude")),
+        (country.get("id"), country.get("code"), country.get("name")),
+        (last.get("utc"),),
+        [
+            (
+                s.get("id"),
+                (
+                    (s.get("parameter") or {}).get("id"),
+                    (s.get("parameter") or {}).get("name"),
+                    (s.get("parameter") or {}).get("units"),
+                ),
+            )
+            for s in (d.get("sensors") or [])
+        ],
+    )
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, start_page: int, stride: int):
+        self.start_page = start_page
+        self.stride = stride
+
+
+class _LocationsReader(DataSourceReader):
+    def __init__(self, options):
+        self.options = dict(options)
+        self.n = max(1, int(options.get("num_partitions", 4)))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_PagePartition(i + 1, self.n) for i in range(self.n)]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        client = _client(self.options)
+        fetch = client.locations_page_fetcher(
+            countries_id=int(self.options.get("countries_id", 56))
+        )
+        size = int(self.options.get("page_size", 100))
+        max_pages = int(self.options.get("max_pages", 1000))
+        page = partition.start_page
+        while page <= max_pages:
+            batch = fetch(page, size)
+            if not batch:
+                break  # prefix-contiguous pages: past-the-end on stride
+            for d in batch:
+                yield _location_row(d)
+            page += partition.stride
+
+
+class _SensorChunkPartition(InputPartition):
+    def __init__(self, sensor_ids: list[int]):
+        self.sensor_ids = sensor_ids
+
+
+class _MeasurementsReader(DataSourceReader):
+    def __init__(self, options):
+        self.options = dict(options)
+        raw = options.get("sensor_ids", "")
+        self.sensor_ids = [int(s) for s in raw.split(",") if s.strip()]
+        if not self.sensor_ids:
+            raise ValueError(
+                "openaq measurements read requires option sensor_ids "
+                "(comma-separated), e.g. from an active_sensors() pass"
+            )
+        for k in ("date_from", "date_to"):
+            if not options.get(k):
+                raise ValueError(f"openaq measurements read requires {k}")
+        self.n = max(1, int(options.get("num_partitions", 8)))
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Catalyst sensor_id equality/IN filters prune the fetch plan:
+        partitions are built only for surviving ids, so a filtered read
+        never contacts the API for other sensors. Everything else is
+        evaluated by Spark post-scan."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("sensor_id",):
+                self.sensor_ids = [
+                    s for s in self.sensor_ids if s == int(f.value)
+                ]
+            elif isinstance(f, In) and f.attribute == ("sensor_id",):
+                keep = {int(v) for v in f.value}
+                self.sensor_ids = [s for s in self.sensor_ids if s in keep]
+            else:
+                yield f  # unsupported -> Spark applies it after the scan
+
+    def partitions(self) -> Sequence[InputPartition]:
+        ids = self.sensor_ids
+        n = min(self.n, len(ids)) or 1
+        chunks = [ids[i::n] for i in range(n)]
+        return [_SensorChunkPartition(c) for c in chunks if c]
+
+    def read(self, partition: _SensorChunkPartition) -> Iterator[tuple]:
+        client = _client(self.options)
+        fetch = client.measurements_fetcher()
+        date_from = self.options["date_from"]
+        date_to = self.options["date_to"]
+        limit = int(self.options.get("limit", 1000))
+        for sid in partition.sensor_ids:
+            for m in fetch(sid, date_from, date_to, limit):
+                yield (
+                    m.get("sensor_id"),
+                    m.get("datetime"),
+                    m.get("value"),
+                    m.get("parameter"),
+                    m.get("unit"),
+                )
+
+
+class OpenAQDataSource(DataSource):
+    """``spark.read.format("openaq")`` — see the module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "openaq"
+
+    def schema(self) -> T.StructType:
+        table = self.options.get("table", "measurements")
+        if table == "locations":
+            return API_LOCATION
+        if table == "measurements":
+            return MEASUREMENT_SCHEMA
+        raise ValueError(
+            f"unknown table {table!r}: expected locations or measurements"
+        )
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        table = self.options.get("table", "measurements")
+        if table == "locations":
+            return _LocationsReader(self.options)
+        return _MeasurementsReader(self.options)
