@@ -127,6 +127,7 @@ def jaccard_candidate_pairs(
     id_col: str,
     shingle_len: int = 2,
     max_shingle_freq: int | None = None,
+    with_dropped_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all shingle-sharing pairs.
 
@@ -137,6 +138,14 @@ def jaccard_candidate_pairs(
 
     ``max_shingle_freq`` drops stop-shingles (standard practice): it bounds
     both the f^2 pair blow-up and per-shingle skew/memory at scale.
+
+    ``with_dropped_shingles=True`` returns ``(pairs, dropped)`` where
+    ``dropped`` lists the capped (shingle, n_docs) rows — the same
+    batch-caller-visible recall accounting as
+    ``simhash_hamming_pairs(with_dropped_buckets=True)`` (ADVICE r06):
+    an intersection count can be UNDERSTATED for pairs sharing a
+    dropped stop-shingle, and callers gate on that without a
+    QueryExecutionListener.
     """
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     shingled = toked.select(
@@ -157,7 +166,13 @@ def jaccard_candidate_pairs(
             F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("set_size")))
         ).alias("docs")
     )
+    dropped = grouped.limit(0).select(
+        "shingle", F.size("docs").alias("n_docs")
+    )
     if max_shingle_freq is not None:
+        dropped = grouped.filter(
+            F.size("docs") > max_shingle_freq
+        ).select("shingle", F.size("docs").alias("n_docs"))
         # No-silent-caps: the dropped stop-shingle count rides the plan as a
         # named observation (free with the action; readable via listener /
         # QueryExecution.observedMetrics) instead of a second counting job.
@@ -183,7 +198,7 @@ def jaccard_candidate_pairs(
             ),
         )
     )
-    return (
+    out = (
         grouped.select(F.explode(pairs).alias("p"))
         .groupBy("p.id_a", "p.id_b", "p.size_a", "p.size_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -199,6 +214,9 @@ def jaccard_candidate_pairs(
             ).alias("jaccard"),
         )
     )
+    if with_dropped_shingles:
+        return out, dropped
+    return out
 
 
 def simhash(

@@ -358,6 +358,47 @@ def test_simhash_bucket_cap_drops_hot_buckets(spark):
     assert dropped_none.count() == 0
 
 
+def test_jaccard_dropped_shingles_companion(spark):
+    """Same recall accounting for the jaccard stop-shingle cap: the
+    capped (shingle, n_docs) rows surface as a companion DataFrame, so
+    batch callers see which shingles stopped contributing to
+    intersection counts."""
+    from reddit_data_pipeline_engineering_spark.operators.text_dedup import (
+        jaccard_candidate_pairs,
+    )
+
+    # 6 docs all share the stop-shingle "the end"; docs 0/1 also share
+    # the rare "alpha beta".
+    docs = [(0, "alpha beta the end"), (1, "alpha beta the end")]
+    docs += [(i, f"tok{i} filler the end") for i in range(2, 6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    pairs, dropped = jaccard_candidate_pairs(
+        df, "text", "doc_id", shingle_len=2, max_shingle_freq=4,
+        with_dropped_shingles=True,
+    )
+    drows = {(r["shingle"], r["n_docs"]) for r in dropped.collect()}
+    assert drows == {("the end", 6)}
+    got = {(r["id_a"], r["id_b"]): r["n_common"] for r in pairs.collect()}
+    # "the end" no longer contributes: 0-1 share alpha beta + beta the
+    # (both under the cap); no other pair survives.
+    assert got[(0, 1)] == 2
+    for (a, b), n in got.items():
+        assert (a, b) == (0, 1) or n < 2
+
+    # uncapped: companion empty, intersections include the stop-shingle
+    pairs_u, dropped_u = jaccard_candidate_pairs(
+        df, "text", "doc_id", shingle_len=2, max_shingle_freq=None,
+        with_dropped_shingles=True,
+    )
+    assert dropped_u.count() == 0
+    got_u = {
+        (r["id_a"], r["id_b"]): r["n_common"] for r in pairs_u.collect()
+    }
+    # doc0 shingles: alpha beta / beta the / the end — all 3 shared
+    assert got_u[(0, 1)] == 3
+
+
 def test_split_leakage_audit_matches_brute_force(spark):
     """Third independent leakage audit: hashlib fingerprints + the
     md5-bucket split replayed in pure Python over the sf0.001 corpus."""
