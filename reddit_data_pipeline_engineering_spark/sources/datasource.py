@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from reddit_data_pipeline_engineering_spark.sources.api import API_LOCATION
@@ -118,6 +119,14 @@ def synthetic_transport(
             params["datetime_to"].replace("Z", "+00:00")
         )
         hours = int((d1 - d0).total_seconds() // 3600)
+
+        def _value(t: _dt.datetime) -> float:
+            # Function of ABSOLUTE event time (mod 48h), not of the
+            # request window: a windowed (streaming) fetch and one big
+            # batch fetch must agree row-for-row.
+            abs_h = int(t.timestamp()) // 3600 % 48
+            return float(sid % 100) + abs_h * 0.5
+
         results = [
             {
                 "period": {
@@ -131,7 +140,7 @@ def synthetic_transport(
                     "name": _SYN_PARAMS[sid % len(_SYN_PARAMS)],
                     "units": "µg/m³",
                 },
-                "value": float(sid % 100) + h * 0.5,
+                "value": _value(d0 + _dt.timedelta(hours=h)),
             }
             for h in range(min(hours, int(params.get("limit", 1000))))
         ]
@@ -281,6 +290,90 @@ class _MeasurementsReader(DataSourceReader):
                 )
 
 
+class _MeasurementsStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("openaq")`` — time-windowed polling.
+
+    The reference polls with EventBridge -> Lambda on a schedule
+    (``doc/architecture.md``); the streaming-native form makes the API
+    a Structured Streaming SOURCE: the offset is the event-time
+    high-water mark ``{"until": iso_ts}``, and each micro-batch fetches
+    the next ``window_hours`` slice ``[until, until + W)`` for the
+    configured sensors, clamped to ``end_time`` (tests/backfills) or
+    wall-clock now (live tailing). No new data -> the offset does not
+    advance and the trigger idles. Checkpoint recovery is Spark's: the
+    committed offset replays the exact window. Note availableNow
+    resolves the available end offset ONCE at query start, so one
+    availableNow run advances exactly one window — steady tailing wants
+    a processingTime trigger sized to the poll cadence; deep backfills
+    want a large ``window_hours`` or the batch reader's executor-side
+    partitions.
+
+    A SIMPLE stream reader reads on the driver by design — the right
+    shape at the reference's poll cadence (~150 sensors/hour); large
+    backfills belong to the batch reader's executor-side partitions.
+    """
+
+    def __init__(self, options):
+        self.options = dict(options)
+        raw = options.get("sensor_ids", "")
+        self.sensor_ids = [int(s) for s in raw.split(",") if s.strip()]
+        if not self.sensor_ids:
+            raise ValueError("openaq stream requires option sensor_ids")
+        if not options.get("start_time"):
+            raise ValueError(
+                "openaq stream requires start_time (ISO-8601, e.g. "
+                "2025-06-01T00:00:00Z)"
+            )
+        self.window_h = float(options.get("window_hours", 1))
+        self.limit = int(options.get("limit", 1000))
+
+    @staticmethod
+    def _parse(ts: str) -> _dt.datetime:
+        return _dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+
+    @staticmethod
+    def _fmt(t: _dt.datetime) -> str:
+        return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    def _horizon(self) -> _dt.datetime:
+        end = self.options.get("end_time")
+        if end:
+            return self._parse(end)
+        return _dt.datetime.now(_dt.timezone.utc)
+
+    def initialOffset(self) -> dict:
+        return {"until": self._fmt(self._parse(self.options["start_time"]))}
+
+    def read(self, start: dict):
+        lo = self._parse(start["until"])
+        hi = min(lo + _dt.timedelta(hours=self.window_h), self._horizon())
+        if hi <= lo:
+            return iter(()), start  # caught up: offset unchanged
+        end = {"until": self._fmt(hi)}
+        # A LIST iterator, not a generator: Spark's simple-reader
+        # prefetch cache copy.copy()s the returned iterator when a
+        # micro-batch replays it (datasource_internal.getCache), and
+        # generators are neither copyable nor picklable.
+        return iter(list(self._fetch(self._fmt(lo), self._fmt(hi)))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # Deterministic replay after restart: same window, same fetch.
+        return iter(list(self._fetch(start["until"], end["until"])))
+
+    def _fetch(self, date_from: str, date_to: str):
+        client = _client(self.options)
+        fetch = client.measurements_fetcher()
+        for sid in self.sensor_ids:
+            for m in fetch(sid, date_from, date_to, self.limit):
+                yield (
+                    m.get("sensor_id"),
+                    m.get("datetime"),
+                    m.get("value"),
+                    m.get("parameter"),
+                    m.get("unit"),
+                )
+
+
 class OpenAQDataSource(DataSource):
     """``spark.read.format("openaq")`` — see the module docstring."""
 
@@ -303,3 +396,10 @@ class OpenAQDataSource(DataSource):
         if table == "locations":
             return _LocationsReader(self.options)
         return _MeasurementsReader(self.options)
+
+    def simpleStreamReader(
+        self, schema: T.StructType
+    ) -> SimpleDataSourceStreamReader:
+        if self.options.get("table", "measurements") != "measurements":
+            raise ValueError("openaq streaming supports table=measurements")
+        return _MeasurementsStreamReader(self.options)
