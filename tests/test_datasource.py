@@ -38,7 +38,7 @@ def _locations(registered, **opts):
     return r.load()
 
 
-def test_locations_strided_pagination_is_complete(registered):
+def _case_locations_strided_pagination_is_complete(registered):
     """N strided partitions must union to exactly the full page walk —
     no page read twice, none skipped, at several partition widths."""
     base = {(r["id"], r["name"]) for r in _locations(registered).collect()}
@@ -51,7 +51,7 @@ def test_locations_strided_pagination_is_complete(registered):
         assert got == base, n
 
 
-def test_locations_nested_schema_roundtrip(registered):
+def _case_locations_nested_schema_roundtrip(registered):
     """The nested API shape survives the connector: struct fields and
     the sensors array are queryable with dot paths + explode, feeding
     the same flatten_locations/active_sensors operators as the
@@ -73,7 +73,7 @@ def test_locations_nested_schema_roundtrip(registered):
     assert sens.count() == 14  # 7 locations x 2 required-parameter sensors
 
 
-def test_measurements_partitioned_fetch_and_values(registered):
+def _case_measurements_partitioned_fetch_and_values(registered):
     df = (
         registered.read.format("openaq")
         .option("table", "measurements")
@@ -95,7 +95,7 @@ def test_measurements_partitioned_fetch_and_values(registered):
     assert {r["parameter"] for r in rows} <= {"pm25", "pm10"}
 
 
-def test_measurements_sensor_filter_prunes_partitions(registered):
+def _case_measurements_sensor_filter_prunes_partitions(registered):
     """A sensor_id filter must reach the reader via pushFilters and
     prune the fetch plan to the surviving ids."""
     df = (
@@ -154,7 +154,7 @@ def test_synthetic_transport_shapes():
     assert body["results"] == []
 
 
-def test_streaming_measurements_windowed_drain(registered, tmp_path):
+def _case_streaming_measurements_windowed_drain(registered, tmp_path):
     """spark.readStream.format('openaq'): the event-time high-water-mark
     offset advances one window per micro-batch until end_time, and the
     availableNow drain lands exactly the batch reader's rows — the
@@ -241,3 +241,48 @@ def test_streaming_reader_offset_semantics():
     assert o3 == o2 and list(rows3) == []
     # replay is deterministic
     assert len(list(rd.readBetweenOffsets(o0, o1))) == 2
+
+
+# Concurrent execution (the parity/streaming fixture pattern): the five
+# Spark-driving cases are independent reads/drains with isolated temp
+# dirs, so a module fixture runs them over a thread pool; the
+# parametrized test re-raises each recorded outcome.
+
+from concurrent.futures import ThreadPoolExecutor as _TPE
+
+_DS_CASES = {
+    "locations_strided_pagination_is_complete": (
+        _case_locations_strided_pagination_is_complete, False),
+    "locations_nested_schema_roundtrip": (
+        _case_locations_nested_schema_roundtrip, False),
+    "measurements_partitioned_fetch_and_values": (
+        _case_measurements_partitioned_fetch_and_values, False),
+    "measurements_sensor_filter_prunes_partitions": (
+        _case_measurements_sensor_filter_prunes_partitions, False),
+    "streaming_measurements_windowed_drain": (
+        _case_streaming_measurements_windowed_drain, True),
+}
+
+
+@pytest.fixture(scope="module")
+def ds_outcomes(registered, tmp_path_factory):
+    def run(item):
+        name, (fn, needs_tmp) = item
+        try:
+            if needs_tmp:
+                fn(registered, tmp_path_factory.mktemp(f"ds_{name}"))
+            else:
+                fn(registered)
+            return None
+        except BaseException as exc:  # noqa: BLE001 - re-raised per test
+            return exc
+
+    with _TPE(max_workers=5) as ex:
+        return dict(zip(_DS_CASES, ex.map(run, _DS_CASES.items())))
+
+
+@pytest.mark.parametrize("name", list(_DS_CASES))
+def test_datasource_case(name, ds_outcomes):
+    res = ds_outcomes[name]
+    if res is not None:
+        raise res
