@@ -701,21 +701,34 @@ def ks_drift_from_counts(cnt: DataFrame) -> DataFrame:
     cnt = cnt.select(
         "source", "l", F.col("c").cast("decimal(38,0)").alias("c")
     )
+    # cnt fans out to three consumers (srcs, vals, the grid join); a
+    # lazy localCheckpoint materializes its corpus-sized upstream
+    # shuffle ONCE (the r07 §9e probe measured the count stage pair
+    # materializing twice — the dominant movement). What is stored is
+    # grid-bounded — distinct (source, l) pairs, sources x max doc
+    # length — never corpus-sized, at any scale.
+    cnt = cnt.localCheckpoint(eager=False)
     srcs = cnt.groupBy("source").agg(F.sum("c").alias("n_src_d"))
     vals = cnt.select("l").distinct()
-    all_c = cnt.groupBy("l").agg(F.sum("c").alias("c_all"))
-    tot = cnt.agg(F.sum("c").alias("n_all_d"))
+    tot = srcs.agg(F.sum("n_src_d").alias("n_all_d"))
+    # The dense grid holds EVERY (source, l) cell 0-filled, so the
+    # pooled per-value count is a window over the grid itself —
+    # c_all(l) = sum of c_src over sources — replacing the r06 form's
+    # separate cnt.groupBy(l) aggregate + join, which materialized the
+    # corpus-sized count shuffle a second time (§9e addendum: the two
+    # 50k/500k-record stages were the probe's dominant movement). The
+    # window shuffles only grid rows (sources x distinct lengths),
+    # orders of magnitude below corpus rows.
     grid = (
         srcs.crossJoin(vals)
         .join(cnt, ["source", "l"], "left")
-        .join(F.broadcast(all_c), "l")
         .select(
             "source",
             "n_src_d",
             "l",
             F.coalesce("c", F.lit(0).cast("decimal(38,0)")).alias("c_src"),
-            "c_all",
         )
+        .withColumn("c_all", F.sum("c_src").over(Window.partitionBy("l")))
     )
     w = (
         Window.partitionBy("source")
