@@ -913,6 +913,12 @@ _DRIVER_FIRST = [
     # BIGINT product ceiling fix, VERDICT r06 #6 + ADVICE r06) — the
     # output type family changed, so the old green row is stale.
     "ks_source_drift",
+    # r07 plan change (values identical): the fan-out count relation is
+    # lazily checkpointed so the corpus subtree materializes once —
+    # the r07 stage-detail audit found its docs->count subtree running
+    # twice. Plan changes re-gate by standing policy (r06 precedent:
+    # this same query gated after its broadcast-hint drop).
+    "chisq_source_drift",
 ]
 
 # Re-confirmation fill (VERDICT r06 #3, order pinned by the judge): the
@@ -966,7 +972,8 @@ _DRIVER_FILL = [
     "bpe_merge_learn",
     "triangle_count_sampled",
     "mad_outliers",
-    "hilbert_layout",
+    # (hilbert_layout, the r03-queue slot displaced by the late
+    # chisq_source_drift re-gate, heads the rotated-out queue below.)
 ]
 
 # Streaming tail empty this round: the one streaming re-gate leads the
@@ -982,6 +989,7 @@ _DRIVER_ROTATED_OUT = [
     # Ordered oldest-row-first: the remaining r03 rows lead (the r08
     # re-confirmation queue, streaming drains included), then r04, r05,
     # and the r06-gated rows.
+    "hilbert_layout",
     "item_similarity_topk",
     "fuzzy_blocked_matches",
     "winsorized_stats",
@@ -1097,7 +1105,6 @@ _DRIVER_ROTATED_OUT = [
     "exact_percentiles",
     "sql_surface",
     "streaming_dedup",
-    "chisq_source_drift",
     "lsh_quality_eval",
     "ndcg_at_k",
     "multimodal_decode_profile",

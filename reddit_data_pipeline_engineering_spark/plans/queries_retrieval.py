@@ -510,6 +510,16 @@ def q_chisq_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split("text", " ")).alias("word")
     )
     cnt = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    # cnt fans out to four consumers (tot, corpus, nall, the rate join);
+    # without a materialization boundary the whole docs->explode->count
+    # subtree ran TWICE (r07 stage-detail audit: duplicate 50k-record
+    # spread stages AND duplicate 193.7k-record count exchanges at
+    # sf1.0 — the same class the ks_source_drift probe exposed). A lazy
+    # localCheckpoint runs the corpus-sized work once; what is stored
+    # is the (source, word) count relation — vocabulary-bounded (Heaps'
+    # law), the same volume one of the duplicated exchanges was already
+    # re-shuffling.
+    cnt = cnt.localCheckpoint(eager=False)
     tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     corpus = cnt.groupBy("word").agg(F.sum("c").cast("long").alias("cw"))
     nall = cnt.agg(F.sum("c").cast("long").alias("nn"))

@@ -218,6 +218,7 @@ def test_driver_gate_ordering():
     must_gate = [
         "streaming_pit_enrich",  # r06 red row: ASCII suffix + epoch-us staging
         "ks_source_drift",       # r07: ks_ppm moved to DECIMAL(38,0)
+        "chisq_source_drift",    # r07: fan-out subtree checkpointed (plan)
     ]
     assert _DRIVER_FIRST == must_gate
     pinned_r02 = [
@@ -235,15 +236,16 @@ def test_driver_gate_ordering():
         "zscore_outliers", "topn_per_group", "props_struct_parse",
         "hll_grouped_distinct",
     ]
-    assert len(_DRIVER_FILL) == 48
+    assert len(_DRIVER_FILL) == 47
     # Streaming tail empty: the only streaming query needing a fresh row
     # leads the gate by judge instruction; no other changed.
     assert _DRIVER_TAIL_STREAMING == []
     # The rotated-out head is the r08 re-confirmation queue: the
-    # remaining r03 rows (streaming drains included) lead.
+    # remaining r03 rows (streaming drains included) lead, starting with
+    # the fill slot displaced by the chisq re-gate.
     assert _DRIVER_ROTATED_OUT[:5] == [
-        "item_similarity_topk", "fuzzy_blocked_matches",
-        "winsorized_stats", "benford_first_digit", "key_skew_gini",
+        "hilbert_layout", "item_similarity_topk", "fuzzy_blocked_matches",
+        "winsorized_stats", "benford_first_digit",
     ]
     # No r02-era row is left outside the gate.
     assert not set(pinned_r02) & set(_DRIVER_ROTATED_OUT)
