@@ -85,7 +85,13 @@ def pagerank(
         .persist()
     )
     deg = base.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
-    edges = base.join(deg, src).persist()
+    # Pre-partitioned on the per-round join key (r07): each iteration
+    # is its own action (eager rank checkpoint), so a plain cache
+    # re-shuffled the full static edge relation every round — the §9e
+    # probe's per-round movement was dominated by exactly that. The
+    # partitioned cache reports hashpartitioning(src); each round's
+    # edges-side exchange disappears and only ranks move.
+    edges = base.join(deg, src).repartition(F.col(src)).persist()
     teleport = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
 
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long")).persist()
@@ -175,7 +181,13 @@ def personalized_pagerank(
     # Out-degree attached to the edge rows once (iteration-invariant) —
     # one edges⋈ranks join per round, no per-round degree join.
     deg = base.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
-    edges = base.join(deg, src).persist()
+    # Pre-partitioned on the per-round join key (r07): each iteration
+    # is its own action (eager rank checkpoint), so a plain cache
+    # re-shuffled the full static edge relation every round — the §9e
+    # probe's per-round movement was dominated by exactly that. The
+    # partitioned cache reports hashpartitioning(src); each round's
+    # edges-side exchange disappears and only ranks move.
+    edges = base.join(deg, src).repartition(F.col(src)).persist()
     teleport = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
 
     ranks = (

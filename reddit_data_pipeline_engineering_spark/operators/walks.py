@@ -39,7 +39,11 @@ def random_walks(
     ``path`` is the '->'-joined node sequence, bounded by ``steps``.
     """
     if checkpoint:
-        edges = edges.persist()  # cache, don't copy (see bfs.bfs_levels)
+        # Pre-partitioned on the per-step join key (see bfs.bfs_levels,
+        # r07): each step joins walkers against the static edge list on
+        # ``src`` in its own action, so a plain cache re-shuffled all
+        # edges per step; the partitioned cache moves only walkers.
+        edges = edges.repartition(F.col("src")).persist()
     walks = anchors.select(
         F.col("node").alias("walker"),
         F.col("node"),

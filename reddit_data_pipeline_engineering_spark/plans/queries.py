@@ -919,6 +919,18 @@ _DRIVER_FIRST = [
     # twice. Plan changes re-gate by standing policy (r06 precedent:
     # this same query gated after its broadcast-hint drop).
     "chisq_source_drift",
+    # r07 iterative-kernel co-location wave (values identical, plans
+    # changed → re-gate): static edge relations are now cached
+    # PRE-PARTITIONED on their per-round join key, so each round's
+    # action no longer re-shuffles the full edge list (sssp at sf1.0:
+    # 667→227 MB); hits_topk's four-consumer edge build is lazily
+    # checkpointed. pagerank_topk changed too but already sits in the
+    # judge-pinned r02 fill block below.
+    "ppr_topk",
+    "bfs_reachability",
+    "sssp_weighted_hist",
+    "random_walk_corpus",
+    "hits_topk",
 ]
 
 # Re-confirmation fill (VERDICT r06 #3, order pinned by the judge): the
@@ -967,13 +979,10 @@ _DRIVER_FILL = [
     "resample_hourly_gapfill",
     "grouped_linreg_trend",
     "chunk_dedup_stats",
-    "tfidf_topk_terms",
-    "incremental_dedup",
-    "bpe_merge_learn",
-    "triangle_count_sampled",
-    "mad_outliers",
-    # (hilbert_layout, the r03-queue slot displaced by the late
-    # chisq_source_drift re-gate, heads the rotated-out queue below.)
+    # (tfidf_topk_terms .. mad_outliers and hilbert_layout — the six
+    # r03-queue slots displaced by the late r07 re-gates (chisq + the
+    # five kernel co-location queries) — head the rotated-out queue
+    # below in r03 file order.)
 ]
 
 # Streaming tail empty this round: the one streaming re-gate leads the
@@ -989,6 +998,11 @@ _DRIVER_ROTATED_OUT = [
     # Ordered oldest-row-first: the remaining r03 rows lead (the r08
     # re-confirmation queue, streaming drains included), then r04, r05,
     # and the r06-gated rows.
+    "tfidf_topk_terms",
+    "incremental_dedup",
+    "bpe_merge_learn",
+    "triangle_count_sampled",
+    "mad_outliers",
     "hilbert_layout",
     "item_similarity_topk",
     "fuzzy_blocked_matches",
@@ -997,7 +1011,6 @@ _DRIVER_ROTATED_OUT = [
     "key_skew_gini",
     "bitmap_intersection",
     "weighted_sample",
-    "bfs_reachability",
     "corpus_prep_v2",
     "multimodal_frame_sample",
     "hll_sliding_distinct",
@@ -1066,22 +1079,18 @@ _DRIVER_ROTATED_OUT = [
     "lsh_quality_eval_sampled",
     "user_active_streaks",
     "order_attribution",
-    "sssp_weighted_hist",
-    "random_walk_corpus",
     "dup_clusters_star",
     "seasonal_dow_anomalies",
     "bm25_topk",
     "rrf_fusion_topk",
     "bigram_lm_familiarity",
     "ra_linkpred_topk",
-    "hits_topk",
     "source_wjaccard",
     "matryoshka_recall_at_k",
     "acf_lag_profile",
     "spearman_daily_corr",
     "pmi_collocations",
     "dedup_quality_shift",
-    "ppr_topk",
     "l_diversity_audit",
     "heaps_vocab_growth",
     "interarrival_burstiness",

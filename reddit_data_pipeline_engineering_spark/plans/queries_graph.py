@@ -781,6 +781,13 @@ def q_hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    # pairs fans out to four consumers (a1 and the three half-round
+    # joins); without a materialization boundary the orders⋈lineitem
+    # build + distinct ran repeatedly (r07 stage-detail audit: three
+    # duplicated edge-build stage pairs at sf0.1). Lazy localCheckpoint
+    # runs it once; stored volume is the distinct (c, s) edge list —
+    # the relation every consumer was already re-shuffling.
+    pairs = pairs.localCheckpoint(eager=False)
     r = _HITS_RESCALE
     a1 = pairs.groupBy("s").agg(
         F.expr(f"count(1) div {r}").alias("a")

@@ -219,6 +219,11 @@ def test_driver_gate_ordering():
         "streaming_pit_enrich",  # r06 red row: ASCII suffix + epoch-us staging
         "ks_source_drift",       # r07: ks_ppm moved to DECIMAL(38,0)
         "chisq_source_drift",    # r07: fan-out subtree checkpointed (plan)
+        # r07 kernel co-location wave (pre-partitioned edge caches /
+        # checkpointed edge builds — plan changes, values identical;
+        # pagerank_topk changed too but sits in the r02 fill block):
+        "ppr_topk", "bfs_reachability", "sssp_weighted_hist",
+        "random_walk_corpus", "hits_topk",
     ]
     assert _DRIVER_FIRST == must_gate
     pinned_r02 = [
@@ -236,16 +241,17 @@ def test_driver_gate_ordering():
         "zscore_outliers", "topn_per_group", "props_struct_parse",
         "hll_grouped_distinct",
     ]
-    assert len(_DRIVER_FILL) == 47
+    assert len(_DRIVER_FILL) == 42
     # Streaming tail empty: the only streaming query needing a fresh row
     # leads the gate by judge instruction; no other changed.
     assert _DRIVER_TAIL_STREAMING == []
-    # The rotated-out head is the r08 re-confirmation queue: the
-    # remaining r03 rows (streaming drains included) lead, starting with
-    # the fill slot displaced by the chisq re-gate.
-    assert _DRIVER_ROTATED_OUT[:5] == [
-        "hilbert_layout", "item_similarity_topk", "fuzzy_blocked_matches",
-        "winsorized_stats", "benford_first_digit",
+    # The rotated-out head is the r08 re-confirmation queue: the six
+    # r03 fill slots displaced by the late r07 re-gates lead, in r03
+    # file order, then the remaining r03 rows.
+    assert _DRIVER_ROTATED_OUT[:8] == [
+        "tfidf_topk_terms", "incremental_dedup", "bpe_merge_learn",
+        "triangle_count_sampled", "mad_outliers", "hilbert_layout",
+        "item_similarity_topk", "fuzzy_blocked_matches",
     ]
     # No r02-era row is left outside the gate.
     assert not set(pinned_r02) & set(_DRIVER_ROTATED_OUT)
