@@ -875,6 +875,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_stats  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_streaming  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_trend  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch2  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_graph  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_retrieval  # noqa: F401
@@ -931,6 +932,15 @@ _DRIVER_FIRST = [
     "sssp_weighted_hist",
     "random_walk_corpus",
     "hits_topk",
+    # ---- Late-r07 additions (new queries need a driver row): the
+    # nonparametric trend/drift family — Mann-Kendall, Theil-Sen,
+    # unigram total-variation drift, embedding centroid drift
+    # (plans/queries_trend.py). Four fill slots displaced to the head
+    # of the rotated-out queue below.
+    "mann_kendall_trend",
+    "theil_sen_slope",
+    "unigram_tv_drift",
+    "embedding_centroid_drift",
 ]
 
 # Re-confirmation fill (VERDICT r06 #3, order pinned by the judge): the
@@ -975,14 +985,12 @@ _DRIVER_FILL = [
     "grouped_median_scalable",
     "exact_percentiles_scalable",
     "hll_intersection_estimate",
-    "jl_recall_at_k",
-    "resample_hourly_gapfill",
-    "grouped_linreg_trend",
-    "chunk_dedup_stats",
-    # (tfidf_topk_terms .. mad_outliers and hilbert_layout — the six
-    # r03-queue slots displaced by the late r07 re-gates (chisq + the
-    # five kernel co-location queries) — head the rotated-out queue
-    # below in r03 file order.)
+    # (jl_recall_at_k .. chunk_dedup_stats — the four r03-queue slots
+    # displaced by the late-r07 trend-family additions — and
+    # tfidf_topk_terms .. mad_outliers and hilbert_layout — the six
+    # slots displaced by the late r07 re-gates (chisq + the five
+    # kernel co-location queries) — head the rotated-out queue below
+    # in r03 file order.)
 ]
 
 # Streaming tail empty this round: the one streaming re-gate leads the
@@ -998,6 +1006,10 @@ _DRIVER_ROTATED_OUT = [
     # Ordered oldest-row-first: the remaining r03 rows lead (the r08
     # re-confirmation queue, streaming drains included), then r04, r05,
     # and the r06-gated rows.
+    "jl_recall_at_k",
+    "resample_hourly_gapfill",
+    "grouped_linreg_trend",
+    "chunk_dedup_stats",
     "tfidf_topk_terms",
     "incremental_dedup",
     "bpe_merge_learn",

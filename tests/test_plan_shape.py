@@ -224,6 +224,10 @@ def test_driver_gate_ordering():
         # pagerank_topk changed too but sits in the r02 fill block):
         "ppr_topk", "bfs_reachability", "sssp_weighted_hist",
         "random_walk_corpus", "hits_topk",
+        # Late-r07 additions (new queries need a driver row): the
+        # nonparametric trend/drift family.
+        "mann_kendall_trend", "theil_sen_slope", "unigram_tv_drift",
+        "embedding_centroid_drift",
     ]
     assert _DRIVER_FIRST == must_gate
     pinned_r02 = [
@@ -241,14 +245,17 @@ def test_driver_gate_ordering():
         "zscore_outliers", "topn_per_group", "props_struct_parse",
         "hll_grouped_distinct",
     ]
-    assert len(_DRIVER_FILL) == 42
+    assert len(_DRIVER_FILL) == 38  # 42 - the four trend-family slots
     # Streaming tail empty: the only streaming query needing a fresh row
     # leads the gate by judge instruction; no other changed.
     assert _DRIVER_TAIL_STREAMING == []
-    # The rotated-out head is the r08 re-confirmation queue: the six
-    # r03 fill slots displaced by the late r07 re-gates lead, in r03
-    # file order, then the remaining r03 rows.
-    assert _DRIVER_ROTATED_OUT[:8] == [
+    # The rotated-out head is the r08 re-confirmation queue: the four
+    # r03 fill slots displaced by the trend-family additions lead, then
+    # the six displaced by the late r07 re-gates, in r03 file order,
+    # then the remaining r03 rows.
+    assert _DRIVER_ROTATED_OUT[:12] == [
+        "jl_recall_at_k", "resample_hourly_gapfill",
+        "grouped_linreg_trend", "chunk_dedup_stats",
         "tfidf_topk_terms", "incremental_dedup", "bpe_merge_learn",
         "triangle_count_sampled", "mad_outliers", "hilbert_layout",
         "item_similarity_topk", "fuzzy_blocked_matches",

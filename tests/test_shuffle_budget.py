@@ -91,6 +91,10 @@ BUDGETS = {
     # (span and per-doc aggregates fuse into the doc-window stage).
     "duplicate_span_stats": 4,
     "embedding_blocked_topk": 1,
+    # posexplode -> (label, dim) aggregate (checkpointed, bounded by
+    # labels x dims), global rollup off the checkpoint, label rollup +
+    # output sort.
+    "embedding_centroid_drift": 3,
     "embedding_dim_profile": 2,
     "enrich_metadata": 1,
     # eval-shingle build replayed per overlap branch (binary + graded);
@@ -182,6 +186,10 @@ BUDGETS = {
     # per branch; identical subtrees reuse at runtime) + final rollup.
     "mad_outliers": 5,
     "mad_outliers_scalable": 2,
+    # daily count shuffle (checkpointed once for all four consumers) +
+    # the priority-keyed pair join, sign/tie/day aggregates and the
+    # 5-row stat joins — all over the calendar-bounded daily relation.
+    "mann_kendall_trend": 5,
     "market_share": 2,
     "marts_kernel": 2,
     "matryoshka_recall_at_k": 0,
@@ -292,6 +300,11 @@ BUDGETS = {
     # dim, n_docs scalar, ranking window) — runtime ReuseExchange dedups;
     # real data movement is the tf shuffle + window + output sort.
     "tfidf_topk_terms": 9,
+    # checkpointed daily count + the priority-keyed pair join, the
+    # slope-histogram hash aggregate (map-side partials absorb the
+    # days^2 pair fan-out) and the crossing window over the bounded
+    # histogram.
+    "theil_sen_slope": 3,
     "time_bucket_rollup": 3,
     "token_stats": 0,
     "topk_orders": 0,
@@ -302,6 +315,10 @@ BUDGETS = {
     # the remaining exchanges are the degree build, wedge join, closure
     # probe and the scalar-count branches over the checkpointed RDDs.
     "triangle_count_sampled": 18,
+    # (source, word) count (checkpointed once for totals + window
+    # branches) + vocabulary-bounded word window + source rollup +
+    # output sort; totals ride broadcasts.
+    "unigram_tv_drift": 6,
     "unpivot_roundtrip": 1,
     # distinct (user, day) + user window (reused by the islands rollup)
     # + final sort.

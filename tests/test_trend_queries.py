@@ -1,0 +1,234 @@
+"""Brute-force differential tests for the queries_trend family.
+
+Same contract as test_stats_queries.py: each statistic is recomputed
+independently (pure python / numpy over the raw parquet or a synthetic
+series — no SQL, no Spark expressions), so a shared misconception
+between the Spark plan and the DuckDB oracle cannot hide. The trend
+kernels are additionally driven with synthetic series (monotone ramp,
+flat line, heavy ties) that the orders fixture cannot produce on
+demand — the significance flag must TRIP on a ramp and stay quiet on
+noise-free flatness.
+"""
+
+import datetime
+from collections import Counter
+from math import floor
+
+import duckdb
+import numpy as np
+import pytest
+
+from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, queries
+from reddit_data_pipeline_engineering_spark.plans.queries_trend import (
+    mann_kendall_from_daily,
+    theil_sen_from_daily,
+)
+
+from .conftest import SF_SMALL
+
+queries()  # force registration
+
+
+def _pdf(name, spark):
+    return REGISTRY[name].fn(spark, SF_SMALL).toPandas()
+
+
+def _daily_df(spark, xs, priority="P"):
+    day0 = datetime.date(2020, 1, 1)
+    rows = [
+        (priority, day0 + datetime.timedelta(days=i), int(x))
+        for i, x in enumerate(xs)
+    ]
+    return spark.createDataFrame(rows, "priority string, day date, x long")
+
+
+def _mk_replay(xs):
+    """Pure-python Mann-Kendall: S, var18, z^2 bp, trending flag."""
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie18 = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(xs).values() if t > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie18
+    if s == 0 or var18 <= 0:
+        z2 = 0
+    else:
+        z2 = (abs(s) - 1) ** 2 * 180000 // var18
+    return s, var18, z2, int(z2 > 38416)
+
+
+def test_mann_kendall_replay_on_orders(spark):
+    out = _pdf("mann_kendall_trend", spark).set_index("priority")
+    daily = duckdb.sql(
+        f"SELECT o_orderpriority AS p, CAST(o_orderdate AS DATE) AS d, "
+        f"COUNT(*) AS x FROM '{SF_SMALL}/orders.parquet' GROUP BY 1, 2 "
+        f"ORDER BY 1, 2"
+    ).df()
+    for p, grp in daily.groupby("p"):
+        xs = [int(v) for v in grp.sort_values("d")["x"]]
+        s, var18, z2, flag = _mk_replay(xs)
+        row = out.loc[p]
+        assert int(row["n_days"]) == len(xs)
+        assert int(row["s_stat"]) == s
+        assert int(row["var18"]) == var18
+        assert int(row["mk_z2_bp"]) == z2
+        assert int(row["trending"]) == flag
+
+
+def test_mann_kendall_ramp_trips_and_flat_does_not(spark):
+    ramp = mann_kendall_from_daily(
+        _daily_df(spark, range(1, 31), "ramp")
+    ).collect()[0]
+    assert ramp["s_stat"] == 30 * 29 // 2  # every pair increasing
+    assert ramp["trending"] == 1
+    flat = mann_kendall_from_daily(
+        _daily_df(spark, [7] * 30, "flat")
+    ).collect()[0]
+    assert flat["s_stat"] == 0
+    assert flat["mk_z2_bp"] == 0 and flat["trending"] == 0
+    # all-tied series: var18 = 0 (every value in one tie group) — the
+    # guard must emit 0, not divide by zero
+    assert flat["var18"] == 0
+
+
+def test_mann_kendall_tie_correction(spark):
+    # alternating ties: n=6 of 3 distinct values, each tied twice
+    xs = [1, 2, 3, 1, 2, 3]
+    got = mann_kendall_from_daily(_daily_df(spark, xs)).collect()[0]
+    s, var18, z2, flag = _mk_replay(xs)
+    assert (got["s_stat"], got["var18"], got["mk_z2_bp"], got["trending"]) == (
+        s, var18, z2, flag,
+    )
+
+
+def _ts_replay(xs):
+    """Pure-python Theil-Sen lower-median of 1e4-scaled pair slopes."""
+    slopes = []
+    n = len(xs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dy, dx = xs[j] - xs[i], j - i
+            q = abs(dy) * 10000 // dx
+            slopes.append(q if dy >= 0 else -q)
+    slopes.sort()
+    return len(slopes), slopes[(len(slopes) + 1) // 2 - 1]
+
+
+def test_theil_sen_replay_on_orders(spark):
+    out = _pdf("theil_sen_slope", spark).set_index("priority")
+    daily = duckdb.sql(
+        f"SELECT o_orderpriority AS p, CAST(o_orderdate AS DATE) AS d, "
+        f"COUNT(*) AS x FROM '{SF_SMALL}/orders.parquet' GROUP BY 1, 2 "
+        f"ORDER BY 1, 2"
+    ).df()
+    for p, grp in daily.groupby("p"):
+        grp = grp.sort_values("d")
+        xs = [int(v) for v in grp["x"]]
+        days = [d for d in grp["d"]]
+        # replay with real (possibly gappy) day gaps
+        slopes = []
+        for i in range(len(xs)):
+            for j in range(i + 1, len(xs)):
+                dy = xs[j] - xs[i]
+                dx = (days[j] - days[i]).days
+                q = abs(dy) * 10000 // dx
+                slopes.append(q if dy >= 0 else -q)
+        slopes.sort()
+        row = out.loc[p]
+        assert int(row["n_pairs"]) == len(slopes)
+        assert int(row["slope_bp"]) == slopes[(len(slopes) + 1) // 2 - 1]
+
+
+def test_theil_sen_outlier_immunity(spark):
+    # slope-2 ramp with one wild outlier: TS stays ~2e4, OLS would not
+    xs = [2 * i for i in range(20)]
+    xs[10] = 10_000
+    got = theil_sen_from_daily(_daily_df(spark, xs)).collect()[0]
+    n, med = _ts_replay(xs)
+    assert got["n_pairs"] == n == 190
+    assert got["slope_bp"] == med
+    assert abs(med - 20000) <= 1  # robust estimate survives the spike
+
+
+def test_unigram_tv_replay(spark):
+    out = _pdf("unigram_tv_drift", spark).set_index("source")
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    per_src: dict[str, Counter] = {}
+    for src, text in docs:
+        per_src.setdefault(src, Counter()).update(text.split())
+    total = Counter()
+    for c in per_src.values():
+        total.update(c)
+    n_all = sum(total.values())
+    for src, cs in per_src.items():
+        n_src = sum(cs.values())
+        n_rest = n_all - n_src
+        if n_rest == 0:
+            assert src not in out.index
+            continue
+        num = sum(
+            abs(cs.get(w, 0) * n_rest - (total[w] - cs.get(w, 0)) * n_src)
+            for w in total
+        )
+        tv_bp = num * 10000 // (2 * n_src * n_rest)
+        row = out.loc[src]
+        assert int(row["n_src"]) == n_src
+        assert int(row["n_rest"]) == n_rest
+        assert int(row["tv_bp"]) == tv_bp
+        # TV is a metric on [0, 1] -> bp in [0, 10000]
+        assert 0 <= int(row["tv_bp"]) <= 10000
+
+
+def test_centroid_drift_replay(spark):
+    out = _pdf("embedding_centroid_drift", spark).set_index("label")
+    emb = duckdb.sql(
+        f"SELECT label, embedding FROM '{SF_SMALL}/embeddings.parquet'"
+    ).fetchall()
+    by_label: dict[int, list] = {}
+    for label, vec in emb:
+        by_label.setdefault(label, []).append(
+            [floor(float(x) * 1_000_000.0) for x in vec]
+        )
+    dims = len(next(iter(by_label.values()))[0])
+    g_sum = [0] * dims
+    g_n = 0
+    for vecs in by_label.values():
+        for v in vecs:
+            for d in range(dims):
+                g_sum[d] += v[d]
+        g_n += len(vecs)
+
+    def int_mean(s, n):
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
+    mg = [int_mean(g_sum[d], g_n) for d in range(dims)]
+    den_g = sum(x * x for x in mg)
+    for label, vecs in by_label.items():
+        n = len(vecs)
+        m = [int_mean(sum(v[d] for v in vecs), n) for d in range(dims)]
+        num = sum(m[d] * mg[d] for d in range(dims))
+        den_l = sum(x * x for x in m)
+        row = out.loc[label]
+        assert int(row["n_vecs"]) == n
+        if den_l == 0 or den_g == 0:
+            assert row["cos2_e8"] is None or np.isnan(row["cos2_e8"])
+        else:
+            q = num * num * 100_000_000 // (den_l * den_g)
+            expect = q if num >= 0 else -q
+            assert int(row["cos2_e8"]) == expect
+            # squared cosine magnitude can't exceed 1e8
+            assert abs(int(row["cos2_e8"])) <= 100_000_000
+
+
+def test_centroid_drift_detects_shifted_label(spark):
+    # sanity: labels are random-ish in the fixture, so every centroid
+    # should be broadly aligned with the global mean (positive cos2)
+    out = _pdf("embedding_centroid_drift", spark)
+    assert (out["cos2_e8"].dropna() > 0).all()
