@@ -92,6 +92,7 @@ def _cc_label(
         .persist()
     )
     rounds = 0
+    converged = False
     for _ in range(max_iterations):
         rounds += 1
         neighbor_min = (
@@ -118,10 +119,23 @@ def _cc_label(
         labels.unpersist()
         labels = stepped.drop("__changed")
         if stepped.filter(F.col("__changed")).limit(1).count() == 0:
+            converged = True
             break
     sym.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
+    if not converged:
+        # Silent truncation returns WRONG components (split clusters) —
+        # found the hard way: grid-DBSCAN's core-core graph at sf0.1
+        # has diameter > 25, and the capped labels reported 30 clusters
+        # where the true closure has 28. Min-label rounds track graph
+        # DIAMETER; for long-chain graphs use algorithm="star"
+        # (O(log n) rounds) or raise max_iterations explicitly.
+        raise ValueError(
+            f"connected_components(label) did not converge in "
+            f"{max_iterations} rounds — the graph diameter exceeds the "
+            f"cap; use algorithm='star' or raise max_iterations"
+        )
     return labels
 
 
@@ -156,6 +170,7 @@ def _cc_star(
     # convergence check costs ONE count job per round, not two.
     e_count = None
     rounds = 0
+    converged = False
     for _ in range(max_iterations):
         rounds += 1
         # Large-star over full neighborhoods (both directions).
@@ -195,9 +210,20 @@ def _cc_star(
         e = small.persist()
         old.unpersist()
         if not changed:
+            converged = True
             break
     if stats is not None:
         stats["rounds"] = rounds
+    if not converged:
+        # Same loud-failure contract as the label path: a capped result
+        # is a WRONG result (non-star residual edges mislabel nodes).
+        # Star needs O(log n) rounds, so 25 covers ~2^25 vertices — if
+        # this fires the graph is astronomically deep or the cap was
+        # lowered; raise max_iterations.
+        raise ValueError(
+            f"connected_components(star) did not converge in "
+            f"{max_iterations} rounds; raise max_iterations"
+        )
     # Fixed point is a union of stars: non-roots each hold exactly one
     # edge to their component's min vertex; roots label themselves.
     labels = e.select(F.col("u").alias("id"), F.col("v").alias("component"))

@@ -870,6 +870,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_llm  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_llm2  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_llm3  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_density  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_prep  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_seq  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_stats  # noqa: F401
@@ -941,6 +942,9 @@ _DRIVER_FIRST = [
     "theil_sen_slope",
     "unigram_tv_drift",
     "embedding_centroid_drift",
+    # Grid-blocked DBSCAN (plans/queries_density.py) — the density
+    # clustering family; one more fill slot displaced below.
+    "dbscan_grid_clusters",
 ]
 
 # Re-confirmation fill (VERDICT r06 #3, order pinned by the judge): the
@@ -984,9 +988,9 @@ _DRIVER_FILL = [
     "ivfpq_recall_at_k",
     "grouped_median_scalable",
     "exact_percentiles_scalable",
-    "hll_intersection_estimate",
-    # (jl_recall_at_k .. chunk_dedup_stats — the four r03-queue slots
-    # displaced by the late-r07 trend-family additions — and
+    # (hll_intersection_estimate and jl_recall_at_k ..
+    # chunk_dedup_stats — the five r03-queue slots displaced by the
+    # late-r07 trend-family + DBSCAN additions — and
     # tfidf_topk_terms .. mad_outliers and hilbert_layout — the six
     # slots displaced by the late r07 re-gates (chisq + the five
     # kernel co-location queries) — head the rotated-out queue below
@@ -1006,6 +1010,7 @@ _DRIVER_ROTATED_OUT = [
     # Ordered oldest-row-first: the remaining r03 rows lead (the r08
     # re-confirmation queue, streaming drains included), then r04, r05,
     # and the r06-gated rows.
+    "hll_intersection_estimate",
     "jl_recall_at_k",
     "resample_hourly_gapfill",
     "grouped_linreg_trend",

@@ -1,0 +1,160 @@
+"""Grid-blocked DBSCAN: brute-force replay, semantics units, and the
+connected-components loud-cap contract the operator depends on.
+
+The replay recomputes DBSCAN independently (numpy all-pairs distances +
+union-find over core-core edges — no grid, no SQL), so a shared
+misconception between the grid blocking and the oracle's replay of it
+cannot hide.
+"""
+
+import numpy as np
+import pytest
+
+from reddit_data_pipeline_engineering_spark.operators import density
+from reddit_data_pipeline_engineering_spark.operators.components import (
+    connected_components,
+)
+from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, queries
+
+from .conftest import SF_SMALL
+
+queries()  # force registration
+
+EPS, MIN_PTS = 15_000, 4
+
+
+def _brute_dbscan(ids, P, eps, min_pts):
+    """Returns ({cluster: (n_core, n_border)}, n_noise)."""
+    n = len(ids)
+    d2 = ((P[:, None, :].astype(np.int64) - P[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    adj = d2 <= eps * eps
+    core = (adj.sum(1) + 1) >= min_pts
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in zip(*np.nonzero(adj & core[:, None] & core[None, :])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in range(n):
+        if core[i]:
+            comp.setdefault(find(i), []).append(i)
+    # cluster label = min vec_id among the component's cores
+    label_of_root = {r: min(ids[i] for i in members) for r, members in comp.items()}
+    clusters = {
+        lbl: [len(members), 0]
+        for r, members in comp.items()
+        for lbl in [label_of_root[r]]
+    }
+    n_noise = 0
+    for i in range(n):
+        if core[i]:
+            continue
+        core_nbrs = [j for j in np.nonzero(adj[i])[0] if core[j]]
+        if not core_nbrs:
+            n_noise += 1
+            continue
+        lbl = min(label_of_root[find(j)] for j in core_nbrs)
+        clusters[lbl][1] += 1
+    return clusters, n_noise
+
+
+def test_dbscan_matches_bruteforce(spark):
+    out = REGISTRY["dbscan_grid_clusters"].fn(spark, SF_SMALL).collect()
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding[1], embedding[2] FROM "
+        f"'{SF_SMALL}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    P = np.array(
+        [
+            [int(np.floor(r[1] * 1e6)), int(np.floor(r[2] * 1e6))]
+            for r in rows
+        ]
+    )
+    clusters, n_noise = _brute_dbscan(ids, P, EPS, MIN_PTS)
+    got = {r["cluster"]: (r["n_core"], r["n_border"]) for r in out}
+    assert got.pop(-1) == (0, n_noise)
+    assert got == {k: tuple(v) for k, v in clusters.items()}
+    # non-degenerate fixture: real structure at this eps/min_pts
+    assert len(clusters) >= 5 and n_noise > 0
+
+
+def _pts_df(spark, pts):
+    return spark.createDataFrame(
+        [(i, int(x), int(y)) for i, (x, y) in enumerate(pts)],
+        "vec_id long, x long, y long",
+    )
+
+
+def test_dbscan_semantics_units(spark):
+    # Tight square of 4 (mutual eps-neighbors, all core at min_pts=4),
+    # one border point near a corner (3 neighbors -> non-core, within
+    # eps of a core), one far noise point.
+    sq = [(0, 0), (100, 0), (0, 100), (100, 100)]
+    border = (240, 0)        # within eps=150 of (100, 0) only
+    noise = (10_000_000, 10_000_000)
+    df = _pts_df(spark, sq + [border, noise])
+    out = {
+        r["cluster"]: (r["n_core"], r["n_border"])
+        for r in density.dbscan_grid(
+            df, "vec_id", "x", "y", eps=150, min_pts=4
+        ).collect()
+    }
+    assert out == {0: (4, 1), -1: (0, 1)}
+
+
+def test_dbscan_negative_coordinates_cell_floor(spark):
+    # Straddle the origin: floor-division cells must not split the
+    # neighborhood (trunc-toward-zero would put -1 and +1 in the SAME
+    # cell 0 and break the 3x3 invariant elsewhere). Points within eps
+    # across the axis must still pair up.
+    pts = [(-100, -100), (100, 100), (-100, 100), (100, -100)]
+    df = _pts_df(spark, pts)
+    out = {
+        r["cluster"]: (r["n_core"], r["n_border"])
+        for r in density.dbscan_grid(
+            df, "vec_id", "x", "y", eps=500, min_pts=4
+        ).collect()
+    }
+    # all four mutually within eps=500 (max dist 283) -> one cluster
+    assert out == {0: (4, 0), -1: (0, 0)}
+
+
+def test_dbscan_two_separate_clusters_and_min_labels(spark):
+    a = [(0, 0), (10, 0), (0, 10), (10, 10)]
+    b = [(100_000, 0), (100_010, 0), (100_000, 10), (100_010, 10)]
+    df = _pts_df(spark, a + b)
+    out = {
+        r["cluster"]: (r["n_core"], r["n_border"])
+        for r in density.dbscan_grid(
+            df, "vec_id", "x", "y", eps=50, min_pts=4
+        ).collect()
+    }
+    assert out == {0: (4, 0), 4: (4, 0), -1: (0, 0)}
+
+
+def test_label_cc_raises_loudly_past_diameter_cap(spark):
+    # A 40-node chain has diameter 39 > max_iterations=10: the label
+    # path must FAIL LOUDLY, never return silently-split components
+    # (the DBSCAN sf0.1 lesson: capped labels reported 30 clusters
+    # where the true closure has 28).
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "a long, b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(edges, "a", "b", max_iterations=10).collect()
+    # star contracts the same chain fine within the default cap
+    comp = connected_components(
+        edges, "a", "b", algorithm="star"
+    ).collect()
+    assert {r["component"] for r in comp} == {0}

@@ -227,7 +227,7 @@ def test_driver_gate_ordering():
         # Late-r07 additions (new queries need a driver row): the
         # nonparametric trend/drift family.
         "mann_kendall_trend", "theil_sen_slope", "unigram_tv_drift",
-        "embedding_centroid_drift",
+        "embedding_centroid_drift", "dbscan_grid_clusters",
     ]
     assert _DRIVER_FIRST == must_gate
     pinned_r02 = [
@@ -245,7 +245,7 @@ def test_driver_gate_ordering():
         "zscore_outliers", "topn_per_group", "props_struct_parse",
         "hll_grouped_distinct",
     ]
-    assert len(_DRIVER_FILL) == 38  # 42 - the four trend-family slots
+    assert len(_DRIVER_FILL) == 37  # 42 - trend family (4) - DBSCAN (1)
     # Streaming tail empty: the only streaming query needing a fresh row
     # leads the gate by judge instruction; no other changed.
     assert _DRIVER_TAIL_STREAMING == []
@@ -253,7 +253,8 @@ def test_driver_gate_ordering():
     # r03 fill slots displaced by the trend-family additions lead, then
     # the six displaced by the late r07 re-gates, in r03 file order,
     # then the remaining r03 rows.
-    assert _DRIVER_ROTATED_OUT[:12] == [
+    assert _DRIVER_ROTATED_OUT[:13] == [
+        "hll_intersection_estimate",
         "jl_recall_at_k", "resample_hourly_gapfill",
         "grouped_linreg_trend", "chunk_dedup_stats",
         "tfidf_topk_terms", "incremental_dedup", "bpe_merge_learn",

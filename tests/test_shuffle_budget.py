@@ -85,6 +85,10 @@ BUDGETS = {
     "decontaminate_ngrams": 3,
     "dedup_best_survivor": 2,
     "dedup_quality_shift": 4,
+    # Returned plan reads the checkpointed pairs/comp/border relations
+    # (the star-contraction rounds run during construction, like
+    # pagerank); budget = the cluster/border/noise rollups + final sort.
+    "dbscan_grid_clusters": 7,
     "dup_clusters": 1,
     "dup_clusters_star": 3,
     # spread + content-hash window + per-doc run window + output sort
