@@ -96,65 +96,87 @@ def _pts_df(spark, pts):
     )
 
 
-def test_dbscan_semantics_units(spark):
-    # Tight square of 4 (mutual eps-neighbors, all core at min_pts=4),
-    # one border point near a corner (3 neighbors -> non-core, within
-    # eps of a core), one far noise point.
+from concurrent.futures import ThreadPoolExecutor as _TPE  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def dbscan_outcomes(spark):
+    """Run the four independent synthetic cases concurrently (each is a
+    tiny graph whose cost is all scheduling latency — the pooled-fixture
+    pattern of test_components.py)."""
+
+    def run(pts, eps, min_pts):
+        return {
+            r["cluster"]: (r["n_core"], r["n_border"])
+            for r in density.dbscan_grid(
+                _pts_df(spark, pts), "vec_id", "x", "y",
+                eps=eps, min_pts=min_pts,
+            ).collect()
+        }
+
     sq = [(0, 0), (100, 0), (0, 100), (100, 100)]
-    border = (240, 0)        # within eps=150 of (100, 0) only
-    noise = (10_000_000, 10_000_000)
-    df = _pts_df(spark, sq + [border, noise])
-    out = {
-        r["cluster"]: (r["n_core"], r["n_border"])
-        for r in density.dbscan_grid(
-            df, "vec_id", "x", "y", eps=150, min_pts=4
-        ).collect()
+    cases = {
+        # Tight square of 4 (all core at min_pts=4), one border point
+        # within eps=150 of (100, 0) only, one far noise point.
+        "units": lambda: run(
+            sq + [(240, 0), (10_000_000, 10_000_000)], 150, 4
+        ),
+        # Straddle the origin: floor-division cells must not split the
+        # neighborhood (trunc-toward-zero would put -1 and +1 in the
+        # SAME cell 0 and break the 3x3 invariant elsewhere).
+        "negative": lambda: run(
+            [(-100, -100), (100, 100), (-100, 100), (100, -100)], 500, 4
+        ),
+        "two_clusters": lambda: run(
+            [(0, 0), (10, 0), (0, 10), (10, 10),
+             (100_000, 0), (100_010, 0), (100_000, 10), (100_010, 10)],
+            50, 4,
+        ),
+        # A 40-node chain has diameter 39 > max_iterations=10: the
+        # label path must FAIL LOUDLY, never return silently-split
+        # components (the DBSCAN sf0.1 lesson: capped labels reported
+        # 30 clusters where the true closure has 28). Star contracts
+        # the same chain fine within the default cap.
+        "chain": lambda: _chain_case(spark),
     }
-    assert out == {0: (4, 1), -1: (0, 1)}
+    with _TPE(max_workers=4) as ex:
+        futs = {k: ex.submit(v) for k, v in cases.items()}
+        return {k: f.result() for k, f in futs.items()}
 
 
-def test_dbscan_negative_coordinates_cell_floor(spark):
-    # Straddle the origin: floor-division cells must not split the
-    # neighborhood (trunc-toward-zero would put -1 and +1 in the SAME
-    # cell 0 and break the 3x3 invariant elsewhere). Points within eps
-    # across the axis must still pair up.
-    pts = [(-100, -100), (100, 100), (-100, 100), (100, -100)]
-    df = _pts_df(spark, pts)
-    out = {
-        r["cluster"]: (r["n_core"], r["n_border"])
-        for r in density.dbscan_grid(
-            df, "vec_id", "x", "y", eps=500, min_pts=4
-        ).collect()
-    }
-    # all four mutually within eps=500 (max dist 283) -> one cluster
-    assert out == {0: (4, 0), -1: (0, 0)}
-
-
-def test_dbscan_two_separate_clusters_and_min_labels(spark):
-    a = [(0, 0), (10, 0), (0, 10), (10, 10)]
-    b = [(100_000, 0), (100_010, 0), (100_000, 10), (100_010, 10)]
-    df = _pts_df(spark, a + b)
-    out = {
-        r["cluster"]: (r["n_core"], r["n_border"])
-        for r in density.dbscan_grid(
-            df, "vec_id", "x", "y", eps=50, min_pts=4
-        ).collect()
-    }
-    assert out == {0: (4, 0), 4: (4, 0), -1: (0, 0)}
-
-
-def test_label_cc_raises_loudly_past_diameter_cap(spark):
-    # A 40-node chain has diameter 39 > max_iterations=10: the label
-    # path must FAIL LOUDLY, never return silently-split components
-    # (the DBSCAN sf0.1 lesson: capped labels reported 30 clusters
-    # where the true closure has 28).
+def _chain_case(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(39)], "a long, b long"
     )
-    with pytest.raises(ValueError, match="did not converge"):
+    try:
         connected_components(edges, "a", "b", max_iterations=10).collect()
-    # star contracts the same chain fine within the default cap
-    comp = connected_components(
-        edges, "a", "b", algorithm="star"
-    ).collect()
-    assert {r["component"] for r in comp} == {0}
+        label_raised = False
+    except ValueError as e:
+        label_raised = "did not converge" in str(e)
+    comps = {
+        r["component"]
+        for r in connected_components(
+            edges, "a", "b", algorithm="star"
+        ).collect()
+    }
+    return {"label_raised": label_raised, "star_components": comps}
+
+
+def test_dbscan_semantics_units(dbscan_outcomes):
+    assert dbscan_outcomes["units"] == {0: (4, 1), -1: (0, 1)}
+
+
+def test_dbscan_negative_coordinates_cell_floor(dbscan_outcomes):
+    # all four mutually within eps=500 (max dist 283) -> one cluster
+    assert dbscan_outcomes["negative"] == {0: (4, 0), -1: (0, 0)}
+
+
+def test_dbscan_two_separate_clusters_and_min_labels(dbscan_outcomes):
+    assert dbscan_outcomes["two_clusters"] == {
+        0: (4, 0), 4: (4, 0), -1: (0, 0),
+    }
+
+
+def test_label_cc_raises_loudly_past_diameter_cap(dbscan_outcomes):
+    assert dbscan_outcomes["chain"]["label_raised"] is True
+    assert dbscan_outcomes["chain"]["star_components"] == {0}
