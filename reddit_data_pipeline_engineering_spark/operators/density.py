@@ -59,39 +59,40 @@ def _floor_div_expr(name: str, k: int) -> str:
     )
 
 
-def dbscan_grid(
-    points: DataFrame,
-    id_col: str,
-    x_col: str,
-    y_col: str,
-    eps: int,
-    min_pts: int,
-    algorithm: str = "star",
+def grid_cells(
+    points: DataFrame, id_col: str, x_col: str, y_col: str, side: int
 ) -> DataFrame:
-    """DBSCAN over integer-grid 2-D points.
-
-    Returns one row per cluster ``(cluster, n_core, n_border)`` with
-    ``cluster`` = min core id (deterministic label), plus one noise
-    bucket row ``(-1, 0, n_noise)`` — non-core points within eps of no
-    core. Cluster membership of border points uses the minimum
-    adjacent core component.
-    """
-    eps2 = eps * eps
-    base = points.select(
+    """(id, x, y, cx, cy) with flooring cell assignment of side ``side``."""
+    return points.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
     ).withColumns(
         {
-            "cx": F.expr(_floor_div_expr("x", eps)),
-            "cy": F.expr(_floor_div_expr("y", eps)),
+            "cx": F.expr(_floor_div_expr("x", side)),
+            "cy": F.expr(_floor_div_expr("y", side)),
         }
     )
-    # base fans out to the replicated side, the probe side, the core
-    # flagging and the noise count — store the scan + cell derivation
-    # once. Stored rows = input points (one pass, columnar).
-    base = base.localCheckpoint(eager=False)
 
+
+def neighbor_pairs(
+    base: DataFrame, radius: int, anchors: DataFrame | None = None
+) -> DataFrame:
+    """All ordered pairs (a, b, d2) with 0 < dist^2 <= radius^2.
+
+    ``base`` must be a `grid_cells` relation with cell side == radius:
+    every within-radius neighbor then lies in the 3x3 cell
+    neighborhood, so a map-side x9 replication + ONE cell equi-join
+    finds each ordered pair exactly once (each point has exactly one
+    home cell). The x9 fan-out is map-side; the join fan-out is bounded
+    by in-cell density.
+
+    ``anchors`` (a subset of ``base``, same schema) restricts the LEFT
+    side: pairs are found for anchor points only, measured against the
+    FULL base — the unbiased bounded-cost shape for per-point
+    diagnostics (k-dist calibration) where the anchor set is a sample
+    but neighborhood density must be the true corpus density.
+    """
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -99,7 +100,7 @@ def dbscan_grid(
             for dy in (-1, 0, 1)
         ]
     )
-    rep = base.select(
+    rep = (anchors if anchors is not None else base).select(
         F.col("id").alias("a"),
         F.col("x").alias("ax"),
         F.col("y").alias("ay"),
@@ -120,16 +121,42 @@ def dbscan_grid(
         F.col("cx").alias("jx"),
         F.col("cy").alias("jy"),
     )
-    pairs = (
+    return (
         rep.join(probe, ["jx", "jy"])
         .filter(F.col("a") != F.col("b"))
-        .filter(
+        .withColumn(
+            "d2",
             (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
-            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
-            <= F.lit(eps2)
+            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")),
         )
-        .select("a", "b")
+        .filter(F.col("d2") <= F.lit(radius * radius))
+        .select("a", "b", "d2")
     )
+
+
+def dbscan_grid(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int,
+    min_pts: int,
+    algorithm: str = "star",
+) -> DataFrame:
+    """DBSCAN over integer-grid 2-D points.
+
+    Returns one row per cluster ``(cluster, n_core, n_border)`` with
+    ``cluster`` = min core id (deterministic label), plus one noise
+    bucket row ``(-1, 0, n_noise)`` — non-core points within eps of no
+    core. Cluster membership of border points uses the minimum
+    adjacent core component.
+    """
+    base = grid_cells(points, id_col, x_col, y_col, eps)
+    # base fans out to the replicated side, the probe side, the core
+    # flagging and the noise count — store the scan + cell derivation
+    # once. Stored rows = input points (one pass, columnar).
+    base = base.localCheckpoint(eager=False)
+    pairs = neighbor_pairs(base, eps).select("a", "b")
     # pairs feeds neighbor counts, core-core edges AND border
     # assignment; materialize the cell join once. Stored rows are the
     # true eps-neighbor pairs — density-bounded, never cells^2.

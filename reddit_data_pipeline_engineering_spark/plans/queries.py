@@ -943,8 +943,11 @@ _DRIVER_FIRST = [
     "unigram_tv_drift",
     "embedding_centroid_drift",
     # Grid-blocked DBSCAN (plans/queries_density.py) — the density
-    # clustering family; one more fill slot displaced below.
+    # clustering family — plus its eps-calibration companion and the
+    # k-means separation audit; three more fill slots displaced below.
     "dbscan_grid_clusters",
+    "kdist_eps_calibration",
+    "kmeans_silhouette_audit",
 ]
 
 # Re-confirmation fill (VERDICT r06 #3, order pinned by the judge): the
@@ -986,11 +989,10 @@ _DRIVER_FILL = [
     "grouped_median_approx",
     "ivfpq_topk",
     "ivfpq_recall_at_k",
-    "grouped_median_scalable",
-    "exact_percentiles_scalable",
-    # (hll_intersection_estimate and jl_recall_at_k ..
-    # chunk_dedup_stats — the five r03-queue slots displaced by the
-    # late-r07 trend-family + DBSCAN additions — and
+    # (grouped_median_scalable, exact_percentiles_scalable,
+    # hll_intersection_estimate and jl_recall_at_k ..
+    # chunk_dedup_stats — the seven r03-queue slots displaced by the
+    # late-r07 trend-family + density-family additions — and
     # tfidf_topk_terms .. mad_outliers and hilbert_layout — the six
     # slots displaced by the late r07 re-gates (chisq + the five
     # kernel co-location queries) — head the rotated-out queue below
@@ -1010,6 +1012,8 @@ _DRIVER_ROTATED_OUT = [
     # Ordered oldest-row-first: the remaining r03 rows lead (the r08
     # re-confirmation queue, streaming drains included), then r04, r05,
     # and the r06-gated rows.
+    "grouped_median_scalable",
+    "exact_percentiles_scalable",
     "hll_intersection_estimate",
     "jl_recall_at_k",
     "resample_hourly_gapfill",

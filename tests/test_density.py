@@ -180,3 +180,102 @@ def test_dbscan_two_separate_clusters_and_min_labels(dbscan_outcomes):
 def test_label_cc_raises_loudly_past_diameter_cap(dbscan_outcomes):
     assert dbscan_outcomes["chain"]["label_raised"] is True
     assert dbscan_outcomes["chain"]["star_components"] == {0}
+
+
+def test_kdist_calibration_matches_bruteforce(spark):
+    import duckdb
+    import hashlib
+    from reddit_data_pipeline_engineering_spark.plans.queries_density import (
+        _KD_ANCHOR_PCT,
+        _KD_K,
+        _KD_R,
+    )
+
+    out = {
+        r["bucket"]: (r["r_frac_bp"], r["n_points"])
+        for r in REGISTRY["kdist_eps_calibration"].fn(spark, SF_SMALL).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding[1], embedding[2] FROM "
+        f"'{SF_SMALL}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    P = np.array(
+        [[int(np.floor(r[1] * 1e6)), int(np.floor(r[2] * 1e6))] for r in rows]
+    )
+    d2 = ((P[:, None, :].astype(np.int64) - P[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+
+    def is_anchor(vid):
+        h = hashlib.md5(str(vid).encode()).hexdigest()[:8]
+        return int(h, 16) % 100 < _KD_ANCHOR_PCT
+
+    hist = {}
+    censored = 0
+    n_anchors = 0
+    for i in range(len(P)):
+        if not is_anchor(ids[i]):
+            continue
+        n_anchors += 1
+        within = np.sort(d2[i][d2[i] <= _KD_R * _KD_R])
+        if len(within) < _KD_K:
+            censored += 1
+            continue
+        kd2 = int(within[_KD_K - 1])
+        b = next(
+            j for j in range(1, 11) if kd2 * 100 <= _KD_R * _KD_R * j * j
+        )
+        hist[b] = hist.get(b, 0) + 1
+    assert 0 < n_anchors < len(P)  # the sample is real and proper
+    expect = {b: (b * 1000, n) for b, n in hist.items()}
+    expect[11] = (-1, censored)
+    assert out == expect
+    # non-degenerate: both measured and censored mass exist
+    assert censored > 0 and sum(hist.values()) > 0
+
+
+def test_kmeans_silhouette_matches_numpy(spark):
+    import duckdb
+    from reddit_data_pipeline_engineering_spark.operators import kmeans
+    from reddit_data_pipeline_engineering_spark.plans.queries_llm import (
+        _KM_ITERS,
+        _KM_K,
+        _fit_sample,
+    )
+    from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+    out = {
+        r["cluster"]: (r["n_points"], r["mean_sep_bp"])
+        for r in REGISTRY["kmeans_silhouette_audit"].fn(spark, SF_SMALL).collect()
+    }
+    # independent replay of assignment + scoring from the fitted model
+    # (the fit itself is covered by the kmeans suite and the unrolled-
+    # CTE oracle): numpy exact integer distances on the same grid.
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = np.array(
+        kmeans.kmeans_fit(
+            _fit_sample(emb), "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS
+        ),
+        dtype=np.int64,
+    )
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_SMALL}/embeddings.parquet' "
+        f"ORDER BY vec_id"
+    ).fetchall()
+    Q = np.array(
+        [[int(np.floor(float(x) * 16384.0)) for x in r[1]] for r in rows],
+        dtype=np.int64,
+    )
+    agg = {}
+    for q in Q:
+        d2 = (((q * 64)[None, :] - cents) ** 2).sum(1)
+        order = np.lexsort((np.arange(len(cents)), d2))
+        c1, c2 = order[0], order[1]
+        d1, dd2 = int(d2[c1]), int(d2[c2])
+        sep = 0 if dd2 == 0 else (dd2 - d1) * 10000 // dd2
+        n, s = agg.get(c1, (0, 0))
+        agg[c1] = (n + 1, s + sep)
+    expect = {c: (n, s // n) for c, (n, s) in agg.items()}
+    assert out == expect
+    # separation scores live on the documented [0, 1e4] scale
+    assert all(0 <= v[1] <= 10000 for v in out.values())

@@ -164,6 +164,14 @@ BUDGETS = {
     # Above the threshold the peel switches to bounded storage and the
     # returned plan is the collected stats (budget would be 1).
     "kcore_peel_counts": 13,
+    # anchor-sampled pair join + per-anchor selection window + bounded
+    # histogram rollup + final sort (the checkpointed grid cells serve
+    # both join sides and the censored-count branch).
+    "kdist_eps_calibration": 4,
+    # map-side scoring against the broadcast centroid model (the Lloyd
+    # fit runs during construction); budget = the cluster rollup +
+    # final sort.
+    "kmeans_silhouette_audit": 2,
     # the (source, len) count subtree prints under all five consumers
     # (srcs/vals/all_c/tot/grid — identical subtrees, runtime-reused);
     # real movement is the count shuffle, the bounded grid build, the
