@@ -766,3 +766,150 @@ def ks_drift_from_counts(cnt: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test A/B audit (r07) — the experimentation-warehouse
+# primitive next to the drift family: users are split into two variants
+# by the deterministic md5 bucket (engine/rerun/cluster-size invariant,
+# the same device as the split queries), per-user conversion flags are
+# ONE user-keyed aggregate, and the pooled two-proportion z-test runs
+# integer-exactly with cleared denominators:
+#
+#   d   = c_a*n_b - c_b*n_a          (scaled p_a - p_b)
+#   z^2 = d^2 * N / (n_a*n_b*C*(N-C))   with C = c_a+c_b, N = n_a+n_b
+#   z2_bp = d^2 * N * 1e4 div (n_a*n_b*C*(N-C))  -> flag at 38416 (1.96^2)
+#
+# Products run in DECIMAL(38,0)/HUGEINT: d^2*N*1e4 caps exact arms at
+# ~1e6 users under worst-case imbalance (d ~ n_a*n_b); beyond, pre-scale
+# the per-arm counts (divide all four by a common factor — the statistic
+# is scale-invariant up to the truncation grid). One row per conversion
+# metric (purchase, signup).
+# --------------------------------------------------------------------------
+
+_AB_METRICS = ("purchase", "signup")
+_AB_BUCKET_SQL = (
+    "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2"
+)
+
+_AB_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN {_AB_BUCKET_SQL} = 0 THEN 'A' ELSE 'B' END AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup
+  FROM events GROUP BY 1
+),
+arms AS (
+  SELECT variant, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(purchase) AS HUGEINT) AS conv_purchase,
+         CAST(SUM(signup) AS HUGEINT) AS conv_signup
+  FROM per_user GROUP BY 1
+),
+m AS (
+  SELECT 'purchase' AS metric, a.n AS n_a, a.conv_purchase AS c_a,
+         b.n AS n_b, b.conv_purchase AS c_b
+  FROM arms a JOIN arms b ON a.variant = 'A' AND b.variant = 'B'
+  UNION ALL
+  SELECT 'signup', a.n, a.conv_signup, b.n, b.conv_signup
+  FROM arms a JOIN arms b ON a.variant = 'A' AND b.variant = 'B'
+)
+SELECT metric,
+       CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
+       CAST(CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0 ELSE
+         (c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a)
+         * (n_a + n_b) * 10000
+         // (n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)) END
+         AS BIGINT) AS z2_bp,
+       CAST(CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0 ELSE
+         CASE WHEN (c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a)
+                   * (n_a + n_b) * 10000
+                   // (n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b))
+                   > 38416 THEN 1 ELSE 0 END END AS INTEGER) AS significant
+FROM m ORDER BY metric
+"""
+
+
+@query(
+    "ab_conversion_ztest",
+    _AB_ORACLE,
+    "Two-proportion z-test A/B audit: deterministic md5 user split, "
+    "per-user conversion flags in ONE user-keyed aggregate, pooled "
+    "z^2 in bp with cleared denominators (DECIMAL(38,0)) and the 5% "
+    "significance flag; one row per conversion metric",
+    tags=("relational", "stats", "bench"),
+)
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        md5_bucket,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.when(F.col("event_type") == m, 1).otherwise(0)
+            ).alias(m)
+            for m in _AB_METRICS
+        ]
+    ).withColumn(
+        "variant",
+        F.when(md5_bucket("user_id", 2) == 0, F.lit("A")).otherwise(
+            F.lit("B")
+        ),
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        *[
+            F.sum(m).cast("decimal(38,0)").alias(f"conv_{m}")
+            for m in _AB_METRICS
+        ],
+    )
+    # arms (2 rows) fans out to the A side, the B side, and both metric
+    # branches — store it once so the user-keyed aggregate runs once.
+    arms = arms.localCheckpoint(eager=False)
+    a = arms.filter(F.col("variant") == "A").select(
+        F.col("n").alias("n_a"),
+        *[F.col(f"conv_{m}").alias(f"ca_{m}") for m in _AB_METRICS],
+    )
+    b = arms.filter(F.col("variant") == "B").select(
+        F.col("n").alias("n_b"),
+        *[F.col(f"conv_{m}").alias(f"cb_{m}") for m in _AB_METRICS],
+    )
+    rows = None
+    for m in _AB_METRICS:
+        r = (
+            a.crossJoin(b)
+            .select(
+                F.lit(m).alias("metric"),
+                F.col("n_a"),
+                F.col(f"ca_{m}").alias("c_a"),
+                F.col("n_b"),
+                F.col(f"cb_{m}").alias("c_b"),
+            )
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    z2 = F.expr(
+        "cast(case when c_a + c_b = 0 or c_a + c_b = n_a + n_b then 0 else "
+        "  (c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a) "
+        "  * (n_a + n_b) * 10000 "
+        "  div (n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)) "
+        "end as long)"
+    )
+    return (
+        rows.withColumn("z2_bp", z2)
+        .select(
+            "metric",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("c_a").cast("long").alias("conv_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("c_b").cast("long").alias("conv_b"),
+            "z2_bp",
+            F.when(F.col("z2_bp") > 38416, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("significant"),
+        )
+        .orderBy("metric")
+    )

@@ -32,6 +32,9 @@ from .conftest import SF_SMALL
 queries()  # force registration
 
 BUDGETS = {
+    # per-user conversion aggregate materialized once into the 2-row
+    # checkpointed arms relation; everything downstream is broadcast.
+    "ab_conversion_ztest": 1,
     "acf_lag_profile": 4,
     "active_semijoin": 1,
     "aqi_bundle": 1,

@@ -397,3 +397,36 @@ def test_ks_drift_decimal_survives_2_63_overflow(spark):
     ).fetchall()
     for s, d_num, ppm in rows:
         assert got[s][3] == d_num and got[s][4] == ppm
+
+
+def test_ab_ztest_replay(spark, events_pdf):
+    import hashlib
+
+    out = _pdf("ab_conversion_ztest", spark).set_index("metric")
+    flags = {}
+    for _, r in events_pdf.iterrows():
+        u = int(r["user_id"])
+        d = flags.setdefault(u, {"purchase": 0, "signup": 0})
+        if r["event_type"] in d:
+            d[r["event_type"]] = 1
+    arms = {"A": [0, 0, 0], "B": [0, 0, 0]}  # n, conv_purchase, conv_signup
+    for u, d in flags.items():
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        v = "A" if h == 0 else "B"
+        arms[v][0] += 1
+        arms[v][1] += d["purchase"]
+        arms[v][2] += d["signup"]
+    for mi, metric in enumerate(("purchase", "signup"), start=1):
+        n_a, n_b = arms["A"][0], arms["B"][0]
+        c_a, c_b = arms["A"][mi], arms["B"][mi]
+        row = out.loc[metric]
+        assert (int(row["n_a"]), int(row["conv_a"])) == (n_a, c_a)
+        assert (int(row["n_b"]), int(row["conv_b"])) == (n_b, c_b)
+        C, N = c_a + c_b, n_a + n_b
+        if C == 0 or C == N:
+            expect = 0
+        else:
+            d = c_a * n_b - c_b * n_a
+            expect = d * d * N * 10000 // (n_a * n_b * C * (N - C))
+        assert int(row["z2_bp"]) == expect
+        assert int(row["significant"]) == int(expect > 38416)
