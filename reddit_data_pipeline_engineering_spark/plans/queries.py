@@ -951,6 +951,9 @@ _DRIVER_FIRST = [
     # Two-proportion z-test A/B audit (plans/queries_stats.py) — the
     # experimentation primitive; one more fill slot displaced below.
     "ab_conversion_ztest",
+    # BPE encode-apply (plans/queries_llm2.py) — the apply half of the
+    # tokenizer loop; one more fill slot displaced below.
+    "bpe_encode_apply",
 ]
 
 # Re-confirmation fill (VERDICT r06 #3, order pinned by the judge): the
@@ -990,12 +993,11 @@ _DRIVER_FILL = [
     "copurchase_pairs",
     "sliding_window_rollup",
     "grouped_median_approx",
-    "ivfpq_topk",
-    # (ivfpq_recall_at_k, grouped_median_scalable,
+    # (ivfpq_topk, ivfpq_recall_at_k, grouped_median_scalable,
     # exact_percentiles_scalable, hll_intersection_estimate and
-    # jl_recall_at_k .. chunk_dedup_stats — the eight r03-queue slots
-    # displaced by the late-r07 trend/density/experimentation
-    # additions — and
+    # jl_recall_at_k .. chunk_dedup_stats — the nine r03-queue slots
+    # displaced by the late-r07 trend/density/experimentation/
+    # tokenizer additions — and
     # tfidf_topk_terms .. mad_outliers and hilbert_layout — the six
     # slots displaced by the late r07 re-gates (chisq + the five
     # kernel co-location queries) — head the rotated-out queue below
@@ -1015,6 +1017,7 @@ _DRIVER_ROTATED_OUT = [
     # Ordered oldest-row-first: the remaining r03 rows lead (the r08
     # re-confirmation queue, streaming drains included), then r04, r05,
     # and the r06-gated rows.
+    "ivfpq_topk",
     "ivfpq_recall_at_k",
     "grouped_median_scalable",
     "exact_percentiles_scalable",

@@ -815,3 +815,119 @@ def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.doc_id").cast("long").alias("survivor_doc_id"),
         F.col("best.n_chars").cast("long").alias("survivor_chars"),
     ).orderBy("h")
+
+
+# --------------------------------------------------------------------------
+# BPE encode-apply (r07) — the APPLY half of the tokenizer loop
+# bpe_merge_learn induces: fit the same 3 deterministic merges in-plan
+# (no driver collect — identical _bpe_best/_bpe_apply rounds), apply
+# ALL of them to the spelled vocabulary, and report what the learned
+# tokenizer buys per source: token occurrences, symbol counts before
+# (chars + </w>) and after encoding, and the compression ratio in bp.
+# The encode cost is vocabulary-bounded (every merge round and the
+# final symbol count run over distinct words, never corpus tokens);
+# the corpus is touched exactly twice — the global word count and the
+# per-(source, word) count — and the vocab-keyed join is a hash join
+# on the bounded spelled vocabulary.
+# --------------------------------------------------------------------------
+
+_BPE_ENCODE_ORACLE = (
+    """
+WITH vocab AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT a[i] AS word FROM
+      (SELECT string_split(text, ' ') AS a FROM documents),
+      UNNEST(generate_series(1, len(a))) AS t(i)
+  ) GROUP BY word
+),
+s0 AS (
+  SELECT word, freq,
+         regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS spelled
+  FROM vocab
+),"""
+    + ",".join(_bpe_pair_cte(t) for t in range(1, _BPE_ITERS + 1))
+    + f""",
+enc AS (
+  SELECT word, CAST(len(string_split(spelled, ' ')) AS BIGINT) AS n_sym
+  FROM s{_BPE_ITERS}
+),
+cnt AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source, a[i] AS word FROM
+      (SELECT source, string_split(text, ' ') AS a FROM documents),
+      UNNEST(generate_series(1, len(a))) AS t(i)
+  ) GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(c * (length(word) + 1)) AS BIGINT) AS sym_before,
+       CAST(SUM(c * e.n_sym) AS BIGINT) AS sym_after,
+       CAST(SUM(c * e.n_sym) * 10000 // SUM(c * (length(word) + 1))
+            AS BIGINT) AS compression_bp
+FROM cnt JOIN enc e USING (word)
+GROUP BY source ORDER BY source
+"""
+)
+
+
+@query(
+    "bpe_encode_apply",
+    _BPE_ENCODE_ORACLE,
+    "BPE encode-apply: the 3 learned merges (same in-plan deterministic "
+    "fit as bpe_merge_learn) applied to the spelled vocabulary, then "
+    "per-source encoding stats — token occurrences, symbols before/"
+    "after, compression bp; every merge round and the symbol count are "
+    "vocabulary-bounded, the corpus is scanned exactly twice",
+    tags=("llm", "text", "bench"),
+)
+def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # docs feeds the global vocab AND the per-source counts — store the
+    # scan once (rows = input docs).
+    docs = docs.localCheckpoint(eager=False)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    spelled = vocab.select(
+        "word",
+        "freq",
+        F.concat(
+            F.regexp_replace("word", "(.)", "$1 "), F.lit("</w>")
+        ).alias("spelled"),
+    )
+    # Each round's spelled relation feeds BOTH the pair argmax and the
+    # rewrite; a lazy checkpoint per round stores the vocabulary-bounded
+    # spellings once instead of replaying the merge chain per consumer.
+    spelled = spelled.localCheckpoint(eager=False)
+    for _ in range(_BPE_ITERS):
+        best = _bpe_best(spelled)
+        spelled = _bpe_apply(spelled, best).localCheckpoint(eager=False)
+    enc = spelled.select(
+        "word",
+        F.size(F.split("spelled", " ")).cast("long").alias("n_sym"),
+    )
+    cnt = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        cnt.join(enc, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * (F.length("word") + 1))
+            .cast("long")
+            .alias("sym_before"),
+            F.sum(F.col("c") * F.col("n_sym")).cast("long").alias("sym_after"),
+        )
+        .withColumn(
+            "compression_bp",
+            F.expr("sym_after * 10000 div sym_before").cast("long"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,69 @@
+"""Brute-force replay for the BPE encode-apply query: an independent
+pure-python BPE (Counter-based pair counting, left-to-right
+non-overlapping rewrite) learns the same 3 merges and encodes the same
+corpus, so a shared misconception between the Spark plan and the
+DuckDB oracle cannot hide.
+"""
+
+from collections import Counter
+
+import duckdb
+
+from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, queries
+
+from .conftest import SF_SMALL
+
+queries()  # force registration
+
+
+def _python_bpe(docs, iters=3):
+    """(merges, encoded_symbol_count_per_word) replay."""
+    vocab = Counter()
+    for _, text in docs:
+        vocab.update(text.split(" "))
+    spelled = {w: " ".join(w) + " </w>" for w in vocab}
+    merges = []
+    for _ in range(iters):
+        pairs = Counter()
+        for w, f in vocab.items():
+            syms = spelled[w].split(" ")
+            for i in range(len(syms) - 1):
+                pairs[f"{syms[i]} {syms[i + 1]}"] += f
+        # argmax: count desc, pair asc (the queries' tiebreak)
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merged = best.replace(" ", "")
+        merges.append(best)
+        for w in spelled:
+            padded = f" {spelled[w]} "
+            spelled[w] = padded.replace(
+                f" {best} ", f" {merged} "
+            ).strip()
+    return merges, {w: len(s.split(" ")) for w, s in spelled.items()}
+
+
+def test_bpe_encode_apply_matches_python(spark):
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    _, n_sym = _python_bpe(docs)
+    per_src = {}
+    for src, text in docs:
+        agg = per_src.setdefault(src, [0, 0, 0])  # tokens, before, after
+        for w in text.split(" "):
+            agg[0] += 1
+            agg[1] += len(w) + 1
+            agg[2] += n_sym[w]
+    out = REGISTRY["bpe_encode_apply"].fn(spark, SF_SMALL).collect()
+    got = {
+        r["source"]: (
+            r["n_tokens"], r["sym_before"], r["sym_after"],
+            r["compression_bp"],
+        )
+        for r in out
+    }
+    expect = {
+        src: (t, b, a, a * 10000 // b) for src, (t, b, a) in per_src.items()
+    }
+    assert got == expect
+    # the learned merges actually compress (strictly fewer symbols)
+    assert all(a < b for (_, b, a, _) in got.values())

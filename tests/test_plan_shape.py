@@ -229,7 +229,7 @@ def test_driver_gate_ordering():
         "mann_kendall_trend", "theil_sen_slope", "unigram_tv_drift",
         "embedding_centroid_drift", "dbscan_grid_clusters",
         "kdist_eps_calibration", "kmeans_silhouette_audit",
-        "ab_conversion_ztest",
+        "ab_conversion_ztest", "bpe_encode_apply",
     ]
     assert _DRIVER_FIRST == must_gate
     pinned_r02 = [
@@ -248,7 +248,8 @@ def test_driver_gate_ordering():
         "hll_grouped_distinct",
     ]
     # 42 - trend family (4) - density family (3) - A/B z-test (1)
-    assert len(_DRIVER_FILL) == 34
+    # - BPE encode-apply (1)
+    assert len(_DRIVER_FILL) == 33
     # Streaming tail empty: the only streaming query needing a fresh row
     # leads the gate by judge instruction; no other changed.
     assert _DRIVER_TAIL_STREAMING == []
@@ -256,7 +257,8 @@ def test_driver_gate_ordering():
     # r03 fill slots displaced by the trend-family additions lead, then
     # the six displaced by the late r07 re-gates, in r03 file order,
     # then the remaining r03 rows.
-    assert _DRIVER_ROTATED_OUT[:16] == [
+    assert _DRIVER_ROTATED_OUT[:17] == [
+        "ivfpq_topk",
         "ivfpq_recall_at_k",
         "grouped_median_scalable", "exact_percentiles_scalable",
         "hll_intersection_estimate",

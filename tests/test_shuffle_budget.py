@@ -56,6 +56,9 @@ BUDGETS = {
     # branch (identical subtrees, runtime-reused) + scalar profile +
     # final TakeOrdered staging.
     "bm25_topk": 8,
+    # per-round spelled vocab checkpointed (pair argmax + rewrite both
+    # read it); budget = word count + (source, word) count + rollup.
+    "bpe_encode_apply": 3,
     "bpe_token_stats": 0,
     # the (source, word) count subtree prints under all four consumers
     # (source counts, totals, corpus dim, grand total — identical
