@@ -931,3 +931,96 @@ def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source overlap matrix (r07) — which sources carry the same
+# content: distinct 10-word-prefix fingerprints per source, then the
+# per-pair count of SHARED fingerprints with a containment score
+# shared*1e4 div min(|A|, |B|) (1e4 = the smaller source is entirely
+# contained in the other). The curation question behind mixture
+# weighting and dedup policy: mirrors/scrapes show up as high-
+# containment pairs before any pairwise document comparison is run.
+# Shape: ONE (fp, source) distinct shuffle; the self-join key is the
+# fingerprint, fan-out bounded by sources-per-fingerprint (<= |S|);
+# output bounded by |S|^2. No document pairs, no text comparison.
+# --------------------------------------------------------------------------
+
+_SRC_OVERLAP_ORACLE = """
+WITH fps AS MATERIALIZED (
+  SELECT DISTINCT
+         md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS h,
+         source
+  FROM documents
+),
+counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM fps GROUP BY 1
+),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fps a JOIN fps b ON b.h = a.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.n_shared,
+       ca.n AS n_a, cb.n AS n_b,
+       CAST(s.n_shared * 10000 // LEAST(ca.n, cb.n) AS BIGINT)
+         AS containment_bp
+FROM shared s
+JOIN counts ca ON ca.source = s.src_a
+JOIN counts cb ON cb.source = s.src_b
+ORDER BY src_a, src_b
+"""
+
+
+@query(
+    "source_overlap_matrix",
+    _SRC_OVERLAP_ORACLE,
+    "Cross-source content overlap: distinct 10-word-prefix "
+    "fingerprints per source, shared-fingerprint counts per source "
+    "pair + containment bp vs the smaller side — ONE (fp, source) "
+    "distinct shuffle, self-join fan-out bounded by sources-per-"
+    "fingerprint, output bounded by |sources|^2; the mirror/scrape "
+    "detector that runs before any document-pair comparison",
+    tags=("llm", "dedup", "quality", "bench"),
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    fp = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 10), " "))
+    fps = docs.select(fp.alias("h"), "source").distinct()
+    # fps feeds the per-source counts and BOTH self-join sides.
+    fps = fps.localCheckpoint(eager=False)
+    counts = fps.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = fps.select("h", F.col("source").alias("src_a"))
+    b = fps.select("h", F.col("source").alias("src_b"))
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(counts.select(F.col("source").alias("src_a"),
+                                      F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col("source").alias("src_b"),
+                                      F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("n_shared * 10000 div least(n_a, n_b)")
+            .cast("long")
+            .alias("containment_bp"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -67,3 +67,36 @@ def test_bpe_encode_apply_matches_python(spark):
     assert got == expect
     # the learned merges actually compress (strictly fewer symbols)
     assert all(a < b for (_, b, a, _) in got.values())
+
+
+def test_source_overlap_matrix_matches_python(spark):
+    import hashlib
+
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    fps = {}
+    for src, text in docs:
+        h = hashlib.md5(
+            " ".join(text.split(" ")[:10]).encode()
+        ).hexdigest()
+        fps.setdefault(src, set()).add(h)
+    srcs = sorted(fps)
+    expect = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            shared = len(fps[a] & fps[b])
+            if shared:
+                expect[(a, b)] = (
+                    shared, len(fps[a]), len(fps[b]),
+                    shared * 10000 // min(len(fps[a]), len(fps[b])),
+                )
+    out = REGISTRY["source_overlap_matrix"].fn(spark, SF_SMALL).collect()
+    got = {
+        (r["src_a"], r["src_b"]): (
+            r["n_shared"], r["n_a"], r["n_b"], r["containment_bp"]
+        )
+        for r in out
+    }
+    assert got == expect
+    assert len(got) > 0  # the fixture actually shares content

@@ -305,6 +305,9 @@ BUDGETS = {
     # (source, word) counts print under the two self-join sides + the
     # totals dim (runtime-reused); real movement is the count shuffle +
     # the word-key self-join + the pair rollup.
+    # checkpointed (fp, source) distinct + fp self-join + pair rollup +
+    # output sort; the per-source count dims ride broadcasts.
+    "source_overlap_matrix": 4,
     "source_wjaccard": 12,
     "spearman_daily_corr": 3,
     "sql_surface": 2,
