@@ -957,6 +957,10 @@ _DRIVER_FIRST = [
     # Cross-source overlap matrix (plans/queries_llm2.py) — the
     # mirror/scrape detector; one more fill slot displaced below.
     "source_overlap_matrix",
+    # Real WAV PCM full decode (plans/queries_llm.py) — shrinks the
+    # multimodal stub surface to compressed codecs only; one more fill
+    # slot displaced below.
+    "multimodal_pcm_decode",
 ]
 
 # Re-confirmation fill (VERDICT r06 #3, order pinned by the judge): the
@@ -994,13 +998,12 @@ _DRIVER_FILL = [
     "stratified_sample",
     "corpus_prep_stats",
     "copurchase_pairs",
-    "sliding_window_rollup",
-    # (grouped_median_approx, ivfpq_topk, ivfpq_recall_at_k,
-    # grouped_median_scalable, exact_percentiles_scalable,
-    # hll_intersection_estimate and jl_recall_at_k ..
-    # chunk_dedup_stats — the ten r03-queue slots displaced by the
-    # late-r07 trend/density/experimentation/tokenizer/curation
-    # additions — and
+    # (sliding_window_rollup, grouped_median_approx, ivfpq_topk,
+    # ivfpq_recall_at_k, grouped_median_scalable,
+    # exact_percentiles_scalable, hll_intersection_estimate and
+    # jl_recall_at_k .. chunk_dedup_stats — the eleven r03-queue slots
+    # displaced by the late-r07 trend/density/experimentation/
+    # tokenizer/curation/multimodal additions — and
     # tfidf_topk_terms .. mad_outliers and hilbert_layout — the six
     # slots displaced by the late r07 re-gates (chisq + the five
     # kernel co-location queries) — head the rotated-out queue below
@@ -1020,6 +1023,7 @@ _DRIVER_ROTATED_OUT = [
     # Ordered oldest-row-first: the remaining r03 rows lead (the r08
     # re-confirmation queue, streaming drains included), then r04, r05,
     # and the r06-gated rows.
+    "sliding_window_rollup",
     "grouped_median_approx",
     "ivfpq_topk",
     "ivfpq_recall_at_k",

@@ -164,10 +164,25 @@ def q_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KD_R = 45_000
 _KD_K = 3
-_KD_ANCHOR_PCT = 25
+# Anchor sampling: at most 25% of points, and at most ~_KD_MAX_ANCHORS
+# in expectation at ANY corpus size (the retrieval-eval-kit id-cap
+# lesson, SCALE.md §9f: fraction-based diagnostic sets scale with the
+# corpus and wedge). The threshold is computed IN-PLAN from the point
+# count over a 1e6 md5-bucket space: thr = min(250000, ceil(2000*1e6/n))
+# — 25% at fixture scales (n <= 8000), a fixed ~2000-anchor budget
+# beyond. The sf10 probe measured the uncapped 25% form at 70x bytes
+# for 10x points (anchors x density both grew); with the cap, anchor
+# growth is flat and the remaining growth is the measured density
+# itself.
+_KD_MAX_ANCHORS = 2_000
+_KD_BUCKETS = 1_000_000
+_KD_THR_SQL = (
+    f"LEAST({_KD_BUCKETS // 4}, "
+    f"({_KD_MAX_ANCHORS} * {_KD_BUCKETS} + n - 1) // n)"
+)
 _KD_ANCHOR_SQL = (
-    "('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % 100"
-    f" < {_KD_ANCHOR_PCT}"
+    "('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {_KD_BUCKETS} < t.thr"
 )
 
 
@@ -194,8 +209,11 @@ cells AS MATERIALIZED (
          {_sql_floor_div('y', _KD_R)} AS cy
   FROM pts
 ),
+thr AS (
+  SELECT {_KD_THR_SQL} AS thr FROM (SELECT COUNT(*) AS n FROM cells)
+),
 anchors AS MATERIALIZED (
-  SELECT * FROM cells WHERE {_KD_ANCHOR_SQL}
+  SELECT c.* FROM cells c, thr t WHERE {_KD_ANCHOR_SQL}
 ),
 offs AS (
   SELECT o1.dx, o2.dy
@@ -242,11 +260,12 @@ ORDER BY bucket
     "kdist_eps_calibration",
     _KDIST_ORACLE,
     "DBSCAN eps calibration: k-th-NN distance (k=3) within probe "
-    "radius R=3*eps for a 25% md5-anchor sample measured against the "
-    "FULL corpus (unbiased per-point statistic, pair volume bounded by "
-    "|sample| x density); fixed 11-bucket sqrt-free profile (kd2*100 "
-    "<= R^2*i^2 ladder) with the censored <k-neighbors mass in bucket "
-    "11 — no global k-dist sort",
+    "radius R=3*eps for a count-capped md5-anchor sample (<= 25% and "
+    "<= ~2000 anchors at any corpus size, threshold computed in-plan) "
+    "measured against the FULL corpus — unbiased per-point statistic, "
+    "pair volume bounded by anchor budget x density; fixed 11-bucket "
+    "sqrt-free profile (kd2*100 <= R^2*i^2 ladder) with the censored "
+    "<k-neighbors mass in bucket 11 — no global k-dist sort",
     tags=("llm", "similarity", "clustering", "bench"),
 )
 def q_kdist_eps_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,7 +287,19 @@ def q_kdist_eps_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = density.grid_cells(pts, "vec_id", "x", "y", _KD_R)
     base = base.localCheckpoint(eager=False)
-    anchors = base.filter(md5_bucket("id", 100) < _KD_ANCHOR_PCT)
+    thr = base.agg(F.count(F.lit(1)).alias("n")).select(
+        F.least(
+            F.lit(_KD_BUCKETS // 4),
+            F.expr(f"({_KD_MAX_ANCHORS} * {_KD_BUCKETS} + n - 1) div n"),
+        ).alias("thr")
+    )
+    anchors = (
+        base.crossJoin(F.broadcast(thr))
+        .filter(md5_bucket("id", _KD_BUCKETS) < F.col("thr"))
+        .drop("thr")
+        # anchors feeds the pair LEFT side and the censored-count total.
+        .localCheckpoint(eager=False)
+    )
     pairs = density.neighbor_pairs(base, _KD_R, anchors=anchors)
     w = Window.partitionBy("a").orderBy("d2", "b")
     kth = (

@@ -1967,3 +1967,59 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs, "doc_id", bits=_SH_BITS, bands=_SH_BANDS,
         max_hamming=_SH_MAXH, max_bucket=_SH_MAXB,
     )
+
+
+# --------------------------------------------------------------------------
+# Real PCM decode stats (r07). WAV is uncompressed, so "full decode" for
+# it needs no codec: sources/multimodal.decode_wav_pcm walks the RIFF
+# chunks and reinterprets the data chunk as int16 via numpy.frombuffer
+# inside the Arrow-batched mapInPandas stage; per-asset stats reduce
+# INSIDE the UDF (one output row per asset, payload bytes never
+# shuffle). The synthetic WAV samples are closed-form in the asset id
+# (byte j of the data chunk is (3i + j) % 256 — sources/multimodal.
+# synth_wav), so DuckDB replays the exact int16 reinterpretation
+# arithmetically: sample k = lo + 256*hi, sign-corrected at 32768.
+# --------------------------------------------------------------------------
+
+_PCM_ORACLE = f"""
+WITH ids AS (SELECT unnest(range({_MM_N_ASSETS})) AS i),
+wav AS (
+  SELECT i, (500 + 10 * i) * (1 + i % 2) AS nv FROM ids WHERE i % 6 = 1
+),
+samples AS (
+  SELECT i, nv,
+         ((3 * i + 2 * k.k) % 256)
+         + 256 * ((3 * i + 2 * k.k + 1) % 256) AS u
+  FROM wav, UNNEST(generate_series(0, nv - 1)) k(k)
+),
+signed AS (
+  SELECT i, nv, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+  FROM samples
+)
+SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST(nv AS BIGINT) AS n_values,
+       CAST(MIN(v) AS BIGINT) AS min_sample,
+       CAST(MAX(v) AS BIGINT) AS max_sample,
+       CAST(SUM(v) AS BIGINT) AS sum_samples,
+       CAST(SUM(v * v) AS BIGINT) AS sum_squares
+FROM signed GROUP BY i, nv ORDER BY asset_id
+"""
+
+
+@query(
+    "multimodal_pcm_decode",
+    _PCM_ORACLE,
+    "REAL full decode of the uncompressed audio format: RIFF chunk walk "
+    "+ numpy int16 reinterpretation of WAV PCM inside Arrow-batched "
+    "mapInPandas, per-asset exact integer stats (n/min/max/sum/energy) "
+    "reduced inside the UDF — one output row per asset, payload bytes "
+    "never shuffle; oracle replays the byte-level reinterpretation "
+    "arithmetically from the closed-form synthetic samples",
+    tags=("llm", "multimodal", "bench"),
+)
+def q_multimodal_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.sources import multimodal as mm
+
+    assets = mm.synthesize_media_assets(spark, n=_MM_N_ASSETS)
+    wav = assets.filter(F.col("asset_id") % 6 == 1)
+    return mm.pcm_stats(wav).orderBy("asset_id")

@@ -16,7 +16,10 @@ binary PPM (P6 header), JPEG (SOF segment scan), PNG (IHDR chunk), and
 FLAC (STREAMINFO bit unpack) — ``probe_media``/``probe_assets`` read
 genuine headers, dimensions, PCM layout, and durations with the standard
 library only (VERDICT r05 #6 shrank the stub surface to decode only).
-Full pixel/sample DECODE of compressed codecs is the one remaining stub:
+Full sample DECODE is REAL for WAV too (r07): ``decode_wav_pcm`` walks
+the RIFF chunks and reinterprets the 16-bit PCM data chunk via
+``numpy.frombuffer`` — no codec needed for an uncompressed container.
+Full pixel/sample decode of COMPRESSED codecs is the one remaining stub:
 ``decode_payload`` understands the engine's deterministic synthetic
 payload format and raises ``NotImplementedError`` for anything needing a
 real decompressor, since those libraries are not in this environment. The
@@ -556,3 +559,85 @@ def sample_frames(df: DataFrame, every_ms: int = 5000) -> DataFrame:
 # from another cwd). Registering the module forces by-value serialization
 # of its functions into the closure, making the UDFs self-contained.
 register_pickle_by_value(sys.modules[__name__])
+
+
+# --------------------------------------------------------------------------
+# Real PCM decode (r07). WAV is an UNCOMPRESSED container, so its decode
+# needs no codec library: walk the RIFF chunks to the data chunk and
+# reinterpret the bytes as little-endian int16 — numpy.frombuffer over
+# the Arrow-delivered payload, zero copies beyond the buffer view. This
+# shrinks the engine's stub surface again: after the r06 header probes,
+# "full decode" was stubbed for ALL formats; WAV PCM decode is now real,
+# leaving only genuinely compressed codecs (JPEG/PNG/FLAC pixels/samples)
+# behind NotImplementedError.
+# --------------------------------------------------------------------------
+
+
+def decode_wav_pcm(payload: bytes) -> "np.ndarray":
+    """RIFF/WAVE 16-bit PCM -> numpy int16 array (interleaved channels).
+
+    Raises ValueError on non-WAV payloads or missing chunks — decode is
+    an explicit request, not a probe, so failures are loud.
+    """
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, bits, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack_from("<i", payload, pos + 4)
+        if cid == b"fmt ":
+            (bits,) = struct.unpack_from("<h", payload, pos + 22)
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize % 2)
+    if bits != 16 or data is None:
+        raise ValueError("unsupported WAV layout (need 16-bit PCM data)")
+    return np.frombuffer(data, dtype="<i2")
+
+
+PCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_values", T.LongType(), True),
+        T.StructField("min_sample", T.LongType(), True),
+        T.StructField("max_sample", T.LongType(), True),
+        T.StructField("sum_samples", T.LongType(), True),
+        T.StructField("sum_squares", T.LongType(), True),
+    ]
+)
+
+
+def pcm_stats(df: DataFrame) -> DataFrame:
+    """Per-asset exact PCM statistics via Arrow-batched mapInPandas.
+
+    Output is integer-exact (int64 sums over int16 samples: safe to
+    ~4e13 samples per asset) and one row per asset — the stats reduce
+    INSIDE the UDF, so payload bytes never shuffle and nothing
+    corpus-sized leaves the map stage.
+    """
+    import numpy as np
+
+    def stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                s = decode_wav_pcm(payload).astype(np.int64)
+                out.append(
+                    {
+                        "asset_id": int(aid),
+                        "n_values": int(s.size),
+                        "min_sample": int(s.min()) if s.size else None,
+                        "max_sample": int(s.max()) if s.size else None,
+                        "sum_samples": int(s.sum()) if s.size else None,
+                        "sum_squares": int((s * s).sum()) if s.size else None,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PCM_STATS_SCHEMA.fields]
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        stat_batches, PCM_STATS_SCHEMA
+    )

@@ -186,8 +186,9 @@ def test_kdist_calibration_matches_bruteforce(spark):
     import duckdb
     import hashlib
     from reddit_data_pipeline_engineering_spark.plans.queries_density import (
-        _KD_ANCHOR_PCT,
+        _KD_BUCKETS,
         _KD_K,
+        _KD_MAX_ANCHORS,
         _KD_R,
     )
 
@@ -206,9 +207,14 @@ def test_kdist_calibration_matches_bruteforce(spark):
     d2 = ((P[:, None, :].astype(np.int64) - P[None, :, :]) ** 2).sum(-1)
     np.fill_diagonal(d2, np.iinfo(np.int64).max)
 
+    thr = min(
+        _KD_BUCKETS // 4,
+        (_KD_MAX_ANCHORS * _KD_BUCKETS + len(rows) - 1) // len(rows),
+    )
+
     def is_anchor(vid):
         h = hashlib.md5(str(vid).encode()).hexdigest()[:8]
-        return int(h, 16) % 100 < _KD_ANCHOR_PCT
+        return int(h, 16) % _KD_BUCKETS < thr
 
     hist = {}
     censored = 0

@@ -217,6 +217,9 @@ BUDGETS = {
     # spread (printed under both consumers) + broadcast query dim; the
     # scored subtree feeds the NN argmax and the rank count; movement is
     # the two qid aggregates.
+    # stats reduce inside the Arrow-batched decode UDF (one row per
+    # asset); the only exchange is the output sort.
+    "multimodal_pcm_decode": 1,
     "mrr_prefix_rank": 5,
     # two TakeOrderedAndProject top-20s + bounded 20-row windows +
     # broadcast-only joins — no hash/range exchange anywhere.
