@@ -961,6 +961,9 @@ _DRIVER_FIRST = [
     # multimodal stub surface to compressed codecs only; one more fill
     # slot displaced below.
     "multimodal_pcm_decode",
+    # Incremental LSH-grain ingestion (plans/queries_llm2.py) — the
+    # near-dup twin of incremental_dedup; one more fill slot displaced.
+    "incremental_lsh_dedup",
 ]
 
 # Re-confirmation fill (VERDICT r06 #3, order pinned by the judge): the
@@ -997,11 +1000,10 @@ _DRIVER_FILL = [
     "hash_split_stats",
     "stratified_sample",
     "corpus_prep_stats",
-    "copurchase_pairs",
-    # (sliding_window_rollup, grouped_median_approx, ivfpq_topk,
-    # ivfpq_recall_at_k, grouped_median_scalable,
+    # (copurchase_pairs, sliding_window_rollup, grouped_median_approx,
+    # ivfpq_topk, ivfpq_recall_at_k, grouped_median_scalable,
     # exact_percentiles_scalable, hll_intersection_estimate and
-    # jl_recall_at_k .. chunk_dedup_stats — the eleven r03-queue slots
+    # jl_recall_at_k .. chunk_dedup_stats — the twelve r03-queue slots
     # displaced by the late-r07 trend/density/experimentation/
     # tokenizer/curation/multimodal additions — and
     # tfidf_topk_terms .. mad_outliers and hilbert_layout — the six
@@ -1023,6 +1025,7 @@ _DRIVER_ROTATED_OUT = [
     # Ordered oldest-row-first: the remaining r03 rows lead (the r08
     # re-confirmation queue, streaming drains included), then r04, r05,
     # and the r06-gated rows.
+    "copurchase_pairs",
     "sliding_window_rollup",
     "grouped_median_approx",
     "ivfpq_topk",

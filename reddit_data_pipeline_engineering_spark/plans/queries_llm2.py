@@ -1024,3 +1024,158 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental NEAR-DUP ingestion (r07) — the LSH-grain twin of
+# incremental_dedup: a new shard (md5-bucket 20%) is screened against
+# the accumulated corpus via the banded-MinHash INDEX alone — history
+# contributes signatures/band-buckets (the stored index of a production
+# ingest loop), never re-scanned text, and history-history pairs are
+# never generated. Per-source accounting mirrors the exact-grain twin:
+# near-dup-of-history, near-dup-within-shard (a smaller-id new partner,
+# no history partner), ingested. One bucket-keyed shuffle generates all
+# candidate pairs (text_dedup.minhash_lsh_pairs — collision-bounded
+# buckets), one pair-keyed rollup classifies them.
+# --------------------------------------------------------------------------
+
+
+def _incr_lsh_oracle() -> str:
+    from reddit_data_pipeline_engineering_spark.plans.queries_llm import (
+        _TOKS,
+        _lsh_bands_sql,
+        _sql_shingles,
+    )
+
+    sig_cols = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{k}|' || s)))"
+        f" AS sig_{k}"
+        for k in range(8)
+    )
+    return f"""
+WITH tagged AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           >= 80 AS is_new
+  FROM documents
+),
+toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct({_sql_shingles('toks', 2)}) AS shingles
+  FROM toks
+),
+sigs AS (SELECT doc_id, {sig_cols} FROM sh),
+buckets AS ({_lsh_bands_sql()}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b
+    ON b.band_id = a.band_id AND b.bucket = a.bucket
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a AS d, id_b AS p FROM pairs
+  UNION ALL
+  SELECT id_b AS d, id_a AS p FROM pairs
+),
+nd AS (
+  SELECT e.d,
+         MAX(CASE WHEN NOT tp.is_new THEN 1 ELSE 0 END) AS has_hist,
+         MAX(CASE WHEN tp.is_new AND e.p < e.d THEN 1 ELSE 0 END)
+           AS has_smaller_new
+  FROM edges e JOIN tagged tp ON tp.doc_id = e.p
+  GROUP BY e.d
+),
+newdocs AS (
+  SELECT t.source, COALESCE(nd.has_hist, 0) AS hh,
+         COALESCE(nd.has_smaller_new, 0) AS hsn
+  FROM tagged t LEFT JOIN nd ON nd.d = t.doc_id
+  WHERE t.is_new
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new,
+  CAST(SUM(hh) AS BIGINT) AS n_dup_history,
+  CAST(SUM(CASE WHEN hh = 0 AND hsn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_within,
+  CAST(SUM(CASE WHEN hh = 0 AND hsn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_ingested
+FROM newdocs GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "incremental_lsh_dedup",
+    _incr_lsh_oracle(),
+    "Incremental NEAR-dup ingestion at LSH grain: new shard (md5 20%) "
+    "screened against the accumulated banded-MinHash index — history "
+    "contributes signatures only (never re-scanned text); per-source "
+    "near-dup-of-history / within-shard / ingested counts, one "
+    "bucket-keyed pair shuffle + one per-doc classification rollup",
+    tags=("llm", "dedup", "bench"),
+)
+def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import text_dedup
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        (corpus_ops.md5_bucket("doc_id", 100) >= 80).alias("is_new"),
+    )
+    # tagged feeds the partner-flag join and the per-source rollup.
+    tagged = tagged.localCheckpoint(eager=False)
+    sigs = text_dedup.minhash_signature(
+        docs, "text", "doc_id", num_hashes=8, shingle_len=2
+    )
+    pairs = text_dedup.minhash_lsh_pairs(
+        sigs, "doc_id", num_hashes=8, bands=4
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("d"), F.col("id_b").alias("p")),
+                F.struct(F.col("id_b").alias("d"), F.col("id_a").alias("p")),
+            )
+        ).alias("e")
+    ).select("e.d", "e.p")
+    nd = (
+        edges.join(
+            tagged.select(
+                F.col("doc_id").alias("p"), F.col("is_new").alias("p_new")
+            ),
+            "p",
+        )
+        .groupBy("d")
+        .agg(
+            F.max(F.when(~F.col("p_new"), 1).otherwise(0)).alias("has_hist"),
+            F.max(
+                F.when(F.col("p_new") & (F.col("p") < F.col("d")), 1)
+                .otherwise(0)
+            ).alias("has_smaller_new"),
+        )
+    )
+    newdocs = (
+        tagged.filter(F.col("is_new"))
+        .join(nd, tagged["doc_id"] == nd["d"], "left")
+        .select(
+            "source",
+            F.coalesce("has_hist", F.lit(0)).alias("hh"),
+            F.coalesce("has_smaller_new", F.lit(0)).alias("hsn"),
+        )
+    )
+    return (
+        newdocs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            F.sum("hh").cast("long").alias("n_dup_history"),
+            F.sum(
+                F.when((F.col("hh") == 0) & (F.col("hsn") == 1), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_dup_within"),
+            F.sum(
+                F.when((F.col("hh") == 0) & (F.col("hsn") == 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_ingested"),
+        )
+        .orderBy("source")
+    )

@@ -100,3 +100,62 @@ def test_source_overlap_matrix_matches_python(spark):
     }
     assert got == expect
     assert len(got) > 0  # the fixture actually shares content
+
+
+def test_incremental_lsh_dedup_matches_python(spark):
+    import hashlib
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    # mirror: tokens -> distinct 2-shingles -> sig_k = min md5(f"{k}|sh")
+    sigs, meta = {}, {}
+    for doc_id, source, text in docs:
+        toks = [t for t in text.split() if t]
+        sh = {
+            " ".join(toks[i : i + 2]) for i in range(max(0, len(toks) - 1))
+        }
+        sigs[doc_id] = [
+            min(md5(f"{k}|{s}") for s in sh) for k in range(8)
+        ]
+        is_new = int(md5(str(doc_id))[:8], 16) % 100 >= 80
+        meta[doc_id] = (source, is_new)
+    buckets = {}
+    for d, sg in sigs.items():
+        for b in range(4):
+            key = (b, md5(f"{sg[2 * b]}|{sg[2 * b + 1]}"))
+            buckets.setdefault(key, []).append(d)
+    partners = {}
+    for ids in buckets.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                partners.setdefault(a, set()).add(b)
+                partners.setdefault(b, set()).add(a)
+    agg = {}
+    for d, (src, is_new) in meta.items():
+        if not is_new:
+            continue
+        ps = partners.get(d, set())
+        hh = any(not meta[p][1] for p in ps)
+        hsn = any(meta[p][1] and p < d for p in ps)
+        n, dh, dw, ing = agg.get(src, (0, 0, 0, 0))
+        agg[src] = (
+            n + 1,
+            dh + int(hh),
+            dw + int(not hh and hsn),
+            ing + int(not hh and not hsn),
+        )
+    out = REGISTRY["incremental_lsh_dedup"].fn(spark, SF_SMALL).collect()
+    got = {
+        r["source"]: (
+            r["n_new"], r["n_dup_history"], r["n_dup_within"],
+            r["n_ingested"],
+        )
+        for r in out
+    }
+    assert got == agg
+    # the screen finds real history near-dups in the fixture
+    assert sum(v[1] for v in got.values()) > 0

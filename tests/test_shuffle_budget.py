@@ -150,6 +150,9 @@ BUDGETS = {
     "hll_sliding_distinct": 5,
     "hll_union_merge": 5,
     "inactive_antijoin": 0,
+    # bucket-keyed pair shuffle + pair dedup + per-doc flag rollup +
+    # source rollup + output sort over the checkpointed tag relation.
+    "incremental_lsh_dedup": 7,
     "interarrival_burstiness": 3,
     # The (order, part) distinct subtree prints once per consumer (pair
     # join sides + both frequency dims) — identical, so AQE reuses one
