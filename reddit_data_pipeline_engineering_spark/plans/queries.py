@@ -964,6 +964,9 @@ _DRIVER_FIRST = [
     # Incremental LSH-grain ingestion (plans/queries_llm2.py) — the
     # near-dup twin of incremental_dedup; one more fill slot displaced.
     "incremental_lsh_dedup",
+    # Time-weighted average (plans/queries_seq.py) — the canonical
+    # irregular sensor-series aggregation; one more fill slot displaced.
+    "time_weighted_avg",
 ]
 
 # Re-confirmation fill (VERDICT r06 #3, order pinned by the judge): the
@@ -999,13 +1002,13 @@ _DRIVER_FILL = [
     "hll_union_merge",
     "hash_split_stats",
     "stratified_sample",
-    "corpus_prep_stats",
-    # (copurchase_pairs, sliding_window_rollup, grouped_median_approx,
-    # ivfpq_topk, ivfpq_recall_at_k, grouped_median_scalable,
-    # exact_percentiles_scalable, hll_intersection_estimate and
-    # jl_recall_at_k .. chunk_dedup_stats — the twelve r03-queue slots
-    # displaced by the late-r07 trend/density/experimentation/
-    # tokenizer/curation/multimodal additions — and
+    # (corpus_prep_stats, copurchase_pairs, sliding_window_rollup,
+    # grouped_median_approx, ivfpq_topk, ivfpq_recall_at_k,
+    # grouped_median_scalable, exact_percentiles_scalable,
+    # hll_intersection_estimate and jl_recall_at_k ..
+    # chunk_dedup_stats — the thirteen r03-queue slots displaced by
+    # the late-r07 trend/density/experimentation/tokenizer/curation/
+    # multimodal/timeseries additions — and
     # tfidf_topk_terms .. mad_outliers and hilbert_layout — the six
     # slots displaced by the late r07 re-gates (chisq + the five
     # kernel co-location queries) — head the rotated-out queue below
@@ -1025,6 +1028,7 @@ _DRIVER_ROTATED_OUT = [
     # Ordered oldest-row-first: the remaining r03 rows lead (the r08
     # re-confirmation queue, streaming drains included), then r04, r05,
     # and the r06-gated rows.
+    "corpus_prep_stats",
     "copurchase_pairs",
     "sliding_window_rollup",
     "grouped_median_approx",

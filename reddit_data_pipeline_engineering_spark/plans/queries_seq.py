@@ -459,3 +459,127 @@ def q_seasonal_dow_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
     return seasonal_dow_scores(daily)
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (r07) — THE canonical irregular-sensor-series
+# aggregation (the reference's OpenAQ domain averages measurements that
+# arrive at uneven cadence; a plain mean over-weights chatty periods).
+# LOCF semantics per (user, type) series: each observation v_i holds
+# until the next one, weight = t_{i+1} - t_i in epoch micros; the final
+# observation of a series carries no weight. The type-level TWA
+# combines per-user segments by total weighted mass over total covered
+# time: TWA = Sum v_i*dt_i / Sum dt_i.
+#
+# Exactness: dt is exact integer micros (timestamps are micros-grain);
+# v*dt sums run in DECIMAL so they are summation-order-independent; the
+# single final division is the same IEEE double op on identical inputs
+# in both engines. The plain decimal-exact mean rides along — the
+# irregular-cadence gap between the two IS the audit value.
+#
+# Scale: the lead() window partitions by (user_id, event_type) — per-
+# series row counts, never a global or per-type sort. One window
+# shuffle + one bounded rollup.
+# --------------------------------------------------------------------------
+
+_TWA_ORACLE = """
+WITH pts AS (
+  SELECT event_type, user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         value AS v,
+         event_id
+  FROM events
+),
+seg AS (
+  SELECT event_type, user_id, t, v,
+         LEAD(t) OVER (PARTITION BY user_id, event_type
+                       ORDER BY t, event_id) AS t_next
+  FROM pts
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(CASE WHEN t_next IS NULL THEN 0 ELSE t_next - t END)
+              AS BIGINT) AS covered_micros,
+         SUM(CASE WHEN t_next IS NULL THEN CAST(0 AS DECIMAL(38,6))
+                  ELSE CAST(v AS DECIMAL(18,6)) * (t_next - t) END)
+           AS vdt,
+         SUM(CAST(v AS DECIMAL(18,6))) AS v_sum
+  FROM seg GROUP BY event_type
+)
+SELECT event_type, n_points, covered_micros,
+       ROUND(CAST(CASE WHEN covered_micros = 0 THEN NULL
+                 ELSE CAST(vdt AS DOUBLE) / CAST(covered_micros AS DOUBLE)
+            END AS DOUBLE), 6) AS twa,
+       ROUND(CAST(CAST(v_sum AS DOUBLE) / CAST(n_points AS DOUBLE)
+                  AS DOUBLE), 6) AS plain_mean
+FROM agg ORDER BY event_type
+"""
+
+
+@query(
+    "time_weighted_avg",
+    _TWA_ORACLE,
+    "Time-weighted average per event type (the canonical irregular "
+    "sensor-series aggregation): LOCF weights t_next - t in exact epoch "
+    "micros per (user, type) series, decimal-exact v*dt mass, ONE "
+    "mirrored IEEE division at the end; the plain mean rides along so "
+    "the irregular-cadence bias is the visible output — one per-series "
+    "window shuffle + one bounded rollup",
+    tags=("relational", "timeseries", "stats", "bench"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        "user_id",
+        # ts is TIMESTAMP_NTZ: diff against the NTZ epoch is exact
+        # integer micros in any session timezone (the r07 streaming
+        # staging lesson); unix_micros() only accepts instants.
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("t"),
+        F.col("value").alias("v"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("t", "event_id")
+    seg = pts.withColumn("t_next", F.lead("t").over(w))
+    agg = seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(
+            F.when(F.col("t_next").isNull(), F.lit(0)).otherwise(
+                F.col("t_next") - F.col("t")
+            )
+        ).cast("long").alias("covered_micros"),
+        F.sum(
+            F.when(
+                F.col("t_next").isNull(),
+                F.lit(0).cast("decimal(38,6)"),
+            ).otherwise(
+                F.col("v").cast("decimal(18,6)")
+                * (F.col("t_next") - F.col("t"))
+            )
+        ).alias("vdt"),
+        F.sum(F.col("v").cast("decimal(18,6)")).alias("v_sum"),
+    )
+    return agg.select(
+        "event_type",
+        "n_points",
+        "covered_micros",
+        # round(6) on both sides absorbs the one-ulp decimal->double
+        # conversion divergence between engines (the cosine precedent).
+        F.round(
+            F.when(
+                F.col("covered_micros") == 0, F.lit(None).cast("double")
+            ).otherwise(
+                F.col("vdt").cast("double")
+                / F.col("covered_micros").cast("double")
+            ),
+            6,
+        ).alias("twa"),
+        F.round(
+            F.col("v_sum").cast("double") / F.col("n_points").cast("double"),
+            6,
+        ).alias("plain_mean"),
+    ).orderBy("event_type")

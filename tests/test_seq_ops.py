@@ -185,3 +185,49 @@ def test_seasonal_dow_spike_trips_the_flag(spark):
     # Non-Monday strata are constant: zero deviation everywhere.
     tuesday = base + datetime.timedelta(days=1)
     assert out[tuesday].dev_num == 0 and not out[tuesday].is_anomaly
+
+
+def test_time_weighted_avg_matches_pandas(spark):
+    import duckdb
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+
+    from .conftest import SF_SMALL
+
+    queries()  # force registration
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["time_weighted_avg"].fn(spark, SF_SMALL).collect()
+    }
+    pdf = duckdb.sql(
+        f"SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, user_id, "
+        f"event_type, value FROM '{SF_SMALL}/events.parquet'"
+    ).df()
+    for etype, grp in pdf.groupby("event_type"):
+        n = len(grp)
+        covered = 0
+        vdt = 0.0
+        vsum = 0.0
+        for _, g in grp.groupby("user_id"):
+            g = g.sort_values(["t", "event_id"])
+            ts = list(g["t"])
+            vs = list(g["value"])
+            for i in range(len(ts) - 1):
+                dt = int(ts[i + 1]) - int(ts[i])
+                covered += dt
+                vdt += float(vs[i]) * dt
+            vsum += float(g["value"].sum())
+        r = out[etype]
+        assert r["n_points"] == n
+        assert r["covered_micros"] == covered
+        # float replay vs the engines' decimal-exact mass: tolerance
+        # both outputs are round(…, 6): half-grid absolute tolerance
+        assert abs(r["twa"] - vdt / covered) < 1e-6 + 1e-9 * abs(r["twa"])
+        assert abs(r["plain_mean"] - vsum / n) < 1e-6 + 1e-9 * abs(vsum / n)
+        # the irregular cadence actually separates the two statistics
+    assert any(
+        abs(r["twa"] - r["plain_mean"]) > 1e-6 for r in out.values()
+    )

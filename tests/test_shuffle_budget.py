@@ -333,6 +333,8 @@ BUDGETS = {
     # histogram.
     "theil_sen_slope": 3,
     "time_bucket_rollup": 3,
+    # one per-(user, type) lead window + the type rollup + output sort.
+    "time_weighted_avg": 3,
     "token_stats": 0,
     "topk_orders": 0,
     # ---- r04: every driver-gated query is now bench-tagged (VERDICT
