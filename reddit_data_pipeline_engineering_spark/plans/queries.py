@@ -967,6 +967,9 @@ _DRIVER_FIRST = [
     # Time-weighted average (plans/queries_seq.py) — the canonical
     # irregular sensor-series aggregation; one more fill slot displaced.
     "time_weighted_avg",
+    # LTTB visual downsampling (plans/queries_seq.py); one more fill
+    # slot displaced below.
+    "lttb_downsample",
 ]
 
 # Re-confirmation fill (VERDICT r06 #3, order pinned by the judge): the
@@ -1001,12 +1004,12 @@ _DRIVER_FILL = [
     "grouped_median",
     "hll_union_merge",
     "hash_split_stats",
-    "stratified_sample",
-    # (corpus_prep_stats, copurchase_pairs, sliding_window_rollup,
+    # (stratified_sample, corpus_prep_stats, copurchase_pairs,
+    # sliding_window_rollup,
     # grouped_median_approx, ivfpq_topk, ivfpq_recall_at_k,
     # grouped_median_scalable, exact_percentiles_scalable,
     # hll_intersection_estimate and jl_recall_at_k ..
-    # chunk_dedup_stats — the thirteen r03-queue slots displaced by
+    # chunk_dedup_stats — the fourteen r03-queue slots displaced by
     # the late-r07 trend/density/experimentation/tokenizer/curation/
     # multimodal/timeseries additions — and
     # tfidf_topk_terms .. mad_outliers and hilbert_layout — the six
@@ -1028,6 +1031,7 @@ _DRIVER_ROTATED_OUT = [
     # Ordered oldest-row-first: the remaining r03 rows lead (the r08
     # re-confirmation queue, streaming drains included), then r04, r05,
     # and the r06-gated rows.
+    "stratified_sample",
     "corpus_prep_stats",
     "copurchase_pairs",
     "sliding_window_rollup",

@@ -583,3 +583,193 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("plain_mean"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# LTTB-style downsampling (r07) — Largest-Triangle-Three-Buckets
+# (Steinarsson 2013), THE standard time-series visualization
+# downsampler: per event type, B equal time buckets, keep the one point
+# per bucket that preserves the series' visual shape. Classic LTTB
+# anchors each bucket's triangle on the PREVIOUS SELECTED point — an
+# inherently sequential recurrence — so this is the standard parallel
+# variant: the triangle anchors on the neighboring buckets' AVERAGE
+# points (both anchors are plain aggregates), making selection a single
+# per-bucket argmax. First/last buckets keep the series' first/last
+# point, as in the original.
+#
+# Integer-exact: t in epoch seconds, v on the 1e-6 grid; bucket
+# averages are flooring integer means (inputs non-negative here; the
+# span grid keeps products |2*area| <= ~6e14 — int64 with 4 decades of
+# headroom). Argmax is the struct-max pattern with (area, -t, -id)
+# tiebreak. Plan: one (type, bucket) aggregate for the anchors
+# (broadcast — B x types rows), one argmax aggregate over the bucketed
+# points; no sort over raw rows anywhere.
+# --------------------------------------------------------------------------
+
+_LTTB_B = 20
+
+_LTTB_ORACLE = f"""
+WITH pts AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v,
+         event_id
+  FROM events
+),
+span AS (
+  SELECT event_type, MIN(t) AS tmin, MAX(t) AS tmax
+  FROM pts GROUP BY 1
+),
+bp AS (
+  SELECT p.event_type, p.t, p.v, p.event_id,
+         CAST(((p.t - s.tmin) * {_LTTB_B}) // (s.tmax - s.tmin + 1)
+              AS BIGINT) AS bucket
+  FROM pts p JOIN span s ON s.event_type = p.event_type
+),
+anchors AS (
+  SELECT event_type, bucket,
+         CAST(SUM(t) // COUNT(*) AS BIGINT) AS ta,
+         CAST(SUM(v) // COUNT(*) AS BIGINT) AS va
+  FROM bp GROUP BY 1, 2
+),
+scored AS (
+  SELECT b.event_type, b.bucket, b.t, b.v, b.event_id,
+         CASE WHEN ap.ta IS NULL OR an.ta IS NULL THEN NULL
+              ELSE ABS((ap.ta - an.ta) * (b.v - ap.va)
+                       - (ap.ta - b.t) * (an.va - ap.va)) END AS area2
+  FROM bp b
+  LEFT JOIN anchors ap
+    ON ap.event_type = b.event_type AND ap.bucket = b.bucket - 1
+  LEFT JOIN anchors an
+    ON an.event_type = b.event_type AND an.bucket = b.bucket + 1
+),
+sel AS (
+  SELECT event_type, bucket, t, v FROM (
+    SELECT s.*,
+           ROW_NUMBER() OVER (
+             PARTITION BY event_type, bucket
+             ORDER BY CASE
+                 WHEN bucket = 0 THEN t
+                 WHEN bucket = {_LTTB_B - 1} THEN -t
+                 WHEN area2 IS NULL THEN t
+                 ELSE -area2 END,
+               CASE WHEN bucket = {_LTTB_B - 1} THEN -event_id
+                    ELSE event_id END,
+               t, event_id) AS rn
+    FROM scored s)
+  WHERE rn = 1
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       t AS t_sel, v AS v_sel_scaled
+FROM sel ORDER BY event_type, bucket
+"""
+
+
+@query(
+    "lttb_downsample",
+    _LTTB_ORACLE,
+    "LTTB-style visual downsampling (Steinarsson 2013, parallel "
+    "average-anchor variant): B=20 equal time buckets per event type, "
+    "per-bucket argmax of the triangle area against the neighboring "
+    "buckets' average points (first/last buckets keep the endpoints) — "
+    "integer-exact areas on the seconds x 1e-6 grid, one anchor "
+    "aggregate + one per-bucket selection, no raw-row sort",
+    tags=("relational", "timeseries", "bench"),
+)
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("t"),
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("v"),
+        "event_id",
+    )
+    span = pts.groupBy("event_type").agg(
+        F.min("t").alias("tmin"), F.max("t").alias("tmax")
+    )
+    bp = pts.join(F.broadcast(span), "event_type").select(
+        "event_type",
+        "t",
+        "v",
+        "event_id",
+        F.expr(
+            f"CAST(((t - tmin) * {_LTTB_B}) div (tmax - tmin + 1) AS BIGINT)"
+        ).alias("bucket"),
+    )
+    # bp feeds the anchor aggregate and the scored selection.
+    bp = bp.localCheckpoint(eager=False)
+    anchors = bp.groupBy("event_type", "bucket").agg(
+        F.expr("CAST(sum(t) div count(1) AS BIGINT)").alias("ta"),
+        F.expr("CAST(sum(v) div count(1) AS BIGINT)").alias("va"),
+    )
+    ap = F.broadcast(
+        anchors.select(
+            "event_type",
+            (F.col("bucket") + 1).alias("bucket"),
+            F.col("ta").alias("ta_p"),
+            F.col("va").alias("va_p"),
+        )
+    )
+    an = F.broadcast(
+        anchors.select(
+            "event_type",
+            (F.col("bucket") - 1).alias("bucket"),
+            F.col("ta").alias("ta_n"),
+            F.col("va").alias("va_n"),
+        )
+    )
+    scored = (
+        bp.join(ap, ["event_type", "bucket"], "left")
+        .join(an, ["event_type", "bucket"], "left")
+        .withColumn(
+            "area2",
+            F.when(
+                F.col("ta_p").isNull() | F.col("ta_n").isNull(),
+                F.lit(None).cast("long"),
+            ).otherwise(
+                F.abs(
+                    (F.col("ta_p") - F.col("ta_n")) * (F.col("v") - F.col("va_p"))
+                    - (F.col("ta_p") - F.col("t"))
+                    * (F.col("va_n") - F.col("va_p"))
+                )
+            ),
+        )
+    )
+    # Selection is a struct-MAX argmax (maximize the NEGATED ascending
+    # sort keys), not a per-bucket row_number sort: partitions here are
+    # corpus/(types*B)-sized, and the aggregate gets map-side partials
+    # where a window would sort every partition. Tie-break keys make
+    # the order total, so the trailing payload fields never decide.
+    key1 = F.expr(
+        f"-(CASE WHEN bucket = 0 THEN t "
+        f"WHEN bucket = {_LTTB_B - 1} THEN -t "
+        f"WHEN area2 IS NULL THEN t "
+        f"ELSE -area2 END)"
+    )
+    key2 = F.expr(
+        f"-(CASE WHEN bucket = {_LTTB_B - 1} THEN -event_id "
+        f"ELSE event_id END)"
+    )
+    best = F.max(
+        F.struct(
+            key1.alias("k1"),
+            key2.alias("k2"),
+            (-F.col("t")).alias("k3"),
+            (-F.col("event_id")).alias("k4"),
+            F.col("t").alias("t_sel"),
+            F.col("v").alias("v_sel"),
+        )
+    ).alias("s")
+    return (
+        scored.groupBy("event_type", "bucket")
+        .agg(best)
+        .select(
+            "event_type",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("s.t_sel").alias("t_sel"),
+            F.col("s.v_sel").alias("v_sel_scaled"),
+        )
+        .orderBy("event_type", "bucket")
+    )

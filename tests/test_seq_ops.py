@@ -231,3 +231,65 @@ def test_time_weighted_avg_matches_pandas(spark):
     assert any(
         abs(r["twa"] - r["plain_mean"]) > 1e-6 for r in out.values()
     )
+
+
+def test_lttb_downsample_matches_python(spark):
+    import duckdb
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+    from reddit_data_pipeline_engineering_spark.plans.queries_seq import (
+        _LTTB_B,
+    )
+
+    from .conftest import SF_SMALL
+
+    queries()
+    out = {
+        (r["event_type"], r["bucket"]): (r["t_sel"], r["v_sel_scaled"])
+        for r in REGISTRY["lttb_downsample"].fn(spark, SF_SMALL).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) "
+        f"AS BIGINT) AS t, CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v, "
+        f"event_id FROM '{SF_SMALL}/events.parquet'"
+    ).fetchall()
+    by_type = {}
+    for et, t, v, eid in rows:
+        by_type.setdefault(et, []).append((int(t), int(v), int(eid)))
+    expect = {}
+    for et, pts in by_type.items():
+        tmin = min(p[0] for p in pts)
+        tmax = max(p[0] for p in pts)
+        buckets = {}
+        for t, v, eid in pts:
+            b = (t - tmin) * _LTTB_B // (tmax - tmin + 1)
+            buckets.setdefault(b, []).append((t, v, eid))
+        anchors = {
+            b: (
+                sum(p[0] for p in ps) // len(ps),
+                sum(p[1] for p in ps) // len(ps),
+            )
+            for b, ps in buckets.items()
+        }
+        for b, ps in buckets.items():
+            ap, an = anchors.get(b - 1), anchors.get(b + 1)
+            if b == 0:
+                pick = min(ps, key=lambda p: (p[0], p[2]))
+            elif b == _LTTB_B - 1:
+                pick = max(ps, key=lambda p: (p[0], p[2]))
+            elif ap is None or an is None:
+                pick = min(ps, key=lambda p: (p[0], p[2]))
+            else:
+                def area2(p):
+                    return abs(
+                        (ap[0] - an[0]) * (p[1] - ap[1])
+                        - (ap[0] - p[0]) * (an[1] - ap[1])
+                    )
+                pick = max(ps, key=lambda p: (area2(p), -p[0], -p[2]))
+            expect[(et, b)] = (pick[0], pick[1])
+    assert out == expect
+    # every type keeps exactly its non-empty buckets
+    assert len(out) > 0

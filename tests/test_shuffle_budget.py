@@ -205,6 +205,10 @@ BUDGETS = {
     "lsh_quality_eval_sampled": 19,
     # med + mad each need a rank window over events (textually replayed
     # per branch; identical subtrees reuse at runtime) + final rollup.
+    # bucketed points (checkpointed once for anchors + selection) +
+    # broadcast anchor dims; movement = bucket aggregate, struct-max
+    # argmax rollup, output sort.
+    "lttb_downsample": 4,
     "mad_outliers": 5,
     "mad_outliers_scalable": 2,
     # daily count shuffle (checkpointed once for all four consumers) +
