@@ -541,3 +541,148 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("eval_leak_bps"),
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman-allocation stratified sampling (r07) — the statistically
+# OPTIMAL sample design (Neyman 1934): for a fixed total budget, the
+# variance-minimizing per-stratum allocation is n_h ∝ N_h * S_h (size
+# times standard deviation), not the proportional N_h the naive
+# stratified sampler uses. Strata = sources; the measured variable is
+# document token length.
+#
+# Exactness: the per-stratum variance numerator n*Sum(x^2) - (Sum x)^2
+# is DECIMAL(38,0)-exact; S_h = floor(sqrt(var_num)) goes through ONE
+# IEEE double sqrt of identical inputs in both engines (correctly
+# rounded — the zscore_outliers precedent), everything after is integer
+# again: weights w_h = N_h * S_h, allocation n_h = BUDGET * w_h div
+# Sum(w). The sample itself is drawn deterministically per stratum via
+# the md5 bucket with an in-plan threshold ceil(n_h * 1e6 / N_h), so
+# the draw is engine/rerun/cluster-size invariant and the achieved
+# count rides along. One corpus aggregate + one bounded rollup + one
+# corpus filter pass; no RNG anywhere.
+# --------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1_000
+
+_NEYMAN_ORACLE = f"""
+WITH lens AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKS}) AS BIGINT) AS x
+  FROM documents
+),
+strata AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(CAST(x AS DECIMAL(38,0)) * x)
+           - SUM(CAST(x AS DECIMAL(38,0))) * SUM(CAST(x AS DECIMAL(38,0)))
+           AS var_num
+  FROM lens GROUP BY source
+),
+wts AS (
+  SELECT source, n_docs, var_num,
+         n_docs * CAST(FLOOR(SQRT(CAST(var_num AS DOUBLE))) AS BIGINT)
+           AS w
+  FROM strata
+),
+alloc AS (
+  -- HUGEINT // HUGEINT is exact integer division (DECIMAL // detours
+  -- through DOUBLE in DuckDB and can land one off the true floor).
+  SELECT source, n_docs, var_num, w,
+         CAST(CAST({_NEYMAN_BUDGET} AS HUGEINT) * w
+              // CAST((SELECT SUM(w) FROM wts) AS HUGEINT) AS BIGINT)
+           AS alloc_n
+  FROM wts
+),
+drawn AS (
+  SELECT l.source, COUNT(*) AS n_sampled
+  FROM lens l JOIN alloc a ON a.source = l.source
+  WHERE ('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000
+        < (a.alloc_n * 1000000 + a.n_docs - 1) // a.n_docs
+  GROUP BY l.source
+)
+SELECT a.source, a.n_docs, CAST(a.var_num AS DECIMAL(38,0)) AS var_num,
+       CAST(a.w AS BIGINT) AS w,
+       a.alloc_n,
+       CAST(COALESCE(d.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM alloc a LEFT JOIN drawn d ON d.source = a.source
+ORDER BY a.source
+"""
+
+
+@query(
+    "neyman_allocation_sample",
+    _NEYMAN_ORACLE,
+    "Neyman-optimal stratified sampling: per-source DECIMAL(38,0)-exact "
+    "variance numerator of doc token length, S_h via ONE mirrored IEEE "
+    "sqrt+floor, allocation BUDGET * N_h*S_h div Sum(w), and a "
+    "deterministic md5-threshold draw with the achieved count riding "
+    "along — one corpus aggregate + bounded rollup + one filter pass, "
+    "no RNG",
+    tags=("llm", "sampling", "stats", "bench"),
+)
+def q_neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lens = docs.select(
+        "doc_id",
+        "source",
+        F.size(tx.tokens("text")).cast("long").alias("x"),
+    )
+    # lens feeds the strata aggregate AND the draw pass.
+    lens = lens.localCheckpoint(eager=False)
+    strata = lens.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.count(F.lit(1)).cast("decimal(38,0)")
+            * F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+            - F.sum(F.col("x").cast("decimal(38,0)"))
+            * F.sum(F.col("x").cast("decimal(38,0)"))
+        ).alias("var_num"),
+    )
+    wts = strata.withColumn(
+        "w",
+        F.col("n_docs")
+        * F.floor(F.sqrt(F.col("var_num").cast("double"))).cast("long"),
+    )
+    # wts is sources-bounded; checkpoint so the scalar total and the
+    # allocation read it once.
+    wts = wts.localCheckpoint(eager=False)
+    tot = wts.agg(F.sum("w").alias("w_tot"))
+    alloc = wts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "var_num",
+        "w",
+        F.expr(
+            f"CAST(CAST({_NEYMAN_BUDGET} AS DECIMAL(38,0)) * w "
+            "div w_tot AS BIGINT)"
+        ).alias("alloc_n"),
+    )
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        md5_bucket,
+    )
+
+    drawn = (
+        lens.join(
+            F.broadcast(alloc.select("source", "alloc_n", F.col("n_docs").alias("nd"))),
+            "source",
+        )
+        .filter(
+            md5_bucket("doc_id", 1_000_000)
+            < F.expr("(alloc_n * 1000000 + nd - 1) div nd")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return (
+        alloc.join(drawn, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.col("var_num").cast("decimal(38,0)").alias("var_num"),
+            F.col("w").cast("long").alias("w"),
+            "alloc_n",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+        .orderBy("source")
+    )

@@ -445,3 +445,63 @@ def test_split_leakage_audit_matches_brute_force(spark):
     # the audit has teeth on this corpus: duplicates exist, so some must
     # span splits
     assert row["n_leaky_groups"] > 0
+
+
+def test_neyman_allocation_matches_python(spark):
+    import hashlib
+    import math
+
+    import duckdb
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+    from reddit_data_pipeline_engineering_spark.plans.queries_prep import (
+        _NEYMAN_BUDGET,
+    )
+
+    from .conftest import SF_SMALL
+
+    queries()
+    out = {
+        r["source"]: (
+            r["n_docs"], int(r["var_num"]), r["w"], r["alloc_n"],
+            r["n_sampled"],
+        )
+        for r in REGISTRY["neyman_allocation_sample"].fn(spark, SF_SMALL).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    per = {}
+    for doc_id, src, text in docs:
+        x = len([t for t in text.split() if t])
+        per.setdefault(src, []).append((doc_id, x))
+    stats = {}
+    for src, rows in per.items():
+        n = len(rows)
+        sx = sum(x for _, x in rows)
+        sxx = sum(x * x for _, x in rows)
+        var_num = n * sxx - sx * sx
+        w = n * math.floor(math.sqrt(var_num))
+        stats[src] = (n, var_num, w)
+    w_tot = sum(w for _, _, w in stats.values())
+    expect = {}
+    for src, (n, var_num, w) in stats.items():
+        alloc = _NEYMAN_BUDGET * w // w_tot
+        thr = (alloc * 1_000_000 + n - 1) // n
+        sampled = sum(
+            1
+            for doc_id, _ in per[src]
+            if int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+            % 1_000_000
+            < thr
+        )
+        expect[src] = (n, var_num, w, alloc, sampled)
+    assert out == expect
+    # Neyman gives MORE budget to high-variance strata per doc: the
+    # allocation is not simply proportional to size everywhere
+    allocs = {s: v[3] for s, v in expect.items()}
+    sizes = {s: v[0] for s, v in expect.items()}
+    assert len(set(allocs.values())) > 1 or len(set(sizes.values())) > 1

@@ -235,6 +235,9 @@ BUDGETS = {
     "minhash_signatures": 0,
     "minmax_profile": 3,
     "mom_revenue_growth": 2,
+    # checkpointed per-doc lengths (strata pass + draw pass) + the
+    # sources-bounded weight rollup, scalar total and drawn-count agg.
+    "neyman_allocation_sample": 5,
     "nested_order_lines": 2,
     "ngram_jaccard_topk": 3,
     "normalize_group": 2,
