@@ -28,8 +28,33 @@ from .conftest import SF_SMALL
 
 queries()  # force registration
 
+from concurrent.futures import ThreadPoolExecutor as _TPE  # noqa: E402
 
-def _pdf(name, spark):
+_POOLED = [
+    "mann_kendall_trend",
+    "theil_sen_slope",
+    "unigram_tv_drift",
+    "embedding_centroid_drift",
+]
+
+
+@pytest.fixture(scope="module")
+def pooled_pdfs(spark):
+    """Run the four registry queries concurrently (each is scheduling-
+    latency-bound at sf0.001 — the pooled-fixture pattern)."""
+    with _TPE(max_workers=4) as ex:
+        futs = {
+            n: ex.submit(
+                lambda n=n: REGISTRY[n].fn(spark, SF_SMALL).toPandas()
+            )
+            for n in _POOLED
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def _pdf(name, spark, pooled=None):
+    if pooled is not None and name in pooled:
+        return pooled[name]
     return REGISTRY[name].fn(spark, SF_SMALL).toPandas()
 
 
@@ -61,8 +86,8 @@ def _mk_replay(xs):
     return s, var18, z2, int(z2 > 38416)
 
 
-def test_mann_kendall_replay_on_orders(spark):
-    out = _pdf("mann_kendall_trend", spark).set_index("priority")
+def test_mann_kendall_replay_on_orders(spark, pooled_pdfs):
+    out = _pdf("mann_kendall_trend", spark, pooled_pdfs).set_index("priority")
     daily = duckdb.sql(
         f"SELECT o_orderpriority AS p, CAST(o_orderdate AS DATE) AS d, "
         f"COUNT(*) AS x FROM '{SF_SMALL}/orders.parquet' GROUP BY 1, 2 "
@@ -118,8 +143,8 @@ def _ts_replay(xs):
     return len(slopes), slopes[(len(slopes) + 1) // 2 - 1]
 
 
-def test_theil_sen_replay_on_orders(spark):
-    out = _pdf("theil_sen_slope", spark).set_index("priority")
+def test_theil_sen_replay_on_orders(spark, pooled_pdfs):
+    out = _pdf("theil_sen_slope", spark, pooled_pdfs).set_index("priority")
     daily = duckdb.sql(
         f"SELECT o_orderpriority AS p, CAST(o_orderdate AS DATE) AS d, "
         f"COUNT(*) AS x FROM '{SF_SMALL}/orders.parquet' GROUP BY 1, 2 "
@@ -154,8 +179,8 @@ def test_theil_sen_outlier_immunity(spark):
     assert abs(med - 20000) <= 1  # robust estimate survives the spike
 
 
-def test_unigram_tv_replay(spark):
-    out = _pdf("unigram_tv_drift", spark).set_index("source")
+def test_unigram_tv_replay(spark, pooled_pdfs):
+    out = _pdf("unigram_tv_drift", spark, pooled_pdfs).set_index("source")
     docs = duckdb.sql(
         f"SELECT source, text FROM '{SF_SMALL}/documents.parquet'"
     ).fetchall()
@@ -185,8 +210,8 @@ def test_unigram_tv_replay(spark):
         assert 0 <= int(row["tv_bp"]) <= 10000
 
 
-def test_centroid_drift_replay(spark):
-    out = _pdf("embedding_centroid_drift", spark).set_index("label")
+def test_centroid_drift_replay(spark, pooled_pdfs):
+    out = _pdf("embedding_centroid_drift", spark, pooled_pdfs).set_index("label")
     emb = duckdb.sql(
         f"SELECT label, embedding FROM '{SF_SMALL}/embeddings.parquet'"
     ).fetchall()
@@ -227,8 +252,8 @@ def test_centroid_drift_replay(spark):
             assert abs(int(row["cos2_e8"])) <= 100_000_000
 
 
-def test_centroid_drift_detects_shifted_label(spark):
+def test_centroid_drift_detects_shifted_label(spark, pooled_pdfs):
     # sanity: labels are random-ish in the fixture, so every centroid
     # should be broadly aligned with the global mean (positive cos2)
-    out = _pdf("embedding_centroid_drift", spark)
+    out = _pdf("embedding_centroid_drift", spark, pooled_pdfs)
     assert (out["cos2_e8"].dropna() > 0).all()
