@@ -973,6 +973,9 @@ _DRIVER_FIRST = [
     # Neyman-optimal stratified sampling (plans/queries_prep.py); one
     # more fill slot displaced below.
     "neyman_allocation_sample",
+    # One-pass correlation matrix (plans/queries_stats.py); one more
+    # fill slot displaced below.
+    "correlation_matrix",
 ]
 
 # Re-confirmation fill (VERDICT r06 #3, order pinned by the judge): the
@@ -1005,15 +1008,14 @@ _DRIVER_FILL = [
     "funnel_conversion",
     "ratio_to_report",
     "grouped_median",
-    "hll_union_merge",
-    # (hash_split_stats, stratified_sample, corpus_prep_stats,
-    # copurchase_pairs, sliding_window_rollup,
+    # (hll_union_merge, hash_split_stats, stratified_sample,
+    # corpus_prep_stats, copurchase_pairs, sliding_window_rollup,
     # grouped_median_approx, ivfpq_topk, ivfpq_recall_at_k,
     # grouped_median_scalable, exact_percentiles_scalable,
     # hll_intersection_estimate and jl_recall_at_k ..
-    # chunk_dedup_stats — the fifteen r03-queue slots displaced by
+    # chunk_dedup_stats — the sixteen r03-queue slots displaced by
     # the late-r07 trend/density/experimentation/tokenizer/curation/
-    # multimodal/timeseries/sampling additions — and
+    # multimodal/timeseries/sampling/profiling additions — and
     # tfidf_topk_terms .. mad_outliers and hilbert_layout — the six
     # slots displaced by the late r07 re-gates (chisq + the five
     # kernel co-location queries) — head the rotated-out queue below
@@ -1033,6 +1035,7 @@ _DRIVER_ROTATED_OUT = [
     # Ordered oldest-row-first: the remaining r03 rows lead (the r08
     # re-confirmation queue, streaming drains included), then r04, r05,
     # and the r06-gated rows.
+    "hll_union_merge",
     "hash_split_stats",
     "stratified_sample",
     "corpus_prep_stats",

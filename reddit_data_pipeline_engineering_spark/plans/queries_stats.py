@@ -913,3 +913,142 @@ def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("metric")
     )
+
+
+# --------------------------------------------------------------------------
+# One-pass correlation matrix (r07) — the table-profiling classic: all
+# pairwise Pearson correlations of lineitem's four numeric measures
+# from ONE aggregate pass (the naive form runs one corr() per pair =
+# C(4,2) scans). Every value enters on the exact 1e-4 integer grid
+# (prices have 2 dp, rates 4 dp — lossless), so the power sums
+# (n, S_i, P_ij) and the moments num = n*P_ij - S_i*S_j,
+# den_i = n*P_ii - S_i^2 are DECIMAL(38,0)-exact and summation-order-
+# independent; the final r = num / (sqrt(den_i)*sqrt(den_j)) is the
+# mirrored IEEE tree (decimal->double, two correctly-rounded sqrts,
+# one divide) rounded to 6 dp — the cosine precedent, since num^2
+# would overflow DECIMAL(38) at n^2 * grid^2 scale. Output: 6 pair
+# rows from a bounded literal unpivot.
+# --------------------------------------------------------------------------
+
+_CORR_COLS = [
+    ("discount", "l_discount"),
+    ("price", "l_extendedprice"),
+    ("quantity", "l_quantity"),
+    ("tax", "l_tax"),
+]
+
+
+def _corr_grid_sql(col: str) -> str:
+    return f"CAST(CAST({col} AS DECIMAL(16,4)) * 10000 AS DECIMAL(38,0))"
+
+
+def _corr_matrix_oracle() -> str:
+    sums = []
+    for n1, c1 in _CORR_COLS:
+        sums.append(f"SUM({_corr_grid_sql(c1)}) AS s_{n1}")
+        for n2, c2 in _CORR_COLS:
+            if n1 <= n2:
+                sums.append(
+                    f"SUM({_corr_grid_sql(c1)} * {_corr_grid_sql(c2)})"
+                    f" AS p_{n1}_{n2}"
+                )
+    moments = []
+    for i, (n1, _) in enumerate(_CORR_COLS):
+        moments.append(f"n * p_{n1}_{n1} - s_{n1} * s_{n1} AS den_{n1}")
+        for n2, _ in _CORR_COLS[i + 1:]:
+            moments.append(
+                f"n * p_{n1}_{n2} - s_{n1} * s_{n2} AS num_{n1}_{n2}"
+            )
+    pair_rows = []
+    for i, (n1, _) in enumerate(_CORR_COLS):
+        for n2, _ in _CORR_COLS[i + 1:]:
+            pair_rows.append(
+                f"SELECT '{n1}' AS col_a, '{n2}' AS col_b, n,\n"
+                f"  ROUND(CASE WHEN den_{n1} = 0 OR den_{n2} = 0 THEN NULL"
+                f" ELSE CAST(num_{n1}_{n2} AS DOUBLE)"
+                f" / (SQRT(CAST(den_{n1} AS DOUBLE))"
+                f"    * SQRT(CAST(den_{n2} AS DOUBLE))) END, 6) AS corr_r"
+                f" FROM m"
+            )
+    agg = ",\n         ".join(sums)
+    return f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         {agg}
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(n AS BIGINT) AS n,
+       {",       ".join(moments)}
+  FROM base
+)
+{" UNION ALL ".join(pair_rows)}
+ORDER BY col_a, col_b
+"""
+
+
+@query(
+    "correlation_matrix",
+    _corr_matrix_oracle(),
+    "All pairwise Pearson correlations of lineitem's four numeric "
+    "measures from ONE aggregate pass: exact 1e-4 integer-grid power "
+    "sums, DECIMAL(38,0) moments, final r via the mirrored IEEE "
+    "decimal->double sqrt/divide tree rounded to 6 dp — 6 pair rows "
+    "from a bounded literal unpivot, zero per-pair scans",
+    tags=("relational", "stats", "bench"),
+)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def grid(col):
+        return (
+            (F.col(col).cast("decimal(16,4)") * 10000)
+            .cast("decimal(38,0)")
+        )
+
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for n1, c1 in _CORR_COLS:
+        aggs.append(F.sum(grid(c1)).alias(f"s_{n1}"))
+        for n2, c2 in _CORR_COLS:
+            if n1 <= n2:
+                aggs.append(
+                    F.sum(grid(c1) * grid(c2)).alias(f"p_{n1}_{n2}")
+                )
+    base = li.agg(*aggs)
+    m_cols = ["CAST(n AS BIGINT) AS n"]
+    for i, (n1, _) in enumerate(_CORR_COLS):
+        m_cols.append(f"n * p_{n1}_{n1} - s_{n1} * s_{n1} AS den_{n1}")
+        for n2, _ in _CORR_COLS[i + 1:]:
+            m_cols.append(
+                f"n * p_{n1}_{n2} - s_{n1} * s_{n2} AS num_{n1}_{n2}"
+            )
+    m = base.selectExpr(*m_cols)
+    m = m.localCheckpoint(eager=False)  # 1 row, feeds all 6 pair rows
+    outs = []
+    for i, (n1, _) in enumerate(_CORR_COLS):
+        for n2, _ in _CORR_COLS[i + 1:]:
+            outs.append(
+                m.select(
+                    F.lit(n1).alias("col_a"),
+                    F.lit(n2).alias("col_b"),
+                    "n",
+                    F.round(
+                        F.when(
+                            (F.col(f"den_{n1}") == 0)
+                            | (F.col(f"den_{n2}") == 0),
+                            F.lit(None).cast("double"),
+                        ).otherwise(
+                            F.col(f"num_{n1}_{n2}").cast("double")
+                            / (
+                                F.sqrt(F.col(f"den_{n1}").cast("double"))
+                                * F.sqrt(F.col(f"den_{n2}").cast("double"))
+                            )
+                        ),
+                        6,
+                    ).alias("corr_r"),
+                )
+            )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("col_a", "col_b")

@@ -77,6 +77,9 @@ BUDGETS = {
     # The distinct is the correctness fix: an order holding a part twice
     # must not double-count its pairs.
     "copurchase_pairs": 3,
+    # ONE moment-aggregate pass (checkpointed 1-row relation feeds all
+    # six pair rows); the only exchange is the final tiny sort.
+    "correlation_matrix": 1,
     "corpus_prep_stats": 3,
     # chunk window + per-doc rollup + doc join + per-lang window + final
     # rollup/sort (spread exchange included).

@@ -430,3 +430,39 @@ def test_ab_ztest_replay(spark, events_pdf):
             expect = d * d * N * 10000 // (n_a * n_b * C * (N - C))
         assert int(row["z2_bp"]) == expect
         assert int(row["significant"]) == int(expect > 38416)
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import duckdb
+    import numpy as np
+
+    out = {
+        (r["col_a"], r["col_b"]): (r["n"], r["corr_r"])
+        for _, r in _pdf("correlation_matrix", spark).iterrows()
+    }
+    pdf = duckdb.sql(
+        f"SELECT l_discount AS discount, l_extendedprice AS price, "
+        f"l_quantity AS quantity, l_tax AS tax "
+        f"FROM '{SF_SMALL}/lineitem.parquet'"
+    ).df()
+    cols = ["discount", "price", "quantity", "tax"]
+    X = {c: np.round(pdf[c].to_numpy() * 10000).astype(np.int64) for c in cols}
+    n = len(pdf)
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            num = n * int((X[a].astype(object) * X[b]).sum()) - int(
+                X[a].sum()
+            ) * int(X[b].sum())
+            da = n * int((X[a].astype(object) * X[a]).sum()) - int(
+                X[a].sum()
+            ) ** 2
+            db = n * int((X[b].astype(object) * X[b]).sum()) - int(
+                X[b].sum()
+            ) ** 2
+            expect = num / (da**0.5 * db**0.5)
+            got_n, got_r = out[(a, b)]
+            assert got_n == n
+            assert abs(got_r - expect) < 2e-6
+            # and it agrees with numpy's own corrcoef
+            ref = np.corrcoef(X[a].astype(float), X[b].astype(float))[0, 1]
+            assert abs(got_r - ref) < 1e-5
