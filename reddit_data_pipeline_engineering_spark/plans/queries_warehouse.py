@@ -11,7 +11,7 @@ All are pure Catalyst plans with exact DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reddit_data_pipeline_engineering_spark.operators import bloom
@@ -1212,4 +1212,106 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("rows_at_risk * 10000 div n_rows").cast("long"),
         )
         .orderBy("level")
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (r07) — the classic marketing-warehouse
+# rollup: per customer Recency (days since last order, vs the global
+# max order date), Frequency (order count) and Monetary (decimal-exact
+# spend in cents), each scored into quartiles by ntile(4) with a
+# deterministic (metric, custkey) tiebreak oriented so score 4 = best
+# (most recent / most frequent / top spend); the output is the
+# 64-cell-bounded segment rollup with per-segment customer counts and
+# monetary mass. Windows sort the CUSTOMER DIMENSION (one aggregate
+# row per customer), never order rows; the global max date is a
+# broadcast scalar.
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey AS custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+           AS m_cents
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT MAX(last_day) AS maxd FROM cust),
+scored AS (
+  SELECT c.custkey,
+         date_diff('day', c.last_day, m.maxd) AS r_days,
+         c.f, c.m_cents,
+         NTILE(4) OVER (ORDER BY c.last_day, c.custkey) AS r_q,
+         NTILE(4) OVER (ORDER BY c.f, c.custkey) AS f_q,
+         NTILE(4) OVER (ORDER BY c.m_cents, c.custkey) AS m_q
+  FROM cust c CROSS JOIN mx m
+)
+SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+       CAST(m_q AS INTEGER) AS m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(m_cents) AS BIGINT) AS segment_cents,
+       CAST(MIN(r_days) AS BIGINT) AS min_r_days,
+       CAST(MAX(r_days) AS BIGINT) AS max_r_days
+FROM scored GROUP BY 1, 2, 3
+ORDER BY r_q, f_q, m_q
+"""
+
+
+@query(
+    "rfm_segmentation",
+    _RFM_ORACLE,
+    "RFM customer segmentation: per-customer recency/frequency/decimal-"
+    "exact monetary, ntile(4) quartile scores with deterministic "
+    "(metric, custkey) tiebreaks (4 = best), 64-cell-bounded segment "
+    "rollup with counts and monetary mass — windows sort the customer "
+    "dimension, never order rows",
+    tags=("relational", "warehouse", "window", "bench"),
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("f"),
+        (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("long")
+        .alias("m_cents"),
+    )
+    # cust feeds the scalar max and all three ranking windows.
+    cust = cust.localCheckpoint(eager=False)
+    mx = cust.agg(F.max("last_day").alias("maxd"))
+    scored = (
+        cust.crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.datediff("maxd", "last_day").cast("long").alias("r_days"),
+            "f",
+            "m_cents",
+            F.ntile(4)
+            .over(Window.orderBy("last_day", "custkey"))
+            .alias("r_q"),
+            F.ntile(4).over(Window.orderBy("f", "custkey")).alias("f_q"),
+            F.ntile(4)
+            .over(Window.orderBy("m_cents", "custkey"))
+            .alias("m_q"),
+        )
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("m_cents").cast("long").alias("segment_cents"),
+            F.min("r_days").cast("long").alias("min_r_days"),
+            F.max("r_days").cast("long").alias("max_r_days"),
+        )
+        .select(
+            F.col("r_q").cast("int"),
+            F.col("f_q").cast("int"),
+            F.col("m_q").cast("int"),
+            "n_customers",
+            "segment_cents",
+            "min_r_days",
+            "max_r_days",
+        )
+        .orderBy("r_q", "f_q", "m_q")
     )

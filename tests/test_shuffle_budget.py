@@ -276,6 +276,10 @@ BUDGETS = {
     "range_join_windows": 3,
     "repetition_stats": 3,
     "returned_item_losses": 1,
+    # customer-dim aggregate (checkpointed for the scalar max + three
+    # ntile windows) + segment rollup; scale note: ntile sorts the
+    # customer DIMENSION, never order rows.
+    "rfm_segmentation": 2,
     "rolling_range_frame": 3,
     "rollup_orders": 1,
     # Both rankings are TakeOrderedAndProject top-100s (one partition

@@ -278,3 +278,57 @@ def test_l_diversity_matches_pandas_bruteforce(spark):
         assert row["at_risk_bps"] == int(homog["sz"].sum()) * 10000 // int(
             g["sz"].sum()
         )
+
+
+def test_rfm_segmentation_matches_pandas(spark):
+    import duckdb
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+
+    from .conftest import SF_SMALL
+
+    queries()
+    out = {
+        (r["r_q"], r["f_q"], r["m_q"]): (
+            r["n_customers"], r["segment_cents"],
+            r["min_r_days"], r["max_r_days"],
+        )
+        for r in REGISTRY["rfm_segmentation"].fn(spark, SF_SMALL).collect()
+    }
+    cust = duckdb.sql(
+        f"SELECT o_custkey AS ck, MAX(CAST(o_orderdate AS DATE)) AS last_day, "
+        f"COUNT(*) AS f, "
+        f"CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) "
+        f"AS m FROM '{SF_SMALL}/orders.parquet' GROUP BY 1"
+    ).fetchall()
+    maxd = max(r[1] for r in cust)
+
+    def ntile4(order):
+        # NTILE semantics: n rows into 4 tiles, first (n % 4) tiles get
+        # the extra row
+        n = len(order)
+        base, extra = divmod(n, 4)
+        tiles = {}
+        idx = 0
+        for t in range(1, 5):
+            size = base + (1 if t <= extra else 0)
+            for _ in range(size):
+                tiles[order[idx]] = t
+                idx += 1
+        return tiles
+
+    r_t = ntile4([r[0] for r in sorted(cust, key=lambda r: (r[1], r[0]))])
+    f_t = ntile4([r[0] for r in sorted(cust, key=lambda r: (r[2], r[0]))])
+    m_t = ntile4([r[0] for r in sorted(cust, key=lambda r: (r[3], r[0]))])
+    expect = {}
+    for ck, last_day, f, m in cust:
+        key = (r_t[ck], f_t[ck], m_t[ck])
+        rd = (maxd - last_day).days
+        n, cents, mn, mx = expect.get(key, (0, 0, 10**9, -1))
+        expect[key] = (n + 1, cents + m, min(mn, rd), max(mx, rd))
+    assert out == expect
+    # all three scores span the full 1..4 range on the fixture
+    assert {k[0] for k in out} == {1, 2, 3, 4}
