@@ -979,6 +979,11 @@ _DRIVER_FIRST = [
     # RFM customer segmentation (plans/queries_warehouse.py); one more
     # fill slot displaced below.
     "rfm_segmentation",
+    # Streaming time-weighted average (plans/queries_streaming.py) —
+    # the third applyInPandasWithState operator; one more fill slot
+    # displaced below. (Sits last in _DRIVER_FIRST = the wall-clock-
+    # heavy streaming drain nearest the gate tail.)
+    "streaming_twa",
 ]
 
 # Re-confirmation fill (VERDICT r06 #3, order pinned by the judge): the
@@ -1009,17 +1014,16 @@ _DRIVER_FILL = [
     "hll_grouped_distinct",
     "cohort_retention",
     "funnel_conversion",
-    "ratio_to_report",
-    # (grouped_median, hll_union_merge, hash_split_stats,
-    # stratified_sample,
+    # (ratio_to_report, grouped_median, hll_union_merge,
+    # hash_split_stats, stratified_sample,
     # corpus_prep_stats, copurchase_pairs, sliding_window_rollup,
     # grouped_median_approx, ivfpq_topk, ivfpq_recall_at_k,
     # grouped_median_scalable, exact_percentiles_scalable,
     # hll_intersection_estimate and jl_recall_at_k ..
-    # chunk_dedup_stats — the seventeen r03-queue slots displaced by
+    # chunk_dedup_stats — the eighteen r03-queue slots displaced by
     # the late-r07 trend/density/experimentation/tokenizer/curation/
-    # multimodal/timeseries/sampling/profiling/warehouse additions —
-    # and
+    # multimodal/timeseries/sampling/profiling/warehouse/streaming
+    # additions — and
     # tfidf_topk_terms .. mad_outliers and hilbert_layout — the six
     # slots displaced by the late r07 re-gates (chisq + the five
     # kernel co-location queries) — head the rotated-out queue below
@@ -1039,6 +1043,7 @@ _DRIVER_ROTATED_OUT = [
     # Ordered oldest-row-first: the remaining r03 rows lead (the r08
     # re-confirmation queue, streaming drains included), then r04, r05,
     # and the r06-gated rows.
+    "ratio_to_report",
     "grouped_median",
     "hll_union_merge",
     "hash_split_stats",

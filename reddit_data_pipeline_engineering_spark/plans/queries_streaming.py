@@ -1007,3 +1007,130 @@ def q_streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mktsegment", "version")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming time-weighted average (r07) — the third custom
+# applyInPandasWithState operator and the streaming twin of the batch
+# time_weighted_avg: per-(user, type) LOCF mass last_v * (t - last_t)
+# is an order-dependent recurrence over keyed state. Same two-file
+# drain as stateful_ema_stream (12h/12h split of the first day, pinned
+# mtimes, maxFilesPerTrigger=1) so the SECOND batch folds onto state
+# carried from the first — the cross-trigger carry is what the hash
+# verifies. Timestamps stage as EPOCH MICROS (long) against the
+# TIMESTAMP_NTZ epoch (the r07 streaming_pit_enrich lesson — instant-
+# exact in any session timezone). The oracle replays the float fold
+# bit-exactly with a struct-accumulator list_reduce over the per-key
+# (batch, ts, value)-ordered event list (the EMA list_reduce device,
+# upgraded to a struct accumulator carrying (t, v, acc)); the covered
+# span is exact integer micros.
+# --------------------------------------------------------------------------
+
+_TWA_STREAM_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS TIMESTAMP)) AS t0 FROM events
+), day AS (
+  SELECT e.user_id, e.event_type, CAST(e.ts AS TIMESTAMP) AS ts, e.value,
+         CASE WHEN CAST(e.ts AS TIMESTAMP) < b.t0 + INTERVAL 12 HOUR
+              THEN 0 ELSE 1 END AS batch
+  FROM events e CROSS JOIN bounds b
+  WHERE CAST(e.ts AS TIMESTAMP) < b.t0 + INTERVAL 1 DAY
+    AND e.value IS NOT NULL
+), ordered AS (
+  SELECT user_id, event_type, ts, value, batch,
+         epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY batch, ts, value) AS rn
+  FROM day
+), seqs AS (
+  SELECT user_id, event_type,
+         list(struct_pack(t := t, v := value,
+                          acc := CAST(0.0 AS DOUBLE))
+              ORDER BY batch, ts, value) AS els,
+         list(t ORDER BY batch, ts, value) AS ts_list
+  FROM ordered GROUP BY 1, 2
+)
+SELECT o.user_id, o.event_type, o.ts, o.value,
+       CAST(o.t - s.ts_list[1] AS BIGINT) AS covered_micros,
+       CASE WHEN o.t - s.ts_list[1] = 0 THEN NULL ELSE
+         list_reduce(list_slice(s.els, 1, o.rn),
+           (acc, x) -> struct_pack(
+             t := x.t, v := x.v,
+             acc := acc.acc + acc.v * CAST(x.t - acc.t AS DOUBLE))
+         ).acc / CAST(o.t - s.ts_list[1] AS DOUBLE) END AS twa
+FROM ordered o JOIN seqs s USING (user_id, event_type)
+"""
+
+
+@query(
+    "streaming_twa",
+    _TWA_STREAM_ORACLE,
+    "applyInPandasWithState streaming time-weighted average: per-(user, "
+    "type) LOCF mass folded across micro-batches (two-file drain proves "
+    "cross-trigger state carry), timestamps staged as epoch micros — "
+    "hash-verified against a struct-accumulator list_reduce replay of "
+    "the identical float fold; the streaming twin of time_weighted_avg",
+    tags=("streaming", "stateful", "timeseries"),
+)
+def q_streaming_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from reddit_data_pipeline_engineering_spark.streaming.stateful import (
+        twa_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day = _with_min_ts(ev).filter(
+        F.col("ts") < F.col("t0") + F.expr("INTERVAL 1 DAYS")
+    ).filter(F.col("value").isNotNull())
+    tmp = tempfile.mkdtemp(prefix="rdpe_twaq_")
+    raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
+    os.makedirs(raw)
+    cut = F.col("t0") + F.expr("INTERVAL 12 HOURS")
+    for i, cond in enumerate((F.col("ts") < cut, F.col("ts") >= cut)):
+        stage = os.path.join(tmp, f"stage{i}")
+        (
+            day.filter(cond)
+            .select(
+                "user_id",
+                "event_type",
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                ).alias("t_us"),
+                "value",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(stage)
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.json"))
+        p = os.path.join(raw, f"b{i}.json")
+        os.rename(part, p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, event_type string, t_us long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .load(raw)
+        .withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, t_us, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+        .drop("t_us")
+    )
+    q = (
+        twa_stream(stream, ("user_id", "event_type"), "ts", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    return spark.read.parquet(out)

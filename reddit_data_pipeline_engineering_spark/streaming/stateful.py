@@ -169,3 +169,79 @@ def cusum_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def twa_stream(
+    df: DataFrame,
+    key_cols: tuple[str, str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key cross-batch TIME-WEIGHTED running average (r07) — the
+    streaming twin of the batch ``time_weighted_avg``: LOCF weighting
+    means every event's contribution is ``last_v * (t - last_t)``, an
+    order-dependent recurrence over per-key state (last observation +
+    accumulated mass) that no built-in streaming aggregate expresses.
+
+    Emits one row per event — (k1, k2, ts, value, covered_micros, twa)
+    — where ``covered_micros`` is the exact integer time span since the
+    key's first observation and ``twa`` the running LOCF average (NULL
+    until time has elapsed). Within a micro-batch rows fold in
+    ``(ts, value)`` order; ties at equal ts carry zero weight, so tie
+    order cannot change the accumulators. State is O(1) per key:
+    (t_first, last_t, last_v, acc_vdt).
+    """
+    k1, k2 = key_cols
+    tc, vc = ts_col, value_col
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            t0, last_t, last_v, acc = state.get
+        else:
+            t0, last_t, last_v, acc = None, None, None, 0.0
+        outs = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([tc, vc], kind="stable").reset_index(
+                drop=True
+            )
+            covered, twas = [], []
+            for ts_val, v in zip(pdf[tc], pdf[vc]):
+                t = int(pd.Timestamp(ts_val).value // 1000)  # ns -> us
+                v = float(v)
+                if t0 is None:
+                    t0 = t
+                else:
+                    acc = acc + last_v * float(t - last_t)
+                last_t, last_v = t, v
+                c = t - t0
+                covered.append(c)
+                twas.append(acc / float(c) if c > 0 else None)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        k1: pdf[k1],
+                        k2: pdf[k2],
+                        tc: pdf[tc],
+                        vc: pdf[vc],
+                        "covered_micros": covered,
+                        "twa": twas,
+                    }
+                )
+            )
+        state.update((t0, last_t, last_v, acc))
+        for out in outs:
+            yield out
+
+    out_schema = (
+        f"{k1} long, {k2} string, {tc} timestamp, {vc} double, "
+        "covered_micros long, twa double"
+    )
+    return df.groupBy(k1, k2).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="t0 long, last_t long, last_v double, acc double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

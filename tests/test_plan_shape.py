@@ -233,7 +233,7 @@ def test_driver_gate_ordering():
         "source_overlap_matrix", "multimodal_pcm_decode",
         "incremental_lsh_dedup", "time_weighted_avg", "lttb_downsample",
         "neyman_allocation_sample", "correlation_matrix",
-        "rfm_segmentation",
+        "rfm_segmentation", "streaming_twa",
     ]
     assert _DRIVER_FIRST == must_gate
     pinned_r02 = [
@@ -255,7 +255,8 @@ def test_driver_gate_ordering():
     # - BPE encode-apply (1) - source overlap matrix (1) - PCM (1)
     # - incremental LSH dedup (1) - time-weighted avg (1) - LTTB (1)
     # - Neyman sampling (1) - correlation matrix (1) - RFM (1)
-    assert len(_DRIVER_FILL) == 25
+    # - streaming TWA (1)
+    assert len(_DRIVER_FILL) == 24
     # Streaming tail empty: the only streaming query needing a fresh row
     # leads the gate by judge instruction; no other changed.
     assert _DRIVER_TAIL_STREAMING == []
@@ -263,7 +264,8 @@ def test_driver_gate_ordering():
     # r03 fill slots displaced by the trend-family additions lead, then
     # the six displaced by the late r07 re-gates, in r03 file order,
     # then the remaining r03 rows.
-    assert _DRIVER_ROTATED_OUT[:25] == [
+    assert _DRIVER_ROTATED_OUT[:26] == [
+        "ratio_to_report",
         "grouped_median",
         "hll_union_merge",
         "hash_split_stats",
