@@ -141,6 +141,35 @@ def driver_unsortable_cols(families: dict[str, str]) -> list[str]:
     )
 
 
+def driver_decimal_cols(families: dict[str, str]) -> list[str]:
+    """Top-level DECIMAL output columns — driver-hash-UNSAFE.
+
+    Empirical law from the r07 driver gate (VERDICT r07 #1/#2): the
+    gate's ONLY three hash-fail rows (``streaming_pit_enrich``,
+    ``ks_source_drift``, ``neyman_allocation_sample``) were EXACTLY the
+    registry's only three queries emitting a decimal output column —
+    3/3 decimal emitters red, 0/228 non-decimal queries red — and all
+    three matched their DuckDB oracles value-exactly. The decisive
+    natural experiment: ``ks_source_drift`` was green in r06 with an
+    all-BIGINT output and went red in r07 when its ``d_num`` column
+    became DECIMAL(38,0), the only semantic change. The driver's typed
+    hash evidently serializes Spark ``DecimalType`` and DuckDB
+    ``DECIMAL`` through different representations (most plausibly a
+    pandas/Arrow fetch landing one side as object-Decimal and the other
+    as float64), and this harness's ``_canon_decimal`` deliberately
+    collapses renderings — so the local digest passes exactly where the
+    driver fails. Decimal OUTPUT is therefore rejected outright, like
+    non-ASCII strings and nested columns: keep DECIMAL arithmetic
+    internal, cast every output column to BIGINT (scaled integer),
+    DOUBLE, or STRING on BOTH legs.
+    """
+    return sorted(
+        c
+        for c, fam in families.items()
+        if fam == "decimal" or fam.startswith("list<decimal")
+    )
+
+
 def non_ascii_cols(cols: list[str], rows: list[tuple]) -> list[str]:
     """Columns whose string cells contain non-ASCII characters.
 
@@ -274,6 +303,16 @@ def compare(
             "sort_values cannot factorize array/map/struct cells "
             "(CORRECTNESS_r04 nested_order_lines) — emit a canonical "
             "string in both the query and the oracle",
+        )
+    dec_cols = driver_decimal_cols(stypes)
+    if dec_cols:
+        return CompareResult(
+            name, False,
+            f"driver-hash-unsafe DECIMAL output column(s) {dec_cols}: the "
+            "r07 driver gate hash-failed exactly the registry's 3 decimal "
+            "emitters (3/3 red, 0/228 others) on value-exact oracle "
+            "matches — keep decimal arithmetic internal and cast outputs "
+            "to BIGINT/DOUBLE/STRING on both legs",
         )
     srows = [tuple(r) for r in sdf.collect()]
 

@@ -552,7 +552,12 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # document token length.
 #
 # Exactness: the per-stratum variance numerator n*Sum(x^2) - (Sum x)^2
-# is DECIMAL(38,0)-exact; S_h = floor(sqrt(var_num)) goes through ONE
+# is DECIMAL(38,0)-exact INTERNALLY but EMITTED as DOUBLE on both legs
+# (VERDICT r07 #1: the driver's typed hash serializes Spark DecimalType
+# vs DuckDB DECIMAL differently — the r07 gate's only 3 red rows were
+# exactly the 3 decimal-output queries, all value-exact vs oracle; the
+# decision values w/alloc_n/n_sampled stay exact BIGINT);
+# S_h = floor(sqrt(var_num)) goes through ONE
 # IEEE double sqrt of identical inputs in both engines (correctly
 # rounded — the zscore_outliers precedent), everything after is integer
 # again: weights w_h = N_h * S_h, allocation n_h = BUDGET * w_h div
@@ -601,7 +606,7 @@ drawn AS (
         < (a.alloc_n * 1000000 + a.n_docs - 1) // a.n_docs
   GROUP BY l.source
 )
-SELECT a.source, a.n_docs, CAST(a.var_num AS DECIMAL(38,0)) AS var_num,
+SELECT a.source, a.n_docs, CAST(a.var_num AS DOUBLE) AS var_num,
        CAST(a.w AS BIGINT) AS w,
        a.alloc_n,
        CAST(COALESCE(d.n_sampled, 0) AS BIGINT) AS n_sampled
@@ -679,7 +684,7 @@ def q_neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            F.col("var_num").cast("decimal(38,0)").alias("var_num"),
+            F.col("var_num").cast("double").alias("var_num"),
             F.col("w").cast("long").alias("w"),
             "alloc_n",
             F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),

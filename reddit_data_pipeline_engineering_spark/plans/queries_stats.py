@@ -621,8 +621,14 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Spark, non-ANSI) once d_num*1e6 crossed 2^63 — n_src*n_rest ~ 9.2e12,
 # only ~3e6 docs per side in the worst case, a factor 1e6 earlier than
 # its comment claimed. ks_ppm itself is bounded by 1e6 and stays
-# BIGINT; d_num is emitted as DECIMAL(38,0), the one output that can
-# genuinely exceed 64 bits.
+# BIGINT. d_num is EMITTED as DOUBLE on both legs (VERDICT r07 #1):
+# the r07 driver gate hash-failed exactly the registry's 3
+# decimal-output queries (this one regressed green→red when d_num
+# became DECIMAL(38,0)) on value-exact matches — the driver's typed
+# hash serializes Spark DecimalType and DuckDB DECIMAL differently.
+# The sup arithmetic stays DECIMAL(38,0) internally; only the final
+# diagnostic column is rendered as a correctly-rounded double (the
+# decision value, ks_ppm, is exact BIGINT).
 # --------------------------------------------------------------------------
 
 _KS_SCALE = 1_000_000
@@ -656,7 +662,7 @@ SELECT g.source,
        CAST(t.n_all - g.n_src AS BIGINT) AS n_rest,
        CAST(MAX(ABS(CAST(g.cum_src AS HUGEINT) * (t.n_all - g.n_src)
                     - (g.cum_all - g.cum_src) * g.n_src))
-            AS DECIMAL(38,0)) AS d_num,
+            AS DOUBLE) AS d_num,
        CAST(MAX(ABS(CAST(g.cum_src AS HUGEINT) * (t.n_all - g.n_src)
                     - (g.cum_all - g.cum_src) * g.n_src))
             * {_KS_SCALE}
@@ -756,7 +762,7 @@ def ks_drift_from_counts(cnt: DataFrame) -> DataFrame:
             "source",
             F.col("n_src_d").cast("long").alias("n_src"),
             (F.col("n_all_d") - F.col("n_src_d")).cast("long").alias("n_rest"),
-            F.col("d_num").cast("decimal(38,0)").alias("d_num"),
+            F.col("d_num").cast("double").alias("d_num"),
             F.expr(
                 f"d_num * CAST({_KS_SCALE} AS DECIMAL(7,0))"
                 " div (n_src_d * (n_all_d - n_src_d))"

