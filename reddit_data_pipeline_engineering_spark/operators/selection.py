@@ -682,3 +682,254 @@ def grouped_percentiles_selection(
         out,
         f"{group_col} {_gtype(out[0][0]) if out else 'string'}, {cols}",
     )
+
+
+def _ntile_boundary_ranks(n: int, n_buckets: int) -> list[int]:
+    """1-based ranks of the LAST row of buckets 1..n_buckets-1 under
+    SQL NTILE semantics: the first ``n mod n_buckets`` buckets hold
+    ``n div n_buckets + 1`` rows, the rest ``n div n_buckets``."""
+    q, rem = divmod(n, n_buckets)
+    ranks, cum = [], 0
+    for b in range(n_buckets - 1):
+        cum += q + 1 if b < rem else q
+        ranks.append(cum)
+    return ranks
+
+
+# Metrics with at most this many DISTINCT values resolve their boundary
+# VALUES from one exact (metric, value, count) histogram pass instead of
+# bucket bisection: the collected histogram is bounded by
+# metrics x HIST_MAX_DISTINCT rows (driver-safe by construction), and
+# warehouse ranking metrics are usually low-cardinality (dates, counts)
+# — at bench scale this saves the bisection's per-round driver actions,
+# at 100 TB high-cardinality metrics take the bisection path unchanged.
+HIST_MAX_DISTINCT = 65536
+
+
+def ntile_boundary_pairs(
+    df: DataFrame,
+    metric_cols: list[str],
+    tie_col: str,
+    n_buckets: int = 4,
+    buckets: int = BUCKETS,
+    max_rounds: int = MAX_ROUNDS,
+    hist_max_distinct: int = HIST_MAX_DISTINCT,
+) -> dict[str, list[tuple[float, float]]]:
+    """Exact ``NTILE(n) OVER (ORDER BY metric, tie)`` bucket boundaries
+    for several metrics at once, WITHOUT a global sort (VERDICT r07 #4:
+    a no-partitionBy window is a single-partition sort — at 100x the
+    dimension that is billions of rows through one task, once per
+    metric).
+
+    Returns ``{metric: [(v_1, t_1), ..., (v_{n-1}, t_{n-1})]}`` where
+    pair k is the (metric value, tie value) of the LAST row of bucket k
+    in the total order (metric, tie) — tie values must be UNIQUE (a
+    dimension key). A row's bucket is then
+    ``1 + #{k : (v_k, t_k) < (row_v, row_t)}`` (lexicographic), an
+    embarrassingly-parallel comparison against n_buckets-1 broadcast
+    pairs — identical output to the window formulation, no
+    single-partition exchange anywhere.
+
+    Mechanics — typically THREE bounded driver actions:
+
+    1. one profile pass (count / min / max / approx distinct) over the
+       stacked (metric, value, tie) relation;
+    2. boundary VALUES: metrics whose approx distinct count is under
+       ``hist_max_distinct`` resolve from ONE exact (metric, value,
+       count) histogram pass (collected relation bounded by
+       metrics x hist_max_distinct rows — dates, counts, scores);
+       high-cardinality metrics go through the bucket-bisection core
+       (``_select_ranks``, mergeable conditional aggregates, 1-2
+       full-input passes for uniform-ish data);
+    3. boundary TIES: the boundary's tie value is the
+       ``j = rank - #{v < v_k}``-th smallest tie inside the
+       ``v == v_k`` class. Classes of at most ``FINAL_PASS_MAX_ROWS``
+       rows resolve in one capped ``collect_list`` pass; larger tie
+       classes (mass-tied metrics at scale) go through one more
+       bisection over the class — never a sort.
+
+    Driver state is metrics x (n_buckets-1) scalars plus the capped
+    histogram. Values and ties must be exact in double (magnitude
+    < 2^53 — dates-as-days, counts, cents, keys).
+    """
+    spark = df.sparkSession
+    stacked = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("g"), F.col(m).cast("double").alias("v")
+            )
+            for m in metric_cols
+        ]
+    )
+    src = (
+        df.select(
+            F.col(tie_col).cast("double").alias("t"),
+            F.explode(stacked).alias("x"),
+        )
+        .select("x.g", "x.v", "t")
+        .persist()
+    )
+
+    def _semi(names):
+        return src.join(
+            F.broadcast(
+                spark.createDataFrame([(g,) for g in sorted(names)], "g string")
+            ),
+            "g",
+            "left_semi",
+        )
+
+    try:
+        prof_rows = (
+            src.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+                # Threshold decision only — 2% rsd is plenty; the exact
+                # histogram size is still capped by the margin below.
+                F.approx_count_distinct("v", 0.02).alias("nd"),
+            )
+            .collect()
+        )
+        prof = {
+            r["g"]: (r["n"], float(r["lo"]), float(r["hi"])) for r in prof_rows
+        }
+        if not prof:
+            return {m: [] for m in metric_cols}
+        small = sorted(
+            r["g"] for r in prof_rows if r["nd"] <= 0.8 * hist_max_distinct
+        )
+        boundary = {
+            g: _ntile_boundary_ranks(n, n_buckets) for g, (n, _, _) in prof.items()
+        }
+
+        # ---- boundary VALUES ----
+        vals: dict[tuple[str, int], float] = {}
+        # (g, rank) -> (n_lt, n_eq); filled from the histogram for small
+        # metrics, from the class-profile pass for bisected ones.
+        cls_counts: dict[tuple[str, int], tuple[int, int]] = {}
+        large = [g for g in prof if g not in small]
+        if large:
+            want = {g: sorted(set(boundary[g])) for g in large}
+            vals.update(
+                _select_ranks(
+                    _semi(large).select("g", "v"), want, prof,
+                    buckets, max_rounds,
+                )
+            )
+        if small:
+            hist: dict[str, list[tuple[float, int]]] = {g: [] for g in small}
+            for r in (
+                _semi(small)
+                .groupBy("g", "v")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            ):
+                hist[r["g"]].append((r["v"], r["c"]))
+            for g in small:
+                hv = sorted(hist[g])
+                cum, i = 0, 0
+                for r in sorted(set(boundary[g])):
+                    while cum < r:
+                        cum += hv[i][1]
+                        i += 1
+                    vals[(g, r)] = hv[i - 1][0]
+                    cls_counts[(g, r)] = (cum - hv[i - 1][1], hv[i - 1][1])
+
+        # ---- class profiles for bisected metrics (one pass, only when
+        # some metric skipped the histogram) ----
+        if large:
+            bounds = spark.createDataFrame(
+                sorted(
+                    (g, r, vals[(g, r)])
+                    for g in large
+                    for r in set(boundary[g])
+                ),
+                "g string, k long, vk double",
+            )
+            for r in (
+                _semi(large)
+                .join(F.broadcast(bounds), "g")
+                .groupBy("g", "k")
+                .agg(
+                    F.sum(
+                        F.when(F.col("v") < F.col("vk"), 1).otherwise(0)
+                    ).alias("n_lt"),
+                    F.sum(
+                        F.when(F.col("v") == F.col("vk"), 1).otherwise(0)
+                    ).alias("n_eq"),
+                )
+                .collect()
+            ):
+                cls_counts[(r["g"], r["k"])] = (r["n_lt"], r["n_eq"])
+
+        # ---- boundary TIES ----
+        ties: dict[tuple[str, int], float] = {}
+        shallow: list[tuple[str, int, float, int]] = []  # collect_list pass
+        deep: dict[str, tuple[tuple[str, int], float, int]] = {}  # bisection
+        for g in prof:
+            for r in set(boundary[g]):
+                n_lt, n_eq = cls_counts[(g, r)]
+                j = r - n_lt
+                if not (1 <= j <= n_eq):  # pragma: no cover - invariant
+                    raise AssertionError(
+                        f"ntile boundary rank escaped its tie class: {(g, r)}"
+                    )
+                if n_eq <= FINAL_PASS_MAX_ROWS:
+                    shallow.append((g, r, vals[(g, r)], j))
+                else:
+                    deep[f"{g}\x00{r}"] = ((g, r), vals[(g, r)], j)
+        if shallow:
+            sb = spark.createDataFrame(
+                sorted((g, r, vk) for g, r, vk, _ in shallow),
+                "g string, k long, vk double",
+            )
+            got = {
+                (r["g"], r["k"]): r["ts"]
+                for r in src.join(F.broadcast(sb), "g")
+                .filter(F.col("v") == F.col("vk"))
+                .groupBy("g", "k")
+                .agg(F.sort_array(F.collect_list("t")).alias("ts"))
+                .collect()
+            }
+            for g, r, _, j in shallow:
+                ties[(g, r)] = got[(g, r)][j - 1]
+        if deep:
+            deep_bounds = spark.createDataFrame(
+                sorted(
+                    (key[0], g2, vk) for g2, (key, vk, _) in deep.items()
+                ),
+                "g string, g2 string, vk double",
+            )
+            tie_src = (
+                src.join(F.broadcast(deep_bounds), "g")
+                .filter(F.col("v") == F.col("vk"))
+                .select(F.col("g2").alias("g"), F.col("t").alias("v"))
+            )
+            # Exact class min/max for the bisection bounds (one pass
+            # over the deep classes only — rare: mass-tied metric at
+            # boundary with >FINAL_PASS_MAX_ROWS equal rows).
+            mm = {
+                r["g"]: (float(r["lo"]), float(r["hi"]))
+                for r in tie_src.groupBy("g")
+                .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+                .collect()
+            }
+            tie_prof = {
+                g2: (cls_counts[key][1], *mm[g2])
+                for g2, (key, _, _) in deep.items()
+            }
+            tie_want = {g2: [j] for g2, (_, _, j) in deep.items()}
+            tie_vals = _select_ranks(
+                tie_src, tie_want, tie_prof, buckets, max_rounds
+            )
+            for g2, (key, _, j) in deep.items():
+                ties[key] = tie_vals[(g2, j)]
+
+        return {
+            m: [(vals[(m, r)], ties[(m, r)]) for r in boundary[m]]
+            for m in metric_cols
+        }
+    finally:
+        src.unpersist()

@@ -198,22 +198,45 @@ FROM spend
     "ntile_spend_quartiles",
     _NTILE_ORACLE,
     "Per-customer spend quartiles (ntile) + percent_rank: decimal-exact "
-    "spend aggregate, then one global-sort window with a deterministic "
-    "(spend, custkey) tiebreak so bucket edges are engine-independent",
+    "spend aggregate, then DISTRIBUTED global ranking (range-partition "
+    "+ local sort + broadcast prefix offsets, operators/rank.py) with a "
+    "deterministic (spend, custkey) tiebreak — identical output to the "
+    "global-sort window, no single-partition exchange",
     tags=("relational", "window", "bench"),
 )
 def q_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VERDICT r07 #4 (shared shape with rfm_segmentation): the r02 form
+    # ran two no-partitionBy windows — a single-partition sort of the
+    # customer dimension. Exact global positions now come from the
+    # range-partitioned rank operator; ntile is pure arithmetic on the
+    # position, and percent_rank's ties-by-value resolve through a
+    # KEYED min-position window (partitioned by spend value).
+    from reddit_data_pipeline_engineering_spark.operators.rank import (
+        ntile_from_position,
+        with_global_position,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         _dsum(F.col("o_totalprice"), DEC_PRICE).alias("total_spend")
     )
-    w_tiebreak = Window.orderBy("total_spend", "custkey")
-    w_value = Window.orderBy("total_spend")
-    return spend.select(
+    pos, n = with_global_position(
+        spend, ["total_spend", "custkey"], pos_col="_pos"
+    )
+    # percent_rank = (rank - 1) / (n - 1) with rank counting ties by
+    # VALUE only: min position within each spend value, a keyed window.
+    w_val = Window.partitionBy("total_spend")
+    pr = (
+        (F.min("_pos").over(w_val) - F.lit(1)).cast("double")
+        / F.lit(float(n - 1))
+        if n > 1
+        else F.lit(0.0)
+    )
+    return pos.select(
         "custkey",
         "total_spend",
-        F.ntile(4).over(w_tiebreak).cast("int").alias("spend_quartile"),
-        F.percent_rank().over(w_value).alias("spend_pctrank"),
+        ntile_from_position("_pos", n, 4).alias("spend_quartile"),
+        pr.alias("spend_pctrank"),
     )
 
 

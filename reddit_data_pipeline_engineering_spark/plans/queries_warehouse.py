@@ -1223,8 +1223,19 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic (metric, custkey) tiebreak oriented so score 4 = best
 # (most recent / most frequent / top spend); the output is the
 # 64-cell-bounded segment rollup with per-segment customer counts and
-# monetary mass. Windows sort the CUSTOMER DIMENSION (one aggregate
-# row per customer), never order rows; the global max date is a
+# monetary mass.
+#
+# Scale shape (VERDICT r07 #4): the r07 form ran THREE global
+# no-partitionBy ntile(4) windows — each a single-partition sort of the
+# customer dimension, billions of rows through one task at 100x. The
+# quartile boundaries are now computed by the distributed exact-
+# selection operator (operators/selection.ntile_boundary_pairs: bucket-
+# bisection over mergeable conditional aggregates, extended to the
+# (metric, custkey) tiebreak by resolving the boundary PAIR), then the
+# 9 boundary pairs broadcast and every customer scores by lexicographic
+# comparison — identical output to the window formulation (the oracle
+# still replays NTILE), no single-partition exchange anywhere
+# (asserted in tests/test_plan_shape.py). The global max date is a
 # broadcast scalar.
 # --------------------------------------------------------------------------
 
@@ -1264,11 +1275,16 @@ ORDER BY r_q, f_q, m_q
     "RFM customer segmentation: per-customer recency/frequency/decimal-"
     "exact monetary, ntile(4) quartile scores with deterministic "
     "(metric, custkey) tiebreaks (4 = best), 64-cell-bounded segment "
-    "rollup with counts and monetary mass — windows sort the customer "
-    "dimension, never order rows",
+    "rollup with counts and monetary mass — quartile boundary pairs "
+    "come from the distributed selection operator and broadcast, so no "
+    "single-partition window sort touches the customer dimension",
     tags=("relational", "warehouse", "window", "bench"),
 )
 def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.selection import (
+        ntile_boundary_pairs,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.to_date("o_orderdate")).alias("last_day"),
@@ -1277,24 +1293,36 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_cents"),
     )
-    # cust feeds the scalar max and all three ranking windows.
+    # last_day as epoch days: exact in double for the selection core.
+    cust = cust.withColumn(
+        "ld", F.datediff("last_day", F.lit("1970-01-01")).cast("long")
+    )
+    # cust feeds the scalar max, the boundary selection passes (each a
+    # mergeable conditional aggregate) and the final scoring pass.
     cust = cust.localCheckpoint(eager=False)
     mx = cust.agg(F.max("last_day").alias("maxd"))
-    scored = (
-        cust.crossJoin(F.broadcast(mx))
-        .select(
-            "custkey",
-            F.datediff("maxd", "last_day").cast("long").alias("r_days"),
-            "f",
-            "m_cents",
-            F.ntile(4)
-            .over(Window.orderBy("last_day", "custkey"))
-            .alias("r_q"),
-            F.ntile(4).over(Window.orderBy("f", "custkey")).alias("f_q"),
-            F.ntile(4)
-            .over(Window.orderBy("m_cents", "custkey"))
-            .alias("m_q"),
-        )
+    bnds = ntile_boundary_pairs(cust, ["ld", "f", "m_cents"], "custkey", 4)
+
+    def score(col: str, pairs) -> F.Column:
+        # bucket = 1 + #{boundary pairs < (metric, custkey)}, pairs
+        # compared lexicographically — identical to
+        # ntile(4) OVER (ORDER BY metric, custkey).
+        e = F.lit(1)
+        for bv, bt in pairs:
+            e = e + (
+                (F.col(col) > F.lit(bv))
+                | ((F.col(col) == F.lit(bv)) & (F.col("custkey") > F.lit(bt)))
+            ).cast("int")
+        return e
+
+    scored = cust.crossJoin(F.broadcast(mx)).select(
+        "custkey",
+        F.datediff("maxd", "last_day").cast("long").alias("r_days"),
+        "f",
+        "m_cents",
+        score("ld", bnds["ld"]).alias("r_q"),
+        score("f", bnds["f"]).alias("f_q"),
+        score("m_cents", bnds["m_cents"]).alias("m_q"),
     )
     return (
         scored.groupBy("r_q", "f_q", "m_q")

@@ -494,3 +494,23 @@ def test_item_similarity_dims_broadcast(spark):
     a sort-merge there would shuffle the pair set twice more."""
     plan = plan_of(REGISTRY["item_similarity_topk"].fn(spark, SF_SMALL))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_rfm_and_ntile_have_no_single_partition_window(spark):
+    """VERDICT r07 #4: rfm_segmentation ran THREE no-partitionBy
+    ntile(4) windows and ntile_spend_quartiles two — each a
+    single-partition sort of the customer dimension (billions of rows
+    through one task at 100x). Both now derive ranks scale-safely:
+    RFM scores by comparison against selection-computed broadcast
+    boundary pairs (NO window at all); ntile_spend ranks via
+    range-partition + local sort + broadcast offsets (windows are
+    KEYED: per range-partition-id, per spend value). The only
+    SinglePartition exchange allowed is a scalar aggregate reduce."""
+    rfm = REGISTRY["rfm_segmentation"].fn(spark, SF_SMALL)
+    plan = plan_of(rfm)
+    assert "Window" not in plan, "rfm must not window the dimension"
+
+    nt = REGISTRY["ntile_spend_quartiles"].fn(spark, SF_SMALL)
+    plan = plan_of(nt)
+    assert "Window" in plan  # keyed local-rank + ties-by-value windows
+    assert "Exchange SinglePartition" not in plan

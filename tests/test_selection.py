@@ -224,3 +224,109 @@ def test_selection_case(name, selection_outcomes):
     res = selection_outcomes[name]
     if res is not None:
         raise res
+
+
+def test_ntile_boundary_pairs_matches_window(spark):
+    """The selection-based NTILE boundaries must reproduce the window
+    formulation exactly, including heavy VALUE ties resolved by the
+    tie column (the interior-tie bisection path) and n not divisible
+    by the bucket count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from reddit_data_pipeline_engineering_spark.operators.selection import (
+        ntile_boundary_pairs,
+    )
+
+    # 103 rows; metric m1 has only 5 distinct values (ties everywhere,
+    # every boundary lands INSIDE a tie class), m2 is near-unique.
+    rows = [(i, (i * 7) % 5, (i * 37) % 101) for i in range(1, 104)]
+    df = spark.createDataFrame(rows, "k long, m1 long, m2 long")
+    bnds = ntile_boundary_pairs(df, ["m1", "m2"], "k", 4)
+
+    for m in ("m1", "m2"):
+        expected = df.select(
+            "k",
+            F.col(m).alias("v"),
+            F.ntile(4).over(Window.orderBy(m, "k")).alias("q"),
+        )
+        pairs = bnds[m]
+        assert len(pairs) == 3
+        score = F.lit(1)
+        for bv, bt in pairs:
+            score = score + (
+                (F.col("v") > F.lit(bv))
+                | ((F.col("v") == F.lit(bv)) & (F.col("k") > F.lit(bt)))
+            ).cast("int")
+        got = expected.withColumn("q2", score)
+        bad = got.filter(F.col("q") != F.col("q2")).count()
+        assert bad == 0, f"{m}: {bad} rows scored off the window ntile"
+
+
+def test_global_position_matches_window_rank(spark):
+    """Range-partitioned global ranking (operators/rank.py) must equal
+    row_number/ntile/percent_rank over a global-sort window, with the
+    count collect bounded by the partition count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from reddit_data_pipeline_engineering_spark.operators.rank import (
+        ntile_from_position,
+        with_global_position,
+    )
+
+    rows = [(i, float((i * 13) % 37)) for i in range(1, 202)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    pos, n = with_global_position(df, ["v", "k"], pos_col="p", num_partitions=7)
+    assert n == 201
+    w = Window.orderBy("v", "k")
+    wv = Window.partitionBy("v")
+    exp = df.select(
+        "k",
+        F.row_number().over(w).alias("p_exp"),
+        F.ntile(4).over(w).alias("q_exp"),
+        F.percent_rank().over(Window.orderBy("v")).alias("pr_exp"),
+    )
+    got = pos.select(
+        "k",
+        "p",
+        ntile_from_position("p", n, 4).alias("q"),
+        (
+            (F.min("p").over(wv) - F.lit(1)).cast("double")
+            / F.lit(float(n - 1))
+        ).alias("pr"),
+    )
+    j = got.join(exp, "k")
+    assert j.filter(F.col("p") != F.col("p_exp")).count() == 0
+    assert j.filter(F.col("q") != F.col("q_exp")).count() == 0
+    assert j.filter(F.col("pr") != F.col("pr_exp")).count() == 0
+
+
+def test_ntile_boundary_pairs_deep_tie_and_bisect_paths(spark, monkeypatch):
+    """Force BOTH rare branches: hist_max_distinct=0 pushes every metric
+    through the bucket-bisection value path, and FINAL_PASS_MAX_ROWS=2
+    pushes every boundary tie class through the class bisection (the
+    mass-tied regime where collect_list would not be bounded)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import reddit_data_pipeline_engineering_spark.operators.selection as sel
+
+    monkeypatch.setattr(sel, "FINAL_PASS_MAX_ROWS", 2)
+    rows = [(i, (i * 7) % 3) for i in range(1, 62)]  # classes of ~20 rows
+    df = spark.createDataFrame(rows, "k long, m long")
+    bnds = sel.ntile_boundary_pairs(df, ["m"], "k", 4, hist_max_distinct=0)
+    expected = df.select(
+        "k",
+        F.col("m").alias("v"),
+        F.ntile(4).over(Window.orderBy("m", "k")).alias("q"),
+    )
+    score = F.lit(1)
+    for bv, bt in bnds["m"]:
+        score = score + (
+            (F.col("v") > F.lit(bv))
+            | ((F.col("v") == F.lit(bv)) & (F.col("k") > F.lit(bt)))
+        ).cast("int")
+    assert expected.withColumn("q2", score).filter(
+        F.col("q") != F.col("q2")
+    ).count() == 0

@@ -276,10 +276,15 @@ BUDGETS = {
     "range_join_windows": 3,
     "repetition_stats": 3,
     "returned_item_losses": 1,
-    # customer-dim aggregate (checkpointed for the scalar max + three
-    # ntile windows) + segment rollup; scale note: ntile sorts the
-    # customer DIMENSION, never order rows.
-    "rfm_segmentation": 2,
+    # r08 (VERDICT r07 #4): quartile boundaries now come from the
+    # selection operator DURING CONSTRUCTION (mergeable conditional
+    # aggregates over the checkpointed dimension); the returned plan is
+    # scalar-max reduce + broadcast-compare scoring + segment rollup +
+    # output orderBy — one more printed exchange than the r07 window
+    # form, but the single-partition dimension SORT is gone (the r07
+    # form's 3 ntile windows all funneled the dimension through one
+    # task; asserted in test_plan_shape.py).
+    "rfm_segmentation": 3,
     "rolling_range_frame": 3,
     "rollup_orders": 1,
     # Both rankings are TakeOrderedAndProject top-100s (one partition
