@@ -743,6 +743,78 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Equi-DEPTH histogram (r08) — the data-adaptive twin of value_histogram's
+# fixed-width binning: 16 buckets each holding ~n/16 rows, the form query
+# optimizers and data-skipping layouts actually want (equal-width bins
+# collapse under skew). Edge k is the (k*n div 16)-th smallest value — an
+# exact multiset order statistic from the bucket-bisection selection core
+# (operators/selection.equi_depth_edges: mergeable conditional aggregates,
+# no global sort; the NTILE window form would funnel the whole relation
+# through one task). Rows bucket by comparison against the 15 broadcast
+# edges — one aggregate pass. Duplicate edges (mass-tied data) legitimately
+# starve buckets; both legs bucket as 1 + #{edges < x}, so starved buckets
+# vanish identically.
+# --------------------------------------------------------------------------
+
+_EDH_B = 16
+
+_EDH_ORACLE = f"""
+WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+n AS (SELECT COUNT(*) AS c FROM v),
+ranked AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+edges AS (
+  SELECT r.x AS e
+  FROM ranked r, n, range(1, {_EDH_B}) t(k)
+  WHERE r.rn = (t.k * n.c) // {_EDH_B}
+),
+b AS (
+  SELECT v.x,
+         1 + (SELECT COUNT(*) FROM edges WHERE edges.e < v.x) AS bucket
+  FROM v
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(x) AS lo,
+       MAX(x) AS hi
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query(
+    "equi_depth_histogram",
+    _EDH_ORACLE,
+    "Equi-depth 16-bucket histogram of lineitem extended price: exact "
+    "edges from the distributed bucket-bisection selection core (no "
+    "global sort), rows bucketed by comparison against the broadcast "
+    "edges in one aggregate pass — the data-adaptive profile that "
+    "fixed-width binning loses under skew",
+    tags=("relational", "stats", "warehouse", "bench"),
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.selection import (
+        equi_depth_edges,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    li = li.localCheckpoint(eager=False)  # edge selection + bucket pass
+    edges = equi_depth_edges(li, "x", _EDH_B)
+    bucket = F.lit(1)
+    for e in edges:
+        bucket = bucket + (F.col("x") > F.lit(e)).cast("int")
+    return (
+        li.groupBy(bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 _PCTL_ORACLE = """
 SELECT event_type,
        ROUND(quantile_cont(value, 0.5), 6) AS p50,

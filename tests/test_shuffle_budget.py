@@ -123,6 +123,10 @@ BUDGETS = {
     # G*B counters) runs during construction like the kmeans/pq fits;
     # the returned plan is the final sort of G literal rows.
     "exact_percentiles_scalable": 1,
+    # r08: edge selection runs during construction (profile + one
+    # bisection round + wide final pass — all mergeable aggregates);
+    # the returned plan is the broadcast-edge bucket aggregate + sort.
+    "equi_depth_histogram": 2,
     "flagship_top_locations": 1,
     "forecast_revenue": 1,
     "forward_asof_next_purchase": 2,
