@@ -142,6 +142,7 @@ def dbscan_grid(
     eps: int,
     min_pts: int,
     algorithm: str = "star",
+    max_cell_occupancy: int | None = None,
 ) -> DataFrame:
     """DBSCAN over integer-grid 2-D points.
 
@@ -150,8 +151,40 @@ def dbscan_grid(
     bucket row ``(-1, 0, n_noise)`` — non-core points within eps of no
     core. Cluster membership of border points uses the minimum
     adjacent core component.
+
+    ``max_cell_occupancy`` is the hot-cell guard (VERDICT r07 #6, the
+    SimHash-band-cap analogue): the cell join's fan-out is bounded by
+    in-cell density, and a cell holding m points contributes O(m^2)
+    pair rows — eps far above the data's density scale turns the exact
+    pair relation superlinear BY SEMANTICS (the §9g addendum measured
+    62x bytes for 10x points at the stale eps=15000, 15.2x after
+    recalibrating to eps=4500). Dropping cells would silently change
+    the clustering, so past the cap this RAISES (the
+    connected_components non-convergence precedent) and names the fix:
+    re-pick eps from ``kdist_eps_calibration``'s knee. The occupancy
+    probe is one cells-bounded aggregate (two top rows collected).
     """
     base = grid_cells(points, id_col, x_col, y_col, eps)
+    if max_cell_occupancy is not None:
+        hot = (
+            base.groupBy("cx", "cy")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .filter(F.col("m") > max_cell_occupancy)
+            .orderBy(F.col("m").desc())
+            .limit(2)
+            .collect()
+        )
+        if hot:
+            worst = hot[0]
+            raise ValueError(
+                f"dbscan_grid hot cell: ({worst['cx']},{worst['cy']}) holds "
+                f"{worst['m']} points > max_cell_occupancy="
+                f"{max_cell_occupancy} at eps={eps} — the exact eps-pair "
+                "relation would be quadratic in that cell. eps is too "
+                "large for the data's density; recalibrate it from the "
+                "kdist_eps_calibration knee (SCALE.md §9g) or raise the "
+                "cap deliberately."
+            )
     # base fans out to the replicated side, the probe side, the core
     # flagging and the noise count — store the scan + cell derivation
     # once. Stored rows = input points (one pass, columnar).

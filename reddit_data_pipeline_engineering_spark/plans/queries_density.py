@@ -25,6 +25,13 @@ from reddit_data_pipeline_engineering_spark.plans.queries import query
 from reddit_data_pipeline_engineering_spark.sources.tables import load_table
 
 _EPS = 15_000
+# Hot-cell guard (VERDICT r07 #6): measured densest-cell occupancy at
+# eps=15000 is 5 (sf0.01) / 10 (sf0.1) / 78 (sf1.0) and ~700
+# extrapolated at sf10 — where the §9g addendum measured the exact pair
+# relation going 62x for 10x points. 256 clears every production scale
+# with >3x headroom and REFUSES the measured-superlinear configuration
+# loudly (pointing at kdist recalibration) instead of running it.
+_MAX_CELL_OCC = 256
 _MIN_PTS = 4
 
 
@@ -136,7 +143,8 @@ def q_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return density.dbscan_grid(
-        pts, "vec_id", "x", "y", eps=_EPS, min_pts=_MIN_PTS
+        pts, "vec_id", "x", "y", eps=_EPS, min_pts=_MIN_PTS,
+        max_cell_occupancy=_MAX_CELL_OCC,
     )
 
 

@@ -285,3 +285,37 @@ def test_kmeans_silhouette_matches_numpy(spark):
     assert out == expect
     # separation scores live on the documented [0, 1e4] scale
     assert all(0 <= v[1] <= 10000 for v in out.values())
+
+
+def test_dbscan_hot_cell_cap_raises(spark):
+    """VERDICT r07 #6: eps far above the data's density scale makes the
+    exact pair relation quadratic in the hottest cell — the guard must
+    refuse loudly (naming the kdist recalibration fix) instead of
+    launching the superlinear join; a cap above the true occupancy
+    must not interfere."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from reddit_data_pipeline_engineering_spark.operators import density
+    from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") * 1e6)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.element_at("embedding", 2).cast("double") * 1e6)
+        .cast("long")
+        .alias("y"),
+    )
+    with _pytest.raises(ValueError, match="kdist_eps_calibration"):
+        density.dbscan_grid(
+            pts, "vec_id", "x", "y", eps=15_000, min_pts=4,
+            max_cell_occupancy=1,
+        )
+    out = density.dbscan_grid(
+        pts, "vec_id", "x", "y", eps=15_000, min_pts=4,
+        max_cell_occupancy=256,
+    )
+    assert out.count() >= 1  # clusters + noise bucket
