@@ -324,7 +324,12 @@ def test_ks_drift_decimal_survives_2_63_overflow(spark):
     integer-exact. Adversarial counts can't be materialized as document
     rows, so the factored counts-relation helper is driven directly and
     checked against unbounded Python-int arithmetic and the DuckDB
-    HUGEINT oracle on the same counts."""
+    HUGEINT oracle on the same counts.
+
+    r08 output contract: the decision value ks_ppm stays integer-exact
+    (DECIMAL internally, BIGINT out); the d_num diagnostic is emitted as
+    DOUBLE (driver-hash-safe — decimal outputs are banned), so it is
+    checked to double precision, not to the unit."""
     import duckdb
 
     from reddit_data_pipeline_engineering_spark.plans.queries_stats import (
@@ -360,7 +365,9 @@ def test_ks_drift_decimal_survives_2_63_overflow(spark):
             d_num = max(d_num, abs(cum_s * n_r - (cum_a - cum_s) * n_s))
         ppm = d_num * 1_000_000 // (n_s * n_r)
         assert d_num > 2**63, "fixture must actually exceed BIGINT"
-        assert got[s] == (s, n_s, n_r, d_num, ppm), got[s]
+        g = got[s]
+        assert (g[0], g[1], g[2], g[4]) == (s, n_s, n_r, ppm), g
+        assert g[3] == float(d_num), g  # DOUBLE leg: nearest-double exact
 
     # DuckDB leg of the oracle arithmetic on the same counts relation.
     con = duckdb.connect()
@@ -396,7 +403,7 @@ def test_ks_drift_decimal_survives_2_63_overflow(spark):
         """
     ).fetchall()
     for s, d_num, ppm in rows:
-        assert got[s][3] == d_num and got[s][4] == ppm
+        assert got[s][3] == float(d_num) and got[s][4] == ppm
 
 
 def test_ab_ztest_replay(spark, events_pdf):
