@@ -991,6 +991,18 @@ _DRIVER_TAIL_STREAMING = [
     "streaming_pit_enrich_tiled",
 ]
 
+# New queries added AFTER the r08 gate was frozen. They sit directly
+# after the 50-slot gate (positions 51+): the r08 fill is the complete
+# r03-stale queue (VERDICT r07 #3 — "no r03-era row left" outranks a
+# first row for self-added queries), so these run the local parity
+# suite this round and take the HEAD of the r09 gate for their first
+# driver rows.
+_DRIVER_PENDING = [
+    "mannwhitney_source_test",
+    "kruskal_wallis_lengths",
+    "incremental_mart_merge",
+]
+
 _DRIVER_ROTATED_OUT = [
     # Everything below has a green driver row under its current
     # semantics (see CORRECTNESS_r0*.json) and is digest-checked against
@@ -1191,6 +1203,7 @@ def _driver_order() -> list[str]:
         set(_DRIVER_FIRST)
         | set(_DRIVER_FILL)
         | set(_DRIVER_TAIL_STREAMING)
+        | set(_DRIVER_PENDING)
         | set(_DRIVER_ROTATED_OUT)
     )
     unknown = special - set(REGISTRY)
@@ -1207,6 +1220,7 @@ def _driver_order() -> list[str]:
         *_DRIVER_FIRST,
         *_DRIVER_FILL,
         *_DRIVER_TAIL_STREAMING,
+        *_DRIVER_PENDING,
         *_DRIVER_ROTATED_OUT,
     ]
 

@@ -1058,3 +1058,351 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("col_a", "col_b")
+
+
+# --------------------------------------------------------------------------
+# Rank-based two-sample / k-sample tests (r08) — Mann-Whitney U per
+# source vs the rest and Kruskal-Wallis across all sources, over
+# document token lengths. They complete the drift toolkit next to
+# ks_source_drift (sup-of-ECDF-gap) and chisq_source_drift (vocabulary):
+# the rank tests are the location-shift detectors a data curator runs
+# when a new crawl snapshot starts delivering systematically longer or
+# shorter documents.
+#
+# NO GLOBAL SORT. The classical presentation ranks all n documents; the
+# whole statistic is computable from per-value counts. With pooled count
+# t(v) per distinct length v and cumulative pooled count cum(v), every
+# document of length v has midrank (cum(v-) + (t(v)+1)/2); doubling
+# clears the half: r2(v) = 2*cum(v) - t(v) + 1. One corpus scan makes
+# the (source, l) counts (the only corpus-sized shuffle); everything
+# after runs on the bounded sources x distinct-lengths grid — the exact
+# evaluation-grid shape ks_drift_from_counts certified linear at sf10.
+#
+# Integer-exact core (house rule): with R2_s = sum_v c_s(v)*r2(v),
+#   A = R2_s - n_s*(n_s+1) - n_s*n_r            ( = 2*(U_s - mu_U) )
+#   rank-biserial effect size rb = A / (n_s*n_r), emitted as signed ppm
+#   (the decision value, exact; both engines divide |A| >= 0 by a
+#   positive product so trunc-div and floor-div agree).
+# Tie-corrected normal approximation (diagnostic, DOUBLE):
+#   z = A * sqrt( 3*n*(n-1) / (n_s*n_r*(n^3 - n - T)) ),  T = sum t^3-t
+# computed with the SAME expression tree both legs — every factor is an
+# exact DECIMAL(38,0)/HUGEINT cast to a correctly-rounded double, then
+# one division, one sqrt, one multiply (IEEE-deterministic), rounded to
+# 6 dp like correlation_matrix. Magnitude ceilings: R2_s <= 2n*n_s and
+# A products stay under 1e38 to ~1e16 docs; the variance factor
+# n^3 - n - T binds first at n ~ 4.6e12 documents — far past any single
+# corpus; past that, compute the variance factor in DOUBLE from the
+# (n, T) pair (documented fallback, not needed here).
+# --------------------------------------------------------------------------
+
+_MW_ORACLE = f"""
+WITH lens AS (
+  SELECT source, {_KS_TOKS} AS l FROM documents
+),
+cnt AS (
+  SELECT source, l, COUNT(*) AS c FROM lens GROUP BY source, l
+),
+srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM cnt GROUP BY source),
+vals AS (SELECT DISTINCT l FROM cnt),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM cnt),
+grid AS (
+  SELECT s.source, s.n_src, v.l,
+         COALESCE(c.c, 0) AS c_src,
+         (SELECT COALESCE(SUM(c2.c), 0) FROM cnt c2 WHERE c2.l = v.l) AS c_all
+  FROM srcs s CROSS JOIN vals v
+  LEFT JOIN cnt c ON c.source = s.source AND c.l = v.l
+),
+cum AS (
+  SELECT source, n_src, l, c_src, c_all,
+         SUM(c_all) OVER (PARTITION BY source ORDER BY l) AS cum_all
+  FROM grid
+),
+agg AS (
+  SELECT source, n_src,
+         SUM(CAST(c_src AS HUGEINT) * (2 * cum_all - c_all + 1)) AS r2_sum,
+         SUM(CAST(c_all AS HUGEINT) * c_all * c_all - c_all) AS t_ties
+  FROM cum GROUP BY source, n_src
+),
+stat AS (
+  SELECT a.source, a.n_src,
+         CAST(t.n_all - a.n_src AS BIGINT) AS n_rest,
+         a.r2_sum - CAST(a.n_src AS HUGEINT) * (a.n_src + 1)
+                  - CAST(a.n_src AS HUGEINT) * (t.n_all - a.n_src) AS big_a,
+         CAST(a.n_src AS HUGEINT) * (t.n_all - a.n_src) AS nsr,
+         CAST(t.n_all AS HUGEINT) * t.n_all * t.n_all - t.n_all
+           - a.t_ties AS vfac,
+         3 * CAST(t.n_all AS HUGEINT) * (t.n_all - 1) AS p3
+  FROM agg a, tot t
+)
+SELECT source, n_src, n_rest,
+       CAST(CASE WHEN big_a < 0
+                 THEN -((-big_a) * 1000000 // nsr)
+                 ELSE (big_a * 1000000 // nsr) END AS BIGINT) AS rb_ppm,
+       CASE WHEN vfac > 0 THEN
+         ROUND(CAST(big_a AS DOUBLE)
+               * SQRT(CAST(p3 AS DOUBLE)
+                      / (CAST(nsr AS DOUBLE) * CAST(vfac AS DOUBLE))), 6)
+       END AS z_score
+FROM stat
+ORDER BY source
+"""
+
+
+def _rank_grid(cnt: DataFrame):
+    """Dense (source, l) rank grid shared by the two rank tests.
+
+    Mirrors the ks_drift_from_counts construction (that shipped, gated
+    plan keeps its own copy — standing policy: never refactor a gated
+    plan mid-round): counts cast to DECIMAL(38,0), lazily checkpointed
+    once for the three consumers, pooled per-value counts via a window
+    over the grid itself, per-source cumulative pooled counts.
+    """
+    cnt = cnt.select(
+        "source", "l", F.col("c").cast("decimal(38,0)").alias("c")
+    )
+    cnt = cnt.localCheckpoint(eager=False)
+    srcs = cnt.groupBy("source").agg(F.sum("c").alias("n_src_d"))
+    vals = cnt.select("l").distinct()
+    tot = srcs.agg(F.sum("n_src_d").alias("n_all_d"))
+    grid = (
+        srcs.crossJoin(vals)
+        .join(cnt, ["source", "l"], "left")
+        .select(
+            "source",
+            "n_src_d",
+            "l",
+            F.coalesce("c", F.lit(0).cast("decimal(38,0)")).alias("c_src"),
+        )
+        .withColumn("c_all", F.sum("c_src").over(Window.partitionBy("l")))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source",
+        "n_src_d",
+        "c_src",
+        "c_all",
+        F.sum("c_all").over(w).alias("cum_all"),
+    )
+    per_src = (
+        cum.withColumn(
+            "r2", F.lit(2) * F.col("cum_all") - F.col("c_all") + F.lit(1)
+        )
+        .groupBy("source", "n_src_d")
+        .agg(
+            F.sum(F.col("c_src") * F.col("r2")).alias("r2_sum"),
+            F.sum(
+                F.col("c_all") * F.col("c_all") * F.col("c_all")
+                - F.col("c_all")
+            ).alias("t_ties"),
+        )
+    )
+    return per_src, tot
+
+
+def mannwhitney_from_counts(cnt: DataFrame) -> DataFrame:
+    """Mann-Whitney U (source vs rest) from a (source, l, c) counts
+    relation. Factored like ks_drift_from_counts so the overflow
+    regression test can drive it with counts no fixture could
+    materialize as rows."""
+    per_src, tot = _rank_grid(cnt)
+    stat = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_src_d",
+        (F.col("n_all_d") - F.col("n_src_d")).alias("n_rest_d"),
+        (
+            F.col("r2_sum")
+            - F.col("n_src_d") * (F.col("n_src_d") + F.lit(1))
+            - F.col("n_src_d") * (F.col("n_all_d") - F.col("n_src_d"))
+        ).alias("big_a"),
+        (F.col("n_src_d") * (F.col("n_all_d") - F.col("n_src_d"))).alias("nsr"),
+        (
+            F.col("n_all_d") * F.col("n_all_d") * F.col("n_all_d")
+            - F.col("n_all_d")
+            - F.col("t_ties")
+        ).alias("vfac"),
+        (F.lit(3) * F.col("n_all_d") * (F.col("n_all_d") - F.lit(1))).alias("p3"),
+    )
+    return stat.select(
+        "source",
+        F.col("n_src_d").cast("long").alias("n_src"),
+        F.col("n_rest_d").cast("long").alias("n_rest"),
+        F.when(
+            F.col("big_a") < 0,
+            -F.expr("((-big_a) * CAST(1000000 AS DECIMAL(7,0))) div nsr"),
+        )
+        .otherwise(F.expr("(big_a * CAST(1000000 AS DECIMAL(7,0))) div nsr"))
+        .cast("long")
+        .alias("rb_ppm"),
+        F.when(
+            F.col("vfac") > 0,
+            F.round(
+                F.col("big_a").cast("double")
+                * F.sqrt(
+                    F.col("p3").cast("double")
+                    / (F.col("nsr").cast("double") * F.col("vfac").cast("double"))
+                ),
+                6,
+            ),
+        ).alias("z_score"),
+    ).orderBy("source")
+
+
+@query(
+    "mannwhitney_source_test",
+    _MW_ORACLE,
+    "Mann-Whitney U rank-sum test per source vs the rest of the corpus "
+    "over document token lengths — midranks from per-value counts (no "
+    "global sort: r2 = 2*cum - t + 1 over the bounded sources x "
+    "distinct-lengths grid), signed rank-biserial effect size in exact "
+    "ppm, tie-corrected z diagnostic as a mirrored-tree double",
+    tags=("llm", "stats", "quality", "bench"),
+)
+def q_mannwhitney_source_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lens = docs.select("source", F.size(tx.tokens("text")).alias("l"))
+    cnt = lens.groupBy("source", "l").agg(F.count(F.lit(1)).alias("c"))
+    return mannwhitney_from_counts(cnt)
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H across ALL sources (one row) — the k-sample
+# generalization: "does ANY source deliver a shifted length
+# distribution?" answered before the per-source Mann-Whitney drill-down.
+#
+#   H = 12/(n(n+1)) * sum_j R_j^2/n_j - 3(n+1),   R_j = r2_sum_j / 2
+#
+# Emitted in exact micro-units: the per-group term R_j^2/n_j becomes
+# s_term_j = r2_sum_j^2 * 1e6 div (4*n_j) (positive; trunc == floor), so
+#   h_micro = 12*S div (n(n+1)) - 3(n+1)*1e6,   S = sum_j s_term_j.
+# Each truncation loses < 1 micro-unit, so h_micro is within (k+1)e-6 of
+# the real-valued H — deterministic on both engines, unlike a float sum
+# over groups. Tie factor emitted separately as exact tie_ppm =
+# T*1e6 div (n^3-n); the tie-corrected H' = H / (1 - T/(n^3-n)) is the
+# DOUBLE diagnostic with a mirrored tree. Ceiling: s_term ~ 4*n^2*n_j*1e6
+# stays under 1e38 to n ~ 3e10 docs (then pre-scale counts, the
+# statistic is rank-based and invariant).
+# --------------------------------------------------------------------------
+
+_KW_ORACLE = f"""
+WITH lens AS (
+  SELECT source, {_KS_TOKS} AS l FROM documents
+),
+cnt AS (
+  SELECT source, l, COUNT(*) AS c FROM lens GROUP BY source, l
+),
+srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM cnt GROUP BY source),
+vals AS (SELECT DISTINCT l FROM cnt),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM cnt),
+grid AS (
+  SELECT s.source, s.n_src, v.l,
+         COALESCE(c.c, 0) AS c_src,
+         (SELECT COALESCE(SUM(c2.c), 0) FROM cnt c2 WHERE c2.l = v.l) AS c_all
+  FROM srcs s CROSS JOIN vals v
+  LEFT JOIN cnt c ON c.source = s.source AND c.l = v.l
+),
+cum AS (
+  SELECT source, n_src, l, c_src, c_all,
+         SUM(c_all) OVER (PARTITION BY source ORDER BY l) AS cum_all
+  FROM grid
+),
+agg AS (
+  SELECT source, n_src,
+         SUM(CAST(c_src AS HUGEINT) * (2 * cum_all - c_all + 1)) AS r2_sum,
+         SUM(CAST(c_all AS HUGEINT) * c_all * c_all - c_all) AS t_ties
+  FROM cum GROUP BY source, n_src
+),
+roll AS (
+  SELECT SUM(r2_sum * r2_sum * 1000000 // (4 * CAST(n_src AS HUGEINT))) AS s_micro,
+         MAX(t_ties) AS t_ties,
+         CAST(COUNT(*) AS BIGINT) AS k_groups
+  FROM agg
+),
+stat AS (
+  SELECT t.n_all, r.k_groups,
+         12 * r.s_micro // (CAST(t.n_all AS HUGEINT) * (t.n_all + 1))
+           - 3 * (CAST(t.n_all AS HUGEINT) + 1) * 1000000 AS h_micro,
+         CAST(t.n_all AS HUGEINT) * t.n_all * t.n_all - t.n_all AS n3n,
+         r.t_ties
+  FROM roll r, tot t
+)
+SELECT n_all, k_groups,
+       CAST(h_micro AS BIGINT) AS h_micro,
+       CAST(t_ties * 1000000 // n3n AS BIGINT) AS tie_ppm,
+       CASE WHEN n3n - t_ties > 0 THEN
+         ROUND((CAST(h_micro AS DOUBLE) / 1000000.0)
+               * (CAST(n3n AS DOUBLE) / CAST(n3n - t_ties AS DOUBLE)), 6)
+       END AS h_tie_corrected
+FROM stat
+"""
+
+
+def kruskal_from_counts(cnt: DataFrame) -> DataFrame:
+    """Kruskal-Wallis H from a (source, l, c) counts relation, exact
+    micro-unit arithmetic (see the block comment above)."""
+    per_src, tot = _rank_grid(cnt)
+    roll = per_src.agg(
+        F.sum(
+            F.expr(
+                "(r2_sum * r2_sum * CAST(1000000 AS DECIMAL(7,0)))"
+                " div (4 * n_src_d)"
+            )
+        ).alias("s_micro"),
+        F.max("t_ties").alias("t_ties"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+    )
+    stat = roll.crossJoin(F.broadcast(tot)).select(
+        F.col("n_all_d").cast("long").alias("n_all"),
+        "k_groups",
+        (
+            F.expr(
+                "(12 * s_micro) div (n_all_d * (n_all_d + 1))"
+            )
+            - F.lit(3) * (F.col("n_all_d") + F.lit(1)) * F.lit(1000000)
+        ).alias("h_micro_d"),
+        (
+            F.col("n_all_d") * F.col("n_all_d") * F.col("n_all_d")
+            - F.col("n_all_d")
+        ).alias("n3n"),
+        "t_ties",
+    )
+    return stat.select(
+        "n_all",
+        "k_groups",
+        F.col("h_micro_d").cast("long").alias("h_micro"),
+        F.expr("(t_ties * CAST(1000000 AS DECIMAL(7,0))) div n3n")
+        .cast("long")
+        .alias("tie_ppm"),
+        F.when(
+            (F.col("n3n") - F.col("t_ties")) > 0,
+            F.round(
+                (F.col("h_micro_d").cast("double") / F.lit(1000000.0))
+                * (
+                    F.col("n3n").cast("double")
+                    / (F.col("n3n") - F.col("t_ties")).cast("double")
+                ),
+                6,
+            ),
+        ).alias("h_tie_corrected"),
+    )
+
+
+@query(
+    "kruskal_wallis_lengths",
+    _KW_ORACLE,
+    "Kruskal-Wallis H test across all sources over document token "
+    "lengths — k-sample location-shift screen ahead of the per-source "
+    "Mann-Whitney drill-down; midranks from per-value counts on the "
+    "bounded grid (no global sort), H in exact deterministic "
+    "micro-units, tie factor as exact ppm, tie-corrected H as a "
+    "mirrored-tree double",
+    tags=("llm", "stats", "quality", "bench"),
+)
+def q_kruskal_wallis_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lens = docs.select("source", F.size(tx.tokens("text")).alias("l"))
+    cnt = lens.groupBy("source", "l").agg(F.count(F.lit(1)).alias("c"))
+    return kruskal_from_counts(cnt)

@@ -1343,3 +1343,94 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (r08) — the algebraic mart-merge
+# path every lake deployment runs nightly: a compact base mart
+# (month x priority partial aggregates, built before the cutoff) is
+# MERGED with a delta batch's partial aggregates by re-aggregating the
+# union — sum-of-sums and sum-of-counts, exact in DECIMAL cents — and
+# the result must equal a full recompute over all of history. The
+# oracle IS that full recompute, so the driver hash certifies the
+# algebraic identity, not just plumbing.
+#
+# Why it matters at 100 TB: the full-recompute form re-scans every
+# order partition nightly; the merge form scans ONLY the delta
+# partitions (o_orderdate >= cutoff prunes at the parquet scan — the
+# filter is in the plan) plus a mart whose cardinality is months x
+# priorities, thousands of rows regardless of fact-table size. All
+# three shuffles (two partial aggregates + the merge) move mart-sized
+# rows. The same identity is what maintenance.merge_upsert exploits
+# key-level; this query certifies it value-exactly for the additive
+# aggregate pair (COUNT, SUM) that every rollup mart is built from.
+# --------------------------------------------------------------------------
+
+# Mid-month on purpose: a month-aligned cutoff would put every ym key
+# in exactly one leg and the "merge" would never combine two partials
+# for the same key — the identity being certified would be vacuous.
+# With 1997-03-15, ym=199703 holds a partial in BOTH legs (pinned by
+# test_incremental_mart_merge_actually_merges).
+_INCR_MERGE_CUTOFF = "1997-03-15"
+
+_INCR_MERGE_ORACLE = f"""
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY 1, 2
+ORDER BY ym, o_orderpriority
+"""
+
+
+def _mart_partial(orders: DataFrame) -> DataFrame:
+    """Partial (month, priority) rollup — the additive mart grain."""
+    return (
+        orders.select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("ym"),
+            "o_orderpriority",
+            (F.col("o_totalprice").cast(f"decimal({DEC_PRICE})") * 100).alias(
+                "cents"
+            ),
+        )
+        .groupBy("ym", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+
+
+@query(
+    "incremental_mart_merge",
+    _INCR_MERGE_ORACLE,
+    "Incremental aggregate maintenance: a pre-cutoff base mart (month x "
+    "priority COUNT/SUM partials) merged with a delta batch's partials "
+    "by re-aggregating the union — sum-of-sums in exact DECIMAL cents — "
+    "certified equal to a full recompute (the oracle); the delta leg's "
+    "date filter prunes at the scan, every shuffle is mart-sized",
+    tags=("warehouse", "bench"),
+)
+def q_incremental_mart_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_INCR_MERGE_CUTOFF).cast("date")
+    base = _mart_partial(orders.where(F.col("o_orderdate") < cutoff))
+    delta = _mart_partial(orders.where(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("ym", "o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_merged"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    return merged.select(
+        "ym",
+        "o_orderpriority",
+        F.col("n_merged").cast("long").alias("n_orders"),
+        F.col("cents").cast("long").alias("total_cents"),
+    ).orderBy("ym", "o_orderpriority")

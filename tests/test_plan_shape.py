@@ -209,7 +209,15 @@ def test_driver_gate_ordering():
     assert set(_DRIVER_FIRST) <= set(gate)
     if _DRIVER_TAIL_STREAMING:
         assert gate[-len(_DRIVER_TAIL_STREAMING):] == _DRIVER_TAIL_STREAMING
-    assert names[50:] == _DRIVER_ROTATED_OUT
+    # Post-gate: queries added after the r08 gate froze (they take the
+    # r09 gate head for their first driver rows), then the rotated-out
+    # sacrifice list.
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        _DRIVER_PENDING,
+    )
+
+    assert names[50 : 50 + len(_DRIVER_PENDING)] == _DRIVER_PENDING
+    assert names[50 + len(_DRIVER_PENDING) :] == _DRIVER_ROTATED_OUT
     # Round-8 contract (VERDICT r07 #1/#3): the three r07 red rows —
     # the registry's only decimal-output queries, now cast to
     # driver-hash-safe types — LEAD the gate; then the two r08 plan

@@ -160,6 +160,9 @@ BUDGETS = {
     # bucket-keyed pair shuffle + pair dedup + per-doc flag rollup +
     # source rollup + output sort over the checkpointed tag relation.
     "incremental_lsh_dedup": 7,
+    # two mart-sized partial aggregates (base/delta legs) + the merge
+    # re-aggregate; every exchange moves months x priorities rows.
+    "incremental_mart_merge": 3,
     "interarrival_burstiness": 3,
     # The (order, part) distinct subtree prints once per consumer (pair
     # join sides + both frequency dims) — identical, so AQE reuses one
@@ -193,6 +196,9 @@ BUDGETS = {
     # real movement is the count shuffle, the bounded grid build, the
     # per-source cumulative window and the output sort.
     "ks_source_drift": 14,
+    # same checkpointed rank-grid shape as ks_source_drift: count agg +
+    # grid window pair + per-source rollup + final staging/sort.
+    "kruskal_wallis_lengths": 7,
     "l_diversity_audit": 6,
     "lag_lead_delta": 1,
     "lang_confusion_matrix": 3,
@@ -228,6 +234,7 @@ BUDGETS = {
     # spread + ONE qid window shuffle (both rankings ride it) + final
     # single-partition rollup.
     "map_at_k": 3,
+    "mannwhitney_source_test": 7,
     # spread (printed under both consumers) + broadcast query dim; the
     # scored subtree feeds the NN argmax and the rank count; movement is
     # the two qid aggregates.

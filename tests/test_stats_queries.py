@@ -473,3 +473,121 @@ def test_correlation_matrix_matches_numpy(spark):
             # and it agrees with numpy's own corrcoef
             ref = np.corrcoef(X[a].astype(float), X[b].astype(float))[0, 1]
             assert abs(got_r - ref) < 1e-5
+
+
+def _doc_lengths_by_source():
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pylist()
+    by_src: dict[str, list[int]] = {}
+    for d in docs:
+        n = len([t for t in _re.split(r"\s+", d["text"].strip()) if t])
+        by_src.setdefault(d["source"], []).append(n)
+    return by_src
+
+
+def _midranks(all_vals: list[int]) -> dict[int, float]:
+    """Classical average ranks over the pooled sample — the O(n log n)
+    single-machine presentation the engine's count-based grid must
+    reproduce exactly."""
+    from collections import Counter
+
+    c = Counter(all_vals)
+    ranks, cum = {}, 0
+    for v in sorted(c):
+        t = c[v]
+        ranks[v] = cum + (t + 1) / 2
+        cum += t
+    return ranks
+
+
+def test_mannwhitney_matches_bruteforce(spark):
+    """Engine midrank grid vs an independent sort-based rank pass:
+    rb_ppm integer-exact, z to 6dp (the emitted rounding)."""
+    import math
+
+    by_src = _doc_lengths_by_source()
+    pooled = [v for vs in by_src.values() for v in vs]
+    ranks = _midranks(pooled)
+    n = len(pooled)
+    t_ties = sum(t**3 - t for t in __import__("collections").Counter(pooled).values())
+    got = {
+        r["source"]: tuple(r)
+        for r in REGISTRY["mannwhitney_source_test"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(by_src)
+    for s, vs in by_src.items():
+        n_s, n_r = len(vs), n - len(vs)
+        r_s = sum(ranks[v] for v in vs)
+        u = r_s - n_s * (n_s + 1) / 2
+        a = 2 * (u - n_s * n_r / 2)          # exact: .5s cancel in the double
+        rb_ppm = math.copysign(abs(int(a)) * 1_000_000 // (n_s * n_r), a)
+        var4 = n_s * n_r * (n**3 - n - t_ties) / (3 * n * (n - 1))
+        z = round(a / math.sqrt(var4), 6)
+        g = got[s]
+        assert (g[1], g[2], g[3]) == (n_s, n_r, int(rb_ppm)), g
+        assert abs(g[4] - z) < 2e-6, (s, g[4], z)
+
+
+def test_kruskal_wallis_matches_bruteforce(spark):
+    """h_micro within (k+2) micro-units of the real-valued H (each of
+    the k per-group trunc-divs and the final one loses < 1 micro)."""
+    by_src = _doc_lengths_by_source()
+    pooled = [v for vs in by_src.values() for v in vs]
+    ranks = _midranks(pooled)
+    n, k = len(pooled), len(by_src)
+    from collections import Counter
+
+    t_ties = sum(t**3 - t for t in Counter(pooled).values())
+    h = (12 / (n * (n + 1))) * sum(
+        sum(ranks[v] for v in vs) ** 2 / len(vs) for vs in by_src.values()
+    ) - 3 * (n + 1)
+    h_tc = h / (1 - t_ties / (n**3 - n))
+    [row] = REGISTRY["kruskal_wallis_lengths"].fn(spark, SF_SMALL).collect()
+    assert row["n_all"] == n and row["k_groups"] == k
+    assert abs(row["h_micro"] / 1e6 - h) < (k + 2) / 1e6 + 1e-9
+    assert row["tie_ppm"] == t_ties * 1_000_000 // (n**3 - n)
+    assert abs(row["h_tie_corrected"] - h_tc) < 1e-4
+
+
+def test_mannwhitney_counts_survive_big_magnitudes(spark):
+    """Adversarial counts (~1e9 docs per value — beyond any local
+    fixture): rb_ppm must match unbounded Python-int arithmetic
+    exactly; DECIMAL(38,0) keeps every product exact far past 2^63."""
+    from reddit_data_pipeline_engineering_spark.plans.queries_stats import (
+        mannwhitney_from_counts,
+    )
+
+    big = 10**9 + 7
+    counts = [
+        ("a", 1, big),
+        ("a", 2, 13),
+        ("b", 1, 7),
+        ("b", 2, big - 5),
+        ("c", 2, big // 2),
+    ]
+    cnt = spark.createDataFrame(counts, "source string, l int, c long")
+    got = {r["source"]: tuple(r) for r in mannwhitney_from_counts(cnt).collect()}
+
+    from collections import Counter
+
+    pooled = Counter()
+    for _, v, c in counts:
+        pooled[v] += c
+    n = sum(pooled.values())
+    vals = sorted(pooled)
+    cum, r2 = 0, {}
+    for v in vals:
+        r2[v] = 2 * cum + pooled[v] + 1
+        cum += pooled[v]
+    for s in sorted({s for s, _, _ in counts}):
+        n_s = sum(c for src, _, c in counts if src == s)
+        n_r = n - n_s
+        r2_sum = sum(c * r2[v] for src, v, c in counts if src == s)
+        a = r2_sum - n_s * (n_s + 1) - n_s * n_r
+        assert abs(a) * 1_000_000 > 2**63  # the product BIGINT would wrap on
+        rb = (1 if a >= 0 else -1) * (abs(a) * 1_000_000 // (n_s * n_r))
+        g = got[s]
+        assert (g[1], g[2], g[3]) == (n_s, n_r, rb), (s, g)

@@ -332,3 +332,52 @@ def test_rfm_segmentation_matches_pandas(spark):
     assert out == expect
     # all three scores span the full 1..4 range on the fixture
     assert {k[0] for k in out} == {1, 2, 3, 4}
+
+
+def test_incremental_mart_merge_actually_merges(spark):
+    """The merge identity must be exercised, not vacuous: the mid-month
+    cutoff puts ym=199703 partials in BOTH legs, and the merged row for
+    that month must equal base-partial + delta-partial computed
+    independently here. The delta leg's date filter must reach the
+    parquet scan (the 100 TB story: only delta partitions re-scanned)."""
+    import duckdb
+
+    from .conftest import SF_SMALL
+    from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY
+    from reddit_data_pipeline_engineering_spark.plans.queries_warehouse import (
+        _INCR_MERGE_CUTOFF,
+    )
+
+    out = {
+        (r["ym"], r["o_orderpriority"]): (r["n_orders"], r["total_cents"])
+        for r in REGISTRY["incremental_mart_merge"].fn(spark, SF_SMALL).collect()
+    }
+    legs = duckdb.sql(
+        f"""
+        SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+               o_orderpriority,
+               COUNT(*) FILTER (o_orderdate <  DATE '{_INCR_MERGE_CUTOFF}') AS n_base,
+               COUNT(*) FILTER (o_orderdate >= DATE '{_INCR_MERGE_CUTOFF}') AS n_delta,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS cents
+        FROM '{SF_SMALL}/orders.parquet'
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    both = [r for r in legs if r[2] > 0 and r[3] > 0]
+    assert both, "cutoff must split at least one ym across both legs"
+    assert all(ym == 199703 for ym, *_ in both)
+    for ym, prio, n_base, n_delta, cents in legs:
+        assert out[(ym, prio)] == (n_base + n_delta, int(cents))
+
+    # Filter pushdown on the delta leg: the compiled plan's parquet scans
+    # carry o_orderdate pushed filters (delta >=, base <).
+    plan = (
+        REGISTRY["incremental_mart_merge"]
+        .fn(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
