@@ -1001,6 +1001,8 @@ _DRIVER_PENDING = [
     "mannwhitney_source_test",
     "kruskal_wallis_lengths",
     "incremental_mart_merge",
+    "cusum_changepoint",
+    "xcorr_lead_lag",
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -773,3 +773,145 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM-argmax changepoint (r08) — the LOCATION complement to
+# event_rate_cusum: that query emits the running alarm path; this one
+# answers "WHERE did the rate shift?" per event type. The statistic is
+# the classic at-most-one-changepoint (AMOC) scan over daily counts:
+#
+#   cp = argmax_k | n*cum_k - k*total |
+#
+# i.e. the largest deviation of the empirical cumulative mass from the
+# uniform-rate line (a KS-against-uniform over the calendar), with
+# denominators cleared so the argmax is integer-exact — no float enters
+# the scan. Gap reported as ppm of its n*total ceiling; the segment
+# means before/after the changepoint in exact milli-events/day.
+#
+# Plan shape: ONE corpus-sized shuffle (the daily count aggregate);
+# both the per-type totals (unordered window) and the ordered prefix
+# scan run over calendar-bounded rows (<= a few thousand days per
+# type), and the argmax is a row_number pick with a deterministic
+# earliest-day tiebreak. Magnitudes: gap <= n*total ~ 2.6e3 days *
+# per-type rows; gap*1e6 crosses 2^63 near total ~ 3.6e9 rows/type, so
+# the ppm product runs in DECIMAL(38,0)/HUGEINT (exact to ~1e28
+# rows/type); cum*1000 and the means stay far inside that.
+# --------------------------------------------------------------------------
+
+_CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT *, SUM(n) OVER (PARTITION BY event_type) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+), scan AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tot
+), gaps AS (
+  SELECT *,
+         ABS(CAST(n_days AS HUGEINT) * cum - CAST(k AS HUGEINT) * total)
+           AS gap,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+           ORDER BY ABS(CAST(n_days AS HUGEINT) * cum
+                        - CAST(k AS HUGEINT) * total) DESC, day ASC) AS pick
+  FROM scan
+)
+SELECT event_type,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(total AS BIGINT) AS total_events,
+       day AS change_day,
+       CAST(gap * 1000000 // (CAST(n_days AS HUGEINT) * total) AS BIGINT)
+         AS gap_ppm,
+       CAST(cum * 1000 // k AS BIGINT) AS mean_before_milli,
+       CAST(CASE WHEN n_days > k
+                 THEN (total - cum) * 1000 // (n_days - k) END AS BIGINT)
+         AS mean_after_milli
+FROM gaps WHERE pick = 1
+ORDER BY event_type
+"""
+
+
+@query(
+    "cusum_changepoint",
+    _CHANGEPOINT_ORACLE,
+    "At-most-one-changepoint scan per event type over daily counts: "
+    "argmax_k |n*cum_k - k*total| (KS-against-uniform with cleared "
+    "denominators, integer-exact argmax, earliest-day tiebreak), gap "
+    "in exact ppm plus before/after segment means in milli-events/day; "
+    "one corpus shuffle, the scan runs over calendar-bounded rows",
+    tags=("relational", "window", "stats", "bench"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return changepoint_from_daily(daily)
+
+
+def changepoint_from_daily(daily: DataFrame) -> DataFrame:
+    """AMOC scan over a ``(event_type, day, n)`` daily-count relation —
+    factored so the synthetic-step test can pin the detected location
+    on a constructed series (see the block comment above)."""
+    w_t = Window.partitionBy("event_type")
+    w_o = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scan = (
+        daily.withColumn("total", F.sum("n").over(w_t))
+        .withColumn("n_days", F.count(F.lit(1)).over(w_t))
+        .withColumn(
+            "k", F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+        )
+        .withColumn("cum", F.sum("n").over(w_o))
+    )
+    gaps = scan.withColumn(
+        "gap",
+        F.abs(
+            F.col("n_days").cast("decimal(38,0)") * F.col("cum")
+            - F.col("k").cast("decimal(38,0)") * F.col("total")
+        ),
+    ).withColumn(
+        "pick",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("gap").desc(), F.col("day").asc()
+            )
+        ),
+    )
+    return (
+        gaps.where(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("total").cast("long").alias("total_events"),
+            F.col("day").alias("change_day"),
+            F.expr(
+                "(gap * CAST(1000000 AS DECIMAL(7,0)))"
+                " div (CAST(n_days AS DECIMAL(38,0)) * total)"
+            )
+            .cast("long")
+            .alias("gap_ppm"),
+            F.expr("(CAST(cum AS DECIMAL(38,0)) * 1000) div k")
+            .cast("long")
+            .alias("mean_before_milli"),
+            F.when(
+                F.col("n_days") > F.col("k"),
+                F.expr(
+                    "(CAST(total - cum AS DECIMAL(38,0)) * 1000)"
+                    " div (n_days - k)"
+                ),
+            )
+            .cast("long")
+            .alias("mean_after_milli"),
+        )
+        .orderBy("event_type")
+    )

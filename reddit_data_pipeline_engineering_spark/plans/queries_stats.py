@@ -1406,3 +1406,116 @@ def q_kruskal_wallis_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = docs.select("source", F.size(tx.tokens("text")).alias("l"))
     cnt = lens.groupBy("source", "l").agg(F.count(F.lit(1)).alias("c"))
     return kruskal_from_counts(cnt)
+
+
+# --------------------------------------------------------------------------
+# Cross-correlation lead-lag profile (r08) — acf_lag_profile's
+# cross-series sibling: Pearson r between daily counts of event type A
+# and type B shifted by lag 0..7, for every ORDERED pair of distinct
+# types. The lead-lag discovery a funnel analyst runs ("purchases
+# track clicks two days later") before committing to an attribution
+# window. Same exact product-moment identity as ACF (six integer sums,
+# num/denx/deny, signed r^2 in basis points via DECIMAL(38,0) — no
+# float, no log); lag 0 is included because contemporaneous coupling
+# is the natural baseline the lagged values are read against.
+#
+# Plan shape: ONE corpus-sized shuffle (the (type, day) count
+# aggregate); the aligned pairs come from a broadcast 8-row lag dim
+# and a self-join on (day + lag) over the types x days bounded series
+# — O(types^2 * days * 8) pair rows, all far below corpus rows. Same
+# magnitude ceilings as ACF (int64 sums to ~3e6 events/day/type;
+# decimal products past that).
+# --------------------------------------------------------------------------
+
+_XCORR_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), lags AS (
+  SELECT unnest(generate_series(0, 7)) AS lag
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         a.x AS x, b.x AS y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+             AND b.event_type <> a.event_type
+), moms AS (
+  SELECT type_a, type_b, lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2, 3
+), parts AS (
+  SELECT type_a, type_b, lag, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS denx,
+         n * syy - sy * sy AS deny
+  FROM moms
+)
+SELECT type_a, type_b, lag, n AS n_pairs,
+       CAST(CASE WHEN denx = 0 OR deny = 0 THEN NULL
+                 ELSE CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+                      * (CAST(num AS HUGEINT) * num * 10000
+                         // (CAST(denx AS HUGEINT) * deny)) END AS BIGINT)
+         AS xcorr2_bp
+FROM parts ORDER BY type_a, type_b, lag
+"""
+
+
+@query(
+    "xcorr_lead_lag",
+    _XCORR_ORACLE,
+    "Cross-correlation lead-lag profile between daily count series of "
+    "every ordered pair of distinct event types at lags 0..7: exact "
+    "integer product-moment sums over date_add-aligned pairs, signed "
+    "r^2 in basis points via decimal(38,0) — the funnel analyst's "
+    "lead-lag discovery before picking an attribution window; pair "
+    "rows are types^2 x days x 8, never corpus rows",
+    tags=("relational", "stats", "timeseries", "bench"),
+)
+def q_xcorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("bday"),
+        F.col("x").alias("y"),
+    )
+    pairs = (
+        daily.withColumnRenamed("event_type", "type_a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.expr("bday = date_add(day, lag) AND type_b <> type_a"),
+        )
+    )
+    moms = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    parts = moms.select(
+        "type_a",
+        "type_b",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+    )
+    xcorr2 = F.expr(
+        "cast(case when denx = 0 or deny = 0 then null"
+        " else cast(sign(num) as long) * cast("
+        "(cast(num as decimal(38,0)) * num * 10000)"
+        " div (cast(denx as decimal(38,0)) * deny) as long) end as long)"
+    )
+    return parts.select(
+        "type_a", "type_b", "lag", "n_pairs", xcorr2.alias("xcorr2_bp")
+    ).orderBy("type_a", "type_b", "lag")

@@ -293,3 +293,73 @@ def test_lttb_downsample_matches_python(spark):
     assert out == expect
     # every type keeps exactly its non-empty buckets
     assert len(out) > 0
+
+
+def test_changepoint_locates_synthetic_step(spark):
+    """A clean level shift must be located exactly: 40 days at 100/day
+    then 40 days at 300/day puts the AMOC argmax on the last low day.
+    Also replays the full scan in unbounded Python ints on the sf0.001
+    daily counts (independent of both the plan and the oracle SQL)."""
+    from datetime import date, timedelta
+
+    import duckdb
+
+    from .conftest import SF_SMALL
+    from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY
+    from reddit_data_pipeline_engineering_spark.plans.queries_seq import (
+        changepoint_from_daily,
+    )
+
+    d0 = date(2024, 1, 1)
+    rows = [
+        ("step", d0 + timedelta(days=i), 100 if i < 40 else 300)
+        for i in range(80)
+    ]
+    # A constant series: every gap is 0, tiebreak picks the FIRST day.
+    rows += [("flat", d0 + timedelta(days=i), 50) for i in range(30)]
+    daily = spark.createDataFrame(rows, "event_type string, day date, n long")
+    got = {r["event_type"]: r for r in changepoint_from_daily(daily).collect()}
+
+    step = got["step"]
+    assert step["change_day"] == d0 + timedelta(days=39)  # last low day
+    assert step["n_days"] == 80 and step["total_events"] == 40 * 400
+    assert step["mean_before_milli"] == 100_000
+    assert step["mean_after_milli"] == 300_000
+    # gap at k=40: |80*4000 - 40*16000| = 320000; ppm over 80*16000.
+    assert step["gap_ppm"] == 320_000 * 1_000_000 // (80 * 16_000)
+
+    flat = got["flat"]
+    assert flat["change_day"] == d0 and flat["gap_ppm"] == 0
+
+    # Independent integer replay on the real fixture.
+    daily_rows = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n "
+        f"FROM '{SF_SMALL}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    by_type: dict[str, list[tuple]] = {}
+    for t, day, n in daily_rows:
+        by_type.setdefault(t, []).append((day, n))
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["cusum_changepoint"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(out) == set(by_type)
+    for t, series in by_type.items():
+        n_days = len(series)
+        total = sum(n for _, n in series)
+        cum = 0
+        best = None  # (gap, day, k, cum)
+        for k, (day, n) in enumerate(series, start=1):
+            cum += n
+            gap = abs(n_days * cum - k * total)
+            if best is None or gap > best[0]:
+                best = (gap, day, k, cum)
+        gap, day, k, cum_k = best
+        r = out[t]
+        assert r["change_day"] == day
+        assert r["gap_ppm"] == gap * 1_000_000 // (n_days * total)
+        assert r["mean_before_milli"] == cum_k * 1000 // k
+        expect_after = (
+            (total - cum_k) * 1000 // (n_days - k) if n_days > k else None
+        )
+        assert r["mean_after_milli"] == expect_after

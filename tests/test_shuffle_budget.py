@@ -89,6 +89,9 @@ BUDGETS = {
     "corpus_release_gate": 8,
     "cosine_topk": 0,
     "cube_segments": 1,
+    # daily count shuffle + the event_type window layout + final sort;
+    # the argmax pick reuses the ordered-window partitioning.
+    "cusum_changepoint": 3,
     "daily_topk": 1,
     "date_partition_rollup": 2,
     "decontaminate_ngrams": 3,
@@ -389,6 +392,10 @@ BUDGETS = {
     "weekly_p90_scalable": 1,
     "weighted_median_price": 2,
     "window_dedup": 1,
+    # (type, day) count shuffle replayed under both join sides
+    # (identical subtrees, runtime-reused) + the pair-moment aggregate
+    # + final sort; pair rows are types^2 x days x 8.
+    "xcorr_lead_lag": 4,
     "winsorized_scalable": 2,
     "zonemap_pruning_audit": 3,
     "zorder_layout": 2,

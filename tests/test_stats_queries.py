@@ -591,3 +591,39 @@ def test_mannwhitney_counts_survive_big_magnitudes(spark):
         rb = (1 if a >= 0 else -1) * (abs(a) * 1_000_000 // (n_s * n_r))
         g = got[s]
         assert (g[1], g[2], g[3]) == (n_s, n_r, rb), (s, g)
+
+
+def test_xcorr_matches_numpy_pearson(spark, events_pdf):
+    """Cross-type lead-lag vs a numpy recomputation (same bridge as the
+    ACF test: xcorr2_bp is sign(r) * floor(r^2 * 1e4))."""
+    out = _pdf("xcorr_lead_lag", spark).set_index(["type_a", "type_b", "lag"])
+    daily = (
+        events_pdf.assign(day=events_pdf["ts"].dt.normalize())
+        .groupby(["event_type", "day"])
+        .size()
+    )
+    types = sorted(daily.index.get_level_values(0).unique())
+    checked = 0
+    for ta in types:
+        xa = daily.loc[ta]
+        for tb in types:
+            if tb == ta:
+                continue
+            xb = daily.loc[tb]
+            for lag in range(8):
+                shifted = xa.index + pd.Timedelta(days=lag)
+                aligned = xb.reindex(shifted)
+                mask = aligned.notna().to_numpy()
+                x = xa.to_numpy()[mask].astype(float)
+                y = aligned.to_numpy()[mask].astype(float)
+                row = out.loc[(ta, tb, lag)]
+                assert row["n_pairs"] == mask.sum()
+                if x.std() == 0 or y.std() == 0:
+                    assert pd.isna(row["xcorr2_bp"])
+                    continue
+                r = np.corrcoef(x, y)[0, 1]
+                got = row["xcorr2_bp"]
+                assert np.sign(got) == np.sign(round(r, 10)) or got == 0
+                assert abs(abs(got) / 1e4 - r * r) < 2e-4
+                checked += 1
+    assert checked >= 100  # the fixture genuinely exercises the grid
