@@ -29,7 +29,7 @@ queries()  # force registration of all query modules
 
 NAMES = sorted(REGISTRY)
 
-_WORKERS = 16
+_WORKERS = 32
 
 
 def _run_one(spark, tl, name):
