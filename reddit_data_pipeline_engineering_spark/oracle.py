@@ -190,6 +190,34 @@ def non_ascii_cols(cols: list[str], rows: list[tuple]) -> list[str]:
     return sorted(bad)
 
 
+def unsafe_float_cols(cols: list[str], rows: list[tuple]) -> list[str]:
+    """Columns containing NaN, +/-Inf, or negative-zero float cells.
+
+    Pre-emptive driver-hash hygiene (the r02/r06/r07 red rows were all
+    serialization classes — HUGEINT, non-ASCII, DECIMAL — that matched
+    on values and failed the driver's typed hash): NaN compares unequal
+    to itself and sorts engine-dependently under the driver's pandas
+    ``sort_values``; -0.0 compares EQUAL to 0.0 (so the value pass and
+    this harness's float equality can't see it) while its bit pattern
+    and repr differ, which is exactly the surface a typed hash keys on.
+    No registry query has a legitimate reason to emit any of the three:
+    every division/sqrt site already NULL-guards its degenerate
+    denominator, and a signed-zero can only arise from rounding a
+    negative underflow — add ``+ 0.0`` normalization or widen the NULL
+    guard at the emitting expression.
+    """
+    bad = set()
+    for r in rows:
+        for c, v in zip(cols, r):
+            if isinstance(v, float) and (
+                math.isnan(v)
+                or math.isinf(v)
+                or (v == 0.0 and math.copysign(1.0, v) < 0)
+            ):
+                bad.add(c)
+    return sorted(bad)
+
+
 def _canon_decimal(v: _decimal.Decimal) -> str:
     """Fixed-point rendering with trailing zeros stripped: one canonical
     text for every numerically-equal Decimal regardless of declared
@@ -315,6 +343,17 @@ def compare(
             "to BIGINT/DOUBLE/STRING on both legs",
         )
     srows = [tuple(r) for r in sdf.collect()]
+    flt = unsafe_float_cols(scols, srows)
+    if flt:
+        return CompareResult(
+            name, False,
+            f"driver-hash-unsafe float value(s) in column(s) {flt}: NaN / "
+            "+/-Inf / -0.0 outputs are the next serialization class after "
+            "the r02/r06/r07 HUGEINT/non-ASCII/DECIMAL sagas (NaN sorts "
+            "and hashes engine-dependently; -0.0 is value-equal to 0.0 "
+            "but bit- and repr-distinct) — NULL-guard the degenerate "
+            "case or normalize with + 0.0",
+        )
 
     close = con is None
     con = con or duckdb_connection(sf_dir)

@@ -275,3 +275,60 @@ def test_array_output_fails_sortability_gate(spark, duck):
     )
     res = ora.compare("array_out", spark, SF_SMALL, fn, sql, con=duck)
     assert not res.ok and "driver-unsortable" in res.detail, res.detail
+
+
+def test_unsafe_float_output_fails_driver_gate(spark, duck):
+    """Pre-emptive gate for the NEXT serialization class (after the
+    r02 HUGEINT, r06 non-ASCII, r07 DECIMAL sagas): NaN / +/-Inf /
+    negative-zero doubles. The killer case is -0.0 — it compares EQUAL
+    to 0.0 (naive value parity passes on both legs) while its bit
+    pattern and repr differ, exactly the surface a typed hash keys on."""
+    from pyspark.sql import functions as F
+    from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+    # -0.0: value-equal to the oracle's 0.0, bit-distinct.
+    def fn_negzero(sp, sf):
+        return (
+            load_table(sp, sf, "region")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("v", F.lit(-0.0))
+            .select("n", "v")
+        )
+
+    sql = "SELECT CAST(COUNT(*) AS BIGINT) AS n, 0.0::DOUBLE AS v FROM region"
+    sdf = fn_negzero(spark, SF_SMALL)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.sql(sql)
+    # Naive value compare passes: -0.0 == 0.0 in Python.
+    assert ora._canon_rows(sdf.columns, srows) == ora._canon_rows(
+        list(cur.columns), cur.fetchall()
+    )
+    res = ora.compare("negzero_out", spark, SF_SMALL, fn_negzero, sql, con=duck)
+    assert not res.ok and "float value" in res.detail, res.detail
+
+    # NaN is rejected too.
+    def fn_nan(sp, sf):
+        return (
+            load_table(sp, sf, "region")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("v", F.lit(float("nan")))
+            .select("n", "v")
+        )
+
+    nan_sql = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, 'nan'::DOUBLE AS v FROM region"
+    )
+    res = ora.compare("nan_out", spark, SF_SMALL, fn_nan, nan_sql, con=duck)
+    assert not res.ok and "float value" in res.detail, res.detail
+
+    # The + 0.0 normalization (the documented fix) passes end-to-end.
+    def fn_ok(sp, sf):
+        return (
+            load_table(sp, sf, "region")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("v", F.lit(-0.0) + F.lit(0.0))
+            .select("n", "v")
+        )
+
+    res = ora.compare("normzero_out", spark, SF_SMALL, fn_ok, sql, con=duck)
+    assert res.ok, res.detail
