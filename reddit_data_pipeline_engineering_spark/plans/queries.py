@@ -1003,6 +1003,7 @@ _DRIVER_PENDING = [
     "incremental_mart_merge",
     "cusum_changepoint",
     "xcorr_lead_lag",
+    "median_ci_sources",
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -1519,3 +1519,112 @@ def q_xcorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.select(
         "type_a", "type_b", "lag", "n_pairs", xcorr2.alias("xcorr2_bp")
     ).orderBy("type_a", "type_b", "lag")
+
+
+# --------------------------------------------------------------------------
+# Distribution-free median confidence interval (r08) — per source, the
+# median document token length with a 95% CI from ORDER STATISTICS
+# (binomial argument, normal approximation to Binomial(n, 1/2)):
+#
+#   r_med = (n+1) div 2                         (lower median)
+#   r_lo  = max(1, floor((n - 1.96*sqrt(n))/2))
+#   r_hi  = min(n, ceil((n + 1.96*sqrt(n))/2) + 1)
+#
+# and the reported values are the r-th smallest lengths. The honest
+# uncertainty a curator needs next to every median dashboard number —
+# "is source X's median 412 +/- 3 or +/- 90?" — with zero parametric
+# assumptions.
+#
+# NO GLOBAL SORT: the r-th order statistic of a counts relation is
+# min{ l : cum(l) >= r }, so selection is a filter + min over the same
+# bounded per-source cumulative grid the KS/rank tests use. The only
+# floats are inside the RANK formulas, computed by the SAME expression
+# tree on both engines (sqrt/mul/div on exact BIGINT-cast doubles,
+# IEEE-deterministic); every OUTPUT is BIGINT. One corpus-sized count
+# shuffle; ranks are 3 broadcast-sized rows per source.
+# --------------------------------------------------------------------------
+
+_MEDCI_ORACLE = f"""
+WITH lens AS (
+  SELECT source, {_KS_TOKS} AS l FROM documents
+),
+cnt AS (
+  SELECT source, l, COUNT(*) AS c FROM lens GROUP BY source, l
+),
+cum AS (
+  SELECT source, l,
+         SUM(c) OVER (PARTITION BY source ORDER BY l) AS cum
+  FROM cnt
+),
+srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM cnt GROUP BY source),
+ranks AS (
+  SELECT source, n_src,
+         (n_src + 1) // 2 AS r_med,
+         GREATEST(1, CAST(FLOOR((CAST(n_src AS DOUBLE)
+             - 1.96 * SQRT(CAST(n_src AS DOUBLE))) / 2.0) AS BIGINT)) AS r_lo,
+         LEAST(n_src, CAST(CEIL((CAST(n_src AS DOUBLE)
+             + 1.96 * SQRT(CAST(n_src AS DOUBLE))) / 2.0) AS BIGINT) + 1) AS r_hi
+  FROM srcs
+)
+SELECT r.source, r.n_src,
+       CAST(MIN(CASE WHEN g.cum >= r.r_med THEN g.l END) AS BIGINT) AS median_len,
+       CAST(MIN(CASE WHEN g.cum >= r.r_lo  THEN g.l END) AS BIGINT) AS ci_lo_len,
+       CAST(MIN(CASE WHEN g.cum >= r.r_hi  THEN g.l END) AS BIGINT) AS ci_hi_len
+FROM ranks r JOIN cum g ON g.source = r.source
+GROUP BY r.source, r.n_src
+ORDER BY r.source
+"""
+
+
+@query(
+    "median_ci_sources",
+    _MEDCI_ORACLE,
+    "Per-source median document token length with a distribution-free "
+    "95% CI from order statistics (binomial rank bounds, normal "
+    "approximation): the r-th order statistic of a counts relation is "
+    "min{l : cum(l) >= r}, so selection is a filter+min over the "
+    "bounded per-source cumulative grid — no global sort; all outputs "
+    "BIGINT, floats only inside the mirrored rank formulas",
+    tags=("llm", "stats", "quality", "bench"),
+)
+def q_median_ci_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lens = docs.select("source", F.size(tx.tokens("text")).alias("l"))
+    cnt = lens.groupBy("source", "l").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.select("source", "l", F.sum("c").over(w).alias("cum"))
+    srcs = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n_src"))
+    ranks = srcs.select(
+        "source",
+        "n_src",
+        F.expr("(n_src + 1) div 2").alias("r_med"),
+        F.expr(
+            "greatest(1L, cast(floor((cast(n_src as double)"
+            " - 1.96 * sqrt(cast(n_src as double))) / 2.0) as bigint))"
+        ).alias("r_lo"),
+        F.expr(
+            "least(n_src, cast(ceil((cast(n_src as double)"
+            " + 1.96 * sqrt(cast(n_src as double))) / 2.0) as bigint) + 1)"
+        ).alias("r_hi"),
+    )
+    return (
+        F.broadcast(ranks)
+        .join(cum, "source")
+        .groupBy("source", "n_src")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("r_med"), F.col("l")))
+            .cast("long")
+            .alias("median_len"),
+            F.min(F.when(F.col("cum") >= F.col("r_lo"), F.col("l")))
+            .cast("long")
+            .alias("ci_lo_len"),
+            F.min(F.when(F.col("cum") >= F.col("r_hi"), F.col("l")))
+            .cast("long")
+            .alias("ci_hi_len"),
+        )
+        .orderBy("source")
+    )

@@ -27,3 +27,47 @@ def spark(tmp_path_factory):
     )
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def query_df_cache(spark):
+    """Session-scoped per-name DataFrame memo for registry queries at
+    SF_SMALL. The parity suite and the shuffle-budget suite both
+    construct every registry DataFrame; for the iterative operators
+    (pagerank, k-means/IVF fits, DBSCAN's CC rounds, selection
+    bisections) CONSTRUCTION runs real Spark jobs, so building each
+    query once and sharing the immutable DataFrame halves that work.
+    Thread-safe: both consumers run thread pools, so each name gets its
+    own build lock (DataFrames themselves are immutable and their
+    actions are thread-safe)."""
+    import threading
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+
+    queries()  # force registration
+    cache: dict[str, tuple] = {}
+    locks: dict[str, threading.Lock] = {}
+    guard = threading.Lock()
+
+    def get(name: str):
+        """Returns ``(df, pre_execution_plan_string)``.
+
+        The plan string is snapshotted at CONSTRUCTION, before any
+        action touches the DataFrame: once a consumer collects it, AQE
+        rewrites the executed plan with ShuffleQueryStage/reuse nodes
+        and the Exchange counts the shuffle budgets pin would no longer
+        be the compile-time counts they were measured as.
+        """
+        with guard:
+            lock = locks.setdefault(name, threading.Lock())
+        with lock:
+            if name not in cache:
+                df = REGISTRY[name].fn(spark, SF_SMALL)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                cache[name] = (df, plan)
+            return cache[name]
+
+    return get

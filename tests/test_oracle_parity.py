@@ -32,12 +32,15 @@ NAMES = sorted(REGISTRY)
 _WORKERS = 32
 
 
-def _run_one(spark, tl, name):
+def _run_one(spark, tl, name, get_df):
     """One compare; returns a CompareResult-like outcome or the raised
-    exception (re-raised later inside the owning test)."""
+    exception (re-raised later inside the owning test). The DataFrame
+    comes from the session-scoped query_df_cache so construction-time
+    jobs (iterative fits/rounds) are shared with the shuffle-budget
+    suite instead of re-run."""
     spec = REGISTRY[name]
     if spec.oracle is None:
-        df = spec.fn(spark, SF_SMALL)
+        df = get_df(name)[0]
         # Even rows-only queries must keep a driver-gradable shape:
         # no top-level array/map/struct output columns (r04 lesson).
         fams = {f.name: ora._family_spark(f.dataType) for f in df.schema.fields}
@@ -56,16 +59,19 @@ def _run_one(spark, tl, name):
     con = getattr(tl, "con", None)
     if con is None:
         con = tl.con = ora.duckdb_connection(SF_SMALL, threads=2)
-    return ora.compare(name, spark, SF_SMALL, spec.fn, spec.oracle, con=con)
+    return ora.compare(
+        name, spark, SF_SMALL, lambda sp, sf: get_df(name)[0], spec.oracle,
+        con=con,
+    )
 
 
 @pytest.fixture(scope="module")
-def parity(spark):
+def parity(spark, query_df_cache):
     tl = threading.local()
 
     def task(name):
         try:
-            return _run_one(spark, tl, name)
+            return _run_one(spark, tl, name, query_df_cache)
         except Exception as exc:  # surfaced by the owning test
             return exc
 

@@ -627,3 +627,24 @@ def test_xcorr_matches_numpy_pearson(spark, events_pdf):
                 assert abs(abs(got) / 1e4 - r * r) < 2e-4
                 checked += 1
     assert checked >= 100  # the fixture genuinely exercises the grid
+
+
+def test_median_ci_matches_sorted_order_statistics(spark):
+    """Selection from the counts grid vs explicit sorted-list indexing,
+    with the rank formulas replayed in Python floats (same IEEE ops)."""
+    by_src = _doc_lengths_by_source()
+    got = {
+        r["source"]: tuple(r)
+        for r in REGISTRY["median_ci_sources"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(by_src)
+    for s, vs in by_src.items():
+        xs = sorted(vs)
+        n = len(xs)
+        r_med = (n + 1) // 2
+        r_lo = max(1, math.floor((n - 1.96 * math.sqrt(n)) / 2.0))
+        r_hi = min(n, math.ceil((n + 1.96 * math.sqrt(n)) / 2.0) + 1)
+        expect = (s, n, xs[r_med - 1], xs[r_lo - 1], xs[r_hi - 1])
+        assert got[s] == expect, (got[s], expect)
+        # The interval actually brackets the median.
+        assert got[s][3] <= got[s][2] <= got[s][4]
