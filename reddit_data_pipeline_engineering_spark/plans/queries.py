@@ -1004,6 +1004,7 @@ _DRIVER_PENDING = [
     "cusum_changepoint",
     "xcorr_lead_lag",
     "median_ci_sources",
+    "spend_lorenz_deciles",
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -1434,3 +1434,113 @@ def q_incremental_mart_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_merged").cast("long").alias("n_orders"),
         F.col("cents").cast("long").alias("total_cents"),
     ).orderBy("ym", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Revenue-concentration Lorenz profile (r08) — customer spend split
+# into 10 equal-count deciles by exact global rank, with each decile's
+# share and cumulative share of total revenue in exact ppm. The "top
+# 10% of customers hold X% of revenue" curve (and its Gini complement,
+# key_skew_gini) that decides mart denormalization and cache sizing.
+#
+# Plan shape: the customer spend rollup is the only fact-table
+# shuffle; ranking the CUSTOMER DIMENSION uses
+# operators/rank.with_global_position (range repartition + local sort
+# + broadcast prefix offsets — the r08 machinery that replaced
+# single-partition NTILE windows), so no task ever holds the whole
+# dimension. Decile assignment is pure arithmetic on the exact
+# position; the rollup shuffles 10 rows. Shares are exact:
+# spend in DECIMAL cents end to end, ppm = cents*1e6 div total_cents
+# (HUGEINT/DECIMAL(38,0) product — exact to ~1e24 total cents).
+# The oracle's NTILE over the same (spend, custkey) total order is
+# bit-identical because NTILE(10) of rank r among n rows IS the
+# closed-form bucket ntile_from_position computes.
+# --------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, cents,
+         NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+  FROM spend
+),
+rolled AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS spend_cents
+  FROM ranked GROUP BY decile
+),
+tot AS (SELECT SUM(CAST(spend_cents AS HUGEINT)) AS total FROM rolled)
+SELECT r.decile, r.n_customers, r.spend_cents,
+       CAST(CAST(r.spend_cents AS HUGEINT) * 1000000 // t.total AS BIGINT)
+         AS share_ppm,
+       CAST(SUM(CAST(r.spend_cents AS HUGEINT))
+              OVER (ORDER BY r.decile) * 1000000 // t.total AS BIGINT)
+         AS cum_share_ppm
+FROM rolled r, tot t
+ORDER BY r.decile
+"""
+
+
+@query(
+    "spend_lorenz_deciles",
+    _LORENZ_ORACLE,
+    "Lorenz revenue-concentration profile: customer spend ranked into "
+    "10 equal-count deciles by exact global position (range-partitioned "
+    "ranking, no single-partition window), per-decile and cumulative "
+    "revenue share in exact ppm from DECIMAL-cents arithmetic",
+    tags=("warehouse", "stats", "bench"),
+)
+def q_spend_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.rank import (
+        ntile_from_position,
+        with_global_position,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(f"decimal({DEC_PRICE})") * 100).alias(
+            "cents"
+        )
+    )
+    ranked, total_rows = with_global_position(
+        spend, ["cents", "o_custkey"], pos_col="pos"
+    )
+    rolled = (
+        ranked.withColumn(
+            "decile", ntile_from_position("pos", total_rows, 10)
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").alias("cents_d"),
+        )
+    )
+    tot = rolled.agg(F.sum("cents_d").alias("total_d"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        rolled.crossJoin(F.broadcast(tot))
+        .withColumn("cum_d", F.sum("cents_d").over(w))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("cents_d").cast("long").alias("spend_cents"),
+            F.expr(
+                "(cents_d * CAST(1000000 AS DECIMAL(7,0))) div total_d"
+            )
+            .cast("long")
+            .alias("share_ppm"),
+            F.expr(
+                "(cum_d * CAST(1000000 AS DECIMAL(7,0))) div total_d"
+            )
+            .cast("long")
+            .alias("cum_share_ppm"),
+        )
+        .orderBy("decile")
+    )

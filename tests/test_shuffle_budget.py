@@ -343,6 +343,10 @@ BUDGETS = {
     # spread + the fingerprint-keyed group aggregate + the bounded
     # scalar rollup (single-partition stage).
     "split_leakage_audit": 4,
+    # spend rollup + range exchange (the rank phase-1) + decile rollup;
+    # the two SinglePartition exchanges move 10 decile rows (bounded by
+    # construction), not dimension rows.
+    "spend_lorenz_deciles": 6,
     "sliding_window_rollup": 2,
     # (source, word) counts print under the two self-join sides + the
     # totals dim (runtime-reused); real movement is the count shuffle +

@@ -381,3 +381,41 @@ def test_incremental_mart_merge_actually_merges(spark):
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "LessThan(o_orderdate" in plan
+
+
+def test_lorenz_deciles_semantics(spark):
+    """Equal-count deciles (NTILE: sizes differ by at most 1, larger
+    buckets first), shares sum to ~1e6 with monotone cumulative, and
+    the curve is convex (spend share nondecreasing by decile — deciles
+    are ascending by spend)."""
+    import duckdb
+
+    from .conftest import SF_SMALL
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+
+    queries()  # force registration
+    rows = (
+        REGISTRY["spend_lorenz_deciles"].fn(spark, SF_SMALL)
+        .orderBy("decile")
+        .collect()
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_cust = duckdb.sql(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF_SMALL}/orders.parquet'"
+    ).fetchone()[0]
+    sizes = [r["n_customers"] for r in rows]
+    assert sum(sizes) == n_cust
+    base, extra = divmod(n_cust, 10)
+    assert sizes == [base + (1 if i < extra else 0) for i in range(10)]
+    shares = [r["share_ppm"] for r in rows]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))  # convex
+    cums = [r["cum_share_ppm"] for r in rows]
+    assert all(b > a for a, b in zip(cums, cums[1:]))
+    assert 1_000_000 - 10 <= cums[-1] <= 1_000_000  # div truncation only
+    assert sum(r["spend_cents"] for r in rows) == duckdb.sql(
+        f"SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) "
+        f"FROM '{SF_SMALL}/orders.parquet'"
+    ).fetchone()[0]
