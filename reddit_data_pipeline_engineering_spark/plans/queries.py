@@ -1005,6 +1005,7 @@ _DRIVER_PENDING = [
     "xcorr_lead_lag",
     "median_ci_sources",
     "spend_lorenz_deciles",
+    "wilson_conversion_ci",
 ]
 
 _DRIVER_ROTATED_OUT = [

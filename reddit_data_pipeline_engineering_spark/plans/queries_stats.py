@@ -1628,3 +1628,142 @@ def q_median_ci_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Wilson score confidence intervals (r08) — the per-arm companion to
+# ab_conversion_ztest: the z-test says WHETHER the arms differ; the
+# Wilson interval says what each arm's conversion rate IS, with the
+# small-sample/extreme-p behavior the naive Wald interval gets wrong
+# (Wald collapses to zero width at p=0 or 1; Wilson stays honest).
+#
+#   center = (p + z^2/2n) / (1 + z^2/n)
+#   half   = z * sqrt( (p(1-p) + z^2/4n) / n ) / (1 + z^2/n)
+#
+# with z = 1.96 folded into literal constants (z^2 = 3.8416,
+# z^2/2 = 1.9208, z^2/4 = 0.9604). Same md5 user split and ONE
+# user-keyed aggregate as the z-test; the metrics here are the
+# VARIANCE-BEARING ones (every user has a bare purchase/signup event in
+# this corpus, so the z-test's raw flags sit at p=1 exactly):
+# high_value = any purchase event with value > 150 (~the per-user max
+# median), heavy_buyer = 15+ purchase events. The decision value
+# rate_ppm is integer-exact; lo/hi are DOUBLE diagnostics computed by
+# the SAME expression tree on both engines from exact (n, c) casts,
+# rounded to 6 dp. Output: 2 variants x 2 metrics = 4 rows.
+# --------------------------------------------------------------------------
+
+_WILSON_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN {_AB_BUCKET_SQL} = 0 THEN 'A' ELSE 'B' END AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                  THEN 1 ELSE 0 END) AS high_value,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 15 THEN 1 ELSE 0 END AS heavy_buyer
+  FROM events GROUP BY 1
+),
+arms AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(high_value) AS BIGINT) AS conv_high_value,
+         CAST(SUM(heavy_buyer) AS BIGINT) AS conv_heavy_buyer
+  FROM per_user GROUP BY 1
+),
+m AS (
+  SELECT variant, 'high_value' AS metric, n, conv_high_value AS c FROM arms
+  UNION ALL
+  SELECT variant, 'heavy_buyer', n, conv_heavy_buyer FROM arms
+),
+w AS (
+  SELECT variant, metric, n, c,
+         CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         1.0 + 3.8416 / CAST(n AS DOUBLE) AS denom
+  FROM m
+)
+SELECT variant, metric, n, c AS conv,
+       CAST(CAST(c AS HUGEINT) * 1000000 // n AS BIGINT) AS rate_ppm,
+       ROUND(((p + 1.9208 / CAST(n AS DOUBLE))
+              - 1.96 * SQRT((p * (1.0 - p) + 0.9604 / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE))) / denom, 6) AS wilson_lo,
+       ROUND(((p + 1.9208 / CAST(n AS DOUBLE))
+              + 1.96 * SQRT((p * (1.0 - p) + 0.9604 / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE))) / denom, 6) AS wilson_hi
+FROM w
+ORDER BY variant, metric
+"""
+
+
+@query(
+    "wilson_conversion_ci",
+    _WILSON_ORACLE,
+    "Wilson score 95% confidence interval per (variant, metric) "
+    "conversion rate — the per-arm companion to ab_conversion_ztest "
+    "(same md5 split, one user-keyed aggregate) over variance-bearing "
+    "metrics (high-value purchase, heavy buyer): rate_ppm "
+    "integer-exact, Wilson lo/hi as mirrored-expression-tree doubles "
+    "(honest width at extreme p, unlike Wald)",
+    tags=("relational", "stats", "bench"),
+)
+def q_wilson_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        md5_bucket,
+    )
+
+    metrics = ("high_value", "heavy_buyer")
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("high_value"),
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 15,
+            1,
+        )
+        .otherwise(0)
+        .alias("heavy_buyer"),
+    ).withColumn(
+        "variant",
+        F.when(md5_bucket("user_id", 2) == 0, F.lit("A")).otherwise(
+            F.lit("B")
+        ),
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(m).cast("long").alias(f"conv_{m}")
+            for m in metrics
+        ],
+    )
+    arms = arms.localCheckpoint(eager=False)
+    rows = None
+    for m in metrics:
+        r = arms.select(
+            "variant",
+            F.lit(m).alias("metric"),
+            "n",
+            F.col(f"conv_{m}").alias("c"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    n_d = F.col("n").cast("double")
+    denom = F.lit(1.0) + F.lit(3.8416) / n_d
+    center = p + F.lit(1.9208) / n_d
+    half = F.lit(1.96) * F.sqrt(
+        (p * (F.lit(1.0) - p) + F.lit(0.9604) / n_d) / n_d
+    )
+    return rows.select(
+        "variant",
+        "metric",
+        "n",
+        F.col("c").alias("conv"),
+        F.expr(
+            "cast((cast(c as decimal(38,0)) * 1000000) div n as long)"
+        ).alias("rate_ppm"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("variant", "metric")

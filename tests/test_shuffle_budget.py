@@ -398,6 +398,10 @@ BUDGETS = {
     "waiting_suppliers": 3,
     "weekly_p90_scalable": 1,
     "weighted_median_price": 2,
+    # checkpointed 2-row arms relation like ab_conversion_ztest; the
+    # only exchange is the final tiny sort (the user-keyed aggregate
+    # runs during checkpoint construction).
+    "wilson_conversion_ci": 1,
     "window_dedup": 1,
     # (type, day) count shuffle replayed under both join sides
     # (identical subtrees, runtime-reused) + the pair-moment aggregate

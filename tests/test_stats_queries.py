@@ -648,3 +648,49 @@ def test_median_ci_matches_sorted_order_statistics(spark):
         assert got[s] == expect, (got[s], expect)
         # The interval actually brackets the median.
         assert got[s][3] <= got[s][2] <= got[s][4]
+
+
+def test_wilson_ci_matches_python(spark, events_pdf):
+    """Wilson bounds vs an independent Python recomputation (statsmodels
+    absent — the closed form is replayed with math.sqrt), plus the
+    bracketing property rate in (lo, hi) on every arm."""
+    import hashlib as _hl
+
+    out = {
+        (r["variant"], r["metric"]): r
+        for r in REGISTRY["wilson_conversion_ci"].fn(spark, SF_SMALL).collect()
+    }
+    per_user = {}
+    for _, row in events_pdf.iterrows():
+        u = int(row["user_id"])
+        d = per_user.setdefault(u, {"hv": 0, "np": 0})
+        if row["event_type"] == "purchase":
+            d["np"] += 1
+            if row["value"] > 150:
+                d["hv"] = 1
+    arms = {}
+    for u, d in per_user.items():
+        bucket = int(_hl.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        v = "A" if bucket == 0 else "B"
+        a = arms.setdefault(v, {"n": 0, "high_value": 0, "heavy_buyer": 0})
+        a["n"] += 1
+        a["high_value"] += d["hv"]
+        a["heavy_buyer"] += 1 if d["np"] >= 15 else 0
+    assert set(arms) == {"A", "B"}
+    checked = 0
+    for v, a in arms.items():
+        for m in ("high_value", "heavy_buyer"):
+            n, c = a["n"], a[m]
+            r = out[(v, m)]
+            assert (r["n"], r["conv"]) == (n, c)
+            assert r["rate_ppm"] == c * 1_000_000 // n
+            p = c / n
+            denom = 1.0 + 3.8416 / n
+            center = p + 1.9208 / n
+            half = 1.96 * math.sqrt((p * (1.0 - p) + 0.9604 / n) / n)
+            assert abs(r["wilson_lo"] - (center - half) / denom) < 2e-6
+            assert abs(r["wilson_hi"] - (center + half) / denom) < 2e-6
+            assert r["wilson_lo"] < p < r["wilson_hi"]
+            assert 0 < c < n  # the metric genuinely varies on the fixture
+            checked += 1
+    assert checked == 4
