@@ -874,6 +874,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_prep  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_seq  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_stats  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_stats2  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_streaming  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_trend  # noqa: F401
@@ -1006,6 +1007,10 @@ _DRIVER_PENDING = [
     "median_ci_sources",
     "spend_lorenz_deciles",
     "wilson_conversion_ci",
+    "anova_f_sources",
+    "welch_cohen_effect",
+    "cramers_v_association",
+    "degree_assortativity",
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -1,0 +1,524 @@
+"""Classical-inference statistics, wave 2 (r08): one-way ANOVA,
+Welch's t + Cohen's d, Cramér's V association, and graph degree
+assortativity.
+
+These fill the parametric side of the test kit next to the existing
+rank tests (Mann-Whitney, Kruskal-Wallis) and proportion tests
+(two-proportion z, Wilson CI): ANOVA answers "do the k group means
+differ", Welch answers it for two groups without the equal-variance
+assumption, Cohen's d sizes the difference, Cramér's V measures
+association strength between two categoricals, and assortativity is
+the graph-science "do high-degree nodes attach to high-degree nodes"
+coefficient.
+
+House rules (module docstring of plans/queries.py): every SUM is an
+exact integer (DECIMAL(38,0) over quantized inputs), so partial
+aggregation is order-independent and the DuckDB oracle replays the
+same sums bit-for-bit; floats appear only in the FINAL statistic,
+computed from the exact integers through a mirrored expression tree
+(+ - * / sqrt are IEEE-deterministic; no ln/exp anywhere). Integer
+`div` results are kept inside int64 — Spark's decimal `div` returns
+LONG and silently wraps past 2^63 (verified empirically this round) —
+with per-query magnitude ceilings documented inline.
+
+No reference counterpart (the reference's only analytics is a Glue
+projection kernel, `glue_jobs/process_openaq_raw.py`); these extend
+the engine's training-data / experimentation audit surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.functions import text as tx
+from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, query
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table, spread
+
+__all__ = ["REGISTRY"]
+
+# DuckDB mirror of functions/text.tokens (same literal as queries_llm._TOKS).
+_TOKS2 = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+
+
+def _dec(col) -> F.Column:
+    return col.cast("decimal(38,0)")
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA F across document sources (token-length response).
+#
+# With per-group exact integers (n_g, S_g = Sum x, and global Q = Sum x^2):
+#
+#   SSB = Sum_g S_g^2/n_g - S^2/N      SSW = Q - Sum_g S_g^2/n_g
+#   F   = (SSB/(k-1)) / (SSW/(N-k))    eta^2 = SSB / (SSB+SSW)
+#
+# The rational terms S_g^2/n_g are made order-independent by truncating
+# EACH to an integer at 1e6 scale — t_g = (S_g^2 * 1e6) div n_g — so the
+# cross-group sum is a sum of integers, identical in any order on both
+# engines (a float sum over groups would be summation-order-dependent).
+# Truncation error: < 1e-6 per group on SSB/SSW, invisible at ROUND(F, 6)
+# for any non-degenerate split; the degenerate all-equal-means case can
+# land ssb a few 1e-6 units NEGATIVE (k truncations down vs one), so both
+# legs clamp with GREATEST(.., 0).
+#
+# Magnitudes (int64 div-result ceiling): t_g ~ n_g * mean^2 * 1e6; at
+# mean ~ 100 tokens that holds to n_g ~ 9e8 docs PER SOURCE (~ tens of TB
+# of text at this row size); beyond, drop the 1e6 scale or pre-scale x.
+# The decimal(38,0) intermediates (S_g^2 * 1e6 ~ (n_g * mean)^2 * 1e6)
+# hold to n_g ~ 1e13. One token-count scan + one 20-row rollup; no joins.
+# --------------------------------------------------------------------------
+
+_ANOVA_ORACLE = f"""
+WITH lens AS (
+  SELECT source, CAST(len({_TOKS2}) AS BIGINT) AS x FROM documents
+), g AS (
+  SELECT source,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS s,
+         CAST(SUM(x * x) AS HUGEINT) AS q
+  FROM lens GROUP BY source
+), t AS (
+  SELECT n, s, q, (s * s * 1000000) // n AS tg FROM g
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(n) AS nn, SUM(s) AS ss, SUM(q) AS qq, SUM(tg) AS tt
+  FROM t
+), parts AS (
+  SELECT k, nn,
+         GREATEST(tt - (ss * ss * 1000000) // nn, 0) AS ssb,
+         GREATEST(qq * 1000000 - tt, 0) AS ssw
+  FROM agg
+)
+SELECT k AS k_groups,
+       CAST(nn AS BIGINT) AS n_docs,
+       ROUND((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+             / (CAST(ssw AS DOUBLE) / CAST(CAST(nn AS BIGINT) - k AS DOUBLE)),
+             6) AS f_stat,
+       CAST((ssb * 1000000) // (ssb + ssw) AS BIGINT) AS eta2_ppm
+FROM parts
+"""
+
+
+@query(
+    "anova_f_sources",
+    _ANOVA_ORACLE,
+    "One-way ANOVA F of document token length across the 20 sources "
+    "(parametric companion to kruskal_wallis_lengths): exact integer "
+    "group moments, per-group rational terms truncated to 1e6-scaled "
+    "integers so the cross-group sum is order-independent, F and "
+    "eta^2 from the exact sums (one scan + one k-row rollup)",
+    tags=("relational", "stats", "bench"),
+)
+def q_anova_f_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lens = docs.select(
+        "source", F.size(tx.tokens("text")).cast("long").alias("x")
+    )
+    g = lens.groupBy("source").agg(
+        _dec(F.count(F.lit(1))).alias("n"),
+        F.sum(_dec(F.col("x"))).alias("s"),
+        F.sum(_dec(F.col("x")) * F.col("x")).alias("q"),
+    )
+    t = g.select("n", "s", "q", F.expr("(s * s * 1000000) div n").alias("tg"))
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum(_dec(F.col("tg"))).alias("tt"),
+    )
+    parts = agg.select(
+        "k",
+        "nn",
+        F.expr("greatest(tt - (ss * ss * 1000000) div nn, 0L)").alias("ssb"),
+        F.expr("greatest(cast(qq * 1000000 - tt as long), 0L)").alias("ssw"),
+    )
+    return parts.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_docs"),
+        F.round(
+            (F.col("ssb").cast("double") / (F.col("k") - 1).cast("double"))
+            / (
+                F.col("ssw").cast("double")
+                / (F.col("nn").cast("long") - F.col("k")).cast("double")
+            ),
+            6,
+        ).alias("f_stat"),
+        F.expr(
+            "cast((cast(ssb as decimal(38,0)) * 1000000)"
+            " div (cast(ssb as decimal(38,0)) + ssw) as long)"
+        ).alias("eta2_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Welch's t + Cohen's d between purchase and view event values.
+#
+# From the six exact integers (n_i, S_i, Q_i per arm, values quantized to
+# e4 via the standing DECIMAL(14,4) device):
+#
+#   m_i = S_i/n_i           v_i = (n_i*Q_i - S_i^2) / (n_i*(n_i-1))
+#   t   = (m1-m2) / sqrt(v1/n1 + v2/n2)
+#   df  = (v1/n1+v2/n2)^2 / ((v1/n1)^2/(n1-1) + (v2/n2)^2/(n2-1))
+#   d   = (m1-m2) / sqrt(((n1-1)v1 + (n2-1)v2) / (n1+n2-2))
+#
+# t, df, d are scale-invariant so the e4 quantization cancels; the means
+# are reported divided back by 1e4. All ratios are computed in DOUBLE
+# from the exact integers through the same expression tree on both legs
+# (+ - * / sqrt only). Magnitudes: n*Q ~ n^2 * (value*1e4)^2 holds in
+# decimal(38,0) to ~1e7 rows per arm at value~1e6 (the dq range cap), or
+# ~1e12 rows at value~100; the double casts of the variance numerators
+# stay exact below 2^53 and are deterministic-rounded above it (both
+# engines round-to-nearest; ceiling documented, pre-scale past it).
+# ONE conditional-aggregate pass over the scan; no joins, no shuffle
+# beyond the single-row rollup.
+# --------------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS HUGEINT) AS x
+  FROM events WHERE event_type IN ('purchase', 'view')
+), arms AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+    SUM(CASE WHEN event_type = 'purchase' THEN x ELSE 0 END) AS s1,
+    SUM(CASE WHEN event_type = 'purchase' THEN x * x ELSE 0 END) AS q1,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+    SUM(CASE WHEN event_type = 'view' THEN x ELSE 0 END) AS s2,
+    SUM(CASE WHEN event_type = 'view' THEN x * x ELSE 0 END) AS q2
+  FROM q
+), d AS (
+  SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+         CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+         CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+           / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS v1,
+         CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+           / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) AS v2
+  FROM arms
+)
+SELECT 'purchase_vs_view' AS contrast, n1, n2,
+       ROUND(m1 / 10000.0, 6) AS mean_purchase,
+       ROUND(m2 / 10000.0, 6) AS mean_view,
+       ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS welch_t,
+       ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS welch_df,
+       ROUND((m1 - m2)
+             / SQRT(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)),
+             6) AS cohens_d
+FROM d
+"""
+
+
+@query(
+    "welch_cohen_effect",
+    _WELCH_ORACLE,
+    "Welch's unequal-variance t statistic + Welch-Satterthwaite df + "
+    "Cohen's d effect size between purchase and view event values: one "
+    "conditional-aggregate pass builds six exact e4-quantized integer "
+    "moments; t/df/d are scale-invariant doubles from the mirrored "
+    "expression tree (no pooled-variance assumption, no second scan)",
+    tags=("relational", "stats", "bench"),
+)
+def q_welch_cohen_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    x = (F.col("value").cast("decimal(14,4)") * 10000).cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    is1 = F.col("event_type") == "purchase"
+    is2 = F.col("event_type") == "view"
+    arms = ev.select(x.alias("x"), is1.alias("is1"), is2.alias("is2")).agg(
+        F.sum(F.when(F.col("is1"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("is1"), F.col("x")).otherwise(zero)).alias("s1"),
+        F.sum(
+            F.when(F.col("is1"), F.col("x") * F.col("x")).otherwise(zero)
+        ).alias("q1"),
+        F.sum(F.when(F.col("is2"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("is2"), F.col("x")).otherwise(zero)).alias("s2"),
+        F.sum(
+            F.when(F.col("is2"), F.col("x") * F.col("x")).otherwise(zero)
+        ).alias("q2"),
+    )
+    d = arms.select(
+        "n1",
+        "n2",
+        (F.col("s1").cast("double") / F.col("n1").cast("double")).alias("m1"),
+        (F.col("s2").cast("double") / F.col("n2").cast("double")).alias("m2"),
+        (
+            F.expr("cast(n1 * q1 - s1 * s1 as double)")
+            / (F.col("n1").cast("double") * (F.col("n1") - 1).cast("double"))
+        ).alias("v1"),
+        (
+            F.expr("cast(n2 * q2 - s2 * s2 as double)")
+            / (F.col("n2").cast("double") * (F.col("n2") - 1).cast("double"))
+        ).alias("v2"),
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return d.select(
+        F.lit("purchase_vs_view").alias("contrast"),
+        "n1",
+        "n2",
+        F.round(F.col("m1") / 10000.0, 6).alias("mean_purchase"),
+        F.round(F.col("m2") / 10000.0, 6).alias("mean_view"),
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2), 6
+        ).alias("welch_t"),
+        F.round(
+            (se1 + se2)
+            * (se1 + se2)
+            / (
+                se1 * se1 / (F.col("n1") - 1)
+                + se2 * se2 / (F.col("n2") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+        F.round(
+            (F.col("m1") - F.col("m2"))
+            / F.sqrt(
+                (
+                    (F.col("n1") - 1) * F.col("v1")
+                    + (F.col("n2") - 1) * F.col("v2")
+                )
+                / (F.col("n1") + F.col("n2") - 2)
+            ),
+            6,
+        ).alias("cohens_d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cramér's V association between documents.lang and documents.source.
+#
+#   chi2 = Sum_cells (O*N - R*C)^2 / (R*C*N)       over the FULL r x c grid
+#   V    = sqrt(chi2 / (N * (min(r,c) - 1)))
+#
+# The grid includes absent (lang, source) pairs (O = 0 contributes
+# R*C/N), built as a bounded cross join of the two distinct-value dims.
+# Per-cell rational terms are truncated to 1e6-scaled integers — same
+# order-independence device as the ANOVA — so chi2_e6 is an exact BIGINT
+# on both legs. Terms are non-negative and R*C*N > 0 for every grid cell
+# (marginals of observed values), so trunc/floor agree. Magnitudes:
+# each term <= chi2 * 1e6 <= N*min(r,c)*1e6 (int64 to N ~ 1.8e12 docs);
+# the decimal(38,0) intermediate (O*N - R*C)^2 * 1e6 <= N^4 * 1e6 caps N
+# at ~1e8 — past that drop the scale to 1e2 (term magnitudes shrink by
+# 1e4, ceiling rises 100x). One cells rollup (r*c rows) + broadcast
+# marginals; no data-sized join anywhere.
+# --------------------------------------------------------------------------
+
+_CRAMER_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS o
+  FROM documents GROUP BY 1, 2
+), rowm AS (
+  SELECT lang, SUM(o) AS r FROM cells GROUP BY 1
+), colm AS (
+  SELECT source, SUM(o) AS c FROM cells GROUP BY 1
+), tot AS (
+  SELECT SUM(o) AS n,
+         (SELECT COUNT(*) FROM rowm) AS nr,
+         (SELECT COUNT(*) FROM colm) AS nc
+  FROM cells
+), grid AS (
+  SELECT rowm.lang, colm.source, rowm.r, colm.c,
+         COALESCE(cells.o, 0) AS o
+  FROM rowm CROSS JOIN colm
+  LEFT JOIN cells ON cells.lang = rowm.lang AND cells.source = colm.source
+), terms AS (
+  SELECT ((o * n - r * c) * (o * n - r * c) * 1000000) // (r * c * n) AS t
+  FROM grid CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(nr AS BIGINT) AS n_langs,
+       CAST(nc AS BIGINT) AS n_sources,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+       CAST((SELECT SUM(t) FROM terms) AS BIGINT) AS chi2_e6,
+       ROUND(SQRT(CAST((SELECT SUM(t) FROM terms) AS DOUBLE)
+                  / (1000000.0 * CAST(n AS DOUBLE)
+                     * CAST(LEAST(nr, nc) - 1 AS DOUBLE))), 6) AS cramers_v
+FROM tot
+"""
+
+
+@query(
+    "cramers_v_association",
+    _CRAMER_ORACLE,
+    "Cramér's V association strength between document language and "
+    "source over the full r x c contingency grid (absent pairs "
+    "included): per-cell chi-square terms truncated to 1e6-scaled "
+    "integers for an order-independent exact chi2_e6, V as a mirrored "
+    "double; one cells rollup + broadcast marginals",
+    tags=("relational", "stats", "bench"),
+)
+def q_cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        _dec(F.count(F.lit(1))).alias("o")
+    )
+    cells = cells.localCheckpoint(eager=False)
+    rowm = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    colm = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("lang").cast("long").alias("nr"),
+        F.countDistinct("source").cast("long").alias("nc"),
+    )
+    grid = (
+        F.broadcast(rowm)
+        .crossJoin(F.broadcast(colm))
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "r",
+            "c",
+            F.coalesce(F.col("o"), F.lit(0).cast("decimal(38,0)")).alias("o"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    terms = grid.select(
+        F.expr(
+            "((o * n - r * c) * (o * n - r * c) * 1000000)"
+            " div (r * c * n)"
+        ).alias("t"),
+        "n",
+        "nr",
+        "nc",
+    )
+    return terms.groupBy("n", "nr", "nc").agg(
+        F.sum(_dec(F.col("t"))).cast("long").alias("chi2_e6")
+    ).select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("nr").alias("n_langs"),
+        F.col("nc").alias("n_sources"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        "chi2_e6",
+        F.round(
+            F.sqrt(
+                F.col("chi2_e6").cast("double")
+                / (
+                    F.lit(1000000.0)
+                    * F.col("n").cast("double")
+                    * (F.least("nr", "nc") - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity of the symmetrized customer-supplier graph.
+#
+# Newman's degree assortativity = Pearson r of (deg(src), deg(dst)) over
+# the directed edge list (both directions present, so this is the
+# undirected coefficient). Same node-id tag-bit construction as
+# pagerank_topk (customer = 2k, supplier = 2k+1). Exact integer moments
+# (E, Sx, Sy, Sxy, Sxx, Syy) in decimal(38,0); r is the product-moment
+# ratio in DOUBLE from the exact integers (num can be negative — no
+# integer division anywhere, so no trunc-vs-floor hazard). Magnitudes:
+# num ~ E * Sxy <= E^2 * dmax^2 stays in decimal(38,0) to E ~ 1e13 at
+# dmax ~ 1e6; the double casts are exact below 2^53 (documented ceiling;
+# pre-scale degrees past it). Plan: pairs distinct (one shuffle), degree
+# rollup (one shuffle), two degree joins — the degree table is
+# node-dimension-sized, orders smaller than the fact scan.
+# --------------------------------------------------------------------------
+
+_ASSORT_ORACLE = """
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+), deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS HUGEINT) AS d FROM edges GROUP BY 1
+), ed AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM edges e
+  JOIN deg ds ON ds.node = e.src
+  JOIN deg dd ON dd.node = e.dst
+), moms AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM ed
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS assort_r
+FROM moms
+"""
+
+
+@query(
+    "degree_assortativity",
+    _ASSORT_ORACLE,
+    "Newman degree assortativity of the symmetrized customer-supplier "
+    "graph (same tag-bit node ids as pagerank_topk): exact integer "
+    "product moments over the edge list joined to its degree dimension "
+    "twice, Pearson r as a mirrored double — negative r = high-degree "
+    "hubs attach to low-degree leaves (expected for bipartite "
+    "order graphs)",
+    tags=("relational", "graph", "stats", "bench"),
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    up = pairs.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    down = pairs.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+    )
+    edges = up.union(down).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(
+        _dec(F.count(F.lit(1))).alias("d")
+    ).withColumnRenamed("src", "node")
+    deg = deg.localCheckpoint(eager=False)
+    ed = (
+        edges.join(
+            deg.select(F.col("node").alias("ns"), F.col("d").alias("x")),
+            F.col("src") == F.col("ns"),
+        )
+        .join(
+            deg.select(F.col("node").alias("nd"), F.col("d").alias("y")),
+            F.col("dst") == F.col("nd"),
+        )
+        .select("x", "y")
+    )
+    moms = ed.agg(
+        _dec(F.count(F.lit(1))).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return moms.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("n").cast("long").alias("n_edges"),
+        "n_nodes",
+        F.round(
+            F.expr("cast(n * sxy - sx * sy as double)")
+            / F.sqrt(
+                F.expr("cast(n * sxx - sx * sx as double)")
+                * F.expr("cast(n * syy - sy * sy as double)")
+            ),
+            6,
+        ).alias("assort_r"),
+    )

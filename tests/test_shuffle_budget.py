@@ -36,6 +36,9 @@ BUDGETS = {
     # checkpointed arms relation; everything downstream is broadcast.
     "ab_conversion_ztest": 1,
     "acf_lag_profile": 4,
+    # token-length scan -> source rollup -> k-row term rollup ->
+    # single-row moments.
+    "anova_f_sources": 3,
     "active_semijoin": 1,
     "aqi_bundle": 1,
     "aqi_profile": 3,
@@ -91,11 +94,17 @@ BUDGETS = {
     "cube_segments": 1,
     # daily count shuffle + the event_type window layout + final sort;
     # the argmax pick reuses the ordered-window partitioning.
+    # cells rollup + broadcast marginal branches (rowm/colm/tot) +
+    # final grid rollup; the grid itself rides broadcasts.
+    "cramers_v_association": 5,
     "cusum_changepoint": 3,
     "daily_topk": 1,
     "date_partition_rollup": 2,
     "decontaminate_ngrams": 3,
     "dedup_best_survivor": 2,
+    # pairs distinct + degree rollup + two edge-degree joins (degree dim
+    # is node-sized, not broadcastable at scale) + moment/node rollups.
+    "degree_assortativity": 6,
     "dedup_quality_shift": 4,
     # Returned plan reads the checkpointed pairs/comp/border relations
     # (the star-contraction rounds run during construction, like
@@ -397,6 +406,8 @@ BUDGETS = {
     "vocab_topk": 2,
     "waiting_suppliers": 3,
     "weekly_p90_scalable": 1,
+    # ONE conditional-aggregate pass; single-row rollup.
+    "welch_cohen_effect": 1,
     "weighted_median_price": 2,
     # checkpointed 2-row arms relation like ab_conversion_ztest; the
     # only exchange is the final tiny sort (the user-keyed aggregate

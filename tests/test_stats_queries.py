@@ -694,3 +694,104 @@ def test_wilson_ci_matches_python(spark, events_pdf):
             assert 0 < c < n  # the metric genuinely varies on the fixture
             checked += 1
     assert checked == 4
+
+
+def _doc_lengths():
+    pdf = duckdb.sql(
+        f"SELECT source, lang, text FROM '{SF_SMALL}/documents.parquet'"
+    ).df()
+    pdf["x"] = pdf["text"].str.split().str.len()
+    return pdf
+
+
+def test_anova_f_matches_numpy(spark):
+    out = _pdf("anova_f_sources", spark).iloc[0]
+    pdf = _doc_lengths()
+    groups = [g["x"].to_numpy(dtype=float) for _, g in pdf.groupby("source")]
+    k, n = len(groups), len(pdf)
+    grand = pdf["x"].mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out["k_groups"] == k and out["n_docs"] == n
+    assert abs(out["f_stat"] - f) < 1e-4 * max(1.0, abs(f))
+    assert abs(out["eta2_ppm"] / 1e6 - ssb / (ssb + ssw)) < 2e-6
+
+
+def test_welch_cohen_matches_numpy(spark, events_pdf):
+    out = _pdf("welch_cohen_effect", spark).iloc[0]
+    # Replay the e4 quantization: the query measures the DECIMAL(14,4)
+    # projection of value, not the raw float.
+    q = events_pdf[events_pdf["event_type"].isin(["purchase", "view"])]
+    import decimal
+
+    def e4(s):
+        return np.array(
+            [
+                int(
+                    decimal.Decimal(repr(v)).quantize(
+                        decimal.Decimal("0.0001"),
+                        rounding=decimal.ROUND_HALF_UP,
+                    )
+                    * 10000
+                )
+                for v in s
+            ],
+            dtype=float,
+        )
+
+    a = e4(q.loc[q["event_type"] == "purchase", "value"])
+    b = e4(q.loc[q["event_type"] == "view", "value"])
+    n1, n2 = len(a), len(b)
+    m1, m2 = a.mean(), b.mean()
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+    df = (v1 / n1 + v2 / n2) ** 2 / (
+        (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+    )
+    d = (m1 - m2) / math.sqrt(
+        ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+    )
+    assert (out["n1"], out["n2"]) == (n1, n2)
+    assert abs(out["mean_purchase"] - m1 / 1e4) < 1e-5
+    assert abs(out["mean_view"] - m2 / 1e4) < 1e-5
+    assert abs(out["welch_t"] - t) < 1e-5
+    assert abs(out["welch_df"] - df) < 1e-2
+    assert abs(out["cohens_d"] - d) < 1e-5
+
+
+def test_cramers_v_matches_pandas_crosstab(spark):
+    out = _pdf("cramers_v_association", spark).iloc[0]
+    pdf = _doc_lengths()
+    ct = pd.crosstab(pdf["lang"], pdf["source"])
+    n = ct.to_numpy().sum()
+    r = ct.sum(axis=1).to_numpy(dtype=float)
+    c = ct.sum(axis=0).to_numpy(dtype=float)
+    e = np.outer(r, c) / n
+    chi2 = ((ct.to_numpy() - e) ** 2 / e).sum()
+    v = math.sqrt(chi2 / (n * (min(ct.shape) - 1)))
+    assert out["n_docs"] == n
+    assert (out["n_langs"], out["n_sources"]) == ct.shape
+    assert out["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    # chi2_e6 sums per-cell floor-truncated terms: within r*c units low.
+    assert 0 <= chi2 - out["chi2_e6"] / 1e6 < ct.size * 1e-6 + 1e-9
+    assert abs(out["cramers_v"] - v) < 1e-5
+
+
+def test_degree_assortativity_matches_numpy(spark):
+    out = _pdf("degree_assortativity", spark).iloc[0]
+    pairs = duckdb.sql(
+        f"SELECT DISTINCT o_custkey AS c, l_suppkey AS s FROM "
+        f"'{SF_SMALL}/orders.parquet' o JOIN '{SF_SMALL}/lineitem.parquet' l "
+        f"ON o.o_orderkey = l.l_orderkey"
+    ).df()
+    src = pd.concat([pairs["c"] * 2, pairs["s"] * 2 + 1]).to_numpy()
+    dst = pd.concat([pairs["s"] * 2 + 1, pairs["c"] * 2]).to_numpy()
+    deg = pd.Series(src).value_counts()
+    x = deg.reindex(src).to_numpy(dtype=float)
+    y = deg.reindex(dst).to_numpy(dtype=float)
+    r = np.corrcoef(x, y)[0, 1]
+    assert out["n_edges"] == len(src)
+    assert out["n_nodes"] == deg.size
+    assert abs(out["assort_r"] - r) < 1e-5
+    assert out["assort_r"] < 0  # bipartite order graph: hubs meet leaves
