@@ -872,6 +872,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_llm3  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_density  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_prep  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_prep2  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_seq  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_stats  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_stats2  # noqa: F401
@@ -1011,6 +1012,8 @@ _DRIVER_PENDING = [
     "welch_cohen_effect",
     "cramers_v_association",
     "degree_assortativity",
+    "kmv_distinct_sketch",
+    "fk_coverage_audit",
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -1,0 +1,281 @@
+"""Warehouse / sketch additions, wave 2 (r08): KMV distinct sketch
+with a mergeability demo, and a referential-integrity coverage audit.
+
+- ``kmv_distinct_sketch``: the K-Minimum-Values distinct-count sketch
+  (Bar-Yossef et al. 2002) next to the engine's HLL family — per
+  event_type, the k smallest md5-derived 48-bit hashes of the distinct
+  user set give est = (k-1) * 2^48 / h_(k); an 'ALL' row merges the
+  per-type sketches (union the survivor sets, re-take the k smallest)
+  to estimate the union cardinality, the property that makes KMV a
+  distributed-aggregation-friendly sketch. Every hash is the standing
+  md5 device, so the DuckDB oracle replays the sketch bit-for-bit.
+- ``fk_coverage_audit``: per foreign-key edge of the warehouse schema
+  (+ the events->customer linkage), child rows / distinct child keys /
+  matched keys / orphan rows — the dbt-style relationship test as ONE
+  query instead of per-edge assertions.
+
+House rules as everywhere: integer-exact arithmetic (the KMV estimate
+is an integer division of exact integers), mirrored oracles, no
+row-at-a-time UDFs, documented scale shapes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, query
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+__all__ = ["REGISTRY"]
+
+# --------------------------------------------------------------------------
+# KMV (k minimum values) distinct sketch per event_type + merged union.
+#
+# h(user) = first 12 md5 hex digits -> uniform 48-bit integer. With n
+# distinct users, the k-th smallest distinct hash h_(k) sits near
+# k * 2^48 / n, so est = (k-1) * 2^48 div h_(k) (the unbiased KMV form);
+# when n <= k the sketch holds the whole set and est = n exactly.
+#
+# Scale shape: the candidate set entering the per-type top-k window is
+# pre-filtered IN PLAN by h < (k * 8 * 2^48) div n_exact — 8x the
+# expected h_(k) quantile, so the window sorts O(k) rows per type
+# instead of the full distinct-user dimension (the exact distinct count
+# n is computed anyway for the audit columns, so the threshold is free
+# and the oracle replays it; at n <= k the threshold saturates past
+# 2^48 and keeps everything). The merged 'ALL' row uses ONLY the
+# per-type survivor sets — union, distinct, re-take k smallest — the
+# sketch-merge path a 1000-executor rollup would ship between nodes,
+# NOT a rescan of the fact table; its exact companion count is one
+# countDistinct. err_ppm = |est - exact| * 1e6 div exact audits the
+# estimator (k=8 -> ~1/sqrt(8-2) ~ 40% RMSE: honest sketch noise, kept
+# small here so the audit columns are non-trivial at test scale).
+# --------------------------------------------------------------------------
+
+_KMV_K = 8
+_KMV_SPACE = 1 << 48  # 12 md5 hex digits
+
+_KMV_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+), n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM du GROUP BY 1
+), cand AS (
+  SELECT du.event_type, du.h, n.exact_distinct
+  FROM du JOIN n USING (event_type)
+  WHERE du.h < ({_KMV_K} * 8 * CAST({_KMV_SPACE} AS HUGEINT))
+                // n.exact_distinct
+), ranked AS (
+  SELECT event_type, h, exact_distinct,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM cand
+), per_type AS (
+  SELECT event_type, exact_distinct,
+         CASE WHEN exact_distinct <= {_KMV_K} THEN exact_distinct
+              ELSE CAST(({_KMV_K} - 1) * CAST({_KMV_SPACE} AS HUGEINT)
+                        // MAX(CASE WHEN rn = {_KMV_K} THEN h END)
+                        AS BIGINT)
+         END AS kmv_est
+  FROM ranked WHERE rn <= {_KMV_K}
+  GROUP BY event_type, exact_distinct
+), merged AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+  FROM (SELECT DISTINCT h FROM ranked WHERE rn <= {_KMV_K})
+), alln AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events
+), allrow AS (
+  SELECT 'ALL' AS event_type, a.exact_distinct,
+         CASE WHEN a.exact_distinct <= {_KMV_K} THEN a.exact_distinct
+              ELSE CAST(({_KMV_K} - 1) * CAST({_KMV_SPACE} AS HUGEINT)
+                        // (SELECT MAX(CASE WHEN rn = {_KMV_K} THEN h END)
+                            FROM merged WHERE rn <= {_KMV_K})
+                        AS BIGINT)
+         END AS kmv_est
+  FROM alln a
+), unioned AS (
+  SELECT * FROM per_type UNION ALL SELECT * FROM allrow
+)
+SELECT event_type, exact_distinct, kmv_est,
+       CAST(ABS(kmv_est - exact_distinct) * CAST(1000000 AS HUGEINT)
+            // exact_distinct AS BIGINT) AS err_ppm
+FROM unioned ORDER BY event_type
+"""
+
+
+def _h48(col) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+
+@query(
+    "kmv_distinct_sketch",
+    _KMV_ORACLE,
+    "KMV (k minimum values) distinct-count sketch per event_type plus a "
+    "merged-union 'ALL' row built from the per-type survivor sets only "
+    "(the sketch-merge path, never a fact rescan): md5-derived 48-bit "
+    "hashes, candidates pre-filtered in plan to ~8k rows per type by an "
+    "exact-count-derived threshold, est = (k-1)*2^48 div h_(k), "
+    "err_ppm audit vs exact countDistinct",
+    tags=("relational", "sketch", "bench"),
+)
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, space = _KMV_K, _KMV_SPACE
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        "event_type", _h48("user_id").alias("h")
+    ).distinct().localCheckpoint(eager=False)
+    n = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    cand = du.join(F.broadcast(n), "event_type").filter(
+        F.col("h")
+        < F.expr(
+            f"cast(({k} * 8 * cast({space} as decimal(38,0)))"
+            " div exact_distinct as long)"
+        )
+    )
+    ranked = cand.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    ).filter(F.col("rn") <= k)
+    ranked = ranked.localCheckpoint(eager=False)
+    est = F.when(
+        F.col("exact_distinct") <= k, F.col("exact_distinct")
+    ).otherwise(
+        F.expr(
+            f"cast(({k} - 1) * cast({space} as decimal(38,0))"
+            " div hk as long)"
+        )
+    )
+    per_type = (
+        ranked.groupBy("event_type", "exact_distinct")
+        .agg(F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"))
+        .select("event_type", "exact_distinct", est.alias("kmv_est"))
+    )
+    # k smallest of the merged survivor sets via orderBy+limit — compiles
+    # to TakeOrderedAndProject (distributed partial top-k), never a
+    # single-partition Window; max over those k IS h_(k). When the merged
+    # set has < k rows, n_all < k holds too (survivor sets are complete
+    # below k), so the exact branch renders hk moot.
+    merged_hk = (
+        ranked.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("hk"))
+    )
+    alln = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    allrow = (
+        alln.crossJoin(F.broadcast(merged_hk))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "exact_distinct",
+            est.alias("kmv_est"),
+        )
+    )
+    out = per_type.unionByName(allrow)
+    return out.select(
+        "event_type",
+        "exact_distinct",
+        "kmv_est",
+        F.expr(
+            "cast(abs(kmv_est - exact_distinct) * cast(1000000 as"
+            " decimal(38,0)) div exact_distinct as long)"
+        ).alias("err_ppm"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity coverage audit over every FK edge.
+#
+# Per edge: child rows, distinct child keys, child keys present in the
+# parent, and orphan ROWS (child rows whose key has no parent). The
+# dbt 'relationships' test generalized to one result set. Plan shape:
+# each edge aggregates the child to its key dimension FIRST (count per
+# key), then LEFT-joins the parent's distinct-key dimension — both
+# sides key-dimension-sized, so the join never touches fact-row width;
+# the 8 single-row branches union into one 8-row result. The
+# events->customer edge is the only one expected to be able to orphan
+# in practice (app ids vs dimension load); the TPC-H edges document
+# the clean baseline.
+# --------------------------------------------------------------------------
+
+_FK_EDGES = [
+    # (edge label, child table, child key, parent table, parent key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _fk_edge_sql(label, child, ckey, parent, pkey) -> str:
+    return f"""
+SELECT '{label}' AS fk_edge,
+       CAST(SUM(g.c) AS BIGINT) AS child_rows,
+       CAST(COUNT(*) AS BIGINT) AS child_keys,
+       CAST(SUM(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS matched_keys,
+       CAST(SUM(CASE WHEN p.k IS NULL THEN g.c ELSE 0 END) AS BIGINT)
+         AS orphan_rows
+FROM (SELECT {ckey} AS k, COUNT(*) AS c FROM {child} GROUP BY 1) g
+LEFT JOIN (SELECT DISTINCT {pkey} AS k FROM {parent}) p USING (k)
+"""
+
+
+_FK_ORACLE = (
+    "\nUNION ALL\n".join(_fk_edge_sql(*e) for e in _FK_EDGES)
+    + "\nORDER BY fk_edge"
+)
+
+
+@query(
+    "fk_coverage_audit",
+    _FK_ORACLE,
+    "Referential-integrity coverage over all 8 FK edges of the schema "
+    "(dbt relationship tests as ONE query): per edge, child rows / "
+    "distinct child keys / parent-matched keys / orphan rows — each "
+    "edge joins key DIMENSIONS (child pre-aggregated to its key), "
+    "never fact-width rows",
+    tags=("relational", "audit", "bench"),
+)
+def q_fk_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        g = (
+            load_table(spark, sf_dir, child)
+            .groupBy(F.col(ckey).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        row = (
+            g.join(p, "k", "left")
+            .agg(
+                F.sum("c").cast("long").alias("child_rows"),
+                F.count(F.lit(1)).cast("long").alias("child_keys"),
+                F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("matched_keys"),
+                F.sum(F.when(F.col("hit").isNull(), F.col("c")).otherwise(0))
+                .cast("long")
+                .alias("orphan_rows"),
+            )
+            .select(F.lit(label).alias("fk_edge"), "*")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")

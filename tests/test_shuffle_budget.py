@@ -139,6 +139,9 @@ BUDGETS = {
     # bisection round + wide final pass — all mergeable aggregates);
     # the returned plan is the broadcast-edge bucket aggregate + sort.
     "equi_depth_histogram": 2,
+    # 8 FK edges, each: child key rollup + parent distinct + key-dim
+    # join; single-row branches union (audit query, key-dim sized).
+    "fk_coverage_audit": 24,
     "flagship_top_locations": 1,
     "forecast_revenue": 1,
     "forward_asof_next_purchase": 2,
@@ -203,6 +206,10 @@ BUDGETS = {
     # fit runs during construction); budget = the cluster rollup +
     # final sort.
     "kmeans_silhouette_audit": 2,
+    # distinct (type, h) + exact-count branch + per-type top-k window +
+    # merged TakeOrdered branch + final sort; candidates pre-filtered
+    # in plan to ~8k per type.
+    "kmv_distinct_sketch": 5,
     # the (source, len) count subtree prints under all five consumers
     # (srcs/vals/all_c/tot/grid — identical subtrees, runtime-reused);
     # real movement is the count shuffle, the bounded grid build, the

@@ -419,3 +419,88 @@ def test_lorenz_deciles_semantics(spark):
         f"SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) "
         f"FROM '{SF_SMALL}/orders.parquet'"
     ).fetchone()[0]
+
+
+def test_kmv_sketch_matches_python_replay(spark):
+    """Replay the KMV estimator in pure Python (hashlib md5 over the
+    distinct user sets) — catches a shared Spark/DuckDB misconception
+    in the hash device or the k-th-smallest selection."""
+    import hashlib
+
+    import duckdb
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY
+    from reddit_data_pipeline_engineering_spark.plans.queries_prep2 import (
+        _KMV_K,
+        _KMV_SPACE,
+    )
+
+    from .conftest import SF_SMALL
+
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["kmv_distinct_sketch"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .to_dict("records")
+    }
+    users = duckdb.sql(
+        f"SELECT DISTINCT event_type, user_id FROM "
+        f"'{SF_SMALL}/events.parquet'"
+    ).fetchall()
+    by_type = {}
+    for t, u in users:
+        by_type.setdefault(t, set()).add(u)
+    by_type["ALL"] = set().union(*by_type.values())
+
+    def h48(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16)
+
+    for t, uset in by_type.items():
+        hs = sorted({h48(u) for u in uset})
+        n = len(uset)
+        est = n if n <= _KMV_K else (_KMV_K - 1) * _KMV_SPACE // hs[_KMV_K - 1]
+        r = out[t]
+        assert r["exact_distinct"] == n
+        assert r["kmv_est"] == est
+        assert r["err_ppm"] == abs(est - n) * 1_000_000 // n
+    assert set(out) == set(by_type)
+
+
+def test_fk_coverage_audit_replays_with_duckdb_sets(spark):
+    import duckdb
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY
+    from reddit_data_pipeline_engineering_spark.plans.queries_prep2 import (
+        _FK_EDGES,
+    )
+
+    from .conftest import SF_SMALL
+
+    out = {
+        r["fk_edge"]: r
+        for r in REGISTRY["fk_coverage_audit"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .to_dict("records")
+    }
+    assert len(out) == len(_FK_EDGES)
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        keys = duckdb.sql(
+            f"SELECT {ckey}, COUNT(*) FROM '{SF_SMALL}/{child}.parquet' "
+            f"GROUP BY 1"
+        ).fetchall()
+        parents = {
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT DISTINCT {pkey} FROM '{SF_SMALL}/{parent}.parquet'"
+            ).fetchall()
+        }
+        r = out[label]
+        assert r["child_rows"] == sum(c for _, c in keys)
+        assert r["child_keys"] == len(keys)
+        assert r["matched_keys"] == sum(1 for k, _ in keys if k in parents)
+        assert r["orphan_rows"] == sum(c for k, c in keys if k not in parents)
+        # the synthetic schema is referentially clean — the audit's
+        # baseline value is zero orphans on every edge
+        assert r["orphan_rows"] == 0
