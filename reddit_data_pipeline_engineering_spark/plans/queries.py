@@ -871,6 +871,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_llm2  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_llm3  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_density  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_linalg  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_prep  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_prep2  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_seq  # noqa: F401
@@ -1014,6 +1015,7 @@ _DRIVER_PENDING = [
     "degree_assortativity",
     "kmv_distinct_sketch",
     "fk_coverage_audit",
+    "pca_power_component",
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -1,0 +1,193 @@
+"""Distributed linear algebra (r08): integer-exact top principal
+component of the embedding covariance by power iteration.
+
+The classic "PCA over a 100 TB embedding table" decomposition: the
+DATA pass is one distributed moment computation — per-dimension sums
+S_i and the d x d second-moment matrix S_ij on the standing 1e-6
+integer coordinate grid (floor(x*1e6); float->double widening, double
+multiply and floor are identical IEEE ops in both engines) — and the
+ITERATION runs on the collected d x d integer covariance matrix
+C_ij = N*S_ij - S_i*S_j, which is dimension-bounded (64 x 64 exact
+integers here), never on the data. That split is exactly how a
+1000-executor job does it: moments shuffle d^2 partial sums per task,
+the eigensolve is driver math on a few KB.
+
+Everything stays EXACT integer end to end — including the iteration:
+v_0 = (1e6, ..., 1e6); each round w = C v (exact products), then
+renormalize v' = sign(w) * (|w| div max(|w|) div-scaled back to ~1e6)
+using only abs-guarded integer division, so trunc (Spark/Python) and
+floor (DuckDB) agree and the DuckDB oracle replays all 8 rounds as
+unrolled CTEs bit-for-bit. No float appears anywhere: the output
+loadings are e6-scaled integers and the explained-variance ratio is
+an exact scaled division (ev_ppm = v'Cv * 1e6 div (v'v * trace C),
+with the trace pre-truncated at 1e6 — relative error < 1e-6, applied
+identically on both legs). Sign is fixed by the standard convention:
+the largest-|loading| dimension (smallest index on ties) is positive.
+
+Magnitude ceilings (decimal(38,0) / int64 discipline): with |x| <= 2
+and d = 64, C entries are <= 4e12 * N^2 and the matvec terms
+d * |C| * 1e6 stay inside 1e38 to N ~ 6e8 vectors; past that,
+pre-scale the coordinate grid to 1e-4 (C shrinks 1e4x). The final
+ev_ppm division keeps every div RESULT inside int64 at any N
+(ev_ppm <= ~1e6 by construction).
+
+Reference counterpart: none (the reference has no vector analytics);
+this extends the ANN/centroid family in SURVEY.md terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, query
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+__all__ = ["REGISTRY"]
+
+_PCA_ITERS = 8
+_VS = 1_000_000  # iteration vector scale AND coordinate grid scale
+
+
+def _pca_iter_ctes(iters: int = _PCA_ITERS) -> str:
+    parts = [
+        """vals AS MATERIALIZED (
+  SELECT vec_id, t.i - 1 AS i,
+         CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000.0) AS HUGEINT)
+           AS q
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+)""",
+        "nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings)",
+        "moms AS MATERIALIZED (SELECT i, SUM(q) AS s FROM vals GROUP BY i)",
+        """sij AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS p
+  FROM vals a JOIN vals b USING (vec_id) GROUP BY 1, 2
+)""",
+        """cov AS MATERIALIZED (
+  SELECT sij.i, sij.j, nn.n * sij.p - mi.s * mj.s AS c
+  FROM sij
+  CROSS JOIN nn
+  JOIN moms mi ON mi.i = sij.i
+  JOIN moms mj ON mj.i = sij.j
+)""",
+        f"v0 AS (SELECT i, CAST({_VS} AS HUGEINT) AS v FROM moms)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT c.i, SUM(c.c * v.v) AS w
+  FROM cov c JOIN v{t - 1} v ON v.i = c.j GROUP BY c.i
+)"""
+        )
+        parts.append(
+            f"""v{t} AS MATERIALIZED (
+  SELECT i, CASE WHEN w >= 0 THEN 1 ELSE -1 END
+            * (ABS(w) // GREATEST(
+                 (SELECT MAX(ABS(w)) FROM w{t}) // {_VS}, 1)) AS v
+  FROM w{t}
+)"""
+        )
+    last = f"v{iters}"
+    parts.append(
+        f"""wf AS (
+  SELECT c.i, SUM(c.c * v.v) AS w
+  FROM cov c JOIN {last} v ON v.i = c.j GROUP BY c.i
+)"""
+    )
+    parts.append(
+        f"""stats AS (
+  SELECT SUM(v.v * w.w) AS num, SUM(v.v * v.v) AS den
+  FROM {last} v JOIN wf w USING (i)
+)"""
+    )
+    parts.append("tr AS (SELECT SUM(c) AS tr FROM cov WHERE i = j)")
+    parts.append(
+        f"""ev AS (
+  SELECT CAST(num // (den * GREATEST(tr // {_VS}, 1)) AS BIGINT) AS ev_ppm
+  FROM stats CROSS JOIN tr
+)"""
+    )
+    parts.append(
+        f"""sgn AS (
+  SELECT CASE WHEN (SELECT v FROM {last} ORDER BY ABS(v) DESC, i ASC LIMIT 1)
+              < 0 THEN -1 ELSE 1 END AS s
+)"""
+    )
+    return ",\n".join(parts)
+
+
+_PCA_ORACLE = f"""
+WITH {_pca_iter_ctes()}
+SELECT CAST(v.i AS BIGINT) AS dim,
+       CAST(sgn.s * v.v AS BIGINT) AS loading_e6,
+       ev.ev_ppm
+FROM v{_PCA_ITERS} v CROSS JOIN sgn CROSS JOIN ev
+ORDER BY dim
+"""
+
+
+@query(
+    "pca_power_component",
+    _PCA_ORACLE,
+    "Top principal component of the embedding covariance by "
+    "integer-exact power iteration (8 rounds): ONE distributed moment "
+    "pass (per-dim sums + d^2 second moments on the 1e-6 grid, "
+    "map-side-combined), then driver-side exact-integer iteration on "
+    "the collected d x d covariance — the oracle replays all rounds as "
+    "unrolled CTEs; outputs e6-scaled loadings (largest-|loading| dim "
+    "positive) and the explained-variance ratio in ppm",
+    tags=("llm", "similarity", "stats", "bench"),
+)
+def q_pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(floor(cast(x as double) * 1000000.0) as long))"
+        ).alias("qs"),
+    )
+    # Moment pass 1: per-dim sums (N*d rows, combiner-friendly).
+    moms = (
+        q.select(F.posexplode("qs").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.sum(F.col("qi").cast("decimal(38,0)")).alias("s"))
+    )
+    # Moment pass 2: d^2 second moments. The double posexplode is a
+    # MAP-ONLY N*d^2 expansion feeding a hash aggregate with partial
+    # combine, so the shuffle carries only d^2 rows per task — the
+    # 100 TB shape (no self-join of the exploded relation, which would
+    # shuffle N*d rows by vec_id first).
+    pij = q.select(F.posexplode("qs").alias("i", "qi"), "qs").select(
+        "i", "qi", F.posexplode("qs").alias("j", "qj")
+    )
+    sij = pij.groupBy("i", "j").agg(
+        F.sum(F.col("qi").cast("decimal(38,0)") * F.col("qj")).alias("p")
+    )
+    n = emb.count()
+    s = {int(r["i"]): int(r["s"]) for r in moms.collect()}
+    p = {(int(r["i"]), int(r["j"])): int(r["p"]) for r in sij.collect()}
+    d = len(s)
+    cov = [
+        [n * p[(i, j)] - s[i] * s[j] for j in range(d)] for i in range(d)
+    ]
+    # Exact-integer power iteration (Python ints are arbitrary
+    # precision — bit-identical to the oracle's HUGEINT CTE rounds).
+    v = [_VS] * d
+    for _ in range(_PCA_ITERS):
+        w = [sum(cov[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        scale = max(m // _VS, 1)
+        v = [(1 if x >= 0 else -1) * (abs(x) // scale) for x in w]
+    wf = [sum(cov[i][j] * v[j] for j in range(d)) for i in range(d)]
+    num = sum(v[i] * wf[i] for i in range(d))
+    den = sum(x * x for x in v)
+    tr = sum(cov[i][i] for i in range(d))
+    ev_ppm = num // (den * max(tr // _VS, 1))
+    k = min(range(d), key=lambda i: (-abs(v[i]), i))
+    if v[k] < 0:
+        v = [-x for x in v]
+    rows = [(i, v[i], ev_ppm) for i in range(d)]
+    return spark.createDataFrame(
+        rows, "dim long, loading_e6 long, ev_ppm long"
+    ).orderBy("dim")

@@ -283,6 +283,10 @@ BUDGETS = {
     # channel rollup + final sort.
     "order_attribution": 4,
     "pagerank_topk": 0,
+    # moment passes run during construction (collected d^2 bounded
+    # matrix); the returned plan is the driver-built 64-row result +
+    # output sort.
+    "pca_power_component": 1,
     # one event_type partitioning shared by both windows + the peak
     # rollup, then the final sort (sweep-line union is shuffle-free).
     "peak_concurrency": 2,
