@@ -1016,6 +1016,9 @@ _DRIVER_PENDING = [
     "kmv_distinct_sketch",
     "fk_coverage_audit",
     "pca_power_component",
+    "streaming_kmv_distinct",
+    "runs_test_daily",
+    "paired_sign_test",
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -522,3 +522,191 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assort_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily event-count direction sequence.
+#
+# The classical randomness check for a time series: take the daily
+# count series ordered by day, the SIGNS of day-over-day differences
+# (zeros dropped), count runs R (maximal same-sign blocks), and
+# compare against the run count a random shuffle of n1 pluses and n2
+# minuses would give:
+#
+#   E[R]   = 2*n1*n2/(n1+n2) + 1
+#   Var[R] = 2*n1*n2*(2*n1*n2 - n1 - n2) / ((n1+n2)^2 * (n1+n2 - 1))
+#   z      = (R - E[R]) / sqrt(Var[R])
+#
+# R, n1, n2 are exact integers (one lag window over the
+# calendar-bounded daily series — the acf_lag_profile family); z and
+# E[R] are mirrored-tree doubles from those integers. A strongly
+# negative z = fewer runs than chance = trending/persistent series.
+# Magnitudes: everything is days-bounded (<= 366 here), trivially
+# int64 at any corpus size — the series length is calendar-bounded,
+# not row-bounded.
+# --------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), diffs AS (
+  SELECT day, x - lag(x) OVER (ORDER BY day) AS d
+  FROM daily
+), signs AS (
+  SELECT day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+  FROM diffs WHERE d IS NOT NULL AND d <> 0
+), runs AS (
+  SELECT s, CASE WHEN s = lag(s) OVER (ORDER BY day) THEN 0 ELSE 1 END
+           AS new_run
+  FROM signs
+), agg AS (
+  SELECT CAST(SUM(new_run) AS BIGINT) AS r,
+         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM runs
+)
+SELECT r AS n_runs, n1 AS n_up, n2 AS n_down,
+       ROUND(2.0 * n1 * n2 / (n1 + n2) + 1.0, 6) AS expected_runs,
+       ROUND((r - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+             / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
+         AS runs_z
+FROM agg
+"""
+
+
+@query(
+    "runs_test_daily",
+    _RUNS_ORACLE,
+    "Wald-Wolfowitz runs test on the daily event-count direction "
+    "sequence (randomness / persistence check): runs, ups and downs "
+    "counted exactly over one lag window on the calendar-bounded daily "
+    "series, z and expected runs as mirrored doubles — negative z = "
+    "fewer runs than chance = persistent trend",
+    tags=("relational", "stats", "timeseries", "bench"),
+)
+def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.orderBy("day")
+    diffs = daily.select(
+        "day", (F.col("x") - F.lag("x").over(w)).alias("d")
+    )
+    signs = diffs.filter(
+        F.col("d").isNotNull() & (F.col("d") != 0)
+    ).select("day", F.when(F.col("d") > 0, 1).otherwise(-1).alias("s"))
+    runs = signs.select(
+        "s",
+        F.when(F.col("s") == F.lag("s").over(w), 0).otherwise(1).alias(
+            "new_run"
+        ),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("long").alias("r"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    e_runs = F.lit(2.0) * n1d * n2d / (n1d + n2d) + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1d
+        * n2d
+        * (F.lit(2.0) * n1d * n2d - n1d - n2d)
+        / ((n1d + n2d) * (n1d + n2d) * (n1d + n2d - F.lit(1.0)))
+    )
+    return agg.select(
+        F.col("r").alias("n_runs"),
+        F.col("n1").alias("n_up"),
+        F.col("n2").alias("n_down"),
+        F.round(e_runs, 6).alias("expected_runs"),
+        F.round(
+            (F.col("r").cast("double") - e_runs) / F.sqrt(var), 6
+        ).alias("runs_z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Paired sign test: purchase vs view daily event counts.
+#
+# The assumption-free paired comparison: per calendar day, does the
+# purchase count exceed the view count? k = #days purchase > view over
+# the n non-tied days; under H0 (no difference) k ~ Binomial(n, 1/2),
+# normal approximation z = (2k - n)/sqrt(n). One (day x 2-type)
+# conditional aggregate + a days-bounded rollup; k, n, ties exact
+# integers, z a mirrored double. Days-bounded like the runs test.
+# --------------------------------------------------------------------------
+
+_SIGN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS v
+  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN p > v THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN p <> v THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN p = v THEN 1 ELSE 0 END) AS BIGINT) AS ties
+  FROM daily
+)
+SELECT 'purchase_gt_view_daily' AS contrast, n AS n_days, k AS k_plus,
+       ties,
+       ROUND((2.0 * k - n) / SQRT(CAST(n AS DOUBLE)), 6) AS sign_z
+FROM agg
+"""
+
+
+@query(
+    "paired_sign_test",
+    _SIGN_ORACLE,
+    "Paired sign test of purchase vs view daily event counts "
+    "(assumption-free paired comparison): k = days purchase>view over "
+    "n non-tied days, z = (2k-n)/sqrt(n) as a mirrored double; one "
+    "conditional day aggregate + a calendar-bounded rollup",
+    tags=("relational", "stats", "timeseries", "bench"),
+)
+def q_paired_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("p"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("v"),
+    )
+    agg = daily.agg(
+        F.sum(F.when(F.col("p") > F.col("v"), 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+        F.sum(F.when(F.col("p") != F.col("v"), 1).otherwise(0))
+        .cast("long")
+        .alias("n"),
+        F.sum(F.when(F.col("p") == F.col("v"), 1).otherwise(0))
+        .cast("long")
+        .alias("ties"),
+    )
+    return agg.select(
+        F.lit("purchase_gt_view_daily").alias("contrast"),
+        F.col("n").alias("n_days"),
+        F.col("k").alias("k_plus"),
+        "ties",
+        F.round(
+            (F.lit(2.0) * F.col("k").cast("double") - F.col("n"))
+            / F.sqrt(F.col("n").cast("double")),
+            6,
+        ).alias("sign_z"),
+    )

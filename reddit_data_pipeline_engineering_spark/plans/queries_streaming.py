@@ -1179,3 +1179,119 @@ def q_streaming_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_completion(q)
     return spark.read.parquet(out)
+
+
+# --------------------------------------------------------------------------
+# Streaming KMV distinct sketch (r08) — the fourth custom
+# applyInPandasWithState operator and the streaming twin of the batch
+# kmv_distinct_sketch: per event_type, state holds the k smallest
+# md5-derived 48-bit user hashes across micro-batches and each batch
+# emits the running distinct estimate. Because the k-smallest fold is
+# a SET operation, the result is arrival-order-independent — the one
+# stateful operator family whose cross-trigger carry a batch oracle
+# can replay EXACTLY (the EMA/CUSUM/TWA folds need the oracle to
+# replay the order; this one needs only the set). Same two-file drain
+# as stateful_ema_stream/streaming_twa (12h/12h split of the first
+# day, pinned mtimes, maxFilesPerTrigger=1): the batch_seq=2 rows
+# hash-prove that batch 2 folded onto state carried from batch 1.
+# The oracle emits a (type, batch) row only for batches where the type
+# has data — applyInPandasWithState without timeouts invokes the fold
+# only for keys present in the micro-batch.
+# --------------------------------------------------------------------------
+
+_KMV_STREAM_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS TIMESTAMP)) AS t0 FROM events
+), day AS (
+  SELECT e.event_type, e.user_id,
+         CASE WHEN CAST(e.ts AS TIMESTAMP) < b.t0 + INTERVAL 12 HOUR
+              THEN 0 ELSE 1 END AS batch
+  FROM events e CROSS JOIN bounds b
+  WHERE CAST(e.ts AS TIMESTAMP) < b.t0 + INTERVAL 1 DAY
+    AND e.user_id IS NOT NULL
+), pres AS (
+  SELECT DISTINCT event_type, batch FROM day
+), cum AS (
+  SELECT DISTINCT p.batch AS b, d.event_type,
+         ('0x' || substr(md5(CAST(d.user_id AS VARCHAR)), 1, 12))::BIGINT
+           AS h
+  FROM pres p
+  JOIN day d ON d.event_type = p.event_type AND d.batch <= p.batch
+), ranked AS (
+  SELECT b, event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY b, event_type ORDER BY h) AS rn
+  FROM cum
+), sk AS (
+  SELECT b, event_type, CAST(COUNT(*) AS BIGINT) AS sketch_size,
+         MAX(CASE WHEN rn = 8 THEN h END) AS hk
+  FROM ranked WHERE rn <= 8 GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b)
+            AS BIGINT) AS batch_seq,
+       sketch_size,
+       CASE WHEN sketch_size < 8 THEN sketch_size
+            ELSE CAST(7 * CAST(281474976710656 AS HUGEINT) // hk AS BIGINT)
+       END AS kmv_est
+FROM sk ORDER BY event_type, batch_seq
+"""
+
+
+@query(
+    "streaming_kmv_distinct",
+    _KMV_STREAM_ORACLE,
+    "applyInPandasWithState streaming KMV distinct sketch: per "
+    "event_type the k smallest md5-derived user hashes fold across "
+    "micro-batches (O(k) state per key at ANY stream length) and each "
+    "batch emits the running distinct estimate; the set-fold is "
+    "arrival-order-independent, so the batch oracle replays the "
+    "cross-trigger carry exactly — streaming twin of "
+    "kmv_distinct_sketch",
+    tags=("streaming", "stateful", "sketch"),
+)
+def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from reddit_data_pipeline_engineering_spark.streaming.stateful import (
+        kmv_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day = _with_min_ts(ev).filter(
+        F.col("ts") < F.col("t0") + F.expr("INTERVAL 1 DAYS")
+    ).filter(F.col("user_id").isNotNull())
+    tmp = tempfile.mkdtemp(prefix="rdpe_kmvq_")
+    raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
+    os.makedirs(raw)
+    cut = F.col("t0") + F.expr("INTERVAL 12 HOURS")
+    for i, cond in enumerate((F.col("ts") < cut, F.col("ts") >= cut)):
+        stage = os.path.join(tmp, f"stage{i}")
+        (
+            day.filter(cond)
+            .select("event_type", "user_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(stage)
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.json"))
+        p = os.path.join(raw, f"b{i}.json")
+        os.rename(part, p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .load(raw)
+    )
+    q = (
+        kmv_stream(stream, "event_type", "user_id", k=8)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    return spark.read.parquet(out).orderBy("event_type", "batch_seq")

@@ -245,3 +245,73 @@ def twa_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kmv_stream(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Per-key cross-batch KMV distinct-count sketch (r08) — the
+    streaming twin of the batch ``kmv_distinct_sketch``: state holds
+    the k SMALLEST md5-derived 48-bit hashes of the ids seen so far
+    (a set-fold, so the result is arrival-order-INDEPENDENT — exactly
+    why a batch oracle can replay the stream bit-for-bit), and each
+    micro-batch emits one row per key with the running estimate.
+
+    Output rows: (key, batch_seq, sketch_size, kmv_est) where
+    batch_seq counts the key's invocations (1-based), sketch_size =
+    min(k, distinct-so-far) and kmv_est = distinct-so-far exactly while
+    the sketch is not full, else (k-1) * 2^48 div h_(k).
+
+    Scale notes: state is O(k) longs per key regardless of stream
+    length — the bounded-memory contract that makes KMV the streaming
+    distinct counter; the same sketch merges across keys/nodes by
+    union + re-truncation (see the batch query's ALL row).
+    """
+    kc, ic = key_col, id_col
+    space = 1 << 48
+
+    def fold(key, pdf_iter, state):
+        import hashlib
+
+        import pandas as pd
+
+        if state.exists:
+            nb, hs = state.get
+            hs = list(hs)
+        else:
+            nb, hs = 0, []
+        seen = set(hs)
+        for pdf in pdf_iter:
+            for u in pdf[ic]:
+                if pd.isna(u):
+                    continue
+                h = int(
+                    hashlib.md5(str(int(u)).encode()).hexdigest()[:12], 16
+                )
+                seen.add(h)
+        hs = sorted(seen)[:k]
+        nb += 1
+        state.update((nb, hs))
+        size = len(hs)
+        est = size if size < k else (k - 1) * space // hs[k - 1]
+        yield pd.DataFrame(
+            {
+                kc: [key[0]],
+                "batch_seq": [nb],
+                "sketch_size": [size],
+                "kmv_est": [est],
+            }
+        )
+
+    return df.groupBy(kc).applyInPandasWithState(
+        fold,
+        outputStructType=(
+            f"{kc} string, batch_seq long, sketch_size long, kmv_est long"
+        ),
+        stateStructType="nb long, hs array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -287,6 +287,8 @@ BUDGETS = {
     # matrix); the returned plan is the driver-built 64-row result +
     # output sort.
     "pca_power_component": 1,
+    # (day x 2-type) conditional aggregate + calendar-bounded rollup.
+    "paired_sign_test": 2,
     # one event_type partitioning shared by both windows + the peak
     # rollup, then the final sort (sweep-line union is shuffle-free).
     "peak_concurrency": 2,
@@ -329,6 +331,10 @@ BUDGETS = {
     # exchange: a fully shuffle-free returned plan.
     "rrf_fusion_topk": 0,
     "running_sum": 1,
+    # daily count shuffle + the calendar-bounded series staging (the
+    # lag/run windows ride the single exchange of the <=366-row daily
+    # relation — dimension-bounded by the calendar, waived like cusum).
+    "runs_test_daily": 2,
     "scd2_dimension": 2,
     # daily aggregate + ONE fused stratum window + final range sort
     # (three window aggs share one spec — see the query's projection

@@ -795,3 +795,43 @@ def test_degree_assortativity_matches_numpy(spark):
     assert out["n_nodes"] == deg.size
     assert abs(out["assort_r"] - r) < 1e-5
     assert out["assort_r"] < 0  # bipartite order graph: hubs meet leaves
+
+
+def test_runs_test_matches_python_replay(spark, events_pdf):
+    out = _pdf("runs_test_daily", spark).iloc[0]
+    daily = (
+        events_pdf.assign(day=events_pdf["ts"].dt.normalize())
+        .groupby("day")
+        .size()
+        .sort_index()
+        .to_numpy()
+    )
+    signs = [1 if b > a else -1 for a, b in zip(daily, daily[1:]) if b != a]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n1 = sum(1 for s in signs if s == 1)
+    n2 = len(signs) - n1
+    e = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert (out["n_runs"], out["n_up"], out["n_down"]) == (runs, n1, n2)
+    assert abs(out["expected_runs"] - e) < 1e-5
+    assert abs(out["runs_z"] - (runs - e) / math.sqrt(var)) < 1e-5
+
+
+def test_paired_sign_test_matches_python_replay(spark, events_pdf):
+    out = _pdf("paired_sign_test", spark).iloc[0]
+    pv = (
+        events_pdf[events_pdf["event_type"].isin(["purchase", "view"])]
+        .assign(day=lambda d: d["ts"].dt.normalize())
+        .pivot_table(
+            index="day", columns="event_type", values="user_id",
+            aggfunc="count", fill_value=0,
+        )
+    )
+    k = int((pv["purchase"] > pv["view"]).sum())
+    ties = int((pv["purchase"] == pv["view"]).sum())
+    n = len(pv) - ties
+    assert (out["n_days"], out["k_plus"], out["ties"]) == (n, k, ties)
+    assert abs(out["sign_z"] - (2 * k - n) / math.sqrt(n)) < 1e-5
