@@ -1020,6 +1020,7 @@ _DRIVER_PENDING = [
     "runs_test_daily",
     "paired_sign_test",
     "isotonic_daily_trend",
+    "multimodal_png_decode",
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -2023,3 +2023,55 @@ def q_multimodal_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = mm.synthesize_media_assets(spark, n=_MM_N_ASSETS)
     wav = assets.filter(F.col("asset_id") % 6 == 1)
     return mm.pcm_stats(wav).orderBy("asset_id")
+
+
+# --------------------------------------------------------------------------
+# Real PNG pixel decode stats (r08). PNG full decode needs no codec
+# package — the container is zlib (standard library) over five scanline
+# prediction filters — so sources/multimodal.decode_png_pixels inflates
+# the IDAT stream and reconstructs pixels exactly inside the
+# Arrow-batched mapInPandas stage (same reduce-inside-the-UDF contract
+# as multimodal_pcm_decode: one row per asset, payload bytes never
+# shuffle). The synthetic PNGs carry closed-form pixels (pixel j of
+# asset i is (13i + 3j) % 256 — sources/multimodal.synth_png), so
+# DuckDB replays the decoded stats arithmetically. With this, the
+# engine's stub surface shrinks to JPEG/FLAC full decode only (entropy
+# coders genuinely need codec libraries).
+# --------------------------------------------------------------------------
+
+_PNG_ORACLE = f"""
+WITH ids AS (SELECT unnest(range({_MM_N_ASSETS})) AS i),
+png AS (
+  SELECT i, 8 + i % 5 AS w, 6 + i % 4 AS h FROM ids WHERE i % 6 = 4
+),
+px AS (
+  SELECT i, w * h AS npx, (13 * i + 3 * k.k) % 256 AS v
+  FROM png, UNNEST(generate_series(0, w * h - 1)) k(k)
+)
+SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST(npx AS BIGINT) AS n_pixels,
+       CAST(MIN(v) AS BIGINT) AS min_px,
+       CAST(MAX(v) AS BIGINT) AS max_px,
+       CAST(SUM(v) AS BIGINT) AS sum_px,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM px GROUP BY i, npx ORDER BY asset_id
+"""
+
+
+@query(
+    "multimodal_png_decode",
+    _PNG_ORACLE,
+    "REAL full PNG pixel decode (no codec package: zlib IDAT inflate + "
+    "all five scanline filter reconstructions) inside Arrow-batched "
+    "mapInPandas, per-asset exact integer stats reduced inside the UDF "
+    "— payload bytes never shuffle; the oracle replays the closed-form "
+    "synthetic pixels arithmetically. Shrinks the stub surface to "
+    "JPEG/FLAC entropy decode only",
+    tags=("llm", "multimodal", "bench"),
+)
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.sources import multimodal as mm
+
+    assets = mm.synthesize_media_assets(spark, n=_MM_N_ASSETS)
+    png = assets.filter(F.col("asset_id") % 6 == 4)
+    return mm.png_stats(png).orderBy("asset_id")

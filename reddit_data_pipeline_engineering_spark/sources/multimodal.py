@@ -19,12 +19,14 @@ library only (VERDICT r05 #6 shrank the stub surface to decode only).
 Full sample DECODE is REAL for WAV too (r07): ``decode_wav_pcm`` walks
 the RIFF chunks and reinterprets the 16-bit PCM data chunk via
 ``numpy.frombuffer`` — no codec needed for an uncompressed container.
-Full pixel/sample decode of COMPRESSED codecs is the one remaining stub:
-``decode_payload`` understands the engine's deterministic synthetic
-payload format and raises ``NotImplementedError`` for anything needing a
-real decompressor, since those libraries are not in this environment. The
-Spark-side plumbing — schemas, batch iteration, partitioning behavior —
-is real and tested either way.
+Full pixel decode is REAL for PNG as well (r08): PNG is zlib (standard
+library) plus five scanline prediction filters, so ``decode_png_pixels``
+inflates the IDAT stream and reconstructs pixels exactly — all five
+filters implemented. The remaining stubs are JPEG and FLAC full decode
+only: their entropy coders genuinely need codec packages absent from
+this environment; ``decode_payload`` (the synthetic format) raises
+``NotImplementedError`` for them. The Spark-side plumbing — schemas,
+batch iteration, partitioning behavior — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -251,15 +253,39 @@ def synth_jpeg(asset_id: int, width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + sos + entropy + b"\xff\xd9"
 
 
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
 def synth_png(asset_id: int, width: int, height: int) -> bytes:
-    """A PNG container with a real IHDR chunk and a fake IDAT body."""
-    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
-    body = bytes((asset_id * 13 + i * 3) % 256 for i in range(24))
+    """A REAL PNG (r08): 8-bit greyscale, filter-0 scanlines, zlib IDAT,
+    correct chunk CRCs — decodable with the standard library alone
+    (PNG = zlib + scanline filters; no codec package needed). Pixel j
+    (row-major) of asset i is (i*13 + j*3) % 256, the same closed form
+    the old fake body used, so oracles replay decode output
+    arithmetically."""
+    import zlib
+
+    ihdr = struct.pack(">II", width, height) + b"\x08\x00\x00\x00\x00"
+    raw = bytearray()
+    for r in range(height):
+        raw.append(0)  # filter type 0 (None) per scanline
+        raw.extend(
+            (asset_id * 13 + (r * width + c) * 3) % 256
+            for c in range(width)
+        )
     return (
         b"\x89PNG\r\n\x1a\n"
-        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
-        + struct.pack(">I", len(body)) + b"IDAT" + body + b"\x00" * 4
-        + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -640,4 +666,129 @@ def pcm_stats(df: DataFrame) -> DataFrame:
 
     return df.select("asset_id", "payload").mapInPandas(
         stat_batches, PCM_STATS_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Real PNG pixel decode (r08) — no codec library required: PNG is zlib
+# (standard library) plus five per-scanline prediction filters, so full
+# pixel decode of 8-bit greyscale/truecolor images is implementable
+# exactly. This removes PNG from the stub list; JPEG/FLAC remain the
+# only NotImplementedError formats (their entropy coders genuinely need
+# codec packages absent from this environment).
+# --------------------------------------------------------------------------
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """PNG -> (width, height, uint8 pixel array, channels flattened).
+
+    Supports bit depth 8, colour types 0 (greyscale) and 2 (truecolor),
+    no interlace; implements all five scanline filters (None/Sub/Up/
+    Average/Paeth) per the PNG spec. Raises ValueError on non-PNG or
+    unsupported layouts — decode is an explicit request, failures are
+    loud (same contract as decode_wav_pcm).
+    """
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            w, h = struct.unpack_from(">II", body, 0)
+            depth, colour, interlace = body[8], body[9], body[12]
+            if depth != 8 or colour not in (0, 2) or interlace != 0:
+                raise ValueError("unsupported PNG layout (need 8-bit, "
+                                 "greyscale/truecolor, no interlace)")
+            nch = 1 if colour == 0 else 3
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+        cur = np.zeros(stride, dtype=np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the left neighbour: sequential
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                if ft == 1:  # Sub
+                    v = line[x] + a
+                elif ft == 3:  # Average
+                    v = line[x] + (a + b) // 2
+                elif ft == 4:  # Paeth
+                    c = prev[x - nch] if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pr
+                else:
+                    raise ValueError(f"unknown PNG filter type {ft}")
+                cur[x] = v & 0xFF
+        out[r] = cur.astype(np.uint8)
+    return int(w), int(h), out.reshape(-1)
+
+
+PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("min_px", T.LongType(), True),
+        T.StructField("max_px", T.LongType(), True),
+        T.StructField("sum_px", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+    ]
+)
+
+
+def png_stats(df: DataFrame) -> DataFrame:
+    """Per-asset exact PNG pixel statistics via Arrow-batched
+    mapInPandas — same reduce-inside-the-UDF contract as pcm_stats:
+    one row per asset, payload bytes never shuffle."""
+    import numpy as np
+
+    def stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _, _, px = decode_png_pixels(payload)
+                s = px.astype(np.int64)
+                out.append(
+                    {
+                        "asset_id": int(aid),
+                        "n_pixels": int(s.size),
+                        "min_px": int(s.min()) if s.size else None,
+                        "max_px": int(s.max()) if s.size else None,
+                        "sum_px": int(s.sum()) if s.size else None,
+                        "sum_sq": int((s * s).sum()) if s.size else None,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PNG_STATS_SCHEMA.fields]
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        stat_batches, PNG_STATS_SCHEMA
     )

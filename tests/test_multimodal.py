@@ -113,7 +113,9 @@ def test_probe_media_jpeg_png_flac_headers():
         "container": "flac", "n_channels": 2, "sample_rate_hz": 44100,
         "n_samples": 441000, "duration_ms": 10000,
     }
-    # decode remains the stub boundary for every compressed container
+    # the SYNTHETIC-format decoder rejects real containers; full decode
+    # is stubbed only for the entropy-coded formats (PNG decodes for
+    # real now — see test_png_pixel_decode_roundtrip)
     for payload in (jpeg, png, flac):
         with pytest.raises(NotImplementedError):
             mm.decode_payload(payload)
@@ -168,3 +170,76 @@ def test_probe_assets_mixed_containers(spark):
     assert got[1]["container"] == "ppm" and (got[1]["width"], got[1]["height"]) == (4, 3)
     assert got[2]["container"] == "synthetic" and got[2]["width"] == 8
     assert got[3]["container"] == "unknown"
+
+
+def test_png_pixel_decode_roundtrip():
+    """synth_png now emits REAL zlib-compressed filter-0 scanlines with
+    correct CRCs; decode_png_pixels must reconstruct the closed-form
+    pixels exactly."""
+    p = mm.synth_png(7, 9, 5)
+    w, h, px = mm.decode_png_pixels(p)
+    assert (w, h) == (9, 5)
+    assert px.tolist() == [(7 * 13 + j * 3) % 256 for j in range(45)]
+
+
+def test_png_decode_reconstructs_all_filters():
+    """Hand-built PNGs using Sub/Up/Average/Paeth filtered scanlines
+    decode back to the intended pixels — the filter logic is real, not
+    a filter-0 special case."""
+    import struct
+    import zlib
+
+    rows = [[10, 20, 30], [40, 250, 60], [70, 80, 90], [5, 200, 17]]
+
+    def filt(ft, cur, prev):
+        line = []
+        for x, v in enumerate(cur):
+            a = cur[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if ft == 0:
+                line.append(v % 256)
+            elif ft == 1:
+                line.append((v - a) % 256)
+            elif ft == 2:
+                line.append((v - b) % 256)
+            elif ft == 3:
+                line.append((v - (a + b) // 2) % 256)
+            else:
+                p_ = a + b - c
+                pa, pb, pc = abs(p_ - a), abs(p_ - b), abs(p_ - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line.append((v - pr) % 256)
+        return line
+
+    raw = bytearray()
+    prev = [0, 0, 0]
+    for ft, cur in zip([1, 2, 3, 4], rows):
+        raw.append(ft)
+        raw.extend(filt(ft, cur, prev))
+        prev = cur
+    ihdr = struct.pack(">II", 3, 4) + b"\x08\x00\x00\x00\x00"
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    w, h, px = mm.decode_png_pixels(png)
+    assert (w, h) == (3, 4)
+    assert px.tolist() == [v for r in rows for v in r]
+
+
+def test_png_stats_reduce_inside_udf(spark):
+    assets = mm.synthesize_media_assets(spark, n=24)
+    pngs = assets.filter("asset_id % 6 = 4")
+    out = mm.png_stats(pngs).orderBy("asset_id").toPandas()
+    assert len(out) == 4  # asset ids 4, 10, 16, 22
+    for _, r in out.iterrows():
+        i = int(r["asset_id"])
+        w, h = 8 + i % 5, 6 + i % 4
+        exp = [(i * 13 + j * 3) % 256 for j in range(w * h)]
+        assert r["n_pixels"] == w * h
+        assert r["sum_px"] == sum(exp)
+        assert r["min_px"] == min(exp) and r["max_px"] == max(exp)
+        assert r["sum_sq"] == sum(v * v for v in exp)

@@ -267,6 +267,8 @@ BUDGETS = {
     # stats reduce inside the Arrow-batched decode UDF (one row per
     # asset); the only exchange is the output sort.
     "multimodal_pcm_decode": 1,
+    # zlib+filter decode reduces inside the UDF; only the output sort.
+    "multimodal_png_decode": 1,
     "mrr_prefix_rank": 5,
     # two TakeOrderedAndProject top-20s + bounded 20-row windows +
     # broadcast-only joins — no hash/range exchange anywhere.
