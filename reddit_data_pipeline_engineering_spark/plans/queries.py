@@ -1021,6 +1021,8 @@ _DRIVER_PENDING = [
     "paired_sign_test",
     "isotonic_daily_trend",
     "multimodal_png_decode",
+    "t_closeness_audit",
+    "rich_club_coefficient",
 ]
 
 _DRIVER_ROTATED_OUT = [

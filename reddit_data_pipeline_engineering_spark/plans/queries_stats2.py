@@ -710,3 +710,147 @@ def q_paired_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sign_z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rich-club coefficient of the symmetrized customer-supplier graph.
+#
+# phi(k) = E_{>k} / (N_{>k} * (N_{>k} - 1) / 2): among nodes of degree
+# > k, what fraction of possible edges exist (Colizza et al., Nature
+# Phys. 2006) — the "do hubs form a club" companion to the
+# assortativity coefficient. Exactly one pass over the degree-joined
+# edge list (the SAME relation degree_assortativity builds) with FIVE
+# conditional sums (k in 2,4,8,16,32) + one 5-row node rollup; using
+# the DIRECTED edge count E_dir = 2*E, phi_bp = E_dir * 1e4 div
+# (N_k * (N_k - 1)). All integers; div results <= 1e4. Bipartite
+# structure note: an edge needs BOTH a customer and a supplier above
+# k, so phi decays fast — the expected negative-assortativity shape.
+# --------------------------------------------------------------------------
+
+_RICH_KS = (2, 4, 8, 16, 32)
+
+
+def _rich_oracle() -> str:
+    edge_cols = ",\n".join(
+        f"         SUM(CASE WHEN ds.d > {k} AND dd.d > {k} THEN 1 ELSE 0 END)"
+        f" AS e{k}"
+        for k in _RICH_KS
+    )
+    node_cols = ",\n".join(
+        f"         SUM(CASE WHEN d > {k} THEN 1 ELSE 0 END) AS n{k}"
+        for k in _RICH_KS
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {k} AS k, CAST(n.n{k} AS BIGINT) AS n_nodes,"
+        f" CAST(e.e{k} AS BIGINT) AS n_edges_dir,"
+        f" CAST(CASE WHEN n.n{k} > 1 THEN e.e{k} * 10000"
+        f" // (n.n{k} * (n.n{k} - 1)) ELSE NULL END AS BIGINT) AS phi_bp"
+        f" FROM e CROSS JOIN n"
+        for k in _RICH_KS
+    )
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+), deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS HUGEINT) AS d FROM edges GROUP BY 1
+), e AS (
+  SELECT
+{edge_cols}
+  FROM edges ed
+  JOIN deg ds ON ds.node = ed.src
+  JOIN deg dd ON dd.node = ed.dst
+), n AS (
+  SELECT
+{node_cols}
+  FROM deg
+)
+{rows}
+ORDER BY k
+"""
+
+
+@query(
+    "rich_club_coefficient",
+    _rich_oracle(),
+    "Rich-club coefficient phi(k) of the symmetrized customer-supplier "
+    "graph at k in 2,4,8,16,32: among nodes of degree > k, the realized "
+    "fraction of possible edges — ONE conditional-sum pass over the "
+    "same degree-joined edge relation as degree_assortativity plus a "
+    "node-dimension rollup, all integer-exact",
+    tags=("relational", "graph", "stats", "bench"),
+)
+def q_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    up = pairs.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    down = pairs.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+    )
+    edges = up.union(down).localCheckpoint(eager=False)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=False)
+    )
+    ed = (
+        edges.join(
+            deg.select(F.col("node").alias("ns"), F.col("d").alias("x")),
+            F.col("src") == F.col("ns"),
+        )
+        .join(
+            deg.select(F.col("node").alias("nd"), F.col("d").alias("y")),
+            F.col("dst") == F.col("nd"),
+        )
+        .select("x", "y")
+    )
+    e_row = ed.agg(
+        *[
+            F.sum(
+                F.when((F.col("x") > k) & (F.col("y") > k), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"e{k}")
+            for k in _RICH_KS
+        ]
+    )
+    n_row = deg.agg(
+        *[
+            F.sum(F.when(F.col("d") > k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{k}")
+            for k in _RICH_KS
+        ]
+    )
+    both = e_row.crossJoin(F.broadcast(n_row)).localCheckpoint(eager=False)
+    out = None
+    for k in _RICH_KS:
+        r = both.select(
+            F.lit(k).cast("long").alias("k"),
+            F.col(f"n{k}").alias("n_nodes"),
+            F.col(f"e{k}").alias("n_edges_dir"),
+            F.when(
+                F.col(f"n{k}") > 1,
+                F.expr(
+                    f"cast(cast(e{k} as decimal(38,0)) * 10000"
+                    f" div (cast(n{k} as decimal(38,0)) * (n{k} - 1))"
+                    " as long)"
+                ),
+            ).alias("phi_bp"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("k")

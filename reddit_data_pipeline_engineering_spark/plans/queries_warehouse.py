@@ -1544,3 +1544,135 @@ def q_spend_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit (r08) — the third rung of the privacy-release
+# ladder (Li et al., ICDE'07) after k_anonymity_audit (classes big
+# enough?) and l_diversity_audit (sensitive values diverse enough?):
+# even a diverse class leaks if its sensitive-value DISTRIBUTION sits
+# far from the global one. For the ORDERED sensitive attribute
+# (account-balance bucket) the distance is the Earth Mover's Distance
+# over the ordered buckets,
+#
+#   EMD(P, Q) = (1/(m-1)) * Sum_i | Sum_{j<=i} (p_j - q_j) |
+#
+# computed integer-exactly on the common denominator n*N: the inner
+# cumulative is Sum_{j<=i} (c_j*N - g_j*n) (class counts c, global
+# counts g), so emd_bp = Sum|cum| * 10000 div ((m-1)*n*N). The grid is
+# (QI classes x buckets), both dimension-bounded; the cumulative is a
+# bucket-ordered window per class. Top-20 least-close classes emitted
+# with deterministic tiebreaks. Magnitudes: |cum| <= n*N, so the
+# decimal(38,0) scaled sum holds to n*N*m*1e4 < 1e38 — n, N to ~1e15
+# rows; the div result is <= 1e4, always int64.
+# --------------------------------------------------------------------------
+
+_TCLOSE_ORACLE = """
+WITH rows_ AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS b
+  FROM customer
+), cells AS (
+  SELECT nat, seg, b, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM rows_ GROUP BY 1, 2, 3
+), cls AS (
+  SELECT nat, seg, SUM(c) AS n FROM cells GROUP BY 1, 2
+), gdist AS (
+  SELECT b, SUM(c) AS g FROM cells GROUP BY 1
+), tot AS (
+  SELECT SUM(c) AS nn, CAST(COUNT(DISTINCT b) AS HUGEINT) AS m FROM cells
+), grid AS (
+  SELECT cls.nat, cls.seg, cls.n, gdist.b, gdist.g, COALESCE(cells.c, 0) AS c
+  FROM cls CROSS JOIN gdist
+  LEFT JOIN cells ON cells.nat = cls.nat AND cells.seg = cls.seg
+                 AND cells.b = gdist.b
+), cum AS (
+  SELECT nat, seg, n, b,
+         SUM(c * t.nn - g * n) OVER (
+           PARTITION BY nat, seg ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+  FROM grid CROSS JOIN tot t
+), emd AS (
+  SELECT nat, seg, CAST(MAX(n) AS BIGINT) AS class_n,
+         CAST(SUM(ABS(cd)) * 10000
+              // ((SELECT (m - 1) FROM tot)
+                  * MAX(n) * (SELECT nn FROM tot)) AS BIGINT) AS emd_bp
+  FROM cum GROUP BY nat, seg
+)
+SELECT CAST(nat AS BIGINT) AS nat, seg, class_n, emd_bp
+FROM emd
+ORDER BY emd_bp DESC, nat, seg
+LIMIT 20
+"""
+
+
+@query(
+    "t_closeness_audit",
+    _TCLOSE_ORACLE,
+    "t-closeness audit (the distribution rung of the privacy ladder "
+    "after k-anonymity and l-diversity): per (nation, segment) QI "
+    "class, the ordered-EMD between the class's account-balance-bucket "
+    "distribution and the global one, integer-exact on the common "
+    "denominator n*N via a bucket-ordered cumulative window over the "
+    "dimension-bounded class x bucket grid; top-20 least-close classes",
+    tags=("llm", "audit", "bench"),
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    rows_ = c.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("b"),
+    )
+    cells = rows_.groupBy("nat", "seg", "b").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    cells = cells.localCheckpoint(eager=False)
+    cls = cells.groupBy("nat", "seg").agg(F.sum("c").alias("n"))
+    glob = cells.groupBy("b").agg(F.sum("c").alias("g"))
+    tot = cells.agg(
+        F.sum("c").alias("nn"),
+        F.countDistinct("b").cast("decimal(38,0)").alias("m"),
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .join(cells, ["nat", "seg", "b"], "left")
+        .select(
+            "nat",
+            "seg",
+            "n",
+            "b",
+            "g",
+            F.coalesce(F.col("c"), F.lit(0).cast("decimal(38,0)")).alias("c"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    w = (
+        Window.partitionBy("nat", "seg")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "nat",
+        "seg",
+        "n",
+        "nn",
+        "m",
+        F.sum(F.col("c") * F.col("nn") - F.col("g") * F.col("n"))
+        .over(w)
+        .alias("cd"),
+    )
+    emd = cum.groupBy("nat", "seg").agg(
+        F.max("n").cast("long").alias("class_n"),
+        F.expr(
+            "cast(sum(abs(cd)) * 10000 div ((max(m) - 1) * max(n) * max(nn))"
+            " as long)"
+        ).alias("emd_bp"),
+    )
+    return (
+        emd.orderBy(
+            F.col("emd_bp").desc(), F.col("nat").asc(), F.col("seg").asc()
+        )
+        .limit(20)
+        .select(F.col("nat").cast("long").alias("nat"), "seg", "class_n", "emd_bp")
+    )

@@ -329,6 +329,10 @@ BUDGETS = {
     # form, but the single-partition dimension SORT is gone (the r07
     # form's 3 ntile windows all funneled the dimension through one
     # task; asserted in test_plan_shape.py).
+    # conditional sums over the checkpointed degree-joined edge
+    # relation (built during construction); returned plan is the 5-row
+    # k staging + sort.
+    "rich_club_coefficient": 1,
     "rfm_segmentation": 3,
     "rolling_range_frame": 3,
     "rollup_orders": 1,
@@ -394,6 +398,10 @@ BUDGETS = {
     # like bfs_reachability/pagerank).
     "sssp_weighted_hist": 2,
     "table_profile": 2,
+    # cells rollup + class/global/total branches off the checkpointed
+    # cells + the class-partitioned cumulative window + top-20 sort;
+    # the class x bucket grid rides broadcasts.
+    "t_closeness_audit": 4,
     "temperature_mixture": 2,
     # The (doc, term) count subtree prints once per consumer branch (df
     # dim, n_docs scalar, ranking window) — runtime ReuseExchange dedups;

@@ -504,3 +504,89 @@ def test_fk_coverage_audit_replays_with_duckdb_sets(spark):
         # the synthetic schema is referentially clean — the audit's
         # baseline value is zero orphans on every edge
         assert r["orphan_rows"] == 0
+
+
+def test_t_closeness_matches_python_emd(spark):
+    """Replay the ordered EMD per QI class in float arithmetic."""
+    import duckdb
+    import math
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+
+    from .conftest import SF_SMALL
+
+    queries()  # force registration
+    out = (
+        REGISTRY["t_closeness_audit"].fn(spark, SF_SMALL).toPandas()
+    )
+    rows = duckdb.sql(
+        f"SELECT c_nationkey, c_mktsegment, "
+        f"CAST(FLOOR(c_acctbal / 2000) AS BIGINT) FROM "
+        f"'{SF_SMALL}/customer.parquet'"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    cls = defaultdict(Counter)
+    glob = Counter()
+    for nat, seg, b in rows:
+        cls[(nat, seg)][b] += 1
+        glob[b] += 1
+    buckets = sorted(glob)
+    m, N = len(buckets), len(rows)
+    emds = {}
+    for key, cnt in cls.items():
+        n = sum(cnt.values())
+        cum, acc = 0.0, 0.0
+        for b in buckets:
+            cum += cnt[b] / n - glob[b] / N
+            acc += abs(cum)
+        emds[key] = acc / (m - 1)
+    # top-20 emitted; every emitted row's emd_bp must match the float
+    # replay within one basis point plus float slack
+    assert len(out) == min(20, len(cls))
+    for _, r in out.iterrows():
+        key = (r["nat"], r["seg"])
+        assert key in emds
+        assert abs(r["emd_bp"] / 10000 - emds[key]) < 2e-4
+        assert r["class_n"] == sum(cls[key].values())
+    # emitted in descending emd order
+    assert (out["emd_bp"].diff().dropna() <= 0).all()
+
+
+def test_rich_club_matches_python_replay(spark):
+    import duckdb
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY
+    from reddit_data_pipeline_engineering_spark.plans.queries_stats2 import (
+        _RICH_KS,
+    )
+
+    from .conftest import SF_SMALL
+
+    out = {
+        int(r["k"]): r
+        for r in REGISTRY["rich_club_coefficient"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .to_dict("records")
+    }
+    pairs = duckdb.sql(
+        f"SELECT DISTINCT o_custkey, l_suppkey FROM "
+        f"'{SF_SMALL}/orders.parquet' o JOIN '{SF_SMALL}/lineitem.parquet' l "
+        f"ON o.o_orderkey = l.l_orderkey"
+    ).fetchall()
+    from collections import Counter
+
+    edges = [(c * 2, s * 2 + 1) for c, s in pairs]
+    edges += [(b, a) for a, b in edges]
+    deg = Counter(a for a, _ in edges)
+    for k in _RICH_KS:
+        n_k = sum(1 for d in deg.values() if d > k)
+        e_k = sum(1 for a, b in edges if deg[a] > k and deg[b] > k)
+        r = out[k]
+        assert (r["n_nodes"], r["n_edges_dir"]) == (n_k, e_k)
+        if n_k > 1:
+            assert r["phi_bp"] == e_k * 10000 // (n_k * (n_k - 1))
