@@ -1023,6 +1023,7 @@ _DRIVER_PENDING = [
     "multimodal_png_decode",
     "t_closeness_audit",
     "rich_club_coefficient",
+    "prf_expansion_topk",
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -1101,3 +1101,205 @@ def q_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_hits").cast("long").alias("n_hits_total"),
         F.expr("sum(ap_scaled) div count(1)").cast("long").alias("map_scaled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pseudo-relevance feedback (RM3-lite, r08): the classic two-round
+# retrieval expansion — run the seed query, mine expansion terms from
+# the top-10 feedback documents, re-score with the widened weighted
+# query. All selection happens IN PLAN (the expansion-term dim is a
+# TakeOrdered top-5 broadcast, never a collect), and every score is the
+# integer-scaled BM25 arithmetic of bm25_topk so both engines rank
+# identically:
+#
+#   round 1: seed = bm25_topk's 3 terms -> top-10 docs (feedback set)
+#   expand:  candidate terms = terms of the feedback docs minus seeds;
+#            score_t = fb_tf(t) * (N*1e4 div df(t)), df >= 2;
+#            top-5 by (score desc, term asc)
+#   round 2: weighted BM25 — seed terms weight 2, expansion weight 1 —
+#            TakeOrderedAndProject top-20
+#
+# Plan shape: the (doc, word) token stream is built once and pruned by
+# BROADCAST term dims before every shuffle (the static IN prune of
+# bm25_topk generalized to runtime term sets); feedback-doc and term
+# dims are k-bounded (10 docs / 8 terms). The global-df pass for
+# candidate terms is one distinct (doc, word) aggregate semi-joined to
+# the bounded candidate dim. Magnitudes identical to bm25_topk.
+# --------------------------------------------------------------------------
+
+_PRF_FB_K = 10
+_PRF_EXP_K = 5
+
+
+_PRF_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+words AS (
+  SELECT doc_id, len(t) AS l, t[i] AS word
+  FROM tok, UNNEST(generate_series(1, len(t))) s(i)
+),
+scal AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(len(t)) AS BIGINT) AS w_total
+  FROM tok
+),
+hits1 AS (
+  SELECT doc_id, word, MAX(l) AS l, COUNT(*) AS tf
+  FROM words WHERE word IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, word
+),
+df1 AS (SELECT word, COUNT(*) AS df FROM hits1 GROUP BY word),
+fb AS (
+  SELECT h.doc_id
+  FROM hits1 h JOIN df1 d USING (word), scal s
+  GROUP BY h.doc_id
+  ORDER BY SUM((s.n_docs * 10000 // d.df)
+               * ((22000 * h.tf * s.w_total)
+                  // (10 * s.w_total * h.tf + 3 * s.w_total
+                      + 9 * h.l * s.n_docs))) DESC, h.doc_id
+  LIMIT {_PRF_FB_K}
+),
+cand AS (
+  SELECT w.word, CAST(COUNT(*) AS BIGINT) AS fbtf
+  FROM words w JOIN fb ON fb.doc_id = w.doc_id
+  WHERE w.word NOT IN ({_BM25_TERMS_SQL})
+  GROUP BY w.word
+),
+gdf AS (
+  SELECT dw.word, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM words) dw
+  JOIN cand c ON c.word = dw.word
+  GROUP BY dw.word
+),
+exp AS (
+  SELECT c.word
+  FROM cand c JOIN gdf g USING (word), scal s
+  WHERE g.df >= 2
+  ORDER BY c.fbtf * (s.n_docs * 10000 // g.df) DESC, c.word ASC
+  LIMIT {_PRF_EXP_K}
+),
+qterms AS (
+  SELECT word, 2 AS wgt FROM (VALUES ({_BM25_TERMS_SQL.replace("', '", "'), ('")})) v(word)
+  UNION ALL
+  SELECT word, 1 FROM exp
+),
+hits2 AS (
+  SELECT w.doc_id, w.word, q.wgt, MAX(w.l) AS l, COUNT(*) AS tf
+  FROM words w JOIN qterms q USING (word)
+  GROUP BY w.doc_id, w.word, q.wgt
+),
+df2 AS (SELECT word, COUNT(*) AS df FROM hits2 GROUP BY word)
+SELECT h.doc_id,
+       CAST(MAX(h.l) AS BIGINT) AS doc_len,
+       CAST(SUM(CASE WHEN h.wgt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_seed_terms,
+       CAST(SUM(CASE WHEN h.wgt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exp_terms,
+       CAST(SUM(h.wgt * (s.n_docs * 10000 // d.df)
+                * ((22000 * h.tf * s.w_total)
+                   // (10 * s.w_total * h.tf + 3 * s.w_total
+                       + 9 * h.l * s.n_docs))) AS BIGINT) AS prf_scaled
+FROM hits2 h JOIN df2 d USING (word), scal s
+GROUP BY h.doc_id
+ORDER BY prf_scaled DESC, h.doc_id
+LIMIT 20
+"""
+
+
+@query(
+    "prf_expansion_topk",
+    _PRF_ORACLE,
+    "Pseudo-relevance feedback retrieval (RM3-lite): seed BM25 top-10 "
+    "feedback docs -> top-5 expansion terms by feedback-tf x idf (all "
+    "selection in plan, TakeOrdered broadcast dims, never a collect) "
+    "-> weighted second BM25 round (seed weight 2, expansion 1), "
+    "integer-scaled arithmetic end to end, top-20",
+    tags=("llm", "text", "retrieval", "bench"),
+)
+def q_prf_expansion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.split("text", " ").alias("t"))
+    words = tok.select(
+        "doc_id", F.size("t").alias("l"), F.explode("t").alias("word")
+    )
+    scal = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("t")).cast("long").alias("w_total"),
+    ).localCheckpoint(eager=False)
+    term_score = (
+        "((n_docs * 10000) div df)"
+        " * ((22000 * tf * w_total)"
+        "    div (10 * w_total * tf + 3 * w_total + 9 * l * n_docs))"
+    )
+    hits1 = words.filter(F.col("word").isin(*_BM25_TERMS))
+    tf1 = hits1.groupBy("doc_id", "word").agg(
+        F.max("l").alias("l"), F.count(F.lit(1)).alias("tf")
+    )
+    df1 = tf1.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    fb = (
+        tf1.join(F.broadcast(df1), "word")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("term_score", F.expr(term_score))
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("s1"))
+        .orderBy(F.desc("s1"), "doc_id")
+        .limit(_PRF_FB_K)
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        words.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("word").isin(*_BM25_TERMS))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("fbtf"))
+    )
+    gdf = (
+        words.select("doc_id", "word")
+        .distinct()
+        .join(F.broadcast(cand.select("word")), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    exp = (
+        cand.join(F.broadcast(gdf), "word")
+        .crossJoin(F.broadcast(scal))
+        .filter(F.col("df") >= 2)
+        .orderBy(
+            F.expr("fbtf * ((n_docs * 10000) div df)").desc(),
+            F.col("word").asc(),
+        )
+        .limit(_PRF_EXP_K)
+        .select("word")
+        .localCheckpoint(eager=False)
+    )
+    seeds = None
+    for t in _BM25_TERMS:
+        r = spark.range(1).select(
+            F.lit(t).alias("word"), F.lit(2).alias("wgt")
+        )
+        seeds = r if seeds is None else seeds.unionByName(r)
+    qterms = seeds.unionByName(exp.withColumn("wgt", F.lit(1)))
+    tf2 = (
+        words.join(F.broadcast(qterms), "word")
+        .groupBy("doc_id", "word", "wgt")
+        .agg(F.max("l").alias("l"), F.count(F.lit(1)).alias("tf"))
+    )
+    df2 = tf2.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf2.join(F.broadcast(df2), "word")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("term_score", F.expr(term_score))
+        .groupBy("doc_id")
+        .agg(
+            F.max("l").cast("long").alias("doc_len"),
+            F.sum(F.when(F.col("wgt") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_seed_terms"),
+            F.sum(F.when(F.col("wgt") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exp_terms"),
+            F.sum(F.col("wgt") * F.col("term_score"))
+            .cast("long")
+            .alias("prf_scaled"),
+        )
+        .orderBy(F.desc("prf_scaled"), "doc_id")
+        .limit(20)
+    )

