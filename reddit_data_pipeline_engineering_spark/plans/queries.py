@@ -1024,6 +1024,9 @@ _DRIVER_PENDING = [
     "t_closeness_audit",
     "rich_club_coefficient",
     "prf_expansion_topk",
+    "scd2_interval_audit",
+    "capture_recapture_estimate",
+    "jackknife_se_mean",
 ]
 
 _DRIVER_ROTATED_OUT = [

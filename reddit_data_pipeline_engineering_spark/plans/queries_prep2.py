@@ -279,3 +279,102 @@ def q_fk_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fk_edge")
+
+
+# --------------------------------------------------------------------------
+# Chapman capture-recapture estimate of the distinct-user population —
+# the two-sample companion to the KMV sketch: draw two independent
+# md5-salted 0.5% event samples (sparse enough that per-user capture is
+# partial — each user has ~265 events at any SF of this corpus, so the
+# capture probability is well inside (0,1)), count users captured in each
+# and in both,
+#
+#   N_hat = (n1 + 1) * (n2 + 1) div (m + 1) - 1     (Chapman 1951)
+#
+# All counts exact (distinct users per capture set); the estimator is
+# one integer division. Two conditional distincts + one intersection
+# distinct over ONE scan-shaped relation (the per-user capture flags
+# aggregate); err_ppm audits against the exact distinct. The ecology
+# estimator, useful in pipelines for estimating population size from
+# two independent log streams that each miss events.
+# --------------------------------------------------------------------------
+
+_CR_ORACLE = """
+WITH flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                                       || '#s1'), 1, 8))::BIGINT % 1000 < 5
+                  THEN 1 ELSE 0 END) AS c1,
+         MAX(CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                                       || '#s2'), 1, 8))::BIGINT % 1000 < 5
+                  THEN 1 ELSE 0 END) AS c2
+  FROM events GROUP BY user_id
+), agg AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(c1 * c2) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM flags
+)
+SELECT n1, n2, m, exact_distinct,
+       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman_est,
+       CAST(ABS((n1 + 1) * (n2 + 1) // (m + 1) - 1 - exact_distinct)
+            * 1000000 // exact_distinct AS BIGINT) AS err_ppm
+FROM agg
+"""
+
+
+@query(
+    "capture_recapture_estimate",
+    _CR_ORACLE,
+    "Chapman capture-recapture population estimate of distinct users "
+    "from two independent md5-salted 50% event samples: per-user "
+    "capture flags in ONE user-keyed aggregate, N_hat = "
+    "(n1+1)(n2+1) div (m+1) - 1, err_ppm vs the exact distinct — the "
+    "two-lossy-log-streams population estimator next to KMV",
+    tags=("relational", "sketch", "stats", "bench"),
+)
+def q_capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.bloom import (
+        salted_md5_pos_sql,  # noqa: F401 (same salt device, SQL side)
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def cap(salt: str) -> F.Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.max(F.when(h % 1000 < 5, 1).otherwise(0))
+
+    flags = ev.groupBy("user_id").agg(
+        cap("#s1").alias("c1"), cap("#s2").alias("c2")
+    )
+    agg = flags.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * F.col("c2")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("exact_distinct"),
+    )
+    est = F.expr(
+        "cast(cast(n1 + 1 as decimal(38,0)) * (n2 + 1)"
+        " div (m + 1) as long) - 1"
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "m",
+        "exact_distinct",
+        est.alias("chapman_est"),
+        F.expr(
+            "cast(abs(cast(cast(n1 + 1 as decimal(38,0)) * (n2 + 1)"
+            " div (m + 1) as long) - 1 - exact_distinct)"
+            " * cast(1000000 as decimal(38,0)) div exact_distinct as long)"
+        ).alias("err_ppm"),
+    )

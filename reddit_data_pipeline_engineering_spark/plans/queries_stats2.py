@@ -854,3 +854,102 @@ def q_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out.orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# Delete-one-group (block) jackknife standard error of the corpus mean
+# token length — the resampling-free uncertainty estimate that works
+# distributed: with g groups (sources), the leave-one-out means
+# theta_i = (S - S_i) / (N - n_i) need only the per-group exact sums,
+# no second pass and no RNG.
+#
+#   SE_jack = sqrt( (g-1)/g * Sum_i (theta_i - theta_bar)^2 )
+#
+# Each theta_i is truncated to a 1e6-scaled integer (same
+# order-independence device as the ANOVA terms), so the moment sums
+# over groups are exact; SE comes from the exact (g, Sum t, Sum t^2)
+# via sqrt((g-1) * (g*St2 - St^2)) / g / 1e6 — one mirrored double.
+# Block jackknife over shards is how a 1000-executor job attaches an
+# honest error bar to any pipeline mean without a shuffle beyond the
+# group rollup. Magnitudes: theta_e6 ~ mean * 1e6 <= ~1e8; g*St2 ~
+# g^2 * 1e16 — int64-safe to g ~ 3e5 groups (decimal past that).
+# --------------------------------------------------------------------------
+
+_JACK_ORACLE = f"""
+WITH lens AS (
+  SELECT source, CAST(len({_TOKS2}) AS BIGINT) AS x FROM documents
+), g AS (
+  SELECT source, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS s
+  FROM lens GROUP BY source
+), tot AS (
+  SELECT SUM(n) AS nn, SUM(s) AS ss, CAST(COUNT(*) AS HUGEINT) AS k FROM g
+), thetas AS (
+  SELECT ((t.ss - g.s) * 1000000) // (t.nn - g.n) AS th
+  FROM g CROSS JOIN tot t
+), moms AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(th) AS st,
+         SUM(th * th) AS st2
+  FROM thetas
+)
+SELECT CAST(m.k AS BIGINT) AS g_groups,
+       CAST(t.nn AS BIGINT) AS n_docs,
+       ROUND(CAST(t.ss AS DOUBLE) / CAST(t.nn AS DOUBLE), 6) AS mean_len,
+       ROUND(SQRT(CAST((m.k - 1) * (m.k * m.st2 - m.st * m.st) AS DOUBLE))
+             / CAST(m.k AS DOUBLE) / 1000000.0, 6) AS jackknife_se
+FROM moms m CROSS JOIN tot t
+"""
+
+
+@query(
+    "jackknife_se_mean",
+    _JACK_ORACLE,
+    "Delete-one-source block jackknife standard error of the corpus "
+    "mean token length: leave-one-out means from per-group exact sums "
+    "only (no second pass, no RNG), each truncated to a 1e6-scaled "
+    "integer so the cross-group moments are order-independent; SE as "
+    "one mirrored double — the distributed error bar for any pipeline "
+    "mean",
+    tags=("relational", "stats", "bench"),
+)
+def q_jackknife_se_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lens = docs.select(
+        "source", F.size(tx.tokens("text")).cast("long").alias("x")
+    )
+    g = lens.groupBy("source").agg(
+        _dec(F.count(F.lit(1))).alias("n"),
+        F.sum(_dec(F.col("x"))).alias("s"),
+    )
+    g = g.localCheckpoint(eager=False)
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        _dec(F.count(F.lit(1))).alias("k"),
+    )
+    thetas = g.crossJoin(F.broadcast(tot)).select(
+        F.expr("((ss - s) * 1000000) div (nn - n)").alias("th"),
+        "nn",
+        "ss",
+    )
+    moms = thetas.groupBy("nn", "ss").agg(
+        _dec(F.count(F.lit(1))).alias("k"),
+        F.sum(_dec(F.col("th"))).alias("st"),
+        F.sum(_dec(F.col("th")) * F.col("th")).alias("st2"),
+    )
+    return moms.select(
+        F.col("k").cast("long").alias("g_groups"),
+        F.col("nn").cast("long").alias("n_docs"),
+        F.round(
+            F.col("ss").cast("double") / F.col("nn").cast("double"), 6
+        ).alias("mean_len"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "cast((k - 1) * (k * st2 - st * st) as double)"
+                )
+            )
+            / F.col("k").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("jackknife_se"),
+    )

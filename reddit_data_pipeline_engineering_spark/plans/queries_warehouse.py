@@ -1676,3 +1676,173 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("nat").cast("long").alias("nat"), "seg", "class_n", "emd_bp")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 interval-integrity audit (r08) — the dimension-contract checks a
+# warehouse runs after every SCD2 load, as ONE query over the build
+# (the dbt-test companion to fk_coverage_audit / dq_expectations):
+#
+#   one_current_per_key    exactly one open (is_current) version per key
+#   no_gap_no_overlap      valid_to of version v equals valid_from of
+#                          v+1 exactly (closed-open intervals tile time)
+#   dense_versions         versions run 1..m with no holes
+#   current_is_last        the open version is the max version
+#
+# Each rule reports violation counts over the keyed dimension; the
+# engine's own scd2 build satisfies all four BY CONSTRUCTION, so the
+# baseline values are zeros — the audit exists to catch hand-edited or
+# merged dimensions that broke the contract. One extra keyed window
+# over the dimension-sized (not fact-sized) relation.
+# --------------------------------------------------------------------------
+
+_SCD2_AUDIT_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+versioned AS (
+  SELECT user_id, ts, event_type,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+  FROM ordered
+),
+grouped AS (
+  SELECT user_id, version, min(ts) AS valid_from
+  FROM versioned GROUP BY user_id, version
+),
+dim AS (
+  SELECT user_id, version, valid_from,
+         lead(valid_from) OVER wv AS valid_to,
+         lead(valid_from) OVER wv IS NULL AS is_current,
+         lead(version) OVER wv AS next_version
+  FROM grouped
+  WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+),
+per_key AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_versions,
+         CAST(SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_open,
+         CAST(SUM(CASE WHEN next_version IS NOT NULL
+                        AND next_version <> version + 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_holes,
+         CAST(MIN(version) AS BIGINT) AS min_v,
+         CAST(MAX(version) AS BIGINT) AS max_v,
+         CAST(SUM(CASE WHEN is_current AND version <> (
+                SELECT MAX(d2.version) FROM dim d2
+                WHERE d2.user_id = dim.user_id)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_open_not_last
+  FROM dim GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n_versions) AS BIGINT) AS n_versions,
+         CAST(SUM(CASE WHEN n_open <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(SUM(n_holes) AS BIGINT) AS v2,
+         CAST(SUM(CASE WHEN min_v <> 1 THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN max_v <> n_versions THEN 1 ELSE 0 END)
+              AS BIGINT) AS v3,
+         CAST(SUM(n_open_not_last) AS BIGINT) AS v4
+  FROM per_key
+)
+SELECT 'one_current_per_key' AS rule, n_keys, n_versions,
+       v1 AS n_violations, v1 = 0 AS passed FROM agg
+UNION ALL
+SELECT 'no_version_holes', n_keys, n_versions, v2, v2 = 0 FROM agg
+UNION ALL
+SELECT 'dense_from_one', n_keys, n_versions, v3, v3 = 0 FROM agg
+UNION ALL
+SELECT 'current_is_last', n_keys, n_versions, v4, v4 = 0 FROM agg
+ORDER BY rule
+"""
+
+
+@query(
+    "scd2_interval_audit",
+    _SCD2_AUDIT_ORACLE,
+    "SCD2 dimension-contract audit as ONE query over the versioned "
+    "build: exactly-one-open-version, no version holes, dense 1..m "
+    "numbering, open-version-is-last — per-key window + rollup over "
+    "the dimension-sized relation; the engine's own scd2 build passes "
+    "all four by construction (the audit catches hand-edited or "
+    "badly merged dimensions)",
+    tags=("relational", "warehouse", "audit", "bench"),
+)
+def q_scd2_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2(ev, key="user_id", attr="event_type", ts="ts",
+               order_cols=("event_id",))
+    wv = W.partitionBy("user_id").orderBy("version")
+    d = dim.select(
+        "user_id",
+        "version",
+        "is_current",
+        F.lead("version").over(wv).alias("next_version"),
+        F.max("version").over(W.partitionBy("user_id")).alias("last_v"),
+    )
+    per_key = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.sum(F.when(F.col("is_current"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_open"),
+        F.sum(
+            F.when(
+                F.col("next_version").isNotNull()
+                & (F.col("next_version") != F.col("version") + 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_holes"),
+        F.min("version").cast("long").alias("min_v"),
+        F.max("version").cast("long").alias("max_v"),
+        F.sum(
+            F.when(
+                F.col("is_current") & (F.col("version") != F.col("last_v")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_open_not_last"),
+    )
+    agg = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n_versions").cast("long").alias("n_versions"),
+        F.sum(F.when(F.col("n_open") != 1, 1).otherwise(0))
+        .cast("long")
+        .alias("v1"),
+        F.sum("n_holes").cast("long").alias("v2"),
+        (
+            F.sum(F.when(F.col("min_v") != 1, 1).otherwise(0))
+            + F.sum(
+                F.when(F.col("max_v") != F.col("n_versions"), 1).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("v3"),
+        F.sum("n_open_not_last").cast("long").alias("v4"),
+    ).localCheckpoint(eager=False)
+    rules = (
+        ("one_current_per_key", "v1"),
+        ("no_version_holes", "v2"),
+        ("dense_from_one", "v3"),
+        ("current_is_last", "v4"),
+    )
+    out = None
+    for rule, col in rules:
+        r = agg.select(
+            F.lit(rule).alias("rule"),
+            "n_keys",
+            "n_versions",
+            F.col(col).alias("n_violations"),
+            (F.col(col) == 0).alias("passed"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("rule")

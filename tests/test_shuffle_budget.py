@@ -73,6 +73,8 @@ BUDGETS = {
     # one collect_set shuffle on user_id + the (cohort, offset) rollup +
     # the final range sort (was 7 with the distinct/re-join/
     # count-distinct formulation).
+    # user-keyed capture-flag aggregate + single-row rollup.
+    "capture_recapture_estimate": 2,
     "cohort_retention": 4,
     "conditional_counts": 2,
     # 1 pair-agg + the (order, part) distinct printed once per join side
@@ -187,6 +189,9 @@ BUDGETS = {
     # join sides + both frequency dims) — identical, so AQE reuses one
     # materialization; real movement is distinct + pair agg + windows.
     "item_similarity_topk": 9,
+    # source rollup (checkpointed) + theta moment rollup; leave-one-out
+    # means need no second data pass.
+    "jackknife_se_mean": 2,
     "ivf_kmeans_topk": 0,
     "ivf_probe_topk": 0,
     "ivfpq_topk": 0,
@@ -351,6 +356,9 @@ BUDGETS = {
     # relation — dimension-bounded by the calendar, waived like cusum).
     "runs_test_daily": 2,
     "scd2_dimension": 2,
+    # contract checks fold into the scd2 build's keyed window layout;
+    # the 4-rule staging reads the checkpointed 1-row aggregate.
+    "scd2_interval_audit": 1,
     # daily aggregate + ONE fused stratum window + final range sort
     # (three window aggs share one spec — see the query's projection
     # comment; chained withColumn would cost 5).

@@ -835,3 +835,46 @@ def test_paired_sign_test_matches_python_replay(spark, events_pdf):
     n = len(pv) - ties
     assert (out["n_days"], out["k_plus"], out["ties"]) == (n, k, ties)
     assert abs(out["sign_z"] - (2 * k - n) / math.sqrt(n)) < 1e-5
+
+
+def test_jackknife_se_matches_python_replay(spark):
+    out = _pdf("jackknife_se_mean", spark).iloc[0]
+    pdf = _doc_lengths()
+    g = pdf.groupby("source")["x"].agg(["sum", "count"])
+    S, N = pdf["x"].sum(), len(pdf)
+    thetas = [(S - s) / (N - n) for s, n in zip(g["sum"], g["count"])]
+    k = len(thetas)
+    tbar = sum(thetas) / k
+    se = math.sqrt((k - 1) / k * sum((t - tbar) ** 2 for t in thetas))
+    assert (out["g_groups"], out["n_docs"]) == (k, N)
+    assert abs(out["mean_len"] - S / N) < 1e-5
+    # the query truncates each theta to the 1e-6 grid before the moment
+    # pass; the float replay agrees within that grid resolution
+    assert abs(out["jackknife_se"] - se) < 1e-4
+
+
+def test_capture_recapture_matches_hashlib_replay(spark):
+    out = _pdf("capture_recapture_estimate", spark).iloc[0]
+    ev = duckdb.sql(
+        f"SELECT event_id, user_id FROM '{SF_SMALL}/events.parquet'"
+    ).df()
+    caps = {}
+    for _, r in ev.iterrows():
+        u = int(r["user_id"])
+        c = caps.setdefault(u, [0, 0])
+        for i, salt in enumerate(("#s1", "#s2")):
+            h = int(
+                hashlib.md5(f"{int(r['event_id'])}{salt}".encode())
+                .hexdigest()[:8],
+                16,
+            )
+            if h % 1000 < 5:
+                c[i] = 1
+    n1 = sum(c[0] for c in caps.values())
+    n2 = sum(c[1] for c in caps.values())
+    m = sum(c[0] * c[1] for c in caps.values())
+    est = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    assert (out["n1"], out["n2"], out["m"]) == (n1, n2, m)
+    assert out["exact_distinct"] == len(caps)
+    assert out["chapman_est"] == est
+    assert out["err_ppm"] == abs(est - len(caps)) * 1_000_000 // len(caps)
