@@ -1027,6 +1027,7 @@ _DRIVER_PENDING = [
     "scd2_interval_audit",
     "capture_recapture_estimate",
     "jackknife_se_mean",
+    "kaplan_meier_conversion",
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -915,3 +915,162 @@ def changepoint_from_daily(daily: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival curve (r08) — the survival-analysis family:
+# time-to-conversion from each signup event to the user's next purchase
+# (forward as-of join, the same operator forward_asof_next_purchase
+# uses), right-censored at a 72h observation window. Durations are
+# exact integer hours (epoch-micros difference div 3600e6 — never
+# datediff, whose boundary-crossing semantics differ between engines).
+#
+#   S(t) = Prod_{t_i <= t, d_i > 0} (1 - d_i / n_i)
+#
+# The duration table is BOUNDED (73 hour buckets) so the fold runs
+# driver-side over the collected rollup — the PCA-pattern split: the
+# data pass is one as-of join + one bounded rollup, the estimator is
+# driver math. The oracle replays the identical float fold with the
+# struct-accumulator list_reduce device (the EMA/TWA precedent) over a
+# sentinel-seeded ordered list, so every multiplication happens in the
+# same order on both legs. Censored mass (no purchase within 72h)
+# reports in its own column; risk sets are exact integers.
+# --------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH signups AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+  WHERE event_type = 'signup'
+), purchases AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+  WHERE event_type = 'purchase'
+), joined AS (
+  SELECT s.user_id, s.ts,
+         (SELECT MIN(p.ts) FROM purchases p
+          WHERE p.user_id = s.user_id AND p.ts >= s.ts) AS np
+  FROM signups s
+), durs AS (
+  SELECT CASE WHEN np IS NULL THEN 72
+              ELSE LEAST(72, (epoch_us(np) - epoch_us(ts)) // 3600000000)
+         END AS t
+  FROM joined
+), grouped AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM durs GROUP BY t
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN t = 72 THEN c ELSE 0 END) AS BIGINT) AS cens
+  FROM grouped
+), deaths AS (
+  SELECT t, c,
+         (SELECT total FROM tot)
+           - COALESCE(SUM(c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk,
+         ROW_NUMBER() OVER (ORDER BY t) AS rn
+  FROM grouped WHERE t < 72
+), seq AS (
+  SELECT list(struct_pack(d := CAST(c AS DOUBLE),
+                          n := CAST(n_risk AS DOUBLE),
+                          acc := CAST(1.0 AS DOUBLE))
+              ORDER BY t) AS els
+  FROM deaths
+)
+SELECT CAST(d.t AS BIGINT) AS t_hours,
+       CAST(d.n_risk AS BIGINT) AS n_risk,
+       d.c AS n_deaths,
+       (SELECT cens FROM tot) AS n_censored_total,
+       ROUND(list_reduce(
+               list_prepend(struct_pack(d := CAST(0.0 AS DOUBLE),
+                                        n := CAST(1.0 AS DOUBLE),
+                                        acc := CAST(1.0 AS DOUBLE)),
+                            list_slice(s.els, 1, d.rn)),
+               (acc, x) -> struct_pack(d := x.d, n := x.n,
+                                       acc := acc.acc * (1.0 - x.d / x.n))
+             ).acc, 6) AS km_survival
+FROM deaths d CROSS JOIN seq s
+ORDER BY t_hours
+"""
+
+
+@query(
+    "kaplan_meier_conversion",
+    _KM_ORACLE,
+    "Kaplan-Meier survival curve of signup-to-purchase latency, "
+    "right-censored at 72h: forward as-of join (one keyed window, no "
+    "inequality blowup) -> exact integer hour durations -> bounded "
+    "73-bucket rollup; the product-limit fold runs driver-side over "
+    "the collected bounded table and the oracle replays the identical "
+    "float fold via a sentinel-seeded struct list_reduce",
+    tags=("relational", "stats", "timeseries", "bench"),
+)
+def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.asof import asof_join
+    from reddit_data_pipeline_engineering_spark.operators.dedup import (
+        window_dedup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = window_dedup(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        ),
+        ["user_id", "ts"],
+        ["event_id"],
+        keep="first",
+    )
+    j = asof_join(
+        signups,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=("event_id",),
+        suffix="_np",
+        direction="forward",
+    )
+    durs = j.select(
+        F.when(F.col("ts_np").isNull(), F.lit(72))
+        .otherwise(
+            F.least(
+                F.lit(72),
+                F.expr("timestampdiff(MICROSECOND, ts, ts_np) div 3600000000"),
+            )
+        )
+        .cast("long")
+        .alias("t")
+    )
+    grouped = durs.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    rows_ = sorted(
+        ((int(r["t"]), int(r["c"])) for r in grouped.collect())
+    )
+    total = sum(c for _, c in rows_)
+    cens = sum(c for t, c in rows_ if t == 72)
+    out, seen, surv = [], 0, 1.0
+    for t, c in rows_:
+        if t >= 72:
+            break
+        n_risk = total - seen
+        surv = surv * (1.0 - float(c) / float(n_risk))
+        out.append((t, n_risk, c, cens, surv))
+        seen += c
+    # Final rounding happens IN SPARK (F.round <-> ROUND is the
+    # established mirrored device; Python's round() is banker's and
+    # must not touch driver-hash-bound floats).
+    return (
+        spark.createDataFrame(
+            out,
+            "t_hours long, n_risk long, n_deaths long,"
+            " n_censored_total long, km_raw double",
+        )
+        .select(
+            "t_hours",
+            "n_risk",
+            "n_deaths",
+            "n_censored_total",
+            F.round("km_raw", 6).alias("km_survival"),
+        )
+        .orderBy("t_hours")
+    )

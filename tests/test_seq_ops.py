@@ -363,3 +363,72 @@ def test_changepoint_locates_synthetic_step(spark):
             (total - cum_k) * 1000 // (n_days - k) if n_days > k else None
         )
         assert r["mean_after_milli"] == expect_after
+
+
+def test_kaplan_meier_matches_pandas_replay(spark):
+    """Independent KM replay: merge_asof next purchase per signup,
+    classic product-limit estimator over hour buckets."""
+    import duckdb
+    import pandas as pd
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+
+    from .conftest import SF_SMALL
+
+    queries()
+    out = (
+        REGISTRY["kaplan_meier_conversion"]
+        .fn(spark, SF_SMALL)
+        .orderBy("t_hours")
+        .toPandas()
+    )
+    ev = duckdb.sql(
+        f"SELECT user_id, event_type, CAST(ts AS TIMESTAMP) ts FROM "
+        f"'{SF_SMALL}/events.parquet' WHERE event_type IN "
+        f"('signup','purchase') ORDER BY ts"
+    ).df()
+    s = ev[ev.event_type == "signup"].sort_values(["ts", "user_id"])
+    p = ev[ev.event_type == "purchase"].sort_values(["ts", "user_id"])
+    m = pd.merge_asof(
+        s, p, on="ts", by="user_id", direction="forward",
+        suffixes=("", "_p"), allow_exact_matches=True,
+    )
+    # merge_asof keeps the left ts; recompute next purchase ts per row
+    nxt = []
+    pp = {u: g["ts"].to_list() for u, g in p.groupby("user_id")}
+    import bisect
+
+    for _, r in s.iterrows():
+        lst = pp.get(r["user_id"], [])
+        i = bisect.bisect_left(lst, r["ts"])
+        nxt.append(lst[i] if i < len(lst) else pd.NaT)
+    durs = []
+    for t0, t1 in zip(s["ts"], nxt):
+        if pd.isna(t1):
+            durs.append(72)
+        else:
+            durs.append(min(72, int((t1 - t0).value // (3600 * 10**9))))
+    from collections import Counter
+
+    cnt = Counter(durs)
+    total = sum(cnt.values())
+    cens = cnt.get(72, 0)
+    surv, seen = 1.0, 0
+    expected = []
+    for t in sorted(k for k in cnt if k < 72):
+        n_risk = total - seen
+        surv *= 1.0 - cnt[t] / n_risk
+        expected.append((t, n_risk, cnt[t], cens, surv))
+        seen += cnt[t]
+    assert len(out) == len(expected)
+    for row, (t, n, d, c, sv) in zip(out.itertuples(index=False), expected):
+        assert (row.t_hours, row.n_risk, row.n_deaths) == (t, n, d)
+        assert row.n_censored_total == c
+        assert abs(row.km_survival - sv) < 1e-6
+    # KM invariants: strictly decreasing at death times, within (0, 1]
+    km = out["km_survival"].to_list()
+    assert all(b < a for a, b in zip(km, km[1:]))
+    assert 0 < km[-1] <= 1

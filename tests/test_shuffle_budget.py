@@ -196,6 +196,10 @@ BUDGETS = {
     "ivf_probe_topk": 0,
     "ivfpq_topk": 0,
     "join_cardinality_audit": 3,
+    # as-of join + bounded 73-bucket rollup run during construction
+    # (collected bounded table, driver fold); returned plan is the
+    # driver-built curve + sort.
+    "kaplan_meier_conversion": 1,
     "k_anonymity_audit": 5,
     # Lazy path at test scale (< BOUNDED_STORAGE_MIN_EDGES): per-round
     # peel shuffles against the persisted edge list + the stats branch
