@@ -1028,6 +1028,7 @@ _DRIVER_PENDING = [
     "capture_recapture_estimate",
     "jackknife_se_mean",
     "kaplan_meier_conversion",
+    "logrank_ab_survival",
 ]
 
 _DRIVER_ROTATED_OUT = [

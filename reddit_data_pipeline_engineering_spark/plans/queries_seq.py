@@ -1074,3 +1074,186 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_hours")
     )
+
+
+# --------------------------------------------------------------------------
+# Log-rank test (r08) — the hypothesis-test companion to the
+# Kaplan-Meier curve: do the A and B arms (the standing md5 user split)
+# have the same signup->purchase survival? Per death time t:
+#
+#   E1_t = d_t * n1_t / n_t
+#   V_t  = d_t * n1_t * (n_t - n1_t) * (n_t - d_t) / (n_t^2 * (n_t-1))
+#   z    = (O1 - Sum E1_t) / sqrt(Sum V_t),   chi2 = z^2
+#
+# Unlike the KM fold, the statistic is a pure SUM over buckets, so the
+# whole test runs IN PLAN: risk sets are suffix cumulative sums over
+# the bounded 73-bucket duration relation, each rational term is
+# truncated to a 1e6-scaled integer (the ANOVA order-independence
+# device), and z/chi2 are mirrored doubles from the exact integer
+# totals. Magnitudes: the V numerator is < n^4 * 1e6 — decimal(38,0)
+# to ~1.8e8 signups per bucket; int64 term results at any realistic n.
+# --------------------------------------------------------------------------
+
+_LOGRANK_ORACLE = """
+WITH signups AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+           AS grp
+  FROM events WHERE event_type = 'signup'
+), purchases AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+  WHERE event_type = 'purchase'
+), joined AS (
+  SELECT s.grp, s.ts,
+         (SELECT MIN(p.ts) FROM purchases p
+          WHERE p.user_id = s.user_id AND p.ts >= s.ts) AS np
+  FROM signups s
+), durs AS (
+  SELECT grp,
+         CASE WHEN np IS NULL THEN 72
+              ELSE LEAST(72, (epoch_us(np) - epoch_us(ts)) // 3600000000)
+         END AS t
+  FROM joined
+), per AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS c1,
+         CAST(COUNT(*) AS HUGEINT) AS c
+  FROM durs GROUP BY t
+), risk AS (
+  SELECT t, c1, c,
+         SUM(c1) OVER (ORDER BY t DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+         SUM(c) OVER (ORDER BY t DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
+  FROM per
+), terms AS (
+  SELECT c1, c,
+         (c * n1 * 1000000) // nt AS e1_e6,
+         CASE WHEN nt > 1 THEN
+           (c * n1 * (nt - n1) * (nt - c) * 1000000)
+             // (nt * nt * (nt - 1))
+         ELSE 0 END AS v_e6
+  FROM risk WHERE t < 72 AND c > 0
+), agg AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS o1,
+         CAST(SUM(e1_e6) AS BIGINT) AS e1_e6,
+         CAST(SUM(v_e6) AS BIGINT) AS v_e6,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM durs) AS n_signups
+  FROM terms
+)
+SELECT n_signups, o1, e1_e6, v_e6,
+       ROUND((CAST(o1 AS DOUBLE) * 1000000.0 - CAST(e1_e6 AS DOUBLE))
+             / SQRT(CAST(v_e6 AS DOUBLE) * 1000000.0), 6) AS logrank_z,
+       ROUND((CAST(o1 AS DOUBLE) * 1000000.0 - CAST(e1_e6 AS DOUBLE))
+             * (CAST(o1 AS DOUBLE) * 1000000.0 - CAST(e1_e6 AS DOUBLE))
+             / (CAST(v_e6 AS DOUBLE) * 1000000.0), 6) AS logrank_chi2
+FROM agg
+"""
+
+
+@query(
+    "logrank_ab_survival",
+    _LOGRANK_ORACLE,
+    "Log-rank test of signup->purchase survival between the md5 A/B "
+    "user arms: suffix-cumulative risk sets over the bounded 73-bucket "
+    "duration relation, per-bucket E/V terms truncated to 1e6-scaled "
+    "integers (order-independent sums), z and chi2 as mirrored doubles "
+    "from the exact totals — the whole test runs in plan, no driver "
+    "fold",
+    tags=("relational", "stats", "timeseries", "bench"),
+)
+def q_logrank_ab_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from reddit_data_pipeline_engineering_spark.operators.asof import asof_join
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        md5_bucket,
+    )
+    from reddit_data_pipeline_engineering_spark.operators.dedup import (
+        window_dedup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", md5_bucket("user_id", 2).alias("grp")
+    )
+    purchases = window_dedup(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        ),
+        ["user_id", "ts"],
+        ["event_id"],
+        keep="first",
+    )
+    j = asof_join(
+        signups,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=("event_id",),
+        suffix="_np",
+        direction="forward",
+    )
+    durs = j.select(
+        "grp",
+        F.when(F.col("ts_np").isNull(), F.lit(72))
+        .otherwise(
+            F.least(
+                F.lit(72),
+                F.expr("timestampdiff(MICROSECOND, ts, ts_np) div 3600000000"),
+            )
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    per = durs.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("c1"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c"),
+    )
+    wsfx = (
+        W.orderBy(F.col("t").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    risk = per.select(
+        "t",
+        "c1",
+        "c",
+        F.sum("c1").over(wsfx).alias("n1"),
+        F.sum("c").over(wsfx).alias("nt"),
+    )
+    terms = risk.filter((F.col("t") < 72) & (F.col("c") > 0)).select(
+        "c1",
+        "c",
+        F.expr("(c * n1 * 1000000) div nt").alias("e1_e6"),
+        F.when(
+            F.col("nt") > 1,
+            F.expr(
+                "(c * n1 * (nt - n1) * (nt - c) * 1000000)"
+                " div (nt * nt * (nt - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("v_e6"),
+    )
+    n_signups = durs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_signups")
+    )
+    agg = terms.agg(
+        F.sum("c1").cast("long").alias("o1"),
+        F.sum(F.col("e1_e6").cast("decimal(38,0)")).cast("long").alias("e1_e6"),
+        F.sum(F.col("v_e6").cast("decimal(38,0)")).cast("long").alias("v_e6"),
+    ).crossJoin(F.broadcast(n_signups))
+    o1d = F.col("o1").cast("double") * 1000000.0
+    e1d = F.col("e1_e6").cast("double")
+    vd = F.col("v_e6").cast("double") * 1000000.0
+    return agg.select(
+        "n_signups",
+        "o1",
+        "e1_e6",
+        "v_e6",
+        F.round((o1d - e1d) / F.sqrt(vd), 6).alias("logrank_z"),
+        F.round((o1d - e1d) * (o1d - e1d) / vd, 6).alias("logrank_chi2"),
+    )

@@ -432,3 +432,65 @@ def test_kaplan_meier_matches_pandas_replay(spark):
     km = out["km_survival"].to_list()
     assert all(b < a for a, b in zip(km, km[1:]))
     assert 0 < km[-1] <= 1
+
+
+def test_logrank_matches_python_replay(spark):
+    """Independent log-rank replay with float arithmetic over the same
+    duration construction."""
+    import bisect
+    import hashlib
+    import math
+    from collections import Counter
+
+    import duckdb
+    import pandas as pd
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+
+    from .conftest import SF_SMALL
+
+    queries()
+    out = (
+        REGISTRY["logrank_ab_survival"].fn(spark, SF_SMALL).toPandas().iloc[0]
+    )
+    ev = duckdb.sql(
+        f"SELECT user_id, event_type, CAST(ts AS TIMESTAMP) ts FROM "
+        f"'{SF_SMALL}/events.parquet' WHERE event_type IN "
+        f"('signup','purchase') ORDER BY ts"
+    ).df()
+    p = ev[ev.event_type == "purchase"]
+    pp = {u: g["ts"].to_list() for u, g in p.groupby("user_id")}
+    durs = []
+    for _, r in ev[ev.event_type == "signup"].iterrows():
+        grp = int(hashlib.md5(str(int(r["user_id"])).encode())
+                  .hexdigest()[:8], 16) % 2
+        lst = pp.get(r["user_id"], [])
+        i = bisect.bisect_left(lst, r["ts"])
+        if i >= len(lst):
+            t = 72
+        else:
+            t = min(72, int((lst[i] - r["ts"]).value // (3600 * 10**9)))
+        durs.append((t, grp))
+    c1 = Counter(t for t, g in durs if g == 0)
+    call = Counter(t for t, _ in durs)
+    o1 = e1 = v = 0.0
+    for t in sorted(k for k in call if k < 72):
+        n1 = sum(c for tt, c in c1.items() if tt >= t)
+        nt = sum(c for tt, c in call.items() if tt >= t)
+        d = call[t]
+        o1 += c1.get(t, 0)
+        e1 += d * n1 / nt
+        if nt > 1:
+            v += d * n1 * (nt - n1) * (nt - d) / (nt * nt * (nt - 1))
+    z = (o1 - e1) / math.sqrt(v)
+    assert out["n_signups"] == len(durs)
+    assert out["o1"] == int(o1)
+    # the query truncates each term to the 1e-6 grid; the float replay
+    # agrees within grid resolution times the bucket count
+    assert abs(out["e1_e6"] / 1e6 - e1) < 1e-4
+    assert abs(out["v_e6"] / 1e6 - v) < 1e-4
+    assert abs(out["logrank_z"] - z) < 1e-3
+    assert abs(out["logrank_chi2"] - z * z) < 2e-3
