@@ -1029,6 +1029,8 @@ _DRIVER_PENDING = [
     "jackknife_se_mean",
     "kaplan_meier_conversion",
     "logrank_ab_survival",
+    "decayed_popularity_topk",
+    "mantel_haenszel_uplift",
 ]
 
 _DRIVER_ROTATED_OUT = [

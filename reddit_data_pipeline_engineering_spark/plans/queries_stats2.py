@@ -953,3 +953,148 @@ def q_jackknife_se_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jackknife_se"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mantel-Haenszel stratified uplift (r08) — the confounder-adjusted
+# companion to ab_conversion_ztest: the crude A/B conversion difference
+# can be driven by stratum imbalance (Simpson's paradox); the MH
+# pooled risk difference weights each stratum's difference by
+# n1_i*n2_i/N_i:
+#
+#   RD_MH = Sum_i (a_i*n2_i - b_i*n1_i)/N_i  /  Sum_i n1_i*n2_i/N_i
+#
+# (a/b = conversions in arm A/B, n1/n2 = arm sizes, N = n1+n2, strata =
+# customer nations via the user->customer linkage). Each stratum's
+# rational numerator/denominator terms are truncated to 1e6-scaled
+# integers (the ANOVA device) so the cross-stratum sums are
+# order-independent; RD and the crude difference emit as mirrored
+# doubles, and rows per stratum carry the exact integer counts. The
+# conversion metric is the z-test's high-value purchase flag. One
+# user-keyed aggregate + one broadcast dimension join + a
+# nation-bounded rollup.
+# --------------------------------------------------------------------------
+
+_MH_ORACLE = """
+WITH per_user AS (
+  SELECT e.user_id,
+         CASE WHEN ('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 = 0 THEN 0 ELSE 1 END AS arm,
+         MAX(CASE WHEN e.event_type = 'purchase' AND e.value > 150
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events e GROUP BY 1
+), strat AS (
+  SELECT c.c_nationkey AS nat, u.arm, u.conv
+  FROM per_user u JOIN customer c ON c.c_custkey = u.user_id
+), cells AS (
+  SELECT nat,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS HUGEINT) AS a,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS HUGEINT) AS b
+  FROM strat GROUP BY nat
+), kept AS (
+  SELECT * FROM cells WHERE n1 > 0 AND n2 > 0
+), terms AS (
+  SELECT nat, n1, n2, a, b,
+         CASE WHEN a * n2 - b * n1 >= 0 THEN 1 ELSE -1 END
+           * ((ABS(a * n2 - b * n1) * 1000000) // (n1 + n2)) AS num_e6,
+         (n1 * n2 * 1000000) // (n1 + n2) AS den_e6
+  FROM kept
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(n1) AS BIGINT) AS n1, CAST(SUM(n2) AS BIGINT) AS n2,
+         CAST(SUM(a) AS BIGINT) AS conv1, CAST(SUM(b) AS BIGINT) AS conv2,
+         CAST(SUM(num_e6) AS BIGINT) AS num_e6,
+         CAST(SUM(den_e6) AS BIGINT) AS den_e6
+  FROM terms
+)
+SELECT n_strata, n1, n2, conv1, conv2,
+       ROUND(CAST(conv1 AS DOUBLE) / n1 - CAST(conv2 AS DOUBLE) / n2, 6)
+         AS crude_rd,
+       ROUND(CAST(num_e6 AS DOUBLE) / CAST(den_e6 AS DOUBLE), 6) AS mh_rd
+FROM agg
+"""
+
+
+@query(
+    "mantel_haenszel_uplift",
+    _MH_ORACLE,
+    "Mantel-Haenszel nation-stratified A/B risk difference (the "
+    "Simpson's-paradox-safe uplift next to the crude z-test): per "
+    "stratum, exact 2x2 integer cells from one user-keyed aggregate + "
+    "broadcast customer dim; rational MH terms truncated to 1e6-scaled "
+    "integers for order-independent pooling, crude vs adjusted RD as "
+    "mirrored doubles",
+    tags=("relational", "stats", "bench"),
+)
+def q_mantel_haenszel_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        md5_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    ).withColumn("arm", md5_bucket("user_id", 2))
+    strat = per_user.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        per_user["user_id"] == F.col("c_custkey"),
+    ).select(F.col("c_nationkey").alias("nat"), "arm", "conv")
+    cells = strat.groupBy("nat").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n2"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("b"),
+    )
+    kept = cells.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    terms = kept.select(
+        "n1",
+        "n2",
+        "a",
+        "b",
+        F.expr(
+            "(case when a * n2 - b * n1 >= 0 then 1 else -1 end)"
+            " * ((abs(a * n2 - b * n1) * 1000000) div (n1 + n2))"
+        ).alias("num_e6"),
+        F.expr("(n1 * n2 * 1000000) div (n1 + n2)").alias("den_e6"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("n1").cast("long").alias("n1"),
+        F.sum("n2").cast("long").alias("n2"),
+        F.sum("a").cast("long").alias("conv1"),
+        F.sum("b").cast("long").alias("conv2"),
+        F.sum(_dec(F.col("num_e6"))).cast("long").alias("num_e6"),
+        F.sum(_dec(F.col("den_e6"))).cast("long").alias("den_e6"),
+    )
+    return agg.select(
+        "n_strata",
+        "n1",
+        "n2",
+        "conv1",
+        "conv2",
+        F.round(
+            F.col("conv1").cast("double") / F.col("n1")
+            - F.col("conv2").cast("double") / F.col("n2"),
+            6,
+        ).alias("crude_rd"),
+        F.round(
+            F.col("num_e6").cast("double") / F.col("den_e6").cast("double"),
+            6,
+        ).alias("mh_rd"),
+    )

@@ -1846,3 +1846,88 @@ def q_scd2_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out.orderBy("rule")
+
+
+# --------------------------------------------------------------------------
+# Time-decayed popularity top-k (r08) — the "trending items" rollup
+# with EXACT integer decay: exponential decay needs no exp() when the
+# half-life is a power-of-two grid — weight(age) = 2^(H - age_weeks)
+# is integer for ages inside the horizon (H = 6 weeks here, 1-week
+# half-life), so the decayed score
+#
+#   score = Sum_events 2^(H - age_weeks)
+#
+# is an exact BIGINT, order-independent, and mergeable (the decay
+# factor depends only on the event's age bucket, not on arrival order
+# — re-running tomorrow just shifts the reference week). One
+# conditional-weight aggregate per part over the order lineitems; the
+# undecayed count rides along to show WHAT decay changes: the output
+# ranks recent-heavy parts above raw-volume parts. Anchor = max
+# orderdate (data-derived, deterministic).
+# --------------------------------------------------------------------------
+
+_DECAY_H = 6  # horizon weeks; weight = 2^(H - age_w), age_w in [0, H]
+
+_DECAY_ORACLE = f"""
+WITH anchor AS (
+  SELECT MAX(o_orderdate) AS mx FROM orders
+), ev AS (
+  SELECT l.l_partkey AS partkey,
+         (epoch_us(CAST(a.mx AS TIMESTAMP))
+          - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)))
+           // 604800000000 AS age_w
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  CROSS JOIN anchor a
+), recent AS (
+  SELECT partkey, age_w FROM ev WHERE age_w <= {_DECAY_H}
+)
+SELECT partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_recent,
+       CAST(SUM(1 << ({_DECAY_H} - age_w)) AS BIGINT) AS decayed_score
+FROM recent
+GROUP BY partkey
+ORDER BY decayed_score DESC, partkey
+LIMIT 20
+"""
+
+
+@query(
+    "decayed_popularity_topk",
+    _DECAY_ORACLE,
+    "Trending parts: exponential time decay with a 1-week half-life as "
+    "EXACT integer weights (2^(H-age_weeks) — power-of-two decay needs "
+    "no exp and stays order-independent/mergeable), one weighted "
+    "aggregate over the recent-horizon lineitems + "
+    "TakeOrderedAndProject top-20",
+    tags=("relational", "warehouse", "timeseries", "bench"),
+)
+def q_decayed_popularity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    ev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.expr(
+                "timestampdiff(MICROSECOND, cast(o_orderdate as timestamp),"
+                " cast(mx as timestamp)) div 604800000000L"
+            ).alias("age_w"),
+        )
+    )
+    recent = ev.filter(F.col("age_w") <= _DECAY_H)
+    return (
+        recent.groupBy("partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_recent"),
+            F.sum(
+                F.expr(f"shiftleft(1L, cast({_DECAY_H} - age_w as int))")
+            )
+            .cast("long")
+            .alias("decayed_score"),
+        )
+        .orderBy(F.desc("decayed_score"), "partkey")
+        .limit(20)
+    )

@@ -102,6 +102,9 @@ BUDGETS = {
     "cusum_changepoint": 3,
     "daily_topk": 1,
     "date_partition_rollup": 2,
+    # orders-lineitem join on the order key + part rollup; anchor rides
+    # a broadcast; TakeOrderedAndProject top-20.
+    "decayed_popularity_topk": 2,
     "decontaminate_ngrams": 3,
     "dedup_best_survivor": 2,
     # pairs distinct + degree rollup + two edge-degree joins (degree dim
@@ -268,6 +271,9 @@ BUDGETS = {
     "matryoshka_recall_at_k": 0,
     # spread + ONE qid window shuffle (both rankings ride it) + final
     # single-partition rollup.
+    # user-keyed conversion aggregate + nation-bounded stratum rollup +
+    # single-row pooling (customer dim broadcast).
+    "mantel_haenszel_uplift": 3,
     "map_at_k": 3,
     "mannwhitney_source_test": 7,
     # same count-grid family: count agg + cumulative window + rank

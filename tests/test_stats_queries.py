@@ -878,3 +878,84 @@ def test_capture_recapture_matches_hashlib_replay(spark):
     assert out["exact_distinct"] == len(caps)
     assert out["chapman_est"] == est
     assert out["err_ppm"] == abs(est - len(caps)) * 1_000_000 // len(caps)
+
+
+def test_mantel_haenszel_matches_python_replay(spark, events_pdf):
+    out = _pdf("mantel_haenszel_uplift", spark).iloc[0]
+    nat = dict(
+        duckdb.sql(
+            f"SELECT c_custkey, c_nationkey FROM '{SF_SMALL}/customer.parquet'"
+        ).fetchall()
+    )
+    per_user = {}
+    for _, r in events_pdf.iterrows():
+        u = int(r["user_id"])
+        d = per_user.setdefault(u, 0)
+        if r["event_type"] == "purchase" and r["value"] > 150:
+            per_user[u] = 1
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # n1, n2, a, b
+    for u, conv in per_user.items():
+        arm = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        c = cells[nat[u]]
+        if arm == 0:
+            c[0] += 1
+            c[2] += conv
+        else:
+            c[1] += 1
+            c[3] += conv
+    num = den = 0.0
+    n1 = n2 = a1 = b1 = 0
+    strata = 0
+    for n1i, n2i, ai, bi in cells.values():
+        if n1i == 0 or n2i == 0:
+            continue
+        strata += 1
+        n1, n2, a1, b1 = n1 + n1i, n2 + n2i, a1 + ai, b1 + bi
+        num += (ai * n2i - bi * n1i) / (n1i + n2i)
+        den += n1i * n2i / (n1i + n2i)
+    assert out["n_strata"] == strata
+    assert (out["n1"], out["n2"], out["conv1"], out["conv2"]) == (
+        n1, n2, a1, b1,
+    )
+    assert abs(out["crude_rd"] - (a1 / n1 - b1 / n2)) < 1e-5
+    # terms are 1e-6-grid truncated; the float replay agrees within
+    # stratum-count grid slack
+    assert abs(out["mh_rd"] - num / den) < 1e-4
+
+
+def test_decayed_popularity_weights_are_exact_powers(spark):
+    from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY
+
+    out = (
+        REGISTRY["decayed_popularity_topk"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+    )
+    rows = duckdb.sql(
+        f"""
+        WITH a AS (SELECT MAX(o_orderdate) mx FROM '{SF_SMALL}/orders.parquet')
+        SELECT l.l_partkey,
+               (epoch_us(CAST(a.mx AS TIMESTAMP))
+                - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) // 604800000000
+        FROM '{SF_SMALL}/lineitem.parquet' l
+        JOIN '{SF_SMALL}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+        CROSS JOIN a
+        """
+    ).fetchall()
+    from collections import defaultdict
+
+    score = defaultdict(int)
+    nrec = defaultdict(int)
+    for pk, w in rows:
+        if w <= 6:
+            score[pk] += 1 << (6 - int(w))
+            nrec[pk] += 1
+    expected = sorted(
+        ((s, -pk) for pk, s in score.items()), reverse=True
+    )[:20]
+    got = list(zip(out["decayed_score"], -out["partkey"]))
+    assert got == expected
+    for _, r in out.iterrows():
+        assert r["n_recent"] == nrec[r["partkey"]]
