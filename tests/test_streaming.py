@@ -698,6 +698,81 @@ def _case_pit_tiled_stream_matches_batch(spark, tmp):
     assert "__pit_bucket" in plan
 
 
+
+
+def _case_kmv_stream_restart_from_checkpoint(spark, tmp):
+    """The KMV sketch variant of the restart guarantee: a NEW query on
+    the SAME checkpoint must merge new ids into the CARRIED k-smallest
+    hash set (not re-seed it), and because the fold is a set operation
+    the final sketch must equal the all-at-once hashlib replay."""
+    import hashlib
+
+    from reddit_data_pipeline_engineering_spark.streaming.stateful import (
+        kmv_stream,
+    )
+
+    src = tmp / "kmv_raw"
+    src.mkdir()
+    batches = [
+        [{"event_type": "view", "user_id": u} for u in range(20)],
+        [{"event_type": "view", "user_id": u} for u in range(10, 35)],
+        [{"event_type": "view", "user_id": u} for u in range(30, 60)],
+    ]
+
+    def write_batch(i):
+        p = src / f"b{i}.json"
+        _emit(p, batches[i])
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    out = str(tmp / "kmv_out")
+    ckpt = str(tmp / "kmv_ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.format("json")
+            .schema("event_type string, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+        )
+        q = (
+            kmv_stream(stream, "event_type", "user_id", k=8)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_stream_to_completion(q)
+
+    write_batch(0)
+    write_batch(1)
+    drain()                      # first run: batches 0-1
+    write_batch(2)
+    drain()                      # RESTART from checkpoint: batch 2 only
+    drain()                      # no new data: no-op (idempotent)
+
+    rows = {
+        int(r["batch_seq"]): (int(r["sketch_size"]), int(r["kmv_est"]))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+
+    def replay(uset):
+        hs = sorted({
+            int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16)
+            for u in uset
+        })
+        size = min(8, len(hs))
+        est = size if size < 8 else 7 * (1 << 48) // hs[7]
+        return size, est
+
+    seen = set()
+    for i, b in enumerate(batches):
+        seen |= {r["user_id"] for r in b}
+        assert rows[i + 1] == replay(seen)
+
+
 _CASES = {
     "streaming_matches_batch": _case_streaming_matches_batch,
     "pit_tiled_stream_matches_batch": _case_pit_tiled_stream_matches_batch,
@@ -707,6 +782,9 @@ _CASES = {
     "stream_stream_interval_join": _case_stream_stream_interval_join,
     "ema_stream_cross_batch_state": _case_ema_stream_cross_batch_state,
     "sessionize_stream": _case_sessionize_stream,
+    "kmv_stream_restart_from_checkpoint": (
+        _case_kmv_stream_restart_from_checkpoint
+    ),
     "foreach_batch_upsert_keyed_two_windows": (
         _case_foreach_batch_upsert_keyed_two_windows
     ),
