@@ -1031,6 +1031,8 @@ _DRIVER_PENDING = [
     "logrank_ab_survival",
     "decayed_popularity_topk",
     "mantel_haenszel_uplift",
+    "ols_price_model",
+    "split_conformal_interval",
 ]
 
 _DRIVER_ROTATED_OUT = [

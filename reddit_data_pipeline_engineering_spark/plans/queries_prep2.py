@@ -378,3 +378,186 @@ def q_capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * cast(1000000 as decimal(38,0)) div exact_distinct as long)"
         ).alias("err_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction intervals (r08) — the distribution-free
+# uncertainty wrapper every deployed predictor needs: calibrate on one
+# md5 half, guarantee coverage on the other.
+#
+# Per event_type: the predictor is the CALIBRATION half's exact mean
+# value (integer e4 sum / count); nonconformity = |value - mean| on the
+# calibration half, quantized to integer cents (e2); q_hat = the
+# ceil(0.9 * (n_cal + 1))-th smallest calibration residual — an exact
+# order statistic over the (type, residual_e2) count grid (value-domain
+# bounded, the median_ci device: cumulative window per type, min
+# residual with cum >= k). Coverage on the held-out half = share of
+# test rows with residual <= q_hat, in ppm — split conformal guarantees
+# >= 90% in expectation, and the audit column shows it.
+#
+# The mean enters residuals as a DOUBLE; to keep the e2 quantization
+# engine-exact both legs compute residual_e2 = |value_e4 - mean_e4|
+# div 100 in INTEGER space (mean_e4 = exact integer div of e4 sums —
+# no float touches any ranked value). One calibration aggregate + one
+# count-grid window + one test-side conditional aggregate.
+# --------------------------------------------------------------------------
+
+_CONF_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT)
+           AS v_e4,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#cal'), 1, 8))
+           ::BIGINT % 2 AS half
+  FROM events WHERE value IS NOT NULL
+), mu AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_cal,
+         CAST(CASE WHEN SUM(v_e4) >= 0 THEN 1 ELSE -1 END
+              * (ABS(SUM(v_e4)) // COUNT(*)) AS BIGINT) AS mean_e4
+  FROM ev WHERE half = 0 GROUP BY event_type
+), calres AS (
+  SELECT e.event_type, ABS(e.v_e4 - m.mean_e4) // 100 AS r_e2
+  FROM ev e JOIN mu m USING (event_type) WHERE e.half = 0
+), grid AS (
+  SELECT event_type, r_e2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM calres GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, r_e2,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY r_e2
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cm
+  FROM grid
+), qhat AS (
+  SELECT c.event_type, m.n_cal, m.mean_e4,
+         MIN(CASE WHEN c.cm >= (9 * (m.n_cal + 1) + 9) // 10
+                  THEN c.r_e2 END) AS q_e2
+  FROM cum c JOIN mu m USING (event_type)
+  GROUP BY c.event_type, m.n_cal, m.mean_e4
+), test AS (
+  SELECT e.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN ABS(e.v_e4 - q.mean_e4) // 100 <= q.q_e2
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM ev e JOIN qhat q USING (event_type)
+  WHERE e.half = 1
+  GROUP BY e.event_type
+)
+SELECT q.event_type, q.n_cal, t.n_test,
+       CAST(q.q_e2 AS BIGINT) AS qhat_cents,
+       CAST(t.n_covered * CAST(1000000 AS HUGEINT) // t.n_test AS BIGINT)
+         AS coverage_ppm
+FROM qhat q JOIN test t USING (event_type)
+ORDER BY q.event_type
+"""
+
+
+@query(
+    "split_conformal_interval",
+    _CONF_ORACLE,
+    "Split-conformal 90% prediction interval per event_type: md5 "
+    "calibration/test halves, exact integer mean predictor, "
+    "nonconformity quantile as an exact order statistic over the "
+    "value-domain-bounded (type, residual-cents) count grid (the "
+    "median_ci device), held-out coverage in ppm — the "
+    "distribution-free >=90% guarantee, audited",
+    tags=("relational", "stats", "sampling", "bench"),
+)
+def q_split_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("value").cast("decimal(14,4)") * 10000)
+            .cast("long")
+            .alias("v_e4"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("event_id").cast("string"),
+                                F.lit("#cal"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("half"),
+        )
+    ).localCheckpoint(eager=False)
+    mu = (
+        ev.filter(F.col("half") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cal"),
+            F.expr(
+                "cast((case when sum(v_e4) >= 0 then 1 else -1 end)"
+                " * (abs(sum(v_e4)) div count(1)) as long)"
+            ).alias("mean_e4"),
+        )
+    )
+    calres = (
+        ev.filter(F.col("half") == 0)
+        .join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type",
+            F.expr("abs(v_e4 - mean_e4) div 100").alias("r_e2"),
+        )
+    )
+    grid = calres.groupBy("event_type", "r_e2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("r_e2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select("event_type", "r_e2", F.sum("c").over(w).alias("cm"))
+    qhat = (
+        cum.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type", "n_cal", "mean_e4")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cm")
+                    >= F.expr("(9 * (n_cal + 1) + 9) div 10"),
+                    F.col("r_e2"),
+                )
+            ).alias("q_e2")
+        )
+    )
+    test = (
+        ev.filter(F.col("half") == 1)
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.expr("abs(v_e4 - mean_e4) div 100") <= F.col("q_e2"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        qhat.join(test, "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            F.col("q_e2").cast("long").alias("qhat_cents"),
+            F.expr(
+                "cast(n_covered * cast(1000000 as decimal(38,0))"
+                " div n_test as long)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("event_type")
+    )

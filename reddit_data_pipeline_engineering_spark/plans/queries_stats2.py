@@ -1098,3 +1098,152 @@ def q_mantel_haenszel_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mh_rd"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multivariate OLS by exact integer normal equations (r08):
+# price ~ quantity + discount over lineitem, solved in closed form via
+# Cramer's rule on the 3x3 moment matrix — the "ML primitive" shape of
+# the PCA split: ONE moment pass builds the nine exact integer sums
+# (inputs quantized: price cents e2, quantity integer, discount e4),
+# the solve is three integer determinants (decimal(38,0)), and the
+# coefficients/R^2 emit as mirrored doubles of det ratios.
+#
+#   A = [[n, Sx1, Sx2], [Sx1, S11, S12], [Sx2, S12, S22]]
+#   beta_i = det(A_i) / det(A)   (A_i = A with column i replaced by
+#                                 [Sy, S1y, S2y])
+#   R^2 = 1 - SSE/SST, SSE = Syy - b0*Sy - b1*S1y - b2*S2y
+#
+# Magnitudes: det terms ~ n^3 * 2.5e9 hold in decimal(38,0) to n ~ 2e9
+# lineitems; the double casts of determinants are exact below 2^53 at
+# bench scale (pre-scale the quantized grids past either ceiling). The
+# discount coefficient recovers the engineered price ~ -discount
+# relationship; no iterative fitting anywhere.
+# --------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH q AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS y,
+         CAST(l_quantity AS HUGEINT) AS x1,
+         CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS HUGEINT) AS x2
+  FROM lineitem
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+         SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+         SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+  FROM q
+), dets AS (
+  SELECT *,
+    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s12 - s11 * s2) AS det,
+    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s2y - s1y * s2) AS det1,
+    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      + sy * (s1 * s12 - s11 * s2) AS det2
+  FROM m
+), beta AS (
+  SELECT *,
+         CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+         CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+         CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2
+  FROM dets
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       ROUND(b0 / 100.0, 6) AS intercept,
+       ROUND(b1 / 100.0, 6) AS beta_quantity,
+       ROUND(b2 * 100.0, 6) AS beta_discount_pct,
+       ROUND(1.0 - (CAST(syy AS DOUBLE) - b0 * CAST(sy AS DOUBLE)
+                    - b1 * CAST(s1y AS DOUBLE) - b2 * CAST(s2y AS DOUBLE))
+                   / (CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                        / CAST(n AS DOUBLE)), 6) AS r2
+FROM beta
+"""
+
+
+@query(
+    "ols_price_model",
+    _OLS_ORACLE,
+    "Multivariate OLS (price ~ quantity + discount) by exact integer "
+    "normal equations: ONE moment pass builds nine quantized integer "
+    "sums, Cramer's rule solves the 3x3 system as decimal(38,0) "
+    "determinants, coefficients and R^2 emit as mirrored det-ratio "
+    "doubles — closed-form regression with no iterative fit",
+    tags=("relational", "stats", "bench"),
+)
+def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("y"),
+        F.col("l_quantity").cast("decimal(38,0)").alias("x1"),
+        (F.col("l_discount").cast("decimal(6,4)") * 10000)
+        .cast("decimal(38,0)")
+        .alias("x2"),
+    )
+    m = q.agg(
+        _dec(F.count(F.lit(1))).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dets = m.select(
+        "*",
+        F.expr(
+            "n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+            " + s2 * (s1 * s12 - s11 * s2)"
+        ).alias("det"),
+        F.expr(
+            "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+            " + s2 * (s1y * s12 - s11 * s2y)"
+        ).alias("det0"),
+        F.expr(
+            "n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+            " + s2 * (s1 * s2y - s1y * s2)"
+        ).alias("det1"),
+        F.expr(
+            "n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+            " + sy * (s1 * s12 - s11 * s2)"
+        ).alias("det2"),
+    )
+    beta = dets.select(
+        "*",
+        (F.col("det0").cast("double") / F.col("det").cast("double")).alias(
+            "b0"
+        ),
+        (F.col("det1").cast("double") / F.col("det").cast("double")).alias(
+            "b1"
+        ),
+        (F.col("det2").cast("double") / F.col("det").cast("double")).alias(
+            "b2"
+        ),
+    )
+    sst = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double")
+        * F.col("sy").cast("double")
+        / F.col("n").cast("double")
+    )
+    sse = (
+        F.col("syy").cast("double")
+        - F.col("b0") * F.col("sy").cast("double")
+        - F.col("b1") * F.col("s1y").cast("double")
+        - F.col("b2") * F.col("s2y").cast("double")
+    )
+    return beta.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.col("b0") / 100.0, 6).alias("intercept"),
+        F.round(F.col("b1") / 100.0, 6).alias("beta_quantity"),
+        F.round(F.col("b2") * 100.0, 6).alias("beta_discount_pct"),
+        F.round(F.lit(1.0) - sse / sst, 6).alias("r2"),
+    )

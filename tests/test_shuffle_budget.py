@@ -305,6 +305,8 @@ BUDGETS = {
     "null_audit": 2,
     # event (user, ts) dedup + the as-of union's user_id window + the
     # channel rollup + final sort.
+    # ONE moment pass; single-row Cramer solve rides the same plan.
+    "ols_price_model": 1,
     "order_attribution": 4,
     "pagerank_topk": 0,
     # moment passes run during construction (collected d^2 bounded
@@ -418,6 +420,10 @@ BUDGETS = {
     "source_overlap_matrix": 4,
     "source_wjaccard": 12,
     "spearman_daily_corr": 3,
+    # checkpointed staged events feed cal/test branches; movement is
+    # the cal mean agg + residual grid + per-type cumulative window +
+    # test conditional agg + final join/sort.
+    "split_conformal_interval": 10,
     "sql_surface": 2,
     # Returned plan is the post-checkpoint distance histogram (per-round
     # frontier-join + min-merge shuffles happen during construction,

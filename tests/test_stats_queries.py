@@ -959,3 +959,87 @@ def test_decayed_popularity_weights_are_exact_powers(spark):
     assert got == expected
     for _, r in out.iterrows():
         assert r["n_recent"] == nrec[r["partkey"]]
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    import decimal
+
+    out = _pdf("ols_price_model", spark).iloc[0]
+    li = duckdb.sql(
+        f"SELECT l_extendedprice, l_quantity, l_discount FROM "
+        f"'{SF_SMALL}/lineitem.parquet'"
+    ).df()
+
+    def quant(s, q, scale):
+        return np.array(
+            [
+                int(
+                    decimal.Decimal(repr(v)).quantize(
+                        decimal.Decimal(q), rounding=decimal.ROUND_HALF_UP
+                    )
+                    * scale
+                )
+                for v in s
+            ],
+            dtype=float,
+        )
+
+    y = quant(li["l_extendedprice"], "0.01", 100)
+    x1 = li["l_quantity"].to_numpy(dtype=float)
+    x2 = quant(li["l_discount"], "0.0001", 10000)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    sse = ((y - pred) ** 2).sum()
+    sst = ((y - y.mean()) ** 2).sum()
+    assert out["n_rows"] == len(li)
+    assert abs(out["intercept"] - beta[0] / 100) < 1e-3 * abs(beta[0] / 100)
+    assert abs(out["beta_quantity"] - beta[1] / 100) < 1e-3 * max(
+        1e-3, abs(beta[1] / 100)
+    )
+    assert abs(out["beta_discount_pct"] - beta[2] * 100) < 1e-3 * max(
+        1e-3, abs(beta[2] * 100)
+    )
+    assert abs(out["r2"] - (1 - sse / sst)) < 1e-5
+
+
+def test_split_conformal_coverage_and_quantile(spark, events_pdf):
+    out = _pdf("split_conformal_interval", spark).set_index("event_type")
+    ev = duckdb.sql(
+        f"SELECT event_id, event_type, value FROM "
+        f"'{SF_SMALL}/events.parquet' WHERE value IS NOT NULL"
+    ).df()
+    import decimal
+
+    halves = ev["event_id"].map(
+        lambda e: int(
+            hashlib.md5(f"{int(e)}#cal".encode()).hexdigest()[:8], 16
+        )
+        % 2
+    )
+    ev = ev.assign(half=halves)
+    ev["v_e4"] = [
+        int(
+            decimal.Decimal(repr(v)).quantize(
+                decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+            )
+            * 10000
+        )
+        for v in ev["value"]
+    ]
+    for t, g in ev.groupby("event_type"):
+        cal = g[g["half"] == 0]
+        tst = g[g["half"] == 1]
+        mean_e4 = int(cal["v_e4"].sum()) // len(cal)
+        res = sorted(abs(v - mean_e4) // 100 for v in cal["v_e4"])
+        k = -(-9 * (len(cal) + 1) // 10)  # ceil(0.9*(n+1))
+        qhat = res[k - 1]
+        cov = sum(
+            1 for v in tst["v_e4"] if abs(v - mean_e4) // 100 <= qhat
+        )
+        row = out.loc[t]
+        assert (row["n_cal"], row["n_test"]) == (len(cal), len(tst))
+        assert row["qhat_cents"] == qhat
+        assert row["coverage_ppm"] == cov * 1_000_000 // len(tst)
+        # the split-conformal guarantee: coverage near or above 90%
+        assert row["coverage_ppm"] > 850_000
