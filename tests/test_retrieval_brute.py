@@ -355,10 +355,12 @@ def test_map_at_k_matches_brute_force(spark):
     assert row["map_scaled"] == sum(aps) // len(qids)
 
 
-def test_prf_expansion_behaviors(spark):
+def test_prf_expansion_behaviors(spark, query_df_cache):
     """PRF invariants: expansion terms exclude seeds, at most 5 of
     them, weighted scoring favors seed matches 2:1, and the whole
-    two-round pipeline is deterministic across rebuilds."""
+    two-round pipeline is deterministic across rebuilds (fresh build
+    vs the parity suite's cached build — two independent
+    constructions)."""
     from reddit_data_pipeline_engineering_spark.plans.queries import (
         REGISTRY,
         queries,
@@ -371,9 +373,7 @@ def test_prf_expansion_behaviors(spark):
     from .conftest import SF_SMALL
 
     queries()
-    a = (
-        REGISTRY["prf_expansion_topk"].fn(spark, SF_SMALL).toPandas()
-    )
+    a = query_df_cache("prf_expansion_topk")[0].toPandas()
     b = (
         REGISTRY["prf_expansion_topk"].fn(spark, SF_SMALL).toPandas()
     )
