@@ -1033,6 +1033,7 @@ _DRIVER_PENDING = [
     "mantel_haenszel_uplift",
     "ols_price_model",
     "split_conformal_interval",
+    "permutation_test_ab",
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -1247,3 +1247,179 @@ def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("b2") * 100.0, 6).alias("beta_discount_pct"),
         F.round(F.lit(1.0) - sse / sst, 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact permutation test (r08) — the assumption-free significance test
+# for the A/B conversion difference, fully deterministic: instead of
+# RNG shuffles, each of the B = 64 permutations relabels users by an
+# md5-SALTED split (arm_i(u) = md5(u || '#p<i>') % 2 — independent
+# uniform relabelings, reproducible on any engine/cluster/rerun).
+#
+#   d_i = rate_A(i) - rate_B(i) as an exact scaled integer:
+#         d_e6 = sign * (|a*n2 - b*n1| * 1e6 div (n1*n2))
+#   p    = (1 + #{i : |d_i| >= |d_obs|}) / (B + 1)      (exact, in ppm)
+#
+# ONE user-keyed aggregate builds the conversion flags; the user
+# dimension cross-joins a broadcast 65-row salt dim (observed split =
+# salt 0, the z-test's md5(u) % 2), so the work is users x 65 — linear
+# with a fixed constant, map-side-combined into 65 rows. The exact
+# (B+1)-denominator estimator is the standard finite-permutation
+# p-value; all comparisons are integer.
+# --------------------------------------------------------------------------
+
+_PERM_B = 64
+
+_PERM_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), salts AS (
+  SELECT unnest(generate_series(0, {_PERM_B})) AS sid
+), armed AS (
+  SELECT s.sid, u.conv,
+         CASE WHEN s.sid = 0 THEN
+           ('0x' || substr(md5(CAST(u.user_id AS VARCHAR)), 1, 8))
+             ::BIGINT % 2
+         ELSE
+           ('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+                                || '#p' || CAST(s.sid AS VARCHAR)), 1, 8))
+             ::BIGINT % 2
+         END AS arm
+  FROM per_user u CROSS JOIN salts s
+), cells AS (
+  SELECT sid,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS HUGEINT) AS a,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS HUGEINT) AS b
+  FROM armed GROUP BY sid
+), diffs AS (
+  SELECT sid,
+         CASE WHEN a * n2 - b * n1 >= 0 THEN 1 ELSE -1 END
+           * ((ABS(a * n2 - b * n1) * 1000000) // (n1 * n2)) AS d_e6,
+         n1, n2
+  FROM cells WHERE n1 > 0 AND n2 > 0
+), obs AS (
+  SELECT d_e6, n1, n2 FROM diffs WHERE sid = 0
+)
+SELECT CAST(o.n1 AS BIGINT) AS n1, CAST(o.n2 AS BIGINT) AS n2,
+       CAST(o.d_e6 AS BIGINT) AS obs_diff_e6,
+       CAST({_PERM_B} AS BIGINT) AS b_perms,
+       CAST(SUM(CASE WHEN d.sid > 0 AND ABS(d.d_e6) >= ABS(o.d_e6)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       CAST((1 + SUM(CASE WHEN d.sid > 0 AND ABS(d.d_e6) >= ABS(o.d_e6)
+                     THEN 1 ELSE 0 END)) * CAST(1000000 AS HUGEINT)
+            // ({_PERM_B} + 1) AS BIGINT) AS p_ppm
+FROM diffs d CROSS JOIN obs o
+GROUP BY o.n1, o.n2, o.d_e6
+"""
+
+
+@query(
+    "permutation_test_ab",
+    _PERM_ORACLE,
+    "Exact permutation test of the A/B conversion difference with 64 "
+    "deterministic md5-salted relabelings (no RNG, reproducible on any "
+    "engine): one user-keyed aggregate x broadcast 65-row salt dim, "
+    "per-permutation rate differences as exact scaled integers, exact "
+    "(B+1)-denominator p-value in ppm",
+    tags=("relational", "stats", "bench"),
+)
+def q_permutation_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    salts = spark.range(0, _PERM_B + 1, 1, 1).select(
+        F.col("id").alias("sid")
+    )
+    armed = per_user.crossJoin(F.broadcast(salts)).select(
+        "sid",
+        "conv",
+        F.when(
+            F.col("sid") == 0,
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2,
+        )
+        .otherwise(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit("#p"),
+                            F.col("sid").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        .alias("arm"),
+    )
+    cells = armed.groupBy("sid").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n2"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("b"),
+    )
+    diffs = cells.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "sid",
+        F.expr(
+            "(case when a * n2 - b * n1 >= 0 then 1 else -1 end)"
+            " * ((abs(a * n2 - b * n1) * 1000000) div (n1 * n2))"
+        ).alias("d_e6"),
+        "n1",
+        "n2",
+    ).localCheckpoint(eager=False)
+    obs = diffs.filter(F.col("sid") == 0).select(
+        F.col("d_e6").alias("od"),
+        F.col("n1").alias("on1"),
+        F.col("n2").alias("on2"),
+    )
+    joined = diffs.crossJoin(F.broadcast(obs))
+    return joined.groupBy("on1", "on2", "od").agg(
+        F.sum(
+            F.when(
+                (F.col("sid") > 0)
+                & (F.abs(F.col("d_e6")) >= F.abs(F.col("od"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_extreme")
+    ).select(
+        F.col("on1").cast("long").alias("n1"),
+        F.col("on2").cast("long").alias("n2"),
+        F.col("od").cast("long").alias("obs_diff_e6"),
+        F.lit(_PERM_B).cast("long").alias("b_perms"),
+        "n_extreme",
+        F.expr(
+            f"cast((1 + n_extreme) * cast(1000000 as decimal(38,0))"
+            f" div ({_PERM_B} + 1) as long)"
+        ).alias("p_ppm"),
+    )

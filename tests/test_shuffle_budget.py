@@ -318,6 +318,10 @@ BUDGETS = {
     # one event_type partitioning shared by both windows + the peak
     # rollup, then the final sort (sweep-line union is shuffle-free).
     "peak_concurrency": 2,
+    # checkpointed 65-row permutation diffs (user-keyed aggregate +
+    # salted relabel rollup run at materialization); returned plan is
+    # the single extreme-count rollup.
+    "permutation_test_ab": 1,
     "percentiles_approx": 3,
     # SCD2 build window/rollup + probe-dim hash join + final rollup.
     "pit_dimension_lookup": 4,

@@ -1043,3 +1043,41 @@ def test_split_conformal_coverage_and_quantile(spark, events_pdf):
         assert row["coverage_ppm"] == cov * 1_000_000 // len(tst)
         # the split-conformal guarantee: coverage near or above 90%
         assert row["coverage_ppm"] > 850_000
+
+
+def test_permutation_test_matches_hashlib_replay(spark, events_pdf):
+    out = _pdf("permutation_test_ab", spark).iloc[0]
+    per_user = {}
+    for _, r in events_pdf.iterrows():
+        u = int(r["user_id"])
+        per_user.setdefault(u, 0)
+        if r["event_type"] == "purchase" and r["value"] > 150:
+            per_user[u] = 1
+
+    def d_e6(salt):
+        n1 = n2 = a = b = 0
+        for u, conv in per_user.items():
+            key = f"{u}{salt}" if salt else str(u)
+            arm = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % 2
+            if arm == 0:
+                n1 += 1
+                a += conv
+            else:
+                n2 += 1
+                b += conv
+        num = a * n2 - b * n1
+        sgn = 1 if num >= 0 else -1
+        return sgn * (abs(num) * 1_000_000 // (n1 * n2)), n1, n2
+
+    od, n1, n2 = d_e6("")
+    extreme = sum(
+        1
+        for i in range(1, 65)
+        if abs(d_e6(f"#p{i}")[0]) >= abs(od)
+    )
+    assert (out["n1"], out["n2"]) == (n1, n2)
+    assert out["obs_diff_e6"] == od
+    assert out["b_perms"] == 64
+    assert out["n_extreme"] == extreme
+    assert out["p_ppm"] == (1 + extreme) * 1_000_000 // 65
+    assert 0 < out["p_ppm"] <= 1_000_000
