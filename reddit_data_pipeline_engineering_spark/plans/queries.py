@@ -1034,6 +1034,7 @@ _DRIVER_PENDING = [
     "ols_price_model",
     "split_conformal_interval",
     "permutation_test_ab",
+    "kmv_jaccard_types",
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -561,3 +561,200 @@ def q_split_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# KMV pairwise Jaccard estimates (r08) — the SET-OPERATION face of the
+# KMV sketch (kmv_distinct_sketch covers cardinality + union merge):
+# for every pair of event types, estimate the Jaccard similarity of
+# their user sets from the k-minimum-values survivor sets alone,
+#
+#   J_hat(A,B) = |K_k(A u B) n K(A) n K(B)| / k      (Beyer, SIGMOD'07)
+#
+# where K_k(A u B) = the k smallest hashes of the two merged survivor
+# sets. All pair work runs on k-bounded relations (pairs x k rows) —
+# never a rescan of the fact table — and the md5 device makes the
+# oracle replay exact. The exact Jaccard (one (type,user)-keyed
+# self-join, types^2-bounded per user) rides along with err_ppm, so
+# the audit shows what a k=32 sketch buys at this overlap structure.
+# Sets are the HIGH-ENGAGEMENT users per type (value > 90) so overlaps
+# genuinely vary (every user touches every type in this corpus; the
+# unrestricted sets would all be identical).
+# --------------------------------------------------------------------------
+
+_KJ_K = 32
+
+_KJ_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events WHERE value > 90
+), sk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM du
+), kept AS (
+  SELECT event_type, h FROM sk WHERE rn <= {_KJ_K}
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM (SELECT DISTINCT event_type FROM du) a
+  JOIN (SELECT DISTINCT event_type FROM du) b
+    ON a.event_type < b.event_type
+), mh AS (
+  SELECT DISTINCT p.ta, p.tb, k.h
+  FROM pairs p JOIN kept k ON k.event_type IN (p.ta, p.tb)
+), merged AS (
+  SELECT ta, tb, h,
+         ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+  FROM mh
+), inter AS (
+  SELECT m.ta, m.tb,
+         CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(SUM(CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM merged m
+  LEFT JOIN kept ka ON ka.event_type = m.ta AND ka.h = m.h
+  LEFT JOIN kept kb ON kb.event_type = m.tb AND kb.h = m.h
+  WHERE m.rn <= {_KJ_K}
+  GROUP BY m.ta, m.tb
+), sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY 1
+), einter AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.ta, i.tb, i.k_used, i.n_both,
+       CAST(i.n_both * 1000000 // i.k_used AS BIGINT) AS jaccard_est_ppm,
+       CAST(COALESCE(e.n_inter, 0) * 1000000
+            // (sa.n + sb.n - COALESCE(e.n_inter, 0)) AS BIGINT)
+         AS jaccard_exact_ppm,
+       CAST(ABS(i.n_both * 1000000 // i.k_used
+                - COALESCE(e.n_inter, 0) * 1000000
+                  // (sa.n + sb.n - COALESCE(e.n_inter, 0))) AS BIGINT)
+         AS err_ppm
+FROM inter i
+LEFT JOIN einter e ON e.ta = i.ta AND e.tb = i.tb
+JOIN sizes sa ON sa.event_type = i.ta
+JOIN sizes sb ON sb.event_type = i.tb
+ORDER BY i.ta, i.tb
+"""
+
+
+@query(
+    "kmv_jaccard_types",
+    _KJ_ORACLE,
+    "Pairwise Jaccard similarity of event-type user sets estimated "
+    "from k=32 KMV survivor sets alone (J = |K_k(AuB) n K(A) n K(B)|/k"
+    " — set operations on k-bounded sketches, never a fact rescan), "
+    "with the exact Jaccard and err_ppm riding along as the audit",
+    tags=("relational", "sketch", "bench"),
+)
+def q_kmv_jaccard_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _KJ_K
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 90)
+    du = ev.select(
+        "event_type", "user_id", _h48("user_id").alias("h")
+    ).distinct().localCheckpoint(eager=False)
+    kept = (
+        du.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .select("event_type", "h")
+        .localCheckpoint(eager=False)
+    )
+    types = du.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(
+            types.select(F.col("event_type").alias("tb")),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+    mh = (
+        F.broadcast(pairs)
+        .join(
+            kept,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .select("ta", "tb", "h")
+        .distinct()
+    )
+    merged = mh.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("ta", "tb").orderBy("h")),
+    ).filter(F.col("rn") <= k)
+    ka = kept.select(F.col("event_type").alias("ea"), F.col("h").alias("h"))
+    kb = kept.select(F.col("event_type").alias("eb"), F.col("h").alias("h"))
+    inter = (
+        merged.join(
+            F.broadcast(ka.withColumnRenamed("h", "hh").withColumn(
+                "ina", F.lit(1))),
+            (F.col("ea") == F.col("ta")) & (F.col("hh") == F.col("h")),
+            "left",
+        )
+        .drop("ea", "hh")
+        .join(
+            F.broadcast(kb.withColumnRenamed("h", "hh2").withColumn(
+                "inb", F.lit(1))),
+            (F.col("eb") == F.col("tb")) & (F.col("hh2") == F.col("h")),
+            "left",
+        )
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_used"),
+            F.sum(
+                F.when(
+                    F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_both"),
+        )
+    )
+    sizes = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = du.select(F.col("event_type").alias("ta"), "user_id")
+    b = du.select(F.col("event_type").alias("tb"), "user_id")
+    einter = (
+        a.join(b, ["user_id"])
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    est = F.expr("cast(n_both * 1000000 div k_used as long)")
+    exact = F.expr(
+        "cast(coalesce(n_inter, 0L) * 1000000"
+        " div (na + nb - coalesce(n_inter, 0L)) as long)"
+    )
+    return (
+        inter.join(einter, ["ta", "tb"], "left")
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("ta"),
+                                     F.col("n").alias("na"))),
+            "ta",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("tb"),
+                                     F.col("n").alias("nb"))),
+            "tb",
+        )
+        .select(
+            "ta",
+            "tb",
+            "k_used",
+            "n_both",
+            est.alias("jaccard_est_ppm"),
+            exact.alias("jaccard_exact_ppm"),
+            F.abs(est - exact).alias("err_ppm"),
+        )
+        .orderBy("ta", "tb")
+    )

@@ -226,6 +226,10 @@ BUDGETS = {
     # merged TakeOrdered branch + final sort; candidates pre-filtered
     # in plan to ~8k per type.
     "kmv_distinct_sketch": 5,
+    # checkpointed distinct/kept relations feed the bounded pair work
+    # (pairs x k windows, broadcast sketch joins) + the exact-Jaccard
+    # self-join + final sort.
+    "kmv_jaccard_types": 8,
     # the (source, len) count subtree prints under all five consumers
     # (srcs/vals/all_c/tot/grid — identical subtrees, runtime-reused);
     # real movement is the count shuffle, the bounded grid build, the

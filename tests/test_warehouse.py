@@ -590,3 +590,57 @@ def test_rich_club_matches_python_replay(spark):
         assert (r["n_nodes"], r["n_edges_dir"]) == (n_k, e_k)
         if n_k > 1:
             assert r["phi_bp"] == e_k * 10000 // (n_k * (n_k - 1))
+
+
+def test_kmv_jaccard_matches_python_replay(spark):
+    """Replay both the sketch estimator and the exact Jaccard in pure
+    Python over the high-engagement user sets."""
+    import hashlib
+    from itertools import combinations
+
+    import duckdb
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+    from reddit_data_pipeline_engineering_spark.plans.queries_prep2 import (
+        _KJ_K,
+    )
+
+    from .conftest import SF_SMALL
+
+    queries()
+    out = {
+        (r["ta"], r["tb"]): r
+        for r in REGISTRY["kmv_jaccard_types"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .to_dict("records")
+    }
+    rows = duckdb.sql(
+        f"SELECT DISTINCT event_type, user_id FROM "
+        f"'{SF_SMALL}/events.parquet' WHERE value > 90"
+    ).fetchall()
+    sets = {}
+    for t, u in rows:
+        sets.setdefault(t, set()).add(u)
+
+    def h48(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16)
+
+    kept = {t: set(sorted(h48(u) for u in us)[:_KJ_K]) for t, us in sets.items()}
+    for ta, tb in combinations(sorted(sets), 2):
+        merged = sorted(kept[ta] | kept[tb])[:_KJ_K]
+        n_both = sum(1 for h in merged if h in kept[ta] and h in kept[tb])
+        inter = len(sets[ta] & sets[tb])
+        union = len(sets[ta] | sets[tb])
+        r = out[(ta, tb)]
+        assert r["k_used"] == len(merged)
+        assert r["n_both"] == n_both
+        assert r["jaccard_est_ppm"] == n_both * 1_000_000 // len(merged)
+        assert r["jaccard_exact_ppm"] == inter * 1_000_000 // union
+        assert r["err_ppm"] == abs(
+            r["jaccard_est_ppm"] - r["jaccard_exact_ppm"]
+        )
+    assert len(out) == len(list(combinations(sets, 2)))
