@@ -1035,6 +1035,7 @@ _DRIVER_PENDING = [
     "split_conformal_interval",
     "permutation_test_ab",
     "kmv_jaccard_types",
+    "markov_stationary_activity",
 ]
 
 _DRIVER_ROTATED_OUT = [

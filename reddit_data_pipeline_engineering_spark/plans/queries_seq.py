@@ -1257,3 +1257,170 @@ def q_logrank_ab_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((o1d - e1d) / F.sqrt(vd), 6).alias("logrank_z"),
         F.round((o1d - e1d) * (o1d - e1d) / vd, 6).alias("logrank_chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Markov stationary activity distribution (r08) — the chain-analysis
+# companion to session_transitions: bucket each user's WEEKLY activity
+# into 5 states (event-count thresholds 8/12/15/19), count week-over-
+# week state transitions, and solve for the stationary distribution of
+# the empirical chain by exact-integer power iteration (12 rounds) on
+# the transposed transition matrix:
+#
+#   w[s'] = Sum_s (v[s] * T[s][s'] * 1e6) div r[s]   (r = row sums)
+#   v'    = (w * 1e6) div Sum(w)                      (renormalize)
+#
+# Every step is truncated integer arithmetic (per-term, the ANOVA
+# order-independence device), so the oracle replays all 12 rounds as
+# unrolled CTEs bit-for-bit — the PCA split again: the DATA passes are
+# one (user, week) rollup + one week-adjacent self-join; the solve is
+# a 5x5 integer iteration (driver math on the collected bounded
+# matrix). The empirical occupancy ppm rides along: for an ergodic
+# chain the two columns should be close, and the audit shows it.
+# --------------------------------------------------------------------------
+
+_MKV_ITERS = 12
+_MKV_THRESH = (8, 12, 15, 19)
+
+
+def _mkv_state_sql(col: str) -> str:
+    t = _MKV_THRESH
+    return (
+        f"CASE WHEN {col} < {t[0]} THEN 0 WHEN {col} < {t[1]} THEN 1 "
+        f"WHEN {col} < {t[2]} THEN 2 WHEN {col} < {t[3]} THEN 3 "
+        f"ELSE 4 END"
+    )
+
+
+def _mkv_ctes(iters: int = _MKV_ITERS) -> str:
+    parts = [
+        f"""uw AS MATERIALIZED (
+  SELECT user_id,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000) AS wk,
+         {_mkv_state_sql("COUNT(*)")} AS s
+  FROM events GROUP BY user_id,
+       (epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000)
+)""",
+        """trans AS MATERIALIZED (
+  SELECT a.s AS sf, b.s AS st, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM uw a JOIN uw b ON b.user_id = a.user_id AND b.wk = a.wk + 1
+  GROUP BY 1, 2
+)""",
+        "rr AS (SELECT sf, SUM(c) AS r FROM trans GROUP BY sf)",
+        "states AS (SELECT DISTINCT s FROM uw)",
+        """v0 AS (
+  SELECT s, CAST(1000000 // (SELECT COUNT(*) FROM states) AS HUGEINT) AS v
+  FROM states
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT tr.st AS s, SUM((v.v * tr.c * 1000000) // rr.r) AS w
+  FROM trans tr
+  JOIN v{t - 1} v ON v.s = tr.sf
+  JOIN rr ON rr.sf = tr.sf
+  GROUP BY tr.st
+)"""
+        )
+        parts.append(
+            f"""v{t} AS MATERIALIZED (
+  SELECT st.s,
+         COALESCE((w.w * 1000000) // (SELECT SUM(w) FROM w{t}),
+                  CAST(0 AS HUGEINT)) AS v
+  FROM states st LEFT JOIN w{t} w ON w.s = st.s
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_MKV_ORACLE = f"""
+WITH {_mkv_ctes()},
+occ AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_occupied FROM uw GROUP BY s
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uw)
+SELECT CAST(o.s AS BIGINT) AS state, o.n_occupied,
+       CAST(COALESCE(rr.r, 0) AS BIGINT) AS n_from,
+       CAST(v.v AS BIGINT) AS stationary_ppm,
+       CAST(o.n_occupied * 1000000 // t.n AS BIGINT) AS empirical_ppm
+FROM occ o
+LEFT JOIN rr ON rr.sf = o.s
+JOIN v{_MKV_ITERS} v ON v.s = o.s
+CROSS JOIN tot t
+ORDER BY state
+"""
+
+
+@query(
+    "markov_stationary_activity",
+    _MKV_ORACLE,
+    "Stationary distribution of the weekly activity-state Markov chain "
+    "(5 threshold states, week-over-week transition counts) by "
+    "12-round exact-integer power iteration on the collected bounded "
+    "matrix — per-term truncated scaled arithmetic, oracle replays "
+    "every round as unrolled CTEs; empirical occupancy ppm rides along "
+    "as the ergodicity audit",
+    tags=("relational", "stats", "timeseries", "bench"),
+)
+def q_markov_stationary_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " ts) div 604800000000"
+    )
+    uw = (
+        ev.groupBy("user_id", wk.alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            "wk",
+            F.expr(_mkv_state_sql("n")).cast("long").alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = uw.select("user_id", "wk", F.col("s").alias("sf"))
+    b = uw.select(
+        F.col("user_id").alias("u2"),
+        (F.col("wk") - 1).alias("wk2"),
+        F.col("s").alias("st"),
+    )
+    trans = (
+        a.join(b, (F.col("u2") == F.col("user_id")) & (F.col("wk2") == F.col("wk")))
+        .groupBy("sf", "st")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cells = [
+        (int(r["sf"]), int(r["st"]), int(r["c"])) for r in trans.collect()
+    ]
+    occ_rows = {
+        int(r["s"]): int(r["n"])
+        for r in uw.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    states = sorted(occ_rows)
+    k = len(states)
+    r = {}
+    for sf_, _, c in cells:
+        r[sf_] = r.get(sf_, 0) + c
+    v = {s: 1_000_000 // k for s in states}
+    for _ in range(_MKV_ITERS):
+        w = {s: 0 for s in states}
+        for sf_, st_, c in cells:
+            w[st_] += (v[sf_] * c * 1_000_000) // r[sf_]
+        tot = sum(w.values())
+        v = {s: (w[s] * 1_000_000) // tot if tot else 0 for s in states}
+    total_occ = sum(occ_rows.values())
+    rows_ = [
+        (
+            s,
+            occ_rows[s],
+            r.get(s, 0),
+            v[s],
+            occ_rows[s] * 1_000_000 // total_occ,
+        )
+        for s in states
+    ]
+    return spark.createDataFrame(
+        rows_,
+        "state long, n_occupied long, n_from long, stationary_ppm long,"
+        " empirical_ppm long",
+    ).orderBy("state")

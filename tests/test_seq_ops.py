@@ -494,3 +494,81 @@ def test_logrank_matches_python_replay(spark):
     assert abs(out["v_e6"] / 1e6 - v) < 1e-4
     assert abs(out["logrank_z"] - z) < 1e-3
     assert abs(out["logrank_chi2"] - z * z) < 2e-3
+
+
+def test_markov_stationary_matches_numpy_eigenvector(spark):
+    """The 12-round integer iteration must land near the true
+    stationary distribution (numpy left-eigenvector of the empirical
+    transition matrix), and the exact replay must match bit-for-bit."""
+    import duckdb
+    import numpy as np
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+    from reddit_data_pipeline_engineering_spark.plans.queries_seq import (
+        _MKV_ITERS,
+        _MKV_THRESH,
+    )
+
+    from .conftest import SF_SMALL
+
+    queries()
+    out = (
+        REGISTRY["markov_stationary_activity"]
+        .fn(spark, SF_SMALL)
+        .orderBy("state")
+        .toPandas()
+    )
+    uw = duckdb.sql(
+        f"SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 "
+        f"AS wk, COUNT(*) n FROM '{SF_SMALL}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+
+    def state(n):
+        for i, t in enumerate(_MKV_THRESH):
+            if n < t:
+                return i
+        return len(_MKV_THRESH)
+
+    su = {(u, w): state(n) for u, w, n in uw}
+    cells = {}
+    for (u, w), s0 in su.items():
+        s1 = su.get((u, w + 1))
+        if s1 is not None:
+            cells[(s0, s1)] = cells.get((s0, s1), 0) + 1
+    states = sorted({s for s, _ in cells} | {s for _, s in cells}
+                    | {s for s in su.values()})
+    k = len(states)
+    # exact integer replay
+    r = {}
+    for (sf_, _), c in cells.items():
+        r[sf_] = r.get(sf_, 0) + c
+    v = {s: 1_000_000 // k for s in states}
+    for _ in range(_MKV_ITERS):
+        w = {s: 0 for s in states}
+        for (sf_, st_), c in cells.items():
+            w[st_] += (v[sf_] * c * 1_000_000) // r[sf_]
+        tot = sum(w.values())
+        v = {s: (w[s] * 1_000_000) // tot for s in states}
+    assert out["stationary_ppm"].tolist() == [v[s] for s in states]
+    # numpy ground truth on the chain restricted to states with
+    # outgoing mass (float left eigenvector)
+    active = [s for s in states if r.get(s)]
+    P = np.zeros((len(active), len(active)))
+    idx = {s: i for i, s in enumerate(active)}
+    for (sf_, st_), c in cells.items():
+        if sf_ in idx and st_ in idx:
+            P[idx[sf_], idx[st_]] = c / r[sf_]
+    P /= P.sum(axis=1, keepdims=True)  # drop mass leaking to absorbing
+    evals, evecs = np.linalg.eig(P.T)
+    pi = np.real(evecs[:, np.argmax(np.real(evals))])
+    pi = np.abs(pi) / np.abs(pi).sum()
+    got = np.array([v[s] / 1e6 for s in active])
+    got = got / got.sum()
+    assert np.abs(got - pi).max() < 0.02  # 12 rounds converge closely
+    # occupancy ppm column is exact
+    tot_occ = int(out["n_occupied"].sum())
+    for _, row in out.iterrows():
+        assert row["empirical_ppm"] == row["n_occupied"] * 1_000_000 // tot_occ

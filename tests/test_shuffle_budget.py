@@ -278,6 +278,10 @@ BUDGETS = {
     # user-keyed conversion aggregate + nation-bounded stratum rollup +
     # single-row pooling (customer dim broadcast).
     "mantel_haenszel_uplift": 3,
+    # (user, week) rollup + adjacent-week self-join run during
+    # construction (collected bounded 5x5 matrix, driver iteration);
+    # returned plan is the 5-row result + sort.
+    "markov_stationary_activity": 1,
     "map_at_k": 3,
     "mannwhitney_source_test": 7,
     # same count-grid family: count agg + cumulative window + rank
