@@ -1036,6 +1036,8 @@ _DRIVER_PENDING = [
     "permutation_test_ab",
     "kmv_jaccard_types",
     "markov_stationary_activity",
+    "bollinger_bands_daily",
+    "running_records_daily",
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -689,3 +689,168 @@ def q_isotonic_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "x", F.round("f", 6).alias("iso_fit"))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Bollinger bands over the daily event-count series (r08): rolling
+# 7-day mean +- 2 sigma with EXACT integer window moments — the
+# rolling-volatility envelope every monitoring dashboard draws. The
+# ROWS frame carries (n, S, Q) as exact integers; mean and the sample
+# sd emerge as mirrored doubles, and the breach flag compares the
+# day's integer count against the band (identical doubles on both
+# legs, so the boolean is engine-exact). Calendar-bounded windows, one
+# daily-count shuffle.
+# --------------------------------------------------------------------------
+
+_BOLL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), wnd AS (
+  SELECT day, x,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
+         CAST(SUM(x) OVER w AS BIGINT) AS s,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS q
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+), bands AS (
+  SELECT day, x, n_w,
+         CAST(s AS DOUBLE) / n_w AS m,
+         SQRT(CAST(n_w * q - s * s AS DOUBLE)
+              / (CAST(n_w AS DOUBLE) * (n_w - 1))) AS sd
+  FROM wnd WHERE n_w = 7
+)
+SELECT day, x,
+       ROUND(m, 4) AS mean_7d,
+       ROUND(sd, 4) AS sd_7d,
+       ROUND(m + 2.0 * sd, 4) AS upper_band,
+       ROUND(m - 2.0 * sd, 4) AS lower_band,
+       CAST(x AS DOUBLE) > m + 2.0 * sd
+         OR CAST(x AS DOUBLE) < m - 2.0 * sd AS breach
+FROM bands ORDER BY day
+"""
+
+
+@query(
+    "bollinger_bands_daily",
+    _BOLL_ORACLE,
+    "Bollinger bands (rolling 7-day mean +- 2 sigma) over the daily "
+    "event-count series: exact integer window moments in a ROWS frame, "
+    "bands as mirrored doubles, engine-exact breach flags — the "
+    "rolling-volatility monitoring envelope, calendar-bounded",
+    tags=("relational", "stats", "timeseries", "trend", "bench"),
+)
+def q_bollinger_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    wnd = daily.select(
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_w"),
+        F.sum("x").over(w).cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("q"),
+    ).filter(F.col("n_w") == 7)
+    m = F.col("s").cast("double") / F.col("n_w")
+    sd = F.sqrt(
+        F.expr("cast(n_w * q - s * s as double)")
+        / (F.col("n_w").cast("double") * (F.col("n_w") - 1))
+    )
+    return wnd.select(
+        "day",
+        "x",
+        F.round(m, 4).alias("mean_7d"),
+        F.round(sd, 4).alias("sd_7d"),
+        F.round(m + 2.0 * sd, 4).alias("upper_band"),
+        F.round(m - 2.0 * sd, 4).alias("lower_band"),
+        (
+            (F.col("x").cast("double") > m + 2.0 * sd)
+            | (F.col("x").cast("double") < m - 2.0 * sd)
+        ).alias("breach"),
+    ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Running-record days per event type (r08): days whose count sets a new
+# all-time high — pure integer windows (strict running max over all
+# preceding days). Under exchangeability the expected record count is
+# H(n) ~ ln(n) + gamma (~3.4 for a 30-day series); materially more
+# records = trending growth, the quick eyeball the trend kit formalizes
+# (Mann-Kendall and friends quantify it). All integers; per-type
+# ordered windows over the calendar-bounded daily relation.
+# --------------------------------------------------------------------------
+
+_RECORDS_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), runs AS (
+  SELECT event_type, day, x,
+         MAX(x) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM daily
+), flags AS (
+  SELECT event_type, day, x,
+         (prev_max IS NULL OR x > prev_max) AS is_record
+  FROM runs
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN is_record THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_records,
+       MAX(CASE WHEN is_record THEN day END) AS last_record_day,
+       CAST(MAX(x) AS BIGINT) AS max_count
+FROM flags
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "running_records_daily",
+    _RECORDS_ORACLE,
+    "Running-record days per event type (new all-time daily highs): "
+    "strict running-max windows over the calendar-bounded daily "
+    "relation, all integer — the H(n) ~ ln(n) exchangeability "
+    "baseline makes excess records a one-glance trend signal",
+    tags=("relational", "stats", "timeseries", "trend", "bench"),
+)
+def q_running_records_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flags = daily.select(
+        "event_type",
+        "day",
+        "x",
+        (
+            F.max("x").over(w).isNull() | (F.col("x") > F.max("x").over(w))
+        ).alias("is_record"),
+    )
+    return (
+        flags.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.when(F.col("is_record"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_records"),
+            F.max(F.when(F.col("is_record"), F.col("day"))).alias(
+                "last_record_day"
+            ),
+            F.max("x").cast("long").alias("max_count"),
+        )
+        .orderBy("event_type")
+    )

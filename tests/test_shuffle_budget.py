@@ -62,6 +62,9 @@ BUDGETS = {
     # per-round spelled vocab checkpointed (pair argmax + rewrite both
     # read it); budget = word count + (source, word) count + rollup.
     "bpe_encode_apply": 3,
+    # daily count shuffle + the calendar-bounded rolling-window staging
+    # (dimension-bounded global frame, cusum waiver).
+    "bollinger_bands_daily": 2,
     "bpe_token_stats": 0,
     # the (source, word) count subtree prints under all four consumers
     # (source counts, totals, corpus dim, grand total — identical
@@ -376,6 +379,9 @@ BUDGETS = {
     # Both rankings are TakeOrderedAndProject top-100s (one partition
     # out), so the rank windows and the full-outer fuse need NO
     # exchange: a fully shuffle-free returned plan.
+    # per-type daily rollup + the type-partitioned record windows +
+    # final rollup/sort.
+    "running_records_daily": 3,
     "rrf_fusion_topk": 0,
     "running_sum": 1,
     # daily count shuffle + the calendar-bounded series staging (the

@@ -306,3 +306,79 @@ def test_isotonic_daily_trend_equals_pava(spark):
     # monotone, and mass-preserving (both exact PAVA properties)
     assert all(b >= a - 1e-9 for a, b in zip(got, got[1:]))
     assert abs(sum(got) - sum(daily)) < 1e-3 * max(1, sum(daily))
+
+
+def test_bollinger_bands_match_pandas_rolling(spark):
+    import duckdb
+    import numpy as np
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+
+    from .conftest import SF_SMALL
+
+    queries()
+    out = (
+        REGISTRY["bollinger_bands_daily"]
+        .fn(spark, SF_SMALL)
+        .orderBy("day")
+        .toPandas()
+    )
+    daily = duckdb.sql(
+        f"SELECT CAST(ts AS DATE) d, COUNT(*) n FROM "
+        f"'{SF_SMALL}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    s = daily["n"].astype(float)
+    m = s.rolling(7).mean()
+    sd = s.rolling(7).std(ddof=1)
+    assert len(out) == len(daily) - 6
+    for i, row in enumerate(out.itertuples(index=False)):
+        j = i + 6
+        assert abs(row.mean_7d - m.iloc[j]) < 1e-3
+        assert abs(row.sd_7d - sd.iloc[j]) < 1e-3
+        assert abs(row.upper_band - (m.iloc[j] + 2 * sd.iloc[j])) < 2e-3
+        assert row.breach == bool(
+            s.iloc[j] > m.iloc[j] + 2 * sd.iloc[j]
+            or s.iloc[j] < m.iloc[j] - 2 * sd.iloc[j]
+        )
+
+
+def test_running_records_match_bruteforce(spark):
+    import duckdb
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+
+    from .conftest import SF_SMALL
+
+    queries()
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["running_records_daily"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .to_dict("records")
+    }
+    rows = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS DATE) d, COUNT(*) n FROM "
+        f"'{SF_SMALL}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for t, d, n in rows:
+        series[t].append((d, n))
+    for t, pts in series.items():
+        best, recs, last = -1, 0, None
+        for d, n in pts:
+            if n > best:
+                best, recs, last = n, recs + 1, d
+        r = out[t]
+        assert r["n_days"] == len(pts)
+        assert r["n_records"] == recs
+        assert r["last_record_day"] == last
+        assert r["max_count"] == best
