@@ -1,5 +1,6 @@
-"""Warehouse / sketch additions, wave 2 (r08): KMV distinct sketch
-with a mergeability demo, and a referential-integrity coverage audit.
+"""Warehouse / sketch additions, wave 2 (r08): the KMV sketch family
+(cardinality, union merge, pairwise Jaccard), a capture-recapture
+population estimator, and a referential-integrity coverage audit.
 
 - ``kmv_distinct_sketch``: the K-Minimum-Values distinct-count sketch
   (Bar-Yossef et al. 2002) next to the engine's HLL family — per
@@ -13,6 +14,10 @@ with a mergeability demo, and a referential-integrity coverage audit.
   (+ the events->customer linkage), child rows / distinct child keys /
   matched keys / orphan rows — the dbt-style relationship test as ONE
   query instead of per-edge assertions.
+- ``capture_recapture_estimate``: Chapman two-sample population
+  estimate from md5-salted sparse event samples.
+- ``kmv_jaccard_types``: pairwise set similarity from the k-minimum
+  survivor sets alone (Beyer et al.), exact Jaccard riding along.
 
 House rules as everywhere: integer-exact arithmetic (the KMV estimate
 is an integer division of exact integers), mirrored oracles, no
@@ -335,10 +340,7 @@ FROM agg
     tags=("relational", "sketch", "stats", "bench"),
 )
 def q_capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from reddit_data_pipeline_engineering_spark.operators.bloom import (
-        salted_md5_pos_sql,  # noqa: F401 (same salt device, SQL side)
-    )
-
+    # Salted-hash device mirrors operators/bloom.salted_md5_pos_sql.
     ev = load_table(spark, sf_dir, "events")
 
     def cap(salt: str) -> F.Column:
