@@ -103,7 +103,8 @@ def _pca_iter_ctes(iters: int = _PCA_ITERS) -> str:
     parts.append("tr AS (SELECT SUM(c) AS tr FROM cov WHERE i = j)")
     parts.append(
         f"""ev AS (
-  SELECT CAST(num // (den * GREATEST(tr // {_VS}, 1)) AS BIGINT) AS ev_ppm
+  SELECT CAST(COALESCE(num // NULLIF(den * GREATEST(tr // {_VS}, 1), 0),
+                       0) AS BIGINT) AS ev_ppm
   FROM stats CROSS JOIN tr
 )"""
     )
@@ -167,6 +168,14 @@ def q_pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "coordinate grid outside the int64 partial-Gram bound — "
                 "shrink the quantization scale"
             )
+            # rows * max|q|^2 must stay inside int64: with |q| < 3e6 a
+            # batch may hold up to ~5e5 rows. Arrow's default batch is
+            # 10k rows; a retuned maxRecordsPerBatch could exceed the
+            # bound, and numpy wraps silently — so fail loudly instead.
+            assert m.shape[0] < 500_000, (
+                "Arrow batch too large for the int64 partial-Gram bound"
+                " — lower spark.sql.execution.arrow.maxRecordsPerBatch"
+            )
             g = m.T @ m
             d = m.shape[1]
             ii, jj = np.indices((d, d))
@@ -209,14 +218,19 @@ def q_pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = [_VS] * d
     for _ in range(_PCA_ITERS):
         w = [sum(cov[i][j] * v[j] for j in range(d)) for i in range(d)]
-        m = max(abs(x) for x in w)
+        m = max((abs(x) for x in w), default=0)
         scale = max(m // _VS, 1)
         v = [(1 if x >= 0 else -1) * (abs(x) // scale) for x in w]
     wf = [sum(cov[i][j] * v[j] for j in range(d)) for i in range(d)]
     num = sum(v[i] * wf[i] for i in range(d))
     den = sum(x * x for x in v)
     tr = sum(cov[i][i] for i in range(d))
-    ev_ppm = num // (den * max(tr // _VS, 1))
+    # Degenerate input (zero-variance embeddings): v collapses to all
+    # zeros and den = 0 — emit ev_ppm = 0 instead of dividing (the
+    # oracle's NULLIF mirrors this).
+    ev_ppm = (
+        num // (den * max(tr // _VS, 1)) if den > 0 else 0
+    )
     k = min(range(d), key=lambda i: (-abs(v[i]), i))
     if v[k] < 0:
         v = [-x for x in v]

@@ -333,7 +333,7 @@ FROM agg
     "capture_recapture_estimate",
     _CR_ORACLE,
     "Chapman capture-recapture population estimate of distinct users "
-    "from two independent md5-salted 50% event samples: per-user "
+    "from two independent md5-salted 0.5% event samples: per-user "
     "capture flags in ONE user-keyed aggregate, N_hat = "
     "(n1+1)(n2+1) div (m+1) - 1, err_ppm vs the exact distinct — the "
     "two-lossy-log-streams population estimator next to KMV",

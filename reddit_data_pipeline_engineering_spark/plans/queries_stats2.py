@@ -46,6 +46,94 @@ def _dec(col) -> F.Column:
 
 
 # --------------------------------------------------------------------------
+# Shared constructions (review r08: degree_assortativity and
+# rich_club_coefficient build the SAME degree-joined edge relation, and
+# mantel_haenszel_uplift / permutation_test_ab share the z-test's
+# high-value conversion flag — one definition each, so the statistics
+# can never silently desynchronize).
+# --------------------------------------------------------------------------
+
+#: oracle CTE prefix: symmetrized customer-supplier graph (tag-bit node
+#: ids as in pagerank_topk) + degree dim + the degree-joined edge
+#: relation ed(x, y).
+_CS_GRAPH_CTES = """pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+), deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS HUGEINT) AS d FROM edges GROUP BY 1
+), ed AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM edges e
+  JOIN deg ds ON ds.node = e.src
+  JOIN deg dd ON dd.node = e.dst
+)"""
+
+
+def _cs_graph(spark: SparkSession, sf_dir: str):
+    """(edges, deg, ed): the symmetrized customer-supplier graph, its
+    degree dimension (decimal(38,0) counts), and the degree-joined
+    edge relation with columns (x, y) = (deg(src), deg(dst))."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    up = pairs.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    down = pairs.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+    )
+    edges = up.union(down).localCheckpoint(eager=False)
+    deg = (
+        edges.groupBy("src")
+        .agg(_dec(F.count(F.lit(1))).alias("d"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=False)
+    )
+    ed = (
+        edges.join(
+            deg.select(F.col("node").alias("ns"), F.col("d").alias("x")),
+            F.col("src") == F.col("ns"),
+        )
+        .join(
+            deg.select(F.col("node").alias("nd"), F.col("d").alias("y")),
+            F.col("dst") == F.col("nd"),
+        )
+        .select("x", "y")
+    )
+    return edges, deg, ed
+
+
+#: the z-test family's conversion metric, one SQL definition.
+_HV_CONV_SQL = (
+    "MAX(CASE WHEN event_type = 'purchase' AND value > 150"
+    " THEN 1 ELSE 0 END)"
+)
+
+
+def _hv_conv_per_user(ev: DataFrame) -> DataFrame:
+    """Per-user high-value conversion flag (the ab_conversion_ztest /
+    wilson_conversion_ci metric): any purchase event with value > 150."""
+    return ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+
+
+# --------------------------------------------------------------------------
 # One-way ANOVA F across document sources (token-length response).
 #
 # With per-group exact integers (n_g, S_g = Sum x, and global Q = Sum x^2):
@@ -62,11 +150,13 @@ def _dec(col) -> F.Column:
 # land ssb a few 1e-6 units NEGATIVE (k truncations down vs one), so both
 # legs clamp with GREATEST(.., 0).
 #
-# Magnitudes (int64 div-result ceiling): t_g ~ n_g * mean^2 * 1e6; at
-# mean ~ 100 tokens that holds to n_g ~ 9e8 docs PER SOURCE (~ tens of TB
-# of text at this row size); beyond, drop the 1e6 scale or pre-scale x.
-# The decimal(38,0) intermediates (S_g^2 * 1e6 ~ (n_g * mean)^2 * 1e6)
-# hold to n_g ~ 1e13. One token-count scan + one 20-row rollup; no joins.
+# Magnitudes (int64 div-result ceiling — Spark's decimal `div` returns
+# LONG and silently wraps): the BINDING term is the global one,
+# (S^2 * 1e6) div N ~ N * mean^2 * 1e6, so at mean ~ 100 tokens the
+# ceiling is N ~ 9e8 docs TOTAL (per-group terms bind later); beyond,
+# drop the 1e6 scale or pre-scale x — the F statistic is scale-
+# invariant. The decimal(38,0) intermediates (S^2 * 1e6) hold to
+# N ~ 1e13. One token-count scan + one 20-row rollup; no joins.
 # --------------------------------------------------------------------------
 
 _ANOVA_ORACLE = f"""
@@ -128,11 +218,20 @@ def q_anova_f_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").alias("qq"),
         F.sum(_dec(F.col("tg"))).alias("tt"),
     )
+    # ssb and ssw both stay DECIMAL internally (symmetric with the
+    # oracle's HUGEINT; an int64 cast here would overflow k-times
+    # earlier than the documented div ceiling).
     parts = agg.select(
         "k",
         "nn",
-        F.expr("greatest(tt - (ss * ss * 1000000) div nn, 0L)").alias("ssb"),
-        F.expr("greatest(cast(qq * 1000000 - tt as long), 0L)").alias("ssw"),
+        F.expr(
+            "greatest(cast(tt - (ss * ss * 1000000) div nn"
+            " as decimal(38,0)), cast(0 as decimal(38,0)))"
+        ).alias("ssb"),
+        F.expr(
+            "greatest(cast(qq * 1000000 - tt as decimal(38,0)),"
+            " cast(0 as decimal(38,0)))"
+        ).alias("ssw"),
     )
     return parts.select(
         F.col("k").alias("k_groups"),
@@ -146,8 +245,7 @@ def q_anova_f_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
         F.expr(
-            "cast((cast(ssb as decimal(38,0)) * 1000000)"
-            " div (cast(ssb as decimal(38,0)) + ssw) as long)"
+            "cast((ssb * 1000000) div (ssb + ssw) as long)"
         ).alias("eta2_ppm"),
     )
 
@@ -180,6 +278,7 @@ WITH q AS (
   SELECT event_type,
          CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS HUGEINT) AS x
   FROM events WHERE event_type IN ('purchase', 'view')
+    AND value IS NOT NULL
 ), arms AS (
   SELECT
     CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
@@ -226,6 +325,7 @@ FROM d
 def q_welch_cohen_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
     )
     x = (F.col("value").cast("decimal(14,4)") * 10000).cast("decimal(38,0)")
     zero = F.lit(0).cast("decimal(38,0)")
@@ -313,7 +413,8 @@ def q_welch_cohen_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CRAMER_ORACLE = """
 WITH cells AS (
   SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS o
-  FROM documents GROUP BY 1, 2
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
 ), rowm AS (
   SELECT lang, SUM(o) AS r FROM cells GROUP BY 1
 ), colm AS (
@@ -355,7 +456,9 @@ FROM tot
     tags=("relational", "stats", "bench"),
 )
 def q_cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
     cells = docs.groupBy("lang", "source").agg(
         _dec(F.count(F.lit(1))).alias("o")
     )
@@ -428,22 +531,8 @@ def q_cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
 # node-dimension-sized, orders smaller than the fact scan.
 # --------------------------------------------------------------------------
 
-_ASSORT_ORACLE = """
-WITH pairs AS MATERIALIZED (
-  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-), edges AS MATERIALIZED (
-  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
-  UNION ALL
-  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
-), deg AS MATERIALIZED (
-  SELECT src AS node, CAST(COUNT(*) AS HUGEINT) AS d FROM edges GROUP BY 1
-), ed AS (
-  SELECT ds.d AS x, dd.d AS y
-  FROM edges e
-  JOIN deg ds ON ds.node = e.src
-  JOIN deg dd ON dd.node = e.dst
-), moms AS (
+_ASSORT_ORACLE = f"""
+WITH {_CS_GRAPH_CTES}, moms AS (
   SELECT CAST(COUNT(*) AS HUGEINT) AS n,
          SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
          SUM(x * x) AS sxx, SUM(y * y) AS syy
@@ -470,37 +559,7 @@ FROM moms
     tags=("relational", "graph", "stats", "bench"),
 )
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-    )
-    up = pairs.select(
-        (F.col("o_custkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    )
-    down = pairs.select(
-        (F.col("l_suppkey") * 2 + 1).alias("src"),
-        (F.col("o_custkey") * 2).alias("dst"),
-    )
-    edges = up.union(down).localCheckpoint(eager=False)
-    deg = edges.groupBy("src").agg(
-        _dec(F.count(F.lit(1))).alias("d")
-    ).withColumnRenamed("src", "node")
-    deg = deg.localCheckpoint(eager=False)
-    ed = (
-        edges.join(
-            deg.select(F.col("node").alias("ns"), F.col("d").alias("x")),
-            F.col("src") == F.col("ns"),
-        )
-        .join(
-            deg.select(F.col("node").alias("nd"), F.col("d").alias("y")),
-            F.col("dst") == F.col("nd"),
-        )
-        .select("x", "y")
-    )
+    _, deg, ed = _cs_graph(spark, sf_dir)
     moms = ed.agg(
         _dec(F.count(F.lit(1))).alias("n"),
         F.sum("x").alias("sx"),
@@ -732,7 +791,7 @@ _RICH_KS = (2, 4, 8, 16, 32)
 
 def _rich_oracle() -> str:
     edge_cols = ",\n".join(
-        f"         SUM(CASE WHEN ds.d > {k} AND dd.d > {k} THEN 1 ELSE 0 END)"
+        f"         SUM(CASE WHEN x > {k} AND y > {k} THEN 1 ELSE 0 END)"
         f" AS e{k}"
         for k in _RICH_KS
     )
@@ -749,21 +808,10 @@ def _rich_oracle() -> str:
         for k in _RICH_KS
     )
     return f"""
-WITH pairs AS MATERIALIZED (
-  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-), edges AS MATERIALIZED (
-  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
-  UNION ALL
-  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
-), deg AS MATERIALIZED (
-  SELECT src AS node, CAST(COUNT(*) AS HUGEINT) AS d FROM edges GROUP BY 1
-), e AS (
+WITH {_CS_GRAPH_CTES}, e AS (
   SELECT
 {edge_cols}
-  FROM edges ed
-  JOIN deg ds ON ds.node = ed.src
-  JOIN deg dd ON dd.node = ed.dst
+  FROM ed
 ), n AS (
   SELECT
 {node_cols}
@@ -785,39 +833,7 @@ ORDER BY k
     tags=("relational", "graph", "stats", "bench"),
 )
 def q_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-    )
-    up = pairs.select(
-        (F.col("o_custkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    )
-    down = pairs.select(
-        (F.col("l_suppkey") * 2 + 1).alias("src"),
-        (F.col("o_custkey") * 2).alias("dst"),
-    )
-    edges = up.union(down).localCheckpoint(eager=False)
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .withColumnRenamed("src", "node")
-        .localCheckpoint(eager=False)
-    )
-    ed = (
-        edges.join(
-            deg.select(F.col("node").alias("ns"), F.col("d").alias("x")),
-            F.col("src") == F.col("ns"),
-        )
-        .join(
-            deg.select(F.col("node").alias("nd"), F.col("d").alias("y")),
-            F.col("dst") == F.col("nd"),
-        )
-        .select("x", "y")
-    )
+    _, deg, ed = _cs_graph(spark, sf_dir)
     e_row = ed.agg(
         *[
             F.sum(
@@ -975,13 +991,12 @@ def q_jackknife_se_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nation-bounded rollup.
 # --------------------------------------------------------------------------
 
-_MH_ORACLE = """
+_MH_ORACLE = f"""
 WITH per_user AS (
   SELECT e.user_id,
          CASE WHEN ('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 8))
                    ::BIGINT % 2 = 0 THEN 0 ELSE 1 END AS arm,
-         MAX(CASE WHEN e.event_type = 'purchase' AND e.value > 150
-                  THEN 1 ELSE 0 END) AS conv
+         {_HV_CONV_SQL} AS conv
   FROM events e GROUP BY 1
 ), strat AS (
   SELECT c.c_nationkey AS nat, u.arm, u.conv
@@ -1035,14 +1050,9 @@ def q_mantel_haenszel_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer")
-    per_user = ev.groupBy("user_id").agg(
-        F.max(
-            F.when(
-                (F.col("event_type") == "purchase") & (F.col("value") > 150),
-                1,
-            ).otherwise(0)
-        ).alias("conv")
-    ).withColumn("arm", md5_bucket("user_id", 2))
+    per_user = _hv_conv_per_user(ev).withColumn(
+        "arm", md5_bucket("user_id", 2)
+    )
     strat = per_user.join(
         F.broadcast(cust.select("c_custkey", "c_nationkey")),
         per_user["user_id"] == F.col("c_custkey"),
@@ -1272,9 +1282,7 @@ _PERM_B = 64
 
 _PERM_ORACLE = f"""
 WITH per_user AS (
-  SELECT user_id,
-         MAX(CASE WHEN event_type = 'purchase' AND value > 150
-                  THEN 1 ELSE 0 END) AS conv
+  SELECT user_id, {_HV_CONV_SQL} AS conv
   FROM events GROUP BY 1
 ), salts AS (
   SELECT unnest(generate_series(0, {_PERM_B})) AS sid
@@ -1330,14 +1338,7 @@ GROUP BY o.n1, o.n2, o.d_e6
 )
 def q_permutation_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.max(
-            F.when(
-                (F.col("event_type") == "purchase") & (F.col("value") > 150),
-                1,
-            ).otherwise(0)
-        ).alias("conv")
-    )
+    per_user = _hv_conv_per_user(ev)
     salts = spark.range(0, _PERM_B + 1, 1, 1).select(
         F.col("id").alias("sid")
     )
