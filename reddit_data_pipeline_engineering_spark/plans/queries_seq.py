@@ -31,6 +31,69 @@ from pyspark.sql import functions as F
 from reddit_data_pipeline_engineering_spark.plans.queries import query
 from reddit_data_pipeline_engineering_spark.sources.tables import load_table
 
+
+def _daily_type_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, day, n) daily counts — the shared series behind the
+    drift trio (event_rate_cusum / seasonal_dow_anomalies /
+    cusum_changepoint): one definition so the three complementary
+    detectors always score the same series."""
+    return ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _conversion_durations(
+    spark: SparkSession, sf_dir: str, extra_cols: dict | None = None
+) -> DataFrame:
+    """Signup-to-next-purchase durations in whole hours, right-censored
+    at 72 (the shared construction behind kaplan_meier_conversion and
+    logrank_ab_survival — the KM curve and the log-rank test must
+    describe the SAME durations). ``extra_cols`` maps output name ->
+    signup-side Column to project through (e.g. an A/B arm)."""
+    from reddit_data_pipeline_engineering_spark.operators.asof import asof_join
+    from reddit_data_pipeline_engineering_spark.operators.dedup import (
+        window_dedup,
+    )
+
+    extra_cols = extra_cols or {}
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        "event_id",
+        *[c.alias(n) for n, c in extra_cols.items()],
+    )
+    purchases = window_dedup(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        ),
+        ["user_id", "ts"],
+        ["event_id"],
+        keep="first",
+    )
+    j = asof_join(
+        signups,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=("event_id",),
+        suffix="_np",
+        direction="forward",
+    )
+    dur = (
+        F.when(F.col("ts_np").isNull(), F.lit(72))
+        .otherwise(
+            F.least(
+                F.lit(72),
+                F.expr("timestampdiff(MICROSECOND, ts, ts_np) div 3600000000"),
+            )
+        )
+        .cast("long")
+        .alias("t")
+    )
+    return j.select(*extra_cols.keys(), dur).localCheckpoint(eager=False)
+
 # --------------------------------------------------------------------------
 # Pareto skyline over part: minimize price, maximize size. A part point
 # is dominated iff another point has price <= AND size >= with at least
@@ -153,9 +216,7 @@ FROM run ORDER BY event_type, day
 )
 def q_event_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = _daily_type_counts(ev)
     w_t = Window.partitionBy("event_type")
     w_o = (
         Window.partitionBy("event_type")
@@ -455,9 +516,7 @@ def seasonal_dow_scores(daily: DataFrame) -> DataFrame:
 )
 def q_seasonal_dow_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = _daily_type_counts(ev)
     return seasonal_dow_scores(daily)
 
 
@@ -849,9 +908,7 @@ ORDER BY event_type
 )
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = _daily_type_counts(ev)
     return changepoint_from_daily(daily)
 
 
@@ -1004,44 +1061,7 @@ ORDER BY t_hours
     tags=("relational", "stats", "timeseries", "bench"),
 )
 def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from reddit_data_pipeline_engineering_spark.operators.asof import asof_join
-    from reddit_data_pipeline_engineering_spark.operators.dedup import (
-        window_dedup,
-    )
-
-    ev = load_table(spark, sf_dir, "events")
-    signups = ev.filter(F.col("event_type") == "signup").select(
-        "user_id", "ts", "event_id"
-    )
-    purchases = window_dedup(
-        ev.filter(F.col("event_type") == "purchase").select(
-            "user_id", "ts", "event_id"
-        ),
-        ["user_id", "ts"],
-        ["event_id"],
-        keep="first",
-    )
-    j = asof_join(
-        signups,
-        purchases,
-        on="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        right_cols=("event_id",),
-        suffix="_np",
-        direction="forward",
-    )
-    durs = j.select(
-        F.when(F.col("ts_np").isNull(), F.lit(72))
-        .otherwise(
-            F.least(
-                F.lit(72),
-                F.expr("timestampdiff(MICROSECOND, ts, ts_np) div 3600000000"),
-            )
-        )
-        .cast("long")
-        .alias("t")
-    )
+    durs = _conversion_durations(spark, sf_dir)
     grouped = durs.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
     rows_ = sorted(
         ((int(r["t"]), int(r["c"])) for r in grouped.collect())
@@ -1165,47 +1185,12 @@ FROM agg
 def q_logrank_ab_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from reddit_data_pipeline_engineering_spark.operators.asof import asof_join
     from reddit_data_pipeline_engineering_spark.operators.corpus import (
         md5_bucket,
     )
-    from reddit_data_pipeline_engineering_spark.operators.dedup import (
-        window_dedup,
-    )
 
-    ev = load_table(spark, sf_dir, "events")
-    signups = ev.filter(F.col("event_type") == "signup").select(
-        "user_id", "ts", "event_id", md5_bucket("user_id", 2).alias("grp")
-    )
-    purchases = window_dedup(
-        ev.filter(F.col("event_type") == "purchase").select(
-            "user_id", "ts", "event_id"
-        ),
-        ["user_id", "ts"],
-        ["event_id"],
-        keep="first",
-    )
-    j = asof_join(
-        signups,
-        purchases,
-        on="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        right_cols=("event_id",),
-        suffix="_np",
-        direction="forward",
-    )
-    durs = j.select(
-        "grp",
-        F.when(F.col("ts_np").isNull(), F.lit(72))
-        .otherwise(
-            F.least(
-                F.lit(72),
-                F.expr("timestampdiff(MICROSECOND, ts, ts_np) div 3600000000"),
-            )
-        )
-        .cast("long")
-        .alias("t"),
+    durs = _conversion_durations(
+        spark, sf_dir, {"grp": md5_bucket("user_id", 2)}
     )
     per = durs.groupBy("t").agg(
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))

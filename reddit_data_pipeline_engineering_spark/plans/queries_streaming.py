@@ -1096,13 +1096,24 @@ WITH bounds AS (
   FROM ordered GROUP BY 1, 2
 )
 SELECT o.user_id, o.event_type, o.ts, o.value,
-       CAST(o.t - s.ts_list[1] AS BIGINT) AS covered_micros,
-       CASE WHEN o.t - s.ts_list[1] = 0 THEN NULL ELSE
+       CAST(GREATEST(o.t - s.ts_list[1], 0) AS BIGINT) AS covered_micros,
+       CASE WHEN GREATEST(o.t - s.ts_list[1], 0) = 0 THEN NULL ELSE
          list_reduce(list_slice(s.els, 1, o.rn),
+           -- stale (out-of-order) elements add zero mass and do not
+           -- take over as the LOCF holder — mirrors the stream fold's
+           -- late-event clamp. All three fields use CASE (not
+           -- GREATEST): DuckDB 1.0's lambda planner miscompiles
+           -- GREATEST over both lambda params inside struct_pack
+           -- (verified: the fold silently drops every step after the
+           -- first), while the equivalent CASE folds correctly.
            (acc, x) -> struct_pack(
-             t := x.t, v := x.v,
-             acc := acc.acc + acc.v * CAST(x.t - acc.t AS DOUBLE))
-         ).acc / CAST(o.t - s.ts_list[1] AS DOUBLE) END AS twa
+             t := CASE WHEN x.t >= acc.t THEN x.t ELSE acc.t END,
+             v := CASE WHEN x.t >= acc.t THEN x.v ELSE acc.v END,
+             acc := acc.acc + acc.v * CAST(
+               CASE WHEN x.t >= acc.t THEN x.t - acc.t ELSE 0 END
+               AS DOUBLE))
+         ).acc / CAST(GREATEST(o.t - s.ts_list[1], 0) AS DOUBLE)
+       END AS twa
 FROM ordered o JOIN seqs s USING (user_id, event_type)
 """
 

@@ -119,7 +119,9 @@ def _probe_wav(payload: bytes) -> dict:
     n_channels = sample_rate = bits = data_size = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
-        (csize,) = struct.unpack_from("<i", payload, pos + 4)
+        # RIFF sizes are unsigned; parsing as signed let a corrupt
+        # high-bit size drive the walk backwards (infinite loop).
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)
         if cid == b"fmt " and pos + 24 <= len(payload):
             _, n_channels, sample_rate = struct.unpack_from(
                 "<hhi", payload, pos + 8
@@ -195,7 +197,11 @@ def _probe_jpeg(payload: bytes) -> dict:
         if marker == 0xD9:  # EOI
             break
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
-        if marker in _JPEG_SOF_MARKERS and pos + 2 + seg_len <= len(payload):
+        if (
+            marker in _JPEG_SOF_MARKERS
+            and pos + 2 + seg_len <= len(payload)
+            and pos + 10 <= len(payload)  # the SOF unpack itself
+        ):
             _, h, w, n_comp = struct.unpack_from(">BHHB", payload, pos + 4)
             out.update(width=w, height=h, n_channels=n_comp)
             break
@@ -612,7 +618,7 @@ def decode_wav_pcm(payload: bytes) -> "np.ndarray":
     pos, bits, data = 12, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
-        (csize,) = struct.unpack_from("<i", payload, pos + 4)
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)  # unsigned
         if cid == b"fmt ":
             (bits,) = struct.unpack_from("<h", payload, pos + 22)
         elif cid == b"data":

@@ -49,7 +49,9 @@ def ema_stream(
     every EMA) independent of file/partition layout, since ordering among
     equal (ts, value) rows cannot change the value sequence. Across
     batches, arrival order governs (late events do not rewrite history —
-    the documented semantics of online EMA).
+    the documented semantics of online EMA). NULL/NaN values are dropped
+    — one missing reading must not turn every later EMA of the key into
+    NaN.
     """
     a = float(alpha)
     kc, tc, vc = key_col, ts_col, value_col
@@ -63,6 +65,7 @@ def ema_stream(
             ema, n = None, 0
         outs = []
         for pdf in pdf_iter:
+            pdf = pdf[pdf[vc].notna()]
             pdf = pdf.sort_values([tc, vc], kind="stable").reset_index(
                 drop=True
             )
@@ -111,8 +114,12 @@ def cusum_stream(
 
     ``s_i = max(0, s_{i-1} + v_scaled_i - drift)`` with an alarm when
     ``s_i > threshold`` — the classic change-point recurrence (Page 1954)
-    over an INTEGER grid: values are scaled by 100 and rounded to int64,
-    so state, scores and alarms are bit-exact on any engine.
+    over an INTEGER grid: values are scaled by 100 and rounded to int64
+    HALF AWAY FROM ZERO (sign * floor(|v*100| + 0.5) — mirroring SQL
+    ROUND; pandas' .round() is banker's and would diverge on half-grid
+    values), so state, scores and alarms are bit-exact on any engine.
+    NULL/NaN values are dropped (an online detector skips missing
+    readings rather than crashing or poisoning state).
 
     Emits one row per event: (key, ts, v_scaled, cusum, alarm). Within a
     micro-batch rows fold in (ts, value) order (value tiebreak — tied
@@ -132,13 +139,19 @@ def cusum_stream(
     def fold(key, pdf_iter, state):
         import pandas as pd
 
+        import numpy as np
+
         s = state.get[0] if state.exists else 0
         outs = []
         for pdf in pdf_iter:
+            pdf = pdf[pdf[vc].notna()]
             pdf = pdf.sort_values([tc, vc], kind="stable").reset_index(
                 drop=True
             )
-            scaled = (pdf[vc] * 100.0).round().astype("int64")
+            y = pdf[vc].to_numpy(dtype="float64") * 100.0
+            scaled = pd.Series(
+                (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype("int64")
+            )
             ss = []
             for v in scaled:
                 s = max(0, s + int(v) - k)
@@ -188,8 +201,12 @@ def twa_stream(
     key's first observation and ``twa`` the running LOCF average (NULL
     until time has elapsed). Within a micro-batch rows fold in
     ``(ts, value)`` order; ties at equal ts carry zero weight, so tie
-    order cannot change the accumulators. State is O(1) per key:
-    (t_first, last_t, last_v, acc_vdt).
+    order cannot change the accumulators. A LATE cross-batch event
+    (older than the key's last observation) contributes ZERO mass
+    instead of negative mass (dt clamped at 0 — without the clamp one
+    straggler would permanently corrupt the accumulator), and its
+    covered span clamps at 0 likewise; NULL/NaN values are dropped.
+    State is O(1) per key: (t_first, last_t, last_v, acc_vdt).
     """
     k1, k2 = key_cols
     tc, vc = ts_col, value_col
@@ -203,6 +220,7 @@ def twa_stream(
             t0, last_t, last_v, acc = None, None, None, 0.0
         outs = []
         for pdf in pdf_iter:
+            pdf = pdf[pdf[vc].notna()]
             pdf = pdf.sort_values([tc, vc], kind="stable").reset_index(
                 drop=True
             )
@@ -211,11 +229,12 @@ def twa_stream(
                 t = int(pd.Timestamp(ts_val).value // 1000)  # ns -> us
                 v = float(v)
                 if t0 is None:
-                    t0 = t
-                else:
+                    t0, last_t, last_v = t, t, v
+                elif t >= last_t:
                     acc = acc + last_v * float(t - last_t)
-                last_t, last_v = t, v
-                c = t - t0
+                    last_t, last_v = t, v
+                # else: STALE event — zero mass, holder unchanged
+                c = max(t - t0, 0)
                 covered.append(c)
                 twas.append(acc / float(c) if c > 0 else None)
             outs.append(

@@ -246,9 +246,9 @@ BUDGETS = {
     "lang_confusion_matrix": 3,
     "lang_id": 0,
     "large_volume_customers": 2,
-    # as-of join windows + the bounded 73-bucket rollup + the
-    # calendar-bounded suffix windows + two single-row rollups.
-    "logrank_ab_survival": 5,
+    # shared checkpointed duration relation (as-of join runs at its
+    # materialization) + the calendar-bounded suffix windows + rollups.
+    "logrank_ab_survival": 3,
     "local_supplier_volume": 2,
     # Per-round LPA shuffles run during construction against
     # checkpointed label state; the returned plan is the final
