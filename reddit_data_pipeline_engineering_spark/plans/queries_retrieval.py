@@ -1250,11 +1250,16 @@ def q_prf_expansion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("word").isin(*_BM25_TERMS))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("fbtf"))
+        .localCheckpoint(eager=False)
     )
+    # Prune BEFORE the distinct: the broadcast candidate-term join cuts
+    # the (doc, word) stream to candidate hits ahead of the aggregate's
+    # shuffle (join key = grouping key, so join-then-distinct is
+    # equivalent; Catalyst does not push joins below aggregates itself).
     gdf = (
-        words.select("doc_id", "word")
+        words.join(F.broadcast(cand.select("word")), "word")
+        .select("doc_id", "word")
         .distinct()
-        .join(F.broadcast(cand.select("word")), "word")
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )

@@ -23,6 +23,7 @@ from reddit_data_pipeline_engineering_spark.operators.layout import (
 from reddit_data_pipeline_engineering_spark.operators.scd import scd2
 from reddit_data_pipeline_engineering_spark.plans.queries import (
     DEC_PRICE,
+    DEC_VALUE,
     REGISTRY,
     _dsum,
     query,
@@ -375,7 +376,7 @@ def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            _dsum(F.col("value"), "14,4").alias("sum_value"),
+            _dsum(F.col("value"), DEC_VALUE).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -402,17 +403,17 @@ def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HILBERT_BITS = 4
 
 
-def _hilbert_ctes(bits: int = _HILBERT_BITS) -> str:
+def _hilbert_ctes(bits: int = _HILBERT_BITS) -> "tuple[str, int]":
     n = 2**bits
     parts = [
-        """r0 AS (
+        f"""r0 AS (
   SELECT o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
          CAST(0 AS BIGINT) AS d,
          CAST(GREATEST(0, LEAST(15, CAST(FLOOR((o_totalprice - 0.0)
-             / 40000.0) AS BIGINT))) AS BIGINT) AS hx,
+             / {_PRICE_STEP}) AS BIGINT))) AS BIGINT) AS hx,
          CAST(GREATEST(0, LEAST(15, CAST(FLOOR((
              (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
-           - 0.0) / 6.0) AS BIGINT))) AS BIGINT) AS hy
+           - 0.0) / {_MONTH_STEP}) AS BIGINT))) AS BIGINT) AS hy
   FROM orders)"""
     ]
     s, t = n // 2, 0
@@ -465,8 +466,8 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("o_orderdate") - F.lit(1992)) * 12
         + F.month("o_orderdate") - F.lit(1)
     )
-    pb = quantize(F.col("o_totalprice"), lo=0.0, step=40000.0, bits=4)
-    db = quantize(months, lo=0.0, step=6.0, bits=4)
+    pb = quantize(F.col("o_totalprice"), lo=0.0, step=_PRICE_STEP, bits=4)
+    db = quantize(months, lo=0.0, step=_MONTH_STEP, bits=4)
     return (
         orders.withColumn("hkey", hilbert_key_2d(pb, db, bits=_HILBERT_BITS))
         .groupBy("hkey")
@@ -520,7 +521,6 @@ ORDER BY pa, cosine2_scaled DESC, pb
     tags=("relational", "warehouse", "bench"),
 )
 def q_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.select(
@@ -578,9 +578,11 @@ WITH bm AS (
 c AS (SELECT w, bits FROM bm WHERE event_type = 'click'),
 v AS (SELECT w, bits FROM bm WHERE event_type = 'view'),
 alg AS (
+  -- intersection only: difference comes by subtraction from the totals
+  -- (an inner-join bit_count(a & ~b) would drop click words with no
+  -- matching view word and undercount)
   SELECT
-    CAST(SUM(bit_count(c.bits & v.bits)) AS BIGINT) AS n_both,
-    CAST(SUM(bit_count(c.bits & ~v.bits)) AS BIGINT) AS n_click_only_j
+    CAST(SUM(bit_count(c.bits & v.bits)) AS BIGINT) AS n_both
   FROM c JOIN v USING (w)
 ),
 tot AS (
@@ -1774,8 +1776,7 @@ ORDER BY rule
     tags=("relational", "warehouse", "audit", "bench"),
 )
 def q_scd2_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
+    W = Window
     ev = load_table(spark, sf_dir, "events")
     dim = scd2(ev, key="user_id", attr="event_type", ts="ts",
                order_cols=("event_id",))
