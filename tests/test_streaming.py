@@ -816,3 +816,53 @@ def test_streaming_case(name, stream_outcomes):
     res = stream_outcomes[name]
     if res is not None:
         raise res
+
+
+def test_duckdb_lambda_greatest_bug_workaround_pinned():
+    """DuckDB 1.0's list_reduce miscompiles GREATEST over both lambda
+    params inside struct_pack (the fold silently keeps only the first
+    step) — discovered wiring the TWA oracle's late-event clamp. The
+    oracle uses the equivalent CASE form; this test pins BOTH facts so
+    a DuckDB upgrade that fixes the bug surfaces here (at which point
+    the CASE workaround may be simplified, or kept — it is correct
+    either way)."""
+    import duckdb
+
+    base = """
+    WITH seq AS (
+      SELECT [struct_pack(t := CAST(100 AS BIGINT), v := CAST(2.0 AS DOUBLE),
+                          acc := CAST(0.0 AS DOUBLE)),
+              struct_pack(t := CAST(200 AS BIGINT), v := CAST(3.0 AS DOUBLE),
+                          acc := CAST(0.0 AS DOUBLE)),
+              struct_pack(t := CAST(500 AS BIGINT), v := CAST(4.0 AS DOUBLE),
+                          acc := CAST(0.0 AS DOUBLE))] AS els
+    )
+    SELECT list_reduce(els, {lam}).acc FROM seq
+    """
+    con = duckdb.connect()
+    case_lam = (
+        "(acc, x) -> struct_pack("
+        "t := CASE WHEN x.t >= acc.t THEN x.t ELSE acc.t END, "
+        "v := CASE WHEN x.t >= acc.t THEN x.v ELSE acc.v END, "
+        "acc := acc.acc + acc.v * CAST("
+        "CASE WHEN x.t >= acc.t THEN x.t - acc.t ELSE 0 END AS DOUBLE))"
+    )
+    expected = 2.0 * 100 + 3.0 * 300  # 1100
+    (got,) = con.execute(base.format(lam=case_lam)).fetchone()
+    assert got == expected  # the workaround folds correctly
+    greatest_lam = (
+        "(acc, x) -> struct_pack("
+        "t := GREATEST(acc.t, x.t), v := x.v, "
+        "acc := acc.acc + acc.v * CAST(x.t - acc.t AS DOUBLE))"
+    )
+    (buggy,) = con.execute(base.format(lam=greatest_lam)).fetchone()
+    if buggy == expected:  # pragma: no cover - future DuckDB fix
+        import warnings
+
+        warnings.warn(
+            "DuckDB fixed the GREATEST-in-lambda miscompile — the TWA "
+            "oracle's CASE workaround can be revisited",
+            stacklevel=1,
+        )
+    else:
+        assert buggy == 2.0 * 100  # the documented miscompile shape
