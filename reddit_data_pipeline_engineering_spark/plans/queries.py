@@ -1038,6 +1038,7 @@ _DRIVER_PENDING = [
     "markov_stationary_activity",
     "bollinger_bands_daily",
     "running_records_daily",
+    "simpson_diversity_sources",
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -1424,3 +1424,78 @@ def q_permutation_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div ({_PERM_B} + 1) as long)"
         ).alias("p_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inverse-Simpson effective vocabulary per source (r08) — the diversity
+# number next to Heaps' growth curve: how many EQUALLY-COMMON words
+# would produce this token distribution?
+#
+#   inv_simpson = 1 / Sum_w p_w^2 = T^2 / Sum_w c_w^2
+#
+# A pure integer ratio of exact sums (T = tokens, c_w = word counts) —
+# no log (unlike Shannon), so the whole statistic is engine-exact:
+# inv_simpson_e2 = (T^2 * 100) div Sum c^2, bounded by vocab * 100.
+# Low effective vocabulary vs raw vocabulary = a few words dominate —
+# the repetition signal a corpus-quality gate reads. One (source,
+# word) count + one source rollup; vocabulary-bounded intermediate.
+# Magnitudes: T^2 * 100 holds in decimal(38,0) to T ~ 1e18 tokens;
+# the div result <= vocab * 100 is int64-safe at any corpus size.
+# --------------------------------------------------------------------------
+
+_SIMPSON_ORACLE = f"""
+WITH words AS (
+  SELECT source, w.w AS word
+  FROM documents, UNNEST({_TOKS2}) AS w(w)
+), cnt AS (
+  SELECT source, word, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM words GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST((SUM(c) * SUM(c) * 100) // SUM(c * c) AS BIGINT)
+         AS inv_simpson_e2,
+       CAST(((SUM(c) * SUM(c) * 100) // SUM(c * c)) * 10000
+            // (COUNT(*) * 100) AS BIGINT) AS evenness_bp
+FROM cnt
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "simpson_diversity_sources",
+    _SIMPSON_ORACLE,
+    "Inverse-Simpson effective vocabulary per source (how many "
+    "equally-common words would give this token distribution) — a pure "
+    "integer ratio T^2 div Sum c^2, no log, engine-exact; plus "
+    "evenness (effective/raw vocab in bp), the repetition signal a "
+    "corpus gate reads next to Heaps' growth",
+    tags=("llm", "text", "stats", "bench"),
+)
+def q_simpson_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "source", F.explode(tx.tokens("text")).alias("word")
+    )
+    cnt = words.groupBy("source", "word").agg(
+        _dec(F.count(F.lit(1))).alias("c")
+    )
+    agg = cnt.groupBy("source").agg(
+        F.sum("c").alias("t"),
+        _dec(F.count(F.lit(1))).alias("vocab"),
+        F.sum(F.col("c") * F.col("c")).alias("c2"),
+    )
+    return agg.select(
+        "source",
+        F.col("t").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.expr("cast((t * t * 100) div c2 as long)").alias(
+            "inv_simpson_e2"
+        ),
+        F.expr(
+            "cast(((t * t * 100) div c2) * 10000 div (vocab * 100)"
+            " as long)"
+        ).alias("evenness_bp"),
+    ).orderBy("source")

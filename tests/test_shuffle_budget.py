@@ -415,6 +415,8 @@ BUDGETS = {
     "setsim_prefix_join": 15,
     "shard_balance_audit": 2,
     "shipping_priority": 1,
+    # spread + (source, word) count + source rollup + output sort.
+    "simpson_diversity_sources": 4,
     "simhash": 2,
     # signature shuffle + bucket collect + pair aggregate (+ spread and
     # the token-count agg upstream of the signature).

@@ -1081,3 +1081,31 @@ def test_permutation_test_matches_hashlib_replay(spark, events_pdf):
     assert out["n_extreme"] == extreme
     assert out["p_ppm"] == (1 + extreme) * 1_000_000 // 65
     assert 0 < out["p_ppm"] <= 1_000_000
+
+
+def test_simpson_diversity_matches_counter_replay(spark):
+    from collections import Counter
+
+    out = _pdf("simpson_diversity_sources", spark).set_index("source")
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_SMALL}/documents.parquet'"
+    ).df()
+    per = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        per.setdefault(src, Counter()).update(
+            w for w in text.strip().split() if w
+        )
+    for src, cnt in per.items():
+        t = sum(cnt.values())
+        c2 = sum(c * c for c in cnt.values())
+        row = out.loc[src]
+        assert row["n_tokens"] == t
+        assert row["vocab"] == len(cnt)
+        assert row["inv_simpson_e2"] == t * t * 100 // c2
+        assert row["evenness_bp"] == (t * t * 100 // c2) * 10000 // (
+            len(cnt) * 100
+        )
+        # float sanity: matches 1/sum(p^2) within grid resolution
+        inv = 1.0 / sum((c / t) ** 2 for c in cnt.values())
+        assert abs(row["inv_simpson_e2"] / 100 - inv) < 0.02
+    assert set(out.index) == set(per)
