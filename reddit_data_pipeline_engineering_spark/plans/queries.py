@@ -909,98 +909,15 @@ def _register_all() -> None:
 # --------------------------------------------------------------------------
 
 _DRIVER_FIRST = [
-    # ---- ROUND 8 ROTATION (VERDICT r07 "Next round" #1/#3) ----
-    # The three r07 red rows LEAD the gate by explicit judge
-    # instruction: all were the registry's only DECIMAL-output queries
-    # and matched their oracles value-exactly — the driver's typed hash
-    # serializes Spark DecimalType vs DuckDB DECIMAL differently. All
-    # three now emit driver-hash-safe types (sum_value_e4 BIGINT /
-    # d_num DOUBLE / var_num DOUBLE on both legs) and the local harness
-    # rejects decimal outputs outright (oracle.driver_decimal_cols).
-    "streaming_pit_enrich",
-    "ks_source_drift",
-    "neyman_allocation_sample",
-    # r08 plan changes, values identical (standing re-gate policy):
-    # the VERDICT r07 #4 single-partition-window fixes — RFM scores by
-    # comparison against selection-computed broadcast boundary pairs;
-    # ntile_spend ranks via range-partition + local sort + offsets.
-    "rfm_segmentation",
-    "ntile_spend_quartiles",
-    # r08 new query (needs its first driver row): the equi-depth
-    # histogram built on the selection core — displaces the r04 fill
-    # slot (topn_with_ties) back to the rotated-out head.
-    "equi_depth_histogram",
-]
-
-# Re-confirmation fill (VERDICT r07 #3): the r03-stale queue — every
-# query whose newest green row is CORRECTNESS_r03 — in r03 file order,
-# its 5 streaming drains deferred to the gate tail per standing policy.
-# After this gate no r03-era row remains in the registry. (The r04
-# queue head, topn_with_ties, briefly held the 50th slot but was
-# displaced by the new equi_depth_histogram query — it returns to the
-# head of the rotated-out queue below.)
-_DRIVER_FILL = [
-    "ratio_to_report",
-    "grouped_median",
-    "hll_union_merge",
-    "hash_split_stats",
-    "stratified_sample",
-    "corpus_prep_stats",
-    "copurchase_pairs",
-    "sliding_window_rollup",
-    "grouped_median_approx",
-    "ivfpq_topk",
-    "ivfpq_recall_at_k",
-    "grouped_median_scalable",
-    "exact_percentiles_scalable",
-    "hll_intersection_estimate",
-    "jl_recall_at_k",
-    "resample_hourly_gapfill",
-    "grouped_linreg_trend",
-    "chunk_dedup_stats",
-    "tfidf_topk_terms",
-    "incremental_dedup",
-    "bpe_merge_learn",
-    "triangle_count_sampled",
-    "mad_outliers",
-    "hilbert_layout",
-    "item_similarity_topk",
-    "fuzzy_blocked_matches",
-    "winsorized_stats",
-    "benford_first_digit",
-    "key_skew_gini",
-    "bitmap_intersection",
-    "weighted_sample",
-    "corpus_prep_v2",
-    "multimodal_frame_sample",
-    "hll_sliding_distinct",
-    "pit_dimension_lookup",
-    "volume_anomaly_days",
-    "int8_quant_audit",
-    "conversion_within_hour",
-]
-
-# Wall-clock-heavy streaming drains sit LAST inside the gate (standing
-# policy: the driver cap may be a time budget): the five r03 streaming
-# rows, then the NEW tiled-arm PIT query (needs its first driver row —
-# VERDICT r07 #7: the broadcast-arm query never exercises the
-# large-dimension plan at driver scale).
-_DRIVER_TAIL_STREAMING = [
-    "streaming_sessions",
-    "streaming_interval_join",
-    "streaming_interval_join_outer",
-    "streaming_cusum_drift",
-    "streaming_hll_windows",
-    "streaming_pit_enrich_tiled",
-]
-
-# New queries added AFTER the r08 gate was frozen. They sit directly
-# after the 50-slot gate (positions 51+): the r08 fill is the complete
-# r03-stale queue (VERDICT r07 #3 — "no r03-era row left" outranks a
-# first row for self-added queries), so these run the local parity
-# suite this round and take the HEAD of the r09 gate for their first
-# driver rows.
-_DRIVER_PENDING = [
+    # ---- ROUND 9 ROTATION (VERDICT r08 "Next round" #1/#2) ----
+    # The entire r08 _DRIVER_PENDING backlog takes the gate head for
+    # its first driver rows: these 37 queries (plus the streaming drain
+    # in the tail slot) were registered after the r08 gate froze and so
+    # far have only local-parity evidence (tests/test_oracle_parity.py).
+    # Order is registration order — the classical-inference wave 2,
+    # survival analysis, closed-form OLS, conformal intervals, KMV
+    # sketches, PCA power iteration, isotonic/PAVA, Markov stationary
+    # distribution, PNG pixel decode, and the timeseries/diversity wave.
     "mannwhitney_source_test",
     "kruskal_wallis_lengths",
     "incremental_mart_merge",
@@ -1016,7 +933,6 @@ _DRIVER_PENDING = [
     "kmv_distinct_sketch",
     "fk_coverage_audit",
     "pca_power_component",
-    "streaming_kmv_distinct",
     "runs_test_daily",
     "paired_sign_test",
     "isotonic_daily_trend",
@@ -1041,14 +957,10 @@ _DRIVER_PENDING = [
     "simpson_diversity_sources",
 ]
 
-_DRIVER_ROTATED_OUT = [
-    # Everything below has a green driver row under its current
-    # semantics (see CORRECTNESS_r0*.json) and is digest-checked against
-    # DuckDB on every local run by tests/test_oracle_parity.py (driver
-    # canonicalization + type-family gate + canonical-byte digest +
-    # decimal/non-ASCII rejection). Ordered oldest-row-first: the r04
-    # block leads (the r09 re-confirmation queue), then r05, r06, and
-    # the r07-gated rows.
+# Re-confirmation fill (VERDICT r08 #1): the 12 oldest green rows — the
+# head of the r08 rotated-out queue, all r04-era rows — refresh their
+# driver evidence this round. 37 + 12 + 1 streaming tail = 50.
+_DRIVER_FILL = [
     "topn_with_ties",
     "winsorized_scalable",
     "mom_revenue_growth",
@@ -1061,6 +973,30 @@ _DRIVER_ROTATED_OUT = [
     "functional_dependency_audit",
     "setsim_prefix_join",
     "eval_overlap_fraction",
+]
+
+# Wall-clock-heavy streaming drains sit LAST inside the gate (standing
+# policy: the driver cap may be a time budget). One this round: the
+# r08-registered KMV streaming query takes its first driver row.
+_DRIVER_TAIL_STREAMING = [
+    "streaming_kmv_distinct",
+]
+
+# Queries added AFTER the r09 gate froze (VERDICT r08 #2: registry
+# growth is frozen into this queue — new queries never displace a
+# pending-queue row; they run the local parity suite this round and
+# take the head of the r10 gate for their first driver rows).
+_DRIVER_PENDING: list[str] = [
+]
+
+_DRIVER_ROTATED_OUT = [
+    # Everything below has a green driver row under its current
+    # semantics (see CORRECTNESS_r0*.json) and is digest-checked against
+    # DuckDB on every local run by tests/test_oracle_parity.py (driver
+    # canonicalization + type-family gate + canonical-byte digest +
+    # decimal/non-ASCII rejection). Ordered oldest-row-first: the
+    # remaining r04 block leads (the r10 re-confirmation queue), then
+    # r05..r07 rows, and finally the 50 queries gated green in r08.
     "kcore_peel_counts",
     "zonemap_pruning_audit",
     "k_anonymity_audit",
@@ -1232,6 +1168,56 @@ _DRIVER_ROTATED_OUT = [
     "lttb_downsample",
     "correlation_matrix",
     "streaming_twa",
+    "streaming_pit_enrich",
+    "ks_source_drift",
+    "neyman_allocation_sample",
+    "rfm_segmentation",
+    "ntile_spend_quartiles",
+    "equi_depth_histogram",
+    "ratio_to_report",
+    "grouped_median",
+    "hll_union_merge",
+    "hash_split_stats",
+    "stratified_sample",
+    "corpus_prep_stats",
+    "copurchase_pairs",
+    "sliding_window_rollup",
+    "grouped_median_approx",
+    "ivfpq_topk",
+    "ivfpq_recall_at_k",
+    "grouped_median_scalable",
+    "exact_percentiles_scalable",
+    "hll_intersection_estimate",
+    "jl_recall_at_k",
+    "resample_hourly_gapfill",
+    "grouped_linreg_trend",
+    "chunk_dedup_stats",
+    "tfidf_topk_terms",
+    "incremental_dedup",
+    "bpe_merge_learn",
+    "triangle_count_sampled",
+    "mad_outliers",
+    "hilbert_layout",
+    "item_similarity_topk",
+    "fuzzy_blocked_matches",
+    "winsorized_stats",
+    "benford_first_digit",
+    "key_skew_gini",
+    "bitmap_intersection",
+    "weighted_sample",
+    "corpus_prep_v2",
+    "multimodal_frame_sample",
+    "hll_sliding_distinct",
+    "pit_dimension_lookup",
+    "volume_anomaly_days",
+    "int8_quant_audit",
+    "conversion_within_hour",
+    "streaming_sessions",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_cusum_drift",
+    "streaming_hll_windows",
+    "streaming_pit_enrich_tiled",
 ]
 
 

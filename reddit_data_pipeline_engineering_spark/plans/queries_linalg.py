@@ -164,18 +164,24 @@ def q_pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             m = np.array(pdf["qs"].tolist(), dtype=np.int64)
-            assert np.abs(m).max(initial=0) < 3_000_000, (
-                "coordinate grid outside the int64 partial-Gram bound — "
-                "shrink the quantization scale"
-            )
+            # Explicit raises (not assert): the guard must survive
+            # `python -O`, which strips asserts and would turn the
+            # documented fail-loud bound into silent int64 wraparound.
+            if np.abs(m).max(initial=0) >= 3_000_000:
+                raise ValueError(
+                    "coordinate grid outside the int64 partial-Gram "
+                    "bound — shrink the quantization scale"
+                )
             # rows * max|q|^2 must stay inside int64: with |q| < 3e6 a
             # batch may hold up to ~5e5 rows. Arrow's default batch is
             # 10k rows; a retuned maxRecordsPerBatch could exceed the
             # bound, and numpy wraps silently — so fail loudly instead.
-            assert m.shape[0] < 500_000, (
-                "Arrow batch too large for the int64 partial-Gram bound"
-                " — lower spark.sql.execution.arrow.maxRecordsPerBatch"
-            )
+            if m.shape[0] >= 500_000:
+                raise ValueError(
+                    "Arrow batch too large for the int64 partial-Gram "
+                    "bound — lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             g = m.T @ m
             d = m.shape[1]
             ii, jj = np.indices((d, d))

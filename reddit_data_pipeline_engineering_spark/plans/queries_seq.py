@@ -1110,8 +1110,13 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the bounded 73-bucket duration relation, each rational term is
 # truncated to a 1e6-scaled integer (the ANOVA order-independence
 # device), and z/chi2 are mirrored doubles from the exact integer
-# totals. Magnitudes: the V numerator is < n^4 * 1e6 — decimal(38,0)
-# to ~1.8e8 signups per bucket; int64 term results at any realistic n.
+# totals. Magnitudes: the V numerator is < n^4 * 1e6, but the REAL
+# ceiling is the oracle leg — DuckDB evaluates the product in HUGEINT
+# (int128, ~1.7e38), capping n at ~1e8 signups per bucket, and the two
+# engines fail ASYMMETRICALLY past it: Spark decimal(38,0) overflow
+# yields NULL under ANSI-off while DuckDB raises. Past ~1e8 rows per
+# bucket, pre-scale the 1e6 factor down (the permutation-test queries
+# show the pattern) before trusting either leg.
 # --------------------------------------------------------------------------
 
 _LOGRANK_ORACLE = """

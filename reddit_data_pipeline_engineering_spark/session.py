@@ -97,6 +97,21 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
 
+    # Shuffle/spill files live under the repo, not OS /tmp: the r08
+    # closing bench hit DiskBlockObjectWriter deletion failures when a
+    # /tmp reaper raced live shuffle files on the long-lived bench JVM
+    # (VERDICT r08 #4). Per-pid so concurrent sessions never collide;
+    # Spark removes the subdirs it creates on clean shutdown.
+    local_dir = os.environ.get(
+        "RDPE_SPARK_LOCAL_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".spark-local",
+            str(os.getpid()),
+        ),
+    )
+    os.makedirs(local_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -110,6 +125,7 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("RDPE_DRIVER_MEMORY", "8g"))
+        .config("spark.local.dir", local_dir)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
