@@ -987,6 +987,7 @@ _DRIVER_TAIL_STREAMING = [
 # pending-queue row; they run the local parity suite this round and
 # take the head of the r10 gate for their first driver rows).
 _DRIVER_PENDING: list[str] = [
+    "multimodal_jpeg_decode",  # r09: real baseline JPEG decode (VERDICT r08 #3)
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -2075,3 +2075,76 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = mm.synthesize_media_assets(spark, n=_MM_N_ASSETS)
     png = assets.filter(F.col("asset_id") % 6 == 4)
     return mm.png_stats(png).orderBy("asset_id")
+
+
+# --------------------------------------------------------------------------
+# Real baseline JPEG decode stats (r09, VERDICT r08 #3). Baseline JPEG
+# needs no codec package either: the entropy coder is canonical Huffman
+# (tables ship in the file's DHT segments) and the transform is the 8x8
+# DCT — sources/multimodal.decode_jpeg_pixels implements the full
+# pipeline (marker walk, Huffman scan decode with DC prediction +
+# restart markers, dequant, inverse zigzag, float IDCT, YCbCr->RGB) in
+# numpy inside the same Arrow-batched mapInPandas frame as the PNG/PCM
+# queries. The decode is EXACT despite the lossy codec: each synthetic
+# block carries only the DC and the (4,4) AC coefficient, whose cosine
+# basis is +-1/8 at every sample, so with quant step 8 block b of asset
+# i decodes bit-exactly to base(i,b) + s(x)s(y)*ac(i,b) (synth_jpeg has
+# the closed form) and DuckDB replays the stats arithmetically. Assets
+# with id % 12 == 9 are full 3-component 4:4:4 YCbCr with neutral
+# chroma (RGB == Y exactly); the rest are greyscale. With this, the
+# engine's stub surface shrinks to FLAC entropy decode only.
+# --------------------------------------------------------------------------
+
+_JPEG_ORACLE = f"""
+WITH ids AS (SELECT unnest(range({_MM_N_ASSETS})) AS i),
+jp AS (
+  SELECT i, 8 + i % 5 AS w, 6 + i % 4 AS h,
+         CASE WHEN i % 12 = 9 THEN 3 ELSE 1 END AS nc
+  FROM ids WHERE i % 6 = 3
+),
+px AS (
+  SELECT i, w, h, nc,
+         (yy.k // 8) * ((w + 7) // 8) + (xx.k // 8) AS b,
+         xx.k AS x, yy.k AS y
+  FROM jp,
+       UNNEST(generate_series(0, w - 1)) xx(k),
+       UNNEST(generate_series(0, h - 1)) yy(k)
+),
+v AS (
+  SELECT i, w, h, nc,
+         64 + (7 * i + 11 * b) % 128
+         + (CASE WHEN x % 4 IN (0, 3) THEN 1 ELSE -1 END)
+         * (CASE WHEN y % 4 IN (0, 3) THEN 1 ELSE -1 END)
+         * (1 + (i + b) % 8) AS val
+  FROM px
+)
+SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST(w * h * nc AS BIGINT) AS n_values,
+       CAST(nc AS BIGINT) AS n_channels,
+       CAST(MIN(val) AS BIGINT) AS min_px,
+       CAST(MAX(val) AS BIGINT) AS max_px,
+       CAST(nc * SUM(val) AS BIGINT) AS sum_px,
+       CAST(nc * SUM(val * val) AS BIGINT) AS sum_sq
+FROM v GROUP BY i, w, h, nc ORDER BY asset_id
+"""
+
+
+@query(
+    "multimodal_jpeg_decode",
+    _JPEG_ORACLE,
+    "REAL full baseline JPEG decode (no codec package: canonical-Huffman "
+    "scan decode with DC prediction + restart markers, dequant, inverse "
+    "zigzag, 8x8 float IDCT, YCbCr->RGB for 4:4:4 color) inside "
+    "Arrow-batched mapInPandas, per-asset exact integer stats reduced "
+    "inside the UDF — payload bytes never shuffle; the synthetic blocks "
+    "carry only DC + the (4,4) AC whose basis is exactly +-1/8, so the "
+    "lossy codec decodes bit-exactly and the oracle replays it "
+    "arithmetically. Shrinks the stub surface to FLAC entropy decode only",
+    tags=("llm", "multimodal", "bench"),
+)
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.sources import multimodal as mm
+
+    assets = mm.synthesize_media_assets(spark, n=_MM_N_ASSETS)
+    jpeg = assets.filter(F.col("asset_id") % 6 == 3)
+    return mm.jpeg_stats(jpeg).orderBy("asset_id")

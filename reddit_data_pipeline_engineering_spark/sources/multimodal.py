@@ -22,11 +22,14 @@ the RIFF chunks and reinterprets the 16-bit PCM data chunk via
 Full pixel decode is REAL for PNG as well (r08): PNG is zlib (standard
 library) plus five scanline prediction filters, so ``decode_png_pixels``
 inflates the IDAT stream and reconstructs pixels exactly — all five
-filters implemented. The remaining stubs are JPEG and FLAC full decode
-only: their entropy coders genuinely need codec packages absent from
-this environment; ``decode_payload`` (the synthetic format) raises
-``NotImplementedError`` for them. The Spark-side plumbing — schemas,
-batch iteration, partitioning behavior — is real and tested either way.
+filters implemented. And REAL for baseline JPEG (r09):
+``decode_jpeg_pixels`` implements the full baseline-sequential pipeline
+(canonical-Huffman scan decode with DC prediction and restart markers,
+dequant, inverse zigzag, 8x8 float IDCT, YCbCr->RGB) in numpy + stdlib.
+The ONLY remaining stub is FLAC full decode (LPC + Rice coding);
+``decode_payload`` (the synthetic format) raises ``NotImplementedError``
+for real containers. The Spark-side plumbing — schemas, batch
+iteration, partitioning behavior — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -107,8 +110,10 @@ def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
 # Real container probing — no media libraries required. WAV (RIFF chunks)
 # and binary PPM (P6) are parseable with the standard library alone, so
 # these are NOT stubbed: the engine reads real headers and PCM/pixel
-# dimensions. Only compressed codecs (JPEG/PNG/H.264/MP3...) remain behind
-# NotImplementedError, because their decoders aren't in this environment.
+# dimensions. (Historical note: full decode was once stubbed for every
+# compressed codec; WAV/PPM (r07), PNG (r08), and baseline JPEG (r09)
+# now decode for real — see the sections below. FLAC remains the only
+# decode stub.)
 # --------------------------------------------------------------------------
 
 
@@ -245,18 +250,27 @@ def _probe_flac(payload: bytes) -> dict:
 
 
 def synth_jpeg(asset_id: int, width: int, height: int) -> bytes:
-    """A structurally valid JPEG container: real JFIF/SOF0/SOS segments
-    around a deterministic fake entropy stream (headers probe-able; only
-    full pixel decode needs a library)."""
-    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
-    sof0 = (
-        b"\xff\xc0"
-        + struct.pack(">HBHHB", 11, 8, height, width, 1)
-        + b"\x01\x11\x00"
+    """A REAL baseline JPEG (r09): standard Annex-K Huffman tables, flat
+    quant table 8, genuine entropy-coded scan — decodable by any JPEG
+    decoder, including ``decode_jpeg_pixels`` below. Greyscale (one
+    component) normally; full 3-component 4:4:4 YCbCr when
+    ``asset_id % 12 == 9`` (neutral chroma, so RGB == Y exactly).
+
+    Pixels are closed-form in the asset id so a SQL oracle can replay
+    the decode arithmetically DESPITE the lossy codec: every 8x8 block
+    carries only the DC coefficient and the (u=4, v=4) AC coefficient,
+    whose 2-D cosine basis is exactly +-1/8 at every sample — so with
+    quant step 8, block b of asset i decodes bit-exactly to
+
+        pixel(x, y) = base + s(x) * s(y) * ac
+        base = 64 + (7 i + 11 b) % 128,  ac = 1 + (i + b) % 8,
+        s(t) = +1 if t % 4 in (0, 3) else -1
+
+    (b = block index in raster order over ceil(w/8) x ceil(h/8)).
+    """
+    return _encode_jpeg_closed_form(
+        asset_id, width, height, n_components=3 if asset_id % 12 == 9 else 1
     )
-    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
-    entropy = bytes((asset_id * 17 + i * 5) % 255 for i in range(32))  # <255: no FF
-    return b"\xff\xd8" + app0 + sof0 + sos + entropy + b"\xff\xd9"
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
@@ -599,9 +613,8 @@ register_pickle_by_value(sys.modules[__name__])
 # reinterpret the bytes as little-endian int16 — numpy.frombuffer over
 # the Arrow-delivered payload, zero copies beyond the buffer view. This
 # shrinks the engine's stub surface again: after the r06 header probes,
-# "full decode" was stubbed for ALL formats; WAV PCM decode is now real,
-# leaving only genuinely compressed codecs (JPEG/PNG/FLAC pixels/samples)
-# behind NotImplementedError.
+# "full decode" was stubbed for ALL formats; WAV PCM decode is now real
+# (PNG followed in r08, baseline JPEG in r09 — FLAC is the last stub).
 # --------------------------------------------------------------------------
 
 
@@ -679,9 +692,9 @@ def pcm_stats(df: DataFrame) -> DataFrame:
 # Real PNG pixel decode (r08) — no codec library required: PNG is zlib
 # (standard library) plus five per-scanline prediction filters, so full
 # pixel decode of 8-bit greyscale/truecolor images is implementable
-# exactly. This removes PNG from the stub list; JPEG/FLAC remain the
-# only NotImplementedError formats (their entropy coders genuinely need
-# codec packages absent from this environment).
+# exactly. This removed PNG from the stub list; baseline JPEG followed
+# in r09 (the full Huffman+IDCT pipeline below), leaving FLAC as the
+# only NotImplementedError format (LPC + Rice entropy coding).
 # --------------------------------------------------------------------------
 
 
@@ -797,4 +810,539 @@ def png_stats(df: DataFrame) -> DataFrame:
 
     return df.select("asset_id", "payload").mapInPandas(
         stat_batches, PNG_STATS_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Real baseline JPEG codec (r09, VERDICT r08 #3). Baseline sequential
+# JPEG needs no codec package: the entropy coder is canonical Huffman
+# (ITU T.81 — tables ship in the file's own DHT segments), the transform
+# is the 8x8 DCT-II (one numpy matrix product per block), and the rest
+# is marker bookkeeping. ``decode_jpeg_pixels`` below implements the
+# full pipeline — marker walk, DHT/DQT parsing, bit-unstuffing Huffman
+# scan decode with DC prediction and restart markers, dequantization,
+# un-zigzag, float IDCT, level shift, and YCbCr->RGB for 3-component
+# frames. With this, the engine's only remaining decode stub is FLAC
+# (LPC + Rice coding). The encoder exists to make the decode TESTABLE
+# with an exact arithmetic oracle: see synth_jpeg for the closed form.
+# --------------------------------------------------------------------------
+
+#: zigzag scan order as (row u, col v) pairs, index 0 = DC (T.81 fig 5).
+_JPEG_ZIGZAG: list[tuple[int, int]] = []
+for _s in range(15):
+    _diag = [
+        (_u, _s - _u)
+        for _u in range(max(0, _s - 7), min(8, _s + 1))
+    ]
+    _JPEG_ZIGZAG.extend(_diag if _s % 2 else _diag[::-1])
+del _s, _diag
+
+# Standard Huffman tables, ITU T.81 Annex K: (bits[1..16], values).
+_JPEG_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+#: flat quantization step used by the synthetic encoder — 8 exactly
+#: cancels the 1/8 DC and +-1/8 (4,4)-AC basis gains, making the decode
+#: integer-exact (see synth_jpeg).
+_JPEG_QSTEP = 8
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with T.81 byte stuffing (FF -> FF 00)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(size category, magnitude bits) — negatives in one's complement."""
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _encode_jpeg_closed_form(
+    asset_id: int,
+    width: int,
+    height: int,
+    n_components: int,
+    restart_interval: int = 0,
+) -> bytes:
+    """Emit the closed-form synthetic image as a real baseline JPEG.
+
+    Each 8x8 block stores exactly two quantized coefficients — DC =
+    base-128 and the (4,4) AC = ac — which survive quant step 8 and the
+    IDCT bit-exactly (synth_jpeg docstring has the arithmetic). Chroma
+    blocks (3-component form) are all-zero: they decode to a constant
+    128, so YCbCr->RGB degenerates to R=G=B=Y exactly and the oracle
+    needs no float color math.
+    """
+    if n_components not in (1, 3):
+        raise ValueError("baseline synth supports 1 or 3 components")
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    ac_pos = _JPEG_ZIGZAG.index((4, 4))
+
+    dc_lum = _jpeg_huff_codes(*_JPEG_DC_LUM)
+    ac_lum = _jpeg_huff_codes(*_JPEG_AC_LUM)
+    dc_chr = _jpeg_huff_codes(*_JPEG_DC_CHR)
+    ac_chr = _jpeg_huff_codes(*_JPEG_AC_CHR)
+
+    w = _JpegBitWriter()
+    scan_parts: list[bytes] = []
+    prev_dc = [0] * n_components
+    for b in range(bw * bh):
+        if restart_interval and b and b % restart_interval == 0:
+            # close the interval: pad, emit RSTn, reset DC predictors
+            scan_parts.append(w.flush())
+            scan_parts.append(
+                bytes([0xFF, 0xD0 + (b // restart_interval - 1) % 8])
+            )
+            w = _JpegBitWriter()
+            prev_dc = [0] * n_components
+        base = 64 + (7 * asset_id + 11 * b) % 128
+        ac = 1 + (asset_id + b) % 8
+        # --- luma block: DC diff + one AC at zigzag position ac_pos ---
+        diff = (base - 128) - prev_dc[0]
+        prev_dc[0] = base - 128
+        size, bits = _jpeg_magnitude(diff)
+        code, length = dc_lum[size]
+        w.put(code, length)
+        if size:
+            w.put(bits, size)
+        run = ac_pos - 1  # zero ACs before (4,4) in zigzag order
+        while run > 15:
+            zrl, zl = ac_lum[0xF0]
+            w.put(zrl, zl)
+            run -= 16
+        asize, abits = _jpeg_magnitude(ac)
+        code, length = ac_lum[(run << 4) | asize]
+        w.put(code, length)
+        w.put(abits, asize)
+        eob, el = ac_lum[0x00]
+        w.put(eob, el)
+        # --- neutral chroma blocks: DC diff 0, immediate EOB ---
+        for comp in (1, 2)[: n_components - 1]:
+            code, length = dc_chr[0]
+            w.put(code, length)
+            eob, el = ac_chr[0x00]
+            w.put(eob, el)
+            prev_dc[comp] = 0
+    scan_parts.append(w.flush())
+    scan = b"".join(scan_parts)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qtab = bytes(
+        _JPEG_QSTEP for _ in range(64)
+    )
+    dqt = seg(0xDB, b"\x00" + qtab)
+
+    def dht(cls: int, tid: int, table: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = table
+        return seg(0xC4, bytes([(cls << 4) | tid] + bits + vals))
+
+    sof_comps = b"".join(
+        bytes([cid + 1, 0x11, 0]) for cid in range(n_components)
+    )
+    sof0 = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, n_components) + sof_comps,
+    )
+    sos_comps = b"".join(
+        bytes([cid + 1, 0x00 if cid == 0 else 0x11])
+        for cid in range(n_components)
+    )
+    sos = seg(0xDA, bytes([n_components]) + sos_comps + b"\x00\x3f\x00")
+
+    app0 = seg(
+        0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    )
+    tables = dht(0, 0, _JPEG_DC_LUM) + dht(1, 0, _JPEG_AC_LUM)
+    if n_components == 3:
+        tables += dht(0, 1, _JPEG_DC_CHR) + dht(1, 1, _JPEG_AC_CHR)
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt + tables + dri + sof0 + sos + scan
+        + b"\xff\xd9"
+    )
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded scan: unstuffs FF 00,
+    handles RSTn byte-alignment, stops at any other marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG scan truncated")
+        byte = self.data[self.pos]
+        if byte == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("unexpected marker inside entropy scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self, index: int) -> None:
+        """Consume an RSTn marker at a restart interval boundary."""
+        self.acc, self.nbits = 0, 0  # byte-align: drop pad bits
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (index % 8)
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
+
+def _jpeg_huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol map for bit-serial canonical decode."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _jpeg_huff_codes(bits, vals).items()
+    }
+
+
+def _jpeg_read_symbol(r: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | r.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    """T.81 EXTEND: map magnitude bits back to a signed value."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _jpeg_idct_matrix() -> "np.ndarray":
+    import numpy as np
+
+    x = np.arange(8)
+    u = np.arange(8)
+    a = 0.5 * np.cos((2 * x[:, None] + 1) * u[None, :] * np.pi / 16)
+    a[:, 0] *= 1 / np.sqrt(2.0)
+    return a  # f = A @ F @ A.T
+
+
+def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """Full baseline JPEG decode -> (width, height, n_components, uint8
+    samples flattened row-major, channels interleaved).
+
+    Implements the complete baseline-sequential pipeline in numpy +
+    stdlib: marker walk, DQT/DHT/DRI parsing, interleaved-MCU Huffman
+    scan decode with DC prediction, byte unstuffing and restart
+    markers, dequantization, inverse zigzag, 8x8 float IDCT, level
+    shift + clamp, edge-block crop, and JFIF YCbCr->RGB for 3-component
+    frames. Supported layout: 8-bit baseline (SOF0), 1 or 3 components,
+    no subsampling (all sampling factors 1x1). Anything else raises
+    ValueError loudly — same contract as decode_png_pixels.
+    """
+    try:
+        return _decode_jpeg_pixels(payload)
+    except (IndexError, struct.error) as exc:
+        # out-of-range reads on truncated/corrupt segments surface as
+        # the same loud contract as every other malformed-input path
+        raise ValueError(f"truncated or corrupt JPEG: {exc}") from exc
+
+
+def _decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, [(comp_id, qtab_id)])
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                prec, tid = body[off] >> 4, body[off] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables not baseline")
+                qtables[tid] = np.frombuffer(
+                    body, np.uint8, 64, off + 1
+                ).astype(np.int32)
+                off += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                htables[(cls, tid)] = _jpeg_huff_decoder(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            _, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = []
+            for c in range(nc):
+                cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG not supported (need 4:4:4)"
+                    )
+                comps.append((cid, qid))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG frame (progressive/etc.)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+                for c in range(ns)
+            ]
+            pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    h, w, comps = frame
+    if len(comps) not in (1, 3) or len(scan) != len(comps):
+        raise ValueError("unsupported JPEG component layout")
+
+    idct = _jpeg_idct_matrix()
+    inv_zz_r = np.array([r for r, _ in _JPEG_ZIGZAG])
+    inv_zz_c = np.array([c for _, c in _JPEG_ZIGZAG])
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [
+        np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in comps
+    ]
+    reader = _JpegBitReader(payload, pos)
+    prev_dc = [0] * len(comps)
+    rst_index = 0
+    for mcu in range(bw * bh):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.restart(rst_index)
+            rst_index += 1
+            prev_dc = [0] * len(comps)
+        by, bx = divmod(mcu, bw)
+        for ci, (cid, qid) in enumerate(comps):
+            _, dc_id, ac_id = scan[ci]
+            dc_tab = htables.get((0, dc_id))
+            ac_tab = htables.get((1, ac_id))
+            qtab = qtables.get(qid)
+            if dc_tab is None or ac_tab is None or qtab is None:
+                raise ValueError("JPEG scan references a missing table")
+            coef = np.zeros(64, dtype=np.int32)
+            size = _jpeg_read_symbol(reader, dc_tab)
+            prev_dc[ci] += _jpeg_extend(reader.bits(size), size)
+            coef[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                sym = _jpeg_read_symbol(reader, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, asize = sym >> 4, sym & 0x0F
+                if asize == 0:
+                    if run != 15:
+                        raise ValueError("invalid JPEG AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC index overrun")
+                coef[k] = _jpeg_extend(reader.bits(asize), asize)
+                k += 1
+            block = np.zeros((8, 8), dtype=np.float64)
+            block[inv_zz_r, inv_zz_c] = coef * qtab
+            spatial = idct @ block @ idct.T + 128.0
+            planes[ci][
+                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+            ] = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        return int(w), int(h), 1, planes[0].reshape(-1)
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return int(w), int(h), 3, out.reshape(-1)
+
+
+JPEG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_values", T.LongType(), True),
+        T.StructField("n_channels", T.LongType(), True),
+        T.StructField("min_px", T.LongType(), True),
+        T.StructField("max_px", T.LongType(), True),
+        T.StructField("sum_px", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+    ]
+)
+
+
+def jpeg_stats(df: DataFrame) -> DataFrame:
+    """Per-asset exact JPEG sample statistics via Arrow-batched
+    mapInPandas — same reduce-inside-the-UDF contract as png_stats/
+    pcm_stats: one row per asset, payload bytes never shuffle."""
+    import numpy as np
+
+    def stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _, _, nc, px = decode_jpeg_pixels(payload)
+                s = px.astype(np.int64)
+                out.append(
+                    {
+                        "asset_id": int(aid),
+                        "n_values": int(s.size),
+                        "n_channels": int(nc),
+                        "min_px": int(s.min()) if s.size else None,
+                        "max_px": int(s.max()) if s.size else None,
+                        "sum_px": int(s.sum()) if s.size else None,
+                        "sum_sq": int((s * s).sum()) if s.size else None,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in JPEG_STATS_SCHEMA.fields]
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        stat_batches, JPEG_STATS_SCHEMA
     )

@@ -298,6 +298,8 @@ BUDGETS = {
     "multimodal_pcm_decode": 1,
     # zlib+filter decode reduces inside the UDF; only the output sort.
     "multimodal_png_decode": 1,
+    # Huffman+IDCT decode reduces inside the UDF; only the output sort.
+    "multimodal_jpeg_decode": 1,
     "mrr_prefix_rank": 5,
     # two TakeOrderedAndProject top-20s + bounded 20-row windows +
     # broadcast-only joins — no hash/range exchange anywhere.
