@@ -526,9 +526,21 @@ def q_cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer division anywhere, so no trunc-vs-floor hazard). Magnitudes:
 # num ~ E * Sxy <= E^2 * dmax^2 stays in decimal(38,0) to E ~ 1e13 at
 # dmax ~ 1e6; the double casts are exact below 2^53 (documented ceiling;
-# pre-scale degrees past it). Plan: pairs distinct (one shuffle), degree
-# rollup (one shuffle), two degree joins — the degree table is
-# node-dimension-sized, orders smaller than the fact scan.
+# pre-scale degrees past it).
+#
+# Plan (r09 redesign, VERDICT r08 #8): the r08 form joined the degree
+# dimension to the edge list TWICE and aggregated the edge-sized
+# (x, y) relation — the sf10 probe showed ~2x AQE/spill variance on
+# that movement. The moments decompose so only ONE edge-sized join
+# remains:
+#   n  = sum d              (each edge counted once at its src)
+#   Sx = Sy  = sum d^2      (node n appears as src exactly d(n) times)
+#   Sxx = Syy = sum d^3
+#   Sxy = sum_n d(n) * t(n),  t(n) = sum of neighbour degrees
+# — the first three come from the NODE-sized degree dim with no join
+# at all; t(n) needs one edges-to-deg join + a src rollup, and the
+# final d*t join is node-sized. Values are identical (the oracle is
+# unchanged); the data movement drops from 2 edge-sized join legs to 1.
 # --------------------------------------------------------------------------
 
 _ASSORT_ORACLE = f"""
@@ -559,17 +571,31 @@ FROM moms
     tags=("relational", "graph", "stats", "bench"),
 )
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, deg, ed = _cs_graph(spark, sf_dir)
-    moms = ed.agg(
-        _dec(F.count(F.lit(1))).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    edges, deg, _ = _cs_graph(spark, sf_dir)
+    # node-side moments — no edge join at all (see decomposition above)
+    moms = deg.agg(
+        F.sum("d").alias("n"),
+        F.sum(F.col("d") * F.col("d")).alias("sx"),
+        F.sum(F.col("d") * F.col("d")).alias("sy"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).alias("sxx"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).alias("syy"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
     )
-    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    return moms.crossJoin(F.broadcast(n_nodes)).select(
+    # t(n) = sum of neighbour degrees: the single remaining edge-sized
+    # join, immediately rolled up to node grain
+    t = (
+        edges.join(
+            deg.select(F.col("node").alias("nd"), F.col("d").alias("dd")),
+            F.col("dst") == F.col("nd"),
+        )
+        .groupBy("src")
+        .agg(F.sum("dd").alias("t"))
+    )
+    sxy = (
+        t.join(deg, t["src"] == deg["node"])
+        .agg(F.sum(F.col("d") * F.col("t")).alias("sxy"))
+    )
+    return moms.crossJoin(F.broadcast(sxy)).select(
         F.col("n").cast("long").alias("n_edges"),
         "n_nodes",
         F.round(
