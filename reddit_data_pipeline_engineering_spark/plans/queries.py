@@ -988,6 +988,7 @@ _DRIVER_TAIL_STREAMING = [
 # take the head of the r10 gate for their first driver rows).
 _DRIVER_PENDING: list[str] = [
     "multimodal_jpeg_decode",  # r09: real baseline JPEG decode (VERDICT r08 #3)
+    "multimodal_flac_decode",  # r09: real FLAC decode — stub surface now zero
 ]
 
 _DRIVER_ROTATED_OUT = [

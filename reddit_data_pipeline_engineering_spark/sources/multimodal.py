@@ -22,14 +22,17 @@ the RIFF chunks and reinterprets the 16-bit PCM data chunk via
 Full pixel decode is REAL for PNG as well (r08): PNG is zlib (standard
 library) plus five scanline prediction filters, so ``decode_png_pixels``
 inflates the IDAT stream and reconstructs pixels exactly — all five
-filters implemented. And REAL for baseline JPEG (r09):
+filters implemented. REAL for baseline JPEG (r09):
 ``decode_jpeg_pixels`` implements the full baseline-sequential pipeline
 (canonical-Huffman scan decode with DC prediction and restart markers,
 dequant, inverse zigzag, 8x8 float IDCT, YCbCr->RGB) in numpy + stdlib.
-The ONLY remaining stub is FLAC full decode (LPC + Rice coding);
-``decode_payload`` (the synthetic format) raises ``NotImplementedError``
-for real containers. The Spark-side plumbing — schemas, batch
-iteration, partitioning behavior — is real and tested either way.
+And REAL for FLAC (r09): ``decode_flac_samples`` implements the full
+native frame layer (Rice-coded residuals over fixed/LPC prediction,
+CONSTANT/VERBATIM/FIXED/LPC subframes, CRC-8 + CRC-16 integrity,
+stereo decorrelation). The decode stub surface is now ZERO — every
+synthesized container format decodes for real; ``decode_payload`` (the
+synthetic format) still raises ``NotImplementedError`` for real
+containers because it is the fake-format decoder, not a stub of these.
 """
 
 from __future__ import annotations
@@ -312,22 +315,21 @@ def synth_png(asset_id: int, width: int, height: int) -> bytes:
 def synth_flac(
     asset_id: int, sample_rate: int, n_channels: int, n_samples: int
 ) -> bytes:
-    """A FLAC container with a real STREAMINFO block and fake frames."""
-    packed = (
-        (sample_rate << 44)
-        | ((n_channels - 1) << 41)
-        | ((16 - 1) << 36)
-        | n_samples
+    """A REAL FLAC (r09): genuine Rice-coded frames with CRC-8/CRC-16
+    integrity, decodable by ``decode_flac_samples`` below (or any FLAC
+    decoder). Samples are closed-form in the asset id so a SQL oracle
+    replays the decode arithmetically:
+
+        channel 0: s(k) = ((3 i + 2 k) % 4096) - 2048   (wrapping ramp)
+        channel 1: s(k) = ((3 i + 7 (k // 4096)) % 4096) - 2048
+                                                    (constant per frame)
+
+    Channel-0 subframes rotate FIXED-1+Rice / VERBATIM / LPC-1 by frame
+    index; channel-1 subframes are CONSTANT — the decoder's whole
+    subframe surface is exercised by every stereo asset."""
+    return _encode_flac_closed_form(
+        asset_id, sample_rate, n_channels, n_samples
     )
-    streaminfo = (
-        struct.pack(">HH", 1024, 1024)  # min/max block size
-        + b"\x00\x00\x00" * 2  # min/max frame size (unknown)
-        + struct.pack(">Q", packed)
-        + b"\x00" * 16  # md5 of raw samples (unset)
-    )
-    header = bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:]  # last, type 0
-    frames = bytes((asset_id * 7 + i * 11) % 256 for i in range(24))
-    return b"fLaC" + header + streaminfo + frames
 
 
 def synth_wav(
@@ -1345,4 +1347,493 @@ def jpeg_stats(df: DataFrame) -> DataFrame:
 
     return df.select("asset_id", "payload").mapInPandas(
         stat_batches, JPEG_STATS_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Real FLAC codec (r09). FLAC's "entropy coder" is Rice/Golomb coding
+# over fixed-polynomial or LPC prediction residuals — bit arithmetic,
+# no codec package required — so the LAST decode stub falls:
+# ``decode_flac_samples`` implements the full native-FLAC frame layer
+# (STREAMINFO + metadata-block walk, frame-header parsing with all
+# block-size/sample-rate/sample-size codes, UTF-8 frame numbers, CRC-8
+# and CRC-16 integrity checks, stereo decorrelation (left/right/mid-
+# side with the side channel's +1-bit width), wasted-bits handling,
+# CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes, and both Rice
+# methods with partition orders and escape codes). The encoder exists
+# to make the decode testable with an exact arithmetic oracle — frames
+# mix FIXED+Rice, VERBATIM, LPC and CONSTANT subframes over closed-form
+# samples (see synth_flac). The engine's decode stub surface is now
+# ZERO: every synthesized container format decodes for real.
+# --------------------------------------------------------------------------
+
+_FLAC_BLOCK = 4096
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame headers."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frames."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _flac_utf8(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame index; up to 36 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, lead in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8),
+                         (6, 0xFC), (7, 0xFE)):
+        if n < (1 << (6 * (nbytes - 1) + (7 - nbytes))) or nbytes == 7:
+            out = [lead | (n >> (6 * (nbytes - 1)))]
+            for i in range(nbytes - 2, -1, -1):
+                out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError("frame number out of range")
+
+
+class _FlacBitWriter:
+    """MSB-first bit accumulator (no byte stuffing — FLAC has none)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.buf.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def put_unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)  # q zeros then a terminating 1
+
+    def align(self) -> bytes:
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+        return bytes(self.buf)
+
+
+class _FlacBitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC stream truncated")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def signed(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.nbits -= self.nbits % 8  # drop pad bits to byte boundary
+
+
+def _rice_zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v >= 0 else (-v << 1) - 1
+
+
+def _rice_unzigzag(u: int) -> int:
+    return (u >> 1) if u % 2 == 0 else -((u + 1) >> 1)
+
+
+def _flac_closed_form(asset_id: int, channel: int, k: int) -> int:
+    """Closed-form sample (SQL-replayable): channel 0 is a wrapping ramp
+    (FIXED/LPC/VERBATIM subframes), channel 1 is constant per frame
+    (CONSTANT subframes)."""
+    if channel == 0:
+        return ((3 * asset_id + 2 * k) % 4096) - 2048
+    return ((3 * asset_id + 7 * (k // _FLAC_BLOCK)) % 4096) - 2048
+
+
+def _flac_write_residuals(w: _FlacBitWriter, res: list[int]) -> None:
+    """Rice method 0, partition order 0, per-block parameter sized to
+    the worst residual (escape never needed for the synthetic ramp)."""
+    w.put(0, 2)  # coding method: 4-bit rice params
+    w.put(0, 4)  # partition order 0
+    max_u = max((_rice_zigzag(r) for r in res), default=0)
+    param = min(14, max(0, max_u.bit_length() - 1))
+    w.put(param, 4)
+    for r in res:
+        u = _rice_zigzag(r)
+        w.put_unary(u >> param)
+        if param:
+            w.put(u & ((1 << param) - 1), param)
+
+
+def _encode_flac_closed_form(
+    asset_id: int, sample_rate: int, n_channels: int, n_samples: int
+) -> bytes:
+    """Real FLAC frames over the closed-form samples. Channel-0
+    subframes rotate FIXED-1 / VERBATIM / FIXED-1 / LPC-1 by frame
+    index (the LPC form uses coef 32 shift 5 — exact identity
+    prediction, same residuals as FIXED-1); channel 1 is constant per
+    frame and encodes as CONSTANT subframes."""
+    if n_channels not in (1, 2):
+        raise ValueError("synthetic FLAC supports 1 or 2 channels")
+    packed = (
+        (sample_rate << 44)
+        | ((n_channels - 1) << 41)
+        | ((16 - 1) << 36)
+        | n_samples
+    )
+    streaminfo = (
+        struct.pack(">HH", _FLAC_BLOCK, _FLAC_BLOCK)
+        + b"\x00\x00\x00" * 2
+        + struct.pack(">Q", packed)
+        + b"\x00" * 16
+    )
+    header = bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:]
+    out = bytearray(b"fLaC" + header + streaminfo)
+
+    n_frames = (n_samples + _FLAC_BLOCK - 1) // _FLAC_BLOCK
+    for f in range(n_frames):
+        start = f * _FLAC_BLOCK
+        bs = min(_FLAC_BLOCK, n_samples - start)
+        # frame header (byte-aligned by construction)
+        hdr = _FlacBitWriter()
+        hdr.put(0b11111111111110, 14)  # sync
+        hdr.put(0, 1)  # reserved
+        hdr.put(0, 1)  # fixed-blocksize stream (number = frame index)
+        hdr.put(0b0111, 4)  # block size: 16-bit value follows
+        hdr.put(0b0000, 4)  # sample rate: from STREAMINFO
+        hdr.put(n_channels - 1, 4)  # independent channels
+        hdr.put(0b100, 3)  # 16-bit samples
+        hdr.put(0, 1)  # reserved
+        hdr_bytes = hdr.align() + _flac_utf8(f) + struct.pack(">H", bs - 1)
+        hdr_bytes += bytes([_crc8(hdr_bytes)])
+
+        body = _FlacBitWriter()
+        for ch in range(n_channels):
+            samples = [
+                _flac_closed_form(asset_id, ch, start + k) for k in range(bs)
+            ]
+            body.put(0, 1)  # zero pad bit
+            if len(set(samples)) == 1:
+                body.put(0b000000, 6)  # CONSTANT
+                body.put(0, 1)  # no wasted bits
+                body.put(samples[0] & 0xFFFF, 16)
+            elif f % 4 == 1:
+                body.put(0b000001, 6)  # VERBATIM
+                body.put(0, 1)
+                for s in samples:
+                    body.put(s & 0xFFFF, 16)
+            elif f % 4 == 3:
+                body.put(0b100000, 6)  # LPC, order 1 (1xxxxx, xxxxx=0)
+                body.put(0, 1)
+                body.put(samples[0] & 0xFFFF, 16)  # warmup
+                body.put(7 - 1, 4)  # qlp precision 7 bits (32 needs
+                body.put(5, 5)  # shift 5    a sign bit: 6 would read -32)
+                body.put(32, 7)  # coef 32 -> pred = (32*prev)>>5 = prev
+                res = [samples[k] - samples[k - 1] for k in range(1, bs)]
+                _flac_write_residuals(body, res)
+            else:
+                body.put(0b001001, 6)  # FIXED, order 1 (001xxx, xxx=1)
+                body.put(0, 1)
+                body.put(samples[0] & 0xFFFF, 16)
+                res = [samples[k] - samples[k - 1] for k in range(1, bs)]
+                _flac_write_residuals(body, res)
+        frame = hdr_bytes + body.align()
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+    return bytes(out)
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_FLAC_BLOCKSIZE_CODE = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+_FLAC_RATE_CODE = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_BPS_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_read_residuals(r: _FlacBitReader, bs: int, order: int) -> list[int]:
+    method = r.bits(2)
+    if method not in (0, 1):
+        raise ValueError("reserved FLAC residual coding method")
+    pbits, escape = (4, 15) if method == 0 else (5, 31)
+    porder = r.bits(4)
+    if bs % (1 << porder):
+        raise ValueError("FLAC partition order does not divide block size")
+    res: list[int] = []
+    for part in range(1 << porder):
+        n = (bs >> porder) - (order if part == 0 else 0)
+        param = r.bits(pbits)
+        if param == escape:
+            raw = r.bits(5)
+            res.extend(r.signed(raw) if raw else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                u = (r.unary() << param) | (r.bits(param) if param else 0)
+                res.append(_rice_unzigzag(u))
+    return res
+
+
+def _flac_subframe(r: _FlacBitReader, bs: int, bps: int) -> list[int]:
+    if r.bits(1):
+        raise ValueError("FLAC subframe pad bit set")
+    stype = r.bits(6)
+    wasted = 0
+    if r.bits(1):  # wasted-bits flag: unary count - 1 follows
+        wasted = r.unary() + 1
+        bps -= wasted
+    if stype == 0b000000:  # CONSTANT
+        out = [r.signed(bps)] * bs
+    elif stype == 0b000001:  # VERBATIM
+        out = [r.signed(bps) for _ in range(bs)]
+    elif 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
+        order = stype & 0x07
+        out = [r.signed(bps) for _ in range(order)]
+        res = _flac_read_residuals(r, bs, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        for k, e in enumerate(res):
+            pred = sum(c * out[order + k - 1 - j] for j, c in enumerate(coefs))
+            out.append(e + pred)
+    elif stype & 0b100000:  # LPC, order 1-32
+        order = (stype & 0x1F) + 1
+        out = [r.signed(bps) for _ in range(order)]
+        precision = r.bits(4) + 1
+        if precision == 16:
+            raise ValueError("invalid FLAC LPC precision")
+        shift = r.signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [r.signed(precision) for _ in range(order)]
+        res = _flac_read_residuals(r, bs, order)
+        for k, e in enumerate(res):
+            acc = sum(
+                c * out[order + k - 1 - j] for j, c in enumerate(coefs)
+            )
+            out.append(e + (acc >> shift))
+    else:
+        raise ValueError("reserved FLAC subframe type")
+    if wasted:
+        out = [s << wasted for s in out]
+    return out
+
+
+def decode_flac_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Full native-FLAC decode -> (n_channels, sample_rate, int32
+    samples interleaved).
+
+    Implements the complete frame layer in stdlib + numpy: metadata
+    walk, frame headers (all block-size/sample-rate/sample-size codes,
+    UTF-8 frame numbers, CRC-8 verify), subframes (CONSTANT, VERBATIM,
+    FIXED 0-4, LPC 1-32, wasted bits), Rice residuals (both methods,
+    partitions, escapes), stereo decorrelation (left-/right-/mid-side
+    with the side channel's +1-bit width), and CRC-16 frame verify.
+    Raises ValueError loudly on anything malformed.
+    """
+    import numpy as np
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    stream_rate = stream_bps = stream_nch = total = None
+    while pos + 4 <= len(payload):  # metadata blocks
+        head = payload[pos]
+        (blen,) = struct.unpack(">I", b"\x00" + payload[pos + 1 : pos + 4])
+        if head & 0x7F == 0:  # STREAMINFO
+            (packed,) = struct.unpack_from(">Q", payload, pos + 4 + 10)
+            stream_rate = packed >> 44
+            stream_nch = ((packed >> 41) & 0x7) + 1
+            stream_bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+        pos += 4 + blen
+        if head & 0x80:
+            break
+    if stream_rate is None:
+        raise ValueError("FLAC missing STREAMINFO")
+
+    channels: list[list[int]] = [[] for _ in range(stream_nch)]
+    got = 0
+    while (total == 0 or got < total) and pos < len(payload):
+        frame_start = pos
+        r = _FlacBitReader(payload, pos)
+        if r.bits(14) != 0b11111111111110:
+            raise ValueError("bad FLAC frame sync")
+        r.bits(1)  # reserved
+        r.bits(1)  # blocking strategy
+        bs_code = r.bits(4)
+        rate_code = r.bits(4)
+        chan_code = r.bits(4)
+        bps_code = r.bits(3)
+        r.bits(1)  # reserved
+        # UTF-8 coded frame/sample number: leading-ones count of the
+        # first byte gives the total byte count (0x0xxxxxxx = 1 byte)
+        first = r.bits(8)
+        extra = 0
+        if first & 0x80:
+            probe = first
+            while probe & 0x80:
+                extra += 1
+                probe = (probe << 1) & 0xFF
+            extra -= 1  # leading-ones count includes the first byte
+            if extra < 1 or extra > 6:
+                raise ValueError("bad FLAC UTF-8 frame number")
+        for _ in range(extra):
+            if r.bits(8) & 0xC0 != 0x80:
+                raise ValueError("bad FLAC UTF-8 frame number")
+        if bs_code == 0b0110:
+            bs = r.bits(8) + 1
+        elif bs_code == 0b0111:
+            bs = r.bits(16) + 1
+        elif bs_code in _FLAC_BLOCKSIZE_CODE:
+            bs = _FLAC_BLOCKSIZE_CODE[bs_code]
+        else:
+            raise ValueError("reserved FLAC block size code")
+        if rate_code == 0:
+            rate = stream_rate
+        elif rate_code == 0b1100:
+            rate = r.bits(8) * 1000
+        elif rate_code == 0b1101:
+            rate = r.bits(16)
+        elif rate_code == 0b1110:
+            rate = r.bits(16) * 10
+        elif rate_code in _FLAC_RATE_CODE:
+            rate = _FLAC_RATE_CODE[rate_code]
+        else:
+            raise ValueError("invalid FLAC sample rate code")
+        bps = stream_bps if bps_code == 0 else _FLAC_BPS_CODE.get(bps_code)
+        if bps is None:
+            raise ValueError("reserved FLAC sample size code")
+        crc_byte = r.bits(8)
+        if _crc8(payload[frame_start : r.pos - 1]) != crc_byte:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+
+        if chan_code <= 7:
+            nch, mode = chan_code + 1, "indep"
+        elif chan_code in (8, 9, 10):
+            nch, mode = 2, ("left_side", "right_side", "mid_side")[chan_code - 8]
+        else:
+            raise ValueError("reserved FLAC channel assignment")
+        if nch != stream_nch:
+            raise ValueError("FLAC frame channel count != STREAMINFO")
+
+        subs = []
+        for ch in range(nch):
+            ch_bps = bps
+            if (mode == "left_side" and ch == 1) or (
+                mode == "right_side" and ch == 0
+            ) or (mode == "mid_side" and ch == 1):
+                ch_bps += 1  # the side channel carries one extra bit
+            subs.append(_flac_subframe(r, bs, ch_bps))
+        r.align()
+        frame_end = r.pos + 2
+        (crc16,) = struct.unpack_from(">H", payload, r.pos)
+        if _crc16(payload[frame_start : r.pos]) != crc16:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = frame_end
+
+        if mode == "left_side":
+            left, side = subs
+            subs = [left, [a - b for a, b in zip(left, side)]]
+        elif mode == "right_side":
+            side, right = subs
+            subs = [[a + b for a, b in zip(right, side)], right]
+        elif mode == "mid_side":
+            mid, side = subs
+            subs = [
+                [(((m << 1) | (s & 1)) + s) >> 1 for m, s in zip(mid, side)],
+                [(((m << 1) | (s & 1)) - s) >> 1 for m, s in zip(mid, side)],
+            ]
+        keep = bs if total == 0 else min(bs, total - got)
+        for ch in range(stream_nch):
+            channels[ch].extend(subs[ch][:keep])
+        got += keep
+
+    arr = np.array(channels, dtype=np.int64)
+    return stream_nch, int(stream_rate), arr.T.reshape(-1).astype(np.int32)
+
+
+FLAC_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_values", T.LongType(), True),
+        T.StructField("n_channels", T.LongType(), True),
+        T.StructField("min_sample", T.LongType(), True),
+        T.StructField("max_sample", T.LongType(), True),
+        T.StructField("sum_samples", T.LongType(), True),
+        T.StructField("sum_squares", T.LongType(), True),
+    ]
+)
+
+
+def flac_stats(df: DataFrame) -> DataFrame:
+    """Per-asset exact FLAC sample statistics via Arrow-batched
+    mapInPandas — same reduce-inside-the-UDF contract as pcm_stats:
+    one row per asset, payload bytes never shuffle."""
+    import numpy as np
+
+    def stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                nc, _, sm = decode_flac_samples(payload)
+                s = sm.astype(np.int64)
+                out.append(
+                    {
+                        "asset_id": int(aid),
+                        "n_values": int(s.size),
+                        "n_channels": int(nc),
+                        "min_sample": int(s.min()) if s.size else None,
+                        "max_sample": int(s.max()) if s.size else None,
+                        "sum_samples": int(s.sum()) if s.size else None,
+                        "sum_squares": int((s * s).sum()) if s.size else None,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FLAC_STATS_SCHEMA.fields]
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        stat_batches, FLAC_STATS_SCHEMA
     )

@@ -346,3 +346,150 @@ class TestJpegCodec:
             assert r["n_values"] == s.size and r["n_channels"] == nc
             assert r["min_px"] == s.min() and r["max_px"] == s.max()
             assert r["sum_px"] == s.sum() and r["sum_sq"] == (s * s).sum()
+
+
+def _flac_single_frame(chan_code, subframe_bits, bs, nch, bps=16, ns=None):
+    """Hand-assemble a one-frame FLAC stream for decode-only paths
+    (stereo decorrelation, escapes, partitions, wasted bits)."""
+    import struct as st
+
+    ns = bs if ns is None else ns
+    packed = (44100 << 44) | ((nch - 1) << 41) | ((bps - 1) << 36) | ns
+    streaminfo = (
+        st.pack(">HH", bs, bs) + b"\x00\x00\x00" * 2
+        + st.pack(">Q", packed) + b"\x00" * 16
+    )
+    out = bytearray(b"fLaC" + bytes([0x80]) + st.pack(">I", 34)[1:] + streaminfo)
+    hdr = mm._FlacBitWriter()
+    hdr.put(0b11111111111110, 14)
+    hdr.put(0, 2)
+    hdr.put(0b0111, 4)   # explicit 16-bit block size
+    hdr.put(0b0000, 4)   # rate from STREAMINFO
+    hdr.put(chan_code, 4)
+    hdr.put(0b100, 3)    # 16-bit samples
+    hdr.put(0, 1)
+    hdr_bytes = hdr.align() + b"\x00" + st.pack(">H", bs - 1)
+    hdr_bytes += bytes([mm._crc8(hdr_bytes)])
+    body = mm._FlacBitWriter()
+    subframe_bits(body)
+    frame = hdr_bytes + body.align()
+    frame += st.pack(">H", mm._crc16(frame))
+    return bytes(out + frame)
+
+
+class TestFlacCodec:
+    """r09: REAL FLAC decode — Rice-coded residuals, all subframe
+    types, CRC integrity, stereo decorrelation. Stub surface: zero."""
+
+    def test_closed_form_roundtrip(self):
+        import numpy as np
+
+        for i in (5, 11, 23, 119):  # flac slot ids (i % 6 == 5)
+            sr, ch, ns = 8000 + 1000 * (i % 3), 1 + i % 2, 500 + 10 * i
+            nc, rate, sm = mm.decode_flac_samples(
+                mm.synth_flac(i, sr, ch, ns)
+            )
+            assert (nc, rate) == (ch, sr) and sm.size == ns * ch
+            exp = np.array([
+                mm._flac_closed_form(i, c, k)
+                for k in range(ns) for c in range(ch)
+            ])
+            assert np.array_equal(sm.astype(int), exp)
+
+    def test_all_subframe_types_exercised(self):
+        """A multi-frame asset hits FIXED-1 (f%4 in 0,2), VERBATIM
+        (f%4==1), LPC-1 (f%4==3) on channel 0 and CONSTANT on channel 1
+        — verified bit-exact across 5 frames (incl. a partial last)."""
+        import numpy as np
+
+        ns = 4096 * 4 + 100
+        nc, rate, sm = mm.decode_flac_samples(
+            mm._encode_flac_closed_form(7, 16000, 2, ns)
+        )
+        exp0 = np.array([((21 + 2 * k) % 4096) - 2048 for k in range(ns)])
+        exp1 = np.array([((21 + 7 * (k // 4096)) % 4096) - 2048 for k in range(ns)])
+        assert np.array_equal(sm[0::2].astype(int), exp0)
+        assert np.array_equal(sm[1::2].astype(int), exp1)
+
+    def test_crc_catches_corruption(self):
+        payload = bytearray(mm.synth_flac(5, 9000, 2, 600))
+        payload[-10] ^= 0x40  # flip a bit in the last frame body
+        with pytest.raises(ValueError, match="CRC"):
+            mm.decode_flac_samples(bytes(payload))
+
+    def test_stereo_decorrelation_modes(self):
+        """left-side / right-side / mid-side frames with CONSTANT
+        subframes — the side channel carries bps+1 bits."""
+        import numpy as np
+
+        left, right = 101, 70
+        side = left - right  # 31
+        mid = (left + right) >> 1  # 85
+
+        def const(w, v, bits):
+            w.put(0, 1); w.put(0b000000, 6); w.put(0, 1)
+            w.put(v & ((1 << bits) - 1), bits)
+
+        ls = _flac_single_frame(
+            8, lambda w: (const(w, left, 16), const(w, side, 17)), 4, 2)
+        nc, _, sm = mm.decode_flac_samples(ls)
+        assert np.array_equal(sm.reshape(-1, 2)[0], [left, right])
+
+        rs = _flac_single_frame(
+            9, lambda w: (const(w, side, 17), const(w, right, 16)), 4, 2)
+        assert np.array_equal(
+            mm.decode_flac_samples(rs)[2].reshape(-1, 2)[0], [left, right])
+
+        msf = _flac_single_frame(
+            10, lambda w: (const(w, mid, 16), const(w, side, 17)), 4, 2)
+        assert np.array_equal(
+            mm.decode_flac_samples(msf)[2].reshape(-1, 2)[0], [left, right])
+
+    def test_rice_partitions_escape_and_wasted_bits(self):
+        import numpy as np
+
+        # FIXED order 0, partition order 1 (two partitions), one rice
+        # partition + one ESCAPE partition (param 15 -> 5-bit raw size)
+        res = [3, -2, 5, 0]
+
+        def fixed0(w):
+            w.put(0, 1); w.put(0b001000, 6); w.put(0, 1)  # FIXED order 0
+            w.put(0, 2)  # method: 4-bit rice
+            w.put(1, 4)  # partition order 1
+            w.put(2, 4)  # partition 1: rice param 2
+            for r in res[:2]:
+                u = mm._rice_zigzag(r)
+                w.put_unary(u >> 2); w.put(u & 3, 2)
+            w.put(15, 4)  # partition 2: escape
+            w.put(5, 5)   # raw 5-bit residuals
+            for r in res[2:]:
+                w.put(r & 31, 5)
+
+        got = mm.decode_flac_samples(_flac_single_frame(0, fixed0, 4, 1))[2]
+        assert np.array_equal(got.astype(int), res)
+
+        # CONSTANT with 2 wasted bits: stored value decodes shifted left
+        def wasted(w):
+            w.put(0, 1); w.put(0b000000, 6)
+            w.put(1, 1)          # wasted-bits flag
+            w.put_unary(1)       # unary 1 -> wasted = 2
+            w.put(25, 14)        # bps - 2 bits
+        got = mm.decode_flac_samples(_flac_single_frame(0, wasted, 4, 1))[2]
+        assert np.array_equal(got.astype(int), [100, 100, 100, 100])
+
+    def test_flac_stats_matches_decode(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        assets = mm.synthesize_media_assets(spark, n=24)
+        flac = assets.filter(F.col("asset_id") % 6 == 5)
+        rows = {r["asset_id"]: r for r in mm.flac_stats(flac).collect()}
+        assert set(rows) == {5, 11, 17, 23}
+        for i, r in rows.items():
+            sr, ch, ns = 8000 + 1000 * (i % 3), 1 + i % 2, 500 + 10 * i
+            _, _, sm = mm.decode_flac_samples(mm.synth_flac(i, sr, ch, ns))
+            s = sm.astype(np.int64)
+            assert r["n_values"] == s.size and r["n_channels"] == ch
+            assert r["min_sample"] == s.min() and r["max_sample"] == s.max()
+            assert r["sum_samples"] == s.sum()
+            assert r["sum_squares"] == (s * s).sum()

@@ -300,6 +300,8 @@ BUDGETS = {
     "multimodal_png_decode": 1,
     # Huffman+IDCT decode reduces inside the UDF; only the output sort.
     "multimodal_jpeg_decode": 1,
+    # Rice+LPC decode reduces inside the UDF; only the output sort.
+    "multimodal_flac_decode": 1,
     "mrr_prefix_rank": 5,
     # two TakeOrderedAndProject top-20s + bounded 20-row windows +
     # broadcast-only joins — no hash/range exchange anywhere.
