@@ -989,6 +989,7 @@ _DRIVER_TAIL_STREAMING = [
 _DRIVER_PENDING: list[str] = [
     "multimodal_jpeg_decode",  # r09: real baseline JPEG decode (VERDICT r08 #3)
     "multimodal_flac_decode",  # r09: real FLAC decode — stub surface now zero
+    "multimodal_decode_all",   # r09: mixed-format magic-dispatch decode capstone
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -2208,3 +2208,87 @@ def q_multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = mm.synthesize_media_assets(spark, n=_MM_N_ASSETS)
     flac = assets.filter(F.col("asset_id") % 6 == 5)
     return mm.flac_stats(flac).orderBy("asset_id")
+
+
+# --------------------------------------------------------------------------
+# Unified mixed-format decode (r09 capstone). With every container
+# decoding for real (WAV r07, PNG r08, JPEG+FLAC r09), ONE Arrow-
+# batched pass decodes a MIXED asset table — the 100 TB shape where a
+# crawl shard interleaves formats and per-format pre-splits would
+# multiply the scan. Magic-byte dispatch inside the UDF; the oracle is
+# the UNION of all six closed forms.
+# --------------------------------------------------------------------------
+
+_DECODE_ALL_ORACLE = f"""
+WITH ids AS (SELECT unnest(range({_MM_N_ASSETS})) AS i),
+dims AS (
+  SELECT i, 8 + i % 5 AS w, 6 + i % 4 AS h,
+         1 + i % 2 AS ch, 500 + 10 * i AS ns
+  FROM ids
+),
+vals AS (
+  SELECT i, 'synthetic' AS container, (31 * i + 7 * k.k) % 256 AS v
+  FROM dims, UNNEST(generate_series(0, w * h - 1)) k(k) WHERE i % 6 = 0
+  UNION ALL
+  SELECT i, 'wav',
+         CASE WHEN (3 * i + 2 * k.k) % 256
+                   + 256 * ((3 * i + 2 * k.k + 1) % 256) >= 32768
+              THEN (3 * i + 2 * k.k) % 256
+                   + 256 * ((3 * i + 2 * k.k + 1) % 256) - 65536
+              ELSE (3 * i + 2 * k.k) % 256
+                   + 256 * ((3 * i + 2 * k.k + 1) % 256)
+         END
+  FROM dims, UNNEST(generate_series(0, ns * ch - 1)) k(k) WHERE i % 6 = 1
+  UNION ALL
+  SELECT i, 'ppm', (11 * i + 2 * k.k) % 256
+  FROM dims, UNNEST(generate_series(0, w * h * 3 - 1)) k(k) WHERE i % 6 = 2
+  UNION ALL
+  SELECT i, 'jpeg',
+         64 + (7 * i + 11 * ((yy.k // 8) * ((w + 7) // 8) + xx.k // 8)) % 128
+         + (CASE WHEN xx.k % 4 IN (0, 3) THEN 1 ELSE -1 END)
+         * (CASE WHEN yy.k % 4 IN (0, 3) THEN 1 ELSE -1 END)
+         * (1 + (i + (yy.k // 8) * ((w + 7) // 8) + xx.k // 8) % 8)
+  FROM dims,
+       UNNEST(generate_series(0, w - 1)) xx(k),
+       UNNEST(generate_series(0, h - 1)) yy(k),
+       UNNEST(generate_series(0, CASE WHEN i % 12 = 9 THEN 2 ELSE 0 END)) c(c)
+  WHERE i % 6 = 3
+  UNION ALL
+  SELECT i, 'png', (13 * i + 3 * k.k) % 256
+  FROM dims, UNNEST(generate_series(0, w * h - 1)) k(k) WHERE i % 6 = 4
+  UNION ALL
+  SELECT i, 'flac',
+         CASE WHEN c.c = 0 THEN (3 * i + 2 * k.k) % 4096 - 2048
+              ELSE (3 * i + 7 * (k.k // 4096)) % 4096 - 2048 END
+  FROM dims,
+       UNNEST(generate_series(0, ns - 1)) k(k),
+       UNNEST(generate_series(0, ch - 1)) c(c)
+  WHERE i % 6 = 5
+)
+SELECT CAST(i AS BIGINT) AS asset_id,
+       container,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(MIN(v) AS BIGINT) AS min_v,
+       CAST(MAX(v) AS BIGINT) AS max_v,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM vals GROUP BY i, container ORDER BY asset_id
+"""
+
+
+@query(
+    "multimodal_decode_all",
+    _DECODE_ALL_ORACLE,
+    "Unified MIXED-format decode: one Arrow-batched mapInPandas pass "
+    "magic-dispatches every asset to its REAL decoder (synthetic / WAV "
+    "PCM / PPM / baseline JPEG / PNG / FLAC) and reduces exact integer "
+    "stats inside the UDF — the crawl-shard shape where formats "
+    "interleave and per-format pre-splits would multiply the scan; "
+    "oracle = the union of all six closed forms",
+    tags=("llm", "multimodal", "bench"),
+)
+def q_multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.sources import multimodal as mm
+
+    assets = mm.synthesize_media_assets(spark, n=_MM_N_ASSETS)
+    return mm.media_decode_stats(assets).orderBy("asset_id")

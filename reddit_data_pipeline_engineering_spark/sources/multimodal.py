@@ -1837,3 +1837,112 @@ def flac_stats(df: DataFrame) -> DataFrame:
     return df.select("asset_id", "payload").mapInPandas(
         stat_batches, FLAC_STATS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Unified decode dispatch (r09 capstone): with every container format
+# decoding for real, one Arrow-batched pass can decode a MIXED asset
+# table — the 100 TB shape where a crawl shard interleaves formats and
+# a per-format pre-split would double the scan. Dispatch is by magic
+# bytes inside the UDF; stats reduce in-UDF as everywhere else.
+# --------------------------------------------------------------------------
+
+
+def decode_ppm_pixels(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Binary PPM (P6) -> (width, height, uint8 RGB pixels flattened).
+
+    Header parse (with comment/whitespace handling) + raw buffer view;
+    raises ValueError on non-P6 or short payloads — loud like the rest.
+    """
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM payload")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        else:
+            raise ValueError("malformed PPM header")
+    if len(fields) != 3 or fields[2] != 255:
+        raise ValueError("unsupported PPM layout (need P6 maxval 255)")
+    pos += 1  # single whitespace after maxval
+    w, h = fields[0], fields[1]
+    n = w * h * 3
+    if len(payload) < pos + n:
+        raise ValueError("PPM pixel payload truncated")
+    return w, h, np.frombuffer(payload, np.uint8, n, pos)
+
+
+MEDIA_DECODE_ALL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), False),
+        T.StructField("n_values", T.LongType(), True),
+        T.StructField("min_v", T.LongType(), True),
+        T.StructField("max_v", T.LongType(), True),
+        T.StructField("sum_v", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+    ]
+)
+
+
+def _decode_any_media(payload: bytes) -> tuple[str, "np.ndarray"]:
+    """Magic-byte dispatch to the right REAL decoder -> (container,
+    int64 sample/pixel vector). Unknown magics raise ValueError."""
+    import numpy as np
+
+    if payload[:4] == _MAGIC:
+        _, _, px = decode_payload(payload)
+        return "synthetic", np.frombuffer(px, np.uint8).astype(np.int64)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav", decode_wav_pcm(payload).astype(np.int64)
+    if payload[:2] == b"P6":
+        return "ppm", decode_ppm_pixels(payload)[2].astype(np.int64)
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg", decode_jpeg_pixels(payload)[3].astype(np.int64)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png", decode_png_pixels(payload)[2].astype(np.int64)
+    if payload[:4] == b"fLaC":
+        return "flac", decode_flac_samples(payload)[2].astype(np.int64)
+    raise ValueError("unknown media container magic")
+
+
+def media_decode_stats(df: DataFrame) -> DataFrame:
+    """Decode a MIXED-format asset table in one Arrow-batched
+    mapInPandas pass (magic dispatch per asset), reducing exact integer
+    stats inside the UDF — one row per asset, payload bytes never
+    shuffle regardless of format mix."""
+    def stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                container, s = _decode_any_media(payload)
+                out.append(
+                    {
+                        "asset_id": int(aid),
+                        "container": container,
+                        "n_values": int(s.size),
+                        "min_v": int(s.min()) if s.size else None,
+                        "max_v": int(s.max()) if s.size else None,
+                        "sum_v": int(s.sum()) if s.size else None,
+                        "sum_sq": int((s * s).sum()) if s.size else None,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEDIA_DECODE_ALL_SCHEMA.fields]
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        stat_batches, MEDIA_DECODE_ALL_SCHEMA
+    )

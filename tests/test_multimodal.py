@@ -493,3 +493,61 @@ class TestFlacCodec:
             assert r["min_sample"] == s.min() and r["max_sample"] == s.max()
             assert r["sum_samples"] == s.sum()
             assert r["sum_squares"] == (s * s).sum()
+
+
+class TestUnifiedDecode:
+    """r09 capstone: one pass decodes a mixed-format asset table."""
+
+    def test_dispatch_covers_all_six_formats(self):
+        import numpy as np
+
+        for i in range(12):
+            container = mm.MEDIA_CONTAINERS[i % 6][0]
+            w, h = 8 + i % 5, 6 + i % 4
+            sr, ch, ns = 8000 + 1000 * (i % 3), 1 + i % 2, 500 + 10 * i
+            payload = {
+                "synthetic": lambda: mm.synth_payload(i, w, h),
+                "wav": lambda: mm.synth_wav(i, sr, ch, ns),
+                "ppm": lambda: mm.synth_ppm(i, w, h),
+                "jpeg": lambda: mm.synth_jpeg(i, w, h),
+                "png": lambda: mm.synth_png(i, w, h),
+                "flac": lambda: mm.synth_flac(i, sr, ch, ns),
+            }[container]()
+            got, s = mm._decode_any_media(payload)
+            assert got == container and s.dtype == np.int64 and s.size > 0
+        with pytest.raises(ValueError, match="unknown media container"):
+            mm._decode_any_media(b"\x00\x01\x02\x03 garbage bytes here")
+
+    def test_ppm_decode_matches_closed_form(self):
+        import numpy as np
+
+        w, h, px = mm.decode_ppm_pixels(mm.synth_ppm(7, 9, 6))
+        assert (w, h) == (9, 6)
+        exp = np.array([(77 + 2 * j) % 256 for j in range(9 * 6 * 3)])
+        assert np.array_equal(px.astype(int), exp)
+        with pytest.raises(ValueError, match="truncated"):
+            mm.decode_ppm_pixels(mm.synth_ppm(7, 9, 6)[:-5])
+
+    def test_media_decode_stats_mixed_table(self, spark):
+        import numpy as np
+
+        assets = mm.synthesize_media_assets(spark, n=18)
+        rows = {r["asset_id"]: r for r in mm.media_decode_stats(assets).collect()}
+        assert len(rows) == 18
+        assert {r["container"] for r in rows.values()} == {
+            "synthetic", "wav", "ppm", "jpeg", "png", "flac"
+        }
+        for i, r in rows.items():
+            w, h = 8 + i % 5, 6 + i % 4
+            sr, ch, ns = 8000 + 1000 * (i % 3), 1 + i % 2, 500 + 10 * i
+            payload = {
+                "synthetic": lambda: mm.synth_payload(i, w, h),
+                "wav": lambda: mm.synth_wav(i, sr, ch, ns),
+                "ppm": lambda: mm.synth_ppm(i, w, h),
+                "jpeg": lambda: mm.synth_jpeg(i, w, h),
+                "png": lambda: mm.synth_png(i, w, h),
+                "flac": lambda: mm.synth_flac(i, sr, ch, ns),
+            }[mm.MEDIA_CONTAINERS[i % 6][0]]()
+            _, s = mm._decode_any_media(payload)
+            assert r["n_values"] == s.size
+            assert r["sum_v"] == s.sum() and r["sum_sq"] == (s * s).sum()

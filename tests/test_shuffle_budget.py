@@ -302,6 +302,8 @@ BUDGETS = {
     "multimodal_jpeg_decode": 1,
     # Rice+LPC decode reduces inside the UDF; only the output sort.
     "multimodal_flac_decode": 1,
+    # magic-dispatch mixed decode reduces inside the UDF; only the sort.
+    "multimodal_decode_all": 1,
     "mrr_prefix_rank": 5,
     # two TakeOrderedAndProject top-20s + bounded 20-row windows +
     # broadcast-only joins — no hash/range exchange anywhere.
