@@ -990,6 +990,7 @@ _DRIVER_PENDING: list[str] = [
     "multimodal_jpeg_decode",  # r09: real baseline JPEG decode (VERDICT r08 #3)
     "multimodal_flac_decode",  # r09: real FLAC decode — stub surface now zero
     "multimodal_decode_all",   # r09: mixed-format magic-dispatch decode capstone
+    "textrank_keywords",       # r09: weighted PageRank keyword extraction
 ]
 
 _DRIVER_ROTATED_OUT = [

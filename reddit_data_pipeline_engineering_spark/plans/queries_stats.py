@@ -1767,3 +1767,155 @@ def q_wilson_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     ).orderBy("variant", "metric")
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword extraction (r09) — PageRank over the word
+# co-occurrence graph, the classic unsupervised keyword scorer (Mihalcea
+# & Tarau 2004). Graph: adjacent-token pairs (the PMI bigram machinery,
+# zip_with — no window), self-loops dropped, symmetrized, edge weight =
+# co-occurrence count. Iteration is the WEIGHTED power step on the
+# integer grid (operators/pagerank.py constants):
+#
+#   contrib(dst) = SUM over in-edges of (rank(src) div strength(src)) * w
+#   rank'        = teleport + 85 * contrib div 100
+#
+# Truncate-BEFORE-multiply is deliberate: rank*w could overflow int64 at
+# corpus scale (rank ~ n*1e12, w ~ 1e8), while (rank div s)*w <= rank
+# since w <= s — the per-edge truncation costs < w grid units on a 1e12
+# grid (ranking-irrelevant) and both engines replay it bit-identically.
+# Plan: one token-pair count shuffle over fact rows (vocabulary^2-
+# bounded output), strength folded into the edge rows ONCE, then 3
+# vocabulary-bounded iterations; top-20 via TakeOrdered.
+# --------------------------------------------------------------------------
+
+_TR_ITERS = 3
+_TR_TOP = 20
+
+
+def _textrank_ctes(iters: int) -> str:
+    from reddit_data_pipeline_engineering_spark.operators import pagerank as _pr
+
+    teleport = (_pr.SCALE * (_pr.DAMP_DEN - _pr.DAMP_NUM)) // _pr.DAMP_DEN
+    parts = [
+        """tok AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+)""",
+        """und AS MATERIALIZED (
+  SELECT LEAST(t[i], t[i + 1]) AS a, GREATEST(t[i], t[i + 1]) AS b,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM tok, UNNEST(generate_series(1, len(t) - 1)) s(i)
+  WHERE t[i] <> t[i + 1]
+  GROUP BY 1, 2
+)""",
+        """edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM und
+  UNION ALL
+  SELECT b, a, w FROM und
+)""",
+        """strength AS MATERIALIZED (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS s FROM edges GROUP BY src
+)""",
+        f"""r0 AS MATERIALIZED (
+  SELECT src AS word, CAST({_pr.SCALE} AS BIGINT) AS rank FROM strength
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""c{t} AS MATERIALIZED (
+  SELECT e.dst AS word, SUM((r.rank // st.s) * e.w) AS m
+  FROM edges e
+  JOIN r{t - 1} r ON e.src = r.word
+  JOIN strength st ON e.src = st.src
+  GROUP BY e.dst
+)""")
+        parts.append(f"""r{t} AS MATERIALIZED (
+  SELECT n.word,
+         CAST({teleport} + ({_pr.DAMP_NUM} * COALESCE(c.m, 0))
+              // {_pr.DAMP_DEN} AS BIGINT) AS rank
+  FROM r0 n LEFT JOIN c{t} c USING (word)
+)""")
+    return ",\n".join(parts)
+
+
+def _textrank_oracle() -> str:
+    return f"""
+WITH {_textrank_ctes(_TR_ITERS)}
+SELECT word, rank FROM r{_TR_ITERS}
+ORDER BY rank DESC, word
+LIMIT {_TR_TOP}
+"""
+
+
+@query(
+    "textrank_keywords",
+    _textrank_oracle(),
+    "TextRank keyword extraction: weighted PageRank (3 integer-grid "
+    "power iterations, truncate-before-multiply so no int64 overflow "
+    "at corpus scale) over the symmetrized adjacent-token co-occurrence "
+    "graph — one fact-row pair-count shuffle, vocabulary-bounded "
+    "iterations, top-20 keywords via TakeOrdered; the oracle replays "
+    "every iteration as unrolled CTEs",
+    tags=("llm", "text", "graph", "iterative", "bench"),
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import pagerank as _pr
+
+    teleport = (_pr.SCALE * (_pr.DAMP_DEN - _pr.DAMP_NUM)) // _pr.DAMP_DEN
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select(F.split("text", " ").alias("t"))
+    und = (
+        toked.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, "
+                    "size(t) - 1), (a, b) -> struct(a as x, b as y))"
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p.x") != F.col("p.y"))
+        .select(
+            F.least("p.x", "p.y").alias("a"),
+            F.greatest("p.x", "p.y").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    # strength folded into the edge rows ONCE (pagerank's loop-invariant
+    # pattern); the vocab-bounded relation persists across rounds.
+    strength = edges.groupBy("src").agg(F.sum("w").cast("long").alias("s"))
+    ew = edges.join(strength, "src").localCheckpoint(eager=False)
+    ranks = strength.select(
+        F.col("src").alias("word"), F.lit(_pr.SCALE).cast("long").alias("rank")
+    ).localCheckpoint(eager=False)
+    nodes = ranks.select("word")
+    for _ in range(_TR_ITERS):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["word"])
+            .select(
+                F.col("dst"),
+                F.expr("(rank DIV s) * w").alias("cpart"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("cpart").cast("long").alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["word"] == contrib["dst"], "left")
+            .select(
+                "word",
+                F.expr(
+                    f"cast({teleport}L + ({_pr.DAMP_NUM} * "
+                    f"coalesce(m, 0L)) DIV {_pr.DAMP_DEN} as long)"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("word").asc())
+        .limit(_TR_TOP)
+        .select("word", "rank")
+    )

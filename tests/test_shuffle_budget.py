@@ -304,6 +304,10 @@ BUDGETS = {
     "multimodal_flac_decode": 1,
     # magic-dispatch mixed decode reduces inside the UDF; only the sort.
     "multimodal_decode_all": 1,
+    # returned plan reads the checkpointed final ranks (iterations run
+    # during construction, like pagerank); budget = the TakeOrdered
+    # staging only.
+    "textrank_keywords": 1,
     "mrr_prefix_rank": 5,
     # two TakeOrderedAndProject top-20s + bounded 20-row windows +
     # broadcast-only joins — no hash/range exchange anywhere.

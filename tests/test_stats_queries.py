@@ -1109,3 +1109,42 @@ def test_simpson_diversity_matches_counter_replay(spark):
         inv = 1.0 / sum((c / t) ** 2 for c in cnt.values())
         assert abs(row["inv_simpson_e2"] / 100 - inv) < 0.02
     assert set(out.index) == set(per)
+
+
+def test_textrank_matches_pure_python_replay(spark):
+    """Weighted integer-grid TextRank replayed in pure python (Counter
+    graph build + exact integer power iterations) — top-20 must match
+    word-for-word and rank-for-rank."""
+    from collections import Counter, defaultdict
+
+    from reddit_data_pipeline_engineering_spark.operators import pagerank as pr
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    und = Counter()
+    for text in docs["text"]:
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                und[(min(a, b), max(a, b))] += 1
+    edges = defaultdict(list)
+    strength = Counter()
+    for (a, b), w in und.items():
+        edges[a].append((b, w))
+        edges[b].append((a, w))
+        strength[a] += w
+        strength[b] += w
+    teleport = (pr.SCALE * (pr.DAMP_DEN - pr.DAMP_NUM)) // pr.DAMP_DEN
+    rank = {n: pr.SCALE for n in strength}
+    for _ in range(3):
+        contrib = Counter()
+        for src, outs in edges.items():
+            q = rank[src] // strength[src]  # truncate BEFORE multiply
+            for dst, w in outs:
+                contrib[dst] += q * w
+        rank = {
+            n: teleport + (pr.DAMP_NUM * contrib[n]) // pr.DAMP_DEN
+            for n in strength
+        }
+    exp = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = _pdf("textrank_keywords", spark)
+    assert list(map(tuple, got[["word", "rank"]].itertuples(index=False))) == exp
