@@ -102,14 +102,30 @@ def get_spark(
     # /tmp reaper raced live shuffle files on the long-lived bench JVM
     # (VERDICT r08 #4). Per-pid so concurrent sessions never collide;
     # Spark removes the subdirs it creates on clean shutdown.
-    local_dir = os.environ.get(
-        "RDPE_SPARK_LOCAL_DIR",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".spark-local",
-            str(os.getpid()),
-        ),
+    local_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".spark-local",
     )
+    local_dir = os.environ.get(
+        "RDPE_SPARK_LOCAL_DIR", os.path.join(local_root, str(os.getpid()))
+    )
+    # Reap stale per-pid dirs (crashed/killed JVMs leave spill files and
+    # Spark never removes the <pid> dir itself): a dir whose pid is no
+    # longer alive is dead weight — this sweep is the replacement for
+    # the /tmp reaper the pin deliberately escaped.
+    if os.path.isdir(local_root):
+        for entry in os.listdir(local_root):
+            full = os.path.join(local_root, entry)
+            if not entry.isdigit() or int(entry) == os.getpid():
+                continue
+            try:
+                os.kill(int(entry), 0)  # liveness probe, no signal sent
+            except ProcessLookupError:
+                import shutil
+
+                shutil.rmtree(full, ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid — leave it
     os.makedirs(local_dir, exist_ok=True)
 
     builder = (

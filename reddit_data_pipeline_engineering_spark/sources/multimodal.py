@@ -1184,6 +1184,12 @@ def _decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, "np.ndarray"]:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2, like _probe_jpeg)
+            pos += 1
+            continue
+        if marker in _JPEG_STANDALONE:  # TEM/RSTn: no length field
+            pos += 2
+            continue
         if marker == 0xD9:  # EOI
             break
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
@@ -1672,6 +1678,15 @@ def decode_flac_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     with the side channel's +1-bit width), and CRC-16 frame verify.
     Raises ValueError loudly on anything malformed.
     """
+    try:
+        return _decode_flac_samples(payload)
+    except (IndexError, struct.error) as exc:
+        # same loud contract as decode_jpeg_pixels: out-of-range reads
+        # on truncated/corrupt payloads surface as ValueError
+        raise ValueError(f"truncated or corrupt FLAC: {exc}") from exc
+
+
+def _decode_flac_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     import numpy as np
 
     if payload[:4] != b"fLaC":
@@ -1790,6 +1805,13 @@ def decode_flac_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
             channels[ch].extend(subs[ch][:keep])
         got += keep
 
+    # fail-loud completeness check: a stream truncated at a frame sync
+    # boundary would otherwise "decode" to a silently short sample set
+    if total and got < total:
+        raise ValueError(
+            f"FLAC stream ended after {got} of {total} samples "
+            "(missing frames)"
+        )
     arr = np.array(channels, dtype=np.int64)
     return stream_nch, int(stream_rate), arr.T.reshape(-1).astype(np.int32)
 

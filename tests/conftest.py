@@ -97,8 +97,11 @@ def pytest_sessionfinish(session, exitstatus):
     t0 = _SUITE_T0["t"]
     # Heuristic for "full run": everything under tests/ was collected
     # (deselection via -k/-m or path args shrinks the item list well
-    # below the full-suite count).
-    if t0 is None or _SUITE_T0["collected"] < 700:
+    # below the full-suite count). Interrupted or errored runs (Ctrl-C
+    # after collection, internal error) must not overwrite the evidence
+    # record with a fabricated short wall time — only exit codes 0
+    # (all passed) and 1 (tests ran to completion with failures) count.
+    if t0 is None or _SUITE_T0["collected"] < 700 or exitstatus not in (0, 1):
         return
     failed = getattr(session, "testsfailed", 0)
     record = {

@@ -551,3 +551,46 @@ class TestUnifiedDecode:
             _, s = mm._decode_any_media(payload)
             assert r["n_values"] == s.size
             assert r["sum_v"] == s.sum() and r["sum_sq"] == (s * s).sum()
+
+
+class TestCodecHardening:
+    """r09 review fixes: truncation fail-loud, fill-byte JPEG walk."""
+
+    def test_flac_missing_frames_raise(self):
+        p = mm.synth_flac(7, 16000, 2, 4096 * 2)
+        with pytest.raises(ValueError, match="missing frames"):
+            mm.decode_flac_samples(p[:42])  # STREAMINFO only, no frames
+
+    def test_flac_truncated_header_raises_valueerror(self):
+        # struct.error from a short STREAMINFO must surface as the
+        # documented ValueError contract, like decode_jpeg_pixels
+        with pytest.raises(ValueError, match="truncated or corrupt FLAC"):
+            mm.decode_flac_samples(mm.synth_flac(5, 9000, 2, 600)[:20])
+
+    def test_jpeg_fill_bytes_and_rst_in_marker_walk(self):
+        import numpy as np
+
+        base = mm.synth_jpeg(3, 11, 9)
+        # inject a legal fill byte (FF FF DB...) before the first segment
+        filled = b"\xff\xd8" + b"\xff" + base[2:]
+        assert np.array_equal(
+            mm.decode_jpeg_pixels(base)[3], mm.decode_jpeg_pixels(filled)[3]
+        )
+
+    def test_stale_spark_local_dirs_swept(self, tmp_path, monkeypatch):
+        import os
+
+        from reddit_data_pipeline_engineering_spark import session as se
+
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(se.__file__))),
+            ".spark-local",
+        )
+        stale = os.path.join(root, "999999")
+        os.makedirs(stale, exist_ok=True)
+        # get_spark sweeps on entry; reuse the live test session's JVM by
+        # calling with the same master (getOrCreate returns it) — the
+        # sweep runs before the builder.
+        se.get_spark(app_name="sweep-test", master="local[8]",
+                     shuffle_partitions=4)
+        assert not os.path.isdir(stale)
