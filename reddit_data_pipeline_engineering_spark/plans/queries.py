@@ -991,6 +991,7 @@ _DRIVER_PENDING: list[str] = [
     "multimodal_flac_decode",  # r09: real FLAC decode — stub surface now zero
     "multimodal_decode_all",   # r09: mixed-format magic-dispatch decode capstone
     "textrank_keywords",       # r09: weighted PageRank keyword extraction
+    "shapley_attribution",     # r09: exact Shapley multi-touch attribution
 ]
 
 _DRIVER_ROTATED_OUT = [

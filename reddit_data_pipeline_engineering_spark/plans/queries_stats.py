@@ -1919,3 +1919,107 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TR_TOP)
         .select("word", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Shapley-value channel attribution (r09) — the game-theoretic
+# multi-touch attribution marketers run over conversion paths. With the
+# standard additive coalition value (v(S) = conversions whose touched
+# channel set is a subset of S), the Shapley value collapses to a
+# closed form: each converted path T splits its conversions EQUALLY
+# among its |T| channels — phi(c) = SUM over paths T containing c of
+# conv(T) / |T| (every marginal-contribution term cancels except the
+# path's own uniform share). That makes the whole computation exact
+# integer math: conv(T) * 1e6 DIV |T|, summed per channel.
+#
+# Path = the set of distinct non-purchase event types a user touched
+# STRICTLY BEFORE their first purchase; converted users with no prior
+# touches attribute to the '(direct)' pseudo-channel. Key identity for
+# the scale plan: a type belongs to the path iff MIN(ts of that type)
+# < first-purchase ts — so a (user, type) MIN pre-aggregate (map-side
+# combine absorbs per-user event skew; <= |EVENT_TYPES| rows per user
+# survive) replaces any events-to-first-purchase self-join, and the
+# path derives from array ops over the bounded per-user type list.
+# ONE fact-sized shuffle; everything after is user- then
+# 2^|channels|-bounded (grid rollup, explode, channel rollup).
+# --------------------------------------------------------------------------
+
+_SHAPLEY_ORACLE = """
+WITH fp AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS pts
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), pre AS (
+  SELECT e.user_id, e.event_type
+  FROM events e JOIN fp USING (user_id)
+  WHERE CAST(e.ts AS TIMESTAMP) < fp.pts AND e.event_type <> 'purchase'
+), paths0 AS (
+  SELECT user_id, list_sort(list_distinct(array_agg(event_type))) AS path
+  FROM pre GROUP BY 1
+), allc AS (
+  SELECT f.user_id, COALESCE(p.path, ['(direct)']) AS path
+  FROM fp f LEFT JOIN paths0 p USING (user_id)
+), grid AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS conv FROM allc GROUP BY path
+), shares AS (
+  SELECT u.ch AS channel, conv, len(path) AS plen
+  FROM grid, UNNEST(path) u(ch)
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(SUM(conv) AS BIGINT) AS touched_conversions,
+       CAST(SUM(conv * 1000000 // plen) AS BIGINT) AS shapley_e6
+FROM shares GROUP BY channel
+ORDER BY shapley_e6 DESC, channel
+"""
+
+
+@query(
+    "shapley_attribution",
+    _SHAPLEY_ORACLE,
+    "Exact Shapley-value multi-touch attribution: per converted user "
+    "the set of channels touched strictly before first purchase "
+    "('(direct)' when none), conversions split via the closed form "
+    "conv(T)*1e6 DIV |T| per member channel (the additive-coalition "
+    "Shapley value, exact integers); one user-keyed aggregate over "
+    "facts, then path-grid-bounded rollups",
+    tags=("relational", "stats", "bench"),
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # the ONE fact-sized shuffle: per-(user, type) first-touch times
+    ut = ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("mt"))
+    per_user = ut.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("mt"))
+        ).alias("pts"),
+        # bounded by |EVENT_TYPES| entries per user
+        F.collect_list(F.struct("event_type", "mt")).alias("tl"),
+    )
+    raw_path = F.sort_array(
+        F.expr(
+            "transform(filter(tl, x -> x.mt < pts AND "
+            "x.event_type <> 'purchase'), x -> x.event_type)"
+        )
+    )
+    allc = per_user.filter(F.col("pts").isNotNull()).select(
+        F.when(F.size(raw_path) == 0, F.array(F.lit("(direct)")))
+        .otherwise(raw_path)
+        .alias("path")
+    )
+    grid = allc.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("conv")
+    )
+    shares = grid.select(
+        F.explode("path").alias("channel"),
+        "conv",
+        F.expr("(conv * 1000000) DIV size(path)").alias("share"),
+    )
+    return (
+        shares.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+            F.sum("conv").cast("long").alias("touched_conversions"),
+            F.sum("share").cast("long").alias("shapley_e6"),
+        )
+        .orderBy(F.col("shapley_e6").desc(), F.col("channel").asc())
+    )

@@ -308,6 +308,9 @@ BUDGETS = {
     # during construction, like pagerank); budget = the TakeOrdered
     # staging only.
     "textrank_keywords": 1,
+    # (user,type) first-touch agg (the one fact shuffle) + user rollup
+    # + path-grid rollup + channel rollup + output sort.
+    "shapley_attribution": 5,
     "mrr_prefix_rank": 5,
     # two TakeOrderedAndProject top-20s + bounded 20-row windows +
     # broadcast-only joins — no hash/range exchange anywhere.

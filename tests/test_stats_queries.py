@@ -1148,3 +1148,42 @@ def test_textrank_matches_pure_python_replay(spark):
     exp = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = _pdf("textrank_keywords", spark)
     assert list(map(tuple, got[["word", "rank"]].itertuples(index=False))) == exp
+
+
+def test_shapley_attribution_matches_python_replay(spark):
+    """Closed-form Shapley (uniform split per converted path) replayed
+    with Counter arithmetic; also checks the Shapley efficiency axiom:
+    channel shares sum back to total conversions (modulo DIV floor)."""
+    from collections import Counter
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    first_p = (
+        ev[ev.event_type == "purchase"].groupby("user_id")["ts"].min()
+    )
+    grid = Counter()
+    for uid, pts in first_p.items():
+        rows = ev[(ev.user_id == uid) & (ev.ts < pts)
+                  & (ev.event_type != "purchase")]
+        path = tuple(sorted(set(rows.event_type))) or ("(direct)",)
+        grid[path] += 1
+    exp = Counter()
+    touched = Counter()
+    npaths = Counter()
+    for path, conv in grid.items():
+        for ch in path:
+            exp[ch] += conv * 1_000_000 // len(path)
+            touched[ch] += conv
+            npaths[ch] += 1
+    got = _pdf("shapley_attribution", spark)
+    for _, r in got.iterrows():
+        assert r["shapley_e6"] == exp[r["channel"]]
+        assert r["touched_conversions"] == touched[r["channel"]]
+        assert r["n_paths"] == npaths[r["channel"]]
+    assert set(got["channel"]) == set(exp)
+    # efficiency: total attributed mass == total conversions (floor loss
+    # bounded by one grid unit per (path, channel) pair)
+    total = sum(grid.values()) * 1_000_000
+    assert 0 <= total - got["shapley_e6"].sum() < sum(
+        len(p) for p in grid
+    )
