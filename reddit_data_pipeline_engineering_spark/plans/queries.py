@@ -992,6 +992,7 @@ _DRIVER_PENDING: list[str] = [
     "multimodal_decode_all",   # r09: mixed-format magic-dispatch decode capstone
     "textrank_keywords",       # r09: weighted PageRank keyword extraction
     "shapley_attribution",     # r09: exact Shapley multi-touch attribution
+    "streaming_window_topk",   # r09: 13th streaming query (windowed heavy hitters)
 ]
 
 _DRIVER_ROTATED_OUT = [

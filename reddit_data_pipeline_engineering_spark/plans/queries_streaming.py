@@ -1306,3 +1306,115 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_completion(q)
     return spark.read.parquet(out).orderBy("event_type", "batch_seq")
+
+
+# --------------------------------------------------------------------------
+# Streaming windowed top-k heavy hitters (r09, 13th streaming query) —
+# the trending-detection shape: per event-time hour, the top-3 heaviest
+# users by event count. The STREAMING side is the mergeable
+# (window, user) count aggregate under a 2-hour watermark (late data
+# folds in free; append drain emits final counts); the RANK is read off
+# the drained sink batch-side — ranking is not a mergeable aggregate,
+# so it belongs after the drain, where the relation is already
+# (windows x active users)-bounded. At unbounded key cardinality the
+# exact per-key state is the documented trade: swap the inner aggregate
+# for the KMV/space-saving sketch family (streaming_kmv_distinct shows
+# the applyInPandasWithState form) when users-per-window stops fitting
+# state-store budgets.
+# --------------------------------------------------------------------------
+
+_STREAM_TOPK_ORACLE = """
+WITH week AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) <
+        (SELECT MIN(CAST(ts AS TIMESTAMP)) FROM events) + INTERVAL 7 DAY
+), base AS (
+  SELECT user_id,
+         to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)
+                      - (CAST(floor(epoch(ts)) AS BIGINT) % 3600))::TIMESTAMP
+           AS window_start
+  FROM week
+), counts AS (
+  SELECT window_start, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM base GROUP BY 1, 2
+), ranked AS (
+  SELECT window_start, user_id, n_events,
+         row_number() OVER (
+           PARTITION BY window_start
+           ORDER BY n_events DESC, user_id) AS rnk
+  FROM counts
+)
+SELECT window_start, CAST(rnk AS INTEGER) AS rnk, user_id, n_events
+FROM ranked WHERE rnk <= 3
+ORDER BY window_start, rnk
+"""
+
+
+@query(
+    "streaming_window_topk",
+    _STREAM_TOPK_ORACLE,
+    "Streaming windowed heavy hitters: per-hour (window, user) counts "
+    "as a watermarked mergeable streaming aggregate (late data folds "
+    "free), append drain emits final counts, top-3 rank read off the "
+    "drained sink where the relation is windows-x-users bounded",
+    tags=("streaming",),
+)
+def q_streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    week = _with_min_ts(ev).filter(
+        F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAYS")
+    ).select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "2030-01-01T00:00:00.000000")], "user_id long, ts string"
+    )
+    tmp = tempfile.mkdtemp(prefix="rdpe_topkq_")
+    raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
+    week.unionByName(sentinel).write.mode("overwrite").json(raw)
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, ts string")
+        .option("maxFilesPerTrigger", "1000000")  # single-batch drain
+        .load(raw)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+    )
+    counts = (
+        stream.groupBy(F.window("ts", "1 hour").alias("window"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    drained = (
+        spark.read.parquet(out)
+        .select(
+            F.col("window.start").alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+        .filter(F.col("window_start") < F.lit("2029-01-01").cast("timestamp"))
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("user_id").asc()
+        )
+    )
+    return (
+        drained.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "rnk", "user_id", "n_events")
+        .orderBy("window_start", "rnk")
+    )

@@ -773,6 +773,48 @@ def _case_kmv_stream_restart_from_checkpoint(spark, tmp):
         assert rows[i + 1] == replay(seen)
 
 
+def _case_window_topk_matches_pandas(spark, tmp):
+    """r09 13th streaming query: the drained per-window heavy-hitter
+    ranks must equal an independent pandas replay of the first-7-day
+    hourly (window, user) counts with the (count desc, user asc)
+    tiebreak."""
+    import pandas as pd
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+
+    queries()  # force registration
+    got = REGISTRY["streaming_window_topk"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ts = pd.to_datetime(ev["ts"])
+    week = ev[ts < ts.min() + pd.Timedelta(days=7)].copy()
+    week["window_start"] = pd.to_datetime(week["ts"]).dt.floor("h")
+    counts = (
+        week.groupby(["window_start", "user_id"]).size().reset_index(name="n")
+    )
+    counts = counts.sort_values(
+        ["window_start", "n", "user_id"], ascending=[True, False, True]
+    )
+    counts["rnk"] = counts.groupby("window_start").cumcount() + 1
+    exp = counts[counts["rnk"] <= 3]
+    exp_t = [
+        (r.window_start.to_pydatetime().replace(tzinfo=None), r.rnk,
+         r.user_id, r.n)
+        for r in exp.itertuples()
+    ]
+    got_t = [
+        (r.window_start.to_pydatetime().replace(tzinfo=None), r.rnk,
+         r.user_id, r.n_events)
+        for r in got.itertuples()
+    ]
+    assert got_t == exp_t
+
+
 _CASES = {
     "streaming_matches_batch": _case_streaming_matches_batch,
     "pit_tiled_stream_matches_batch": _case_pit_tiled_stream_matches_batch,
@@ -791,6 +833,7 @@ _CASES = {
     "cusum_stream_restart_from_checkpoint": (
         _case_cusum_stream_restart_from_checkpoint
     ),
+    "window_topk_matches_pandas": _case_window_topk_matches_pandas,
 }
 
 
