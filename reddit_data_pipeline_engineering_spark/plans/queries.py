@@ -993,6 +993,7 @@ _DRIVER_PENDING: list[str] = [
     "textrank_keywords",       # r09: weighted PageRank keyword extraction
     "shapley_attribution",     # r09: exact Shapley multi-touch attribution
     "streaming_window_topk",   # r09: 13th streaming query (windowed heavy hitters)
+    "cuped_variance_reduction",  # r09: CUPED adjusted A/B means
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -2023,3 +2023,155 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("shapley_e6").desc(), F.col("channel").asc())
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction (r09) — the experimentation-platform
+# companion to ab_conversion_ztest: adjust the post-period spend metric
+# with the pre-period spend covariate (theta from the POOLED
+# regression, the standard CUPED estimator), reporting per-arm adjusted
+# means and the pooled variance-reduction factor rho^2.
+#
+#   theta = (N*Sxy - Sx*Sy) / (N*Sxx - Sx^2)
+#   mean_y_adj(arm) = mean_y(arm) - theta * (mean_x(arm) - mean_x(pooled))
+#   var_reduction = rho^2 = (N*Sxy - Sx*Sy)^2
+#                           / ((N*Sxx - Sx^2) * (N*Syy - Sy^2))
+#
+# Exactness: per-user x (pre-period purchase spend, first 3 days) and y
+# (post-period) land on the 1e-4 integer grid (value is DECIMAL(14,4)
+# on both engines, times 1e4); per-arm moment SUMS run in
+# decimal(38,0) — per-user x*y caps at ~1e28, arm sums exact to ~1e9
+# users. The N*Sxy-class products would overflow the decimal grid, so
+# theta/rho^2/means are MIRRORED double expression trees over the exact
+# integer sums (identical IEEE ops both sides — the cramers_v device).
+# theta is scale-invariant on the e4 grid; means descale by 1e-4 at the
+# end. Plan: ONE user-keyed conditional aggregate over facts (t0 rides
+# a broadcast 1-row min), then a 2-row arm rollup and broadcast pooled
+# scalars.
+# --------------------------------------------------------------------------
+
+_CUPED_ORACLE = f"""
+WITH t0 AS (
+  SELECT MIN(CAST(ts AS TIMESTAMP)) AS t0 FROM events
+), per_user AS (
+  SELECT user_id,
+         CASE WHEN {_AB_BUCKET_SQL} = 0 THEN 'A' ELSE 'B' END AS variant,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    AND CAST(ts AS TIMESTAMP) < t.t0 + INTERVAL 3 DAY
+                    THEN CAST(value AS DECIMAL(14,4)) END) * 10000, 0)
+              AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    AND CAST(ts AS TIMESTAMP) >= t.t0 + INTERVAL 3 DAY
+                    THEN CAST(value AS DECIMAL(14,4)) END) * 10000, 0)
+              AS BIGINT) AS y
+  FROM events, t0 t GROUP BY user_id
+), arms AS (
+  SELECT variant, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM per_user GROUP BY variant
+), pooled AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS nn, CAST(SUM(sx) AS DOUBLE) AS px,
+         CAST(SUM(sy) AS DOUBLE) AS py, CAST(SUM(sxy) AS DOUBLE) AS pxy,
+         CAST(SUM(sxx) AS DOUBLE) AS pxx, CAST(SUM(syy) AS DOUBLE) AS pyy
+  FROM arms
+)
+SELECT variant,
+       CAST(n AS BIGINT) AS n_users,
+       ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0, 6)
+         AS mean_y,
+       ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              - ((nn * pxy - px * py) / (nn * pxx - px * px))
+                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - px / nn))
+             / 10000.0, 6) AS mean_y_adj,
+       ROUND((nn * pxy - px * py) / (nn * pxx - px * px), 6) AS theta,
+       ROUND((nn * pxy - px * py) * (nn * pxy - px * py)
+             / ((nn * pxx - px * px) * (nn * pyy - py * py)), 6)
+         AS var_reduction
+FROM arms, pooled ORDER BY variant
+"""
+
+
+@query(
+    "cuped_variance_reduction",
+    _CUPED_ORACLE,
+    "CUPED adjusted A/B means: pre-period spend covariate (first 3 "
+    "days) against post-period spend, pooled theta and rho^2 variance "
+    "reduction — exact 1e-4-grid integer moments per arm, mirrored "
+    "double trees for the regression scalars; ONE user-keyed "
+    "conditional aggregate over facts, then 2-row rollups",
+    tags=("relational", "stats", "bench"),
+)
+def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        md5_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.crossJoin(F.broadcast(ev.agg(F.min("ts").alias("t0"))))
+    dec_val = F.col("value").cast("decimal(14,4)")
+    pre = F.col("ts") < F.col("t0") + F.expr("INTERVAL 3 DAYS")
+    is_p = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            (F.sum(F.when(is_p & pre, dec_val)) * 10000).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("x"),
+        F.coalesce(
+            (F.sum(F.when(is_p & ~pre, dec_val)) * 10000).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("y"),
+    ).withColumn(
+        "variant",
+        F.when(md5_bucket("user_id", 2) == 0, F.lit("A")).otherwise(
+            F.lit("B")
+        ),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    arms = per_user.groupBy("variant").agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        dec(F.sum("x")).alias("sx"),
+        dec(F.sum("y")).alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+    ).localCheckpoint(eager=False)
+    pooled = arms.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.sum("sx").cast("double").alias("px"),
+        F.sum("sy").cast("double").alias("py"),
+        F.sum("sxy").cast("double").alias("pxy"),
+        F.sum("sxx").cast("double").alias("pxx"),
+        F.sum("syy").cast("double").alias("pyy"),
+    )
+    theta = (F.col("nn") * F.col("pxy") - F.col("px") * F.col("py")) / (
+        F.col("nn") * F.col("pxx") - F.col("px") * F.col("px")
+    )
+    mean_y = F.col("sy").cast("double") / F.col("n").cast("double")
+    mean_x = F.col("sx").cast("double") / F.col("n").cast("double")
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .select(
+            "variant",
+            F.col("n").cast("long").alias("n_users"),
+            F.round(mean_y / 10000.0, 6).alias("mean_y"),
+            F.round(
+                (mean_y - theta * (mean_x - F.col("px") / F.col("nn")))
+                / 10000.0,
+                6,
+            ).alias("mean_y_adj"),
+            F.round(theta, 6).alias("theta"),
+            F.round(
+                (F.col("nn") * F.col("pxy") - F.col("px") * F.col("py"))
+                * (F.col("nn") * F.col("pxy") - F.col("px") * F.col("py"))
+                / (
+                    (F.col("nn") * F.col("pxx") - F.col("px") * F.col("px"))
+                    * (F.col("nn") * F.col("pyy") - F.col("py") * F.col("py"))
+                ),
+                6,
+            ).alias("var_reduction"),
+        )
+        .orderBy("variant")
+    )

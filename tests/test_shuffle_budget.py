@@ -311,6 +311,9 @@ BUDGETS = {
     # (user,type) first-touch agg (the one fact shuffle) + user rollup
     # + path-grid rollup + channel rollup + output sort.
     "shapley_attribution": 5,
+    # user-keyed conditional aggregate + 2-row arm rollup (the pooled
+    # scalars and t0 ride broadcasts; the 2-row sort is driver-trivial).
+    "cuped_variance_reduction": 2,
     "mrr_prefix_rank": 5,
     # two TakeOrderedAndProject top-20s + bounded 20-row windows +
     # broadcast-only joins — no hash/range exchange anywhere.

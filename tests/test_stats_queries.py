@@ -1187,3 +1187,44 @@ def test_shapley_attribution_matches_python_replay(spark):
     assert 0 <= total - got["shapley_e6"].sum() < sum(
         len(p) for p in grid
     )
+
+
+def test_cuped_matches_numpy_replay(spark, events_pdf):
+    """CUPED theta/rho^2/adjusted means replayed with numpy float math
+    over the same md5 split and 3-day pre-period cut."""
+    import hashlib
+
+    ev = events_pdf.copy()
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    t0 = ev["ts"].min()
+    cut = t0 + pd.Timedelta(days=3)
+    p = ev[ev.event_type == "purchase"]
+    x = p[p.ts < cut].groupby("user_id")["value"].sum()
+    y = p[p.ts >= cut].groupby("user_id")["value"].sum()
+    users = sorted(set(ev.user_id))
+    xs = np.array([round(x.get(u, 0.0), 4) for u in users])
+    ys = np.array([round(y.get(u, 0.0), 4) for u in users])
+    arm = np.array([
+        int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        for u in users
+    ])
+    n = len(users)
+    sx, sy = xs.sum(), ys.sum()
+    sxy, sxx, syy = (xs * ys).sum(), (xs * xs).sum(), (ys * ys).sum()
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    rho2 = (n * sxy - sx * sy) ** 2 / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    got = _pdf("cuped_variance_reduction", spark).set_index("variant")
+    assert abs(got.loc["A", "theta"] - theta) < 1e-4
+    assert abs(got.loc["A", "var_reduction"] - rho2) < 1e-4
+    for v, mask in (("A", arm == 0), ("B", arm == 1)):
+        my = ys[mask].mean()
+        madj = my - theta * (xs[mask].mean() - xs.mean())
+        assert got.loc[v, "n_users"] == mask.sum()
+        assert abs(got.loc[v, "mean_y"] - my) < 1e-3
+        assert abs(got.loc[v, "mean_y_adj"] - madj) < 1e-3
+    # CUPED preserves the pooled mean: weighted adj means == raw pooled
+    pooled_raw = ys.mean()
+    w = got["n_users"] / got["n_users"].sum()
+    assert abs((got["mean_y_adj"] * w).sum() - pooled_raw) < 1e-3
