@@ -994,6 +994,7 @@ _DRIVER_PENDING: list[str] = [
     "shapley_attribution",     # r09: exact Shapley multi-touch attribution
     "streaming_window_topk",   # r09: 13th streaming query (windowed heavy hitters)
     "cuped_variance_reduction",  # r09: CUPED adjusted A/B means
+    "bh_fdr_nation_conversion",  # r09: Benjamini-Hochberg FDR control
 ]
 
 _DRIVER_ROTATED_OUT = [

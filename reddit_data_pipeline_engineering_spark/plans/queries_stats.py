@@ -2175,3 +2175,196 @@ def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR control (r09) — multiple-testing control over
+# the per-nation conversion-rate test family, the piece that makes the
+# inference family honest when it runs one test PER GROUP: at alpha =
+# 0.05 over 25 nations, ~1 false positive per run is EXPECTED without
+# correction.
+#
+# Per nation: the one-proportion-vs-pooled z^2 with cleared
+# denominators (the ab_conversion_ztest device, integer-exact in bp):
+#   z2_bp = (c_s*N - C*n_s)^2 * N * 1e4
+#           div (n_s*(N-n_s)*C*(N-C))
+# BH needs p(i) <= alpha*i/m, equivalently z2(i) >= Q(1 - alpha*i/m)
+# where Q is the chi-square(1) quantile — TRANSCENDENTAL, so the
+# quantile ladder is computed ONCE at query-build time in Python
+# (Acklam probit, squared) and embedded as the SAME bp-integer literal
+# dim in both the Spark plan and the oracle: the runtime comparison is
+# pure integer, no engine ever evaluates exp/erf. Discovery set =
+# ranks 1..k where k = max{i : z2_bp(i) >= thr_bp(i)} (step-up rule).
+# Plan: user-keyed conversion aggregate -> nation rollup (25 rows) ->
+# broadcast pooled scalars + literal threshold dim; the rank window
+# partitions a nation-bounded 25-row relation (dimension-bounded
+# global frame, the cusum waiver class).
+# --------------------------------------------------------------------------
+
+_BH_M = 25      # nations
+_BH_ALPHA_BP = 500  # alpha = 0.05 in bp
+
+
+def _chi2_inv_1df(p: float) -> float:
+    """Quantile of chi-square(1) at 1-p via Acklam's probit — build-time
+    only (both engines receive the result as a literal)."""
+    import math
+
+    a = [-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00]
+    q = p / 2  # two-sided
+    if q < 0.02425:
+        t = math.sqrt(-2 * math.log(q))
+        z = -((((((c[0]*t+c[1])*t+c[2])*t+c[3])*t+c[4])*t+c[5])
+              / ((((d[0]*t+d[1])*t+d[2])*t+d[3])*t+1))
+    else:
+        u = (1 - q) - 0.5
+        r = u * u
+        z = ((((((a[0]*r+a[1])*r+a[2])*r+a[3])*r+a[4])*r+a[5])*u
+             / (((((b[0]*r+b[1])*r+b[2])*r+b[3])*r+b[4])*r+1))
+    return z * z
+
+
+def _bh_thresholds() -> list[tuple[int, int]]:
+    """(rank i, chi2(1) quantile at 1 - alpha*i/m, in bp)."""
+    return [
+        (i, int(round(_chi2_inv_1df(_BH_ALPHA_BP / 10000.0 * i / _BH_M)
+                      * 10000)))
+        for i in range(1, _BH_M + 1)
+    ]
+
+
+def _bh_oracle() -> str:
+    thr_rows = ", ".join(f"({i}, {t})" for i, t in _bh_thresholds())
+    return f"""
+WITH per_user AS (
+  SELECT e.user_id, c.c_nationkey AS nk,
+         MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY 1, 2
+), nat AS (
+  SELECT nk, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(conv) AS HUGEINT) AS c
+  FROM per_user GROUP BY nk
+), pooled AS (
+  SELECT SUM(n) AS nn, SUM(c) AS cc FROM nat
+), stats AS (
+  SELECT nk, n, c,
+         CASE WHEN n = nn OR cc = 0 OR cc = nn THEN 0 ELSE
+           (c * nn - cc * n) * (c * nn - cc * n) * nn * 10000
+           // (n * (nn - n) * cc * (nn - cc)) END AS z2_bp
+  FROM nat, pooled
+), ranked AS (
+  SELECT nk, n, c, z2_bp,
+         row_number() OVER (ORDER BY z2_bp DESC, nk) AS i
+  FROM stats
+), flagged AS (
+  SELECT r.*, t.thr_bp,
+         CASE WHEN r.z2_bp >= t.thr_bp THEN r.i ELSE 0 END AS hit_i
+  FROM ranked r JOIN (VALUES {thr_rows}) t(i, thr_bp) ON r.i = t.i
+), k AS (SELECT MAX(hit_i) AS k FROM flagged)
+SELECT n2.n_name AS nation,
+       CAST(f.n AS BIGINT) AS n_users, CAST(f.c AS BIGINT) AS conversions,
+       CAST(f.z2_bp AS BIGINT) AS z2_bp,
+       CAST(f.i AS INTEGER) AS rnk,
+       CAST(f.thr_bp AS BIGINT) AS thr_bp,
+       CAST(CASE WHEN f.i <= k.k THEN 1 ELSE 0 END AS INTEGER) AS discovery
+FROM flagged f, k JOIN nation n2 ON n2.n_nationkey = f.nk
+ORDER BY f.i
+"""
+
+
+@query(
+    "bh_fdr_nation_conversion",
+    _bh_oracle(),
+    "Benjamini-Hochberg FDR control over the per-nation conversion-rate "
+    "test family: integer-exact one-proportion z^2 in bp per nation, "
+    "ranked and step-up-compared against a chi-square(1) quantile "
+    "ladder embedded as bp literals (computed once at build time — no "
+    "engine evaluates a transcendental at runtime); discoveries = "
+    "ranks 1..k",
+    tags=("relational", "stats", "bench"),
+)
+def q_bh_fdr_nation_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_user = (
+        ev.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            ev["user_id"] == F.col("c_custkey"),
+        )
+        .groupBy("user_id", "c_nationkey")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nat = per_user.groupBy("c_nationkey").agg(
+        dec(F.count(F.lit(1))).alias("n"), dec(F.sum("conv")).alias("c")
+    )
+    pooled = nat.agg(
+        F.sum("n").alias("nn"), F.sum("c").alias("cc")
+    )
+    stats = nat.crossJoin(F.broadcast(pooled)).select(
+        "c_nationkey", "n", "c",
+        F.expr(
+            "CASE WHEN n = nn OR cc = 0 OR cc = nn THEN CAST(0 AS "
+            "DECIMAL(38,0)) ELSE (c * nn - cc * n) * (c * nn - cc * n) "
+            "* nn * 10000 DIV (n * (nn - n) * cc * (nn - cc)) END"
+        ).alias("z2_bp"),
+    )
+    # nation-bounded 25-row relation: the global rank window is the
+    # dimension-bounded waiver class (cusum/bollinger family)
+    ranked = stats.withColumn(
+        "i",
+        F.row_number().over(
+            W.orderBy(F.col("z2_bp").desc(), F.col("c_nationkey").asc())
+        ),
+    )
+    thr = spark.createDataFrame(_bh_thresholds(), "i int, thr_bp long")
+    # checkpoint the 25-row flagged relation: both consumers (the k
+    # scalar and the output join) would otherwise replay the whole
+    # upstream subtree (the grouped_median_plan_state device)
+    flagged = (
+        ranked.join(F.broadcast(thr), "i")
+        .withColumn(
+            "hit_i",
+            F.when(F.col("z2_bp") >= F.col("thr_bp"), F.col("i"))
+            .otherwise(0),
+        )
+        .localCheckpoint(eager=False)
+    )
+    k = flagged.agg(F.max("hit_i").alias("k"))
+    return (
+        flagged.crossJoin(F.broadcast(k))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").cast("long").alias("n_users"),
+            F.col("c").cast("long").alias("conversions"),
+            F.col("z2_bp").cast("long").alias("z2_bp"),
+            F.col("i").cast("int").alias("rnk"),
+            F.col("thr_bp").cast("long").alias("thr_bp"),
+            F.when(F.col("i") <= F.col("k"), 1).otherwise(0)
+            .cast("int")
+            .alias("discovery"),
+        )
+        .orderBy("rnk")
+    )

@@ -314,6 +314,10 @@ BUDGETS = {
     # user-keyed conditional aggregate + 2-row arm rollup (the pooled
     # scalars and t0 ride broadcasts; the 2-row sort is driver-trivial).
     "cuped_variance_reduction": 2,
+    # returned plan reads the checkpointed 25-row flagged relation
+    # (user agg + nation rollup + rank window run during construction);
+    # budget = the k-scalar staging + output sort.
+    "bh_fdr_nation_conversion": 2,
     "mrr_prefix_rank": 5,
     # two TakeOrderedAndProject top-20s + bounded 20-row windows +
     # broadcast-only joins — no hash/range exchange anywhere.

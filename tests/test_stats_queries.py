@@ -1228,3 +1228,46 @@ def test_cuped_matches_numpy_replay(spark, events_pdf):
     pooled_raw = ys.mean()
     w = got["n_users"] / got["n_users"].sum()
     assert abs((got["mean_y_adj"] * w).sum() - pooled_raw) < 1e-3
+
+
+def test_bh_fdr_thresholds_and_replay(spark):
+    """The Acklam-derived chi-square(1) quantile ladder must match the
+    textbook values, and the per-nation z2/rank/step-up output must
+    match a pure-python replay."""
+    import hashlib
+
+    from reddit_data_pipeline_engineering_spark.plans.queries_stats import (
+        _bh_thresholds,
+    )
+
+    thr = dict(_bh_thresholds())
+    assert thr[25] == 38415   # chi2inv(0.95, 1) = 3.8415
+    assert thr[5] == 66349    # chi2inv(0.99, 1) = 6.6349
+    assert all(thr[i] > thr[i + 1] for i in range(1, 25))  # monotone
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    cust = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    j = ev.merge(cust, left_on="user_id", right_on="c_custkey")
+    per_user = (
+        j.assign(conv=(j.event_type == "purchase").astype(int))
+        .groupby(["user_id", "c_nationkey"])["conv"].max().reset_index()
+    )
+    nat = per_user.groupby("c_nationkey")["conv"].agg(["count", "sum"])
+    nn, cc = int(nat["count"].sum()), int(nat["sum"].sum())
+    rows = []
+    for nk, r in nat.iterrows():
+        n, c = int(r["count"]), int(r["sum"])
+        if n == nn or cc == 0 or cc == nn:
+            z2 = 0
+        else:
+            z2 = ((c * nn - cc * n) ** 2 * nn * 10000
+                  // (n * (nn - n) * cc * (nn - cc)))
+        rows.append((nk, z2))
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    k = max((i + 1 for i, (_, z2) in enumerate(rows)
+             if z2 >= thr[i + 1]), default=0)
+    got = _pdf("bh_fdr_nation_conversion", spark)
+    assert list(got["z2_bp"]) == [z2 for _, z2 in rows]
+    assert list(got["discovery"]) == [
+        1 if i + 1 <= k else 0 for i in range(len(rows))
+    ]
