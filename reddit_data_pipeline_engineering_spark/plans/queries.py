@@ -995,6 +995,7 @@ _DRIVER_PENDING: list[str] = [
     "streaming_window_topk",   # r09: 13th streaming query (windowed heavy hitters)
     "cuped_variance_reduction",  # r09: CUPED adjusted A/B means
     "bh_fdr_nation_conversion",  # r09: Benjamini-Hochberg FDR control
+    "nelson_aalen_hazard",       # r09: in-plan cumulative hazard (KM companion)
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -1414,3 +1414,98 @@ def q_markov_stationary_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state long, n_occupied long, n_from long, stationary_ppm long,"
         " empirical_ppm long",
     ).orderBy("state")
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (r09) — the estimator companion to
+# kaplan_meier_conversion over the SAME bounded duration relation
+# (_conversion_durations): H(t) = SUM over death times s <= t of
+# d_s / n_s. Unlike the KM product-limit (a sequential product, folded
+# driver-side over the 73-bucket table), the hazard is a plain SUM — so
+# the whole estimator runs IN PLAN: per-bucket terms on the exact 1e6
+# integer grid (d * 1e6 DIV n_risk, truncating — order-independent),
+# cumulated by an ordered window over the calendar-bounded 73-row
+# relation (dimension-bounded global frame, the cusum waiver class).
+# No exp/log anywhere: the survival transform exp(-H) is left to the
+# reader precisely because transcendentals are not engine-mirrorable.
+# --------------------------------------------------------------------------
+
+_NA_ORACLE = """
+WITH signups AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+  WHERE event_type = 'signup'
+), purchases AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+  WHERE event_type = 'purchase'
+), joined AS (
+  SELECT s.user_id, s.ts,
+         (SELECT MIN(p.ts) FROM purchases p
+          WHERE p.user_id = s.user_id AND p.ts >= s.ts) AS np
+  FROM signups s
+), durs AS (
+  SELECT CASE WHEN np IS NULL THEN 72
+              ELSE LEAST(72, (epoch_us(np) - epoch_us(ts)) // 3600000000)
+         END AS t
+  FROM joined
+), grouped AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM durs GROUP BY t
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM grouped),
+deaths AS (
+  SELECT t, c,
+         (SELECT total FROM tot)
+           - COALESCE(SUM(c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM grouped WHERE t < 72
+), terms AS (
+  SELECT t, c, n_risk, c * 1000000 // n_risk AS term_e6 FROM deaths
+)
+SELECT CAST(t AS BIGINT) AS t_hours,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       c AS n_deaths,
+       CAST(term_e6 AS BIGINT) AS hazard_term_e6,
+       CAST(SUM(term_e6) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_hazard_e6
+FROM terms ORDER BY t_hours
+"""
+
+
+@query(
+    "nelson_aalen_hazard",
+    _NA_ORACLE,
+    "Nelson-Aalen cumulative hazard of signup-to-purchase latency "
+    "(right-censored at 72h), fully IN PLAN: per-bucket d*1e6 DIV "
+    "n_risk terms on the exact integer grid, cumulated by an ordered "
+    "window over the calendar-bounded 73-row duration relation — the "
+    "summable companion to the Kaplan-Meier product fold",
+    tags=("relational", "stats", "timeseries", "bench"),
+)
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    durs = _conversion_durations(spark, sf_dir)
+    grouped = durs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = grouped.agg(F.sum("c").cast("long").alias("total"))
+    # suffix-cumulative risk set over the bounded bucket relation
+    # (dimension-bounded global frames — the cusum waiver class)
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    deaths = (
+        grouped.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            F.col("total") - F.coalesce(F.sum("c").over(w_prev), F.lit(0)),
+        )
+        .filter(F.col("t") < 72)
+        .withColumn("term_e6", F.expr("c * 1000000 DIV n_risk"))
+    )
+    return deaths.select(
+        F.col("t").cast("long").alias("t_hours"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("c").alias("n_deaths"),
+        F.col("term_e6").cast("long").alias("hazard_term_e6"),
+        F.sum("term_e6").over(w_cum).cast("long").alias("cum_hazard_e6"),
+    ).orderBy("t_hours")

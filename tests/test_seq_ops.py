@@ -572,3 +572,32 @@ def test_markov_stationary_matches_numpy_eigenvector(spark):
     tot_occ = int(out["n_occupied"].sum())
     for _, row in out.iterrows():
         assert row["empirical_ppm"] == row["n_occupied"] * 1_000_000 // tot_occ
+
+
+def test_nelson_aalen_matches_python_replay(spark):
+    """Cumulative hazard replayed in pure python over the same duration
+    buckets; also pins the KM relationship: same (t, n_risk, d) rows."""
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        REGISTRY,
+        queries,
+    )
+
+    queries()
+    sf = "/root/testdata/sf0.001"
+    na = REGISTRY["nelson_aalen_hazard"].fn(spark, sf).toPandas()
+    km = REGISTRY["kaplan_meier_conversion"].fn(spark, sf).toPandas()
+    # identical risk-set geometry between the two estimators
+    assert list(na["t_hours"]) == list(km["t_hours"])
+    assert list(na["n_risk"]) == list(km["n_risk"])
+    assert list(na["n_deaths"]) == list(km["n_deaths"])
+    # python replay of the truncated-term cumulative sum
+    cum, expect = 0, []
+    for _, r in na.iterrows():
+        term = r["n_deaths"] * 1_000_000 // r["n_risk"]
+        cum += term
+        expect.append((term, cum))
+    assert list(zip(na["hazard_term_e6"], na["cum_hazard_e6"])) == expect
+    # hazard sum dominates -log(KM survival) never by much: H >= -ln(S)
+    # is false in general, but H <= sum d/(n-d) bounds it; just sanity
+    # that both move monotonically
+    assert na["cum_hazard_e6"].is_monotonic_increasing

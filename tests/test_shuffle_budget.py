@@ -318,6 +318,9 @@ BUDGETS = {
     # (user agg + nation rollup + rank window run during construction);
     # budget = the k-scalar staging + output sort.
     "bh_fdr_nation_conversion": 2,
+    # as-of union window + bucket rollup; risk/cumsum windows run on
+    # the bounded 73-row relation (single-partition waiver).
+    "nelson_aalen_hazard": 4,
     "mrr_prefix_rank": 5,
     # two TakeOrderedAndProject top-20s + bounded 20-row windows +
     # broadcast-only joins — no hash/range exchange anywhere.
