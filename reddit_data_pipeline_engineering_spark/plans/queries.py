@@ -996,6 +996,7 @@ _DRIVER_PENDING: list[str] = [
     "cuped_variance_reduction",  # r09: CUPED adjusted A/B means
     "bh_fdr_nation_conversion",  # r09: Benjamini-Hochberg FDR control
     "nelson_aalen_hazard",       # r09: in-plan cumulative hazard (KM companion)
+    "eb_shrunk_conversion",      # r09: empirical-Bayes rate shrinkage
 ]
 
 _DRIVER_ROTATED_OUT = [

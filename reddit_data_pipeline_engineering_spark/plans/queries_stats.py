@@ -2368,3 +2368,151 @@ def q_bh_fdr_nation_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Empirical-Bayes shrinkage (r09) — the estimation companion to the
+# BH-FDR query: per-nation HIGH-VALUE conversion rates (the z-test
+# family's shared value > 150 metric) shrunk toward the cross-nation
+# prior by a beta-binomial fit. Method of moments over the K observed
+# rates:  s = alpha + beta = m(1-m)/v - 1,  alpha = m*s,
+# shrunk_i = (c_i + alpha) / (n_i + s) — small-sample groups move
+# toward the prior mean, large-sample groups barely move (the standard
+# CTR-smoothing estimator).
+#
+# Determinism: the observed rates land on the exact 1e-6 integer grid
+# (r6 = c*1e6 DIV n), so the moment SUMS (S1 = sum r6, S2 = sum r6^2)
+# are order-independent BIGINTs; m/v/s/alpha and the shrunk rates are
+# mirrored double trees over those exact sums (the cramers_v device —
+# float summation over a distributed relation would be
+# order-sensitive; integer sums are not). Degenerate prior (v <= 0 or
+# s <= 0) falls back to no shrinkage, guarded identically both sides.
+# --------------------------------------------------------------------------
+
+from reddit_data_pipeline_engineering_spark.plans.queries_stats2 import (  # noqa: E402
+    _HV_CONV_SQL,
+)
+
+_EB_ORACLE = f"""
+WITH per_user AS (
+  SELECT e.user_id, c.c_nationkey AS nk,
+         {_HV_CONV_SQL} AS conv
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY 1, 2
+), nat AS (
+  SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS c,
+         CAST(SUM(conv) AS BIGINT) * 1000000 // COUNT(*) AS r6
+  FROM per_user GROUP BY nk
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(r6) AS BIGINT) AS s1,
+         CAST(SUM(r6 * r6) AS BIGINT) AS s2
+  FROM nat
+), prior AS (
+  SELECT k, s1, s2,
+         CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0 AS m,
+         (CAST(s2 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+         / CAST(k - 1 AS DOUBLE) / 1000000000000.0 AS v
+  FROM mom
+), pp AS (
+  SELECT m, v,
+         CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+              THEN m * (1 - m) / v - 1 ELSE 0 END AS s
+  FROM prior
+)
+SELECT n2.n_name AS nation,
+       CAST(nat.n AS BIGINT) AS n_users,
+       CAST(nat.c AS BIGINT) AS conversions,
+       ROUND(CAST(nat.c AS DOUBLE) / CAST(nat.n AS DOUBLE), 6) AS raw_rate,
+       ROUND((CAST(nat.c AS DOUBLE) + pp.m * pp.s)
+             / (CAST(nat.n AS DOUBLE) + pp.s), 6) AS shrunk_rate,
+       ROUND(pp.m * pp.s, 4) AS alpha,
+       ROUND((1 - pp.m) * pp.s, 4) AS beta
+FROM nat, pp JOIN nation n2 ON n2.n_nationkey = nat.nk
+ORDER BY nation
+"""
+
+
+@query(
+    "eb_shrunk_conversion",
+    _EB_ORACLE,
+    "Empirical-Bayes beta-binomial shrinkage of per-nation high-value "
+    "conversion rates: method-of-moments prior over the exact "
+    "1e-6-grid rates (integer moment sums, order-independent), shrunk "
+    "rates as mirrored double trees; the standard small-sample "
+    "CTR-smoothing estimator next to the BH-FDR test family",
+    tags=("relational", "stats", "bench"),
+)
+def q_eb_shrunk_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_user = (
+        ev.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            ev["user_id"] == F.col("c_custkey"),
+        )
+        .groupBy("user_id", "c_nationkey")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    nat = (
+        per_user.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("conv").cast("long").alias("c"),
+        )
+        .withColumn("r6", F.expr("c * 1000000 DIV n"))
+        .localCheckpoint(eager=False)
+    )
+    prior = nat.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("r6").cast("long").alias("s1"),
+        F.sum(F.col("r6") * F.col("r6")).cast("long").alias("s2"),
+    ).select(
+        F.expr("CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0")
+        .alias("m"),
+        F.expr(
+            "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            " / CAST(k AS DOUBLE)) / CAST(k - 1 AS DOUBLE)"
+            " / 1000000000000.0"
+        ).alias("v"),
+    ).select(
+        "m",
+        F.expr(
+            "CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0"
+            " THEN m * (1 - m) / v - 1 ELSE 0 END"
+        ).alias("s"),
+    )
+    return (
+        nat.crossJoin(F.broadcast(prior))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_users"),
+            F.col("c").alias("conversions"),
+            F.round(
+                F.col("c").cast("double") / F.col("n").cast("double"), 6
+            ).alias("raw_rate"),
+            F.round(
+                (F.col("c").cast("double") + F.col("m") * F.col("s"))
+                / (F.col("n").cast("double") + F.col("s")),
+                6,
+            ).alias("shrunk_rate"),
+            F.round(F.col("m") * F.col("s"), 4).alias("alpha"),
+            F.round((F.lit(1) - F.col("m")) * F.col("s"), 4).alias("beta"),
+        )
+        .orderBy("nation")
+    )

@@ -321,6 +321,10 @@ BUDGETS = {
     # as-of union window + bucket rollup; risk/cumsum windows run on
     # the bounded 73-row relation (single-partition waiver).
     "nelson_aalen_hazard": 4,
+    # returned plan reads the checkpointed 25-row rate relation (user
+    # agg + nation rollup run during construction); budget = the prior
+    # moment staging + output sort.
+    "eb_shrunk_conversion": 2,
     "mrr_prefix_rank": 5,
     # two TakeOrderedAndProject top-20s + bounded 20-row windows +
     # broadcast-only joins — no hash/range exchange anywhere.

@@ -1271,3 +1271,40 @@ def test_bh_fdr_thresholds_and_replay(spark):
     assert list(got["discovery"]) == [
         1 if i + 1 <= k else 0 for i in range(len(rows))
     ]
+
+
+def test_eb_shrinkage_matches_numpy_replay(spark):
+    """Beta-binomial MoM prior + shrunk rates replayed in numpy over
+    the same 1e-6-grid rates; shrinkage direction/monotonicity pinned:
+    every shrunk rate sits between the raw rate and the prior mean."""
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    cust = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    j = ev.merge(cust, left_on="user_id", right_on="c_custkey")
+    j["conv"] = (
+        (j.event_type == "purchase") & (j.value > 150)
+    ).astype(int)
+    per_user = (
+        j.groupby(["user_id", "c_nationkey"])["conv"].max().reset_index()
+    )
+    nat = per_user.groupby("c_nationkey")["conv"].agg(["count", "sum"])
+    r6 = (nat["sum"] * 1_000_000 // nat["count"]).astype(np.int64)
+    k, s1, s2 = len(r6), int(r6.sum()), int((r6 * r6).sum())
+    m = s1 / k / 1e6
+    v = (s2 - s1 * s1 / k) / (k - 1) / 1e12
+    s = m * (1 - m) / v - 1 if v > 0 and m * (1 - m) / v - 1 > 0 else 0
+    got = _pdf("eb_shrunk_conversion", spark)
+    assert len(got) == k
+    assert abs(got["alpha"].iloc[0] - m * s) < 1e-3
+    for _, r in got.iterrows():
+        raw, shrunk = r["raw_rate"], r["shrunk_rate"]
+        lo, hi = sorted((raw, m))
+        assert lo - 1e-6 <= shrunk <= hi + 1e-6  # between raw and prior
+    # numpy value check, keyed by nation name (no positional guessing)
+    names = pd.read_parquet(f"{SF_SMALL}/nation.parquet").set_index(
+        "n_nationkey"
+    )["n_name"]
+    by_name = got.set_index("nation")
+    for nk in list(nat.index)[:5]:
+        n0, c0 = int(nat.loc[nk, "count"]), int(nat.loc[nk, "sum"])
+        exp0 = (c0 + m * s) / (n0 + s)
+        assert abs(by_name.loc[names[nk], "shrunk_rate"] - exp0) < 1e-4
