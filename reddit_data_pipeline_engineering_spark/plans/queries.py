@@ -997,6 +997,7 @@ _DRIVER_PENDING: list[str] = [
     "bh_fdr_nation_conversion",  # r09: Benjamini-Hochberg FDR control
     "nelson_aalen_hazard",       # r09: in-plan cumulative hazard (KM companion)
     "eb_shrunk_conversion",      # r09: empirical-Bayes rate shrinkage
+    "did_spend_estimate",        # r09: difference-in-differences estimator
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -2516,3 +2516,154 @@ def q_eb_shrunk_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences (r09) — the quasi-experimental companion to
+# CUPED: the same md5 arms and 3-day pre/post split, but estimating the
+# INTERACTION effect did = (mean_B_post - mean_B_pre) -
+# (mean_A_post - mean_A_pre) with its large-sample standard error from
+# the four cell variances, se^2 = sum s2_cell / n_cell. Per-user
+# per-period spend lands on the exact 1e-4 integer grid; per-cell
+# moment sums run in decimal(38,0); did / se / t are mirrored double
+# trees over the exact sums (the CUPED device). One user-keyed
+# conditional aggregate over facts -> a 2-row arm relation carrying
+# both period cells -> one output row.
+# --------------------------------------------------------------------------
+
+_DID_ORACLE = f"""
+WITH t0 AS (
+  SELECT MIN(CAST(ts AS TIMESTAMP)) AS t0 FROM events
+), per_user AS (
+  SELECT user_id,
+         CASE WHEN {_AB_BUCKET_SQL} = 0 THEN 'A' ELSE 'B' END AS variant,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    AND CAST(ts AS TIMESTAMP) < t.t0 + INTERVAL 3 DAY
+                    THEN CAST(value AS DECIMAL(14,4)) END) * 10000, 0)
+              AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    AND CAST(ts AS TIMESTAMP) >= t.t0 + INTERVAL 3 DAY
+                    THEN CAST(value AS DECIMAL(14,4)) END) * 10000, 0)
+              AS BIGINT) AS y
+  FROM events, t0 t GROUP BY user_id
+), arms AS (
+  SELECT variant, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM per_user GROUP BY variant
+), cells AS (
+  SELECT a.n AS na, a.sx AS axs, a.sy AS ays, a.sxx AS axx, a.syy AS ayy,
+         b.n AS nb, b.sx AS bxs, b.sy AS bys, b.sxx AS bxx, b.syy AS byy
+  FROM arms a JOIN arms b ON a.variant = 'A' AND b.variant = 'B'
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(CAST(axs AS DOUBLE) / CAST(na AS DOUBLE) / 10000.0, 6)
+         AS mean_a_pre,
+       ROUND(CAST(ays AS DOUBLE) / CAST(na AS DOUBLE) / 10000.0, 6)
+         AS mean_a_post,
+       ROUND(CAST(bxs AS DOUBLE) / CAST(nb AS DOUBLE) / 10000.0, 6)
+         AS mean_b_pre,
+       ROUND(CAST(bys AS DOUBLE) / CAST(nb AS DOUBLE) / 10000.0, 6)
+         AS mean_b_post,
+       ROUND(((CAST(bys AS DOUBLE) / CAST(nb AS DOUBLE)
+               - CAST(bxs AS DOUBLE) / CAST(nb AS DOUBLE))
+              - (CAST(ays AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(axs AS DOUBLE) / CAST(na AS DOUBLE)))
+             / 10000.0, 6) AS did,
+       ROUND(((CAST(bys AS DOUBLE) / CAST(nb AS DOUBLE)
+               - CAST(bxs AS DOUBLE) / CAST(nb AS DOUBLE))
+              - (CAST(ays AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(axs AS DOUBLE) / CAST(na AS DOUBLE)))
+             / SQRT(
+          ((CAST(axx AS DOUBLE) - CAST(axs AS DOUBLE) * CAST(axs AS DOUBLE)
+            / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1)
+           + (CAST(ayy AS DOUBLE) - CAST(ays AS DOUBLE) * CAST(ays AS DOUBLE)
+              / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1))
+          / CAST(na AS DOUBLE)
+          + ((CAST(bxx AS DOUBLE) - CAST(bxs AS DOUBLE) * CAST(bxs AS DOUBLE)
+              / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1)
+             + (CAST(byy AS DOUBLE) - CAST(bys AS DOUBLE) * CAST(bys AS DOUBLE)
+                / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1))
+          / CAST(nb AS DOUBLE)), 6) AS t_stat
+FROM cells
+"""
+
+
+@query(
+    "did_spend_estimate",
+    _DID_ORACLE,
+    "Difference-in-differences spend estimate over the standing md5 "
+    "arms and 3-day pre/post split: interaction effect with its "
+    "large-sample SE from the four cell variances — exact 1e-4-grid "
+    "integer moments per cell, mirrored double trees for the estimate; "
+    "one user-keyed conditional aggregate, 2-row arm relation, one "
+    "output row",
+    tags=("relational", "stats", "bench"),
+)
+def q_did_spend_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        md5_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.crossJoin(F.broadcast(ev.agg(F.min("ts").alias("t0"))))
+    dec_val = F.col("value").cast("decimal(14,4)")
+    pre = F.col("ts") < F.col("t0") + F.expr("INTERVAL 3 DAYS")
+    is_p = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            (F.sum(F.when(is_p & pre, dec_val)) * 10000).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("x"),
+        F.coalesce(
+            (F.sum(F.when(is_p & ~pre, dec_val)) * 10000).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("y"),
+    ).withColumn(
+        "variant",
+        F.when(md5_bucket("user_id", 2) == 0, F.lit("A")).otherwise(
+            F.lit("B")
+        ),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    arms = per_user.groupBy("variant").agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        dec(F.sum("x")).alias("sx"),
+        dec(F.sum("y")).alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+    ).localCheckpoint(eager=False)
+    a = arms.filter(F.col("variant") == "A").select(
+        F.col("n").alias("na"), F.col("sx").alias("axs"),
+        F.col("sy").alias("ays"), F.col("sxx").alias("axx"),
+        F.col("syy").alias("ayy"),
+    )
+    b = arms.filter(F.col("variant") == "B").select(
+        F.col("n").alias("nb"), F.col("sx").alias("bxs"),
+        F.col("sy").alias("bys"), F.col("sxx").alias("bxx"),
+        F.col("syy").alias("byy"),
+    )
+    cells = a.crossJoin(F.broadcast(b))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = lambda s, n: d(s) / d(n)  # noqa: E731
+    var = lambda s2, s, n: (  # noqa: E731
+        (d(s2) - d(s) * d(s) / d(n)) / (d(n) - 1)
+    )
+    did = (mean("bys", "nb") - mean("bxs", "nb")) - (
+        mean("ays", "na") - mean("axs", "na")
+    )
+    se = F.sqrt(
+        (var("axx", "axs", "na") + var("ayy", "ays", "na")) / d("na")
+        + (var("bxx", "bxs", "nb") + var("byy", "bys", "nb")) / d("nb")
+    )
+    return cells.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(mean("axs", "na") / 10000.0, 6).alias("mean_a_pre"),
+        F.round(mean("ays", "na") / 10000.0, 6).alias("mean_a_post"),
+        F.round(mean("bxs", "nb") / 10000.0, 6).alias("mean_b_pre"),
+        F.round(mean("bys", "nb") / 10000.0, 6).alias("mean_b_post"),
+        F.round(did / 10000.0, 6).alias("did"),
+        F.round(did / se, 6).alias("t_stat"),
+    )

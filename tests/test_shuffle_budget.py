@@ -325,6 +325,9 @@ BUDGETS = {
     # agg + nation rollup run during construction); budget = the prior
     # moment staging + output sort.
     "eb_shrunk_conversion": 2,
+    # returned plan reads the checkpointed 2-row arm relation (the user
+    # aggregate runs during construction); arm cells ride broadcasts.
+    "did_spend_estimate": 0,
     "mrr_prefix_rank": 5,
     # two TakeOrderedAndProject top-20s + bounded 20-row windows +
     # broadcast-only joins — no hash/range exchange anywhere.

@@ -1308,3 +1308,35 @@ def test_eb_shrinkage_matches_numpy_replay(spark):
         n0, c0 = int(nat.loc[nk, "count"]), int(nat.loc[nk, "sum"])
         exp0 = (c0 + m * s) / (n0 + s)
         assert abs(by_name.loc[names[nk], "shrunk_rate"] - exp0) < 1e-4
+
+
+def test_did_matches_numpy_replay(spark):
+    """DiD interaction + SE replayed in numpy over the same md5 arms
+    and 3-day pre/post split."""
+    import hashlib
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    t0 = ev["ts"].min()
+    cut = t0 + pd.Timedelta(days=3)
+    p = ev[ev.event_type == "purchase"]
+    users = sorted(set(ev.user_id))
+    x = p[p.ts < cut].groupby("user_id")["value"].sum()
+    y = p[p.ts >= cut].groupby("user_id")["value"].sum()
+    xs = np.array([round(x.get(u, 0.0), 4) for u in users])
+    ys = np.array([round(y.get(u, 0.0), 4) for u in users])
+    arm = np.array([
+        int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        for u in users
+    ])
+    a, b = arm == 0, arm == 1
+    did = (ys[b].mean() - xs[b].mean()) - (ys[a].mean() - xs[a].mean())
+    se = np.sqrt(
+        (xs[a].var(ddof=1) + ys[a].var(ddof=1)) / a.sum()
+        + (xs[b].var(ddof=1) + ys[b].var(ddof=1)) / b.sum()
+    )
+    got = _pdf("did_spend_estimate", spark).iloc[0]
+    assert got["n_a"] == a.sum() and got["n_b"] == b.sum()
+    assert abs(got["did"] - did) < 1e-3
+    assert abs(got["t_stat"] - did / se) < 1e-3
+    assert abs(got["mean_b_post"] - ys[b].mean()) < 1e-3
