@@ -909,105 +909,31 @@ def _register_all() -> None:
 # --------------------------------------------------------------------------
 
 _DRIVER_FIRST = [
-    # ---- ROUND 9 ROTATION (VERDICT r08 "Next round" #1/#2) ----
-    # The entire r08 _DRIVER_PENDING backlog takes the gate head for
-    # its first driver rows: these 37 queries (plus the streaming drain
-    # in the tail slot) were registered after the r08 gate froze and so
-    # far have only local-parity evidence (tests/test_oracle_parity.py).
-    # Order is registration order — the classical-inference wave 2,
-    # survival analysis, closed-form OLS, conformal intervals, KMV
-    # sketches, PCA power iteration, isotonic/PAVA, Markov stationary
-    # distribution, PNG pixel decode, and the timeseries/diversity wave.
-    "mannwhitney_source_test",
-    "kruskal_wallis_lengths",
-    "incremental_mart_merge",
-    "cusum_changepoint",
-    "xcorr_lead_lag",
-    "median_ci_sources",
-    "spend_lorenz_deciles",
-    "wilson_conversion_ci",
-    "anova_f_sources",
-    "welch_cohen_effect",
-    "cramers_v_association",
-    "degree_assortativity",
-    "kmv_distinct_sketch",
-    "fk_coverage_audit",
-    "pca_power_component",
-    "runs_test_daily",
-    "paired_sign_test",
-    "isotonic_daily_trend",
-    "multimodal_png_decode",
-    "t_closeness_audit",
-    "rich_club_coefficient",
-    "prf_expansion_topk",
-    "scd2_interval_audit",
-    "capture_recapture_estimate",
-    "jackknife_se_mean",
-    "kaplan_meier_conversion",
-    "logrank_ab_survival",
-    "decayed_popularity_topk",
-    "mantel_haenszel_uplift",
-    "ols_price_model",
-    "split_conformal_interval",
-    "permutation_test_ab",
-    "kmv_jaccard_types",
-    "markov_stationary_activity",
-    "bollinger_bands_daily",
-    "running_records_daily",
-    "simpson_diversity_sources",
+    # ---- ROUND 10 ROTATION (VERDICT r09 "Next round" #1/#6) ----
+    # The entire r09 _DRIVER_PENDING backlog takes the gate head for
+    # its first driver rows: these 10 queries (plus the one streaming
+    # drain in the tail slot) were registered after the r09 gate froze
+    # and so far have only local-parity evidence (judge re-verified all
+    # 11 parity-green in the r09 session). Order is registration order —
+    # the real-codec media trio, TextRank keywords, exact Shapley
+    # attribution, and the causal/stats wave.
+    "multimodal_jpeg_decode",
+    "multimodal_flac_decode",
+    "multimodal_decode_all",
+    "textrank_keywords",
+    "shapley_attribution",
+    "cuped_variance_reduction",
+    "bh_fdr_nation_conversion",
+    "nelson_aalen_hazard",
+    "eb_shrunk_conversion",
+    "did_spend_estimate",
 ]
 
-# Re-confirmation fill (VERDICT r08 #1): the 12 oldest green rows — the
-# head of the r08 rotated-out queue, all r04-era rows — refresh their
-# driver evidence this round. 37 + 12 + 1 streaming tail = 50.
+# Re-confirmation fill (VERDICT r09 #1/#6): the 39 oldest green rows —
+# exactly the head of the r09 rotated-out queue (the remaining r04/r05
+# block) — refresh their driver evidence this round so no green row
+# ages past ~5 rounds. 10 + 39 + 1 streaming tail = 50.
 _DRIVER_FILL = [
-    "topn_with_ties",
-    "winsorized_scalable",
-    "mom_revenue_growth",
-    "dedup_best_survivor",
-    "table_profile",
-    "join_cardinality_audit",
-    "weekly_p90_scalable",
-    "session_transitions",
-    "weighted_median_price",
-    "functional_dependency_audit",
-    "setsim_prefix_join",
-    "eval_overlap_fraction",
-]
-
-# Wall-clock-heavy streaming drains sit LAST inside the gate (standing
-# policy: the driver cap may be a time budget). One this round: the
-# r08-registered KMV streaming query takes its first driver row.
-_DRIVER_TAIL_STREAMING = [
-    "streaming_kmv_distinct",
-]
-
-# Queries added AFTER the r09 gate froze (VERDICT r08 #2: registry
-# growth is frozen into this queue — new queries never displace a
-# pending-queue row; they run the local parity suite this round and
-# take the head of the r10 gate for their first driver rows).
-_DRIVER_PENDING: list[str] = [
-    "multimodal_jpeg_decode",  # r09: real baseline JPEG decode (VERDICT r08 #3)
-    "multimodal_flac_decode",  # r09: real FLAC decode — stub surface now zero
-    "multimodal_decode_all",   # r09: mixed-format magic-dispatch decode capstone
-    "textrank_keywords",       # r09: weighted PageRank keyword extraction
-    "shapley_attribution",     # r09: exact Shapley multi-touch attribution
-    "streaming_window_topk",   # r09: 13th streaming query (windowed heavy hitters)
-    "cuped_variance_reduction",  # r09: CUPED adjusted A/B means
-    "bh_fdr_nation_conversion",  # r09: Benjamini-Hochberg FDR control
-    "nelson_aalen_hazard",       # r09: in-plan cumulative hazard (KM companion)
-    "eb_shrunk_conversion",      # r09: empirical-Bayes rate shrinkage
-    "did_spend_estimate",        # r09: difference-in-differences estimator
-]
-
-_DRIVER_ROTATED_OUT = [
-    # Everything below has a green driver row under its current
-    # semantics (see CORRECTNESS_r0*.json) and is digest-checked against
-    # DuckDB on every local run by tests/test_oracle_parity.py (driver
-    # canonicalization + type-family gate + canonical-byte digest +
-    # decimal/non-ASCII rejection). Ordered oldest-row-first: the
-    # remaining r04 block leads (the r10 re-confirmation queue), then
-    # r05..r07 rows, and finally the 50 queries gated green in r08.
     "kcore_peel_counts",
     "zonemap_pruning_audit",
     "k_anonymity_audit",
@@ -1047,6 +973,29 @@ _DRIVER_ROTATED_OUT = [
     "mad_outliers_scalable",
     "skyline_pareto",
     "event_rate_cusum",
+]
+
+# Wall-clock-heavy streaming drains sit LAST inside the gate (standing
+# policy: the driver cap may be a time budget). One this round: the
+# r09-registered windowed heavy-hitters query takes its first driver row.
+_DRIVER_TAIL_STREAMING = [
+    "streaming_window_topk",
+]
+
+# Queries added AFTER the r10 gate froze (VERDICT r09 #7: registry
+# growth is frozen into this queue — new queries never displace a
+# pending-queue row; they run the local parity suite this round and
+# take the head of the r11 gate for their first driver rows).
+_DRIVER_PENDING: list[str] = []
+
+_DRIVER_ROTATED_OUT = [
+    # Everything below has a green driver row under its current
+    # semantics (see CORRECTNESS_r*.json) and is digest-checked against
+    # DuckDB on every local run by tests/test_oracle_parity.py (driver
+    # canonicalization + type-family gate + canonical-byte digest +
+    # decimal/non-ASCII rejection). Ordered oldest-row-first: the
+    # remaining r05 block leads (the r11 re-confirmation queue), then
+    # r06..r08 rows, and finally the 50 queries gated green in r09.
     "peak_concurrency",
     "grouped_median_plan_state",
     "lsh_quality_eval_sampled",
@@ -1229,6 +1178,57 @@ _DRIVER_ROTATED_OUT = [
     "streaming_cusum_drift",
     "streaming_hll_windows",
     "streaming_pit_enrich_tiled",
+    # ---- the 50 queries gated green in r09 (CORRECTNESS_r09, newest) ----
+    "mannwhitney_source_test",
+    "kruskal_wallis_lengths",
+    "incremental_mart_merge",
+    "cusum_changepoint",
+    "xcorr_lead_lag",
+    "median_ci_sources",
+    "spend_lorenz_deciles",
+    "wilson_conversion_ci",
+    "anova_f_sources",
+    "welch_cohen_effect",
+    "cramers_v_association",
+    "degree_assortativity",
+    "kmv_distinct_sketch",
+    "fk_coverage_audit",
+    "pca_power_component",
+    "runs_test_daily",
+    "paired_sign_test",
+    "isotonic_daily_trend",
+    "multimodal_png_decode",
+    "t_closeness_audit",
+    "rich_club_coefficient",
+    "prf_expansion_topk",
+    "scd2_interval_audit",
+    "capture_recapture_estimate",
+    "jackknife_se_mean",
+    "kaplan_meier_conversion",
+    "logrank_ab_survival",
+    "decayed_popularity_topk",
+    "mantel_haenszel_uplift",
+    "ols_price_model",
+    "split_conformal_interval",
+    "permutation_test_ab",
+    "kmv_jaccard_types",
+    "markov_stationary_activity",
+    "bollinger_bands_daily",
+    "running_records_daily",
+    "simpson_diversity_sources",
+    "topn_with_ties",
+    "winsorized_scalable",
+    "mom_revenue_growth",
+    "dedup_best_survivor",
+    "table_profile",
+    "join_cardinality_audit",
+    "weekly_p90_scalable",
+    "session_transitions",
+    "weighted_median_price",
+    "functional_dependency_audit",
+    "setsim_prefix_join",
+    "eval_overlap_fraction",
+    "streaming_kmv_distinct",
 ]
 
 

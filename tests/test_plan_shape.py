@@ -218,86 +218,85 @@ def test_driver_gate_ordering():
 
     assert names[50 : 50 + len(_DRIVER_PENDING)] == _DRIVER_PENDING
     assert names[50 + len(_DRIVER_PENDING) :] == _DRIVER_ROTATED_OUT
-    # Round-9 contract (VERDICT r08 #1/#2): the ENTIRE r08
-    # _DRIVER_PENDING backlog (37 non-streaming queries, registration
+    # Round-10 contract (VERDICT r09 #1/#6): the ENTIRE r09
+    # _DRIVER_PENDING backlog (10 non-streaming queries, registration
     # order) LEADS the gate for its first driver rows; the fill is the
-    # 12 oldest green rows (the r04-era head of the r08 rotated-out
-    # queue); the one streaming drain sits last (wall-clock tail
-    # policy). 37 + 12 + 1 = 50 — after this gate every registered
-    # query has a driver row under current semantics.
-    r08_pending_nonstream = [
-        "mannwhitney_source_test",
-        "kruskal_wallis_lengths",
-        "incremental_mart_merge",
-        "cusum_changepoint",
-        "xcorr_lead_lag",
-        "median_ci_sources",
-        "spend_lorenz_deciles",
-        "wilson_conversion_ci",
-        "anova_f_sources",
-        "welch_cohen_effect",
-        "cramers_v_association",
-        "degree_assortativity",
-        "kmv_distinct_sketch",
-        "fk_coverage_audit",
-        "pca_power_component",
-        "runs_test_daily",
-        "paired_sign_test",
-        "isotonic_daily_trend",
-        "multimodal_png_decode",
-        "t_closeness_audit",
-        "rich_club_coefficient",
-        "prf_expansion_topk",
-        "scd2_interval_audit",
-        "capture_recapture_estimate",
-        "jackknife_se_mean",
-        "kaplan_meier_conversion",
-        "logrank_ab_survival",
-        "decayed_popularity_topk",
-        "mantel_haenszel_uplift",
-        "ols_price_model",
-        "split_conformal_interval",
-        "permutation_test_ab",
-        "kmv_jaccard_types",
-        "markov_stationary_activity",
-        "bollinger_bands_daily",
-        "running_records_daily",
-        "simpson_diversity_sources",
+    # 39 oldest green rows — EXACTLY the head of the r09 rotated-out
+    # queue, so no green row ages past ~5 rounds; the one streaming
+    # drain sits last (wall-clock tail policy). 10 + 39 + 1 = 50.
+    r09_pending_nonstream = [
+        "multimodal_jpeg_decode",
+        "multimodal_flac_decode",
+        "multimodal_decode_all",
+        "textrank_keywords",
+        "shapley_attribution",
+        "cuped_variance_reduction",
+        "bh_fdr_nation_conversion",
+        "nelson_aalen_hazard",
+        "eb_shrunk_conversion",
+        "did_spend_estimate",
     ]
-    assert _DRIVER_FIRST == r08_pending_nonstream
+    assert _DRIVER_FIRST == r09_pending_nonstream
     assert _DRIVER_FILL == [
-        "topn_with_ties",
-        "winsorized_scalable",
-        "mom_revenue_growth",
-        "dedup_best_survivor",
-        "table_profile",
-        "join_cardinality_audit",
-        "weekly_p90_scalable",
-        "session_transitions",
-        "weighted_median_price",
-        "functional_dependency_audit",
-        "setsim_prefix_join",
-        "eval_overlap_fraction",
+        "kcore_peel_counts",
+        "zonemap_pruning_audit",
+        "k_anonymity_audit",
+        "lpa_communities",
+        "temperature_mixture",
+        "hard_negative_mining",
+        "embedding_dim_profile",
+        "lang_confusion_matrix",
+        "shard_balance_audit",
+        "corpus_release_gate",
+        "rolling_range_frame",
+        "grouping_sets_report",
+        "forward_asof_next_purchase",
+        "setsim_cosine_join",
+        "percentiles_approx",
+        "embedding_blocked_topk",
+        "duplicate_span_stats",
+        "setsim_containment_join",
+        "semantic_decontamination",
+        "pricing_summary",
+        "flagship_top_locations",
+        "window_dedup",
+        "pivot_wide",
+        "enrich_metadata",
+        "active_semijoin",
+        "inactive_antijoin",
+        "minmax_profile",
+        "conditional_counts",
+        "daily_topk",
+        "null_audit",
+        "normalize_group",
+        "date_partition_rollup",
+        "topk_orders",
+        "set_ops",
+        "marts_kernel",
+        "nested_order_lines",
+        "mad_outliers_scalable",
+        "skyline_pareto",
+        "event_rate_cusum",
     ]
-    assert _DRIVER_TAIL_STREAMING == ["streaming_kmv_distinct"]
-    # Registry-growth freeze (VERDICT r08 #2): queries added this round
-    # go to _DRIVER_PENDING (the r10 gate head) and NEVER displace a
+    assert _DRIVER_TAIL_STREAMING == ["streaming_window_topk"]
+    # Registry-growth freeze (VERDICT r09 #7): queries added this round
+    # go to _DRIVER_PENDING (the r11 gate head) and NEVER displace a
     # gate row — the gate above is pinned by exact content, so any
     # displacement fails here. Pending entries must also be genuinely
     # new: no name with a prior driver row may hide in the queue.
-    gated_before_r09 = set(_DRIVER_ROTATED_OUT) | set(_DRIVER_FILL)
-    assert not set(_DRIVER_PENDING) & gated_before_r09
+    gated_before_r10 = set(_DRIVER_ROTATED_OUT) | set(_DRIVER_FILL)
+    assert not set(_DRIVER_PENDING) & gated_before_r10
     # No pending-queue (parity-only) query is left outside the gate.
-    assert not set(r08_pending_nonstream) & set(_DRIVER_ROTATED_OUT)
-    # Rotated-out is ordered oldest-row-first: its head is the r10
-    # re-confirmation queue (the r04 block after the 12 pulled into the
-    # fill), and the 50 r08-gated rows (the newest) close the list.
+    assert not set(r09_pending_nonstream) & set(_DRIVER_ROTATED_OUT)
+    # Rotated-out is ordered oldest-row-first: its head is the r11
+    # re-confirmation queue (the r05 block after the 39 pulled into the
+    # fill), and the 50 r09-gated rows (the newest) close the list.
     assert _DRIVER_ROTATED_OUT[:6] == [
-        "kcore_peel_counts", "zonemap_pruning_audit",
-        "k_anonymity_audit", "lpa_communities", "temperature_mixture",
-        "hard_negative_mining",
+        "peak_concurrency", "grouped_median_plan_state",
+        "lsh_quality_eval_sampled", "user_active_streaks",
+        "order_attribution", "dup_clusters_star",
     ]
-    assert _DRIVER_ROTATED_OUT[-1] == "streaming_pit_enrich_tiled"
+    assert _DRIVER_ROTATED_OUT[-1] == "streaming_kmv_distinct"
 
 
 def test_coverage_doc_matches_registry_count():
