@@ -2319,6 +2319,15 @@ def q_bh_fdr_nation_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = nat.agg(
         F.sum("n").alias("nn"), F.sum("c").alias("cc")
     )
+    # Integer-exactness ceiling (ADVICE r09): the numerator
+    # (c*nn - cc*n)^2 * nn * 10000 peaks near nn^5 * 1e4, which crosses
+    # DECIMAL(38,0) when nn (total joined users) exceeds ~2e6 — past
+    # that, Spark (ANSI off) NULLs while DuckDB HUGEINT raises, the same
+    # asymmetric failure documented for logrank_ab_survival. At 100 TB
+    # pre-scale the bp factor: fold 10000 INTO the divisor as
+    # DIV (... DIV 10000) and drop one nn power by dividing (c*nn-cc*n)
+    # by gcd-safe n first — kept exact here because the sf ladder tops
+    # out far below the ceiling and exactness is the oracle contract.
     stats = nat.crossJoin(F.broadcast(pooled)).select(
         "c_nationkey", "n", "c",
         F.expr(

@@ -112,8 +112,16 @@ def get_spark(
     # Reap stale per-pid dirs (crashed/killed JVMs leave spill files and
     # Spark never removes the <pid> dir itself): a dir whose pid is no
     # longer alive is dead weight — this sweep is the replacement for
-    # the /tmp reaper the pin deliberately escaped.
+    # the /tmp reaper the pin deliberately escaped. The pid probe alone
+    # is not enough (ADVICE r09): with pid reuse (pid_max up to 4194304)
+    # a dead session's number can belong to an unrelated live process
+    # forever, so an AGE fallback also reclaims any dir untouched for
+    # >3 days — no Spark session here legitimately idles that long.
     if os.path.isdir(local_root):
+        import shutil
+        import time as _time
+
+        stale_age_s = 3 * 24 * 3600
         for entry in os.listdir(local_root):
             full = os.path.join(local_root, entry)
             if not entry.isdigit() or int(entry) == os.getpid():
@@ -121,11 +129,15 @@ def get_spark(
             try:
                 os.kill(int(entry), 0)  # liveness probe, no signal sent
             except ProcessLookupError:
-                import shutil
-
                 shutil.rmtree(full, ignore_errors=True)
+                continue
             except PermissionError:
-                pass  # alive under another uid — leave it
+                pass  # alive under another uid — fall through to age check
+            try:
+                if _time.time() - os.path.getmtime(full) > stale_age_s:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass  # raced with its own cleanup — nothing to reclaim
     os.makedirs(local_dir, exist_ok=True)
 
     builder = (

@@ -85,7 +85,7 @@ import json as _json
 import multiprocessing as _mp
 import time as _time
 
-_SUITE_T0 = {"t": None, "collected": 0}
+_SUITE_T0 = {"t": None, "collected": 0, "deselected": 0}
 
 
 def pytest_collection_finish(session):
@@ -93,15 +93,38 @@ def pytest_collection_finish(session):
     _SUITE_T0["collected"] = len(session.items)
 
 
+def pytest_deselected(items):
+    _SUITE_T0["deselected"] += len(items)
+
+
+def _is_full_scope(config) -> bool:
+    """True when the invocation targets the whole suite (ADVICE r09:
+    the old `collected >= 700` constant would silently stop recording
+    if the suite shrank, and a large partial selection could masquerade
+    as a full run). Full scope = every positional arg resolves to the
+    repo root or the tests/ dir itself — no file/node/keyword
+    narrowing; -k/-m narrowing is caught by the deselected counter."""
+    tests_dir = os.path.join(REPO_DIR, "tests")
+    for a in config.args:
+        p = os.path.abspath(a.split("::")[0])
+        if os.path.normpath(p) not in (REPO_DIR, tests_dir):
+            return False
+    return True
+
+
 def pytest_sessionfinish(session, exitstatus):
     t0 = _SUITE_T0["t"]
-    # Heuristic for "full run": everything under tests/ was collected
-    # (deselection via -k/-m or path args shrinks the item list well
-    # below the full-suite count). Interrupted or errored runs (Ctrl-C
-    # after collection, internal error) must not overwrite the evidence
-    # record with a fabricated short wall time — only exit codes 0
-    # (all passed) and 1 (tests ran to completion with failures) count.
-    if t0 is None or _SUITE_T0["collected"] < 700 or exitstatus not in (0, 1):
+    # "Full run" = whole-suite scope with zero deselection. Interrupted
+    # or errored runs (Ctrl-C after collection, internal error) must not
+    # overwrite the evidence record with a fabricated short wall time —
+    # only exit codes 0 (all passed) and 1 (tests ran to completion with
+    # failures) count.
+    if (
+        t0 is None
+        or _SUITE_T0["deselected"]
+        or not _is_full_scope(session.config)
+        or exitstatus not in (0, 1)
+    ):
         return
     failed = getattr(session, "testsfailed", 0)
     record = {
@@ -109,7 +132,7 @@ def pytest_sessionfinish(session, exitstatus):
         "failed": failed,
         "wall_sec": round(_time.time() - t0, 1),
         "host_cpus": _mp.cpu_count(),
-        "recorded_at_round": 9,
+        "recorded_at_round": 10,
     }
     with open(os.path.join(REPO_DIR, "SUITE.json"), "w") as f:
         f.write(_json.dumps(record) + "\n")

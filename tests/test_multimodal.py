@@ -579,6 +579,7 @@ class TestCodecHardening:
 
     def test_stale_spark_local_dirs_swept(self, tmp_path, monkeypatch):
         import os
+        import subprocess
 
         from reddit_data_pipeline_engineering_spark import session as se
 
@@ -586,7 +587,12 @@ class TestCodecHardening:
             os.path.dirname(os.path.dirname(os.path.abspath(se.__file__))),
             ".spark-local",
         )
-        stale = os.path.join(root, "999999")
+        # A guaranteed-dead pid: spawn and reap a child (ADVICE r09 — a
+        # hardcoded 999999 can be live on hosts with a large pid_max,
+        # making the sweep correctly skip it and the test flake).
+        proc = subprocess.Popen(["true"])
+        proc.wait()
+        stale = os.path.join(root, str(proc.pid))
         os.makedirs(stale, exist_ok=True)
         # get_spark sweeps on entry; reuse the live test session's JVM by
         # calling with the same master (getOrCreate returns it) — the
@@ -594,6 +600,41 @@ class TestCodecHardening:
         se.get_spark(app_name="sweep-test", master="local[8]",
                      shuffle_partitions=4)
         assert not os.path.isdir(stale)
+
+    def test_aged_live_pid_local_dir_swept(self):
+        """Age fallback (ADVICE r09): a dir whose pid number is LIVE
+        (pid reuse) is still reclaimed once untouched for >3 days; a
+        fresh dir with a live pid is kept."""
+        import os
+        import time
+
+        from reddit_data_pipeline_engineering_spark import session as se
+
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(se.__file__))),
+            ".spark-local",
+        )
+        # pid 1 is always alive; os.kill(1, 0) succeeds as root and
+        # raises PermissionError otherwise — both paths reach the age
+        # check. Backdate one dir past the 3-day window, keep one fresh.
+        aged = os.path.join(root, "1")
+        os.makedirs(aged, exist_ok=True)
+        old = time.time() - 4 * 24 * 3600
+        os.utime(aged, (old, old))
+        fresh = os.path.join(root, str(os.getppid()))
+        made_fresh = not os.path.isdir(fresh)
+        os.makedirs(fresh, exist_ok=True)
+        try:
+            se.get_spark(app_name="sweep-age-test", master="local[8]",
+                         shuffle_partitions=4)
+            assert not os.path.isdir(aged), "aged live-pid dir not reclaimed"
+            assert os.path.isdir(fresh), "fresh live-pid dir wrongly swept"
+        finally:
+            import shutil
+
+            if made_fresh:
+                shutil.rmtree(fresh, ignore_errors=True)
+            shutil.rmtree(aged, ignore_errors=True)
 
     def test_flac_any_frame_bitflip_raises(self):
         """Integrity property: EVERY single-bit corruption in the frame
