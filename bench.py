@@ -36,8 +36,15 @@ def main() -> None:
     from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, queries
     from reddit_data_pipeline_engineering_spark.session import get_spark
 
+    # Host-contention telemetry (VERDICT r09 #3): BENCH_r09's closing run
+    # breached the streaming floor under co-tenant load; recording the
+    # 1-minute loadavg at start/end lets a reader separate host noise
+    # from regression inside the artifact itself.
+    host = {"cpus": os.cpu_count(), "load1_start": round(os.getloadavg()[0], 2)}
+
     queries()  # force full registration (imports queries_llm etc.)
     spark = get_spark(app_name="rdpe-bench")
+    local_dir = spark.conf.get("spark.local.dir")
 
     bench_names = [n for n, s in sorted(REGISTRY.items()) if "bench" in s.tags]
 
@@ -83,12 +90,29 @@ def main() -> None:
     except ValueError:
         sf = 0.1
 
-    full_line, compact_line = emit_lines(timings, sf, _REPO_DIR, streaming)
+    host["load1_end"] = round(os.getloadavg()[0], 2)
+    full_line, compact_line = emit_lines(timings, sf, _REPO_DIR, streaming, host)
     print(full_line)
     # LAST line: compact summary, bounded size regardless of registry
     # growth — this is what the driver's tail capture records.
     print(compact_line)
     spark.stop()
+    assert_local_dir_hygiene(local_dir, _REPO_DIR)
+
+
+def assert_local_dir_hygiene(local_dir: str, repo_dir: str) -> None:
+    """Tested invariant form of the r08 #4 spill-dir pin (VERDICT r09 #8):
+    the bench session's shuffle/spill dir must be repo-scoped (never OS
+    /tmp, where a reaper can race live shuffle files) and empty after a
+    clean ``spark.stop()`` (Spark removes the blockmgr/spark-* subdirs it
+    created). A leftover means an unclean shutdown leaked spill data."""
+    assert local_dir and os.path.realpath(local_dir).startswith(
+        os.path.realpath(repo_dir) + os.sep
+    ), f"bench spark.local.dir escaped the repo: {local_dir}"
+    leftovers = os.listdir(local_dir) if os.path.isdir(local_dir) else []
+    assert not leftovers, f"bench local dir not empty after stop: {leftovers}"
+    if os.path.isdir(local_dir):
+        os.rmdir(local_dir)  # reclaim the per-pid dir itself
 
 
 def streaming_throughput(spark, sf_dir: str, registry) -> dict[str, dict]:
@@ -123,6 +147,7 @@ def emit_lines(
     sf: float,
     repo_dir: str | None,
     streaming: dict[str, dict] | None = None,
+    host: dict | None = None,
 ) -> tuple[str, str]:
     """Build the two output lines and persist the full dict.
 
@@ -142,6 +167,8 @@ def emit_lines(
     }
     if streaming:
         full["streaming"] = streaming
+    if host:
+        full["host"] = host
     # Full per-query detail: persisted to a file AND printed as an
     # intermediate line (human-visible, but never the line the driver
     # must parse).
@@ -157,6 +184,9 @@ def emit_lines(
         "n_queries": len(timings),
         "queries_file": "bench_full.json",
     }
+    if host:
+        # ~60 bytes — fits the 1 KB compact budget with ample headroom.
+        compact["host"] = host
     return json.dumps(full), json.dumps(compact)
 
 

@@ -12,7 +12,10 @@ from bench import emit_lines
 def test_last_line_bounded_and_parseable(tmp_path):
     # Far larger than any plausible registry: 2000 bench queries.
     timings = {f"query_with_a_rather_long_name_{i:04d}": 1.234 for i in range(2000)}
-    full_line, compact_line = emit_lines(timings, 0.1, str(tmp_path))
+    host = {"cpus": 32, "load1_start": 1.23, "load1_end": 30.45}
+    full_line, compact_line = emit_lines(
+        timings, 0.1, str(tmp_path), host=host
+    )
 
     # The compact (LAST) line: < 1 KB, parseable, carries the total.
     assert len(compact_line.encode()) < 1024
@@ -21,13 +24,58 @@ def test_last_line_bounded_and_parseable(tmp_path):
     assert d["value"] == round(1.234 * 2000, 3)
     assert d["n_queries"] == 2000
     assert d["unit"] == "sec" and d["sf"] == 0.1
+    # Host-contention telemetry (VERDICT r09 #3) rides BOTH lines: the
+    # compact one so the driver tail-capture records it, the full dict
+    # so the judge can read it next to the per-query timings.
+    assert d["host"] == host
 
     # The full line carries every per-query timing...
     f = json.loads(full_line)
     assert len(f["queries"]) == 2000 and f["value"] == d["value"]
+    assert f["host"] == host
     # ...and the same dict is persisted for the judge.
     on_disk = json.loads((tmp_path / "bench_full.json").read_text())
     assert on_disk == f
+
+
+def test_committed_bench_records_host_load():
+    """VERDICT r09 #3: the artifact of record must carry start/end host
+    load so contention is distinguishable from regression without git
+    archaeology."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_full.json")
+    with open(path) as f:
+        full = json.load(f)
+    host = full.get("host")
+    assert host, "bench_full.json has no host block — re-run bench.py"
+    assert {"cpus", "load1_start", "load1_end"} <= set(host)
+    assert host["cpus"] >= 1
+    assert host["load1_start"] >= 0.0 and host["load1_end"] >= 0.0
+
+
+def test_local_dir_hygiene_assertion(tmp_path):
+    """VERDICT r09 #8: the r08 spill-dir pin as a tested invariant —
+    repo-scoped and empty after stop, else the bench fails loudly."""
+    import pytest as _pytest
+
+    from bench import assert_local_dir_hygiene
+
+    repo = tmp_path / "repo"
+    good = repo / ".spark-local" / "1234"
+    good.mkdir(parents=True)
+    assert_local_dir_hygiene(str(good), str(repo))
+    assert not good.exists()  # the empty per-pid dir itself is reclaimed
+
+    escaped = tmp_path / "tmpdir" / "spill"
+    escaped.mkdir(parents=True)
+    with _pytest.raises(AssertionError, match="escaped the repo"):
+        assert_local_dir_hygiene(str(escaped), str(repo))
+
+    dirty = repo / ".spark-local" / "5678"
+    (dirty / "blockmgr-leak").mkdir(parents=True)
+    with _pytest.raises(AssertionError, match="not empty"):
+        assert_local_dir_hygiene(str(dirty), str(repo))
 
 
 def test_streaming_throughput_block_in_full_line_only(tmp_path):
