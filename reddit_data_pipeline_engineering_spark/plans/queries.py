@@ -883,6 +883,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_tpch2  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_graph  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_retrieval  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_stats3  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_warehouse  # noqa: F401
 
 
@@ -986,7 +987,17 @@ _DRIVER_TAIL_STREAMING = [
 # growth is frozen into this queue — new queries never displace a
 # pending-queue row; they run the local parity suite this round and
 # take the head of the r11 gate for their first driver rows).
-_DRIVER_PENDING: list[str] = []
+_DRIVER_PENDING: list[str] = [
+    "kendall_tau_daily",          # r10: tau-b over calendar-bounded daily series
+    "mcnemar_paired_conversion",  # r10: paired-proportion McNemar test
+    "cohen_kappa_agreement",      # r10: chance-corrected lang-ID agreement
+    "goodman_kruskal_gamma",      # r10: ordinal association on bounded cells
+    "gini_split_stump",           # r10: decision-stump feature-quality split
+    "yule_k_vocab",               # r10: Yule's K corpus repetitiveness
+    "obf_sequential_ab",          # r10: O'Brien-Fleming group-sequential monitor
+    "order_total_reconciliation",  # r10: cross-table integer-cents drift audit
+    "sax_motif_counts",           # r10: SAX symbolic motif histogram
+]
 
 _DRIVER_ROTATED_OUT = [
     # Everything below has a green driver row under its current

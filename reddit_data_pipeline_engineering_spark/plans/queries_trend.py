@@ -854,3 +854,75 @@ def q_running_records_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# SAX motif counts (r10) — Symbolic Aggregate approXimation of the
+# daily revenue series: each calendar day gets a quartile letter
+# (rank-based discretization — NTILE(4) over the bounded daily
+# relation, deterministic via the (revenue, day) total order), then
+# consecutive length-3 letter words are counted. Repeated motifs are
+# the series' recurring local shapes — the symbolic pattern-mining
+# primitive behind time-series anomaly screens. Everything after the
+# one calendar-keyed aggregate runs on the ~2.4k-row daily relation
+# (global-window waiver class: input bounded by CALENDAR), and the
+# output is at most 4^3 motif rows. Integer counts only — no float.
+# --------------------------------------------------------------------------
+
+_SAX_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+           AS rev_c
+  FROM orders GROUP BY 1
+), lettered AS (
+  SELECT d, substr('abcd', NTILE(4) OVER (ORDER BY rev_c, d), 1) AS letter
+  FROM daily
+), words AS (
+  SELECT letter
+         || LEAD(letter, 1) OVER (ORDER BY d)
+         || LEAD(letter, 2) OVER (ORDER BY d) AS motif
+  FROM lettered
+)
+SELECT motif, CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM words WHERE motif IS NOT NULL
+GROUP BY motif ORDER BY motif
+"""
+
+
+@query(
+    "sax_motif_counts",
+    _SAX_ORACLE,
+    "SAX symbolic motifs of the daily revenue series: quartile letters "
+    "via NTILE over the calendar-bounded daily relation (rank "
+    "discretization, deterministic tiebreak), sliding length-3 words "
+    "via LEAD, bounded 4^3-row motif histogram — symbolic pattern "
+    "mining without floats",
+    tags=("relational", "timeseries", "bench"),
+)
+def q_sax_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        ).alias("rev_c")
+    )
+    # both windows are global but CALENDAR-bounded (~2.4k daily rows)
+    w_rank = Window.orderBy("rev_c", "d")
+    w_time = Window.orderBy("d")
+    lettered = daily.select(
+        "d", F.ntile(4).over(w_rank).alias("tile")
+    ).select("d", F.expr("substr('abcd', tile, 1)").alias("letter"))
+    words = lettered.select(
+        F.concat(
+            F.col("letter"),
+            F.lead("letter", 1).over(w_time),
+            F.lead("letter", 2).over(w_time),
+        ).alias("motif")
+    )
+    return (
+        words.filter(F.col("motif").isNotNull())
+        .groupBy("motif")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
+        .orderBy("motif")
+    )

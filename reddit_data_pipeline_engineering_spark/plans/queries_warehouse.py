@@ -1932,3 +1932,100 @@ def q_decayed_popularity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_score"), "partkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Order-total reconciliation audit (r10) — the cross-table consistency
+# check a warehouse runs before trusting a denormalized column: does
+# orders.o_totalprice equal the recomputed
+# sum(extendedprice * (1-discount) * (1+tax)) over its lineitems?
+# All arithmetic is INTEGER CENTS/BP (line value = cents * (1e4-d_bp) *
+# (1e4+t_bp) div 1e8, truncating — identical in both engines; peak
+# magnitude ~2e15 per line, long-safe), so no float tree is mirrored at
+# all. One data-sized keyed aggregate (lineitem by orderkey), one join
+# to orders, then a bounded 6-bucket histogram of the relative diff.
+# The synthetic generator draws o_totalprice independently, so the
+# audit's job here is to REPORT the disagreement distribution, not to
+# certify zeros — exactly what it would surface on a real drifted mart.
+# --------------------------------------------------------------------------
+
+_RECON_ORACLE = """
+WITH recomp AS (
+  SELECT l_orderkey AS ok,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             * (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))
+             * (10000 + CAST(CAST(l_tax AS DECIMAL(6,4)) * 10000 AS BIGINT))
+             // 100000000) AS rc
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS tot_c,
+         rc
+  FROM orders LEFT JOIN recomp ON o_orderkey = ok
+), labeled AS (
+  SELECT CASE
+           WHEN rc IS NULL THEN 'no_lineitems'
+           WHEN rc = tot_c THEN 'exact'
+           WHEN ABS(rc - tot_c) * 10000 // tot_c < 100 THEN 'lt_1pct'
+           WHEN ABS(rc - tot_c) * 10000 // tot_c < 1000 THEN 'lt_10pct'
+           WHEN ABS(rc - tot_c) * 10000 // tot_c < 10000 THEN 'lt_100pct'
+           ELSE 'gte_100pct'
+         END AS bucket,
+         COALESCE(ABS(rc - tot_c), 0) AS diff_c
+  FROM j
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(diff_c) // 100 AS BIGINT) AS sum_abs_diff_dollars
+FROM labeled GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query(
+    "order_total_reconciliation",
+    _RECON_ORACLE,
+    "Cross-table consistency audit: o_totalprice vs the recomputed "
+    "lineitem sum in pure integer cents/bp (no float tree anywhere), "
+    "one keyed aggregate + broadcast-eligible join, bounded 6-bucket "
+    "relative-diff histogram — the denormalization drift report",
+    tags=("relational", "audit", "bench"),
+)
+def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    recomp = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+                " * (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))"
+                " * (10000 + CAST(CAST(l_tax AS DECIMAL(6,4)) * 10000 AS BIGINT))"
+                " div 100000000"
+            )
+        ).alias("rc")
+    )
+    j = orders.select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("tot_c"),
+        F.col("o_orderkey"),
+    ).join(recomp, F.col("o_orderkey") == F.col("ok"), "left")
+    labeled = j.select(
+        F.expr(
+            "CASE"
+            " WHEN rc IS NULL THEN 'no_lineitems'"
+            " WHEN rc = tot_c THEN 'exact'"
+            " WHEN ABS(rc - tot_c) * 10000 div tot_c < 100 THEN 'lt_1pct'"
+            " WHEN ABS(rc - tot_c) * 10000 div tot_c < 1000 THEN 'lt_10pct'"
+            " WHEN ABS(rc - tot_c) * 10000 div tot_c < 10000 THEN 'lt_100pct'"
+            " ELSE 'gte_100pct' END"
+        ).alias("bucket"),
+        F.coalesce(F.abs(F.col("rc") - F.col("tot_c")), F.lit(0)).alias("diff_c"),
+    )
+    return (
+        labeled.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr("CAST(SUM(diff_c) div 100 AS BIGINT)").alias(
+                "sum_abs_diff_dollars"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -334,3 +334,69 @@ def kmv_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def median_stream(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key cross-batch EXACT running median (r10): state holds the
+    sorted integer-quantized values seen so far and each micro-batch
+    emits one row per key with the running median — like every operator
+    here, the fold is a MULTISET accumulation (arrival-order-
+    independent), so a batch oracle can replay any prefix of the stream
+    bit-for-bit via order statistics.
+
+    The median is emitted as ``median2`` = lower-middle + upper-middle
+    order statistic (= 2x the interpolated median), which keeps the
+    output a pure integer — no float halving, no .5 rounding hazards.
+
+    Output rows: (key, batch_seq, n_values, median2) with batch_seq
+    counting the key's invocations (1-based).
+
+    Scale notes: exact medians need the full multiset — state is
+    O(values-per-key), the documented trade for bit-exactness at this
+    table's per-key cardinality; when values-per-key stops fitting the
+    state store, swap the sorted list for a mergeable quantile sketch
+    (KLL / t-digest) exactly as streaming_kmv_distinct swaps exact
+    distinct for KMV.
+    """
+    kc, vc = key_col, value_col
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            nb, vals = state.get
+            vals = list(vals)
+        else:
+            nb, vals = 0, []
+        for pdf in pdf_iter:
+            for v in pdf[vc]:
+                if pd.isna(v):
+                    continue
+                vals.append(int(v))
+        vals.sort()
+        nb += 1
+        state.update((nb, vals))
+        n = len(vals)
+        med2 = (vals[(n - 1) // 2] + vals[n // 2]) if n else None
+        yield pd.DataFrame(
+            {
+                kc: [key[0]],
+                "batch_seq": [nb],
+                "n_values": [n],
+                "median2": [med2],
+            }
+        )
+
+    return df.groupBy(kc).applyInPandasWithState(
+        fold,
+        outputStructType=(
+            f"{kc} string, batch_seq long, n_values long, median2 long"
+        ),
+        stateStructType="nb long, vals array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -534,6 +534,74 @@ def test_item_similarity_dims_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def _count_global_windows(node) -> int:
+    """Window logical nodes with an EMPTY partitionSpec under `node`
+    (each one is a single-partition sort of its input at scale)."""
+    total = 0
+    if (
+        node.getClass().getSimpleName() == "Window"
+        and node.partitionSpec().isEmpty()
+    ):
+        total += 1
+    for i in range(node.children().size()):
+        total += _count_global_windows(node.children().apply(i))
+    return total
+
+
+# VERDICT r09 #4: the catalogue of ALLOWED global (no-partitionBy)
+# windows. Every entry must sit on a provably bounded input — bounded
+# by CALENDAR (days/weeks/months of the dataset), by a DIMENSION
+# (nations, sources, event types), by DISTINCT VALUES of a quantized
+# domain, or by an upstream LIMIT/top-k. A new query whose optimized
+# plan orders an unbounded relation through a global window fails the
+# exact-match assertion below until it is either re-derived keyed or
+# justified here. Value = number of global Window nodes in the
+# OPTIMIZED plan (post collapse/pruning).
+GLOBAL_WINDOW_ALLOWLIST: dict[str, int] = {
+    "bollinger_bands_daily": 1,   # calendar: rolling frame over daily rows
+    "gini_split_stump": 2,        # quantized domain: <=50 quantity buckets
+    "heaps_vocab_growth": 1,      # bounded rollup: 10 prefix-decile rows
+    "key_skew_gini": 2,           # count-of-counts histogram (rank blocks)
+    "logrank_ab_survival": 1,     # bounded event-time grid (hour buckets)
+    "mom_revenue_growth": 1,      # calendar: month x priority rollup
+    "ndcg_at_k": 3,               # top-k bounded eval relation
+    "nelson_aalen_hazard": 2,     # bounded event-time grid (KM companion)
+    "ratio_to_report": 1,         # dimension-bounded group rollup
+    "rrf_fusion_topk": 2,         # top-k bounded fused candidate lists
+    "runs_test_daily": 2,         # calendar: daily sign sequence
+    "sax_motif_counts": 2,        # calendar: ntile + lead over daily rows
+    "shard_balance_audit": 1,     # bounded shard dimension
+    "skyline_pareto": 1,          # distinct quantized prices (bounded)
+    "source_mix_rebalance": 2,    # bounded source dimension
+    "spend_lorenz_deciles": 1,    # bounded 10-row decile rollup
+    "temperature_mixture": 1,     # bounded temperature grid
+    "volume_anomaly_days": 1,     # calendar: daily volume series
+}
+
+
+def test_global_window_catalogue(spark):
+    """Walk every non-streaming registry query's optimized logical plan
+    and pin the exact set of queries (and per-query counts) that use a
+    global window — the bounded-input waiver class. Streaming queries
+    are excluded (building them stages + drains real data; their plans
+    are covered by the streaming suite)."""
+    found: dict[str, int] = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if "streaming" in spec.tags:
+            continue
+        df = spec.fn(spark, SF_SMALL)
+        n = _count_global_windows(df._jdf.queryExecution().optimizedPlan())
+        if n:
+            found[name] = n
+    assert found == GLOBAL_WINDOW_ALLOWLIST, (
+        "global-window set drifted.\n"
+        f"new/changed: { {k: v for k, v in found.items() if GLOBAL_WINDOW_ALLOWLIST.get(k) != v} }\n"
+        f"stale: { {k: v for k, v in GLOBAL_WINDOW_ALLOWLIST.items() if found.get(k) != v} }\n"
+        "A new global window must sit on a provably bounded input AND "
+        "be justified in GLOBAL_WINDOW_ALLOWLIST."
+    )
+
+
 def test_rfm_and_ntile_have_no_single_partition_window(spark):
     """VERDICT r07 #4: rfm_segmentation ran THREE no-partitionBy
     ntile(4) windows and ntile_spend_quartiles two — each a

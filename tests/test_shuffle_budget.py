@@ -534,6 +534,34 @@ BUDGETS = {
     "winsorized_scalable": 2,
     "zonemap_pruning_audit": 3,
     "zorder_layout": 2,
+    # ---- r10 wave: measured counts at sf0.001, engine session, sp=4 ----
+    # daily agg (checkpointed for both self-join sides) + scalar pair
+    # rollup; the concordance join itself is broadcast.
+    "kendall_tau_daily": 2,
+    # per-user conditional aggregate + scalar cell rollup + midpoint
+    # scalar (broadcast feeds the crossJoin).
+    "mcnemar_paired_conversion": 3,
+    # per-doc scoring -> checkpointed cell relation; row/col marginal
+    # re-aggs + the scalar total + pe join over |langs|-bounded rows.
+    "cohen_kappa_agreement": 4,
+    # cell aggregate (checkpointed for both pair-join sides) + scalar
+    # totals; the cell-pair join is broadcast.
+    "goodman_kruskal_gamma": 2,
+    # quantity-bucket aggregate + the <=50-row bounded window stage;
+    # final top-1 is TakeOrdered, no sort shuffle.
+    "gini_split_stump": 2,
+    # token freq agg + spectrum re-agg + scalar moments.
+    "yule_k_vocab": 3,
+    # per-user aggregate materialized into the checkpointed 2-row arms
+    # relation (the ab_conversion_ztest device); the 5-row look join
+    # rides a broadcast, final sort is the one exchange.
+    "obf_sequential_ab": 1,
+    # lineitem-by-orderkey recompute agg + the orders join side + the
+    # bounded 6-bucket rollup/sort.
+    "order_total_reconciliation": 3,
+    # daily agg + the bounded-calendar window/motif stage (rank and
+    # lead windows coalesce into one exchange) + motif rollup rides it.
+    "sax_motif_counts": 2,
 }
 
 
