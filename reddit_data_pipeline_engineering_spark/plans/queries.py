@@ -997,6 +997,9 @@ _DRIVER_PENDING: list[str] = [
     "obf_sequential_ab",          # r10: O'Brien-Fleming group-sequential monitor
     "order_total_reconciliation",  # r10: cross-table integer-cents drift audit
     "sax_motif_counts",           # r10: SAX symbolic motif histogram
+    "streaming_running_median",   # r10: 14th streaming query (stateful exact
+                                  # running median; r11 gate TAIL slot per the
+                                  # standing streaming-drain policy)
 ]
 
 _DRIVER_ROTATED_OUT = [

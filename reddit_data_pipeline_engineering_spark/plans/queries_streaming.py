@@ -1418,3 +1418,120 @@ def q_streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "rnk", "user_id", "n_events")
         .orderBy("window_start", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming exact running median (r10, 14th streaming query) — the
+# latency-percentile shape: per event_type, the running median of the
+# integer-quantized value stream, folding across micro-batches via
+# applyInPandasWithState (streaming/stateful.py median_stream). The
+# fold accumulates a MULTISET (arrival-order-independent), so the batch
+# oracle replays each batch's cumulative order statistics exactly; the
+# median is emitted as lower+upper middle (median2, = 2x the
+# interpolated median) to stay pure-integer. State is O(values-per-key)
+# — the documented exactness trade; the KLL/t-digest sketch replaces
+# the sorted list when per-key volume outgrows the state store, exactly
+# as streaming_kmv_distinct swaps exact distinct for KMV.
+# --------------------------------------------------------------------------
+
+_MEDIAN_STREAM_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS TIMESTAMP)) AS t0 FROM events
+), day AS (
+  SELECT e.event_type,
+         CAST(CAST(e.value AS DECIMAL(14,4)) * 10000 AS BIGINT) AS v4,
+         CASE WHEN CAST(e.ts AS TIMESTAMP) < b.t0 + INTERVAL 12 HOUR
+              THEN 0 ELSE 1 END AS batch
+  FROM events e CROSS JOIN bounds b
+  WHERE CAST(e.ts AS TIMESTAMP) < b.t0 + INTERVAL 1 DAY
+    AND e.value IS NOT NULL
+), pres AS (
+  SELECT DISTINCT event_type, batch FROM day
+), cum AS (
+  SELECT p.batch AS b, d.event_type, d.v4
+  FROM pres p
+  JOIN day d ON d.event_type = p.event_type AND d.batch <= p.batch
+), ranked AS (
+  SELECT b, event_type, v4,
+         ROW_NUMBER() OVER (PARTITION BY b, event_type ORDER BY v4) AS rn,
+         COUNT(*) OVER (PARTITION BY b, event_type) AS n
+  FROM cum
+), med AS (
+  SELECT b, event_type, CAST(MAX(n) AS BIGINT) AS n_values,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN v4 ELSE 0 END)
+              + SUM(CASE WHEN rn = n // 2 + 1 THEN v4 ELSE 0 END)
+              AS BIGINT) AS median2
+  FROM ranked GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b)
+            AS BIGINT) AS batch_seq,
+       n_values, median2
+FROM med ORDER BY event_type, batch_seq
+"""
+
+
+@query(
+    "streaming_running_median",
+    _MEDIAN_STREAM_ORACLE,
+    "applyInPandasWithState streaming exact running median: per "
+    "event_type the integer-quantized value multiset folds across "
+    "micro-batches and each batch emits the cumulative median as "
+    "lower+upper middle order statistics (median2, pure integer); the "
+    "multiset fold is arrival-order-independent, so the batch oracle "
+    "replays every batch's order statistics exactly — the streaming "
+    "latency-percentile shape, with the KLL-sketch swap documented for "
+    "state-store-bounded deployments",
+    tags=("streaming", "stateful"),
+)
+def q_streaming_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from reddit_data_pipeline_engineering_spark.streaming.stateful import (
+        median_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day = _with_min_ts(ev).filter(
+        F.col("ts") < F.col("t0") + F.expr("INTERVAL 1 DAYS")
+    ).filter(F.col("value").isNotNull())
+    tmp = tempfile.mkdtemp(prefix="rdpe_medq_")
+    raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
+    os.makedirs(raw)
+    cut = F.col("t0") + F.expr("INTERVAL 12 HOURS")
+    for i, cond in enumerate((F.col("ts") < cut, F.col("ts") >= cut)):
+        stage = os.path.join(tmp, f"stage{i}")
+        (
+            day.filter(cond)
+            .select(
+                "event_type",
+                F.expr(
+                    "CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT)"
+                ).alias("v4"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(stage)
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.json"))
+        p = os.path.join(raw, f"b{i}.json")
+        os.rename(part, p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_type string, v4 long")
+        .option("maxFilesPerTrigger", "1")
+        .load(raw)
+    )
+    q = (
+        median_stream(stream, "event_type", "v4")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    return spark.read.parquet(out).orderBy("event_type", "batch_seq")

@@ -773,6 +773,69 @@ def _case_kmv_stream_restart_from_checkpoint(spark, tmp):
         assert rows[i + 1] == replay(seen)
 
 
+def _case_median_stream_restart_from_checkpoint(spark, tmp):
+    """r10 14th streaming query: a NEW query on the SAME checkpoint must
+    merge new values into the CARRIED multiset (not re-seed it), and
+    because the fold is a multiset accumulation the per-batch medians
+    must equal the all-at-once sorted replay's order statistics."""
+    from reddit_data_pipeline_engineering_spark.streaming.stateful import (
+        median_stream,
+    )
+
+    src = tmp / "med_raw"
+    src.mkdir()
+    batches = [
+        [{"event_type": "view", "v4": v} for v in (50, 10, 30)],
+        [{"event_type": "view", "v4": v} for v in (20, 40)],
+        [{"event_type": "view", "v4": v} for v in (60, 5, 70, 80)],
+    ]
+
+    def write_batch(i):
+        p = src / f"b{i}.json"
+        _emit(p, batches[i])
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    out = str(tmp / "med_out")
+    ckpt = str(tmp / "med_ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.format("json")
+            .schema("event_type string, v4 long")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+        )
+        q = (
+            median_stream(stream, "event_type", "v4")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_stream_to_completion(q)
+
+    write_batch(0)
+    write_batch(1)
+    drain()                      # first run: batches 0-1
+    write_batch(2)
+    drain()                      # RESTART from checkpoint: batch 2 only
+    drain()                      # no new data: no-op (idempotent)
+
+    rows = {
+        int(r["batch_seq"]): (int(r["n_values"]), int(r["median2"]))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+
+    vals: list[int] = []
+    for i, b in enumerate(batches):
+        vals = sorted(vals + [r["v4"] for r in b])
+        n = len(vals)
+        assert rows[i + 1] == (n, vals[(n - 1) // 2] + vals[n // 2])
+
+
 def _case_window_topk_matches_pandas(spark, tmp):
     """r09 13th streaming query: the drained per-window heavy-hitter
     ranks must equal an independent pandas replay of the first-7-day
@@ -834,6 +897,9 @@ _CASES = {
         _case_cusum_stream_restart_from_checkpoint
     ),
     "window_topk_matches_pandas": _case_window_topk_matches_pandas,
+    "median_stream_restart_from_checkpoint": (
+        _case_median_stream_restart_from_checkpoint
+    ),
 }
 
 
