@@ -1000,6 +1000,13 @@ _DRIVER_PENDING: list[str] = [
     "streaming_running_median",   # r10: 14th streaming query (stateful exact
                                   # running median; r11 gate TAIL slot per the
                                   # standing streaming-drain policy)
+    # ---- r10 wave 2 ----
+    "friedman_test_types",        # r10: k-treatment repeated-measures rank test
+    "cochran_q_types",            # r10: k-sample McNemar generalization
+    "page_trend_dow",             # r10: ordered-alternatives trend test
+    "market_hhi_concentration",   # r10: supplier-revenue HHI per nation
+    "lift_by_score_band",         # r10: gains/lift table over score bands
+    "balanced_class_downsample",  # r10: deterministic class rebalance audit
 ]
 
 _DRIVER_ROTATED_OUT = [

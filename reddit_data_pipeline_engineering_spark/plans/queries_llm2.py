@@ -1179,3 +1179,89 @@ def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Balanced class downsampling (r10 wave 2) — the class-rebalance step a
+# training pipeline runs before fitting a classifier on skewed labels:
+# every language class is cut to the size of the SMALLEST class, keeping
+# the md5-priority-smallest docs (deterministic: engine/rerun/cluster-
+# invariant, the weighted_sample device with uniform weights). The rank
+# window is KEYED by lang; the min class size is a broadcast scalar.
+# Output is the per-class audit (before/after + kept-id checksum) —
+# the checksum pins WHICH docs survive, not just how many.
+# --------------------------------------------------------------------------
+
+_BALANCED_DOWNSAMPLE_ORACLE = """
+WITH pr AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           AS priority
+  FROM documents
+), class_sizes AS (
+  SELECT lang, COUNT(*) AS cnt FROM pr GROUP BY lang
+), target AS (
+  SELECT MIN(cnt) AS m FROM class_sizes
+), ranked AS (
+  SELECT lang, doc_id, priority,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority, doc_id)
+           AS rn
+  FROM pr
+)
+SELECT r.lang,
+       CAST(cs.cnt AS BIGINT) AS n_before,
+       CAST(COUNT(*) FILTER (WHERE r.rn <= t.m) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN r.rn <= t.m THEN r.doc_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum
+FROM ranked r
+JOIN class_sizes cs ON cs.lang = r.lang, target t
+GROUP BY r.lang, cs.cnt
+ORDER BY r.lang
+"""
+
+
+@query(
+    "balanced_class_downsample",
+    _BALANCED_DOWNSAMPLE_ORACLE,
+    "Deterministic balanced downsampling to the smallest language "
+    "class: md5-priority rank KEYED per class, broadcast min-size "
+    "scalar, per-class before/after audit with a kept-id checksum "
+    "pinning exactly which docs survive — the label-rebalance step "
+    "before classifier training",
+    tags=("llm", "sampling", "bench"),
+)
+def q_balanced_class_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pr = docs.select(
+        "lang",
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("priority"),
+    )
+    ranked = pr.select(
+        "lang", "doc_id",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("priority", "doc_id"))
+        .alias("rn"),
+    ).localCheckpoint(eager=False)  # class sizes + target + kept rollup
+    class_sizes = ranked.groupBy("lang").agg(
+        F.max("rn").cast("long").alias("n_before")
+    )
+    target = class_sizes.agg(F.min("n_before").alias("m"))
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .groupBy("lang")
+        .agg(
+            F.max("rn").cast("long").alias("n_before"),
+            F.sum(F.when(F.col("rn") <= F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("rn") <= F.col("m"), F.col("doc_id")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("lang")
+    )

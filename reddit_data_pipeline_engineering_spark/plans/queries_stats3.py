@@ -763,3 +763,305 @@ def q_obf_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({_OBF_C2_BP} div look AS BIGINT)").alias("thr_bp"),
         F.expr(f"{z2} >= {_OBF_C2_BP} div look").alias("crossed"),
     ).orderBy("look")
+
+
+# --------------------------------------------------------------------------
+# Friedman test (r10 wave 2) — the k-treatment repeated-measures rank
+# test completing the family (Mann-Whitney: 2 unpaired; Kruskal-Wallis:
+# k unpaired; sign test: 2 paired; Friedman: k paired). Blocks =
+# calendar days, treatments = event types, measurement = daily sum of
+# quantized value per type. Ranks live WITHIN a day (keyed window,
+# |types|-bounded rows per key); ties take average ranks kept integer
+# as 2r = 2*RANK() + ties - 1. Statistic (tie-uncorrected classical
+# form, documented): chi2_F = 12/(n k (k+1)) * sum R_j^2 - 3 n (k+1),
+# emitted in bp from the 2x rank sums: with R2_j = 2*R_j,
+# chi2_bp = 3e4 * (sum R2_j^2 - n^2 k (k+1)^2) div (n k (k+1)).
+# Missing (day, type) cells get measurement 0 via the day x type
+# scaffold (types present globally), so every block ranks all k
+# treatments — the complete-block design Friedman requires.
+# --------------------------------------------------------------------------
+
+_FRIEDMAN_ORACLE = """
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         SUM(CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT)) AS m
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), scaffold AS (
+  SELECT d, t.event_type, COALESCE(c.m, 0) AS m
+  FROM (SELECT DISTINCT d FROM cells) days
+  CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+  LEFT JOIN cells c USING (d, event_type)
+), ranked AS (
+  SELECT d, event_type,
+         2 * RANK() OVER (PARTITION BY d ORDER BY m)
+           + COUNT(*) OVER (PARTITION BY d, m) - 1 AS r2
+  FROM scaffold
+), sums AS (
+  SELECT event_type, CAST(SUM(r2) AS HUGEINT) AS rank2_sum FROM ranked
+  GROUP BY event_type
+), dims AS (
+  SELECT CAST(COUNT(DISTINCT d) AS HUGEINT) AS n,
+         CAST(COUNT(DISTINCT event_type) AS HUGEINT) AS k
+  FROM scaffold
+), stat AS (
+  SELECT n, k,
+         CAST(30000 * (SELECT SUM(rank2_sum * rank2_sum) FROM sums)
+              - 30000 * n * n * k * (k + 1) * (k + 1) AS HUGEINT)
+           // (n * k * (k + 1)) AS chi2_bp
+  FROM dims
+)
+SELECT s.event_type, CAST(s.rank2_sum AS BIGINT) AS rank2_sum,
+       CAST(st.n AS BIGINT) AS n_blocks,
+       CAST(st.chi2_bp AS BIGINT) AS friedman_bp
+FROM sums s, stat st
+ORDER BY s.event_type
+"""
+
+
+@query(
+    "friedman_test_types",
+    _FRIEDMAN_ORACLE,
+    "Friedman k-treatment repeated-measures rank test over (day block, "
+    "event-type treatment) daily value sums: day-keyed ranking windows "
+    "(|types|-bounded rows per key), 2x average ranks stay integer "
+    "through ties, classical chi2_F emitted exactly in bp — completes "
+    "the rank-test family",
+    tags=("relational", "stats", "timeseries", "bench"),
+)
+def q_friedman_test_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("ts").cast("date").alias("d"),
+            "event_type",
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT)")
+            ).alias("m")
+        )
+        .localCheckpoint(eager=False)  # scaffold + both distinct dims
+    )
+    days = cells.select("d").distinct()
+    types = cells.select("event_type").distinct()
+    scaffold = (
+        days.crossJoin(F.broadcast(types))
+        .join(cells, ["d", "event_type"], "left")
+        .select("d", "event_type", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    w_rank = Window.partitionBy("d").orderBy("m")
+    w_tie = Window.partitionBy("d", "m")
+    ranked = scaffold.select(
+        "d", "event_type",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1)
+        .alias("r2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        _dec(F.sum("r2")).alias("rank2_sum")
+    ).localCheckpoint(eager=False)
+    dims = scaffold.agg(
+        _dec(F.countDistinct("d")).alias("n"),
+        _dec(F.countDistinct("event_type")).alias("k"),
+    )
+    srs = sums.agg(
+        F.sum(F.col("rank2_sum") * F.col("rank2_sum")).alias("sr2")
+    )
+    stat = dims.crossJoin(F.broadcast(srs)).select(
+        "n",
+        F.expr(
+            "CAST((30000 * sr2 - 30000 * n * n * k * (k + 1) * (k + 1))"
+            " div (n * k * (k + 1)) AS BIGINT)"
+        ).alias("chi2_bp"),
+    )
+    return (
+        sums.crossJoin(F.broadcast(stat))
+        .select(
+            "event_type",
+            F.col("rank2_sum").cast("long").alias("rank2_sum"),
+            F.col("n").cast("long").alias("n_blocks"),
+            F.col("chi2_bp").alias("friedman_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cochran's Q (r10 wave 2) — k binary treatments over user blocks: did
+# each user perform each event type at least once? The k-sample
+# McNemar generalization:
+# Q = (k-1) * (k * sum C_j^2 - T^2) / (k * T - sum R_i^2) with column
+# totals C_j, row totals R_i, T = sum R_i — ALL integers, one per-user
+# aggregate (R_i moments reduce in the same pass) + one |types|-bounded
+# column rollup. Emitted in bp via DECIMAL(38,0).
+# --------------------------------------------------------------------------
+
+_COCHRAN_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         COUNT(DISTINCT event_type) AS r
+  FROM events GROUP BY user_id
+), rows_ AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_users,
+         CAST(SUM(r) AS HUGEINT) AS t,
+         CAST(SUM(r * r) AS HUGEINT) AS sr2
+  FROM per_user
+), cols_ AS (
+  SELECT CAST(COUNT(DISTINCT event_type) AS HUGEINT) AS k,
+         CAST(SUM(c * c) AS HUGEINT) AS sc2
+  FROM (
+    SELECT event_type, COUNT(DISTINCT user_id) AS c
+    FROM events GROUP BY event_type
+  )
+)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+       CAST(k AS BIGINT) AS k_treatments,
+       CASE WHEN k * t = sr2 THEN CAST(0 AS BIGINT)
+            ELSE CAST((k - 1) * (k * sc2 - t * t) * 10000
+                      // (k * t - sr2) AS BIGINT)
+       END AS cochran_q_bp
+FROM rows_, cols_
+"""
+
+
+@query(
+    "cochran_q_types",
+    _COCHRAN_ORACLE,
+    "Cochran's Q over (user block, event-type treatment) binary "
+    "incidence: row-total moments fold in one user-keyed aggregate, "
+    "column totals in one |types|-bounded rollup, Q integer-exact in "
+    "bp — the k-sample McNemar generalization",
+    tags=("relational", "stats", "bench"),
+)
+def q_cochran_q_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rows_ = (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("r"))
+        .agg(
+            _dec(F.count(F.lit(1))).alias("n_users"),
+            _dec(F.sum("r")).alias("t"),
+            _dec(F.sum(F.col("r") * F.col("r"))).alias("sr2"),
+        )
+    )
+    cols_ = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("c"))
+        .agg(
+            _dec(F.countDistinct("event_type")).alias("k"),
+            _dec(F.sum(F.col("c") * F.col("c"))).alias("sc2"),
+        )
+    )
+    return rows_.crossJoin(F.broadcast(cols_)).select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("k_treatments"),
+        F.expr(
+            "CASE WHEN k * t = sr2 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST((k - 1) * (k * sc2 - t * t) * 10000 "
+            "div (k * t - sr2) AS BIGINT) END"
+        ).alias("cochran_q_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Page's trend test (r10 wave 2) — ordered-alternatives companion to
+# Friedman: is weekly revenue MONOTONE across the days of the week?
+# Blocks = complete ISO weeks (calendar-bounded), ordered treatments =
+# day-of-week 1..7, measurement = daily revenue cents. L = sum_j j*R_j
+# grows beyond its null mean n*k*(k+1)^2/4 under a monotone trend.
+# Kept integer as L2 = sum j*R2_j (2x ranks through ties) with
+# E0[L2] = n*k*(k+1)^2/2 exactly; the oracle-checked output is the
+# exact (L2, E0[L2], n) triple — inference-ready without runtime
+# transcendentals.
+# --------------------------------------------------------------------------
+
+_PAGE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+           AS rev_c
+  FROM orders GROUP BY 1
+), keyed AS (
+  SELECT (CAST(d - DATE '1970-01-01' AS BIGINT) + 3) // 7 AS wk,
+         (CAST(d - DATE '1970-01-01' AS BIGINT) + 3) % 7 + 1 AS dow,
+         rev_c
+  FROM daily
+), complete_weeks AS (
+  SELECT wk FROM keyed GROUP BY wk HAVING COUNT(*) = 7
+), ranked AS (
+  SELECT k.wk, k.dow,
+         2 * RANK() OVER (PARTITION BY k.wk ORDER BY k.rev_c)
+           + COUNT(*) OVER (PARTITION BY k.wk, k.rev_c) - 1 AS r2
+  FROM keyed k JOIN complete_weeks USING (wk)
+), sums AS (
+  SELECT dow, CAST(SUM(r2) AS HUGEINT) AS rank2_sum,
+         CAST(COUNT(*) AS HUGEINT) AS n
+  FROM ranked GROUP BY dow
+)
+SELECT CAST(dow AS INTEGER) AS dow,
+       CAST(rank2_sum AS BIGINT) AS rank2_sum,
+       CAST((SELECT SUM(dow * rank2_sum) FROM sums) AS BIGINT) AS page_l2,
+       CAST((SELECT MAX(n) * 224 FROM sums) AS BIGINT)
+         AS page_l2_null,
+       CAST((SELECT MAX(n) FROM sums) AS BIGINT) AS n_weeks
+FROM sums
+ORDER BY dow
+"""
+
+
+@query(
+    "page_trend_dow",
+    _PAGE_ORACLE,
+    "Page's ordered-alternatives trend test: rank daily revenue within "
+    "complete ISO weeks (calendar-bounded blocks, keyed windows), "
+    "L2 = sum dow*R2_dow vs its exact null mean n*k*(k+1)^2/2 — the "
+    "monotone-trend companion to Friedman, all integer",
+    tags=("relational", "stats", "timeseries", "bench"),
+)
+def q_page_trend_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        ).alias("rev_c")
+    )
+    # epoch-day arithmetic: day 0 (1970-01-01) was a Thursday, so
+    # (days + 3) div 7 buckets Mon-Sun ISO weeks and (days + 3) % 7 + 1
+    # maps to ISO dow 1..7 (Thu -> 4) — pure integers; the oracle
+    # mirrors via DuckDB's date-difference days.
+    keyed = daily.select(
+        F.expr(
+            "(CAST(unix_date(d) AS BIGINT) + 3) div 7"
+        ).alias("wk"),
+        F.expr(
+            "(CAST(unix_date(d) AS BIGINT) + 3) % 7 + 1"
+        ).alias("dow"),
+        "rev_c",
+    ).localCheckpoint(eager=False)
+    complete = keyed.groupBy("wk").count().filter(F.col("count") == 7).select("wk")
+    w_rank = Window.partitionBy("wk").orderBy("rev_c")
+    w_tie = Window.partitionBy("wk", "rev_c")
+    ranked = keyed.join(F.broadcast(complete), "wk").select(
+        "wk", "dow",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1)
+        .alias("r2"),
+    )
+    sums = ranked.groupBy("dow").agg(
+        _dec(F.sum("r2")).alias("rank2_sum"),
+        _dec(F.count(F.lit(1))).alias("n"),
+    ).localCheckpoint(eager=False)
+    stat = sums.agg(
+        F.sum(F.col("dow") * F.col("rank2_sum")).alias("l2"),
+        F.max("n").alias("nw"),
+    )
+    return (
+        sums.crossJoin(F.broadcast(stat))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("rank2_sum").cast("long").alias("rank2_sum"),
+            F.col("l2").cast("long").alias("page_l2"),
+            F.expr("CAST(nw * 224 AS BIGINT)").alias("page_l2_null"),
+            F.col("nw").cast("long").alias("n_weeks"),
+        )
+        .orderBy("dow")
+    )

@@ -2029,3 +2029,192 @@ def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Market-concentration HHI (r10 wave 2) — per-nation Herfindahl-
+# Hirschman index of supplier revenue shares: HHI = sum(share^2),
+# emitted in bp as sum(s_c^2) * 1e4 DIV (sum s_c)^2 over exact
+# integer cents, plus the top-supplier share. One broadcast-enriched
+# (nation, supplier) revenue aggregate, then a nation rollup — the
+# antitrust-style concentration audit next to spend_lorenz_deciles
+# (which profiles customers; this profiles the supply side).
+# --------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH per_supp AS (
+  SELECT s.s_nationkey AS nk, l.l_suppkey,
+         SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+           AS s_c
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), nat AS (
+  SELECT nk, CAST(COUNT(*) AS HUGEINT) AS n_suppliers,
+         CAST(SUM(s_c) AS HUGEINT) AS tot,
+         CAST(SUM(CAST(s_c AS HUGEINT) * CAST(s_c AS HUGEINT)) AS HUGEINT)
+           AS ss2,
+         CAST(MAX(s_c) AS HUGEINT) AS mx
+  FROM per_supp GROUP BY nk
+)
+SELECT n.n_name AS nation,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(ss2 * 10000 // (tot * tot) AS BIGINT) AS hhi_bp,
+       CAST(mx * 10000 // tot AS BIGINT) AS top_share_bp
+FROM nat JOIN nation n ON n.n_nationkey = nat.nk
+ORDER BY nation
+"""
+
+
+@query(
+    "market_hhi_concentration",
+    _HHI_ORACLE,
+    "Per-nation Herfindahl-Hirschman supplier-revenue concentration: "
+    "one broadcast-enriched (nation, supplier) cents aggregate + "
+    "nation rollup, HHI and top-share integer-exact in bp — the "
+    "supply-side concentration audit",
+    tags=("relational", "audit", "bench"),
+)
+def q_market_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_supp = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("s_nationkey").alias("nk"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100"
+                    " AS BIGINT)"
+                )
+            ).alias("s_c")
+        )
+    )
+    nat = per_supp.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_suppliers"),
+        F.sum("s_c").cast("decimal(38,0)").alias("tot"),
+        F.sum(
+            F.col("s_c").cast("decimal(38,0)") * F.col("s_c").cast("decimal(38,0)")
+        ).alias("ss2"),
+        F.max("s_c").cast("decimal(38,0)").alias("mx"),
+    )
+    return (
+        nat.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("nk") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            F.expr("CAST(ss2 * 10000 div (tot * tot) AS BIGINT)").alias("hhi_bp"),
+            F.expr("CAST(mx * 10000 div tot AS BIGINT)").alias("top_share_bp"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# Lift/gains by score band (r10 wave 2) — the model-evaluation table:
+# does account balance (the "score") separate converters (customers
+# with >= 1 order) from non-converters? Bands are FIXED 1000-dollar
+# ranges (value-domain-bounded, ~102 bands — never an equal-count
+# ntile over the data-sized dimension; that's the rfm lesson), so the
+# only data-sized work is the semi-join + one banded aggregate. Per
+# band: conversion in bp, lift vs overall, and the top-down cumulative
+# conversion (descending-score bounded window — allowlist class).
+# --------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH scored AS (
+  SELECT (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
+           // 100000 AS band,
+         CASE WHEN c_custkey IN (SELECT o_custkey FROM orders)
+              THEN 1 ELSE 0 END AS conv
+  FROM customer
+), bands AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(conv) AS BIGINT) AS n_converted
+  FROM scored GROUP BY band
+), tot AS (
+  SELECT SUM(n_customers) AS tn, SUM(n_converted) AS tc FROM bands
+)
+SELECT CAST(band AS BIGINT) AS band,
+       n_customers, n_converted,
+       CAST(n_converted * 10000 // n_customers AS BIGINT) AS conv_bp,
+       CASE WHEN tc = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(n_converted * tn * 10000 // (n_customers * tc)
+                      AS BIGINT)
+       END AS lift_bp,
+       CAST(SUM(n_converted) OVER (ORDER BY band DESC) * 10000
+            // SUM(n_customers) OVER (ORDER BY band DESC) AS BIGINT)
+         AS cum_conv_bp
+FROM bands, tot
+ORDER BY band
+"""
+
+
+@query(
+    "lift_by_score_band",
+    _LIFT_ORACLE,
+    "Gains/lift table over fixed 1000-dollar account-balance bands: "
+    "orders semi-join + one banded aggregate (value-domain-bounded, "
+    "~102 bands — no data-sized ntile), per-band conversion, lift vs "
+    "overall, and top-down cumulative conversion, all integer bp",
+    tags=("relational", "stats", "bench"),
+)
+def q_lift_by_score_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    conv_keys = orders.select(F.col("o_custkey").alias("ck")).distinct()
+    scored = (
+        cust.join(conv_keys, cust["c_custkey"] == F.col("ck"), "left")
+        .select(
+            F.expr(
+                "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+                " + 100000) div 100000"
+            ).alias("band"),
+            F.when(F.col("ck").isNotNull(), 1).otherwise(0).alias("conv"),
+        )
+    )
+    bands = scored.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("conv").cast("long").alias("n_converted"),
+    )
+    tot = bands.agg(
+        F.sum("n_customers").alias("tn"), F.sum("n_converted").alias("tc")
+    )
+    # bounded global window: ~102 fixed value bands
+    w_cum = W.orderBy(F.col("band").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        bands.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("band").cast("long").alias("band"),
+            "n_customers", "n_converted",
+            F.expr(
+                "CAST(n_converted * 10000 div n_customers AS BIGINT)"
+            ).alias("conv_bp"),
+            F.expr(
+                "CASE WHEN tc = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(n_converted * tn * 10000 div (n_customers * tc)"
+                " AS BIGINT) END"
+            ).alias("lift_bp"),
+            (
+                F.sum("n_converted").over(w_cum) * 10000
+            ).cast("long").alias("__cum_num"),
+            F.sum("n_customers").over(w_cum).cast("long").alias("__cum_den"),
+        )
+        .select(
+            "band", "n_customers", "n_converted", "conv_bp", "lift_bp",
+            F.expr("CAST(__cum_num div __cum_den AS BIGINT)").alias(
+                "cum_conv_bp"
+            ),
+        )
+        .orderBy("band")
+    )

@@ -576,6 +576,7 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, int] = {
     "spend_lorenz_deciles": 1,    # bounded 10-row decile rollup
     "temperature_mixture": 1,     # bounded temperature grid
     "volume_anomaly_days": 1,     # calendar: daily volume series
+    "lift_by_score_band": 1,      # bounded ~102 fixed value bands
 }
 
 
@@ -600,6 +601,44 @@ def test_global_window_catalogue(spark):
         "A new global window must sit on a provably bounded input AND "
         "be justified in GLOBAL_WINDOW_ALLOWLIST."
     )
+
+
+def test_r10_wave_plan_shapes(spark):
+    """r10 wave scale contracts beyond the shuffle budgets: bounded
+    pairwise steps ride broadcasts (never a shuffle join), and scans
+    prune to exactly the referenced columns."""
+    # kendall: the O(days^2) concordance join is a broadcast nested
+    # loop over the calendar-bounded daily relation (the orders scan
+    # itself sits behind the lazy checkpoint, so the returned plan has
+    # no ReadSchema line — the scan projection is covered by the
+    # shuffle budget instead).
+    plan = plan_of(REGISTRY["kendall_tau_daily"].fn(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # gamma: the cell-pair join is broadcast (cells checkpointed, same
+    # note as kendall).
+    plan = plan_of(REGISTRY["goodman_kruskal_gamma"].fn(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # gini stump: scan prunes to (l_quantity, l_returnflag); the only
+    # single-partition stage is the <=50-row bounded window.
+    plan = plan_of(REGISTRY["gini_split_stump"].fn(spark, SF_SMALL))
+    assert "struct<l_quantity:double,l_returnflag:string>" in plan
+
+    # reconciliation: the order-key recompute joins orders without a
+    # cartesian; scans prune to the 4 lineitem money columns + key.
+    plan = plan_of(REGISTRY["order_total_reconciliation"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    sch = plan.split("ReadSchema")
+    assert any("l_extendedprice" in s[:260] and "l_shipdate" not in s[:260]
+               for s in sch[1:])
+
+    # obf: the arms relation folds in ONE user-keyed aggregate; the
+    # look join is broadcast (no shuffle join anywhere).
+    plan = plan_of(REGISTRY["obf_sequential_ab"].fn(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_rfm_and_ntile_have_no_single_partition_window(spark):

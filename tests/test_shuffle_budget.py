@@ -562,6 +562,27 @@ BUDGETS = {
     # daily agg + the bounded-calendar window/motif stage (rank and
     # lead windows coalesce into one exchange) + motif rollup rides it.
     "sax_motif_counts": 2,
+    # ---- r10 wave 2: measured at sf0.001, engine session, sp=4 ----
+    # (day,type) cells agg is the only data-sized pass; the scaffold
+    # join, day-keyed rank windows, type rollup and moment scalars all
+    # run on calendar x |types|-bounded relations.
+    "friedman_test_types": 6,
+    # two countDistinct aggregates (each expands to partial+final) +
+    # the scalar moment rollups; all user/type-keyed, no pair work.
+    "cochran_q_types": 6,
+    # daily agg feeds the checkpoint during construction; returned plan
+    # moves only the week-keyed rank stage + dow rollup.
+    "page_trend_dow": 2,
+    # broadcast-enriched (nation, supplier) cents agg + nation rollup
+    # + output sort.
+    "market_hhi_concentration": 3,
+    # orders distinct keys + the customer semi-join (both data-sized:
+    # one hash shuffle each side is the correct 100 TB shape) + banded
+    # rollup + bounded cumulative window + sort.
+    "lift_by_score_band": 6,
+    # md5-priority rank keyed by lang + class-size/target scalars +
+    # the per-class audit rollup.
+    "balanced_class_downsample": 4,
 }
 
 
