@@ -966,13 +966,16 @@ def q_cochran_q_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Page's trend test (r10 wave 2) — ordered-alternatives companion to
 # Friedman: is weekly revenue MONOTONE across the days of the week?
-# Blocks = complete ISO weeks (calendar-bounded), ordered treatments =
-# day-of-week 1..7, measurement = daily revenue cents. L = sum_j j*R_j
-# grows beyond its null mean n*k*(k+1)^2/4 under a monotone trend.
-# Kept integer as L2 = sum j*R2_j (2x ranks through ties) with
-# E0[L2] = n*k*(k+1)^2/2 exactly; the oracle-checked output is the
-# exact (L2, E0[L2], n) triple — inference-ready without runtime
-# transcendentals.
+# Blocks = ISO weeks (calendar-bounded), ordered treatments =
+# day-of-week 1..7, measurement = daily revenue cents. Days absent
+# from orders are genuinely zero-revenue days (the orders table is the
+# universe), so each interior week zero-fills to the complete block
+# Page's design requires; only the two EDGE weeks — possibly truncated
+# by the date range itself — are dropped. L = sum_j j*R_j grows beyond
+# its null mean n*k*(k+1)^2/4 under a monotone trend. Kept integer as
+# L2 = sum j*R2_j (2x ranks through ties) with E0[L2] = n*k*(k+1)^2/2
+# exactly; the oracle-checked output is the exact (L2, E0[L2], n)
+# triple — inference-ready without runtime transcendentals.
 # --------------------------------------------------------------------------
 
 _PAGE_ORACLE = """
@@ -986,13 +989,20 @@ WITH daily AS (
          (CAST(d - DATE '1970-01-01' AS BIGINT) + 3) % 7 + 1 AS dow,
          rev_c
   FROM daily
-), complete_weeks AS (
-  SELECT wk FROM keyed GROUP BY wk HAVING COUNT(*) = 7
+), interior_weeks AS (
+  SELECT DISTINCT wk FROM keyed
+  WHERE wk > (SELECT MIN(wk) FROM keyed)
+    AND wk < (SELECT MAX(wk) FROM keyed)
+), scaffold AS (
+  SELECT w.wk, g.dow, COALESCE(k.rev_c, 0) AS rev_c
+  FROM interior_weeks w
+  CROSS JOIN (SELECT UNNEST(range(1, 8)) AS dow) g
+  LEFT JOIN keyed k ON k.wk = w.wk AND k.dow = g.dow
 ), ranked AS (
   SELECT k.wk, k.dow,
          2 * RANK() OVER (PARTITION BY k.wk ORDER BY k.rev_c)
            + COUNT(*) OVER (PARTITION BY k.wk, k.rev_c) - 1 AS r2
-  FROM keyed k JOIN complete_weeks USING (wk)
+  FROM scaffold k
 ), sums AS (
   SELECT dow, CAST(SUM(r2) AS HUGEINT) AS rank2_sum,
          CAST(COUNT(*) AS HUGEINT) AS n
@@ -1038,10 +1048,23 @@ def q_page_trend_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dow"),
         "rev_c",
     ).localCheckpoint(eager=False)
-    complete = keyed.groupBy("wk").count().filter(F.col("count") == 7).select("wk")
+    bounds = keyed.agg(F.min("wk").alias("lo"), F.max("wk").alias("hi"))
+    interior = (
+        keyed.select("wk")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("wk") > F.col("lo")) & (F.col("wk") < F.col("hi")))
+        .select("wk")
+    )
+    dows = spark.range(1, 8).select(F.col("id").cast("int").alias("dow"))
+    scaffold = (
+        interior.crossJoin(F.broadcast(dows))
+        .join(keyed, ["wk", "dow"], "left")
+        .select("wk", "dow", F.coalesce("rev_c", F.lit(0)).alias("rev_c"))
+    )
     w_rank = Window.partitionBy("wk").orderBy("rev_c")
     w_tie = Window.partitionBy("wk", "rev_c")
-    ranked = keyed.join(F.broadcast(complete), "wk").select(
+    ranked = scaffold.select(
         "wk", "dow",
         (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1)
         .alias("r2"),
