@@ -1007,6 +1007,10 @@ _DRIVER_PENDING: list[str] = [
     "market_hhi_concentration",   # r10: supplier-revenue HHI per nation
     "lift_by_score_band",         # r10: gains/lift table over score bands
     "balanced_class_downsample",  # r10: deterministic class rebalance audit
+    # ---- r10 wave 3 ----
+    "cvm_two_sample_ab",          # r10: Cramér-von Mises EDF two-sample test
+    "seasonal_naive_backtest",    # r10: lag-7 forecast MAE/WAPE baseline
+    "event_trigram_topk",         # r10: order-3 sequential pattern mining
 ]
 
 _DRIVER_ROTATED_OUT = [

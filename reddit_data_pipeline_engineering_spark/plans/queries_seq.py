@@ -1509,3 +1509,63 @@ def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term_e6").cast("long").alias("hazard_term_e6"),
         F.sum("term_e6").over(w_cum).cast("long").alias("cum_hazard_e6"),
     ).orderBy("t_hours")
+
+
+# --------------------------------------------------------------------------
+# Event-trigram mining (r10 wave 3) — the order-3 sequential-pattern
+# companion to session_transitions (order 2) and markov_stationary
+# (state chains): the most common length-3 event-type paths users
+# take, with total ordering (ts, event_id) per user so reruns are
+# bit-stable. One user-keyed window pass (two LEADs share one window
+# spec -> one keyed sort), one |types|^3-bounded rollup, top-10 with
+# tiebreak via TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+
+_TRIGRAM_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), grams AS (
+  SELECT event_type || '>' || t2 || '>' || t3 AS trigram
+  FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+)
+SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY trigram
+ORDER BY n_occurrences DESC, trigram
+LIMIT 10
+"""
+
+
+@query(
+    "event_trigram_topk",
+    _TRIGRAM_ORACLE,
+    "Top-10 length-3 event-type paths: one user-keyed window pass "
+    "(both LEADs share the (ts, event_id)-ordered spec), |types|^3-"
+    "bounded trigram rollup, TakeOrderedAndProject top-k — order-3 "
+    "sequential pattern mining next to session_transitions",
+    tags=("relational", "seq", "bench"),
+)
+def q_event_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    grams = seq.filter(
+        F.col("t2").isNotNull() & F.col("t3").isNotNull()
+    ).select(
+        F.concat_ws(">", "event_type", "t2", "t3").alias("trigram")
+    )
+    return (
+        grams.groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "trigram")
+        .limit(10)
+    )

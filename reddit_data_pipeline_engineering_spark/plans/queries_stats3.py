@@ -1088,3 +1088,104 @@ def q_page_trend_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# --------------------------------------------------------------------------
+# Cramér-von Mises two-sample test (r10 wave 3) — the EDF-distance
+# companion to ks_source_drift (KS = max gap; CvM = integrated squared
+# gap, more sensitive to distribution-wide shifts): do the A/B arms'
+# purchase-value distributions differ? Values live on the CENTS grid
+# (the data is 2-decimal; the grid is VALUE-DOMAIN-bounded — distinct
+# cells saturate, 6.6k -> 17.8k for 10x rows, the skyline waiver
+# class), so the statistic reduces to one histogram aggregate + one
+# bounded cumulative window:
+#   T = sum_v cnt_v * (cumA_v*m - cumB_v*n)^2 / (N^2 * n * m)
+# (the standard sum over all N sample points of (F_n - G_m)^2 scaled
+# by nm/N^2), emitted T*1e6 integer-exact. DECIMAL ceiling: the
+# squared term peaks near (n*m)^2 — exact to ~3e8 purchases per arm
+# (the BH-note family; pre-scale past that).
+# --------------------------------------------------------------------------
+
+_CVM_ORACLE = """
+WITH purch AS (
+  SELECT CAST(CAST(value AS DECIMAL(14,4)) * 100 AS BIGINT) AS cents,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 2 = 0 THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), hist AS (
+  SELECT cents,
+         CAST(SUM(is_a) AS HUGEINT) AS ca,
+         CAST(SUM(1 - is_a) AS HUGEINT) AS cb
+  FROM purch GROUP BY cents
+), cum AS (
+  SELECT cents, ca, cb,
+         SUM(ca) OVER (ORDER BY cents) AS cum_a,
+         SUM(cb) OVER (ORDER BY cents) AS cum_b
+  FROM hist
+), tot AS (
+  SELECT CAST(SUM(ca) AS HUGEINT) AS n, CAST(SUM(cb) AS HUGEINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM hist
+)
+SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b, n_cells,
+       CAST((SELECT SUM((ca + cb) * (cum_a * m - cum_b * n)
+                        * (cum_a * m - cum_b * n)) FROM cum) * 1000000
+            // ((n + m) * (n + m) * n * m) AS BIGINT) AS cvm_t_e6
+FROM tot
+"""
+
+
+@query(
+    "cvm_two_sample_ab",
+    _CVM_ORACLE,
+    "Cramér-von Mises two-sample EDF test between md5 A/B arms' "
+    "purchase values: one cents-grid histogram (value-domain-bounded, "
+    "skyline waiver class) + bounded cumulative window, integrated "
+    "squared EDF gap T*1e6 integer-exact — the distribution-wide "
+    "companion to the KS max-gap test",
+    tags=("relational", "stats", "bench"),
+)
+def q_cvm_two_sample_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        md5_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.expr("CAST(CAST(value AS DECIMAL(14,4)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.when(md5_bucket("user_id", 2) == 0, 1).otherwise(0).alias("is_a"),
+    )
+    hist = purch.groupBy("cents").agg(
+        _dec(F.sum("is_a")).alias("ca"),
+        _dec(F.sum(1 - F.col("is_a"))).alias("cb"),
+    ).localCheckpoint(eager=False)  # cum window + totals both read it
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "ca", "cb",
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+    )
+    tot = hist.agg(
+        F.sum("ca").alias("n"),
+        F.sum("cb").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    num = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (F.col("ca") + F.col("cb"))
+            * (F.col("cum_a") * F.col("m") - F.col("cum_b") * F.col("n"))
+            * (F.col("cum_a") * F.col("m") - F.col("cum_b") * F.col("n"))
+        ).alias("s")
+    )
+    return tot.crossJoin(F.broadcast(num)).select(
+        F.col("n").cast("long").alias("n_a"),
+        F.col("m").cast("long").alias("n_b"),
+        "n_cells",
+        F.expr(
+            "CAST(s * 1000000 div ((n + m) * (n + m) * n * m) AS BIGINT)"
+        ).alias("cvm_t_e6"),
+    )

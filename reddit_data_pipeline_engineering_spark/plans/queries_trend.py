@@ -926,3 +926,70 @@ def q_sax_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
         .orderBy("motif")
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive backtest (r10 wave 3) — the forecast-evaluation
+# primitive: how good is "same weekday last week" as a revenue
+# forecast? Forecast(d) = revenue(d-7), evaluated on every day whose
+# lag-7 day exists. Errors stay integer cents; accuracy is reported as
+# MAE (cents) and WAPE (bp, sum|err|/sum actual — the scale-free
+# aggregate form that avoids per-day division). Everything runs on the
+# calendar-bounded daily relation; the lag-7 lookup is a broadcast
+# self-join (no window, no single-partition stage).
+# --------------------------------------------------------------------------
+
+_BACKTEST_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+           AS rev_c
+  FROM orders GROUP BY 1
+), joined AS (
+  SELECT a.d, a.rev_c AS actual_c, f.rev_c AS forecast_c
+  FROM daily a JOIN daily f ON a.d = f.d + INTERVAL 7 DAY
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(actual_c - forecast_c)) AS BIGINT) AS sum_abs_err_c,
+       CAST(SUM(ABS(actual_c - forecast_c)) // COUNT(*) AS BIGINT)
+         AS mae_c,
+       CAST(SUM(ABS(actual_c - forecast_c)) * 10000 // SUM(actual_c)
+            AS BIGINT) AS wape_bp
+FROM joined
+"""
+
+
+@query(
+    "seasonal_naive_backtest",
+    _BACKTEST_ORACLE,
+    "Seasonal-naive (lag-7) revenue forecast backtest: one calendar-"
+    "keyed daily aggregate, broadcast self-join for the lag-7 lookup, "
+    "MAE in exact cents and WAPE in bp — the baseline every forecast "
+    "model must beat, measured without floats",
+    tags=("relational", "timeseries", "bench"),
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        ).alias("rev_c")
+    ).localCheckpoint(eager=False)  # both sides of the lag-7 self-join
+    a = daily.select(F.col("d").alias("da"), F.col("rev_c").alias("actual_c"))
+    f = daily.select(
+        F.date_add(F.col("d"), 7).alias("df"), F.col("rev_c").alias("forecast_c")
+    )
+    joined = a.join(F.broadcast(f), F.col("da") == F.col("df"))
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("actual_c") - F.col("forecast_c")))
+        .cast("long")
+        .alias("sum_abs_err_c"),
+        F.expr(
+            "CAST(SUM(ABS(actual_c - forecast_c)) div COUNT(*) AS BIGINT)"
+        ).alias("mae_c"),
+        F.expr(
+            "CAST(SUM(ABS(actual_c - forecast_c)) * 10000"
+            " div SUM(actual_c) AS BIGINT)"
+        ).alias("wape_bp"),
+    )

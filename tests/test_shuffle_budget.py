@@ -583,6 +583,16 @@ BUDGETS = {
     # md5-priority rank keyed by lang + class-size/target scalars +
     # the per-class audit rollup.
     "balanced_class_downsample": 4,
+    # ---- r10 wave 3: measured at sf0.001, engine session, sp=4 ----
+    # cents-grid histogram (checkpointed for cum window + totals) +
+    # the bounded-grid window stage + scalar numerator.
+    "cvm_two_sample_ab": 3,
+    # daily agg once (checkpointed for both lag-7 self-join sides);
+    # the eval rollup rides the broadcast join.
+    "seasonal_naive_backtest": 1,
+    # user-keyed window pass + |types|^3-bounded trigram rollup;
+    # top-10 is TakeOrderedAndProject.
+    "event_trigram_topk": 2,
 }
 
 
