@@ -587,14 +587,20 @@ def test_global_window_catalogue(spark):
     global window — the bounded-input waiver class. Streaming queries
     are excluded (building them stages + drains real data; their plans
     are covered by the streaming suite)."""
-    found: dict[str, int] = {}
-    for name, spec in sorted(REGISTRY.items()):
-        if "streaming" in spec.tags:
-            continue
-        df = spec.fn(spark, SF_SMALL)
-        n = _count_global_windows(df._jdf.queryExecution().optimizedPlan())
-        if n:
-            found[name] = n
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [n for n, s in sorted(REGISTRY.items()) if "streaming" not in s.tags]
+
+    def probe(name):
+        df = REGISTRY[name].fn(spark, SF_SMALL)
+        return name, _count_global_windows(
+            df._jdf.queryExecution().optimizedPlan()
+        )
+
+    # plan building is py4j/socket-bound (and the few construction-time
+    # jobs are Spark-side), so a thread pool cuts the sweep ~4x
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        found = {n: c for n, c in ex.map(probe, names) if c}
     assert found == GLOBAL_WINDOW_ALLOWLIST, (
         "global-window set drifted.\n"
         f"new/changed: { {k: v for k, v in found.items() if GLOBAL_WINDOW_ALLOWLIST.get(k) != v} }\n"
