@@ -100,18 +100,42 @@ def main() -> None:
     assert_local_dir_hygiene(local_dir, _REPO_DIR)
 
 
-def assert_local_dir_hygiene(local_dir: str, repo_dir: str) -> None:
+def assert_local_dir_hygiene(
+    local_dir: str, repo_dir: str, wait_s: float = 20.0
+) -> None:
     """Tested invariant form of the r08 #4 spill-dir pin (VERDICT r09 #8):
     the bench session's shuffle/spill dir must be repo-scoped (never OS
     /tmp, where a reaper can race live shuffle files) and empty after a
     clean ``spark.stop()`` (Spark removes the blockmgr/spark-* subdirs it
-    created). A leftover means an unclean shutdown leaked spill data."""
-    assert local_dir and os.path.realpath(local_dir).startswith(
-        os.path.realpath(repo_dir) + os.sep
-    ), f"bench spark.local.dir escaped the repo: {local_dir}"
-    leftovers = os.listdir(local_dir) if os.path.isdir(local_dir) else []
+    created). A leftover means an unclean shutdown leaked spill data.
+
+    Two r10-verdict/advice refinements:
+
+    - ``spark.stop()`` returns before the JVM's shutdown hooks finish
+      deleting blockmgr-*/spark-* subdirs, so the emptiness check polls
+      with a bounded backoff (the r10 artifact recorded rc=1 for a dir
+      that was empty moments later).
+    - the repo-scope assert is skipped when the operator explicitly
+      pointed the session elsewhere via ``RDPE_SPARK_LOCAL_DIR`` (the
+      pin protects the *default* placement, not a deliberate override).
+    """
+    import time
+
+    override = os.environ.get("RDPE_SPARK_LOCAL_DIR")
+    if not override:
+        assert local_dir and os.path.realpath(local_dir).startswith(
+            os.path.realpath(repo_dir) + os.sep
+        ), f"bench spark.local.dir escaped the repo: {local_dir}"
+    deadline = time.monotonic() + wait_s
+    delay = 0.25
+    while True:
+        leftovers = os.listdir(local_dir) if os.path.isdir(local_dir) else []
+        if not leftovers or time.monotonic() >= deadline:
+            break
+        time.sleep(delay)
+        delay = min(delay * 2, 4.0)
     assert not leftovers, f"bench local dir not empty after stop: {leftovers}"
-    if os.path.isdir(local_dir):
+    if not override and os.path.isdir(local_dir):
         os.rmdir(local_dir)  # reclaim the per-pid dir itself
 
 

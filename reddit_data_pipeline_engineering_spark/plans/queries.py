@@ -910,117 +910,37 @@ def _register_all() -> None:
 # --------------------------------------------------------------------------
 
 _DRIVER_FIRST = [
-    # ---- ROUND 10 ROTATION (VERDICT r09 "Next round" #1/#6) ----
-    # The entire r09 _DRIVER_PENDING backlog takes the gate head for
-    # its first driver rows: these 10 queries (plus the one streaming
-    # drain in the tail slot) were registered after the r09 gate froze
-    # and so far have only local-parity evidence (judge re-verified all
-    # 11 parity-green in the r09 session). Order is registration order —
-    # the real-codec media trio, TextRank keywords, exact Shapley
-    # attribution, and the causal/stats wave.
-    "multimodal_jpeg_decode",
-    "multimodal_flac_decode",
-    "multimodal_decode_all",
-    "textrank_keywords",
-    "shapley_attribution",
-    "cuped_variance_reduction",
-    "bh_fdr_nation_conversion",
-    "nelson_aalen_hazard",
-    "eb_shrunk_conversion",
-    "did_spend_estimate",
+    # ---- ROUND 11 ROTATION (VERDICT r10 "Next round" #1) ----
+    # The entire r10 _DRIVER_PENDING backlog (minus the one streaming
+    # drain, which takes the tail slot per standing policy) heads the
+    # gate for its first driver rows: 18 queries registered after the
+    # r10 gate froze, so far local-parity-green only. Order is
+    # registration order — the r10 stats/forecast/pattern waves.
+    "kendall_tau_daily",
+    "mcnemar_paired_conversion",
+    "cohen_kappa_agreement",
+    "goodman_kruskal_gamma",
+    "gini_split_stump",
+    "yule_k_vocab",
+    "obf_sequential_ab",
+    "order_total_reconciliation",
+    "sax_motif_counts",
+    "friedman_test_types",
+    "cochran_q_types",
+    "page_trend_dow",
+    "market_hhi_concentration",
+    "lift_by_score_band",
+    "balanced_class_downsample",
+    "cvm_two_sample_ab",
+    "seasonal_naive_backtest",
+    "event_trigram_topk",
 ]
 
-# Re-confirmation fill (VERDICT r09 #1/#6): the 39 oldest green rows —
-# exactly the head of the r09 rotated-out queue (the remaining r04/r05
-# block) — refresh their driver evidence this round so no green row
-# ages past ~5 rounds. 10 + 39 + 1 streaming tail = 50.
+# Re-confirmation fill (SURVEY §7.4 SLA): the 31 oldest green rows —
+# exactly the head of the r10 rotated-out queue (the remaining r05
+# block plus the oldest r06 rows, including the judge-flagged AQI pair)
+# — refresh their driver evidence this round. 18 + 31 + 1 tail = 50.
 _DRIVER_FILL = [
-    "kcore_peel_counts",
-    "zonemap_pruning_audit",
-    "k_anonymity_audit",
-    "lpa_communities",
-    "temperature_mixture",
-    "hard_negative_mining",
-    "embedding_dim_profile",
-    "lang_confusion_matrix",
-    "shard_balance_audit",
-    "corpus_release_gate",
-    "rolling_range_frame",
-    "grouping_sets_report",
-    "forward_asof_next_purchase",
-    "setsim_cosine_join",
-    "percentiles_approx",
-    "embedding_blocked_topk",
-    "duplicate_span_stats",
-    "setsim_containment_join",
-    "semantic_decontamination",
-    "pricing_summary",
-    "flagship_top_locations",
-    "window_dedup",
-    "pivot_wide",
-    "enrich_metadata",
-    "active_semijoin",
-    "inactive_antijoin",
-    "minmax_profile",
-    "conditional_counts",
-    "daily_topk",
-    "null_audit",
-    "normalize_group",
-    "date_partition_rollup",
-    "topk_orders",
-    "set_ops",
-    "marts_kernel",
-    "nested_order_lines",
-    "mad_outliers_scalable",
-    "skyline_pareto",
-    "event_rate_cusum",
-]
-
-# Wall-clock-heavy streaming drains sit LAST inside the gate (standing
-# policy: the driver cap may be a time budget). One this round: the
-# r09-registered windowed heavy-hitters query takes its first driver row.
-_DRIVER_TAIL_STREAMING = [
-    "streaming_window_topk",
-]
-
-# Queries added AFTER the r10 gate froze (VERDICT r09 #7: registry
-# growth is frozen into this queue — new queries never displace a
-# pending-queue row; they run the local parity suite this round and
-# take the head of the r11 gate for their first driver rows).
-_DRIVER_PENDING: list[str] = [
-    "kendall_tau_daily",          # r10: tau-b over calendar-bounded daily series
-    "mcnemar_paired_conversion",  # r10: paired-proportion McNemar test
-    "cohen_kappa_agreement",      # r10: chance-corrected lang-ID agreement
-    "goodman_kruskal_gamma",      # r10: ordinal association on bounded cells
-    "gini_split_stump",           # r10: decision-stump feature-quality split
-    "yule_k_vocab",               # r10: Yule's K corpus repetitiveness
-    "obf_sequential_ab",          # r10: O'Brien-Fleming group-sequential monitor
-    "order_total_reconciliation",  # r10: cross-table integer-cents drift audit
-    "sax_motif_counts",           # r10: SAX symbolic motif histogram
-    "streaming_running_median",   # r10: 14th streaming query (stateful exact
-                                  # running median; r11 gate TAIL slot per the
-                                  # standing streaming-drain policy)
-    # ---- r10 wave 2 ----
-    "friedman_test_types",        # r10: k-treatment repeated-measures rank test
-    "cochran_q_types",            # r10: k-sample McNemar generalization
-    "page_trend_dow",             # r10: ordered-alternatives trend test
-    "market_hhi_concentration",   # r10: supplier-revenue HHI per nation
-    "lift_by_score_band",         # r10: gains/lift table over score bands
-    "balanced_class_downsample",  # r10: deterministic class rebalance audit
-    # ---- r10 wave 3 ----
-    "cvm_two_sample_ab",          # r10: Cramér-von Mises EDF two-sample test
-    "seasonal_naive_backtest",    # r10: lag-7 forecast MAE/WAPE baseline
-    "event_trigram_topk",         # r10: order-3 sequential pattern mining
-]
-
-_DRIVER_ROTATED_OUT = [
-    # Everything below has a green driver row under its current
-    # semantics (see CORRECTNESS_r*.json) and is digest-checked against
-    # DuckDB on every local run by tests/test_oracle_parity.py (driver
-    # canonicalization + type-family gate + canonical-byte digest +
-    # decimal/non-ASCII rejection). Ordered oldest-row-first: the
-    # remaining r05 block leads (the r11 re-confirmation queue), then
-    # r06..r08 rows, and finally the 50 queries gated green in r09.
     "peak_concurrency",
     "grouped_median_plan_state",
     "lsh_quality_eval_sampled",
@@ -1052,6 +972,30 @@ _DRIVER_ROTATED_OUT = [
     "aqi_profile",
     "bpe_token_stats",
     "asof_last_purchase",
+]
+
+# Wall-clock-heavy streaming drains sit LAST inside the gate (standing
+# policy: the driver cap may be a time budget). One this round: the
+# r10-registered stateful exact running median takes its first driver
+# row (its bounded-state KLL companion is in _DRIVER_PENDING).
+_DRIVER_TAIL_STREAMING = [
+    "streaming_running_median",
+]
+
+# Queries added AFTER the r11 gate froze (standing policy, VERDICT r09
+# #7: registry growth is frozen into this queue — new queries never
+# displace a gate row; they run the local parity suite this round and
+# take the head of the r12 gate for their first driver rows).
+_DRIVER_PENDING: list[str] = []
+
+_DRIVER_ROTATED_OUT = [
+    # Everything below has a green driver row under its current
+    # semantics (see CORRECTNESS_r*.json) and is digest-checked against
+    # DuckDB on every local run by tests/test_oracle_parity.py (driver
+    # canonicalization + type-family gate + canonical-byte digest +
+    # decimal/non-ASCII rejection). Ordered oldest-row-first: the
+    # remaining r06 block leads (the r12 re-confirmation queue), then
+    # r07..r09 rows, and finally the 50 queries gated green in r10.
     "range_join_windows",
     "time_bucket_rollup",
     "unpivot_roundtrip",
@@ -1254,6 +1198,57 @@ _DRIVER_ROTATED_OUT = [
     "setsim_prefix_join",
     "eval_overlap_fraction",
     "streaming_kmv_distinct",
+    # ---- the 50 queries gated green in r10 (CORRECTNESS_r10, newest) ----
+    "multimodal_jpeg_decode",
+    "multimodal_flac_decode",
+    "multimodal_decode_all",
+    "textrank_keywords",
+    "shapley_attribution",
+    "cuped_variance_reduction",
+    "bh_fdr_nation_conversion",
+    "nelson_aalen_hazard",
+    "eb_shrunk_conversion",
+    "did_spend_estimate",
+    "kcore_peel_counts",
+    "zonemap_pruning_audit",
+    "k_anonymity_audit",
+    "lpa_communities",
+    "temperature_mixture",
+    "hard_negative_mining",
+    "embedding_dim_profile",
+    "lang_confusion_matrix",
+    "shard_balance_audit",
+    "corpus_release_gate",
+    "rolling_range_frame",
+    "grouping_sets_report",
+    "forward_asof_next_purchase",
+    "setsim_cosine_join",
+    "percentiles_approx",
+    "embedding_blocked_topk",
+    "duplicate_span_stats",
+    "setsim_containment_join",
+    "semantic_decontamination",
+    "pricing_summary",
+    "flagship_top_locations",
+    "window_dedup",
+    "pivot_wide",
+    "enrich_metadata",
+    "active_semijoin",
+    "inactive_antijoin",
+    "minmax_profile",
+    "conditional_counts",
+    "daily_topk",
+    "null_audit",
+    "normalize_group",
+    "date_partition_rollup",
+    "topk_orders",
+    "set_ops",
+    "marts_kernel",
+    "nested_order_lines",
+    "mad_outliers_scalable",
+    "skyline_pareto",
+    "event_rate_cusum",
+    "streaming_window_topk",
 ]
 
 

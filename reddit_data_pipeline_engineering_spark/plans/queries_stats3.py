@@ -94,13 +94,16 @@ WITH daily AS (
          CAST(SUM(CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END) AS BIGINT)
            AS ties_rev,
          CAST(SUM(CASE WHEN a.n = b.n THEN 1 ELSE 0 END) AS BIGINT)
-           AS ties_orders,
-         CAST(COUNT(DISTINCT a.d) + 1 AS BIGINT) AS n_days
+           AS ties_orders
   FROM daily a JOIN daily b ON a.d < b.d
+), nd AS (
+  -- n_days straight off the daily relation (ADVICE r10): the pair-join
+  -- reconstruction (COUNT(DISTINCT a.d)+1) is only right with >=2 days
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
 )
 SELECT n_days, n_pairs, concordant, discordant, ties_rev, ties_orders,
        {_TAU_FINAL} AS tau_b
-FROM pairs
+FROM pairs, nd
 """
 
 
@@ -147,9 +150,13 @@ def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("ties_rev"),
         F.sum(F.when(F.col("a.n") == F.col("b.n"), 1).otherwise(0))
         .cast("long").alias("ties_orders"),
-        (F.countDistinct(F.col("a.d")) + 1).cast("long").alias("n_days"),
     )
-    return agg.select(
+    # n_days straight off the daily relation (ADVICE r10): reconstructing
+    # it from the pair join (COUNT(DISTINCT a.d)+1) is only correct when
+    # >=2 distinct days exist. daily is checkpointed, so this third
+    # consumer re-reads the materialized rows, not the orders scan.
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return agg.crossJoin(F.broadcast(nd)).select(
         "n_days", "n_pairs", "concordant", "discordant",
         "ties_rev", "ties_orders",
         F.expr(_TAU_FINAL).alias("tau_b"),
@@ -1128,9 +1135,11 @@ WITH purch AS (
   FROM hist
 )
 SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b, n_cells,
-       CAST((SELECT SUM((ca + cb) * (cum_a * m - cum_b * n)
-                        * (cum_a * m - cum_b * n)) FROM cum) * 1000000
-            // ((n + m) * (n + m) * n * m) AS BIGINT) AS cvm_t_e6
+       CASE WHEN COALESCE(n, 0) = 0 OR COALESCE(m, 0) = 0 THEN 0
+            ELSE CAST((SELECT SUM((ca + cb) * (cum_a * m - cum_b * n)
+                                  * (cum_a * m - cum_b * n)) FROM cum) * 1000000
+                      // ((n + m) * (n + m) * n * m) AS BIGINT)
+       END AS cvm_t_e6
 FROM tot
 """
 
@@ -1186,6 +1195,11 @@ def q_cvm_two_sample_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("long").alias("n_b"),
         "n_cells",
         F.expr(
-            "CAST(s * 1000000 div ((n + m) * (n + m) * n * m) AS BIGINT)"
+            # Degenerate-arm guard (ADVICE r10): with an empty md5 arm the
+            # unguarded divide is NULL in Spark (ANSI off) but an ERROR in
+            # the DuckDB oracle — the documented asymmetric-failure mode.
+            "CASE WHEN COALESCE(n, 0) = 0 OR COALESCE(m, 0) = 0 THEN 0 "
+            "ELSE CAST(s * 1000000 div ((n + m) * (n + m) * n * m) AS BIGINT) "
+            "END"
         ).alias("cvm_t_e6"),
     )

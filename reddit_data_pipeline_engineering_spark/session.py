@@ -122,19 +122,40 @@ def get_spark(
         import time as _time
 
         stale_age_s = 3 * 24 * 3600
+
+        def _tree_idle_for(path: str) -> float:
+            """Seconds since ANY entry in the tree was touched (recursive
+            max mtime, not the top-level dir's — Spark stamps the per-pid
+            dir at startup and then only writes inside blockmgr-*/spark-*
+            subdirs, so the top-level mtime of a busy session looks
+            ancient; ADVICE r10)."""
+            newest = os.path.getmtime(path)
+            for dirpath, dirnames, filenames in os.walk(path):
+                for name in dirnames + filenames:
+                    try:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(dirpath, name))
+                        )
+                    except OSError:
+                        pass  # entry vanished mid-walk (live session churn)
+            return _time.time() - newest
+
         for entry in os.listdir(local_root):
             full = os.path.join(local_root, entry)
             if not entry.isdigit() or int(entry) == os.getpid():
                 continue
             try:
                 os.kill(int(entry), 0)  # liveness probe, no signal sent
+                continue  # probed ALIVE same-uid: never touch it (ADVICE r10
+                # — a >3-day bench JVM is legitimate, not stale)
             except ProcessLookupError:
                 shutil.rmtree(full, ignore_errors=True)
                 continue
             except PermissionError:
-                pass  # alive under another uid — fall through to age check
+                pass  # alive under another uid — could be pid reuse by an
+                # unrelated process; fall through to the idleness check
             try:
-                if _time.time() - os.path.getmtime(full) > stale_age_s:
+                if _tree_idle_for(full) > stale_age_s:
                     shutil.rmtree(full, ignore_errors=True)
             except OSError:
                 pass  # raced with its own cleanup — nothing to reclaim

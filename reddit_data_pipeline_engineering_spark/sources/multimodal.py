@@ -95,11 +95,14 @@ def synthesize_assets(spark: SparkSession, n: int = 64) -> DataFrame:
 
 
 def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode one synthetic payload -> (width, height, pixels).
+    """Decode one SYNTHETIC-format payload -> (width, height, pixels).
 
-    Real decoders (PIL/libav/...) are not installed in this environment;
-    anything that is not the synthetic format raises NotImplementedError —
-    swap this function for a real codec in production.
+    This is the fallback for the magic-tagged synthetic payloads the
+    fixture generator emits; anything else raises NotImplementedError.
+    Real containers do NOT come through here — WAV/PPM/PNG/JPEG/FLAC all
+    have full standard-library decoders below (`decode_wav_samples`,
+    `decode_ppm_pixels`, `decode_png_pixels`, `decode_jpeg_pixels`,
+    `decode_flac_samples`).
     """
     if payload is None or len(payload) < _HEADER_SIZE:
         raise NotImplementedError("real media decoding not available (stub)")
@@ -113,10 +116,10 @@ def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
 # Real container probing — no media libraries required. WAV (RIFF chunks)
 # and binary PPM (P6) are parseable with the standard library alone, so
 # these are NOT stubbed: the engine reads real headers and PCM/pixel
-# dimensions. (Historical note: full decode was once stubbed for every
-# compressed codec; WAV/PPM (r07), PNG (r08), and baseline JPEG (r09)
-# now decode for real — see the sections below. FLAC remains the only
-# decode stub.)
+# dimensions. Full sample/pixel decode ships for every fixture codec:
+# WAV/PPM (r07), PNG (r08), baseline JPEG (r09), and FLAC (r10, full
+# Rice+LPC at `decode_flac_samples`) — the stub surface is zero; only
+# the synthetic magic-tagged test format falls back to `decode_payload`.
 # --------------------------------------------------------------------------
 
 

@@ -218,85 +218,84 @@ def test_driver_gate_ordering():
 
     assert names[50 : 50 + len(_DRIVER_PENDING)] == _DRIVER_PENDING
     assert names[50 + len(_DRIVER_PENDING) :] == _DRIVER_ROTATED_OUT
-    # Round-10 contract (VERDICT r09 #1/#6): the ENTIRE r09
-    # _DRIVER_PENDING backlog (10 non-streaming queries, registration
+    # Round-11 contract (VERDICT r10 #1): the ENTIRE r10
+    # _DRIVER_PENDING backlog (18 non-streaming queries, registration
     # order) LEADS the gate for its first driver rows; the fill is the
-    # 39 oldest green rows — EXACTLY the head of the r09 rotated-out
-    # queue, so no green row ages past ~5 rounds; the one streaming
-    # drain sits last (wall-clock tail policy). 10 + 39 + 1 = 50.
-    r09_pending_nonstream = [
-        "multimodal_jpeg_decode",
-        "multimodal_flac_decode",
-        "multimodal_decode_all",
-        "textrank_keywords",
-        "shapley_attribution",
-        "cuped_variance_reduction",
-        "bh_fdr_nation_conversion",
-        "nelson_aalen_hazard",
-        "eb_shrunk_conversion",
-        "did_spend_estimate",
+    # 31 oldest green rows — EXACTLY the head of the r10 rotated-out
+    # queue (including the judge-flagged AQI pair); the one streaming
+    # drain sits last (wall-clock tail policy). 18 + 31 + 1 = 50.
+    r10_pending_nonstream = [
+        "kendall_tau_daily",
+        "mcnemar_paired_conversion",
+        "cohen_kappa_agreement",
+        "goodman_kruskal_gamma",
+        "gini_split_stump",
+        "yule_k_vocab",
+        "obf_sequential_ab",
+        "order_total_reconciliation",
+        "sax_motif_counts",
+        "friedman_test_types",
+        "cochran_q_types",
+        "page_trend_dow",
+        "market_hhi_concentration",
+        "lift_by_score_band",
+        "balanced_class_downsample",
+        "cvm_two_sample_ab",
+        "seasonal_naive_backtest",
+        "event_trigram_topk",
     ]
-    assert _DRIVER_FIRST == r09_pending_nonstream
+    assert _DRIVER_FIRST == r10_pending_nonstream
     assert _DRIVER_FILL == [
-        "kcore_peel_counts",
-        "zonemap_pruning_audit",
-        "k_anonymity_audit",
-        "lpa_communities",
-        "temperature_mixture",
-        "hard_negative_mining",
-        "embedding_dim_profile",
-        "lang_confusion_matrix",
-        "shard_balance_audit",
-        "corpus_release_gate",
-        "rolling_range_frame",
-        "grouping_sets_report",
-        "forward_asof_next_purchase",
-        "setsim_cosine_join",
-        "percentiles_approx",
-        "embedding_blocked_topk",
-        "duplicate_span_stats",
-        "setsim_containment_join",
-        "semantic_decontamination",
-        "pricing_summary",
-        "flagship_top_locations",
-        "window_dedup",
-        "pivot_wide",
-        "enrich_metadata",
-        "active_semijoin",
-        "inactive_antijoin",
-        "minmax_profile",
-        "conditional_counts",
-        "daily_topk",
-        "null_audit",
-        "normalize_group",
-        "date_partition_rollup",
-        "topk_orders",
-        "set_ops",
-        "marts_kernel",
-        "nested_order_lines",
-        "mad_outliers_scalable",
-        "skyline_pareto",
-        "event_rate_cusum",
+        "peak_concurrency",
+        "grouped_median_plan_state",
+        "lsh_quality_eval_sampled",
+        "user_active_streaks",
+        "order_attribution",
+        "dup_clusters_star",
+        "seasonal_dow_anomalies",
+        "bm25_topk",
+        "rrf_fusion_topk",
+        "bigram_lm_familiarity",
+        "ra_linkpred_topk",
+        "source_wjaccard",
+        "matryoshka_recall_at_k",
+        "acf_lag_profile",
+        "spearman_daily_corr",
+        "pmi_collocations",
+        "dedup_quality_shift",
+        "l_diversity_audit",
+        "heaps_vocab_growth",
+        "interarrival_burstiness",
+        "aqi_bundle",
+        "running_sum",
+        "sessionize",
+        "props_flatten",
+        "lag_lead_delta",
+        "rollup_orders",
+        "cube_segments",
+        "hll_distinct_sketch",
+        "aqi_profile",
+        "bpe_token_stats",
+        "asof_last_purchase",
     ]
-    assert _DRIVER_TAIL_STREAMING == ["streaming_window_topk"]
-    # Registry-growth freeze (VERDICT r09 #7): queries added this round
-    # go to _DRIVER_PENDING (the r11 gate head) and NEVER displace a
-    # gate row — the gate above is pinned by exact content, so any
-    # displacement fails here. Pending entries must also be genuinely
-    # new: no name with a prior driver row may hide in the queue.
-    gated_before_r10 = set(_DRIVER_ROTATED_OUT) | set(_DRIVER_FILL)
-    assert not set(_DRIVER_PENDING) & gated_before_r10
-    # No pending-queue (parity-only) query is left outside the gate.
-    assert not set(r09_pending_nonstream) & set(_DRIVER_ROTATED_OUT)
-    # Rotated-out is ordered oldest-row-first: its head is the r11
-    # re-confirmation queue (the r05 block after the 39 pulled into the
-    # fill), and the 50 r09-gated rows (the newest) close the list.
-    assert _DRIVER_ROTATED_OUT[:6] == [
-        "peak_concurrency", "grouped_median_plan_state",
-        "lsh_quality_eval_sampled", "user_active_streaks",
-        "order_attribution", "dup_clusters_star",
+    assert _DRIVER_TAIL_STREAMING == ["streaming_running_median"]
+    # Registry-growth freeze (VERDICT r09 #7, standing): queries added
+    # this round go to _DRIVER_PENDING (the r12 gate head) and NEVER
+    # displace a gate row — the gate above is pinned by exact content,
+    # so any displacement fails here. Pending entries must also be
+    # genuinely new: no name with a prior driver row may hide there.
+    gated_before_r11 = set(_DRIVER_ROTATED_OUT) | set(_DRIVER_FILL)
+    assert not set(_DRIVER_PENDING) & gated_before_r11
+    # No r10-pending (parity-only) query is left outside the gate.
+    assert not set(r10_pending_nonstream) & set(_DRIVER_ROTATED_OUT)
+    # Rotated-out is ordered oldest-row-first: its head is the r12
+    # re-confirmation queue (the r06 block after the 31 pulled into the
+    # fill), and the 50 r10-gated rows (the newest) close the list.
+    assert _DRIVER_ROTATED_OUT[:4] == [
+        "range_join_windows", "time_bucket_rollup",
+        "unpivot_roundtrip", "value_stats",
     ]
-    assert _DRIVER_ROTATED_OUT[-1] == "streaming_kmv_distinct"
+    assert _DRIVER_ROTATED_OUT[-1] == "streaming_window_topk"
 
 
 def test_coverage_doc_matches_registry_count():
