@@ -986,7 +986,10 @@ _DRIVER_TAIL_STREAMING = [
 # #7: registry growth is frozen into this queue — new queries never
 # displace a gate row; they run the local parity suite this round and
 # take the head of the r12 gate for their first driver rows).
-_DRIVER_PENDING: list[str] = []
+_DRIVER_PENDING: list[str] = [
+    "supplier_blame_exists",       # r11: Q21 literal EXISTS/NOT-EXISTS chain
+    "nation_top_supplier_scalar",  # r11: Q15 correlated-scalar max-over-view
+]
 
 _DRIVER_ROTATED_OUT = [
     # Everything below has a green driver row under its current

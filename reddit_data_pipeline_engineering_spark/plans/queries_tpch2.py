@@ -689,3 +689,125 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.top_k(
         agg, [F.col("numwait").desc(), F.col("s_name").asc()], 20
     )
+
+
+# --------------------------------------------------------------------------
+# Q21 literal form — correlated EXISTS / NOT-EXISTS chain (VERDICT r10 #7)
+#
+# `waiting_suppliers` above is the hand-reformulated aggregate; THIS query
+# keeps the classic double self-referencing subquery chain so the plan
+# goes through Catalyst's RewritePredicateSubquery decorrelation (EXISTS →
+# left-semi, NOT EXISTS → left-anti, both with the non-equality correlated
+# predicate l2.l_suppkey <> l1.l_suppkey folded into the join condition) —
+# a planner path nothing else in the registry exercises. Lateness is
+# row-local after the lf CTE (shipped >60 days past order date), exactly
+# the TPC-H receipt>commit structure. At scale: three shuffles of the
+# same CTE on l_orderkey — AQE reuses the exchange; supplier broadcasts.
+# --------------------------------------------------------------------------
+
+_Q21_EXISTS_SQL = """
+WITH lf AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS is_late
+  FROM {lineitem} l
+  JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lf l1
+JOIN {supplier} s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.is_late = 1
+  AND EXISTS (
+    SELECT 1 FROM lf l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lf l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.is_late = 1)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+@query(
+    "supplier_blame_exists",
+    _Q21_EXISTS_SQL.format(lineitem="lineitem", orders="orders",
+                           supplier="supplier"),
+    "TPC-H Q21 literal shape: correlated EXISTS + NOT-EXISTS self-join "
+    "chain left FOR the optimizer (vs waiting_suppliers' manual aggregate "
+    "reformulation) — exercises RewritePredicateSubquery decorrelation "
+    "with a non-equality correlated predicate; identical SQL text runs "
+    "on both engines",
+    tags=("relational", "tpch", "sql", "bench"),
+)
+def q_supplier_blame_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.sources.tables import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, names=("lineitem", "orders", "supplier"))
+    return spark.sql(
+        _Q21_EXISTS_SQL.format(
+            lineitem="lineitem", orders="orders", supplier="supplier"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 correlated-scalar form — per-nation max over an aggregate view
+#
+# `top_supplier` above uses an uncorrelated global MAX; THIS query keeps a
+# CORRELATED scalar subquery (per-nation max over the revenue view), the
+# decorrelation shape Catalyst rewrites into an extra aggregate + join —
+# again a planner path the registry did not hit. Ties (two suppliers at a
+# nation's max) both survive, matching the TPC-H view semantics. At
+# scale: the revenue view shuffles once on (nation, suppkey); the rewrite
+# adds one nation-keyed aggregate (25 rows) joined back broadcast.
+# --------------------------------------------------------------------------
+
+_Q15_SCALAR_SQL = f"""
+WITH revenue AS (
+  SELECT n.n_name AS nation, l.l_suppkey AS supplier_no,
+         CAST(ROUND(SUM({_REVENUE}), 2) AS DECIMAL(18,2)) AS total_revenue
+  FROM {{lineitem}} l
+  JOIN {{supplier}} s ON s.s_suppkey = l.l_suppkey
+  JOIN {{nation}} n ON n.n_nationkey = s.s_nationkey
+  WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+  GROUP BY n.n_name, l.l_suppkey
+)
+SELECT r.nation, r.supplier_no,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM revenue r
+WHERE r.total_revenue = (
+  SELECT MAX(r2.total_revenue) FROM revenue r2 WHERE r2.nation = r.nation)
+ORDER BY r.nation, r.supplier_no
+"""
+
+
+@query(
+    "nation_top_supplier_scalar",
+    _Q15_SCALAR_SQL.format(lineitem="lineitem", supplier="supplier",
+                           nation="nation"),
+    "TPC-H Q15 correlated-scalar shape: per-nation top revenue supplier "
+    "via a CORRELATED scalar MAX subquery over the quarterly revenue "
+    "view, left for Catalyst to decorrelate into aggregate+join (vs "
+    "top_supplier's manual broadcast of the global max); max equality "
+    "on exact DECIMAL(18,2), ties survive; identical SQL both engines",
+    tags=("relational", "tpch", "sql", "bench"),
+)
+def q_nation_top_supplier_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.sources.tables import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, names=("lineitem", "supplier", "nation"))
+    return spark.sql(
+        _Q15_SCALAR_SQL.format(
+            lineitem="lineitem", supplier="supplier", nation="nation"
+        )
+    )

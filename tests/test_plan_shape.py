@@ -298,6 +298,73 @@ def test_driver_gate_ordering():
     assert _DRIVER_ROTATED_OUT[-1] == "streaming_window_topk"
 
 
+def test_reconfirmation_sla():
+    """SURVEY §7.4 re-confirmation SLA (VERDICT r10 #5): every
+    registered query's newest driver-green row must be at most K=8
+    rounds old once the upcoming round's gate lands. Computed from the
+    CORRECTNESS_r*.json archive + the current gate, so the rotation
+    cannot silently starve a query family.
+
+    - queries in the current gate (first 50) refresh THIS round →
+      effective staleness 0;
+    - never-gated queries must sit in the gate or _DRIVER_PENDING
+      (the next gate's head) — pending is new, not stale;
+    - everything else: (latest archive round + 1) − newest green round
+      must be ≤ K.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        _DRIVER_PENDING,
+    )
+    from reddit_data_pipeline_engineering_spark.plans.queries import (
+        queries as all_queries,
+    )
+
+    K = 8
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest_green: dict[str, int] = {}
+    latest_round = 0
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        latest_round = max(latest_round, rnd)
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False  # rows-only checks
+                and not row.get("err")
+            )
+            if ok:
+                newest_green[name] = max(newest_green.get(name, 0), rnd)
+    assert latest_round >= 1, "no CORRECTNESS archive found"
+    upcoming = latest_round + 1
+    names = list(all_queries())
+    gate = set(names[:50])
+    violations = {}
+    for name in names:
+        if name in gate:
+            continue  # refreshes this round
+        if name not in newest_green:
+            assert name in _DRIVER_PENDING, (
+                f"{name} has no driver row and is neither in the gate nor "
+                "in _DRIVER_PENDING — it can never earn one"
+            )
+            continue  # pending additions take the next gate head
+        staleness = upcoming - newest_green[name]
+        if staleness > K:
+            violations[name] = staleness
+    assert not violations, (
+        f"re-confirmation SLA (K={K} rounds) violated: {violations} — "
+        "pull these into _DRIVER_FILL (head of _DRIVER_ROTATED_OUT first)"
+    )
+
+
 def test_coverage_doc_matches_registry_count():
     """COVERAGE.md's headline 'Registry total: **N queries**' must track
     the live registry — the r08 judge caught a 268-vs-271 drift

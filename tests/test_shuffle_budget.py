@@ -340,6 +340,11 @@ BUDGETS = {
     # sources-bounded weight rollup, scalar total and drawn-count agg.
     "neyman_allocation_sample": 5,
     "nested_order_lines": 2,
+    # Catalyst-decorrelated correlated-scalar Q15: the revenue CTE is
+    # inlined into the outer AND the subquery (identical subtrees —
+    # ReuseExchange dedups at runtime), so the printed plan carries both
+    # aggs + the per-nation max agg + the nation-keyed join pair + sort.
+    "nation_top_supplier_scalar": 6,
     "ngram_jaccard_topk": 3,
     "normalize_group": 2,
     "ntile_spend_quartiles": 2,
@@ -448,6 +453,10 @@ BUDGETS = {
     # spread + (source, word) count + source rollup + output sort.
     "simpson_diversity_sources": 4,
     "simhash": 2,
+    # Literal-EXISTS Q21 left to RewritePredicateSubquery: lf inlined
+    # thrice (l1 + semi + anti, identical subtrees, runtime-reused);
+    # orderkey-keyed semi/anti joins + the s_name rollup.
+    "supplier_blame_exists": 4,
     # signature shuffle + bucket collect + pair aggregate (+ spread and
     # the token-count agg upstream of the signature).
     "simhash_hamming_pairs": 5,
