@@ -989,6 +989,9 @@ _DRIVER_TAIL_STREAMING = [
 _DRIVER_PENDING: list[str] = [
     "supplier_blame_exists",       # r11: Q21 literal EXISTS/NOT-EXISTS chain
     "nation_top_supplier_scalar",  # r11: Q15 correlated-scalar max-over-view
+    "streaming_median_sketch",     # r11: bounded-state (log-bucket) running
+                                   # median — r12 gate TAIL slot per the
+                                   # standing streaming-drain policy
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -1535,3 +1535,136 @@ def q_streaming_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_completion(q)
     return spark.read.parquet(out).orderBy("event_type", "batch_seq")
+
+
+# --------------------------------------------------------------------------
+# Streaming BOUNDED-STATE running median (r11, VERDICT r10 #6) — the
+# 100 TB form of streaming_running_median, swapping the O(values-per-
+# key) exact multiset for the deterministic log-bucket histogram in
+# streaming/stateful.py median_sketch_stream (state O(1) per key). The
+# bucket counts are exact, so the reported bucket provably contains
+# the true lower median — the oracle replays the bucketization in SQL
+# (dyadic top-4-bit ranges via length(bin(v))) and the differential
+# test pins the rank-error contract against the exact leg. Mirrors the
+# lsh_quality_eval / lsh_quality_eval_sampled exact-vs-scalable
+# precedent.
+# --------------------------------------------------------------------------
+
+_MEDIAN_SKETCH_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS TIMESTAMP)) AS t0 FROM events
+), day AS (
+  SELECT e.event_type,
+         CAST(CAST(e.value AS DECIMAL(14,4)) * 10000 AS BIGINT) AS v4,
+         CASE WHEN CAST(e.ts AS TIMESTAMP) < b.t0 + INTERVAL 12 HOUR
+              THEN 0 ELSE 1 END AS batch
+  FROM events e CROSS JOIN bounds b
+  WHERE CAST(e.ts AS TIMESTAMP) < b.t0 + INTERVAL 1 DAY
+    AND e.value IS NOT NULL
+), bucketed AS (
+  SELECT event_type, batch,
+         CASE WHEN v4 < 16 THEN v4
+              ELSE (v4 >> (length(bin(v4)) - 4)) << (length(bin(v4)) - 4)
+         END AS lo,
+         CASE WHEN v4 < 16 THEN v4
+              ELSE ((v4 >> (length(bin(v4)) - 4)) + 1)
+                   << (length(bin(v4)) - 4)
+         END - CASE WHEN v4 < 16 THEN 0 ELSE 1 END AS hi
+  FROM day
+), pres AS (
+  SELECT DISTINCT event_type, batch FROM bucketed
+), cum AS (
+  SELECT p.batch AS b, d.event_type, d.lo, d.hi,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM pres p
+  JOIN bucketed d ON d.event_type = p.event_type AND d.batch <= p.batch
+  GROUP BY 1, 2, 3, 4
+), ranked AS (
+  SELECT b, event_type, lo, hi, c,
+         SUM(c) OVER (PARTITION BY b, event_type ORDER BY lo) AS cumc,
+         SUM(c) OVER (PARTITION BY b, event_type) AS n,
+         COUNT(*) OVER (PARTITION BY b, event_type) AS nbuckets
+  FROM cum
+), med AS (
+  SELECT b, event_type,
+         CAST(MAX(n) AS BIGINT) AS n_values,
+         CAST(MAX(nbuckets) AS BIGINT) AS sketch_size,
+         CAST(MIN(CASE WHEN cumc >= (n + 1) // 2 THEN lo END) AS BIGINT)
+           AS med_lo,
+         CAST(MIN(CASE WHEN cumc >= (n + 1) // 2 THEN hi END) AS BIGINT)
+           AS med_hi
+  FROM ranked GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b)
+            AS BIGINT) AS batch_seq,
+       n_values, sketch_size, med_lo, med_hi
+FROM med ORDER BY event_type, batch_seq
+"""
+
+
+@query(
+    "streaming_median_sketch",
+    _MEDIAN_SKETCH_ORACLE,
+    "applyInPandasWithState BOUNDED-STATE running median: per "
+    "event_type a deterministic log-bucket histogram (DDSketch-style "
+    "dyadic top-4-bit buckets, exact counts, O(1) state) folds across "
+    "micro-batches; each batch emits the bucket provably containing "
+    "the running lower median (zero rank error, <=12.5% value width) — "
+    "the 100 TB swap for streaming_running_median's exact multiset, "
+    "per the lsh_quality_eval/_sampled precedent; the counter-merge "
+    "fold is order-independent so the batch oracle replays every "
+    "batch's bucketization exactly",
+    tags=("streaming", "stateful", "sketch"),
+)
+def q_streaming_median_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from reddit_data_pipeline_engineering_spark.streaming.stateful import (
+        median_sketch_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day = _with_min_ts(ev).filter(
+        F.col("ts") < F.col("t0") + F.expr("INTERVAL 1 DAYS")
+    ).filter(F.col("value").isNotNull())
+    tmp = tempfile.mkdtemp(prefix="rdpe_medsk_")
+    raw, out, ckpt = (os.path.join(tmp, d) for d in ("raw", "out", "ckpt"))
+    os.makedirs(raw)
+    cut = F.col("t0") + F.expr("INTERVAL 12 HOURS")
+    for i, cond in enumerate((F.col("ts") < cut, F.col("ts") >= cut)):
+        stage = os.path.join(tmp, f"stage{i}")
+        (
+            day.filter(cond)
+            .select(
+                "event_type",
+                F.expr(
+                    "CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT)"
+                ).alias("v4"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(stage)
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.json"))
+        p = os.path.join(raw, f"b{i}.json")
+        os.rename(part, p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_type string, v4 long")
+        .option("maxFilesPerTrigger", "1")
+        .load(raw)
+    )
+    q = (
+        median_sketch_stream(stream, "event_type", "v4")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    return spark.read.parquet(out).orderBy("event_type", "batch_seq")

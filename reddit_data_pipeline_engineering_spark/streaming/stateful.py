@@ -400,3 +400,104 @@ def median_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def median_sketch_stream(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key cross-batch BOUNDED-STATE running median (r11, VERDICT
+    r10 #6): the 100 TB companion to ``median_stream``, replacing its
+    O(values-per-key) sorted multiset with a deterministic log-bucket
+    histogram (DDSketch-style, integer-exact) whose state is O(1):
+
+    - bucket(v) for v < 16 is the exact value (singleton buckets);
+      for v >= 16 it is the dyadic range keyed by the top 4 bits —
+      lo = (v >> (L-4)) << (L-4), hi = lo + 2^(L-4) - 1 with
+      L = v.bit_length(). Width <= lo/8, i.e. <= 12.5% relative.
+    - the state is {bucket_lo: count} — at most 16 singleton buckets
+      plus 8 per magnitude level (<= 8*60 for the full long domain,
+      ~500 entries worst case, independent of n). Counts are EXACT, so
+      the reported bucket provably CONTAINS the true lower-median
+      (rank ceil(n/2)) value — zero rank error at bucket granularity;
+      the value error is the bucket width. That is the rank-error
+      contract ``tests/test_streaming.py`` verifies against the exact
+      ``median_stream`` leg.
+    - the fold is a counter merge: order-independent and mergeable
+      (unlike KLL/t-digest, whose randomized/centroid compactions are
+      arrival-order-dependent and cannot be replayed by a batch SQL
+      oracle — determinism is why DD-style buckets were chosen).
+
+    Output rows: (key, batch_seq, n_values, sketch_size, med_lo,
+    med_hi) — all integers; ``sketch_size`` is the post-batch state
+    entry count, pinned by the state-boundedness test. Values must be
+    non-negative (the quantized-cents domain; raises inside the fold
+    otherwise, surfacing as a stream error rather than silent wrap).
+    """
+    kc, vc = key_col, value_col
+
+    def _bucket_lo(v: int) -> int:
+        if v < 16:
+            return v
+        shift = v.bit_length() - 4
+        return (v >> shift) << shift
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            nb, los, counts = state.get
+            hist = dict(zip(los, counts))
+        else:
+            nb, hist = 0, {}
+        for pdf in pdf_iter:
+            for v in pdf[vc]:
+                if pd.isna(v):
+                    continue
+                v = int(v)
+                if v < 0:
+                    raise ValueError(
+                        f"median_sketch_stream: negative value {v} — "
+                        "log-bucket sketch requires a non-negative domain"
+                    )
+                lo = _bucket_lo(v)
+                hist[lo] = hist.get(lo, 0) + 1
+        nb += 1
+        items = sorted(hist.items())
+        state.update((nb, [lo for lo, _ in items], [c for _, c in items]))
+        n = sum(hist.values())
+        med_lo = med_hi = None
+        if n:
+            target = (n + 1) // 2
+            cum = 0
+            for lo, c in items:
+                cum += c
+                if cum >= target:
+                    med_lo = lo
+                    med_hi = (
+                        lo if lo < 16
+                        else lo + (1 << (lo.bit_length() - 4)) - 1
+                    )
+                    break
+        yield pd.DataFrame(
+            {
+                kc: [key[0]],
+                "batch_seq": [nb],
+                "n_values": [n],
+                "sketch_size": [len(items)],
+                "med_lo": [med_lo],
+                "med_hi": [med_hi],
+            }
+        )
+
+    return df.groupBy(kc).applyInPandasWithState(
+        fold,
+        outputStructType=(
+            f"{kc} string, batch_seq long, n_values long, "
+            "sketch_size long, med_lo long, med_hi long"
+        ),
+        stateStructType="nb long, los array<long>, counts array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

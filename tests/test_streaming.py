@@ -878,8 +878,95 @@ def _case_window_topk_matches_pandas(spark, tmp):
     assert got_t == exp_t
 
 
+def _case_median_sketch_contract(spark, tmp):
+    """r11 bounded-state median (VERDICT r10 #6): the log-bucket sketch's
+    reported bucket must CONTAIN the exact running lower median (zero
+    rank error at bucket granularity — counts are exact), the bucket
+    width must respect the <=12.5% contract, state must stay bounded
+    regardless of distinct-value count, and a checkpoint restart must
+    merge new values into the CARRIED histogram."""
+    from reddit_data_pipeline_engineering_spark.streaming.stateful import (
+        median_sketch_stream,
+    )
+
+    src = tmp / "medsk_raw"
+    src.mkdir()
+    # 3 batches, 700 distinct values spanning magnitudes 1 .. ~5M —
+    # crossing many dyadic levels so bucketing actually engages.
+    batches = [
+        [{"event_type": "view", "v4": (7 * i + 3) ** 2 % 4_999_999}
+         for i in range(300)],
+        [{"event_type": "view", "v4": 13 * i + 1} for i in range(250)],
+        [{"event_type": "view", "v4": (i * i * i) % 777_777}
+         for i in range(150)],
+    ]
+
+    def write_batch(i):
+        p = src / f"b{i}.json"
+        _emit(p, batches[i])
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    out = str(tmp / "medsk_out")
+    ckpt = str(tmp / "medsk_ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.format("json")
+            .schema("event_type string, v4 long")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+        )
+        q = (
+            median_sketch_stream(stream, "event_type", "v4")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_stream_to_completion(q)
+
+    write_batch(0)
+    write_batch(1)
+    drain()                      # first run: batches 0-1
+    write_batch(2)
+    drain()                      # RESTART from checkpoint: batch 2 only
+
+    rows = {
+        int(r["batch_seq"]): (
+            int(r["n_values"]), int(r["sketch_size"]),
+            int(r["med_lo"]), int(r["med_hi"]),
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+
+    vals: list[int] = []
+    for i, b in enumerate(batches):
+        vals = sorted(vals + [r["v4"] for r in b])
+        n = len(vals)
+        exact_lower_median = vals[(n - 1) // 2]
+        n_values, sketch_size, lo, hi = rows[i + 1]
+        assert n_values == n
+        # Rank-error contract: the bucket CONTAINS the exact lower median.
+        assert lo <= exact_lower_median <= hi, (
+            f"batch {i + 1}: exact median {exact_lower_median} "
+            f"outside sketch bucket [{lo}, {hi}]"
+        )
+        # Width contract: dyadic top-4-bit buckets — width <= lo/8
+        # (singleton below 16).
+        assert (hi - lo) <= max(0, lo >> 3)
+        # Bounded state: 16 singletons + 8 buckets per magnitude level;
+        # v4 < 2^23 here -> hard ceiling far below the distinct count.
+        assert sketch_size <= 16 + 8 * 23
+        if n > 400:
+            assert sketch_size < n // 3  # genuinely sub-linear
+
+
 _CASES = {
     "streaming_matches_batch": _case_streaming_matches_batch,
+    "median_sketch_contract": _case_median_sketch_contract,
     "pit_tiled_stream_matches_batch": _case_pit_tiled_stream_matches_batch,
     "checkpoint_incremental_restart": _case_checkpoint_incremental_restart,
     "foreach_batch_upsert": _case_foreach_batch_upsert,
