@@ -885,6 +885,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_retrieval  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_stats3  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_warehouse  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_r11  # noqa: F401
 
 
 # --------------------------------------------------------------------------
@@ -992,6 +993,12 @@ _DRIVER_PENDING: list[str] = [
     "streaming_median_sketch",     # r11: bounded-state (log-bucket) running
                                    # median — r12 gate TAIL slot per the
                                    # standing streaming-drain policy
+    "claim_check_manifest",        # r11: large-payload claim-check audit
+    "quantile_sketch_merge",       # r11: mergeable log-bucket rank sketch
+    "page_hinkley_drift",          # r11: sequential mean-drift monitor
+    "poisson_bootstrap_ci",        # r11: deterministic Poisson bootstrap CI
+    "ordinal_logit_proxy",         # r11: cumulative-odds ordinal audit
+    "freq_itemset_pairs",          # r11: A-priori 2-itemset support/conf/lift
 ]
 
 _DRIVER_ROTATED_OUT = [

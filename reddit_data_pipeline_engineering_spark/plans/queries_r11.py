@@ -1,0 +1,731 @@
+"""Round-11 query wave: pipeline-ops + inference shapes.
+
+Six operators extending the engine's training-data-pipeline and
+experimentation surface (no reference counterpart — the reference's
+only analytics is the Glue projection kernel, SURVEY.md §3.2):
+
+- ``claim_check_manifest`` — the large-payload claim-check pattern
+  audit (externalize oversized payloads, keep a digest manifest);
+- ``quantile_sketch_merge`` — mergeable deterministic log-bucket rank
+  sketch, the batch companion of ``streaming_median_sketch``: per-type
+  partial sketches counter-merge into a global sketch (associative, so
+  the oracle can bucketize directly);
+- ``page_hinkley_drift`` — sequential mean-drift monitor over the
+  daily order-count series (Page-Hinkley with integer 1e-6 scaling);
+- ``poisson_bootstrap_ci`` — resample-free cluster bootstrap: 19
+  deterministic Poisson(1) replicates via md5 thresholds, 90% CI from
+  replicate rank statistics (the md5-relabeling permutation-test
+  family);
+- ``ordinal_logit_proxy`` — cumulative-odds association between the
+  order-priority ordinal and a high-value flag (proportional-odds
+  audit on bounded cells);
+- ``freq_itemset_pairs`` — A-priori frequent brand pairs with
+  support/confidence/lift: frequent-1-itemset pruning BEFORE pairing
+  (the scale move vs ``copurchase_pairs``' raw pair counts).
+
+House rules (module contract, same as queries_stats3): every output
+column is integer/decimal-exact (no ln/exp/sqrt), ``div``/``//``
+truncates toward zero in BOTH engines (re-verified for the negative
+Page-Hinkley deviations this round), every aggregate is keyed unless
+the input is provably bounded (daily calendar / 19 replicates), and
+both expression trees mirror each other operation for operation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, query
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+
+__all__ = ["REGISTRY"]
+
+
+# --------------------------------------------------------------------------
+# Claim-check manifest audit. At 100 TB the multimodal payload column
+# cannot travel through every shuffle: payloads above a size threshold
+# are externalized to object storage and replaced by a (digest, size)
+# claim check; only the manifest moves. This audit is the governance
+# query over that manifest: per source, how much was externalized, how
+# many distinct digest shards, worst-case payload. One keyed shuffle;
+# md5 runs on the (pruned) text column only.
+# --------------------------------------------------------------------------
+
+_CLAIM_THRESHOLD = 256  # chars; stand-in for the byte threshold
+
+_CLAIM_ORACLE = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_chars > {_CLAIM_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_external,
+       CAST(SUM(CASE WHEN n_chars > {_CLAIM_THRESHOLD} THEN n_chars
+                ELSE 0 END) AS BIGINT) AS external_bytes,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(CASE WHEN n_chars > {_CLAIM_THRESHOLD} THEN 1 ELSE 0 END)
+            * 10000 // COUNT(*) AS BIGINT) AS external_bp,
+       CAST(COUNT(DISTINCT CASE WHEN n_chars > {_CLAIM_THRESHOLD}
+                 THEN substr(md5(text), 1, 2) END) AS BIGINT)
+         AS digest_shards
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "claim_check_manifest",
+    _CLAIM_ORACLE,
+    "Claim-check pattern audit: payloads above the externalization "
+    "threshold are counted into a per-source manifest profile "
+    "(externalized rows/bytes, bp rate, distinct 2-hex digest shards, "
+    "max payload) — the governance rollup a 100 TB pipeline runs over "
+    "its offloaded-payload manifest; one keyed shuffle",
+    tags=("relational", "llm", "audit", "bench"),
+)
+def q_claim_check_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ext = F.col("n_chars") > _CLAIM_THRESHOLD
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(ext, 1).otherwise(0)).cast("long").alias("n_external"),
+            F.sum(F.when(ext, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("external_bytes"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN n_chars > {_CLAIM_THRESHOLD} THEN 1 "
+                f"ELSE 0 END) * 10000 div COUNT(*) AS BIGINT)"
+            ).alias("external_bp"),
+            F.countDistinct(
+                F.when(ext, F.substring(F.md5(F.col("text")), 1, 2))
+            )
+            .cast("long")
+            .alias("digest_shards"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile sketch (batch). Same deterministic dyadic bucket
+# as streaming_median_sketch: per event_type a log-bucket histogram of
+# the 1e4-quantized values, then the per-type PARTIAL sketches
+# counter-merge into the 'ALL' sketch — associativity is the whole
+# point (what a 1000-executor tree-aggregate would do), and it is why
+# the oracle may bucketize the union directly. Quartile buckets are
+# read at ranks ceil(n*q/4); exact counts mean zero rank error at
+# bucket granularity. Windows are keyed by event_type (+'ALL' tag).
+# --------------------------------------------------------------------------
+
+_DYADIC_LO_SQL = (
+    "CASE WHEN {v} < 16 THEN {v} "
+    "ELSE ({v} >> (length(bin({v})) - 4)) << (length(bin({v})) - 4) END"
+)
+
+_QSKETCH_ORACLE = f"""
+WITH vals AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT) AS v4
+  FROM events WHERE value IS NOT NULL
+), bucketed AS (
+  SELECT event_type, {_DYADIC_LO_SQL.format(v="v4")} AS lo,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals GROUP BY 1, 2
+), merged AS (
+  SELECT event_type, lo, c FROM bucketed
+  UNION ALL
+  SELECT 'ALL' AS event_type, lo, CAST(SUM(c) AS BIGINT) AS c
+  FROM bucketed GROUP BY lo
+), ranked AS (
+  SELECT event_type, lo, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY lo) AS cumc,
+         SUM(c) OVER (PARTITION BY event_type) AS n,
+         COUNT(*) OVER (PARTITION BY event_type) AS nbuckets
+  FROM merged
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       CAST(MAX(nbuckets) AS BIGINT) AS sketch_size,
+       CAST(MIN(CASE WHEN cumc >= (n + 3) // 4 THEN lo END) AS BIGINT)
+         AS q25_lo,
+       CAST(MIN(CASE WHEN cumc >= (n * 2 + 3) // 4 THEN lo END) AS BIGINT)
+         AS q50_lo,
+       CAST(MIN(CASE WHEN cumc >= (n * 3 + 3) // 4 THEN lo END) AS BIGINT)
+         AS q75_lo
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "quantile_sketch_merge",
+    _QSKETCH_ORACLE,
+    "Mergeable deterministic log-bucket rank sketch (batch form of "
+    "streaming_median_sketch): per-event-type partial histograms "
+    "counter-merge into the 'ALL' sketch — the tree-aggregate shape a "
+    "1000-executor quantile job uses; quartile buckets read at exact "
+    "cumulative ranks (zero rank error at bucket granularity, <=12.5% "
+    "value width); keyed windows only",
+    tags=("relational", "sketch", "approx", "bench"),
+)
+def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT)").alias(
+            "v4"
+        ),
+    )
+    lo_expr = F.expr(
+        "CASE WHEN v4 < 16 THEN v4 ELSE shiftleft(shiftright(v4, "
+        "length(bin(v4)) - 4), length(bin(v4)) - 4) END"
+    )
+    bucketed = (
+        vals.select("event_type", lo_expr.alias("lo"))
+        .groupBy("event_type", "lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # two consumers (per-type + merged ALL): materialize the
+        # histogram once — it is the sketch, tiny by construction
+        .localCheckpoint(eager=False)
+    )
+    merged_all = bucketed.groupBy("lo").agg(
+        F.sum("c").cast("long").alias("c")
+    ).select(F.lit("ALL").alias("event_type"), "lo", "c")
+    merged = bucketed.select("event_type", "lo", "c").unionByName(merged_all)
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("lo")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = merged.select(
+        "event_type",
+        "lo",
+        F.sum("c").over(w_cum).alias("cumc"),
+        F.sum("c").over(w_all).alias("n"),
+        F.count(F.lit(1)).over(w_all).alias("nbuckets"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_values"),
+            F.max("nbuckets").cast("long").alias("sketch_size"),
+            F.min(
+                F.when(F.col("cumc") >= F.expr("(n + 3) div 4"), F.col("lo"))
+            ).cast("long").alias("q25_lo"),
+            F.min(
+                F.when(
+                    F.col("cumc") >= F.expr("(n * 2 + 3) div 4"), F.col("lo")
+                )
+            ).cast("long").alias("q50_lo"),
+            F.min(
+                F.when(
+                    F.col("cumc") >= F.expr("(n * 3 + 3) div 4"), F.col("lo")
+                )
+            ).cast("long").alias("q75_lo"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Page-Hinkley sequential mean-drift monitor over the daily order-count
+# series. PH_t = sum_{i<=t} (x_i*1e6 - running_mean_i*1e6); an alarm
+# fires when PH_t - min_{s<=t} PH_s >= lambda. All integer: the running
+# mean is S_i*1e6 div i (trunc-toward-zero in both engines, verified
+# for the negative deviations). Global windows sit on the CALENDAR-
+# bounded daily relation (~2.4k rows at any sf) — the bollinger/runs-
+# test waiver class.
+# --------------------------------------------------------------------------
+
+_PH_LAMBDA_E6 = 5_000_000  # 5 average-units of sustained drift
+
+_PH_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), seq AS (
+  SELECT d, x,
+         ROW_NUMBER() OVER (ORDER BY d) AS t,
+         SUM(x) OVER (ORDER BY d) AS s
+  FROM daily
+), dev AS (
+  SELECT d, x, t, CAST(x * 1000000 - (s * 1000000 // t) AS BIGINT) AS dv
+  FROM seq
+), ph AS (
+  SELECT d, t, SUM(dv) OVER (ORDER BY d) AS ph_t
+  FROM dev
+), gap AS (
+  SELECT t, ph_t,
+         ph_t - MIN(ph_t) OVER (ORDER BY t) AS gap_t
+  FROM ph
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(CASE WHEN t = (SELECT MAX(t) FROM gap) THEN ph_t END)
+            AS BIGINT) AS ph_final,
+       CAST(MIN(ph_t) AS BIGINT) AS ph_min,
+       CAST(MAX(gap_t) AS BIGINT) AS max_gap,
+       CAST(SUM(CASE WHEN gap_t >= {_PH_LAMBDA_E6} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarm_days,
+       CAST(COALESCE(MIN(CASE WHEN gap_t >= {_PH_LAMBDA_E6} THEN t END), 0)
+            AS BIGINT) AS first_alarm_t
+FROM gap
+"""
+
+
+@query(
+    "page_hinkley_drift",
+    _PH_ORACLE,
+    "Page-Hinkley sequential mean-drift monitor on the daily order "
+    "count: integer 1e-6-scaled deviations from the running mean, "
+    "cumulative PH statistic vs its running minimum, alarm threshold "
+    "lambda=5e6 — the streaming-drift shape computed batch-exact; "
+    "global windows on the calendar-bounded daily relation",
+    tags=("relational", "stats", "timeseries", "bench"),
+)
+def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w_seq = Window.orderBy("d")
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    seq = daily.select(
+        "d",
+        "x",
+        F.row_number().over(w_seq).alias("t"),
+        F.sum("x").over(w_cum).alias("s"),
+    )
+    dev = seq.select(
+        "d",
+        "t",
+        F.expr("CAST(x * 1000000 - (s * 1000000 div t) AS BIGINT)").alias(
+            "dv"
+        ),
+    )
+    ph = dev.select("d", "t", F.sum("dv").over(w_cum).alias("ph_t"))
+    w_tcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    gap = ph.select(
+        "t",
+        "ph_t",
+        (F.col("ph_t") - F.min("ph_t").over(w_tcum)).alias("gap_t"),
+    ).localCheckpoint(eager=False)  # summary agg + max-t scalar both read it
+    last_t = gap.agg(F.max("t").alias("t_last"))
+    alarm = F.col("gap_t") >= _PH_LAMBDA_E6
+    return gap.crossJoin(F.broadcast(last_t)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max(F.when(F.col("t") == F.col("t_last"), F.col("ph_t")))
+        .cast("long")
+        .alias("ph_final"),
+        F.min("ph_t").cast("long").alias("ph_min"),
+        F.max("gap_t").cast("long").alias("max_gap"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarm_days"),
+        F.coalesce(F.min(F.when(alarm, F.col("t"))), F.lit(0))
+        .cast("long")
+        .alias("first_alarm_t"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic Poisson cluster bootstrap for the mean per-user spend.
+# Replicate r reweights each USER by a Poisson(1) draw derived from
+# md5(user:r) against the exact cumulative thresholds (1e6-scaled
+# e^-1 ladder, constants precomputed — no runtime transcendentals);
+# the 90% CI is the 2nd/18th order statistic of the 19 replicate
+# means. Resample-free: no data movement beyond one per-user shuffle
+# + a 19-group rollup — the md5-relabeling family (permutation_test_ab
+# precedent). Rank selection via the 19x19 self-join, not a global
+# window.
+# --------------------------------------------------------------------------
+
+_POISSON_THRESHOLDS = (367879, 735759, 919699, 981012, 996340)
+_N_REPS = 19
+
+_POIS_W_SQL = (
+    "CASE WHEN {h} < 367879 THEN 0 WHEN {h} < 735759 THEN 1 "
+    "WHEN {h} < 919699 THEN 2 WHEN {h} < 981012 THEN 3 "
+    "WHEN {h} < 996340 THEN 4 ELSE 5 END"
+)
+
+_BOOT_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(14,4)) * 100 AS BIGINT))
+              AS BIGINT) AS spend_cents
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id
+), reps AS (
+  SELECT r.range AS r, u.spend_cents,
+         ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':' ||
+                             CAST(r.range AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 AS h
+  FROM per_user u CROSS JOIN range({_N_REPS}) r
+), weighted AS (
+  SELECT r, spend_cents, {_POIS_W_SQL.format(h="h")} AS w FROM reps
+), rep_means AS (
+  SELECT r,
+         CAST(SUM(w * spend_cents) // NULLIF(SUM(w), 0) AS BIGINT) AS m
+  FROM weighted GROUP BY r
+), ranked AS (
+  SELECT a.r, a.m,
+         CAST(SUM(CASE WHEN b.m < a.m OR (b.m = a.m AND b.r <= a.r)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS rnk
+  FROM rep_means a CROSS JOIN rep_means b
+  GROUP BY a.r, a.m
+), base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(spend_cents) // COUNT(*) AS BIGINT) AS base_mean_cents
+  FROM per_user
+)
+SELECT base.n_users, CAST({_N_REPS} AS BIGINT) AS n_reps,
+       base.base_mean_cents,
+       CAST(MIN(CASE WHEN rnk = 2 THEN m END) AS BIGINT) AS ci_lo_cents,
+       CAST(MIN(CASE WHEN rnk = {_N_REPS - 1} THEN m END) AS BIGINT)
+         AS ci_hi_cents
+FROM ranked CROSS JOIN base
+GROUP BY base.n_users, base.base_mean_cents
+"""
+
+
+@query(
+    "poisson_bootstrap_ci",
+    _BOOT_ORACLE,
+    "Deterministic Poisson(1) cluster bootstrap: 19 md5-threshold "
+    "replicates reweight per-user spend (exact e^-1 ladder constants, "
+    "no runtime transcendentals), 90% CI from the 2nd/18th replicate "
+    "order statistics via the bounded 19x19 rank join — resample-free "
+    "uncertainty for the mean at one user shuffle + a 19-group rollup",
+    tags=("relational", "stats", "sampling", "bench"),
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(14,4)) * 100 AS BIGINT)")
+            )
+            .cast("long")
+            .alias("spend_cents")
+        )
+        .localCheckpoint(eager=False)  # replicate explode + base both read it
+    )
+    reps = per_user.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_N_REPS - 1))).alias("r"),
+        "user_id",
+        "spend_cents",
+    ).select(
+        "r",
+        "spend_cents",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit(":"),
+                            F.col("r").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ).alias("h"),
+    )
+    weighted = reps.select(
+        "r", "spend_cents", F.expr(_POIS_W_SQL.format(h="h")).alias("w")
+    )
+    rep_means = weighted.groupBy("r").agg(
+        F.expr(
+            "CAST(SUM(w * spend_cents) div NULLIF(SUM(w), 0) AS BIGINT)"
+        ).alias("m")
+    )
+    a, b = rep_means.alias("a"), rep_means.alias("b")
+    ranked = (
+        a.join(F.broadcast(b))
+        .groupBy(F.col("a.r").alias("r"), F.col("a.m").alias("m"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("b.m") < F.col("a.m"))
+                    | (
+                        (F.col("b.m") == F.col("a.m"))
+                        & (F.col("b.r") <= F.col("a.r"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rnk")
+        )
+    )
+    base = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.expr("CAST(SUM(spend_cents) div COUNT(*) AS BIGINT)").alias(
+            "base_mean_cents"
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(base))
+        .groupBy("n_users", "base_mean_cents")
+        .agg(
+            F.min(F.when(F.col("rnk") == 2, F.col("m")))
+            .cast("long")
+            .alias("ci_lo_cents"),
+            F.min(F.when(F.col("rnk") == _N_REPS - 1, F.col("m")))
+            .cast("long")
+            .alias("ci_hi_cents"),
+        )
+        .select(
+            "n_users",
+            F.lit(_N_REPS).cast("long").alias("n_reps"),
+            "base_mean_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cumulative-odds (proportional-odds proxy) between the order-priority
+# ordinal and the high-value flag. For each cut k of the 5-level
+# ordinal: odds ratio of landing at-or-below the cut for high- vs
+# low-value orders, in ppm. Proportional odds <=> the four ORs are
+# roughly constant — the audit a modeler runs before fitting an
+# ordinal logit. One shuffle to the 10 (priority x flag) cells; cuts
+# expand broadcast-side.
+# --------------------------------------------------------------------------
+
+_HIGH_VALUE = "150000.00"
+
+_ORDINAL_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri,
+         CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) >=
+                   CAST({_HIGH_VALUE} AS DECIMAL(12,2))
+              THEN 1 ELSE 0 END AS hi,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+), cuts AS (
+  SELECT r.range + 1 AS k FROM range(4) r
+), folded AS (
+  SELECT c.k,
+         CAST(SUM(CASE WHEN hi = 1 AND pri <= k THEN c ELSE 0 END)
+              AS BIGINT) AS a_hi_le,
+         CAST(SUM(CASE WHEN hi = 1 AND pri > k THEN c ELSE 0 END)
+              AS BIGINT) AS b_hi_gt,
+         CAST(SUM(CASE WHEN hi = 0 AND pri <= k THEN c ELSE 0 END)
+              AS BIGINT) AS c_lo_le,
+         CAST(SUM(CASE WHEN hi = 0 AND pri > k THEN c ELSE 0 END)
+              AS BIGINT) AS d_lo_gt
+  FROM cells CROSS JOIN cuts c
+  GROUP BY c.k
+)
+SELECT k AS cut_k, a_hi_le, b_hi_gt, c_lo_le, d_lo_gt,
+       CASE WHEN b_hi_gt = 0 OR c_lo_le = 0 THEN 0
+            ELSE CAST(a_hi_le * d_lo_gt * 1000000
+                      // (b_hi_gt * c_lo_le) AS BIGINT)
+       END AS cum_or_ppm
+FROM folded
+ORDER BY cut_k
+"""
+
+
+@query(
+    "ordinal_logit_proxy",
+    _ORDINAL_ORACLE,
+    "Proportional-odds audit: cumulative odds ratio (ppm) of the "
+    "high-value flag across the four cuts of the 5-level order-"
+    "priority ordinal — the pre-fit diagnostic for an ordinal logit; "
+    "one shuffle to 10 bounded cells, cuts fold broadcast-side, "
+    "division-guarded like the kappa/gamma family",
+    tags=("relational", "stats", "bench"),
+)
+def q_ordinal_logit_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            F.expr("CAST(substr(o_orderpriority, 1, 1) AS BIGINT)").alias(
+                "pri"
+            ),
+            F.expr(
+                f"CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) >= "
+                f"CAST({_HIGH_VALUE} AS DECIMAL(12,2)) THEN 1 ELSE 0 END"
+            ).alias("hi"),
+        )
+        .groupBy("pri", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cuts = spark.range(1, 5).select(F.col("id").alias("k"))
+    folded = (
+        cells.crossJoin(F.broadcast(cuts))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when((F.col("hi") == 1) & (F.col("pri") <= F.col("k")),
+                       F.col("c")).otherwise(0)
+            ).cast("long").alias("a_hi_le"),
+            F.sum(
+                F.when((F.col("hi") == 1) & (F.col("pri") > F.col("k")),
+                       F.col("c")).otherwise(0)
+            ).cast("long").alias("b_hi_gt"),
+            F.sum(
+                F.when((F.col("hi") == 0) & (F.col("pri") <= F.col("k")),
+                       F.col("c")).otherwise(0)
+            ).cast("long").alias("c_lo_le"),
+            F.sum(
+                F.when((F.col("hi") == 0) & (F.col("pri") > F.col("k")),
+                       F.col("c")).otherwise(0)
+            ).cast("long").alias("d_lo_gt"),
+        )
+    )
+    return folded.select(
+        F.col("k").alias("cut_k"),
+        "a_hi_le",
+        "b_hi_gt",
+        "c_lo_le",
+        "d_lo_gt",
+        F.expr(
+            "CASE WHEN b_hi_gt = 0 OR c_lo_le = 0 THEN 0 "
+            "ELSE CAST(a_hi_le * d_lo_gt * 1000000 "
+            "div (b_hi_gt * c_lo_le) AS BIGINT) END"
+        ).alias("cum_or_ppm"),
+    ).orderBy("cut_k")
+
+
+# --------------------------------------------------------------------------
+# A-priori frequent brand pairs. The scale move vs copurchase_pairs:
+# the frequent-1-itemset filter runs BEFORE pairing, so the self-join
+# only sees baskets' frequent brands (A-priori downward closure) —
+# at 100 TB this is the difference between a bounded pair space and
+# corpus². Support threshold is RELATIVE (1% of baskets, ceil), so
+# the query is sf-invariant. Confidence/lift in ppm integer-exact.
+# --------------------------------------------------------------------------
+
+_ITEMSET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), nb AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM items
+), minsup AS (
+  SELECT n_baskets, (n_baskets + 99) // 100 AS ms FROM nb
+), freq1 AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM items GROUP BY p_brand
+  HAVING COUNT(*) >= (SELECT ms FROM minsup)
+), pruned AS (
+  SELECT i.l_orderkey, i.p_brand
+  FROM items i JOIN freq1 f ON f.p_brand = i.p_brand
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM pruned a JOIN pruned b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= (SELECT ms FROM minsup)
+)
+SELECT p.brand_a, p.brand_b, p.c_ab,
+       CAST(p.c_ab * 1000000 // fa.c1 AS BIGINT) AS conf_a_to_b_ppm,
+       CAST(p.c_ab * nb.n_baskets * 1000000 // (fa.c1 * fb.c1) AS BIGINT)
+         AS lift_ppm
+FROM pairs p
+JOIN freq1 fa ON fa.p_brand = p.brand_a
+JOIN freq1 fb ON fb.p_brand = p.brand_b
+CROSS JOIN nb
+ORDER BY p.c_ab DESC, p.brand_a, p.brand_b
+LIMIT 20
+"""
+
+
+@query(
+    "freq_itemset_pairs",
+    _ITEMSET_ORACLE,
+    "A-priori frequent brand pairs with support/confidence/lift (ppm, "
+    "integer-exact): frequent-1-itemset pruning BEFORE the basket "
+    "self-join (downward closure — the 100 TB move copurchase_pairs' "
+    "raw pair count skips), relative 1%-of-baskets support so the "
+    "query is sf-invariant; brand dim broadcasts, pairs bounded by "
+    "baskets x frequent-brands²",
+    tags=("relational", "warehouse", "llm", "bench"),
+)
+def q_freq_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators import topk
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=False)  # basket count + freq1 + pruning
+    )
+    nb = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
+    ).withColumn("ms", F.expr("CAST((n_baskets + 99) div 100 AS BIGINT)"))
+    freq1 = (
+        items.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("c1") >= F.col("ms"))
+        .select("p_brand", "c1")
+        .localCheckpoint(eager=False)  # prune + two confidence joins
+    )
+    pruned = items.join(
+        F.broadcast(freq1.select("p_brand")), "p_brand", "left_semi"
+    )
+    a = pruned.select(
+        F.col("l_orderkey"), F.col("p_brand").alias("brand_a")
+    )
+    b = pruned.select(
+        F.col("l_orderkey"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("c_ab") >= F.col("ms"))
+    )
+    fa = freq1.select(
+        F.col("p_brand").alias("brand_a"), F.col("c1").alias("c1_a")
+    )
+    fb = freq1.select(
+        F.col("p_brand").alias("brand_b"), F.col("c1").alias("c1_b")
+    )
+    scored = (
+        pairs.join(F.broadcast(fa), "brand_a")
+        .join(F.broadcast(fb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            F.expr("CAST(c_ab * 1000000 div c1_a AS BIGINT)").alias(
+                "conf_a_to_b_ppm"
+            ),
+            F.expr(
+                "CAST(c_ab * n_baskets * 1000000 div (c1_a * c1_b) "
+                "AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return topk.top_k(
+        scored,
+        [F.col("c_ab").desc(), F.col("brand_a").asc(), F.col("brand_b").asc()],
+        20,
+    )

@@ -1,0 +1,225 @@
+"""Brute-force differential tests for the r11 pipeline-ops wave.
+
+Same contract as tests/test_stats3_queries.py: each test recomputes
+the result INDEPENDENTLY (pandas/python loops over the raw parquet —
+no SQL, no Spark expressions), so a misconception shared by the Spark
+plan and its hand-mirrored DuckDB oracle cannot hide. Integer division
+replays both engines' truncate-toward-zero semantics explicitly.
+"""
+
+import hashlib
+from collections import Counter
+
+import duckdb
+import pytest
+
+from reddit_data_pipeline_engineering_spark.plans.queries import REGISTRY, queries
+
+from .conftest import SF_SMALL
+
+queries()  # force registration
+
+
+def _pdf(name, spark):
+    return REGISTRY[name].fn(spark, SF_SMALL).toPandas()
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Spark div / DuckDB //)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _dyadic_lo(v: int) -> int:
+    if v < 16:
+        return v
+    shift = v.bit_length() - 4
+    return (v >> shift) << shift
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return duckdb.sql(
+        f"SELECT doc_id, text, source, n_chars FROM "
+        f"'{SF_SMALL}/documents.parquet'"
+    ).df()
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    return duckdb.sql(
+        f"SELECT user_id, event_type, value FROM "
+        f"'{SF_SMALL}/events.parquet'"
+    ).df()
+
+
+def test_claim_check_manifest_matches_bruteforce(spark, docs_pdf):
+    got = _pdf("claim_check_manifest", spark).set_index("source")
+    by_src = {}
+    for r in docs_pdf.itertuples():
+        s = by_src.setdefault(r.source, {
+            "n": 0, "ext": 0, "bytes": 0, "mx": 0, "shards": set()})
+        s["n"] += 1
+        s["mx"] = max(s["mx"], int(r.n_chars))
+        if int(r.n_chars) > 256:
+            s["ext"] += 1
+            s["bytes"] += int(r.n_chars)
+            s["shards"].add(hashlib.md5(r.text.encode()).hexdigest()[:2])
+    assert set(got.index) == set(by_src)
+    for src, s in by_src.items():
+        row = got.loc[src]
+        assert int(row.n_docs) == s["n"]
+        assert int(row.n_external) == s["ext"]
+        assert int(row.external_bytes) == s["bytes"]
+        assert int(row.max_chars) == s["mx"]
+        assert int(row.external_bp) == _tdiv(s["ext"] * 10000, s["n"])
+        assert int(row.digest_shards) == len(s["shards"])
+
+
+def test_quantile_sketch_merge_matches_bruteforce(spark, events_pdf):
+    got = _pdf("quantile_sketch_merge", spark).set_index("event_type")
+    vals = {}
+    for r in events_pdf.itertuples():
+        if r.value != r.value or r.value is None:  # NaN
+            continue
+        v4 = int(round(float(r.value) * 10000))
+        vals.setdefault(r.event_type, []).append(v4)
+        vals.setdefault("ALL", []).append(v4)
+    assert set(got.index) == set(vals)
+    for et, vs in vals.items():
+        hist = Counter(_dyadic_lo(v) for v in vs)
+        n = sum(hist.values())
+        row = got.loc[et]
+        assert int(row.n_values) == n
+        assert int(row.sketch_size) == len(hist)
+        # sketch state is genuinely bounded: dyadic levels only
+        assert len(hist) <= 16 + 8 * max(v.bit_length() for v in vs)
+        for col, num in (("q25_lo", 1), ("q50_lo", 2), ("q75_lo", 3)):
+            target = (n * num + 3) // 4  # ceil(n*q/4), positive
+            cum = 0
+            for lo in sorted(hist):
+                cum += hist[lo]
+                if cum >= target:
+                    assert int(getattr(row, col)) == lo
+                    # the bucket CONTAINS the exact rank-target value
+                    exact = sorted(vs)[target - 1]
+                    width = 0 if lo < 16 else (1 << (lo.bit_length() - 4)) - 1
+                    assert lo <= exact <= lo + width
+                    break
+
+
+def test_page_hinkley_matches_bruteforce(spark):
+    got = _pdf("page_hinkley_drift", spark).iloc[0]
+    daily = duckdb.sql(
+        f"SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS x "
+        f"FROM '{SF_SMALL}/orders.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    s = 0
+    ph = 0
+    phs = []
+    for t, x in enumerate(daily["x"].astype(int), start=1):
+        s += x
+        dv = x * 1_000_000 - _tdiv(s * 1_000_000, t)
+        ph += dv
+        phs.append(ph)
+    runmin = None
+    gaps = []
+    for p in phs:
+        runmin = p if runmin is None else min(runmin, p)
+        gaps.append(p - runmin)
+    lam = 5_000_000
+    alarms = [i + 1 for i, g in enumerate(gaps) if g >= lam]
+    assert int(got.n_days) == len(phs)
+    assert int(got.ph_final) == phs[-1]
+    assert int(got.ph_min) == min(phs)
+    assert int(got.max_gap) == max(gaps)
+    assert int(got.n_alarm_days) == len(alarms)
+    assert int(got.first_alarm_t) == (alarms[0] if alarms else 0)
+
+
+def test_poisson_bootstrap_matches_bruteforce(spark, events_pdf):
+    got = _pdf("poisson_bootstrap_ci", spark).iloc[0]
+    spend = Counter()
+    for r in events_pdf.itertuples():
+        if r.event_type == "purchase" and r.value == r.value:
+            spend[int(r.user_id)] += int(round(float(r.value) * 100))
+    users = sorted(spend)
+    assert int(got.n_users) == len(users)
+    assert int(got.base_mean_cents) == _tdiv(
+        sum(spend.values()), len(users)
+    )
+    thresholds = (367879, 735759, 919699, 981012, 996340)
+
+    def w_of(u, r):
+        h = int(
+            hashlib.md5(f"{u}:{r}".encode()).hexdigest()[:8], 16
+        ) % 1_000_000
+        for k, t in enumerate(thresholds):
+            if h < t:
+                return k
+        return 5
+
+    means = []
+    for r in range(19):
+        sw = sum(w_of(u, r) * spend[u] for u in users)
+        ww = sum(w_of(u, r) for u in users)
+        means.append((_tdiv(sw, ww) if ww else None, r))
+    ranked = sorted((m, r) for m, r in means if m is not None)
+    assert int(got.ci_lo_cents) == ranked[1][0]   # rank 2 of 19
+    assert int(got.ci_hi_cents) == ranked[17][0]  # rank 18 of 19
+
+
+def test_ordinal_logit_matches_bruteforce(spark):
+    got = _pdf("ordinal_logit_proxy", spark).set_index("cut_k")
+    orders = duckdb.sql(
+        f"SELECT o_orderpriority AS pri, o_totalprice AS tp "
+        f"FROM '{SF_SMALL}/orders.parquet'"
+    ).df()
+    rows = [
+        (int(p[0]), 1 if round(float(t) * 100) >= 15_000_000 else 0)
+        for p, t in zip(orders["pri"], orders["tp"])
+    ]
+    for k in (1, 2, 3, 4):
+        a = sum(1 for p, h in rows if h == 1 and p <= k)
+        b = sum(1 for p, h in rows if h == 1 and p > k)
+        c = sum(1 for p, h in rows if h == 0 and p <= k)
+        d = sum(1 for p, h in rows if h == 0 and p > k)
+        r = got.loc[k]
+        assert (int(r.a_hi_le), int(r.b_hi_gt), int(r.c_lo_le),
+                int(r.d_lo_gt)) == (a, b, c, d)
+        expect = 0 if (b == 0 or c == 0) else _tdiv(a * d * 1_000_000, b * c)
+        assert int(r.cum_or_ppm) == expect
+
+
+def test_freq_itemset_matches_bruteforce(spark):
+    got = _pdf("freq_itemset_pairs", spark)
+    items = duckdb.sql(
+        f"SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b "
+        f"FROM '{SF_SMALL}/lineitem.parquet' l "
+        f"JOIN '{SF_SMALL}/part.parquet' p ON p.p_partkey = l.l_partkey"
+    ).df()
+    baskets = {}
+    for r in items.itertuples():
+        baskets.setdefault(int(r.o), set()).add(r.b)
+    nb = len(baskets)
+    ms = (nb + 99) // 100
+    c1 = Counter(b for bs in baskets.values() for b in bs)
+    freq1 = {b for b, c in c1.items() if c >= ms}
+    pair_c = Counter()
+    for bs in baskets.values():
+        fb = sorted(b for b in bs if b in freq1)
+        for i in range(len(fb)):
+            for j in range(i + 1, len(fb)):
+                pair_c[(fb[i], fb[j])] += 1
+    qualifying = {p: c for p, c in pair_c.items() if c >= ms}
+    expected = sorted(
+        ((p, c) for p, c in qualifying.items()),
+        key=lambda pc: (-pc[1], pc[0][0], pc[0][1]),
+    )[:20]
+    assert len(got) == min(20, len(expected))
+    for row, ((ba, bb), c) in zip(got.itertuples(), expected):
+        assert (row.brand_a, row.brand_b, int(row.c_ab)) == (ba, bb, c)
+        assert int(row.conf_a_to_b_ppm) == _tdiv(c * 1_000_000, c1[ba])
+        assert int(row.lift_ppm) == _tdiv(
+            c * nb * 1_000_000, c1[ba] * c1[bb]
+        )

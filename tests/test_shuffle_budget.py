@@ -73,6 +73,8 @@ BUDGETS = {
     "chisq_source_drift": 13,
     # spread + md5-window + per-doc rollup + output sort.
     "chunk_dedup_stats": 4,
+    # per-source manifest rollup (countDistinct expand pair) + sort.
+    "claim_check_manifest": 3,
     # one collect_set shuffle on user_id + the (cohort, offset) rollup +
     # the final range sort (was 7 with the distinct/re-join/
     # count-distinct formulation).
@@ -155,6 +157,7 @@ BUDGETS = {
     "forward_asof_next_purchase": 2,
     "forward_fill": 1,
     "functional_dependency_audit": 2,
+    "freq_itemset_pairs": 5,
     "funnel_conversion": 2,
     "grouped_median_approx": 3,
     # Bisection rounds run in-plan during construction (bracket-state-
@@ -353,7 +356,14 @@ BUDGETS = {
     # channel rollup + final sort.
     # ONE moment pass; single-row Cramer solve rides the same plan.
     "ols_price_model": 1,
+    # 10-cell priority x flag rollup + broadcast cut fold + sort.
+    "ordinal_logit_proxy": 3,
+
     "order_attribution": 4,
+    # Daily agg + the checkpointed PH/gap series summary (the
+    # calendar-bounded global windows run during construction behind
+    # the localCheckpoint, like pagerank).
+    "page_hinkley_drift": 2,
     "pagerank_topk": 0,
     # moment passes run during construction (collected d^2 bounded
     # matrix); the returned plan is the driver-built 64-row result +
@@ -372,6 +382,12 @@ BUDGETS = {
     # SCD2 build window/rollup + probe-dim hash join + final rollup.
     "pit_dimension_lookup": 4,
     "pivot_wide": 1,
+    # per-user spend shuffle + replicate rollup + bounded 19x19 rank
+    # join + final single-row fold.
+    "poisson_bootstrap_ci": 4,
+    # (type, lo) histogram + merged-ALL re-agg + keyed quantile window.
+    "quantile_sketch_merge": 3,
+
     "pmi_collocations": 8,
     # Returned plan reads the final localCheckpoint (per-round keyed
     # shuffles happen during construction, like pagerank_topk).
