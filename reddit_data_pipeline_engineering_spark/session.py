@@ -80,6 +80,69 @@ def cluster_profile(total_cores: int, target_partition_mb: int = 192) -> dict[st
     }
 
 
+def _tree_idle_for(path: str) -> float:
+    """Seconds since ANY entry in the tree was touched (recursive max
+    mtime, not the top-level dir's — Spark stamps the per-pid dir at
+    startup and then only writes inside blockmgr-*/spark-* subdirs, so
+    the top-level mtime of a busy session looks ancient; ADVICE r10)."""
+    import time as _time
+
+    newest = os.path.getmtime(path)
+    for dirpath, dirnames, filenames in os.walk(path):
+        for name in dirnames + filenames:
+            try:
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(dirpath, name))
+                )
+            except OSError:
+                pass  # entry vanished mid-walk (live session churn)
+    return _time.time() - newest
+
+
+_STALE_AGE_S = 3 * 24 * 3600
+
+
+def _sweep_stale_local_dirs(local_root: str) -> None:
+    """Reap stale per-pid spill dirs (crashed/killed JVMs leave spill
+    files and Spark never removes the <pid> dir itself) — the
+    replacement for the /tmp reaper the r08 pin deliberately escaped.
+
+    Decision ladder (ADVICE r09 + r10):
+
+    - pid probed ALIVE same-uid -> NEVER touched, regardless of age.
+      A >3-day bench JVM is legitimate; sweeping its live spill dir
+      would recreate the exact DiskBlockObjectWriter deletion race the
+      pin exists to prevent (the r10 advice finding).
+    - pid gone (ProcessLookupError) -> reclaim immediately.
+    - pid alive under ANOTHER uid (PermissionError) -> could be pid
+      reuse by an unrelated process (pid_max up to 4194304), so fall
+      through to the idleness check: reclaim only if NOTHING in the
+      tree (recursive max mtime, not the startup-stamped top dir) was
+      touched for >3 days — no Spark session here idles that long.
+    """
+    if not os.path.isdir(local_root):
+        return
+    import shutil
+
+    for entry in os.listdir(local_root):
+        full = os.path.join(local_root, entry)
+        if not entry.isdigit() or int(entry) == os.getpid():
+            continue
+        try:
+            os.kill(int(entry), 0)  # liveness probe, no signal sent
+            continue  # alive same-uid: never touch it
+        except ProcessLookupError:
+            shutil.rmtree(full, ignore_errors=True)
+            continue
+        except PermissionError:
+            pass  # other-uid liveness: possible pid reuse — check idleness
+        try:
+            if _tree_idle_for(full) > _STALE_AGE_S:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass  # raced with its own cleanup — nothing to reclaim
+
+
 def get_spark(
     app_name: str = "rdpe-spark",
     master: str | None = None,
@@ -109,56 +172,7 @@ def get_spark(
     local_dir = os.environ.get(
         "RDPE_SPARK_LOCAL_DIR", os.path.join(local_root, str(os.getpid()))
     )
-    # Reap stale per-pid dirs (crashed/killed JVMs leave spill files and
-    # Spark never removes the <pid> dir itself): a dir whose pid is no
-    # longer alive is dead weight — this sweep is the replacement for
-    # the /tmp reaper the pin deliberately escaped. The pid probe alone
-    # is not enough (ADVICE r09): with pid reuse (pid_max up to 4194304)
-    # a dead session's number can belong to an unrelated live process
-    # forever, so an AGE fallback also reclaims any dir untouched for
-    # >3 days — no Spark session here legitimately idles that long.
-    if os.path.isdir(local_root):
-        import shutil
-        import time as _time
-
-        stale_age_s = 3 * 24 * 3600
-
-        def _tree_idle_for(path: str) -> float:
-            """Seconds since ANY entry in the tree was touched (recursive
-            max mtime, not the top-level dir's — Spark stamps the per-pid
-            dir at startup and then only writes inside blockmgr-*/spark-*
-            subdirs, so the top-level mtime of a busy session looks
-            ancient; ADVICE r10)."""
-            newest = os.path.getmtime(path)
-            for dirpath, dirnames, filenames in os.walk(path):
-                for name in dirnames + filenames:
-                    try:
-                        newest = max(
-                            newest, os.path.getmtime(os.path.join(dirpath, name))
-                        )
-                    except OSError:
-                        pass  # entry vanished mid-walk (live session churn)
-            return _time.time() - newest
-
-        for entry in os.listdir(local_root):
-            full = os.path.join(local_root, entry)
-            if not entry.isdigit() or int(entry) == os.getpid():
-                continue
-            try:
-                os.kill(int(entry), 0)  # liveness probe, no signal sent
-                continue  # probed ALIVE same-uid: never touch it (ADVICE r10
-                # — a >3-day bench JVM is legitimate, not stale)
-            except ProcessLookupError:
-                shutil.rmtree(full, ignore_errors=True)
-                continue
-            except PermissionError:
-                pass  # alive under another uid — could be pid reuse by an
-                # unrelated process; fall through to the idleness check
-            try:
-                if _tree_idle_for(full) > stale_age_s:
-                    shutil.rmtree(full, ignore_errors=True)
-            except OSError:
-                pass  # raced with its own cleanup — nothing to reclaim
+    _sweep_stale_local_dirs(local_root)
     os.makedirs(local_dir, exist_ok=True)
 
     builder = (

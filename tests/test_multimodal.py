@@ -601,40 +601,71 @@ class TestCodecHardening:
                      shuffle_partitions=4)
         assert not os.path.isdir(stale)
 
-    def test_aged_live_pid_local_dir_swept(self):
-        """Age fallback (ADVICE r09): a dir whose pid number is LIVE
-        (pid reuse) is still reclaimed once untouched for >3 days; a
-        fresh dir with a live pid is kept."""
+    def test_sweep_decision_ladder(self, tmp_path):
+        """ADVICE r10 sweep contract, pinned on the extracted helper:
+
+        - a dir whose pid probes ALIVE same-uid is NEVER swept, even
+          aged far past the window (the r10 advice finding: sweeping a
+          live long-lived bench JVM's spill dir recreates the
+          DiskBlockObjectWriter deletion race);
+        - a dead pid's dir is reclaimed immediately;
+        - an other-uid pid (PermissionError — possible pid reuse) is
+          reclaimed only when the RECURSIVE tree mtime is idle past the
+          window; a startup-stamped top dir with fresh files inside is
+          kept (busy sessions only touch blockmgr-* subdirs).
+        """
         import os
         import time
+        from unittest import mock
 
         from reddit_data_pipeline_engineering_spark import session as se
 
-        root = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(se.__file__))),
-            ".spark-local",
-        )
-        # pid 1 is always alive; os.kill(1, 0) succeeds as root and
-        # raises PermissionError otherwise — both paths reach the age
-        # check. Backdate one dir past the 3-day window, keep one fresh.
-        aged = os.path.join(root, "1")
-        os.makedirs(aged, exist_ok=True)
+        root = str(tmp_path / "spark-local")
+        os.makedirs(root)
         old = time.time() - 4 * 24 * 3600
-        os.utime(aged, (old, old))
-        fresh = os.path.join(root, str(os.getppid()))
-        made_fresh = not os.path.isdir(fresh)
-        os.makedirs(fresh, exist_ok=True)
-        try:
-            se.get_spark(app_name="sweep-age-test", master="local[8]",
-                         shuffle_partitions=4)
-            assert not os.path.isdir(aged), "aged live-pid dir not reclaimed"
-            assert os.path.isdir(fresh), "fresh live-pid dir wrongly swept"
-        finally:
-            import shutil
 
-            if made_fresh:
-                shutil.rmtree(fresh, ignore_errors=True)
-            shutil.rmtree(aged, ignore_errors=True)
+        def make(pid, top_old, inner_fresh=False):
+            d = os.path.join(root, str(pid))
+            os.makedirs(d)
+            inner = os.path.join(d, "blockmgr-x")
+            os.makedirs(inner)
+            f = os.path.join(inner, "shuffle_0_0_0.data")
+            open(f, "w").write("x")
+            if not inner_fresh:
+                os.utime(f, (old, old))
+                os.utime(inner, (old, old))
+            if top_old:
+                os.utime(d, (old, old))
+            return d
+
+        live_aged = make(900001, top_old=True)          # alive same-uid
+        dead = make(900002, top_old=False)              # gone
+        reused_idle = make(900003, top_old=True)        # other uid, idle
+        reused_busy = make(900004, top_old=True,        # other uid, but a
+                           inner_fresh=True)            # fresh inner file
+
+        def fake_kill(pid, sig):
+            assert sig == 0
+            if pid == 900001:
+                return None  # alive, same uid
+            if pid == 900002:
+                raise ProcessLookupError
+            raise PermissionError  # 900003/900004: alive under another uid
+
+        with mock.patch.object(se.os, "kill", side_effect=fake_kill):
+            se._sweep_stale_local_dirs(root)
+
+        assert os.path.isdir(live_aged), (
+            "live same-uid dir swept — the exact race ADVICE r10 flagged"
+        )
+        assert not os.path.isdir(dead), "dead pid dir not reclaimed"
+        assert not os.path.isdir(reused_idle), (
+            "idle other-uid (pid-reuse) dir not reclaimed"
+        )
+        assert os.path.isdir(reused_busy), (
+            "busy other-uid dir swept off its startup-stamped top mtime — "
+            "idleness must use the recursive tree mtime"
+        )
 
     def test_flac_any_frame_bitflip_raises(self):
         """Integrity property: EVERY single-bit corruption in the frame
