@@ -999,6 +999,12 @@ _DRIVER_PENDING: list[str] = [
     "poisson_bootstrap_ci",        # r11: deterministic Poisson bootstrap CI
     "ordinal_logit_proxy",         # r11: cumulative-odds ordinal audit
     "freq_itemset_pairs",          # r11: A-priori 2-itemset support/conf/lift
+    # ---- r11 wave 2 ----
+    "merkle_partition_diff",       # r11: XOR partition fingerprints
+    "durbin_watson_daily",         # r11: exact-integer DW autocorrelation
+    "theil_u_forecast",            # r11: Theil U² forecast-skill gate
+    "ngram_novelty_rate",          # r11: first-occurrence shingle novelty
+    "srm_check",                   # r11: sample-ratio-mismatch gate
 ]
 
 _DRIVER_ROTATED_OUT = [

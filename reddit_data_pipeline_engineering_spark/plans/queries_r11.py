@@ -23,6 +23,19 @@ only analytics is the Glue projection kernel, SURVEY.md §3.2):
   support/confidence/lift: frequent-1-itemset pruning BEFORE pairing
   (the scale move vs ``copurchase_pairs``' raw pair counts).
 
+Wave 2 (integrity / diagnostics ops):
+
+- ``merkle_partition_diff`` — order-independent XOR partition
+  fingerprints, the cross-replica reconciliation primitive;
+- ``durbin_watson_daily`` — exact-integer Durbin-Watson autocorrelation
+  diagnostic (scaled centering, no rationals);
+- ``theil_u_forecast`` — Theil's U² forecast-skill gate (lag-7 vs
+  random-walk SSE, identical evaluation window);
+- ``ngram_novelty_rate`` — per-source first-occurrence shingle novelty
+  (boilerplate/mirror detector, min-aggregate attribution);
+- ``srm_check`` — sample-ratio-mismatch chi-square gate on the md5
+  A/B arms (precomputed critical value).
+
 House rules (module contract, same as queries_stats3): every output
 column is integer/decimal-exact (no ln/exp/sqrt), ``div``/``//``
 truncates toward zero in BOTH engines (re-verified for the negative
@@ -729,3 +742,379 @@ def q_freq_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("c_ab").desc(), F.col("brand_a").asc(), F.col("brand_b").asc()],
         20,
     )
+
+
+# ==========================================================================
+# Wave 2: integrity / diagnostics ops
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Merkle-style partition fingerprint. The cross-replica reconciliation
+# primitive at 100 TB: per day-partition, an ORDER-INDEPENDENT XOR fold
+# of 60-bit row digests — two clusters (or a pre/post-migration pair)
+# compare fingerprints per partition and re-sync only the days that
+# differ, never re-scanning equal partitions. XOR is commutative/
+# associative, so the fold parallelizes with zero coordination and any
+# single-row difference flips the fingerprint. One keyed shuffle of
+# (day, digest) partials; days are calendar-bounded.
+# --------------------------------------------------------------------------
+
+_MERKLE_ORACLE = """
+WITH rows_h AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         ('0x' || substr(md5(
+            CAST(event_id AS VARCHAR) || '|' ||
+            CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
+            CAST(COALESCE(CAST(CAST(value AS DECIMAL(14,4)) * 10000
+                               AS BIGINT), -1) AS VARCHAR) || '|' ||
+            CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR)
+         ), 1, 15))::BIGINT AS h
+  FROM events
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS fingerprint
+FROM rows_h GROUP BY day ORDER BY day
+"""
+
+
+@query(
+    "merkle_partition_diff",
+    _MERKLE_ORACLE,
+    "Merkle-style per-day-partition fingerprint: order-independent XOR "
+    "fold of 60-bit md5 row digests (event_id|user|type|v4|epoch_us) — "
+    "the cross-replica reconciliation primitive that lets two clusters "
+    "diff 100 TB by comparing one row per partition; one keyed shuffle "
+    "of XOR partials, calendar-bounded output",
+    tags=("relational", "audit", "warehouse", "bench"),
+)
+def q_merkle_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    eus = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    row_str = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.coalesce(
+            F.expr("CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT)"),
+            F.lit(-1),
+        ).cast("string"),
+        eus.cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    return (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                  h.alias("h"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("CAST(bit_xor(h) AS BIGINT)").alias("fingerprint"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Durbin-Watson autocorrelation diagnostic on the daily order-count
+# series. Exact-integer trick: center by the SCALED mean — c_i = x_i*n
+# - S is integer, and successive differences collapse to n*(x_i -
+# x_{i-1}) — so DW = n²·Σ(Δx)² / Σc² needs no rational arithmetic at
+# all; emitted ×1e6 with mirrored truncation. DW≈2 no autocorrelation,
+# <2 positive, >2 negative. The lag window runs on the calendar-
+# bounded daily relation behind a checkpoint (page_hinkley pattern).
+# --------------------------------------------------------------------------
+
+_DW_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+  FROM daily
+), lagged AS (
+  SELECT d, x, LAG(x) OVER (ORDER BY d) AS xp FROM daily
+)
+SELECT n AS n_days,
+       CAST(SUM(CASE WHEN xp IS NULL THEN 0
+                ELSE (x - xp) * (x - xp) END) AS BIGINT) AS sse_diff,
+       CAST(SUM((x * n - s) * (x * n - s)) // (n * n) AS BIGINT)
+         AS ss_centered,
+       CAST(SUM(CASE WHEN xp IS NULL THEN 0
+                ELSE (x - xp) * (x - xp) END) * n * n * 1000000
+            // SUM((x * n - s) * (x * n - s)) AS BIGINT) AS dw_e6
+FROM lagged CROSS JOIN tot
+GROUP BY n
+"""
+
+
+@query(
+    "durbin_watson_daily",
+    _DW_ORACLE,
+    "Durbin-Watson first-order autocorrelation diagnostic on the daily "
+    "order-count series, exact-integer via scaled centering (c_i = "
+    "x_i*n - S, so DW = n^2*sum(dx^2)/sum(c^2) with no rationals), "
+    "emitted x1e6; the lag window is calendar-bounded (checkpointed, "
+    "page_hinkley pattern)",
+    tags=("relational", "stats", "timeseries", "bench"),
+)
+def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d", "x", F.lag("x").over(w).alias("xp")
+    ).localCheckpoint(eager=False)  # calendar-bounded series, two readers
+    tot = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    return (
+        lagged.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN xp IS NULL THEN 0 "
+                "ELSE (x - xp) * (x - xp) END) AS BIGINT)"
+            ).alias("sse_diff"),
+            F.expr(
+                "CAST(SUM((x * n - s) * (x * n - s)) div (n * n) AS BIGINT)"
+            ).alias("ss_centered"),
+            F.expr(
+                "CAST(SUM(CASE WHEN xp IS NULL THEN 0 "
+                "ELSE (x - xp) * (x - xp) END) * n * n * 1000000 "
+                "div SUM((x * n - s) * (x * n - s)) AS BIGINT)"
+            ).alias("dw_e6"),
+        )
+        .select(F.col("n").alias("n_days"), "sse_diff", "ss_centered", "dw_e6")
+    )
+
+
+# --------------------------------------------------------------------------
+# Theil's U² forecast-skill ratio: seasonal-naive (lag-7) squared error
+# vs the random-walk (lag-1) benchmark, on the daily order counts.
+# U² < 1e6 ppm means weekly seasonality genuinely beats persistence —
+# the go/no-go gate before shipping seasonal_naive_backtest's forecast.
+# Pure integer (squared count differences); evaluation window starts
+# where BOTH lags exist so the two SSEs cover identical days.
+# --------------------------------------------------------------------------
+
+_THEIL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT d, x,
+         LAG(x, 1) OVER (ORDER BY d) AS x1,
+         LAG(x, 7) OVER (ORDER BY d) AS x7,
+         ROW_NUMBER() OVER (ORDER BY d) AS t
+  FROM daily
+), eval AS (
+  SELECT * FROM lagged WHERE t >= 8
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM((x - x7) * (x - x7)) AS BIGINT) AS sse_seasonal7,
+       CAST(SUM((x - x1) * (x - x1)) AS BIGINT) AS sse_randomwalk,
+       CASE WHEN SUM((x - x1) * (x - x1)) = 0 THEN 0
+            ELSE CAST(SUM((x - x7) * (x - x7)) * 1000000
+                      // SUM((x - x1) * (x - x1)) AS BIGINT)
+       END AS theil_u2_ppm
+FROM eval
+"""
+
+
+@query(
+    "theil_u_forecast",
+    _THEIL_ORACLE,
+    "Theil's U² forecast-skill ratio (ppm): seasonal-naive lag-7 SSE "
+    "over random-walk lag-1 SSE on the daily series, identical "
+    "evaluation window for both — the skill gate for "
+    "seasonal_naive_backtest; calendar-bounded windows behind a "
+    "checkpoint, division-guarded",
+    tags=("relational", "timeseries", "bench"),
+)
+def q_theil_u_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+        F.row_number().over(w).alias("t"),
+    ).localCheckpoint(eager=False)  # calendar-bounded series
+    return lagged.filter(F.col("t") >= 8).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.expr("CAST(SUM((x - x7) * (x - x7)) AS BIGINT)").alias(
+            "sse_seasonal7"
+        ),
+        F.expr("CAST(SUM((x - x1) * (x - x1)) AS BIGINT)").alias(
+            "sse_randomwalk"
+        ),
+        F.expr(
+            "CASE WHEN SUM((x - x1) * (x - x1)) = 0 THEN 0 "
+            "ELSE CAST(SUM((x - x7) * (x - x7)) * 1000000 "
+            "div SUM((x - x1) * (x - x1)) AS BIGINT) END"
+        ).alias("theil_u2_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram novelty rate per source. Corpus-curation signal: what fraction
+# of each source's distinct 3-gram shingles appear there FIRST (by
+# doc_id order — the ingestion sequence)? Low novelty = the source
+# mostly re-states earlier content (boilerplate/mirror); high = fresh
+# text worth keeping. First-occurrence attribution is one min-aggregate
+# per shingle — no pairwise comparisons, the same bounded-shuffle
+# argument as the dedup family.
+# --------------------------------------------------------------------------
+
+from reddit_data_pipeline_engineering_spark.plans.queries_llm import (  # noqa: E402
+    _sql_shingles,
+    _TOKS,
+)
+
+_NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS} AS toks FROM documents
+), sh AS MATERIALIZED (
+  SELECT doc_id, source,
+         unnest(list_distinct({_sql_shingles('toks', 3)})) AS shingle
+  FROM toks
+), firsts AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.source,
+       CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_shingle_pairs,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
+FROM sh s JOIN firsts f USING (shingle)
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
+@query(
+    "ngram_novelty_rate",
+    _NOVELTY_ORACLE,
+    "Per-source 3-gram novelty: fraction of each source's distinct "
+    "shingles whose corpus-wide first occurrence (min doc_id) lands in "
+    "that source's doc — the boilerplate/mirror detector; map-only "
+    "shingling + one shingle-keyed min aggregate + source rollup, no "
+    "pairwise work",
+    tags=("llm", "text", "dedup", "bench"),
+)
+def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.functions.text import (
+        shingles_of,
+        tokens,
+    )
+    from reddit_data_pipeline_engineering_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", "source", tokens("text").alias("__toks"))
+    sh = toked.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(shingles_of("__toks", 3))).alias(
+            "shingle"
+        ),
+    ).localCheckpoint(eager=False)  # firsts + the join both read it
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_shingle_pairs"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.expr(
+                "CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) "
+                "* 10000 div COUNT(*) AS BIGINT)"
+            ).alias("novelty_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) gate for the md5 A/B assignment. The
+# first check every experimentation pipeline runs: with a 50/50
+# intended split, chi-square(1) = (n_a - n_b)² / (n_a + n_b); flag
+# when it exceeds the 0.05 critical value (3.841459, precomputed —
+# no runtime distributions). One distinct-user aggregate.
+# --------------------------------------------------------------------------
+
+_SRM_CRIT_E6 = 3_841_459  # chi-square(1) 95th percentile x 1e6
+
+_SRM_ORACLE = f"""
+WITH arms AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS is_a
+  FROM events
+), cnt AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(SUM(1 - is_a) AS BIGINT) AS n_b
+  FROM arms
+)
+SELECT n_a + n_b AS n_users, n_a, n_b,
+       CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) AS BIGINT)
+         AS srm_chi2_e6,
+       CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+                      >= {_SRM_CRIT_E6} THEN 1 ELSE 0 END AS BIGINT)
+         AS srm_flag
+FROM cnt
+"""
+
+
+@query(
+    "srm_check",
+    _SRM_ORACLE,
+    "Sample-ratio-mismatch gate on the md5 A/B assignment: chi-"
+    "square(1) of the arm counts vs the intended 50/50 split (x1e6, "
+    "precomputed 3.841459 critical value — no runtime distributions); "
+    "the first-line experiment health check, one distinct-user "
+    "aggregate",
+    tags=("relational", "stats", "audit", "bench"),
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        md5_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.select(
+        "user_id",
+        F.when(md5_bucket("user_id", 2) == 0, 1).otherwise(0).alias("is_a"),
+    ).distinct()
+    cnt = arms.agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+    )
+    return cnt.select(
+        (F.col("n_a") + F.col("n_b")).alias("n_users"),
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST((n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b) "
+            "AS BIGINT)"
+        ).alias("srm_chi2_e6"),
+        F.expr(
+            f"CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000000 "
+            f"div (n_a + n_b) >= {_SRM_CRIT_E6} THEN 1 ELSE 0 END "
+            f"AS BIGINT)"
+        ).alias("srm_flag"),
+    )
+
+

@@ -223,3 +223,117 @@ def test_freq_itemset_matches_bruteforce(spark):
         assert int(row.lift_ppm) == _tdiv(
             c * nb * 1_000_000, c1[ba] * c1[bb]
         )
+
+
+# ---------------------------------------------------------------------------
+# Wave 2
+# ---------------------------------------------------------------------------
+
+
+def test_merkle_fingerprint_matches_bruteforce_and_flips_on_any_row(spark):
+    got = _pdf("merkle_partition_diff", spark)
+    ev = duckdb.sql(
+        f"SELECT event_id, user_id, event_type, value, "
+        f"epoch_us(CAST(ts AS TIMESTAMP)) AS eus, "
+        f"strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day "
+        f"FROM '{SF_SMALL}/events.parquet'"
+    ).df()
+    by_day = {}
+    for r in ev.itertuples():
+        v4 = (
+            int(round(float(r.value) * 10000))
+            if r.value == r.value and r.value is not None
+            else -1
+        )
+        s = f"{int(r.event_id)}|{int(r.user_id)}|{r.event_type}|{v4}|{int(r.eus)}"
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        d = by_day.setdefault(r.day, {"n": 0, "x": 0})
+        d["n"] += 1
+        d["x"] ^= h
+    assert len(got) == len(by_day)
+    for row in got.itertuples():
+        assert by_day[row.day]["n"] == int(row.n_rows)
+        assert by_day[row.day]["x"] == int(row.fingerprint)
+    # single-row sensitivity: flipping any one digest changes the fold
+    any_day = next(iter(by_day))
+    assert by_day[any_day]["x"] != by_day[any_day]["x"] ^ 1
+
+
+def test_durbin_watson_matches_bruteforce(spark):
+    got = _pdf("durbin_watson_daily", spark).iloc[0]
+    daily = duckdb.sql(
+        f"SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS x "
+        f"FROM '{SF_SMALL}/orders.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    xs = [int(v) for v in daily["x"]]
+    n, s = len(xs), sum(xs)
+    sse_diff = sum((b - a) ** 2 for a, b in zip(xs, xs[1:]))
+    ssc_scaled = sum((x * n - s) ** 2 for x in xs)
+    assert int(got.n_days) == n
+    assert int(got.sse_diff) == sse_diff
+    assert int(got.ss_centered) == _tdiv(ssc_scaled, n * n)
+    assert int(got.dw_e6) == _tdiv(sse_diff * n * n * 1_000_000, ssc_scaled)
+    # sanity: DW lives in [0, 4]
+    assert 0 <= int(got.dw_e6) <= 4_000_000
+
+
+def test_theil_u_matches_bruteforce(spark):
+    got = _pdf("theil_u_forecast", spark).iloc[0]
+    daily = duckdb.sql(
+        f"SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS x "
+        f"FROM '{SF_SMALL}/orders.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    xs = [int(v) for v in daily["x"]]
+    ev = [(xs[t], xs[t - 1], xs[t - 7]) for t in range(7, len(xs))]
+    sse7 = sum((x - x7) ** 2 for x, _, x7 in ev)
+    sse1 = sum((x - x1) ** 2 for x, x1, _ in ev)
+    assert int(got.n_eval) == len(ev)
+    assert int(got.sse_seasonal7) == sse7
+    assert int(got.sse_randomwalk) == sse1
+    assert int(got.theil_u2_ppm) == (
+        0 if sse1 == 0 else _tdiv(sse7 * 1_000_000, sse1)
+    )
+
+
+def test_ngram_novelty_matches_bruteforce(spark, docs_pdf):
+    got = _pdf("ngram_novelty_rate", spark).set_index("source")
+    shingle_first = {}
+    doc_shingles = {}
+    for r in sorted(docs_pdf.itertuples(), key=lambda r: int(r.doc_id)):
+        toks = [t for t in r.text.split() if t]
+        sh = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        doc_shingles[int(r.doc_id)] = (r.source, sh)
+        for s in sh:
+            shingle_first.setdefault(s, int(r.doc_id))
+    per_src = {}
+    for doc_id, (src, sh) in doc_shingles.items():
+        d = per_src.setdefault(src, {"docs": set(), "pairs": 0, "novel": 0})
+        if sh:
+            d["docs"].add(doc_id)
+        d["pairs"] += len(sh)
+        d["novel"] += sum(1 for s in sh if shingle_first[s] == doc_id)
+    for src, d in per_src.items():
+        if not d["pairs"]:
+            continue
+        row = got.loc[src]
+        assert int(row.n_docs) == len(d["docs"])
+        assert int(row.n_shingle_pairs) == d["pairs"]
+        assert int(row.n_novel) == d["novel"]
+        assert int(row.novelty_bp) == _tdiv(d["novel"] * 10000, d["pairs"])
+
+
+def test_srm_check_matches_bruteforce(spark, events_pdf):
+    got = _pdf("srm_check", spark).iloc[0]
+    users = sorted({int(u) for u in events_pdf["user_id"]})
+    na = sum(
+        1 for u in users
+        if int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2 == 0
+    )
+    nb = len(users) - na
+    chi2 = _tdiv((na - nb) ** 2 * 1_000_000, na + nb)
+    assert int(got.n_users) == len(users)
+    assert (int(got.n_a), int(got.n_b)) == (na, nb)
+    assert int(got.srm_chi2_e6) == chi2
+    assert int(got.srm_flag) == (1 if chi2 >= 3_841_459 else 0)

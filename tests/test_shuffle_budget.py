@@ -120,6 +120,8 @@ BUDGETS = {
     # (the star-contraction rounds run during construction, like
     # pagerank); budget = the cluster/border/noise rollups + final sort.
     "dbscan_grid_clusters": 7,
+    # daily agg + single-row DW fold off the checkpointed series.
+    "durbin_watson_daily": 2,
     "dup_clusters": 1,
     "dup_clusters_star": 3,
     # spread + content-hash window + per-doc run window + output sort
@@ -335,6 +337,8 @@ BUDGETS = {
     # two TakeOrderedAndProject top-20s + bounded 20-row windows +
     # broadcast-only joins — no hash/range exchange anywhere.
     "ndcg_at_k": 0,
+    # day-keyed XOR fold + output sort.
+    "merkle_partition_diff": 2,
     "minhash_lsh_pairs": 2,
     "minhash_signatures": 0,
     "minmax_profile": 3,
@@ -349,6 +353,10 @@ BUDGETS = {
     # aggs + the per-nation max agg + the nation-keyed join pair + sort.
     "nation_top_supplier_scalar": 6,
     "ngram_jaccard_topk": 3,
+    # spread + checkpointed shingle pairs + first-occurrence min agg
+    # + shingle-keyed join + source rollup.
+    "ngram_novelty_rate": 4,
+
     "normalize_group": 2,
     "ntile_spend_quartiles": 2,
     "null_audit": 2,
@@ -499,6 +507,8 @@ BUDGETS = {
     # the cal mean agg + residual grid + per-type cumulative window +
     # test conditional agg + final join/sort.
     "split_conformal_interval": 10,
+    # distinct-user arm shuffle + single-row chi-square fold.
+    "srm_check": 2,
     "sql_surface": 2,
     # Returned plan is the post-checkpoint distance histogram (per-round
     # frontier-join + min-merge shuffles happen during construction,
@@ -518,6 +528,8 @@ BUDGETS = {
     # slope-histogram hash aggregate (map-side partials absorb the
     # days^2 pair fan-out) and the crossing window over the bounded
     # histogram.
+    # single-row skill fold off the checkpointed lagged series.
+    "theil_u_forecast": 1,
     "theil_sen_slope": 3,
     "time_bucket_rollup": 3,
     # one per-(user, type) lead window + the type rollup + output sort.
