@@ -1005,6 +1005,10 @@ _DRIVER_PENDING: list[str] = [
     "theil_u_forecast",            # r11: Theil U² forecast-skill gate
     "ngram_novelty_rate",          # r11: first-occurrence shingle novelty
     "srm_check",                   # r11: sample-ratio-mismatch gate
+    # ---- r11 wave 3 ----
+    "cohort_ltv_curve",            # r11: cohort LTV staircase (epoch weeks)
+    "compaction_bin_plan",         # r11: small-file compaction planner
+    "storage_layout_advisor",      # r11: dict/bloom encoding advisor
 ]
 
 _DRIVER_ROTATED_OUT = [

@@ -1118,3 +1118,296 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ==========================================================================
+# Wave 3: lakehouse / revenue-curve ops
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve. Users are cohorted by the epoch-week of their first
+# event; purchase revenue accumulates per (cohort_week, age_week) with
+# a cohort-keyed running sum — the standard lifetime-value staircase.
+# Weeks are epoch-aligned integers (eus div 604800e6), so both engines
+# bucket identically with zero timezone hazards. Output is bounded by
+# weeks² regardless of row count.
+# --------------------------------------------------------------------------
+
+_WEEK_US = 604_800_000_000
+
+_LTV_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(CAST(value AS DECIMAL(14,4)) * 100 AS BIGINT) AS cents,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_WEEK_US} AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id
+), sizes AS (
+  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM cohort GROUP BY cohort_wk
+), rev AS (
+  SELECT c.cohort_wk, e.wk - c.cohort_wk AS age_wk,
+         CAST(SUM(e.cents) AS BIGINT) AS rev_cents
+  FROM ev e JOIN cohort c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.cents IS NOT NULL
+  GROUP BY 1, 2
+), curve AS (
+  SELECT cohort_wk, age_wk, rev_cents,
+         CAST(SUM(rev_cents) OVER (PARTITION BY cohort_wk ORDER BY age_wk)
+              AS BIGINT) AS cum_rev_cents
+  FROM rev
+)
+SELECT cv.cohort_wk - (SELECT MIN(cohort_wk) FROM cohort) AS cohort_idx,
+       cv.age_wk, s.n_users, cv.rev_cents, cv.cum_rev_cents,
+       CAST(cv.cum_rev_cents // s.n_users AS BIGINT) AS ltv_per_user_cents
+FROM curve cv JOIN sizes s ON s.cohort_wk = cv.cohort_wk
+ORDER BY cohort_idx, cv.age_wk
+"""
+
+
+@query(
+    "cohort_ltv_curve",
+    _LTV_ORACLE,
+    "Cohort lifetime-value staircase: epoch-week cohorts (integer eus "
+    "div week — timezone-proof), purchase cents per (cohort, age) "
+    "with a cohort-keyed running sum and per-user LTV; output bounded "
+    "by weeks² whatever the row count; one user-keyed cohort pass + "
+    "one (cohort, age) rollup",
+    tags=("relational", "warehouse", "window", "bench"),
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(14,4)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" ts) div {_WEEK_US}"
+        ).alias("wk"),
+    ).localCheckpoint(eager=False)  # cohort pass + revenue pass
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cohort = cohort.localCheckpoint(eager=False)  # sizes + join + min
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rev = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("cents").isNotNull()
+        )
+        .join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_wk")
+        )
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w_cum = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = rev.select(
+        "cohort_wk",
+        "age_wk",
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).cast("long").alias("cum_rev_cents"),
+    )
+    wk0 = cohort.agg(F.min("cohort_wk").alias("wk0"))
+    return (
+        curve.join(F.broadcast(sizes), "cohort_wk")
+        .crossJoin(F.broadcast(wk0))
+        .select(
+            (F.col("cohort_wk") - F.col("wk0")).alias("cohort_idx"),
+            "age_wk",
+            "n_users",
+            "rev_cents",
+            "cum_rev_cents",
+            F.expr("CAST(cum_rev_cents div n_users AS BIGINT)").alias(
+                "ltv_per_user_cents"
+            ),
+        )
+        .orderBy("cohort_idx", "age_wk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Compaction bin plan. The small-file problem at 100 TB: plan which
+# documents co-locate into target-sized output files via a cumulative-
+# sum bin assignment (deterministic, order = doc_id — no greedy
+# sequential fold, so it parallelizes as one keyed window). Emitted as
+# the per-source compaction AUDIT (bins, underfull bins, tail fill) —
+# bounded by sources — never the per-bin listing.
+# --------------------------------------------------------------------------
+
+_BIN_TARGET = 16_384  # bytes per output file (scaled for the fixture)
+
+_COMPACTION_ORACLE = f"""
+WITH sized AS (
+  SELECT source, doc_id, n_chars,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM documents
+), binned AS (
+  SELECT source, doc_id, n_chars,
+         cum_before // {_BIN_TARGET} AS bin_id
+  FROM sized
+), bins AS (
+  SELECT source, bin_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS bytes,
+         CAST(SUM(n_chars) * 10000 // {_BIN_TARGET} AS BIGINT) AS fill_bp,
+         MAX(bin_id) OVER (PARTITION BY source) AS last_bin
+  FROM binned GROUP BY source, bin_id
+)
+SELECT source,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(CASE WHEN fill_bp < 8000 AND bin_id < last_bin
+                THEN 1 ELSE 0 END) AS BIGINT) AS underfull_bins,
+       CAST(MAX(CASE WHEN bin_id = last_bin THEN fill_bp END) AS BIGINT)
+         AS tail_fill_bp
+FROM bins
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "compaction_bin_plan",
+    _COMPACTION_ORACLE,
+    "Small-file compaction planner: deterministic cumulative-sum bin "
+    "assignment to target-sized output files (one source-keyed window, "
+    "no sequential greedy fold), audited per source as bins/underfull/"
+    "tail-fill — the lakehouse OPTIMIZE planning pass, output bounded "
+    "by sources",
+    tags=("relational", "warehouse", "layout", "bench"),
+)
+def q_compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = docs.select(
+        "source",
+        "n_chars",
+        F.expr(
+            f"CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source "
+            f"ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            f"1 PRECEDING), 0) div {_BIN_TARGET} AS BIGINT)"
+        ).alias("bin_id"),
+    )
+    w_src = Window.partitionBy("source")
+    bins = (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("bytes"),
+            F.expr(
+                f"CAST(SUM(n_chars) * 10000 div {_BIN_TARGET} AS BIGINT)"
+            ).alias("fill_bp"),
+        )
+        .withColumn("last_bin", F.max("bin_id").over(w_src))
+    )
+    return (
+        bins.groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum(
+                F.when(
+                    (F.col("fill_bp") < 8000)
+                    & (F.col("bin_id") < F.col("last_bin")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("underfull_bins"),
+            F.max(
+                F.when(F.col("bin_id") == F.col("last_bin"),
+                       F.col("fill_bp"))
+            ).cast("long").alias("tail_fill_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Storage layout advisor. Per column: exact distinct cardinality, the
+# dictionary-encoding call (distinct share < 5%), and Bloom-filter
+# sizing for 1% FPP (bits = n_distinct * 9.585, the public formula
+# -n·ln(p)/ln(2)² with the constant PRECOMPUTED ×1e3 — no runtime
+# transcendentals, the bh_fdr ladder precedent). The advisory pass a
+# table-format optimizer runs before choosing encodings.
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS_PER_KEY_E3 = 9_585  # -ln(0.01)/ln(2)^2 x 1e3, precomputed
+
+_ADVISOR_ORACLE = f"""
+WITH stats AS (
+  SELECT 'event_type' AS col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
+  FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'event_id', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events
+)
+SELECT col_name, n_rows, n_distinct,
+       CAST(n_distinct * 10000 // n_rows AS BIGINT) AS distinct_bp,
+       CAST(CASE WHEN n_distinct * 10000 // n_rows < 500
+            THEN 1 ELSE 0 END AS BIGINT) AS dict_recommended,
+       CAST(n_distinct * {_BLOOM_BITS_PER_KEY_E3} // 1000 AS BIGINT)
+         AS bloom_bits_1pct
+FROM stats ORDER BY col_name
+"""
+
+
+@query(
+    "storage_layout_advisor",
+    _ADVISOR_ORACLE,
+    "Storage layout advisor: per-column exact cardinality, dictionary-"
+    "encoding recommendation (distinct share < 5%), and 1%-FPP Bloom "
+    "sizing from the precomputed 9.585 bits/key constant (no runtime "
+    "transcendentals) — the encoding-selection pass of a table-format "
+    "optimizer; three count-distinct aggregates unioned",
+    tags=("relational", "warehouse", "layout", "audit", "bench"),
+)
+def q_storage_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").localCheckpoint(eager=False)
+
+    def col_stats(col: str):
+        return ev.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+        )
+
+    stats = (
+        col_stats("event_type")
+        .unionByName(col_stats("user_id"))
+        .unionByName(col_stats("event_id"))
+    )
+    return stats.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        F.expr("CAST(n_distinct * 10000 div n_rows AS BIGINT)").alias(
+            "distinct_bp"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n_distinct * 10000 div n_rows < 500 "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("dict_recommended"),
+        F.expr(
+            f"CAST(n_distinct * {_BLOOM_BITS_PER_KEY_E3} div 1000 "
+            f"AS BIGINT)"
+        ).alias("bloom_bits_1pct"),
+    ).orderBy("col_name")

@@ -337,3 +337,88 @@ def test_srm_check_matches_bruteforce(spark, events_pdf):
     assert (int(got.n_a), int(got.n_b)) == (na, nb)
     assert int(got.srm_chi2_e6) == chi2
     assert int(got.srm_flag) == (1 if chi2 >= 3_841_459 else 0)
+
+
+# ---------------------------------------------------------------------------
+# Wave 3
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_ltv_matches_bruteforce(spark):
+    got = _pdf("cohort_ltv_curve", spark)
+    ev = duckdb.sql(
+        f"SELECT user_id, event_type, value, "
+        f"epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk "
+        f"FROM '{SF_SMALL}/events.parquet'"
+    ).df()
+    cohort = {}
+    for r in ev.itertuples():
+        u = int(r.user_id)
+        cohort[u] = min(cohort.get(u, 1 << 62), int(r.wk))
+    sizes = Counter(cohort.values())
+    rev = Counter()
+    for r in ev.itertuples():
+        if r.event_type == "purchase" and r.value == r.value:
+            u = int(r.user_id)
+            rev[(cohort[u], int(r.wk) - cohort[u])] += int(
+                round(float(r.value) * 100)
+            )
+    wk0 = min(cohort.values())
+    rows = {}
+    for (cw, age) in sorted(rev):
+        prior = sum(v for (c, a), v in rev.items() if c == cw and a <= age)
+        rows[(cw - wk0, age)] = (
+            sizes[cw], rev[(cw, age)], prior, _tdiv(prior, sizes[cw])
+        )
+    assert len(got) == len(rows)
+    for r in got.itertuples():
+        key = (int(r.cohort_idx), int(r.age_wk))
+        assert rows[key] == (
+            int(r.n_users), int(r.rev_cents), int(r.cum_rev_cents),
+            int(r.ltv_per_user_cents),
+        )
+
+
+def test_compaction_bin_plan_matches_bruteforce(spark, docs_pdf):
+    got = _pdf("compaction_bin_plan", spark).set_index("source")
+    target = 16_384
+    per_src = {}
+    for r in sorted(docs_pdf.itertuples(), key=lambda r: int(r.doc_id)):
+        per_src.setdefault(r.source, []).append(int(r.n_chars))
+    for src, sizes in per_src.items():
+        bins = {}
+        cum = 0
+        for nc in sizes:
+            bins.setdefault(cum // target, []).append(nc)
+            cum += nc
+        last = max(bins)
+        under = sum(
+            1 for b, docs in bins.items()
+            if b < last and _tdiv(sum(docs) * 10000, target) < 8000
+        )
+        row = got.loc[src]
+        assert int(row.n_docs) == len(sizes)
+        assert int(row.total_bytes) == sum(sizes)
+        assert int(row.n_bins) == len(bins)
+        assert int(row.underfull_bins) == under
+        assert int(row.tail_fill_bp) == _tdiv(
+            sum(bins[last]) * 10000, target
+        )
+
+
+def test_storage_layout_advisor_matches_bruteforce(spark, events_pdf):
+    got = _pdf("storage_layout_advisor", spark).set_index("col_name")
+    ev = duckdb.sql(
+        f"SELECT event_id, user_id, event_type FROM "
+        f"'{SF_SMALL}/events.parquet'"
+    ).df()
+    n = len(ev)
+    for col in ("event_id", "user_id", "event_type"):
+        nd = ev[col].nunique()
+        row = got.loc[col]
+        assert int(row.n_rows) == n
+        assert int(row.n_distinct) == nd
+        bp = _tdiv(nd * 10000, n)
+        assert int(row.distinct_bp) == bp
+        assert int(row.dict_recommended) == (1 if bp < 500 else 0)
+        assert int(row.bloom_bits_1pct) == _tdiv(nd * 9585, 1000)

@@ -80,12 +80,17 @@ BUDGETS = {
     # count-distinct formulation).
     # user-keyed capture-flag aggregate + single-row rollup.
     "capture_recapture_estimate": 2,
+    # cohort min-week pass + sizes/revenue rollups + the cohort-keyed
+    # LTV window + output sort (checkpointed ev feeds both passes).
+    "cohort_ltv_curve": 5,
     "cohort_retention": 4,
     "conditional_counts": 2,
     # 1 pair-agg + the (order, part) distinct printed once per join side
     # (identical subplans — AQE ReuseExchange dedups them at runtime).
     # The distinct is the correctness fix: an order holding a part twice
     # must not double-count its pairs.
+    # source-keyed cumulative window + per-source audit rollup.
+    "compaction_bin_plan": 2,
     "copurchase_pairs": 3,
     # ONE moment-aggregate pass (checkpointed 1-row relation feeds all
     # six pair rows); the only exchange is the final tiny sort.
@@ -509,6 +514,9 @@ BUDGETS = {
     "split_conformal_interval": 10,
     # distinct-user arm shuffle + single-row chi-square fold.
     "srm_check": 2,
+    # three count-distinct column profiles unioned (each an expand
+    # pair off the checkpointed scan).
+    "storage_layout_advisor": 6,
     "sql_surface": 2,
     # Returned plan is the post-checkpoint distance histogram (per-round
     # frontier-join + min-merge shuffles happen during construction,

@@ -100,10 +100,22 @@ def measure(spark, fn, sf_dir: str) -> dict:
     the attribution view for decomposing a >10x records ratio into
     which stages grew (e.g. map-side combine effectiveness declining as
     distinct keys per partition rise).
+
+    RDPE_SCALE_EVAL=noop evaluates through the noop data-source sink
+    instead of ``.count()``. The count() action lets Catalyst PRUNE
+    1:1 operators whose outputs the count never reads — a Window with
+    no surviving output column is eliminated along with its exchange —
+    so window-shaped queries under-report movement by the whole
+    windowed relation (found r11: compaction_bin_plan recorded 21
+    shuffled records under count() vs the true 50k/500k under noop).
+    The noop sink keeps every output column live, so nothing prunes.
     """
     before = stage_snapshot(spark)
     t0 = time.perf_counter()
-    fn(spark, sf_dir).count()
+    if os.environ.get("RDPE_SCALE_EVAL") == "noop":
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    else:
+        fn(spark, sf_dir).count()
     wall = time.perf_counter() - t0
     m = stage_metrics_since(spark, before)
     m["wall_sec"] = round(wall, 3)  # footnote only - load-sensitive
