@@ -664,8 +664,10 @@ def test_global_window_catalogue(spark):
         )
 
     # plan building is py4j/socket-bound (and the few construction-time
-    # jobs are Spark-side), so a thread pool cuts the sweep ~4x
-    with ThreadPoolExecutor(max_workers=8) as ex:
+    # jobs are Spark-side), so a thread pool cuts the sweep ~4x; 16
+    # workers (r11, registry at 318) keeps the sweep flat as the
+    # registry grows — py4j handles concurrent calls on its own pool.
+    with ThreadPoolExecutor(max_workers=16) as ex:
         found = {n: c for n, c in ex.map(probe, names) if c}
     assert found == GLOBAL_WINDOW_ALLOWLIST, (
         "global-window set drifted.\n"
