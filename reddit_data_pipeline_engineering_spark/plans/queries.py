@@ -1009,6 +1009,10 @@ _DRIVER_PENDING: list[str] = [
     "cohort_ltv_curve",            # r11: cohort LTV staircase (epoch weeks)
     "compaction_bin_plan",         # r11: small-file compaction planner
     "storage_layout_advisor",      # r11: dict/bloom encoding advisor
+    # ---- r11 wave 4 ----
+    "mood_median_test",            # r11: pooled-median 2x2 rank test
+    "ljung_box_daily",             # r11: multi-lag portmanteau Q (lags 1-7)
+    "hapax_legomena_rate",         # r11: vocabulary-freshness hapax share
 ]
 
 _DRIVER_ROTATED_OUT = [

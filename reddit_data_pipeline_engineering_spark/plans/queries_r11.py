@@ -36,6 +36,12 @@ Wave 2 (integrity / diagnostics ops):
 - ``srm_check`` — sample-ratio-mismatch chi-square gate on the md5
   A/B arms (precomputed critical value).
 
+Wave 3 (lakehouse / revenue-curve ops): ``cohort_ltv_curve``,
+``compaction_bin_plan``, ``storage_layout_advisor``.
+
+Wave 4 (nonparametric inference + vocabulary): ``mood_median_test``,
+``ljung_box_daily``, ``hapax_legomena_rate``.
+
 House rules (module contract, same as queries_stats3): every output
 column is integer/decimal-exact (no ln/exp/sqrt), ``div``/``//``
 truncates toward zero in BOTH engines (re-verified for the negative
@@ -1411,3 +1417,321 @@ def q_storage_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"AS BIGINT)"
         ).alias("bloom_bits_1pct"),
     ).orderBy("col_name")
+
+
+# ==========================================================================
+# Wave 4: nonparametric inference + corpus vocabulary
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Mood's median test between the md5 A/B arms' purchase values: find
+# the POOLED lower median on the cents grid (value-domain-bounded
+# histogram — the cvm/skyline waiver class), classify each arm above /
+# at-or-below it, and form the 2x2 chi-square (x1e6). The rank-based
+# scale-free companion to ab_conversion_ztest: one histogram shuffle,
+# one bounded cumulative window, division-guarded.
+# --------------------------------------------------------------------------
+
+_MOOD_ORACLE = """
+WITH purch AS (
+  SELECT CAST(CAST(value AS DECIMAL(14,4)) * 100 AS BIGINT) AS cents,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), hist AS (
+  SELECT cents,
+         CAST(SUM(is_a) AS BIGINT) AS ca,
+         CAST(SUM(1 - is_a) AS BIGINT) AS cb
+  FROM purch GROUP BY cents
+), cum AS (
+  SELECT cents, ca, cb,
+         SUM(ca + cb) OVER (ORDER BY cents) AS cumn,
+         SUM(ca + cb) OVER () AS n
+  FROM hist
+), med AS (
+  SELECT CAST(MIN(CASE WHEN cumn >= (n + 1) // 2 THEN cents END)
+              AS BIGINT) AS med_cents
+  FROM cum
+), cells AS (
+  SELECT CAST(SUM(CASE WHEN h.cents > m.med_cents THEN ca ELSE 0 END)
+              AS BIGINT) AS a_above,
+         CAST(SUM(CASE WHEN h.cents > m.med_cents THEN cb ELSE 0 END)
+              AS BIGINT) AS b_above,
+         CAST(SUM(CASE WHEN h.cents <= m.med_cents THEN ca ELSE 0 END)
+              AS BIGINT) AS a_below,
+         CAST(SUM(CASE WHEN h.cents <= m.med_cents THEN cb ELSE 0 END)
+              AS BIGINT) AS b_below,
+         CAST(MIN(m.med_cents) AS BIGINT) AS med_cents
+  FROM hist h CROSS JOIN med m
+)
+SELECT a_above + a_below AS n_a, b_above + b_below AS n_b, med_cents,
+       a_above, b_above,
+       CASE WHEN (a_above + b_above) = 0 OR (a_below + b_below) = 0
+              OR (a_above + a_below) = 0 OR (b_above + b_below) = 0 THEN 0
+            ELSE CAST((a_above + a_below + b_above + b_below)
+                      * (a_above * b_below - b_above * a_below)
+                      * (a_above * b_below - b_above * a_below) * 1000000
+                      // ((a_above + b_above) * (a_below + b_below)
+                          * (a_above + a_below) * (b_above + b_below))
+                 AS BIGINT)
+       END AS mood_chi2_e6
+FROM cells
+"""
+
+
+@query(
+    "mood_median_test",
+    _MOOD_ORACLE,
+    "Mood's median test between md5 A/B arms: pooled lower median off "
+    "the cents-grid histogram (value-domain-bounded cumulative window, "
+    "cvm waiver class), 2x2 above/at-or-below chi-square x1e6 — the "
+    "rank-based scale-free companion to ab_conversion_ztest; one "
+    "histogram shuffle, division-guarded",
+    tags=("relational", "stats", "bench"),
+)
+def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.operators.corpus import (
+        md5_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.expr("CAST(CAST(value AS DECIMAL(14,4)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.when(md5_bucket("user_id", 2) == 0, 1).otherwise(0).alias("is_a"),
+    )
+    hist = purch.groupBy("cents").agg(
+        F.sum("is_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("cb"),
+    ).localCheckpoint(eager=False)  # median scan + cell fold both read it
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "cents",
+        F.sum(F.col("ca") + F.col("cb")).over(w_cum).alias("cumn"),
+        F.sum(F.col("ca") + F.col("cb")).over(w_all).alias("n"),
+    )
+    med = cum.agg(
+        F.min(
+            F.when(F.col("cumn") >= F.expr("(n + 1) div 2"), F.col("cents"))
+        ).cast("long").alias("med_cents")
+    )
+    cells = hist.crossJoin(F.broadcast(med)).agg(
+        F.sum(F.when(F.col("cents") > F.col("med_cents"), F.col("ca"))
+              .otherwise(0)).cast("long").alias("a_above"),
+        F.sum(F.when(F.col("cents") > F.col("med_cents"), F.col("cb"))
+              .otherwise(0)).cast("long").alias("b_above"),
+        F.sum(F.when(F.col("cents") <= F.col("med_cents"), F.col("ca"))
+              .otherwise(0)).cast("long").alias("a_below"),
+        F.sum(F.when(F.col("cents") <= F.col("med_cents"), F.col("cb"))
+              .otherwise(0)).cast("long").alias("b_below"),
+        F.min("med_cents").cast("long").alias("med_cents"),
+    )
+    return cells.select(
+        (F.col("a_above") + F.col("a_below")).alias("n_a"),
+        (F.col("b_above") + F.col("b_below")).alias("n_b"),
+        "med_cents",
+        "a_above",
+        "b_above",
+        F.expr(
+            "CASE WHEN (a_above + b_above) = 0 OR (a_below + b_below) = 0 "
+            "OR (a_above + a_below) = 0 OR (b_above + b_below) = 0 THEN 0 "
+            "ELSE CAST((a_above + a_below + b_above + b_below) "
+            "* (a_above * b_below - b_above * a_below) "
+            "* (a_above * b_below - b_above * a_below) * 1000000 "
+            "div ((a_above + b_above) * (a_below + b_below) "
+            "* (a_above + a_below) * (b_above + b_below)) AS BIGINT) END"
+        ).alias("mood_chi2_e6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box portmanteau test (lags 1..7) on the daily order counts —
+# the multi-lag generalization of durbin_watson_daily. Exact-integer
+# scheme: scaled centering c_i = x_i*n - S keeps every autocovariance
+# N_k = sum(c_i * c_{i+k}) an integer; Q*1e6 sums the per-lag terms
+# n(n+2)*N_k^2*1e6 div ((n-k)*D^2) with truncation mirrored per term.
+# The big products ride DECIMAL(38,0) on the Spark side and HUGEINT in
+# the oracle (the cvm precedent); the lead window is calendar-bounded
+# behind a checkpoint.
+# --------------------------------------------------------------------------
+
+_LB_LAGS = 7
+
+_LB_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+  FROM daily
+), led AS (
+  SELECT d, x,
+         {", ".join(f"LEAD(x, {k}) OVER (ORDER BY d) AS x{k}"
+                    for k in range(1, _LB_LAGS + 1))}
+  FROM daily
+), cent AS (
+  SELECT CAST(x * n - s AS HUGEINT) AS c,
+         {", ".join(f"CAST(x{k} * n - s AS HUGEINT) AS c{k}"
+                    for k in range(1, _LB_LAGS + 1))},
+         n
+  FROM led CROSS JOIN tot
+), moments AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         SUM(c * c) AS d,
+         {", ".join(f"SUM(CASE WHEN c{k} IS NULL THEN 0 ELSE c * c{k} END)"
+                    f" AS n{k}" for k in range(1, _LB_LAGS + 1))}
+  FROM cent
+)
+SELECT n AS n_days,
+       CAST(d AS BIGINT) AS ss_scaled,
+       {" + ".join(
+           f"CAST(CAST(n AS HUGEINT) * (n + 2) * n{k} * n{k} * 1000000 "
+           f"// (CAST(n - {k} AS HUGEINT) * d * d) AS BIGINT)"
+           for k in range(1, _LB_LAGS + 1))}
+         AS ljung_box_q_e6
+FROM moments
+"""
+
+
+@query(
+    "ljung_box_daily",
+    _LB_ORACLE,
+    "Ljung-Box portmanteau autocorrelation test (lags 1..7) on the "
+    "daily order counts: integer autocovariances via scaled centering "
+    "(c_i = x_i*n - S), per-lag Q terms truncation-mirrored, products "
+    "on DECIMAL(38,0)/HUGEINT (cvm precedent) — the multi-lag "
+    "companion to durbin_watson_daily; calendar-bounded lead window "
+    "behind a checkpoint",
+    tags=("relational", "stats", "timeseries", "bench"),
+)
+def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.orderBy("d")
+    led = daily.select(
+        "d",
+        "x",
+        *[F.lead("x", k).over(w).alias(f"x{k}")
+          for k in range(1, _LB_LAGS + 1)],
+    ).localCheckpoint(eager=False)  # calendar-bounded series
+    tot = led.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dec = "decimal(38,0)"
+    cent = led.crossJoin(F.broadcast(tot)).select(
+        F.expr(f"CAST(x * n - s AS {dec})").alias("c"),
+        *[F.expr(f"CAST(x{k} * n - s AS {dec})").alias(f"c{k}")
+          for k in range(1, _LB_LAGS + 1)],
+        "n",
+    )
+    moments = cent.groupBy("n").agg(
+        F.expr(f"CAST(SUM(c * c) AS {dec})").alias("d"),
+        *[F.expr(
+            f"CAST(SUM(CASE WHEN c{k} IS NULL THEN CAST(0 AS {dec}) "
+            f"ELSE c * c{k} END) AS {dec})"
+          ).alias(f"n{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    term = (
+        "CAST(CAST(n AS decimal(38,0)) * (n + 2) * n{k} * n{k} * 1000000 "
+        "div (CAST(n - {k} AS decimal(38,0)) * d * d) AS BIGINT)"
+    )
+    q_expr = " + ".join(term.format(k=k) for k in range(1, _LB_LAGS + 1))
+    return moments.select(
+        F.col("n").alias("n_days"),
+        F.expr("CAST(d AS BIGINT)").alias("ss_scaled"),
+        F.expr(q_expr).alias("ljung_box_q_e6"),
+    )
+
+
+
+
+# --------------------------------------------------------------------------
+# Hapax legomena rate per source (+ the corpus-wide 'ALL' row, whose
+# token counts pool across sources — a token hapax within one source
+# may not be hapax corpus-wide). The vocabulary-freshness signal the
+# Heaps-law query summarizes in aggregate: a high hapax share means
+# productive vocabulary, a low one means template/boilerplate text.
+# One (source, token) count shuffle + a token-level re-aggregate.
+# --------------------------------------------------------------------------
+
+_HAPAX_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({{toks}}) AS tok FROM documents
+), per_src AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+), src_stats AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM per_src GROUP BY source
+), all_tok AS (
+  SELECT tok, CAST(SUM(c) AS BIGINT) AS c FROM per_src GROUP BY tok
+), all_stats AS (
+  SELECT 'ALL' AS source,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM all_tok
+), unioned AS (
+  SELECT * FROM src_stats UNION ALL SELECT * FROM all_stats
+)
+SELECT source, vocab, hapax, n_tokens,
+       CAST(hapax * 10000 // vocab AS BIGINT) AS hapax_bp
+FROM unioned ORDER BY source
+"""
+
+
+@query(
+    "hapax_legomena_rate",
+    _HAPAX_ORACLE.format(toks=_TOKS),
+    "Hapax legomena share per source plus the pooled 'ALL' row (a "
+    "within-source hapax may repeat corpus-wide): vocabulary "
+    "freshness vs boilerplate signal complementing heaps_vocab_growth; "
+    "one (source, token) count shuffle + a token-level re-aggregate, "
+    "both key-bounded",
+    tags=("llm", "text", "quality", "bench"),
+)
+def q_hapax_legomena_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_data_pipeline_engineering_spark.functions.text import tokens
+    from reddit_data_pipeline_engineering_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    per_src = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)  # source rollup + token re-agg
+    src_stats = per_src.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long").alias("hapax"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    all_tok = per_src.groupBy("tok").agg(F.sum("c").cast("long").alias("c"))
+    all_stats = all_tok.agg(
+        F.lit("ALL").alias("source"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long").alias("hapax"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    return (
+        src_stats.unionByName(all_stats)
+        .select(
+            "source", "vocab", "hapax", "n_tokens",
+            F.expr("CAST(hapax * 10000 div vocab AS BIGINT)").alias(
+                "hapax_bp"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -644,6 +644,7 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, int] = {
     "volume_anomaly_days": 1,     # calendar: daily volume series
     "lift_by_score_band": 1,      # bounded ~102 fixed value bands
     "cvm_two_sample_ab": 1,       # value-domain-bounded cents grid (skyline class)
+    "mood_median_test": 2,        # same cents grid (cumulative + total)
 }
 
 

@@ -422,3 +422,81 @@ def test_storage_layout_advisor_matches_bruteforce(spark, events_pdf):
         assert int(row.distinct_bp) == bp
         assert int(row.dict_recommended) == (1 if bp < 500 else 0)
         assert int(row.bloom_bits_1pct) == _tdiv(nd * 9585, 1000)
+
+
+# ---------------------------------------------------------------------------
+# Wave 4
+# ---------------------------------------------------------------------------
+
+
+def test_mood_median_matches_bruteforce(spark, events_pdf):
+    got = _pdf("mood_median_test", spark).iloc[0]
+    vals = []
+    for r in events_pdf.itertuples():
+        if r.event_type == "purchase" and r.value == r.value:
+            cents = int(round(float(r.value) * 100))
+            is_a = (
+                int(hashlib.md5(str(int(r.user_id)).encode())
+                    .hexdigest()[:8], 16) % 2 == 0
+            )
+            vals.append((cents, is_a))
+    vals.sort()
+    n = len(vals)
+    med = vals[(n + 1) // 2 - 1][0]  # pooled lower median
+    a_above = sum(1 for c, a in vals if a and c > med)
+    b_above = sum(1 for c, a in vals if not a and c > med)
+    a_below = sum(1 for c, a in vals if a and c <= med)
+    b_below = sum(1 for c, a in vals if not a and c <= med)
+    assert int(got.med_cents) == med
+    assert (int(got.n_a), int(got.n_b)) == (a_above + a_below,
+                                            b_above + b_below)
+    assert (int(got.a_above), int(got.b_above)) == (a_above, b_above)
+    r1, r2 = a_above + b_above, a_below + b_below
+    c1, c2 = a_above + a_below, b_above + b_below
+    if 0 in (r1, r2, c1, c2):
+        expect = 0
+    else:
+        det = a_above * b_below - b_above * a_below
+        expect = _tdiv(n * det * det * 1_000_000, r1 * r2 * c1 * c2)
+    assert int(got.mood_chi2_e6) == expect
+
+
+def test_ljung_box_matches_bruteforce(spark):
+    got = _pdf("ljung_box_daily", spark).iloc[0]
+    daily = duckdb.sql(
+        f"SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS x "
+        f"FROM '{SF_SMALL}/orders.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    xs = [int(v) for v in daily["x"]]
+    n, s = len(xs), sum(xs)
+    c = [x * n - s for x in xs]
+    D = sum(v * v for v in c)
+    q = 0
+    for k in range(1, 8):
+        nk = sum(c[i] * c[i + k] for i in range(n - k))
+        q += _tdiv(n * (n + 2) * nk * nk * 1_000_000, (n - k) * D * D)
+    assert int(got.n_days) == n
+    assert int(got.ss_scaled) == D
+    assert int(got.ljung_box_q_e6) == q
+
+
+def test_hapax_rate_matches_bruteforce(spark, docs_pdf):
+    got = _pdf("hapax_legomena_rate", spark).set_index("source")
+    per_src = {}
+    all_cnt = Counter()
+    for r in docs_pdf.itertuples():
+        toks = [t for t in r.text.split() if t]
+        cnt = per_src.setdefault(r.source, Counter())
+        for t in toks:
+            cnt[t] += 1
+            all_cnt[t] += 1
+    per_src["ALL"] = all_cnt
+    assert set(got.index) == set(per_src)
+    for src, cnt in per_src.items():
+        vocab = len(cnt)
+        hapax = sum(1 for v in cnt.values() if v == 1)
+        row = got.loc[src]
+        assert int(row.vocab) == vocab
+        assert int(row.hapax) == hapax
+        assert int(row.n_tokens) == sum(cnt.values())
+        assert int(row.hapax_bp) == _tdiv(hapax * 10000, vocab)

@@ -173,6 +173,9 @@ BUDGETS = {
     "grouped_median_plan_state": 1,
     "grouped_median_scalable": 1,
     "grouping_sets_report": 2,
+    # spread + (source, token) count + source rollup + token re-agg
+    # (ALL row) off the checkpoint.
+    "hapax_legomena_rate": 4,
     "hard_negative_mining": 2,
     "hash_split_stats": 3,
     # the explode subtree prints under both consumers (first-occurrence
@@ -263,6 +266,8 @@ BUDGETS = {
     # Per-round LPA shuffles run during construction against
     # checkpointed label state; the returned plan is the final
     # community rollup of the checkpointed (node, label) relation.
+    # daily agg + single-row moments fold off the checkpointed series.
+    "ljung_box_daily": 2,
     "lpa_communities": 1,
     # Runs the exact PPJoin AND the banded-LSH pipeline once each, then
     # one full-outer pair alignment + one aggregate for all three
@@ -346,6 +351,8 @@ BUDGETS = {
     "merkle_partition_diff": 2,
     "minhash_lsh_pairs": 2,
     "minhash_signatures": 0,
+    # cents-grid histogram + single-row cell fold off the checkpoint.
+    "mood_median_test": 2,
     "minmax_profile": 3,
     "mom_revenue_growth": 2,
     # checkpointed per-doc lengths (strata pass + draw pass) + the
