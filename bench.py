@@ -134,7 +134,32 @@ def assert_local_dir_hygiene(
             break
         time.sleep(delay)
         delay = min(delay * 2, 4.0)
-    assert not leftovers, f"bench local dir not empty after stop: {leftovers}"
+    # Distinguish the two leftover classes (r11, second rc=1 artifact):
+    # blockmgr-* spill FILES after stop are a real leak (the invariant
+    # this assert exists for), but an empty `spark-<uuid>` driver temp
+    # dir is deleted by JVM-EXIT shutdown hooks, not by spark.stop() —
+    # it can legitimately outlive any wait while the py4j gateway holds
+    # the JVM. Sweep empty trees ourselves; assert only on file content.
+    import shutil
+
+    leaked_files = []
+    for entry in list(leftovers):
+        full = os.path.join(local_dir, entry)
+        if os.path.isdir(full):
+            contents = [
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(full)
+                for f in fs
+            ]
+            if not contents:
+                shutil.rmtree(full, ignore_errors=True)
+                continue
+            leaked_files.extend(contents[:5])
+        else:
+            leaked_files.append(full)
+    assert not leaked_files, (
+        f"bench local dir leaked spill data after stop: {leaked_files}"
+    )
     if not override and os.path.isdir(local_dir):
         os.rmdir(local_dir)  # reclaim the per-pid dir itself
 

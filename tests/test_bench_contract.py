@@ -73,13 +73,22 @@ def test_local_dir_hygiene_assertion(tmp_path):
         assert_local_dir_hygiene(str(escaped), str(repo))
 
     dirty = repo / ".spark-local" / "5678"
-    (dirty / "blockmgr-leak").mkdir(parents=True)
+    leak = dirty / "blockmgr-leak"
+    leak.mkdir(parents=True)
+    (leak / "shuffle_0_0_0.data").write_text("spill bytes")
     # wait_s=0: the production backoff (r11 — tolerate the JVM shutdown
     # hook finishing its deletes after spark.stop() returns) would poll
     # a genuinely-leaked dir for the full window; the negative case
-    # pins the assertion, not the wait.
-    with _pytest.raises(AssertionError, match="not empty"):
+    # pins the assertion, not the wait. Leaks are FILE content — an
+    # empty `spark-<uuid>` driver temp dir is swept, not failed (it is
+    # removed by JVM-exit hooks the long-lived gateway never runs).
+    with _pytest.raises(AssertionError, match="leaked spill data"):
         assert_local_dir_hygiene(str(dirty), str(repo), wait_s=0)
+
+    lingering = repo / ".spark-local" / "9012"
+    (lingering / "spark-0a1b2c3d-empty-driver-tmp").mkdir(parents=True)
+    assert_local_dir_hygiene(str(lingering), str(repo), wait_s=0)
+    assert not lingering.exists()  # empty tree swept, dir reclaimed
 
 
 def test_hygiene_backoff_tolerates_late_shutdown_delete(tmp_path, monkeypatch):
