@@ -886,6 +886,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_stats3  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_warehouse  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_r11  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_r11b  # noqa: F401
 
 
 # --------------------------------------------------------------------------
@@ -1013,6 +1014,12 @@ _DRIVER_PENDING: list[str] = [
     "mood_median_test",            # r11: pooled-median 2x2 rank test
     "ljung_box_daily",             # r11: multi-lag portmanteau Q (lags 1-7)
     "hapax_legomena_rate",         # r11: vocabulary-freshness hapax share
+    # ---- r11 wave 5 ----
+    "pacf_daily",                  # r11: Durbin-Levinson PACF lags 1-3
+    "levenshtein_blocked_pairs",   # r11: blocked edit-distance linkage audit
+    "chao1_vocab_richness",        # r11: Chao1 + Good-Turing unseen mass
+    "calibration_ece_temporal",    # r11: temporal-holdout ECE
+    "jt_trend_priority",           # r11: Jonckheere-Terpstra ordered trend
 ]
 
 _DRIVER_ROTATED_OUT = [

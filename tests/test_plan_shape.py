@@ -645,6 +645,7 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, int] = {
     "lift_by_score_band": 1,      # bounded ~102 fixed value bands
     "cvm_two_sample_ab": 1,       # value-domain-bounded cents grid (skyline class)
     "mood_median_test": 2,        # same cents grid (cumulative + total)
+    "jt_trend_priority": 1,       # $100 band grid (domain-bounded, cvm class)
 }
 
 

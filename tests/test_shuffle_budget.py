@@ -645,6 +645,22 @@ BUDGETS = {
     # user-keyed window pass + |types|^3-bounded trigram rollup;
     # top-10 is TakeOrderedAndProject.
     "event_trigram_topk": 2,
+    # ---- r11 wave 5 ----
+    # daily agg + single-row moments fold off the checkpointed series
+    # (ljung_box shape).
+    "pacf_daily": 2,
+    # block-keyed pair join (sized relation broadcasts back); the two
+    # single-row summary branches read the checkpoints.
+    "levenshtein_blocked_pairs": 2,
+    # spread + (source, token) count + source rollup + token re-agg
+    # (hapax shape).
+    "chao1_vocab_richness": 4,
+    # user-keyed early/late rollup + the 10-bin rollup; activity
+    # scalars broadcast.
+    "calibration_ece_temporal": 2,
+    # (band, pri) cells + band grid; cumulative window and the two
+    # single-row folds read the checkpointed grid.
+    "jt_trend_priority": 2,
 }
 
 
