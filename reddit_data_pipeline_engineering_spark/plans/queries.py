@@ -1020,6 +1020,10 @@ _DRIVER_PENDING: list[str] = [
     "chao1_vocab_richness",        # r11: Chao1 + Good-Turing unseen mass
     "calibration_ece_temporal",    # r11: temporal-holdout ECE
     "jt_trend_priority",           # r11: Jonckheere-Terpstra ordered trend
+    # ---- r11 wave 6 ----
+    "morans_i_region",             # r11: Moran's I, same-region weights
+    "cronbach_alpha_types",        # r11: reliability over (user, type)
+    "brown_forsythe_var",          # r11: robust variance homogeneity
 ]
 
 _DRIVER_ROTATED_OUT = [

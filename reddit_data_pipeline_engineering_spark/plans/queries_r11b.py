@@ -24,6 +24,14 @@ the Glue projection kernel, SURVEY.md §3.2):
   order value across the 5-level priority ordinal on a $100-banded
   value grid (the ordered-alternative upgrade of kruskal_wallis).
 
+Wave 6 (spatial / reliability / variance-homogeneity):
+``morans_i_region`` — Moran's I under same-region block weights (the
+(sum c)^2 - sum c^2 closed form, no pairwise join);
+``cronbach_alpha_types`` — internal-consistency reliability with
+cleared-denominator variances over the sparse (user, type) matrix;
+``brown_forsythe_var`` — robust Levene variance test reusing the
+anova_f_sources truncation device on |band - group median|.
+
 House rules (module contract, same as queries_r11): every output
 column is integer-exact (no ln/exp/sqrt), ``div``/``//`` truncates
 toward zero in BOTH engines, every aggregate is keyed unless the input
@@ -759,4 +767,384 @@ def q_jt_trend_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE CAST((jt2 - m2) * (jt2 - m2) * 18000000 "
             f"div ({v72_sql}) AS BIGINT) END"
         ).alias("jt_z2_e6"),
+    )
+
+
+# ==========================================================================
+# Wave 6: spatial autocorrelation, reliability, variance homogeneity
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Moran's I spatial autocorrelation of per-nation mean order value with
+# same-region block weights (w_ij = 1 iff i != j, same region). The
+# block structure collapses the double sum to a per-region closed form:
+#   sum_{i!=j in r} c_i c_j = (sum_r c)^2 - sum_r c^2
+# so NO pairwise join exists — one nation rollup (25 cells) + one
+# region fold (5 cells). Scaled centering c_i = x_i*n - S keeps every
+# intermediate an integer; I_e6 = n * Num * 1e6 div (W * Den) rides
+# DECIMAL(38,0)/HUGEINT; E[I] = -1/(n-1) emitted alongside. The
+# geography is the nation->region hierarchy (the only spatial
+# structure in the schema) — adjacency-matrix Moran generalizes by
+# swapping the weight fold, the plan shape is identical.
+# --------------------------------------------------------------------------
+
+_MORAN_ORACLE = """
+WITH nat AS (
+  SELECT n.n_regionkey AS r,
+         CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                       AS BIGINT)) // COUNT(*) AS BIGINT) AS x
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_nationkey, n.n_regionkey
+), tot AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS s
+  FROM nat
+), cent AS (
+  SELECT r, CAST(x AS HUGEINT) * n - s AS c, n FROM nat CROSS JOIN tot
+), reg AS (
+  SELECT r, SUM(c) AS rc, SUM(c * c) AS rc2,
+         CAST(COUNT(*) AS HUGEINT) AS k
+  FROM cent GROUP BY r
+), folded AS (
+  SELECT SUM(rc * rc - rc2) AS num,
+         SUM(rc2) AS den,
+         SUM(k * (k - 1)) AS w,
+         CAST(MAX((SELECT n FROM tot)) AS HUGEINT) AS n
+  FROM reg
+)
+SELECT CAST(n AS BIGINT) AS n_nations,
+       CAST(w AS BIGINT) AS w_pairs,
+       CASE WHEN w = 0 OR den = 0 THEN 0
+            ELSE CAST(n * num * 1000000 // (w * den) AS BIGINT)
+       END AS morans_i_e6,
+       CAST(-1000000 // (n - 1) AS BIGINT) AS expected_i_e6
+FROM folded
+"""
+
+
+@query(
+    "morans_i_region",
+    _MORAN_ORACLE,
+    "Moran's I spatial autocorrelation of per-nation mean order value "
+    "under same-region block weights: the (sum c)^2 - sum c^2 closed "
+    "form removes the pairwise double sum entirely — one nation rollup "
+    "+ one region fold, integers end to end (scaled centering, "
+    "DECIMAL(38,0)/HUGEINT), E[I] = -1/(n-1) alongside, division-"
+    "guarded",
+    tags=("relational", "stats", "bench"),
+)
+def q_morans_i_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = "decimal(38,0)"
+    nat = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_nationkey", F.col("n_regionkey").alias("r"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 "
+                "AS BIGINT)) div COUNT(*) AS BIGINT)"
+            ).alias("x")
+        )
+        .select("r", "x")
+    )
+    tot = nat.agg(
+        F.expr(f"CAST(COUNT(*) AS {dec})").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {dec})").alias("s"),
+    )
+    cent = nat.crossJoin(F.broadcast(tot)).select(
+        "r", F.expr(f"CAST(x AS {dec}) * n - s").alias("c"), "n"
+    )
+    reg = cent.groupBy("r").agg(
+        F.expr(f"CAST(SUM(c) AS {dec})").alias("rc"),
+        F.expr(f"CAST(SUM(c * c) AS {dec})").alias("rc2"),
+        F.expr(f"CAST(COUNT(*) AS {dec})").alias("k"),
+        F.expr(f"CAST(MAX(n) AS {dec})").alias("n"),
+    )
+    folded = reg.agg(
+        F.expr(f"CAST(SUM(rc * rc - rc2) AS {dec})").alias("num"),
+        F.expr(f"CAST(SUM(rc2) AS {dec})").alias("den"),
+        F.expr(f"CAST(SUM(k * (k - 1)) AS {dec})").alias("w"),
+        F.expr(f"CAST(MAX(n) AS {dec})").alias("n"),
+    )
+    return folded.select(
+        F.expr("CAST(n AS BIGINT)").alias("n_nations"),
+        F.expr("CAST(w AS BIGINT)").alias("w_pairs"),
+        F.expr(
+            "CASE WHEN w = 0 OR den = 0 THEN 0 "
+            "ELSE CAST(n * num * 1000000 div (w * den) AS BIGINT) END"
+        ).alias("morans_i_e6"),
+        F.expr("CAST(-1000000 div (n - 1) AS BIGINT)").alias(
+            "expected_i_e6"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cronbach's alpha internal-consistency reliability across the event
+# types ("items"), users as subjects, per-user type counts as scores.
+# Population variances with cleared denominators stay integer:
+#   D_t   = n * sum(x^2) - (sum x)^2      (per item, zeros implicit)
+#   D_tot = n * sum(y^2) - (sum y)^2      (per-user total score y)
+#   alpha = k/(k-1) * (1 - sum_t D_t / D_tot)
+#         = k * (D_tot - sum_t D_t) / ((k-1) * D_tot)     -> x1e6
+# Absent (user, type) cells contribute zero to every sum, so the
+# sparse (user, type) count relation IS the dense matrix — no pivot,
+# no explode. One (user, type) shuffle + a user re-aggregate; k and n
+# come from the same relation.
+# --------------------------------------------------------------------------
+
+_CRONBACH_ORACLE = """
+WITH ut AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY user_id, event_type
+), n_users AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS HUGEINT) AS n FROM ut
+), items AS (
+  SELECT event_type,
+         CAST(SUM(x) AS HUGEINT) AS s,
+         CAST(SUM(x * x) AS HUGEINT) AS q
+  FROM ut GROUP BY event_type
+), item_d AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+         SUM(n * q - s * s) AS sum_d
+  FROM items CROSS JOIN n_users
+), users AS (
+  SELECT user_id, CAST(SUM(x) AS BIGINT) AS y FROM ut GROUP BY user_id
+), tot AS (
+  SELECT CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS qy,
+         CAST(SUM(y) AS HUGEINT) AS sy
+  FROM users
+), d AS (
+  SELECT k, sum_d, n * qy - sy * sy AS d_tot, n
+  FROM item_d CROSS JOIN tot CROSS JOIN n_users
+)
+SELECT CAST(k AS BIGINT) AS k_items,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(sum_d AS BIGINT) AS sum_item_d,
+       CAST(d_tot AS BIGINT) AS d_total,
+       CASE WHEN d_tot = 0 OR k <= 1 THEN 0
+            ELSE CAST(k * (d_tot - sum_d) * 1000000
+                      // ((k - 1) * d_tot) AS BIGINT)
+       END AS alpha_e6
+FROM d
+"""
+
+
+@query(
+    "cronbach_alpha_types",
+    _CRONBACH_ORACLE,
+    "Cronbach's alpha reliability of the event-type 'items' over user "
+    "count scores: cleared-denominator population variances (D = "
+    "n*sum(x^2) - (sum x)^2) keep alpha = k(D_tot - sum D_t)/"
+    "((k-1)D_tot) integer-exact x1e6; the sparse (user, type) relation "
+    "IS the dense matrix (absent cells add zero to every sum) — one "
+    "(user, type) shuffle + a user re-aggregate, division-guarded",
+    tags=("relational", "stats", "bench"),
+)
+def q_cronbach_alpha_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    ).localCheckpoint(eager=False)  # item sums + user re-agg + n
+    n_users = ut.agg(
+        F.expr(f"CAST(COUNT(DISTINCT user_id) AS {dec})").alias("n")
+    )
+    items = ut.groupBy("event_type").agg(
+        F.expr(f"CAST(SUM(x) AS {dec})").alias("s"),
+        F.expr(f"CAST(SUM(x * x) AS {dec})").alias("q"),
+    )
+    item_d = items.crossJoin(F.broadcast(n_users)).agg(
+        F.expr(f"CAST(COUNT(*) AS {dec})").alias("k"),
+        F.expr(f"CAST(SUM(n * q - s * s) AS {dec})").alias("sum_d"),
+    )
+    users = ut.groupBy("user_id").agg(
+        F.sum("x").cast("long").alias("y")
+    )
+    tot = users.agg(
+        F.expr(f"CAST(SUM(CAST(y AS {dec}) * y) AS {dec})").alias("qy"),
+        F.expr(f"CAST(SUM(y) AS {dec})").alias("sy"),
+    )
+    d = (
+        item_d.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "k",
+            "sum_d",
+            F.expr("n * qy - sy * sy").alias("d_tot"),
+            "n",
+        )
+    )
+    return d.select(
+        F.expr("CAST(k AS BIGINT)").alias("k_items"),
+        F.expr("CAST(n AS BIGINT)").alias("n_users"),
+        F.expr("CAST(sum_d AS BIGINT)").alias("sum_item_d"),
+        F.expr("CAST(d_tot AS BIGINT)").alias("d_total"),
+        F.expr(
+            "CASE WHEN d_tot = 0 OR k <= 1 THEN 0 "
+            "ELSE CAST(k * (d_tot - sum_d) * 1000000 "
+            "div ((k - 1) * d_tot) AS BIGINT) END"
+        ).alias("alpha_e6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe variance-homogeneity test across the 5 order
+# priorities: the robust Levene variant — deviations |band - median_g|
+# from each group's LOWER-MEDIAN $10 value band, then the one-way
+# ANOVA F over those deviations. Reuses the anova_f_sources device
+# verbatim: per-group rational terms truncated to integers at 1e6
+# scale (order-independent cross-group sums), GREATEST clamps, final F
+# as a mirrored ROUND(double, 6) on identical integers. Group medians
+# come from a PRI-KEYED cumulative window over the domain-bounded
+# (pri, band) histogram — no global window, no row-level pass: the z
+# sums fold over the same ~5 x 6k cell relation.
+# --------------------------------------------------------------------------
+
+_BF_BAND_CENTS = 1_000  # $10 value bands
+
+_BF_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           // {_BF_BAND_CENTS} AS band,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2
+), cum AS (
+  SELECT pri, band, cnt,
+         SUM(cnt) OVER (PARTITION BY pri ORDER BY band) AS cumc,
+         SUM(cnt) OVER (PARTITION BY pri) AS m
+  FROM cells
+), med AS (
+  SELECT pri, CAST(MIN(CASE WHEN cumc >= (m + 1) // 2 THEN band END)
+                   AS BIGINT) AS med_band
+  FROM cum GROUP BY pri
+), z AS (
+  SELECT c.pri, ABS(c.band - md.med_band) AS z, c.cnt
+  FROM cells c JOIN med md ON md.pri = c.pri
+), g AS (
+  SELECT pri,
+         CAST(SUM(cnt) AS HUGEINT) AS n,
+         CAST(SUM(cnt * z) AS HUGEINT) AS s,
+         CAST(SUM(cnt * z * z) AS HUGEINT) AS q
+  FROM z GROUP BY pri
+), t AS (
+  SELECT n, s, q, (s * s * 1000000) // n AS tg FROM g
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(n) AS nn, SUM(s) AS ss, SUM(q) AS qq, SUM(tg) AS tt
+  FROM t
+), parts AS (
+  SELECT k, nn,
+         GREATEST(tt - (ss * ss * 1000000) // nn, 0) AS ssb,
+         GREATEST(qq * 1000000 - tt, 0) AS ssw
+  FROM agg
+)
+SELECT k AS k_groups,
+       CAST(nn AS BIGINT) AS n_orders,
+       CAST(ssb AS BIGINT) AS ssb_e6,
+       CAST(ssw AS BIGINT) AS ssw_e6,
+       CASE WHEN ssw = 0 OR nn <= k THEN 0
+            ELSE ROUND((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                       / (CAST(ssw AS DOUBLE)
+                          / CAST(CAST(nn AS BIGINT) - k AS DOUBLE)), 6)
+       END AS bf_f_stat
+FROM parts
+"""
+
+
+@query(
+    "brown_forsythe_var",
+    _BF_ORACLE,
+    "Brown-Forsythe robust variance-homogeneity test across the 5 "
+    "order priorities: |band - group lower median| deviations on the "
+    "$10 value grid, then the anova_f_sources device verbatim (per-"
+    "group 1e6-truncated rational terms, GREATEST clamps, mirrored "
+    "ROUND(double,6) F on identical integers); group medians from a "
+    "pri-KEYED cumulative window over the domain-bounded cell "
+    "histogram — the variance companion of anova/kruskal",
+    tags=("relational", "stats", "bench"),
+)
+def q_brown_forsythe_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            F.expr("CAST(substr(o_orderpriority, 1, 1) AS BIGINT)").alias(
+                "pri"
+            ),
+            F.expr(
+                f"CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+                f" div {_BF_BAND_CENTS}"
+            ).alias("band"),
+        )
+        .groupBy("pri", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)  # median scan + z fold both read it
+    )
+    w_cum = (
+        Window.partitionBy("pri")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("pri")
+    cum = cells.select(
+        "pri",
+        "band",
+        F.sum("cnt").over(w_cum).alias("cumc"),
+        F.sum("cnt").over(w_all).alias("m"),
+    )
+    med = cum.groupBy("pri").agg(
+        F.min(
+            F.when(F.col("cumc") >= F.expr("(m + 1) div 2"), F.col("band"))
+        ).cast("long").alias("med_band")
+    )
+    z = cells.join(F.broadcast(med), "pri").select(
+        "pri",
+        F.abs(F.col("band") - F.col("med_band")).alias("z"),
+        "cnt",
+    )
+    dec = "decimal(38,0)"
+    g = z.groupBy("pri").agg(
+        F.expr(f"CAST(SUM(cnt) AS {dec})").alias("n"),
+        F.expr(f"CAST(SUM(cnt * z) AS {dec})").alias("s"),
+        F.expr(f"CAST(SUM(cnt * z * z) AS {dec})").alias("q"),
+    )
+    t = g.select(
+        "n", "s", "q", F.expr("(s * s * 1000000) div n").alias("tg")
+    )
+    agg = t.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("k"),
+        F.expr(f"CAST(SUM(n) AS {dec})").alias("nn"),
+        F.expr(f"CAST(SUM(s) AS {dec})").alias("ss"),
+        F.expr(f"CAST(SUM(q) AS {dec})").alias("qq"),
+        F.expr(f"CAST(SUM(tg) AS {dec})").alias("tt"),
+    )
+    parts = agg.select(
+        "k",
+        "nn",
+        F.expr(
+            f"GREATEST(tt - (ss * ss * 1000000) div nn, CAST(0 AS {dec}))"
+        ).alias("ssb"),
+        F.expr(f"GREATEST(qq * 1000000 - tt, CAST(0 AS {dec}))").alias(
+            "ssw"
+        ),
+    )
+    return parts.select(
+        F.col("k").alias("k_groups"),
+        F.expr("CAST(nn AS BIGINT)").alias("n_orders"),
+        F.expr("CAST(ssb AS BIGINT)").alias("ssb_e6"),
+        F.expr("CAST(ssw AS BIGINT)").alias("ssw_e6"),
+        F.expr(
+            "CASE WHEN ssw = 0 OR nn <= k THEN 0 "
+            "ELSE ROUND((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)) "
+            "/ (CAST(ssw AS DOUBLE) "
+            "/ CAST(CAST(nn AS BIGINT) - k AS DOUBLE)), 6) END"
+        ).alias("bf_f_stat"),
     )

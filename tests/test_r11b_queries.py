@@ -1,4 +1,4 @@
-"""Brute-force differential tests for the r11 wave-5 queries.
+"""Brute-force differential tests for the r11 wave-5/6 queries.
 
 Same contract as tests/test_r11_queries.py: each test recomputes the
 result INDEPENDENTLY (python loops over the raw parquet — no SQL, no
@@ -228,3 +228,109 @@ def test_jt_trend_matches_pairwise_definition(spark):
     assert int(got.jt_z2_e6) == (
         0 if v72 == 0 else _tdiv((jt2 - m2) ** 2 * 18 * 10**6, v72)
     )
+
+
+def test_morans_i_matches_pairwise_double_sum(spark):
+    """Replays Moran's I with the LITERAL pairwise double sum over the
+    25-nation grid (not the per-region closed form the engines use)."""
+    got = _pdf("morans_i_region", spark).iloc[0]
+    orders = duckdb.sql(
+        f"SELECT o_custkey, o_totalprice FROM '{SF_SMALL}/orders.parquet'"
+    ).fetchall()
+    cust = dict(duckdb.sql(
+        f"SELECT c_custkey, c_nationkey FROM '{SF_SMALL}/customer.parquet'"
+    ).fetchall())
+    nat_region = dict(duckdb.sql(
+        f"SELECT n_nationkey, n_regionkey FROM '{SF_SMALL}/nation.parquet'"
+    ).fetchall())
+    sums = defaultdict(lambda: [0, 0])  # nation -> [cents, count]
+    for ck, price in orders:
+        nk = cust[ck]
+        s = sums[nk]
+        s[0] += int(round(float(price) * 100))
+        s[1] += 1
+    xs = {nk: _tdiv(c, m) for nk, (c, m) in sums.items()}
+    n, s = len(xs), sum(xs.values())
+    c = {nk: x * n - s for nk, x in xs.items()}
+    keys = list(c)
+    num = sum(
+        c[i] * c[j]
+        for i in keys for j in keys
+        if i != j and nat_region[i] == nat_region[j]
+    )
+    den = sum(v * v for v in c.values())
+    w = sum(
+        1
+        for i in keys for j in keys
+        if i != j and nat_region[i] == nat_region[j]
+    )
+    assert int(got.n_nations) == n
+    assert int(got.w_pairs) == w
+    assert int(got.morans_i_e6) == (
+        0 if w == 0 or den == 0 else _tdiv(n * num * 10**6, w * den)
+    )
+    assert int(got.expected_i_e6) == _tdiv(-(10**6), n - 1)
+    assert w > 0 and den > 0  # guards never mask the replay
+
+
+def test_cronbach_alpha_matches_bruteforce(spark):
+    got = _pdf("cronbach_alpha_types", spark).iloc[0]
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type FROM '{SF_SMALL}/events.parquet'"
+    ).fetchall()
+    ut = Counter((int(u), t) for u, t in rows)
+    users = sorted({u for u, _ in ut})
+    types = sorted({t for _, t in ut})
+    n, k = len(users), len(types)
+    sum_d = 0
+    for t in types:
+        xs = [ut.get((u, t), 0) for u in users]
+        sum_d += n * sum(x * x for x in xs) - sum(xs) ** 2
+    ys = [sum(ut.get((u, t), 0) for t in types) for u in users]
+    d_tot = n * sum(y * y for y in ys) - sum(ys) ** 2
+    assert int(got.k_items) == k
+    assert int(got.n_users) == n
+    assert int(got.sum_item_d) == sum_d
+    assert int(got.d_total) == d_tot
+    assert int(got.alpha_e6) == (
+        0 if d_tot == 0 or k <= 1
+        else _tdiv(k * (d_tot - sum_d) * 10**6, (k - 1) * d_tot)
+    )
+    assert d_tot > 0 and k > 1  # guards never mask the replay
+
+
+def test_brown_forsythe_matches_bruteforce(spark):
+    # column-wise access: .iloc[0] on the mixed row would coerce the
+    # BIGINT columns to float64 and lose exactness above 2^53
+    got_df = _pdf("brown_forsythe_var", spark)
+    got = {c: got_df[c].iloc[0] for c in got_df.columns}
+    rows = duckdb.sql(
+        f"SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        f" // 1000 AS band, CAST(substr(o_orderpriority, 1, 1) AS BIGINT)"
+        f" AS pri FROM '{SF_SMALL}/orders.parquet'"
+    ).fetchall()
+    by_pri = defaultdict(list)
+    for band, pri in rows:
+        by_pri[int(pri)].append(int(band))
+    # lower median per group, then the anova device on |band - median|
+    tt = ss = qq = nn = 0
+    per_group = []
+    for pri, bands in sorted(by_pri.items()):
+        bands.sort()
+        med = bands[(len(bands) + 1) // 2 - 1]
+        zs = [abs(b - med) for b in bands]
+        n_g, s_g, q_g = len(zs), sum(zs), sum(z * z for z in zs)
+        per_group.append((n_g, s_g, q_g))
+        nn += n_g
+        ss += s_g
+        qq += q_g
+        tt += _tdiv(s_g * s_g * 10**6, n_g)
+    k = len(per_group)
+    ssb = max(tt - _tdiv(ss * ss * 10**6, nn), 0)
+    ssw = max(qq * 10**6 - tt, 0)
+    assert int(got["k_groups"]) == k
+    assert int(got["n_orders"]) == nn
+    assert int(got["ssb_e6"]) == ssb
+    assert int(got["ssw_e6"]) == ssw
+    expected_f = (ssb / (k - 1)) / (ssw / (nn - k))
+    assert abs(float(got["bf_f_stat"]) - expected_f) < 1e-5

@@ -661,6 +661,16 @@ BUDGETS = {
     # (band, pri) cells + band grid; cumulative window and the two
     # single-row folds read the checkpointed grid.
     "jt_trend_priority": 2,
+    # ---- r11 wave 6 ----
+    # orders⋈customer keyed join + the 25-nation rollup; region fold
+    # and scalars are single-row/broadcast.
+    "morans_i_region": 5,
+    # (user, type) count + distinct-user scalar + k-item fold + user
+    # re-aggregate off the checkpoint (each a small keyed exchange).
+    "cronbach_alpha_types": 8,
+    # (pri, band) cells once (checkpointed); pri-keyed median window +
+    # the z fold + single-row anova device.
+    "brown_forsythe_var": 3,
 }
 
 
