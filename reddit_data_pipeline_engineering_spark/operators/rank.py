@@ -86,3 +86,60 @@ def ntile_from_position(pos_col: str, n: int, n_buckets: int) -> F.Column:
         .otherwise(F.lit(rem) + F.floor((p - 1 - F.lit(big)) / F.lit(q)) + 1)
         .cast("int")
     )
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_col: str,
+    cum_col: str = "cum_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add the exact running total of ``sum_col`` under ``ORDER BY
+    order_cols`` (a TOTAL order — include a unique tiebreak) without a
+    single-partition window — the prefix-SUM companion of
+    ``with_global_position`` for Pareto/ABC cumulative-share curves.
+
+    Same two-phase plan: range-partition on the order key (pinned by a
+    lazy localCheckpoint so both passes see identical split points),
+    aggregate one PARTIAL SUM per range partition (#partitions rows to
+    the driver — plan metadata, not data), broadcast the prefix
+    offsets back, and let each partition compute a LOCAL keyed
+    cumulative window plus its offset. ``sum_col`` should already be
+    an exact type (DECIMAL/BIGINT); the per-partition partials reuse
+    it unchanged, so no precision is lost in the offset pass.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    ranged = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=False)
+    partials = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum(sum_col).alias("s")).collect()
+    }
+    offsets, cum = [], 0
+    for pid in range(n_part):
+        offsets.append((pid, str(cum)))
+        # int() is exact for the integral DECIMAL/BIGINT sums this
+        # helper supports (and avoids Decimal('1E+5')-style scientific
+        # stringification breaking the cast below).
+        cum += int(partials.get(pid) or 0)
+    # offsets ride as strings -> DECIMAL(38,0): createDataFrame of raw
+    # Python ints larger than int64 would need decimal.Decimal objects;
+    # the string cast is exact and keeps the helper type-agnostic.
+    off_df = spark.createDataFrame(offsets, "_pid int, _off string").select(
+        "_pid", F.col("_off").cast("decimal(38,0)").alias("_off")
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(cum_col, F.sum(sum_col).over(w_local) + F.col("_off"))
+        .drop("_pid", "_off")
+    )

@@ -887,6 +887,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_warehouse  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_r11  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_r11b  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_r11c  # noqa: F401
 
 
 # --------------------------------------------------------------------------
@@ -1024,6 +1025,12 @@ _DRIVER_PENDING: list[str] = [
     "morans_i_region",             # r11: Moran's I, same-region weights
     "cronbach_alpha_types",        # r11: reliability over (user, type)
     "brown_forsythe_var",          # r11: robust variance homogeneity
+    # ---- r11 wave 7 ----
+    "flesch_reading_scores",       # r11: vowel-group readability gate
+    "kendall_w_concordance",       # r11: tie-corrected concordance W
+    "moment_shape_profile",        # r11: b1/b2 shape via power sums
+    "abc_pareto_parts",            # r11: prefix-sum ABC classification
+    "dau_mau_stickiness",          # r11: exact DAU/MAU-28 ratio
 ]
 
 _DRIVER_ROTATED_OUT = [

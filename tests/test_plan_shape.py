@@ -646,6 +646,7 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, int] = {
     "cvm_two_sample_ab": 1,       # value-domain-bounded cents grid (skyline class)
     "mood_median_test": 2,        # same cents grid (cumulative + total)
     "jt_trend_priority": 1,       # $100 band grid (domain-bounded, cvm class)
+    "abc_pareto_parts": 1,        # bounded 3-row ABC class rollup
 }
 
 

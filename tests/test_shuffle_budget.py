@@ -671,6 +671,24 @@ BUDGETS = {
     # (pri, band) cells once (checkpointed); pri-keyed median window +
     # the z fold + single-row anova device.
     "brown_forsythe_var": 3,
+    # ---- r11 wave 7 ----
+    # regex counters ride the scan (map-only); source rollup + sort.
+    "flesch_reading_scores": 2,
+    # one fact aggregate to the <=35-row (type, dow) cells; the
+    # scaffold/rank/tie/item/judge folds are micro-exchanges on that
+    # bounded relation (types distinct, keyed windows, three scalar
+    # folds), all post-checkpoint.
+    "kendall_w_concordance": 9,
+    # (source, n_chars) projection checkpointed once; base rollup
+    # broadcasts back, power-sum rollup + sort.
+    "moment_shape_profile": 3,
+    # part-revenue rollup + with_global_prefix_sum's range exchange +
+    # its per-partition partials pass + the 3-row class rollup + sort;
+    # prefix offsets broadcast.
+    "abc_pareto_parts": 5,
+    # (user, day) distinct + days distinct (broadcast back) + the
+    # fixed 28x fan-out's two-stage countDistinct + dau rollup.
+    "dau_mau_stickiness": 5,
 }
 
 
