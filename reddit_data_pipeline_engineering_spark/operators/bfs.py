@@ -119,3 +119,43 @@ def sssp_distances(
             )
         dist = merged
     return dist
+
+
+def multi_bfs_levels(
+    edges: DataFrame,
+    sources: list[int],
+    rounds: int,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(seed, node, dist) for every node within ``rounds`` hops of each
+    seed — K single-source probes fused into ONE frontier per round.
+
+    Same per-round scale shape as ``bfs_levels`` (one keyed join of the
+    current frontier against the pre-partitioned edge cache + one
+    min-merge groupBy, now keyed on (seed, node)), but the K probes
+    share every round's join instead of paying K sequential passes —
+    the multi-seed form centrality sampling needs. ``edges`` must be
+    directed (src, dst); symmetrize first for undirected semantics.
+    """
+    spark = edges.sparkSession
+    if checkpoint:
+        # see bfs_levels: cache pre-partitioned on the per-round join key
+        edges = edges.repartition(F.col("src")).persist()
+    levels = spark.createDataFrame(
+        [(s, s, 0) for s in sources], "seed long, node long, dist int"
+    )
+    for t in range(1, rounds + 1):
+        frontier = levels.filter(F.col("dist") == t - 1).select(
+            "seed", F.col("node").alias("src")
+        )
+        cand = frontier.join(edges, "src").select(
+            "seed", F.col("dst").alias("node"), F.lit(t).alias("dist")
+        )
+        levels = (
+            levels.unionAll(cand)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint:
+            levels = levels.localCheckpoint(eager=True)
+    return levels

@@ -888,6 +888,7 @@ def _register_all() -> None:
     import reddit_data_pipeline_engineering_spark.plans.queries_r11  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_r11b  # noqa: F401
     import reddit_data_pipeline_engineering_spark.plans.queries_r11c  # noqa: F401
+    import reddit_data_pipeline_engineering_spark.plans.queries_r11d  # noqa: F401
 
 
 # --------------------------------------------------------------------------
@@ -1031,6 +1032,12 @@ _DRIVER_PENDING: list[str] = [
     "moment_shape_profile",        # r11: b1/b2 shape via power sums
     "abc_pareto_parts",            # r11: prefix-sum ABC classification
     "dau_mau_stickiness",          # r11: exact DAU/MAU-28 ratio
+    # ---- r11 wave 8 ----
+    "harmonic_closeness_seeds",    # r11: fused 4-seed BFS closeness
+    "local_clustering_hist",       # r11: exact per-node LCC bands
+    "ad_two_sample_ab",            # r11: Anderson-Darling on cents grid
+    "dp_sensitivity_audit",        # r11: user-level DP clip bounds
+    "roc_auc_propensity",          # r11: Mann-Whitney rank AUC
 ]
 
 _DRIVER_ROTATED_OUT = [

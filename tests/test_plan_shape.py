@@ -647,6 +647,8 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, int] = {
     "mood_median_test": 2,        # same cents grid (cumulative + total)
     "jt_trend_priority": 1,       # $100 band grid (domain-bounded, cvm class)
     "abc_pareto_parts": 1,        # bounded 3-row ABC class rollup
+    "ad_two_sample_ab": 1,        # value-domain-bounded cents grid (cvm class)
+    "roc_auc_propensity": 1,      # quantized activity-count score grid
 }
 
 

@@ -689,6 +689,23 @@ BUDGETS = {
     # (user, day) distinct + days distinct (broadcast back) + the
     # fixed 28x fan-out's two-stage countDistinct + dau rollup.
     "dau_mau_stickiness": 5,
+    # ---- r11 wave 8 ----
+    # returned plan reads the final multi-BFS checkpoint: seed rollup
+    # + the 4-row left join; per-round frontier shuffles happen during
+    # construction (bfs_reachability precedent).
+    "harmonic_closeness_seeds": 3,
+    # degree rollup + corner-credit rollup (closed-triangle subtree
+    # checkpointed once) + node join + band rollup; edges checkpoint
+    # and wedge/closure joins run at construction.
+    "local_clustering_hist": 4,
+    # cents-grid histogram (checkpointed for window + totals) + the
+    # term fold + single-row assembly (cvm shape).
+    "ad_two_sample_ab": 3,
+    # (type, user) rollup + per-type rollup + sort.
+    "dp_sensitivity_audit": 3,
+    # per-user rollup into the checkpointed score grid; window fold
+    # and totals are grid-bounded.
+    "roc_auc_propensity": 2,
 }
 
 
