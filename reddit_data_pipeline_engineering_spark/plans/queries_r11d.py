@@ -229,13 +229,16 @@ GROUP BY band ORDER BY band
 def q_local_clustering_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = tri.copurchase_edges(li).localCheckpoint(eager=True)
+    # |V|-sized degree table, materialized once and shared by the
+    # orientation broadcasts inside per_node_triangles AND the final
+    # lcc join (was recomputed from the edge union three extra times).
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
-    t = tri.per_node_triangles(edges)
+    ).localCheckpoint(eager=False)
+    t = tri.per_node_triangles(edges, deg=deg)
     lcc = (
         deg.filter(F.col("d") >= 2)
         .join(t, "node", "left")
