@@ -165,10 +165,6 @@ def _cc_star(
         .distinct()
         .persist()
     )
-    # Carried across rounds: this round's `e.count()` is last round's
-    # `small.count()` (both read the same checkpointed relation), so the
-    # convergence check costs ONE count job per round, not two.
-    e_count = None
     rounds = 0
     converged = False
     for _ in range(max_iterations):
@@ -198,18 +194,46 @@ def _cc_star(
             .distinct()
             .localCheckpoint(eager=True)  # cut lineage each round
         )
-        if e_count is None:
-            e_count = e.count()
-        small_count = small.count()
-        changed = (
-            small_count != e_count
-            or small.exceptAll(e).limit(1).count() > 0
+        # Fixed-point test WITHOUT materializing another round: a
+        # down-pointing distinct edge set is invariant under the
+        # large+small round iff it is a union of min-rooted stars —
+        # i.e. every u carries exactly one edge and no node appears on
+        # both sides. (Leaves then see exactly {root}, min = root; the
+        # root sees its leaves, min = itself — both stars reproduce
+        # themselves.) Checking the property on this round's output is
+        # ONE tiny scan+agg job over the checkpointed rows, replacing
+        # the old count + exceptAll pair (the exceptAll re-shuffled
+        # BOTH edge relations every round) and detecting convergence
+        # one round earlier: the old criterion needed round k+1 to
+        # reproduce round k's output before it could stop.
+        violations = (
+            small.select(
+                F.col("u").alias("node"),
+                F.lit(1).alias("as_u"),
+                F.lit(0).alias("as_v"),
+            )
+            .unionAll(
+                small.select(
+                    F.col("v").alias("node"),
+                    F.lit(0).alias("as_u"),
+                    F.lit(1).alias("as_v"),
+                )
+            )
+            .groupBy("node")
+            .agg(F.sum("as_u").alias("nu"), F.max("as_v").alias("nv"))
+            .filter(
+                (F.col("nu") > 1)
+                | ((F.col("nu") >= 1) & (F.col("nv") == 1))
+            )
         )
-        e_count = small_count
+        # No .persist() on top: the eager localCheckpoint above already
+        # materialized `small`; layering a columnar cache over the
+        # checkpoint RDD would add a per-round cache-build pass (the
+        # label variant has always relied on the checkpoint alone).
         old = e
-        e = small.persist()
-        old.unpersist()
-        if not changed:
+        e = small
+        old.unpersist()  # only the pre-loop persisted edge set
+        if violations.limit(1).count() == 0:
             converged = True
             break
     if stats is not None:
