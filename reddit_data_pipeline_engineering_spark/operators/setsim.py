@@ -43,6 +43,34 @@ def shingle_sets(
     )
 
 
+def _shingle_arrays(
+    docs: DataFrame, text_col: str, id_col: str, shingle_len: int
+) -> DataFrame:
+    """(id, __arr, n): per-doc DISTINCT shingle array + its size,
+    materialized once (eager localCheckpoint). Every leg of the
+    prefix-filter joins re-reads the shingle representation — df dim,
+    rank window, and both verification sides — so without this the
+    tokenize+shingle subtree re-executes four to five times per query.
+    Carrying the array also makes the set SIZE a map-side ``size()``
+    (the old shape re-aggregated the exploded rows per doc) and lets
+    verification intersect the two arrays directly instead of
+    re-joining the exploded relation twice and re-counting."""
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return (
+        toked.select(
+            id_col,
+            F.array_distinct(shingles_of("__toks", shingle_len)).alias(
+                "__arr"
+            ),
+        )
+        # cast: size() is INT where the old per-doc count() was LONG —
+        # na*nb and the squared-cosine arithmetic downstream must not
+        # overflow 32 bits for large shingle sets.
+        .withColumn("n", F.size("__arr").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def setsim_join(
     docs: DataFrame,
     text_col: str,
@@ -74,15 +102,13 @@ def setsim_join(
     """
     if metric not in ("jaccard", "cosine"):
         raise ValueError(f"unknown metric {metric!r} (jaccard|cosine)")
-    sh = shingle_sets(docs, text_col, id_col, shingle_len)
-    sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    arrs = _shingle_arrays(docs, text_col, id_col, shingle_len)
+    sh = arrs.select(id_col, "n", F.explode("__arr").alias("s"))
     df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "s")
-    ranked = (
-        sh.join(df, "s")
-        .join(sz, id_col)
-        .withColumn("pos", F.row_number().over(w))
-    )
+    # n rides on the exploded rows (map-side size()), so the old
+    # per-doc size re-aggregation + re-join is gone.
+    ranked = sh.join(df, "s").withColumn("pos", F.row_number().over(w))
     # ceil(x*n) via (num*n + den - 1) div den on the (possibly squared) ratio
     if metric == "jaccard":
         min_overlap = f"({t_num} * n + {t_den} - 1) div {t_den}"
@@ -112,16 +138,29 @@ def setsim_join(
         )
         .distinct()
     )
-    x, y = sh.alias("x"), sh.alias("y")
+    # Verification: intersect the two materialized shingle arrays
+    # map-side — candidates share a prefix shingle by construction, so
+    # n_inter >= 1 exactly as the old exploded x⋈y⋈count produced.
+    pa = arrs.select(
+        F.col(id_col).alias("doc_a"), F.col("__arr").alias("__arr_a")
+    )
+    pb = arrs.select(
+        F.col(id_col).alias("doc_b"), F.col("__arr").alias("__arr_b")
+    )
     inter = (
-        cand.join(x, F.col(f"x.{id_col}") == F.col("doc_a"))
-        .join(
-            y,
-            (F.col(f"y.{id_col}") == F.col("doc_b"))
-            & (F.col("y.s") == F.col("x.s")),
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            # cast: size() is INT where the old count() was LONG — the
+            # downstream squared-cosine arithmetic overflows 32 bits.
+            F.size(F.array_intersect("__arr_a", "__arr_b"))
+            .cast("long")
+            .alias("n_inter"),
         )
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return _setsim_finish(inter, metric, t_num, t_den)
 
@@ -192,15 +231,11 @@ def containment_join(
     Returns (doc_a, doc_b, n_inter, na, cont_bps) — doc_a is the
     contained (quoted) document.
     """
-    sh = shingle_sets(docs, text_col, id_col, shingle_len)
-    sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    arrs = _shingle_arrays(docs, text_col, id_col, shingle_len)
+    sh = arrs.select(id_col, "n", F.explode("__arr").alias("s"))
     df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "s")
-    ranked = (
-        sh.join(df, "s")
-        .join(sz, id_col)
-        .withColumn("pos", F.row_number().over(w))
-    )
+    ranked = sh.join(df, "s").withColumn("pos", F.row_number().over(w))
     min_overlap = f"({t_num} * n + {t_den} - 1) div {t_den}"  # ceil(t*na)
     prefix_a = ranked.filter(
         F.col("pos") <= F.col("n") - F.expr(min_overlap) + 1
@@ -215,16 +250,25 @@ def containment_join(
         .select("doc_a", "doc_b", "na")
         .distinct()
     )
-    x, y = sh.alias("x"), sh.alias("y")
+    pa = arrs.select(
+        F.col(id_col).alias("doc_a"), F.col("__arr").alias("__arr_a")
+    )
+    pb = arrs.select(
+        F.col(id_col).alias("doc_b"), F.col("__arr").alias("__arr_b")
+    )
     inter = (
-        cand.join(x, F.col(f"x.{id_col}") == F.col("doc_a"))
-        .join(
-            y,
-            (F.col(f"y.{id_col}") == F.col("doc_b"))
-            & (F.col("y.s") == F.col("x.s")),
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            # cast: size() is INT where the old count() was LONG — the
+            # downstream squared-cosine arithmetic overflows 32 bits.
+            F.size(F.array_intersect("__arr_a", "__arr_b"))
+            .cast("long")
+            .alias("n_inter"),
         )
-        .groupBy("doc_a", "doc_b", "na")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return (
         inter.filter(F.col("n_inter") * t_den >= t_num * F.col("na"))
