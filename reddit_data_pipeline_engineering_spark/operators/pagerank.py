@@ -97,7 +97,13 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long")).persist()
     for _ in range(iters):
         contrib = (
-            edges.join(ranks, edges[src] == ranks["node"])
+            # shuffled-hash, not sort-merge (guide §3.1): the rank
+            # vector's per-partition slice is a small hash build, and
+            # SMJ would re-SORT the static partitioned edge relation
+            # every round (repartition colocates but does not sort).
+            edges.join(
+                ranks.hint("shuffle_hash"), edges[src] == ranks["node"]
+            )
             .select(
                 F.col(dst).alias("node"),
                 F.expr("rank DIV __deg").alias("__c"),
@@ -106,7 +112,7 @@ def pagerank(
             .agg(F.sum("__c").alias("__m"))
         )
         new_ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(contrib.hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
                 (
@@ -202,7 +208,13 @@ def personalized_pagerank(
     )
     for _ in range(iters):
         contrib = (
-            edges.join(ranks, edges[src] == ranks["node"])
+            # shuffled-hash, not sort-merge (guide §3.1): the rank
+            # vector's per-partition slice is a small hash build, and
+            # SMJ would re-SORT the static partitioned edge relation
+            # every round (repartition colocates but does not sort).
+            edges.join(
+                ranks.hint("shuffle_hash"), edges[src] == ranks["node"]
+            )
             .select(
                 F.col(dst).alias("node"),
                 F.expr("rank DIV __deg").alias("__c"),
@@ -211,7 +223,7 @@ def personalized_pagerank(
             .agg(F.sum("__c").alias("__m"))
         )
         new_ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(contrib.hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
                 (

@@ -23,6 +23,29 @@ from reddit_data_pipeline_engineering_spark.sources.tables import load_table
 __all__ = ["REGISTRY"]
 
 _PR_ITERS = 3
+
+
+def _sym_bipartite(pairs, weight: str | None = None):
+    """Symmetrized bipartite edge list in ONE pass over the (expensive,
+    unpersisted) customer-supplier pair subtree: ``up.union(down)``
+    evaluates the orders ⋈ lineitem join once per branch, while
+    ``explode(array(fwd, rev))`` reads it once for the same edge
+    multiset (the components.py symmetrize device). Node encoding
+    unchanged: customer -> 2k, supplier -> 2k+1."""
+    extra = [weight] if weight else []
+    fwd = F.struct(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        *[F.col(c) for c in extra],
+    )
+    rev = F.struct(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+        *[F.col(c) for c in extra],
+    )
+    return pairs.select(F.explode(F.array(fwd, rev)).alias("e")).select(
+        "e.src", "e.dst", *[f"e.{c}" for c in extra]
+    )
 # Node ids carry a tag BIT (customer = 2*custkey, supplier = 2*suppkey+1)
 # instead of an additive offset — structurally disjoint at ANY scale,
 # where a fixed offset would collide once custkeys outgrow it.
@@ -99,15 +122,7 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    up = pairs.select(
-        (F.col("o_custkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    )
-    down = pairs.select(
-        (F.col("l_suppkey") * 2 + 1).alias("src"),
-        (F.col("o_custkey") * 2).alias("dst"),
-    )
-    ranks = pr.pagerank(up.union(down), iters=_PR_ITERS)
+    ranks = pr.pagerank(_sym_bipartite(pairs), iters=_PR_ITERS)
     kind = F.when(
         F.col("node") % 2 == 1, F.lit("supplier")
     ).otherwise(F.lit("customer"))
@@ -276,15 +291,7 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    up = pairs.select(
-        (F.col("o_custkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    )
-    down = pairs.select(
-        (F.col("l_suppkey") * 2 + 1).alias("src"),
-        (F.col("o_custkey") * 2).alias("dst"),
-    )
-    levels = bfs.bfs_levels(up.union(down), _BFS_SOURCE, _BFS_ROUNDS)
+    levels = bfs.bfs_levels(_sym_bipartite(pairs), _BFS_SOURCE, _BFS_ROUNDS)
     return (
         levels.groupBy("dist")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -517,17 +524,9 @@ def q_sssp_weighted_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
     )
-    up = wpairs.select(
-        (F.col("o_custkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        "w",
+    dist = bfs.sssp_distances(
+        _sym_bipartite(wpairs, weight="w"), _SSSP_SOURCE, _SSSP_ROUNDS
     )
-    down = wpairs.select(
-        (F.col("l_suppkey") * 2 + 1).alias("src"),
-        (F.col("o_custkey") * 2).alias("dst"),
-        "w",
-    )
-    dist = bfs.sssp_distances(up.union(down), _SSSP_SOURCE, _SSSP_ROUNDS)
     return (
         dist.groupBy("dist")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
@@ -611,15 +610,7 @@ def q_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    up = pairs.select(
-        (F.col("o_custkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    )
-    down = pairs.select(
-        (F.col("l_suppkey") * 2 + 1).alias("src"),
-        (F.col("o_custkey") * 2).alias("dst"),
-    )
-    edges = up.union(down)
+    edges = _sym_bipartite(pairs)
     anchors = (
         edges.filter(
             (F.col("src") % 2 == 0) & (F.col("src") < _WALK_MAX_NODE)
@@ -927,14 +918,6 @@ def q_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    up = pairs.select(
-        (F.col("o_custkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    )
-    down = pairs.select(
-        (F.col("l_suppkey") * 2 + 1).alias("src"),
-        (F.col("o_custkey") * 2).alias("dst"),
-    )
     # Seed nation = the lowest nation key PRESENT (broadcast 1-row
     # scalar), so the seed set is non-empty at every SF slice.
     min_nation = supp.agg(F.min("s_nationkey").alias("__mn"))
@@ -944,7 +927,7 @@ def q_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("s_suppkey") * 2 + 1).alias("node"))
     )
     ranks = pr.personalized_pagerank(
-        up.union(down), seeds, iters=_PR_ITERS
+        _sym_bipartite(pairs), seeds, iters=_PR_ITERS
     )
     return (
         ranks.filter((F.col("node") % 2 == 0) & (F.col("rank") > 0))
