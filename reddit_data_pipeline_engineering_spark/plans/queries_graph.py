@@ -366,9 +366,16 @@ SELECT * FROM stats ORDER BY round
 def q_kcore_peel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     und = tri.copurchase_edges(li)
+    # One-pass symmetrize (components.py device): unionAll(swap) would
+    # evaluate the expensive lineitem self-join once per branch.
     edges = und.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return kcore.kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 
@@ -439,9 +446,16 @@ LIMIT 20
 def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     und = tri.copurchase_edges(li)
+    # One-pass symmetrize (components.py device): unionAll(swap) would
+    # evaluate the expensive lineitem self-join once per branch.
     edges = und.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     labels = lpa.label_propagation(edges, rounds=_LPA_ROUNDS)
     return (
         labels.groupBy(F.col("label").cast("long").alias("community"))
