@@ -121,6 +121,20 @@ def setsim_join(
         F.col("pos") <= F.col("n") - F.expr(min_overlap) + 1
     ).select(id_col, "s", "n")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # Length filter (Bayardo et al. §3): |A∩B| <= min(na, nb) while the
+    # threshold forces |A∩B| >= t*max (Jaccard, via the union bound) or
+    # min >= t^2*max (cosine, via i^2 >= t^2*na*nb) — so size-mismatched
+    # pairs are shed INSIDE the candidate join, before the distinct and
+    # the verification joins. A necessary condition of the exact
+    # predicate: zero false negatives, result unchanged.
+    if metric == "jaccard":
+        length_ok = t_num * F.greatest(
+            F.col("a.n"), F.col("b.n")
+        ) <= t_den * F.least(F.col("a.n"), F.col("b.n"))
+    else:
+        length_ok = (t_num * t_num) * F.greatest(
+            F.col("a.n"), F.col("b.n")
+        ) <= (t_den * t_den) * F.least(F.col("a.n"), F.col("b.n"))
     # n is functional on the id, so carrying (na, nb) through the
     # candidate distinct costs nothing and saves two size re-joins (and
     # a second sz aggregation subtree) at the tail.
@@ -128,7 +142,8 @@ def setsim_join(
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & length_ok,
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
@@ -240,12 +255,19 @@ def containment_join(
     prefix_a = ranked.filter(
         F.col("pos") <= F.col("n") - F.expr(min_overlap) + 1
     ).select(F.col(id_col).alias("doc_a"), "s", F.col("n").alias("na"))
-    full_b = sh.select(F.col(id_col).alias("doc_b"), "s")
+    full_b = sh.select(
+        F.col(id_col).alias("doc_b"), "s", F.col("n").alias("nb")
+    )
     cand = (
         prefix_a.join(
             full_b,
             (prefix_a["s"] == full_b["s"])
-            & (F.col("doc_a") != F.col("doc_b")),
+            & (F.col("doc_a") != F.col("doc_b"))
+            # Length filter: i <= nb while containment >= t forces
+            # i >= t*na, so nb*t_den >= na*t_num is necessary — shed
+            # size-mismatched pairs inside the candidate join (exact,
+            # zero false negatives).
+            & (t_den * F.col("nb") >= t_num * F.col("na")),
         )
         .select("doc_a", "doc_b", "na")
         .distinct()
