@@ -127,16 +127,14 @@ def q_harmonic_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    up = pairs.select(
-        (F.col("o_custkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    from reddit_data_pipeline_engineering_spark.plans.queries_graph import (
+        _sym_bipartite,
     )
-    down = pairs.select(
-        (F.col("l_suppkey") * 2 + 1).alias("src"),
-        (F.col("o_custkey") * 2).alias("dst"),
-    )
+
     levels = bfs.multi_bfs_levels(
-        up.union(down), _CLOSE_SEEDS, _CLOSE_ROUNDS
+        # One-pass symmetrize: union(up, down) would evaluate the
+        # orders ⋈ lineitem pair join once per branch.
+        _sym_bipartite(pairs), _CLOSE_SEEDS, _CLOSE_ROUNDS
     )
     reached = levels.filter(F.col("dist") >= 1)
     agg = reached.groupBy("seed").agg(

@@ -84,15 +84,13 @@ def _cs_graph(spark: SparkSession, sf_dir: str):
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    up = pairs.select(
-        (F.col("o_custkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    from reddit_data_pipeline_engineering_spark.plans.queries_graph import (
+        _sym_bipartite,
     )
-    down = pairs.select(
-        (F.col("l_suppkey") * 2 + 1).alias("src"),
-        (F.col("o_custkey") * 2).alias("dst"),
-    )
-    edges = up.union(down).localCheckpoint(eager=False)
+
+    # One-pass symmetrize: union(up, down) would evaluate the
+    # orders ⋈ lineitem pair join once per branch at materialization.
+    edges = _sym_bipartite(pairs).localCheckpoint(eager=False)
     deg = (
         edges.groupBy("src")
         .agg(_dec(F.count(F.lit(1))).alias("d"))
