@@ -108,7 +108,10 @@ FROM sh
     tags=("llm", "dedup", "bench"),
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the md5-per-shingle signature map is CPU-bound and the
+    # single-row-group parquet scan would run it on ~4 tasks (guide §2.4
+    # parallelism floor; no-op at scale).
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return text_dedup.minhash_signature(
         docs, "text", "doc_id", num_hashes=8, shingle_len=2
     )
@@ -153,7 +156,10 @@ GROUP BY a.doc_id, b.doc_id
     tags=("llm", "dedup", "bench"),
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the md5-per-shingle signature map is CPU-bound and the
+    # single-row-group parquet scan would run it on ~4 tasks (guide §2.4
+    # parallelism floor; no-op at scale).
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sigs = text_dedup.minhash_signature(
         docs, "text", "doc_id", num_hashes=8, shingle_len=2
     )
@@ -254,7 +260,10 @@ SELECT doc_id, ({bit_terms}) AS simhash FROM bits
     tags=("llm", "dedup", "bench"),
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the md5-per-shingle signature map is CPU-bound and the
+    # single-row-group parquet scan would run it on ~4 tasks (guide §2.4
+    # parallelism floor; no-op at scale).
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return text_dedup.simhash(docs, "text", "doc_id", bits=32)
 
 
@@ -301,7 +310,10 @@ FROM comp GROUP BY component
     tags=("llm", "dedup", "iterative", "bench"),
 )
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the md5-per-shingle signature map is CPU-bound and the
+    # single-row-group parquet scan would run it on ~4 tasks (guide §2.4
+    # parallelism floor; no-op at scale).
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sigs = text_dedup.minhash_signature(
         docs, "text", "doc_id", num_hashes=8, shingle_len=2
     )
@@ -320,7 +332,10 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "iterative", "bench"),
 )
 def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the md5-per-shingle signature map is CPU-bound and the
+    # single-row-group parquet scan would run it on ~4 tasks (guide §2.4
+    # parallelism floor; no-op at scale).
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sigs = text_dedup.minhash_signature(
         docs, "text", "doc_id", num_hashes=8, shingle_len=2
     )
