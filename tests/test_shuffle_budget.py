@@ -349,8 +349,11 @@ BUDGETS = {
     "ndcg_at_k": 0,
     # day-keyed XOR fold + output sort.
     "merkle_partition_diff": 2,
-    "minhash_lsh_pairs": 2,
-    "minhash_signatures": 0,
+    # +1: the spread parallelism-floor exchange ahead of the
+    # CPU-bound signature map (r11 optimization round).
+    "minhash_lsh_pairs": 3,
+    # the spread parallelism-floor exchange (map-only otherwise).
+    "minhash_signatures": 1,
     # cents-grid histogram + single-row cell fold off the checkpoint.
     "mood_median_test": 2,
     "minmax_profile": 3,
@@ -488,7 +491,8 @@ BUDGETS = {
     "shipping_priority": 1,
     # spread + (source, word) count + source rollup + output sort.
     "simpson_diversity_sources": 4,
-    "simhash": 2,
+    # +1: the spread parallelism-floor exchange (r11).
+    "simhash": 3,
     # Literal-EXISTS Q21 left to RewritePredicateSubquery: lf inlined
     # thrice (l1 + semi + anti, identical subtrees, runtime-reused);
     # orderkey-keyed semi/anti joins + the s_name rollup.
