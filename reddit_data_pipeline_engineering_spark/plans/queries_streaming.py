@@ -42,7 +42,7 @@ from reddit_data_pipeline_engineering_spark.plans.queries import (
 from reddit_data_pipeline_engineering_spark.sources.tables import load_table
 from reddit_data_pipeline_engineering_spark.streaming.kernel import (
     read_raw_stream,
-    run_stream_to_completion,
+    run_scaled_drain,
     streaming_marts,
     write_marts_stream,
 )
@@ -152,7 +152,7 @@ def q_streaming_marts_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_duration="1 hour",
         exact_decimal=DEC_VALUE,
     )
-    run_stream_to_completion(write_marts_stream(wide, out, ckpt))
+    run_scaled_drain(spark, raw, lambda: write_marts_stream(wide, out, ckpt))
     return spark.read.parquet(out).filter(F.col("location_id") != "-1")
 
 
@@ -248,7 +248,7 @@ def q_stateful_ema_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(raw)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    q = (
+    q = lambda: (
         ema_stream(stream, "user_id", "ts", "value", alpha=0.3)
         .writeStream.format("parquet")
         .option("path", out)
@@ -257,7 +257,7 @@ def q_stateful_ema_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    run_stream_to_completion(q)
+    run_scaled_drain(spark, raw, q, target_bytes=32 << 10)
     return spark.read.parquet(out)
 
 
@@ -339,7 +339,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessionize_stream(
         stream, "user_id", "ts", gap="30 minutes", watermark="2 hours"
     )
-    run_stream_to_completion(write_marts_stream(sessions, out, ckpt))
+    run_scaled_drain(spark, raw, lambda: write_marts_stream(sessions, out, ckpt))
     return spark.read.parquet(out).filter(F.col("user_id") != -1)
 
 
@@ -429,7 +429,7 @@ def _interval_join_query(
         "click_ts",
         "click_value",
     )
-    run_stream_to_completion(write_marts_stream(joined, out, ckpt))
+    run_scaled_drain(spark, raw, lambda: write_marts_stream(joined, out, ckpt))
     return spark.read.parquet(out).filter(F.col("user_id") != -1)
 
 
@@ -564,7 +564,7 @@ def q_streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(raw)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    q = (
+    q = lambda: (
         cusum_stream(
             stream,
             "user_id",
@@ -580,7 +580,7 @@ def q_streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    run_stream_to_completion(q)
+    run_scaled_drain(spark, raw, q, target_bytes=32 << 10)
     return spark.read.parquet(out)
 
 
@@ -691,7 +691,7 @@ def q_streaming_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # struct), so the register builder can group by a plain column name.
     swin = stream.select(F.window("ts", "1 hour").alias("window"), "user_id")
     regs = _hll_registers(swin, "user_id", group_cols=("window",))
-    q = (
+    q = lambda: (
         regs.writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
@@ -699,7 +699,7 @@ def q_streaming_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    run_stream_to_completion(q)
+    run_scaled_drain(spark, raw, q)
     drained = (
         spark.read.parquet(out)
         .select(F.col("window.start").alias("window_start"), "bucket", "r")
@@ -799,7 +799,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.withWatermark("ts", "48 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    q = (
+    q = lambda: (
         deduped.writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
@@ -807,7 +807,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    run_stream_to_completion(q)
+    run_scaled_drain(spark, raw, q)
     return (
         spark.read.parquet(out)
         .groupBy("event_type")
@@ -1015,7 +1015,7 @@ def _pit_enrich_drain(
         horizon_end="h_end",
         **pit_kwargs,
     ).select("user_id", "value", "mktsegment", "version")
-    q = (
+    q = lambda: (
         joined.writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
@@ -1023,7 +1023,7 @@ def _pit_enrich_drain(
         .trigger(availableNow=True)
         .start()
     )
-    run_stream_to_completion(q)
+    run_scaled_drain(spark, raw, q)
     return (
         spark.read.parquet(out)
         .groupBy("mktsegment", "version")
@@ -1179,7 +1179,7 @@ def q_streaming_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("t_us")
     )
-    q = (
+    q = lambda: (
         twa_stream(stream, ("user_id", "event_type"), "ts", "value")
         .writeStream.format("parquet")
         .option("path", out)
@@ -1188,7 +1188,7 @@ def q_streaming_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    run_stream_to_completion(q)
+    run_scaled_drain(spark, raw, q, target_bytes=32 << 10)
     return spark.read.parquet(out)
 
 
@@ -1295,7 +1295,7 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .load(raw)
     )
-    q = (
+    q = lambda: (
         kmv_stream(stream, "event_type", "user_id", k=8)
         .writeStream.format("parquet")
         .option("path", out)
@@ -1304,7 +1304,7 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    run_stream_to_completion(q)
+    run_scaled_drain(spark, raw, q, target_bytes=32 << 10)
     return spark.read.parquet(out).orderBy("event_type", "batch_seq")
 
 
@@ -1389,7 +1389,7 @@ def q_streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.groupBy(F.window("ts", "1 hour").alias("window"), "user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
-    q = (
+    q = lambda: (
         counts.writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
@@ -1397,7 +1397,7 @@ def q_streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    run_stream_to_completion(q)
+    run_scaled_drain(spark, raw, q)
     drained = (
         spark.read.parquet(out)
         .select(
@@ -1524,7 +1524,7 @@ def q_streaming_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .load(raw)
     )
-    q = (
+    q = lambda: (
         median_stream(stream, "event_type", "v4")
         .writeStream.format("parquet")
         .option("path", out)
@@ -1533,7 +1533,7 @@ def q_streaming_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    run_stream_to_completion(q)
+    run_scaled_drain(spark, raw, q, target_bytes=32 << 10)
     return spark.read.parquet(out).orderBy("event_type", "batch_seq")
 
 
@@ -1657,7 +1657,7 @@ def q_streaming_median_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .load(raw)
     )
-    q = (
+    q = lambda: (
         median_sketch_stream(stream, "event_type", "v4")
         .writeStream.format("parquet")
         .option("path", out)
@@ -1666,5 +1666,5 @@ def q_streaming_median_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    run_stream_to_completion(q)
+    run_scaled_drain(spark, raw, q, target_bytes=32 << 10)
     return spark.read.parquet(out).orderBy("event_type", "batch_seq")

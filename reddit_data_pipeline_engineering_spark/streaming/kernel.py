@@ -28,6 +28,7 @@ batch kernel, so the 100 TB partitioning story is unchanged.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -286,3 +287,79 @@ def run_stream_to_completion(query, timeout_s: float = 120.0) -> None:
     if not query.awaitTermination(timeout_s):
         query.stop()
         raise TimeoutError(f"stream did not finish within {timeout_s}s")
+
+
+def scaled_state_partition_count(
+    spark: SparkSession, staged_path: str, target_bytes: int | None = None
+) -> int:
+    """Stateful-shuffle partition count DERIVED from the staged raw-zone
+    size (optimization guide §2: make partitioning scale-adaptive, never a
+    constant tuned for one host).
+
+    Every stateful operator (stream-stream join, windowed aggregate,
+    dropDuplicatesWithinWatermark, applyInPandasWithState) instantiates
+    one state store PER shuffle partition PER operator PER micro-batch,
+    and each store pays a fixed commit/maintenance cost (delta file +
+    fsync). Measured on the r11 host: ~0.3 s of pure state-store fixed
+    cost per partition across an availableNow drain (data batch +
+    watermark-eviction batch) — 32 partitions over a 3.4 MB staged slice
+    spent 13.2 s where 4 partitions spend 3.9 s on the identical
+    stream-stream interval join. The rule:
+
+        partitions = clamp(ceil(staged_bytes / target), 1, 3 * cores)
+
+    - ``target`` defaults to 1 MiB of staged NDJSON per partition — the
+      measured crossover on the bench data shape where per-partition
+      fixed cost exceeds the compute-parallelism gain; override with
+      ``RDPE_STREAM_STATE_TARGET_BYTES`` for production tuning (at a
+      real horizon volume the cap, not the target, binds).
+    - the cap is 3x ``defaultParallelism`` — the same multiple the
+      cluster profile uses for batch shuffle partitions
+      (session.cluster_profile), so at 100 TB this degrades to the
+      standard sizing rather than a local constant; it also scales with
+      the driver's lower-core bench legs automatically.
+    """
+    target = int(
+        os.environ.get(
+            "RDPE_STREAM_STATE_TARGET_BYTES", target_bytes or (1 << 20)
+        )
+    )
+    staged = 0
+    for dirpath, _, filenames in os.walk(staged_path):
+        for name in filenames:
+            try:
+                staged += os.path.getsize(os.path.join(dirpath, name))
+            except OSError:
+                pass  # sink/checkpoint churn mid-walk
+    cores = spark.sparkContext.defaultParallelism
+    return max(1, min(-(-staged // target), 3 * cores))
+
+
+def run_scaled_drain(
+    spark: SparkSession,
+    staged_path: str,
+    start_query,
+    timeout_s: float = 120.0,
+    target_bytes: int | None = None,
+) -> None:
+    """Start + drain an availableNow stream under a stateful-shuffle
+    partition count sized from the staged input (see
+    :func:`scaled_state_partition_count`).
+
+    ``start_query`` is a zero-arg callable returning the STARTED
+    StreamingQuery: the partition conf must be in force when the stream
+    starts (StreamExecution clones the session conf at start and pins it
+    into the checkpoint), so construction happens inside the scope. The
+    prior conf value is restored after the drain completes — the drain is
+    awaited inside the scope, so no concurrently *running* micro-batch
+    can observe the restore.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(scaled_state_partition_count(spark, staged_path, target_bytes)),
+    )
+    try:
+        run_stream_to_completion(start_query(), timeout_s)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -1062,3 +1062,59 @@ def test_duckdb_lambda_greatest_bug_workaround_pinned():
         )
     else:
         assert buggy == 2.0 * 100  # the documented miscompile shape
+
+
+def test_scaled_state_partition_count(spark, tmp_path):
+    """r11 optimization: stateful-shuffle partitions are DERIVED from the
+    staged raw-zone size (ceil(bytes/target), clamped to [1, 3*cores]) —
+    never a constant tuned for one host."""
+    from reddit_data_pipeline_engineering_spark.streaming.kernel import (
+        scaled_state_partition_count,
+    )
+
+    staged = tmp_path / "raw"
+    staged.mkdir()
+    (staged / "a.json").write_bytes(b"x" * (3 * (1 << 20) + 1))
+    cores = spark.sparkContext.defaultParallelism
+    # 3 MiB + 1 byte at the 1 MiB default target -> 4 partitions.
+    assert scaled_state_partition_count(spark, str(staged)) == 4
+    # Tiny stage floors at 1; huge target collapses to the floor.
+    assert (
+        scaled_state_partition_count(spark, str(staged), target_bytes=1 << 30)
+        == 1
+    )
+    # 1-byte target would ask for ~3M partitions: capped at 3x cores —
+    # the cluster-profile shuffle sizing, so the rule degrades to the
+    # standard multiple at real volumes instead of a local constant.
+    assert (
+        scaled_state_partition_count(spark, str(staged), target_bytes=1)
+        == 3 * cores
+    )
+    # Empty/missing dir floors at 1 (never 0 partitions).
+    assert (
+        scaled_state_partition_count(spark, str(tmp_path / "missing")) == 1
+    )
+
+
+def test_run_scaled_drain_sets_and_restores_conf(spark, tmp_path):
+    """The drain runs under the derived partition count and the prior
+    session conf is restored afterwards (bench runs queries sequentially,
+    so restore-after-await is exact there)."""
+    from reddit_data_pipeline_engineering_spark.streaming.kernel import (
+        run_scaled_drain,
+    )
+
+    staged = tmp_path / "raw"
+    staged.mkdir()
+    (staged / "a.json").write_bytes(b"x" * (2 * (1 << 20)))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    seen = {}
+
+    class _Done:
+        def awaitTermination(self, timeout_s):
+            seen["during"] = spark.conf.get("spark.sql.shuffle.partitions")
+            return True
+
+    run_scaled_drain(spark, str(staged), lambda: _Done())
+    assert seen["during"] == "2"  # 2 MiB / 1 MiB target
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
