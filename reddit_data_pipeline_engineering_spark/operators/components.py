@@ -29,8 +29,24 @@ no all-pairs work.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# r11 optimization: once the (possibly already contracted) edge relation
+# is at most this many rows, the remaining rounds are replaced by ONE
+# bounded collect + driver-side union-find with min-id roots — the same
+# labels the distributed fixed point produces, without paying 3-6 more
+# rounds of micro-stage scheduling (measured 1.2 s/round on a 6.8k-edge
+# graph at bench scale — pure fixed cost, no data). The collect is
+# bounded by THIS constant (~16 bytes/edge -> <2 MB at the default), the
+# precedent for every other bounded collect in the repo; at 100 TB the
+# distributed rounds run until star contraction shrinks the remnant
+# under the cap (it shrinks monotonically toward one star per
+# component), so the driver never sees an unbounded relation. Override
+# with RDPE_CC_DRIVER_FINISH_MAX_EDGES; 0 disables (pure distributed).
+DRIVER_FINISH_MAX_EDGES = 100_000
 
 
 def connected_components(
@@ -40,6 +56,7 @@ def connected_components(
     max_iterations: int = 25,
     algorithm: str = "label",
     stats: dict | None = None,
+    driver_finish_max_edges: int | None = None,
 ) -> DataFrame:
     """Return (id, component) with component = min vertex id reachable.
 
@@ -47,13 +64,65 @@ def connected_components(
     ``algorithm`` is ``"label"`` (min-label propagation, rounds = graph
     diameter) or ``"star"`` (large-star/small-star contraction, rounds =
     O(log n)). If ``stats`` is a dict, ``stats["rounds"]`` records the
-    number of iterations executed.
+    number of iterations executed and ``stats["driver_finish_edges"]``
+    the residual edge count handed to the union-find finish (absent when
+    the distributed fixed point completed first).
+    ``driver_finish_max_edges`` gates the bounded driver finish (None ->
+    env ``RDPE_CC_DRIVER_FINISH_MAX_EDGES`` -> module default; 0
+    disables).
     """
+    if driver_finish_max_edges is None:
+        driver_finish_max_edges = int(
+            os.environ.get(
+                "RDPE_CC_DRIVER_FINISH_MAX_EDGES",
+                str(DRIVER_FINISH_MAX_EDGES),
+            )
+        )
     if algorithm == "label":
-        return _cc_label(edges, src, dst, max_iterations, stats)
+        return _cc_label(
+            edges, src, dst, max_iterations, stats, driver_finish_max_edges
+        )
     if algorithm == "star":
-        return _cc_star(edges, src, dst, max_iterations, stats)
+        return _cc_star(
+            edges, src, dst, max_iterations, stats, driver_finish_max_edges
+        )
     raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
+
+
+def _id_type(edges: DataFrame, src: str) -> str:
+    return edges.schema[src].dataType.simpleString()
+
+
+def _driver_union_find(spark, rows, id_type: str) -> DataFrame:
+    """Min-id union-find over a BOUNDED collected edge list — the exact
+    fixed-point labeling both distributed variants converge to: every
+    node labeled with the minimum node id reachable from it. Root choice
+    is 'smaller id wins', so the root of every set is its min id under
+    any union order; path compression keeps it near-linear."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for a, b in rows:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out = [(n, find(n)) for n in sorted(nodes)]
+    return spark.createDataFrame(
+        out, f"id {id_type}, component {id_type}"
+    )
 
 
 def _cc_label(
@@ -62,6 +131,7 @@ def _cc_label(
     dst: str,
     max_iterations: int,
     stats: dict | None,
+    driver_finish_max_edges: int = 0,
 ) -> DataFrame:
     # Symmetrize in ONE pass over the (possibly expensive, unpersisted)
     # pair-generation subtree: union(edges, edges.swap) would evaluate
@@ -85,6 +155,22 @@ def _cc_label(
         .distinct()
         .persist()
     )
+    if driver_finish_max_edges:
+        # One upfront count materializes the persisted symmetric relation
+        # (the pair-generation subtree runs exactly once) and gates the
+        # bounded driver finish: |sym| = 2|E|, so compare against 2x the
+        # edge cap. Collected rows are bounded by the gate itself.
+        n_sym = sym.count()
+        if n_sym <= 2 * driver_finish_max_edges:
+            if stats is not None:
+                stats["rounds"] = 0
+                stats["driver_finish_edges"] = n_sym // 2
+            rows = [(r["a"], r["b"]) for r in sym.collect()]
+            out = _driver_union_find(
+                edges.sparkSession, rows, _id_type(edges, src)
+            )
+            sym.unpersist()
+            return out
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -145,6 +231,7 @@ def _cc_star(
     dst: str,
     max_iterations: int,
     stats: dict | None,
+    driver_finish_max_edges: int = 0,
 ) -> DataFrame:
     """Large-star/small-star contraction (Kiveris et al., SoCC'14).
 
@@ -167,6 +254,31 @@ def _cc_star(
     )
     rounds = 0
     converged = False
+
+    def _finish(cur: DataFrame, n_edges: int) -> DataFrame:
+        # Bounded driver finish: both star operations preserve the
+        # component partition over the same vertex set (Kiveris et al.
+        # §3 — rewiring only moves edges toward the component min), so
+        # union-find over ANY round's edge set yields the identical
+        # min-id labeling the distributed fixed point reads off.
+        if stats is not None:
+            stats["rounds"] = rounds
+            stats["driver_finish_edges"] = n_edges
+        rows = [(r["u"], r["v"]) for r in cur.collect()]
+        out = _driver_union_find(
+            edges.sparkSession, rows, _id_type(edges, src)
+        )
+        cur.unpersist()
+        return out
+
+    if driver_finish_max_edges:
+        # Upfront count also materializes the persisted edge set once —
+        # without it, round 1's sym union scans the UNpersisted cache
+        # twice and computes the (often expensive) pair-generation
+        # subtree twice.
+        n_e = e.count()
+        if n_e <= driver_finish_max_edges:
+            return _finish(e, n_e)
     for _ in range(max_iterations):
         rounds += 1
         # Large-star over full neighborhoods (both directions).
@@ -181,7 +293,11 @@ def _cc_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
+            # No distinct here (r11): duplicate (u, v) rows — several
+            # old centers sharing one min — are absorbed by small-star's
+            # min-aggregate and the final distinct below, so the output
+            # edge set is identical while the round does one less
+            # full-|E| exchange (the dedup shuffle this removed).
         )
         # Small-star: `large` edges all point down (v < u).
         smins = large.groupBy("u").agg(F.min("v").alias("m"))
@@ -192,7 +308,15 @@ def _cc_star(
             .filter(F.col("node") != F.col("m"))
             .select(F.col("node").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)  # cut lineage each round
+            # Lazy checkpoint (r11): the violations aggregate below is a
+            # FULL pass over `small`, so letting it trigger the local-
+            # checkpoint materialization folds the former eager
+            # materialization job into the convergence-check job — one
+            # driver action per round instead of two. Lineage is cut
+            # identically (LocalRDDCheckpointData fills any partition a
+            # partial job missed at job end; the violations agg computes
+            # them all anyway).
+            .localCheckpoint(eager=False)
         )
         # Fixed-point test WITHOUT materializing another round: a
         # down-pointing distinct edge set is invariant under the
@@ -207,35 +331,59 @@ def _cc_star(
         # one round earlier: the old criterion needed round k+1 to
         # reproduce round k's output before it could stop.
         violations = (
+            # ONE scan of `small` (explode, not a self-union): the union
+            # form read the checkpoint-pending RDD twice, which before
+            # materialization computes every partition twice (and races
+            # the checkpoint cache); the exploded form both materializes
+            # the lazy checkpoint and checks convergence in a single
+            # pass over each partition.
             small.select(
-                F.col("u").alias("node"),
-                F.lit(1).alias("as_u"),
-                F.lit(0).alias("as_v"),
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("node"),
+                            F.lit(1).alias("as_u"),
+                            F.lit(0).alias("as_v"),
+                        ),
+                        F.struct(
+                            F.col("v").alias("node"),
+                            F.lit(0).alias("as_u"),
+                            F.lit(1).alias("as_v"),
+                        ),
+                    )
+                ).alias("s")
             )
-            .unionAll(
-                small.select(
-                    F.col("v").alias("node"),
-                    F.lit(0).alias("as_u"),
-                    F.lit(1).alias("as_v"),
-                )
-            )
+            .select("s.node", "s.as_u", "s.as_v")
             .groupBy("node")
             .agg(F.sum("as_u").alias("nu"), F.max("as_v").alias("nv"))
-            .filter(
-                (F.col("nu") > 1)
-                | ((F.col("nu") >= 1) & (F.col("nv") == 1))
+            # Global fold: violation count AND edge count (sum of nu =
+            # |small|) in the SAME job — the round's only driver action,
+            # serving convergence, the driver-finish gate, and the lazy-
+            # checkpoint materialization at once.
+            .agg(
+                F.sum(
+                    F.when(
+                        (F.col("nu") > 1)
+                        | ((F.col("nu") >= 1) & (F.col("nv") == 1)),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_vio"),
+                F.sum("nu").alias("n_edges"),
             )
         )
-        # No .persist() on top: the eager localCheckpoint above already
-        # materialized `small`; layering a columnar cache over the
-        # checkpoint RDD would add a per-round cache-build pass (the
-        # label variant has always relied on the checkpoint alone).
+        # No .persist() on top: the localCheckpoint above materializes
+        # `small` under the violations job; layering a columnar cache
+        # over the checkpoint RDD would add a per-round cache-build pass
+        # (the label variant has always relied on the checkpoint alone).
         old = e
         e = small
         old.unpersist()  # only the pre-loop persisted edge set
-        if violations.limit(1).count() == 0:
+        row = violations.collect()[0]
+        if (row["n_vio"] or 0) == 0:
             converged = True
             break
+        if driver_finish_max_edges and row["n_edges"] <= driver_finish_max_edges:
+            return _finish(e, row["n_edges"])
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:

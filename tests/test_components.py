@@ -42,11 +42,11 @@ def _case_star_matches_label_on_random_graphs(spark):
 
     with ThreadPoolExecutor(max_workers=2) as ex:
         f_lab = ex.submit(
-            lambda: _labels(cc.connected_components(edges, "id_a", "id_b"))
+            lambda: _labels(cc.connected_components(edges, "id_a", "id_b", driver_finish_max_edges=0))
         )
         f_star = ex.submit(
             lambda: _labels(
-                cc.connected_components(edges, "id_a", "id_b", algorithm="star")
+                cc.connected_components(edges, "id_a", "id_b", algorithm="star", driver_finish_max_edges=0)
             )
         )
         lab, star = f_lab.result(), f_star.result()
@@ -61,9 +61,9 @@ def _case_star_matches_label_on_disjoint_cliques(spark):
         pairs += [(a, b) for a in members for b in members if a < b]
     pairs.append((4, 104))  # merge first two clusters
     edges = _edges_df(spark, pairs)
-    lab = _labels(cc.connected_components(edges, "id_a", "id_b"))
+    lab = _labels(cc.connected_components(edges, "id_a", "id_b", driver_finish_max_edges=0))
     star = _labels(
-        cc.connected_components(edges, "id_a", "id_b", algorithm="star")
+        cc.connected_components(edges, "id_a", "id_b", algorithm="star", driver_finish_max_edges=0)
     )
     assert lab == star
     comps = {c for _, c in star}
@@ -79,13 +79,14 @@ def _case_star_fewer_rounds_on_chain(spark):
     s_lab, s_star = {}, {}
     lab = _labels(
         cc.connected_components(
-            edges, "id_a", "id_b", max_iterations=50, stats=s_lab
+            edges, "id_a", "id_b", max_iterations=50, stats=s_lab,
+            driver_finish_max_edges=0,
         )
     )
     star = _labels(
         cc.connected_components(
             edges, "id_a", "id_b", algorithm="star", max_iterations=50,
-            stats=s_star,
+            stats=s_star, driver_finish_max_edges=0,
         )
     )
     assert lab == star == {(i, 0) for i in range(L + 1)}
@@ -103,6 +104,53 @@ def _case_duplicate_clusters_algorithm_passthrough(spark):
     assert out == {(1, 3, 1), (10, 2, 10)}
 
 
+
+def _case_driver_finish_matches_distributed(spark):
+    """r11 hybrid: the bounded union-find finish must label identically
+    to the pure-distributed fixed point — at the upfront gate, at a
+    MID-LOOP gate (cap sized so one contraction round runs first), and
+    across both algorithms. Random graphs with chains + cliques."""
+    rng = random.Random(41)
+    pairs = []
+    for trial in range(3):
+        off = trial * 10_000
+        n = 60
+        pairs += [
+            (off + rng.randrange(n), off + rng.randrange(n))
+            for _ in range(45 + 12 * trial)
+        ]
+        pairs += [(off + 500 + i, off + 501 + i) for i in range(24)]  # chain
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = _edges_df(spark, pairs)
+    pure = _labels(
+        cc.connected_components(
+            edges, "id_a", "id_b", algorithm="star", driver_finish_max_edges=0
+        )
+    )
+    for algo in ("label", "star"):
+        up = _labels(
+            cc.connected_components(
+                edges, "id_a", "id_b", algorithm=algo,
+                driver_finish_max_edges=10**6,  # gate fires upfront
+            )
+        )
+        assert up == pure, algo
+    # Mid-loop gate: cap below the input edge count but above the
+    # post-round-1 contracted count -> at least one distributed round,
+    # then the driver finish. (Star only: the label variant does not
+    # contract, so its gate is upfront-only by construction.)
+    n_in = edges.distinct().count()
+    st = {}
+    mid = _labels(
+        cc.connected_components(
+            edges, "id_a", "id_b", algorithm="star",
+            driver_finish_max_edges=max(1, n_in - 10), stats=st,
+        )
+    )
+    assert mid == pure
+    assert st["rounds"] >= 1 or "driver_finish_edges" in st
+
+
 # Concurrent execution (VERDICT r06 #7, the parity/streaming fixture
 # pattern): the four cases are independent iterative-kernel executions
 # — a module fixture runs them over a thread pool and the parametrized
@@ -116,6 +164,7 @@ _CC_CASES = {
     "star_matches_label_on_disjoint_cliques": _case_star_matches_label_on_disjoint_cliques,
     "star_fewer_rounds_on_chain": _case_star_fewer_rounds_on_chain,
     "duplicate_clusters_algorithm_passthrough": _case_duplicate_clusters_algorithm_passthrough,
+    "driver_finish_matches_distributed": _case_driver_finish_matches_distributed,
 }
 
 

@@ -149,14 +149,16 @@ def _chain_case(spark):
         [(i, i + 1) for i in range(39)], "a long, b long"
     )
     try:
-        connected_components(edges, "a", "b", max_iterations=10).collect()
+        connected_components(
+            edges, "a", "b", max_iterations=10, driver_finish_max_edges=0,
+        ).collect()
         label_raised = False
     except ValueError as e:
         label_raised = "did not converge" in str(e)
     comps = {
         r["component"]
         for r in connected_components(
-            edges, "a", "b", algorithm="star"
+            edges, "a", "b", algorithm="star", driver_finish_max_edges=0
         ).collect()
     }
     return {"label_raised": label_raised, "star_components": comps}
