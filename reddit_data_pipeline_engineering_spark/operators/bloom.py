@@ -88,6 +88,35 @@ def bloom_build(
     return out
 
 
+def bloom_filter_rows(
+    df: DataFrame,
+    key: Column,
+    words: list[int],
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """Filter ``df`` to rows whose key might be in the filter, carrying
+    the word array as a ONE-ROW BROADCAST RELATION instead of the
+    :func:`bloom_might_contain` literal (r11): embedding m_bits/64 long
+    literals k times in the predicate made codegen/planning the dominant
+    cost at bench scale (measured 3.75 s -> 2.13 s for the identical
+    65536-bit filter over 600k rows), and a literal also caps the filter
+    size well below the broadcast path (same device as the k-means
+    centroid relation — the expression tree is filter-invariant, so the
+    codegen cache serves every build)."""
+    wdf = df.sparkSession.createDataFrame(
+        [(list(map(int, words)),)], "__bloom array<bigint>"
+    )
+    cond = None
+    for p in bloom_positions(key, m_bits, k_hashes):
+        word = F.element_at(
+            F.col("__bloom"), (p / WORD_BITS).cast("int") + 1
+        )
+        test = word.bitwiseAND(_shl1((p % WORD_BITS).cast("int"))) != 0
+        cond = test if cond is None else cond & test
+    return df.crossJoin(F.broadcast(wdf)).filter(cond).drop("__bloom")
+
+
 def bloom_might_contain(
     key: Column, words: list[int], m_bits: int, k_hashes: int
 ) -> Column:

@@ -81,11 +81,22 @@ def _ordered_pairs(daily: DataFrame) -> DataFrame:
     The join key is priority (equi); day < day is a residual filter on
     the hash-join output. Both sides are the same calendar-bounded
     aggregate, so the pair count is days^2 per group by construction.
+
+    spread (r11): the probe side inherits the daily aggregate's
+    AQE-coalesced partitioning (1-2 partitions for a priorities x days
+    relation), so the days^2-per-group pair fan-out — ~14 M rows and
+    the per-pair sign/slope arithmetic at sf0.1 — ran on a couple of
+    cores. One narrow exchange of the days-bounded relation restores
+    the parallelism floor; no-op when the input is already wide.
     """
-    a = daily.select(
-        F.col("priority"),
-        F.col("day").alias("d1"),
-        F.col("x").alias("x1"),
+    from reddit_data_pipeline_engineering_spark.sources.tables import spread
+
+    a = spread(
+        daily.select(
+            F.col("priority"),
+            F.col("day").alias("d1"),
+            F.col("x").alias("x1"),
+        )
     )
     b = daily.select(
         F.col("priority"),

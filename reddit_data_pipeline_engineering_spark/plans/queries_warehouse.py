@@ -28,7 +28,7 @@ from reddit_data_pipeline_engineering_spark.plans.queries import (
     _dsum,
     query,
 )
-from reddit_data_pipeline_engineering_spark.sources.tables import load_table
+from reddit_data_pipeline_engineering_spark.sources.tables import load_table, spread
 
 __all__ = ["REGISTRY"]
 
@@ -225,11 +225,18 @@ def q_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = orders.filter(F.col("o_totalprice") > _BLOOM_THR).select("o_orderkey")
     words = bloom.bloom_build(dim, "o_orderkey", _BLOOM_M, _BLOOM_K)
 
-    fact = load_table(spark, sf_dir, "lineitem")
-    passed = fact.filter(
-        bloom.bloom_might_contain(
-            F.col("l_orderkey"), words, _BLOOM_M, _BLOOM_K
-        )
+    # spread (r11): the membership test is 3 salted-MD5 hashes per fact
+    # row — CPU-bound map work that ran on the 1-2 tasks a single
+    # row-group parquet scan yields at bench scale. The parallelism
+    # floor is one narrow exchange of the raw fact rows; at 100 TB the
+    # scan already outnumbers cores and spread is a no-op, keeping the
+    # filter-before-exchange scale story intact.
+    fact = spread(load_table(spark, sf_dir, "lineitem"))
+    # Broadcast-relation form of the membership test (r11): the word
+    # array travels as data, not as k copies of an m/64-long literal —
+    # see bloom.bloom_filter_rows for the measurement.
+    passed = bloom.bloom_filter_rows(
+        fact, F.col("l_orderkey"), words, _BLOOM_M, _BLOOM_K
     )
     joined = passed.join(
         F.broadcast(dim.withColumn("hit", F.lit(1))),

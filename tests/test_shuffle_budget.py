@@ -54,7 +54,9 @@ BUDGETS = {
     # — identical subtrees, runtime-reused; real movement is the (type,
     # word) aggregate + the exact-audit distincts.
     "bitmap_intersection": 8,
-    "bloom_semijoin_reduction": 2,
+    # +1 r11: spread parallelism floor ahead of the 3x salted-md5
+    # membership test (no-op exchange at scale — tables.spread).
+    "bloom_semijoin_reduction": 3,
     # spread + (doc,term) tf agg + df re-agg printed once per consumer
     # branch (identical subtrees, runtime-reused) + scalar profile +
     # final TakeOrdered staging.
@@ -287,7 +289,8 @@ BUDGETS = {
     # daily count shuffle (checkpointed once for all four consumers) +
     # the priority-keyed pair join, sign/tie/day aggregates and the
     # 5-row stat joins — all over the calendar-bounded daily relation.
-    "mann_kendall_trend": 5,
+    # +1 r11: spread floor on the pair probe side (_ordered_pairs).
+    "mann_kendall_trend": 6,
     "market_share": 2,
     "marts_kernel": 2,
     "matryoshka_recall_at_k": 0,
@@ -549,7 +552,8 @@ BUDGETS = {
     # histogram.
     # single-row skill fold off the checkpointed lagged series.
     "theil_u_forecast": 1,
-    "theil_sen_slope": 3,
+    # +1 r11: spread floor on the pair probe side (_ordered_pairs).
+    "theil_sen_slope": 4,
     "time_bucket_rollup": 3,
     # one per-(user, type) lead window + the type rollup + output sort.
     "time_weighted_avg": 3,

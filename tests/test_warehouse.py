@@ -644,3 +644,29 @@ def test_kmv_jaccard_matches_python_replay(spark):
             r["jaccard_est_ppm"] - r["jaccard_exact_ppm"]
         )
     assert len(out) == len(list(combinations(sets, 2)))
+
+
+def test_bloom_filter_rows_matches_literal_form(spark):
+    """r11: the broadcast-relation membership test must keep EXACTLY the
+    rows the literal-expression form keeps (same positions, same words)."""
+    from pyspark.sql import functions as F
+
+    from reddit_data_pipeline_engineering_spark.operators import bloom
+
+    keys = spark.range(0, 200, 3).select(F.col("id").alias("k"))
+    words = bloom.bloom_build(keys, "k", m_bits=4096, k_hashes=3)
+    probe = spark.range(0, 400).select(F.col("id").alias("k"))
+    lit_rows = {
+        r["k"]
+        for r in probe.filter(
+            bloom.bloom_might_contain(F.col("k"), words, 4096, 3)
+        ).collect()
+    }
+    rel_rows = {
+        r["k"]
+        for r in bloom.bloom_filter_rows(
+            probe, F.col("k"), words, 4096, 3
+        ).collect()
+    }
+    assert rel_rows == lit_rows
+    assert set(range(0, 200, 3)) <= rel_rows  # no false negatives
