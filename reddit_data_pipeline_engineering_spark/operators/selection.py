@@ -109,6 +109,10 @@ def _select_ranks(
     (count, min, max)."""
     spark = src.sparkSession
     state: dict[tuple[object, int], tuple[float, float]] = {}
+    # Rows known to live inside each bracket (n_g initially, the chosen
+    # bucket's count after a narrowing round) — sizes the next round's
+    # ADAPTIVE bucket count, see below.
+    pop: dict[tuple[object, int], int] = {}
     resolved: dict[tuple[object, int], float] = {}
     # Brackets narrowed to a few ulps: excluded from further bisection
     # rounds (they cannot shrink any more — only the final distinct-value
@@ -117,12 +121,13 @@ def _select_ranks(
     # max_rounds full-input passes.
     converged: set[tuple[object, int]] = set()
     for g, ks in targets.items():
-        _, lo, hi = prof[g]
+        n, lo, hi = prof[g]
         for k in set(ks):
             if lo == hi:
                 resolved[(g, k)] = lo
             else:
                 state[(g, k)] = (lo, hi)
+                pop[(g, k)] = n
 
     for _ in range(max_rounds):
         live = {
@@ -142,16 +147,36 @@ def _select_ranks(
         brackets: dict[tuple[object, float, float], int] = {}
         for (g, k), (lo, hi) in live.items():
             brackets.setdefault((g, lo, hi), len(brackets))
+        # Adaptive bucket count (r11): the round only has to leave the
+        # crossing bucket's population within FINAL_PASS_MAX_ROWS (the
+        # retire threshold), so B is sized from the LARGEST live-bracket
+        # population — ~64 expected rows per bucket, a 64x skew margin
+        # under the threshold so a dense bucket still retires — instead
+        # of a flat 1024. With many small groups the flat B made the
+        # counts relation G x 1024 keys (366k rows for 358 weekly
+        # groups: near-zero partial-aggregation, a 366k-row window),
+        # where G x B_adaptive stays ~n/64. Resolved VALUES are
+        # B-independent (brackets only have to contain the k-th; the
+        # final pass reads exact values), so this cannot move any
+        # output; a >64x-skewed bucket just pays one more round, as it
+        # would have at any B.
+        max_pop = max(pop[key] for key in live)
+        b_round = buckets
+        while b_round > 16 and (b_round >> 1) * 64 >= max_pop:
+            b_round >>= 1
+        buckets_r = b_round
         bounds = spark.createDataFrame(
             [(g, bid, lo, hi) for (g, lo, hi), bid in brackets.items()],
             f"g {_gtype(next(iter(live))[0])}, bid long, lo double, hi double",
         )
         width = F.col("hi") - F.col("lo")
         bucket = F.least(
-            F.lit(buckets - 1),
+            F.lit(buckets_r - 1),
             F.greatest(
                 F.lit(0),
-                F.floor((F.col("v") - F.col("lo")) / width * buckets).cast("int"),
+                F.floor(
+                    (F.col("v") - F.col("lo")) / width * buckets_r
+                ).cast("int"),
             ),
         )
         counts = (
@@ -160,7 +185,7 @@ def _select_ranks(
                 "g",
                 "bid",
                 F.when(F.col("v") < F.col("lo"), F.lit(-1))
-                .when(F.col("v") > F.col("hi"), F.lit(buckets))
+                .when(F.col("v") > F.col("hi"), F.lit(buckets_r))
                 .otherwise(bucket)
                 .alias("b"),
             )
@@ -212,7 +237,7 @@ def _select_ranks(
                     continue
                 bc = per_bracket[bid]
                 cum = bc.get(-1, 0)
-                for b in sorted(bb for bb in bc if 0 <= bb < buckets):
+                for b in sorted(bb for bb in bc if 0 <= bb < buckets_r):
                     cum += bc[b]
                     if cum >= k:
                         chosen[(bid, k)] = (b, bc[b])
@@ -222,16 +247,19 @@ def _select_ranks(
                     # possible only on inconsistent bounds): fall through
                     # to the overflow bucket, exactly as the plan-side
                     # filter does (its cum >= k first triggers at
-                    # b == buckets), so both paths collapse the bracket
+                    # b == buckets_r), so both paths collapse the bracket
                     # identically instead of raising KeyError below.
-                    chosen[(bid, k)] = (buckets, 0)
+                    chosen[(bid, k)] = (buckets_r, 0)
         for (g, k), (lo, hi) in live.items():
             # Same narrowing arithmetic as the driver-side scan used —
             # b is the identical crossing bucket, now plan-selected.
             b, c_in = chosen[(brackets[(g, lo, hi)], k)]
+            pop[(g, k)] = c_in
             w = hi - lo
-            new_lo = lo + (w * b) / buckets
-            new_hi = lo + (w * (b + 1)) / buckets if b < buckets - 1 else hi
+            new_lo = lo + (w * b) / buckets_r
+            new_hi = (
+                lo + (w * (b + 1)) / buckets_r if b < buckets_r - 1 else hi
+            )
             if new_lo >= new_hi:
                 # Bracket collapsed to ~1 ulp. Do NOT read the boundary
                 # off as the answer (the same few-ulp classification
@@ -306,17 +334,26 @@ def _select_ranks(
                     resolved[(g, k)] = v
                     break
     elif live:
+        # Keyed by DISTINCT bracket, not by rank (r11): the two ranks of
+        # a percentile pair (kf, kc) — and any ranks that narrowed into
+        # the same bucket — share one (g, lo, hi) bracket, so the join
+        # fan-out and the collected value sets halve; each rank then
+        # reads its k-th off the shared bracket data driver-side.
+        fb: dict[tuple, int] = {}
+        for g, k in live:
+            fb.setdefault((g, *state[(g, k)]), len(fb))
         bounds = spark.createDataFrame(
-            [(g, k, *state[(g, k)]) for (g, k) in live],
-            f"g {_gtype(live[0][0])}, k long, lo double, hi double",
+            [(g, bid, lo, hi) for (g, lo, hi), bid in fb.items()],
+            f"g {_gtype(live[0][0])}, bid long, lo double, hi double",
         )
         in_range = F.when(
             (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
             F.col("v"),
         )
-        rows = (
-            src.join(F.broadcast(bounds), "g")
-            .groupBy("g", "k")
+        per_bracket = {
+            r["bid"]: r
+            for r in src.join(F.broadcast(bounds), "g")
+            .groupBy("bid")
             .agg(
                 F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0)).alias(
                     "below"
@@ -325,9 +362,9 @@ def _select_ranks(
                 F.collect_list(in_range).alias("all_in"),
             )
             .collect()
-        )
-        for r in rows:
-            g, k = r["g"], r["k"]
+        }
+        for g, k in live:
+            r = per_bracket[fb[(g, *state[(g, k)])]]
             remaining = k - r["below"]
             cnt = Counter(r["all_in"])
             cum = 0
