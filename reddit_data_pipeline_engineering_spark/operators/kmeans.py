@@ -53,6 +53,39 @@ def _seed_order(id_col: str) -> list[Column]:
     ]
 
 
+def nearest_centroid_expr(qv: Column) -> Column:
+    """The argmin-with-tiebreak cluster expression of
+    :func:`assign_clusters`, factored out (r11) so the joint IVF+PQ fit
+    can evaluate it alongside the PQ code expression in ONE projection.
+    Requires the ``__cents``/``__c2s`` broadcast columns in scope."""
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c, i: F.struct(
+            (
+                F.lit(-2 * CENT_SCALE)
+                * F.aggregate(
+                    F.zip_with(qv, c, lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                + F.element_at(F.col("__c2s"), (i + F.lit(1)).cast("int"))
+            ).alias("d"),
+            i.cast("int").alias("c"),
+        ),
+    )
+    return F.array_min(scored)["c"]
+
+
+def centroid_rows_df(spark, centroids: list[list[int]]):
+    """The one-row broadcastable centroid relation used by
+    :func:`assign_clusters` (shared with the joint IVF+PQ fit)."""
+    c2s = [sum(int(v) * int(v) for v in c) for c in centroids]
+    return spark.createDataFrame(
+        [([[int(v) for v in c] for c in centroids], c2s)],
+        "__cents array<array<bigint>>, __c2s array<bigint>",
+    )
+
+
 def assign_clusters(
     df: DataFrame,
     vec_col: str,
@@ -77,36 +110,16 @@ def assign_clusters(
     is iteration-invariant, so the codegen cache serves every iteration
     after the first (measured ~3x faster per iteration at sf0.1)."""
     qv = F.col(vec_col) if pre_quantized else quantized(vec_col)
-    spark = df.sparkSession
-    c2s = [sum(int(v) * int(v) for v in c) for c in centroids]
-    cdf = spark.createDataFrame(
-        [([[int(v) for v in c] for c in centroids], c2s)],
-        "__cents array<array<bigint>>, __c2s array<bigint>",
-    )
-    # transform's 2-arg lambda receives (element, index); element_at is
-    # 1-based, hence i + 1.
-    scored = F.transform(
-        F.col("__cents"),
-        lambda c, i: F.struct(
-            (
-                F.lit(-2 * CENT_SCALE)
-                * F.aggregate(
-                    F.zip_with(qv, c, lambda a, b: a * b),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                )
-                + F.element_at(F.col("__c2s"), (i + F.lit(1)).cast("int"))
-            ).alias("d"),
-            i.cast("int").alias("c"),
-        ),
-    )
+    cdf = centroid_rows_df(df.sparkSession, centroids)
     # array_min over structs is lexicographic (dist, cluster) — the same
     # argmin-with-tiebreak the oracle expresses as row_number over
     # ORDER BY dist, cluster (equal-tie sets: both scores differ by the
-    # same per-row constant).
+    # same per-row constant). transform's 2-arg lambda receives
+    # (element, index); element_at is 1-based, hence the i + 1 inside
+    # nearest_centroid_expr.
     return (
         df.crossJoin(F.broadcast(cdf))
-        .withColumn(out_col, F.array_min(scored)["c"])
+        .withColumn(out_col, nearest_centroid_expr(qv))
         .drop("__cents", "__c2s")
     )
 

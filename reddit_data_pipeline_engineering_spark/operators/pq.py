@@ -195,6 +195,164 @@ def pq_fit(
     return codebooks
 
 
+def ivfpq_joint_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    km_k: int = 8,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+) -> tuple[list[list[int]], Codebooks]:
+    """Fit the IVF coarse centroids AND the PQ sub-codebooks together
+    (r11): the two fits are independent per-row assignments over the
+    SAME quantized sample with the SAME md5-seed scan, so one seed
+    collect, one persisted sample and ONE aggregate job per Lloyd
+    iteration serve both models — half the driver actions of running
+    :func:`kmeans.kmeans_fit` + :func:`pq_fit` back to back (each fit
+    action costs ~0.85 s of fixed plan/job latency at bench scale).
+    Keys are disjoint in the shared aggregate: the coarse model's rows
+    carry ``sub = -1``; subspace ``s`` carries ``sub = s``. Updates
+    replay each fit's arithmetic verbatim, so the returned models are
+    bit-identical to the separate fits (differential-tested).
+
+    Requires ``km_k == k`` and equal iteration counts (the registry
+    shape); callers with different shapes use the separate fits.
+    """
+    if km_k != k:
+        raise ValueError("joint fit requires km_k == k (shared seed scan)")
+    from reddit_data_pipeline_engineering_spark.operators.kmeans import (
+        nearest_centroid_expr,
+    )
+
+    seeds = (
+        df.orderBy(*_seed_order(id_col))
+        .limit(k)
+        .select(quantized(vec_col).alias("q"))
+        .collect()
+    )
+    dim = len(seeds[0]["q"]) if seeds else 0
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    centroids = [[int(v) * CENT_SCALE for v in r["q"]] for r in seeds]
+    codebooks: Codebooks = [
+        [
+            [int(v) * CENT_SCALE for v in r["q"][s * subdim:(s + 1) * subdim]]
+            for r in seeds
+        ]
+        for s in range(m)
+    ]
+    qdf = df.select(quantized(vec_col).alias("q")).persist()
+    try:
+        for _ in range(iters):
+            # ONE single-row relation carrying both models: a crossJoin
+            # of the two helper relations would be a CartesianProduct of
+            # two 32-partition local relations (createDataFrame slices a
+            # 1-row list across defaultParallelism) — 1024 tasks per
+            # iteration for one row.
+            c2s = [sum(int(v) * int(v) for v in c) for c in centroids]
+            b2s = [
+                [sum(int(v) * int(v) for v in c) for c in book]
+                for book in codebooks
+            ]
+            cdf = df.sparkSession.createDataFrame(
+                [(
+                    [[int(v) for v in c] for c in centroids],
+                    c2s,
+                    [[list(map(int, c)) for c in book] for book in codebooks],
+                    b2s,
+                )],
+                "__cents array<array<bigint>>, __c2s array<bigint>, "
+                "__books array<array<array<bigint>>>, "
+                "__b2s array<array<bigint>>",
+            )
+            assigned = (
+                qdf.crossJoin(F.broadcast(cdf))
+                .select(
+                    "q",
+                    nearest_centroid_expr(F.col("q")).alias("cluster"),
+                    F.array(*[
+                        _code_expr(F.col("q"), sub, subdim)
+                        for sub in range(m)
+                    ]).alias("codes"),
+                )
+            )
+            sub = (F.col("pos") / subdim).cast("int")
+            rows = (
+                assigned.select(
+                    "cluster", "codes", F.posexplode("q").alias("pos", "v")
+                )
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.lit(-1).alias("sub"),
+                                F.col("cluster").cast("int").alias("code"),
+                                F.col("pos"),
+                                F.col("v"),
+                            ),
+                            F.struct(
+                                sub.alias("sub"),
+                                F.element_at(F.col("codes"), sub + 1).alias(
+                                    "code"
+                                ),
+                                F.col("pos"),
+                                F.col("v"),
+                            ),
+                        )
+                    ).alias("r")
+                )
+                .select("r.sub", "r.code", "r.pos", "r.v")
+                .groupBy("sub", "code", "pos")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            km_state: dict[int, dict[int, tuple[int, int]]] = {}
+            pq_state: dict[int, dict[int, dict[int, tuple[int, int]]]] = {}
+            for r in rows:
+                if r["sub"] == -1:
+                    km_state.setdefault(r["code"], {})[r["pos"]] = (
+                        r["s"],
+                        r["n"],
+                    )
+                else:
+                    pq_state.setdefault(r["sub"], {}).setdefault(
+                        r["code"], {}
+                    )[r["pos"]] = (r["s"], r["n"])
+            # Same floor-via-double-division updates as the separate fits
+            # (see kmeans.kmeans_fit / pq_fit for why not integer //).
+            centroids = [
+                [
+                    int(
+                        math.floor(
+                            (dims[i][0] * float(CENT_SCALE)) / dims[i][1]
+                        )
+                    )
+                    for i in range(dim)
+                ]
+                for _, dims in sorted(km_state.items())
+            ]
+            codebooks = [
+                [
+                    [
+                        int(
+                            math.floor(
+                                (dims[s * subdim + j][0] * float(CENT_SCALE))
+                                / dims[s * subdim + j][1]
+                            )
+                        )
+                        for j in range(subdim)
+                    ]
+                    for _, dims in sorted(pq_state.get(s, {}).items())
+                ]
+                for s in range(m)
+            ]
+    finally:
+        qdf.unpersist()
+    return centroids, codebooks
+
+
 def adc_table(codebooks: Codebooks, qvec: list[float]) -> list[list[int]]:
     """Asymmetric-distance table for one query: exact integer squared
     distance from each query sub-slice to each sub-centroid — pure

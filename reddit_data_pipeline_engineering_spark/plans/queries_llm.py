@@ -1586,11 +1586,13 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     fit = _fit_sample(emb)
-    cents = kmeans.kmeans_fit(
-        fit, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS
-    )
-    books = pq.pq_fit(
-        fit, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+    # Joint fit (r11): one seed scan + one aggregate job per Lloyd
+    # iteration serves BOTH models — bit-identical to the separate
+    # kmeans_fit + pq_fit (pq.ivfpq_joint_fit, differential-tested),
+    # at half the fixed per-action cost (_KM_ITERS == _PQ_ITERS == 2).
+    cents, books = pq.ivfpq_joint_fit(
+        fit, "embedding", "vec_id",
+        km_k=_KM_K, m=_PQ_M, k=_PQ_K, iters=_KM_ITERS,
     )
     qvec = _query_vector(emb)
     probes = _kmeans_probe_clusters(cents, qvec, _KM_NPROBE)
@@ -1640,11 +1642,13 @@ def q_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     fit = _fit_sample(emb)
-    cents = kmeans.kmeans_fit(
-        fit, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS
-    )
-    books = pq.pq_fit(
-        fit, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+    # Joint fit (r11): one seed scan + one aggregate job per Lloyd
+    # iteration serves BOTH models — bit-identical to the separate
+    # kmeans_fit + pq_fit (pq.ivfpq_joint_fit, differential-tested),
+    # at half the fixed per-action cost (_KM_ITERS == _PQ_ITERS == 2).
+    cents, books = pq.ivfpq_joint_fit(
+        fit, "embedding", "vec_id",
+        km_k=_KM_K, m=_PQ_M, k=_PQ_K, iters=_KM_ITERS,
     )
     qvec = _query_vector(emb)
     probes = _kmeans_probe_clusters(cents, qvec, _KM_NPROBE)
