@@ -94,7 +94,8 @@ def with_global_prefix_sum(
     sum_col: str,
     cum_col: str = "cum_sum",
     num_partitions: int | None = None,
-) -> DataFrame:
+    with_total: bool = False,
+):
     """Add the exact running total of ``sum_col`` under ``ORDER BY
     order_cols`` (a TOTAL order — include a unique tiebreak) without a
     single-partition window — the prefix-SUM companion of
@@ -138,8 +139,15 @@ def with_global_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         ranged.join(F.broadcast(off_df), "_pid")
         .withColumn(cum_col, F.sum(sum_col).over(w_local) + F.col("_off"))
         .drop("_pid", "_off")
     )
+    if with_total:
+        # The grand total is the sum of the partials already collected
+        # for the offsets — exact, and FREE: callers that also need it
+        # (Pareto share denominators) would otherwise re-aggregate the
+        # whole input relation a second time (r11).
+        return out, cum
+    return out

