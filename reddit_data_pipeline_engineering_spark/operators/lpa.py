@@ -59,6 +59,7 @@ def label_propagation(
     edge endpoints, so every tracked node has at least one neighbor.
     """
     colocated = False
+    broadcast_labels = False
     if checkpoint:
         # Persist (not localCheckpoint) the base: identical cache
         # semantics for the per-round joins without paying a block COPY
@@ -78,6 +79,27 @@ def label_propagation(
             edges.count()
             base.unpersist()
             colocated = True
+        else:
+            # Below the cutover the label vector is |V| <= |E| < 10M
+            # rows — broadcastable by construction — but each round's
+            # labels are a checkpointed LogicalRDD with UNKNOWN stats,
+            # so the planner never picks the broadcast join on its own
+            # (defaultSizeInBytes makes the relation look huge): every
+            # round was shuffling the STATIC edge list plus the labels
+            # (measured 158 MB / 15.8M records over 3 rounds on the
+            # 2.4M-directed-edge bench graph). Pin the scalable shape
+            # instead (guide §2.4/§3.1): partition the edge cache by
+            # ``dst`` ONCE, broadcast the labels each round, and both
+            # per-round aggregates run exchange-free on top of the
+            # broadcast join's preserved edge partitioning —
+            # hashpartitioning(dst→node) satisfies the clustered
+            # distribution of the (node, label) count AND the per-node
+            # argmax. Per-round shuffle: zero.
+            base = edges
+            edges = base.repartition(F.col(dst)).persist()
+            edges.count()
+            base.unpersist()
+            broadcast_labels = True
     labels = (
         edges.select(F.col(src).alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -92,7 +114,8 @@ def label_propagation(
         F.struct(F.col("c"), (-F.col("label")).alias("neg_label"))
     ).alias("s")
     for _ in range(rounds):
-        msgs = edges.join(labels, edges[src] == labels["node"]).select(
+        lab = F.broadcast(labels) if broadcast_labels else labels
+        msgs = edges.join(lab, edges[src] == labels["node"]).select(
             F.col(dst).alias("node"), "label"
         )
         if colocated:

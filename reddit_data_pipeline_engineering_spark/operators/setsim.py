@@ -79,6 +79,7 @@ def setsim_join(
     t_num: int,
     t_den: int,
     metric: str = "jaccard",
+    arrs: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (doc_a < doc_b) with shingle-set similarity >= t_num/t_den.
 
@@ -99,10 +100,17 @@ def setsim_join(
 
     Integer arithmetic throughout either way — the relation is
     engine-exact.
+
+    ``arrs`` lets a caller that already materialized the per-doc
+    shingle-array relation (``_shingle_arrays`` shape: id, __arr, n)
+    share it instead of paying the tokenize+shingle pass again —
+    ``lsh_quality_eval`` runs this exact join and the MinHash leg over
+    the SAME shingle sets, so the representation is computed once.
     """
     if metric not in ("jaccard", "cosine"):
         raise ValueError(f"unknown metric {metric!r} (jaccard|cosine)")
-    arrs = _shingle_arrays(docs, text_col, id_col, shingle_len)
+    if arrs is None:
+        arrs = _shingle_arrays(docs, text_col, id_col, shingle_len)
     sh = arrs.select(id_col, "n", F.explode("__arr").alias("s"))
     df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "s")

@@ -48,6 +48,7 @@ def minhash_signature(
     id_col: str,
     num_hashes: int = 8,
     shingle_len: int = 2,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: sig_k = min over shingles of
     md5(k || '|' || shingle). Map-only — no explode, no shuffle.
@@ -56,12 +57,25 @@ def minhash_signature(
     each is computed once per row; Catalyst keeps the stages because the
     aliased expressions are non-cheap and multiply referenced (inlining
     them re-tokenizes per shingle index and per signature — 10x slower).
+
+    ``shingle_arrays`` lets a caller that already materialized the
+    per-doc distinct-shingle arrays (``setsim._shingle_arrays`` shape:
+    id, __arr) feed them directly — the tokenize+shingle pass is then
+    skipped entirely (``lsh_quality_eval`` computes the exact-join and
+    MinHash legs over the SAME shingle sets). The arrays must be the
+    distinct ``shingle_len``-shingles of ``text_col`` — identical
+    construction, identical signatures.
     """
-    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-    shingled = toked.select(
-        F.col(id_col),
-        F.array_distinct(shingles_of("__toks", shingle_len)).alias("__sh"),
-    )
+    if shingle_arrays is not None:
+        shingled = shingle_arrays.select(
+            F.col(id_col), F.col("__arr").alias("__sh")
+        )
+    else:
+        toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        shingled = toked.select(
+            F.col(id_col),
+            F.array_distinct(shingles_of("__toks", shingle_len)).alias("__sh"),
+        )
     sigs = [
         F.array_min(F.transform("__sh", _keyed_md5_fn(k))).alias(f"sig_{k}")
         for k in range(num_hashes)

@@ -1068,11 +1068,18 @@ def q_lsh_quality_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_quality_pipeline(docs: DataFrame) -> DataFrame:
     from reddit_data_pipeline_engineering_spark.operators import text_dedup
 
+    # Both legs consume the SAME 3-gram distinct-shingle sets — the
+    # per-doc shingle arrays are materialized once (setsim's eager
+    # checkpoint) and shared: the exact join reads them for df/prefix/
+    # verification, the MinHash leg maps its 8 keyed-md5 signatures over
+    # them directly (guide §1.2 — one tokenize+shingle pass, not two).
+    arrs = setsim._shingle_arrays(docs, "text", "doc_id", shingle_len=3)
     exact = setsim.setsim_join(
-        docs, "text", "doc_id", shingle_len=3, t_num=1, t_den=2
+        docs, "text", "doc_id", shingle_len=3, t_num=1, t_den=2, arrs=arrs
     ).select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
     sigs = text_dedup.minhash_signature(
-        docs, "text", "doc_id", num_hashes=8, shingle_len=3
+        docs, "text", "doc_id", num_hashes=8, shingle_len=3,
+        shingle_arrays=arrs,
     )
     cand = (
         text_dedup.minhash_lsh_pairs(sigs, "doc_id", num_hashes=8, bands=4)

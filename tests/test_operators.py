@@ -275,3 +275,37 @@ def test_ivfpq_joint_fit_matches_separate_fits(spark):
     assert books_j == books_sep
     with __import__("pytest").raises(ValueError):
         pq.ivfpq_joint_fit(df, "embedding", "vec_id", km_k=2, m=4, k=4)
+
+
+def test_minhash_signature_from_shared_shingle_arrays_identical(spark):
+    """r11 optimization: lsh_quality_eval computes its exact-join and
+    MinHash legs over ONE shared shingle-array relation; the signatures
+    derived from the shared arrays must equal the ones the direct
+    tokenize+shingle path computes."""
+    from reddit_data_pipeline_engineering_spark.operators import (
+        setsim,
+        text_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox leaps over the lazy dog"),
+            (3, "lorem ipsum dolor sit amet consectetur"),
+            (4, "short"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    direct = text_dedup.minhash_signature(
+        docs, "text", "doc_id", num_hashes=8, shingle_len=3
+    )
+    arrs = setsim._shingle_arrays(docs, "text", "doc_id", shingle_len=3)
+    shared = text_dedup.minhash_signature(
+        docs, "text", "doc_id", num_hashes=8, shingle_len=3,
+        shingle_arrays=arrs,
+    )
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(direct.collect(), key=key) == sorted(
+        shared.collect(), key=key
+    )
