@@ -60,7 +60,7 @@ def bfs_levels(
             .agg(F.min("dist").alias("dist"))
         )
         if checkpoint:
-            levels = levels.localCheckpoint(eager=True)
+            levels = levels.localCheckpoint(eager=False)
     return levels
 
 
@@ -109,7 +109,7 @@ def sssp_distances(
             .agg(F.min("dist").alias("dist"))
         )
         if checkpoint:
-            merged = merged.localCheckpoint(eager=True)
+            merged = merged.localCheckpoint(eager=False)
         if t < rounds:  # the last round's frontier is never expanded
             prev = dist.select("node", F.col("dist").alias("old"))
             frontier = (
@@ -157,5 +157,5 @@ def multi_bfs_levels(
             .agg(F.min("dist").alias("dist"))
         )
         if checkpoint:
-            levels = levels.localCheckpoint(eager=True)
+            levels = levels.localCheckpoint(eager=False)
     return levels

@@ -86,6 +86,17 @@ def kcore_peel(
             .filter(F.col("__deg") >= k)
             .select(F.col(src).alias("__node"))
         )
+        # Broadcast the survivor dim (guide §3.1): this lazy path only
+        # runs below BOUNDED_STORAGE_MIN_EDGES directed rows, so
+        # |alive| <= |V| <= |E| is broadcast-bounded by the gate — but
+        # each round's edges are a checkpointed LogicalRDD with UNKNOWN
+        # stats, so the planner defaulted both semi-joins to SMJ and
+        # re-shuffled + re-sorted the FULL edge list twice per round
+        # (the dominant shuffle of kcore_peel_counts: 86 MB / 9.3M
+        # records at sf0.1). With the hint the edge relation never
+        # moves; the groupBy's exchange carries only map-side partial
+        # counts. ReuseExchange shares one broadcast across both probes.
+        alive = F.broadcast(alive)
         edges = (
             edges.join(alive, edges[src] == alive["__node"], "left_semi")
             .join(alive, edges[dst] == alive["__node"], "left_semi")
