@@ -394,7 +394,7 @@ def pq_adc_topk(
     coded = pq_assign(df, vec_col, codebooks)
     approx = None
     for s, row in enumerate(dtab):
-        table = F.array(*[F.lit(int(d)) for d in row])
+        table = F.lit([int(d) for d in row]).cast("array<bigint>")
         hit = F.element_at(
             table, F.element_at(F.col("codes"), s + 1) + F.lit(1)
         )
@@ -408,7 +408,7 @@ def pq_adc_topk(
         .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
         .limit(shortlist)
     )
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = F.lit([float(x) for x in qvec]).cast("array<double>")
     return (
         short.select(
             F.col(id_col),

@@ -45,7 +45,12 @@ def jl_signs(dim_in: int, dim_out: int) -> list[list[int]]:
 
 
 def _proj_dim(vec: Column, signs: list[list[int]], j: int) -> Column:
-    col = F.array(*[F.lit(float(signs[i][j])) for i in range(len(signs))])
+    # ONE literal-array expression per output dim: a per-element F.lit
+    # loop paid dim_in x dim_out py4j round trips on every plan build
+    # (the hilbert_key_2d r11 lesson). Same doubles, same fold.
+    col = F.lit([float(signs[i][j]) for i in range(len(signs))]).cast(
+        "array<double>"
+    )
     prods = F.zip_with(
         vec, col, lambda x, s: x.cast("double") * s
     )

@@ -36,7 +36,7 @@ def cosine_topk(
     score_decimals: int | None = 6,
 ) -> DataFrame:
     """Brute-force cosine top-k against a literal query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = F.lit([float(x) for x in query]).cast("array<double>")
     score = cosine(F.col(vec_col), q)
     if score_decimals is not None:
         score = F.round(score, score_decimals)
@@ -205,7 +205,7 @@ def ivf_probe_topk(
     probe = df.filter(
         (F.col(block_col) == qblock) & (F.col(id_col) != query_id)
     )
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = F.lit([float(x) for x in qvec]).cast("array<double>")
     score = cosine(F.col(vec_col), q)
     if score_decimals is not None:
         score = F.round(score, score_decimals)

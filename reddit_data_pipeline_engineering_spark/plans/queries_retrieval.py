@@ -207,7 +207,7 @@ def _ranked_topk(scored: DataFrame, score_col: str, depth: int) -> DataFrame:
 )
 def q_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = F.array(*[F.lit(float(x)) for x in _query_vector(emb)])
+    qv = F.lit([float(x) for x in _query_vector(emb)]).cast("array<double>")
     cand = emb.filter(F.col("vec_id") != 0)
     scored = cand.select(
         "vec_id",
@@ -753,8 +753,8 @@ FROM dcg, idcg
 def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vector(emb)
-    qfull = F.array(*[F.lit(float(x)) for x in qvec])
-    qpre = F.array(*[F.lit(float(x)) for x in qvec[:_MRL_DIM]])
+    qfull = F.lit([float(x) for x in qvec]).cast("array<double>")
+    qpre = F.lit([float(x) for x in qvec[:_MRL_DIM]]).cast("array<double>")
     scored = emb.filter(F.col("vec_id") != 0).select(
         "vec_id",
         F.round(cosine(F.col("embedding"), qfull), 6).alias("cosine"),
