@@ -51,6 +51,19 @@ _BLOOM_MIN_EDGES = int(
 )
 _WORD_BITS = 64
 
+# Exchange-free closure (guide §3.1 "broadcast the side that fits"):
+# when the oriented adjacency (|E| total entries) fits a broadcast, the
+# closure is computed map-side by intersecting the two endpoints'
+# out-neighbor arrays — no wedge materialization and no closure
+# exchange at all. Above the gate the wedge + bloom-prefilter path
+# takes over (its bitmap is O(|E|) BITS, ~30x smaller state than the
+# adjacency, so it survives graphs whose adjacency cannot broadcast).
+# 4M entries ~ 64 MB of broadcast arrays — conservative for the
+# default driver heap; env-overridable (0 disables the path).
+_ADJ_BCAST_MAX_EDGES = int(
+    _os.environ.get("RDPE_TRI_ADJ_BCAST_MAX_EDGES", "4000000")
+)
+
 
 def _bloom_positions(u: Column, v: Column, m_bits: int) -> list[Column]:
     """k xxhash64 bit positions for one (u, v) edge key. Pure JVM
@@ -144,7 +157,9 @@ def _bloom_probe(bits: Column, u: Column, v: Column, m_bits: int) -> Column:
     return cond
 
 
-def _prefilter_wedges(wedges: DataFrame, edges: DataFrame) -> DataFrame:
+def _prefilter_wedges(
+    wedges: DataFrame, edges: DataFrame, n_edges: int | None = None
+) -> DataFrame:
     """Bloom-prefilter candidate wedges ``(src, v, w)`` against the edge
     set before the closure join's exchange (guide §3.2): on the bench
     graph this drops the 41M-row wedge shuffle to ~1M rows for two
@@ -153,7 +168,8 @@ def _prefilter_wedges(wedges: DataFrame, edges: DataFrame) -> DataFrame:
     the device survives graphs whose edge list itself cannot broadcast.
     No false negatives, and false positives are shed by the exact join
     that follows, so the closure result is bit-identical."""
-    n_edges = edges.count()
+    if n_edges is None:
+        n_edges = edges.count()
     if n_edges < _BLOOM_MIN_EDGES:
         return wedges
     m_bits = _WORD_BITS
@@ -249,12 +265,20 @@ def per_node_triangles(
     ``triangle_count``.
 
     Same degree-ordered orientation: each triangle materializes exactly
-    once (at its unique corner whose two oriented out-edges cover it),
-    then credits all three corners via a 3-way explode + one keyed
-    count. The orientation bounds the wedge join by sum(outdeg^2) <=
-    O(|E|^1.5) — no hot-node cap needed, the standard enumeration
-    guarantee. Nodes in no triangle are absent (left-join + coalesce
-    at the call site).
+    once, then credits all three corners via a 3-way explode + one
+    keyed count. The orientation bounds the closure work by
+    sum(outdeg^2) <= O(|E|^1.5) — no hot-node cap needed, the standard
+    enumeration guarantee. Nodes in no triangle are absent (left-join +
+    coalesce at the call site).
+
+    Two closure strategies behind one size gate (both exact, pinned
+    equal by ``tests/test_graph.py``): at or below
+    ``RDPE_TRI_ADJ_BCAST_MAX_EDGES`` the oriented adjacency is
+    broadcast and each edge intersects its endpoints' out-neighbor
+    arrays map-side (zero closure exchanges); above it, wedge
+    generation + bloom prefilter + shuffled-hash closure join (bitmap
+    state is O(|E|) bits, so the fallback survives graphs whose
+    adjacency cannot broadcast).
 
     ``deg`` lets a caller that already materialized the ``(node, d)``
     degree table share it instead of paying the union+groupBy pass
@@ -277,18 +301,47 @@ def per_node_triangles(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
-    e1 = oriented.select("src", F.col("dst").alias("v"))
-    e2 = oriented.select("src", F.col("dst").alias("w"))
-    wedges = e1.join(e2, ["src"]).filter(F.col("v") < F.col("w"))
-    closed = _prefilter_wedges(wedges, edges).join(
-        # shuffled-hash, not sort-merge: the wedge side is the bulk and
-        # a hash probe skips sorting it (guide §3.1); the edge side is
-        # the per-partition build and is always the smaller relation.
-        edges.select(F.col("u").alias("v"), F.col("v").alias("w")).hint(
-            "shuffle_hash"
-        ),
-        ["v", "w"],
-    ).localCheckpoint(eager=False)  # 3 corner branches share one pass
+    n_edges = edges.count()
+    if 0 < n_edges <= _ADJ_BCAST_MAX_EDGES:
+        # Exchange-free closure: intersect the endpoints' broadcast
+        # out-neighbor arrays per oriented edge. For a triangle with
+        # orientation DAG x->y, x->z, y->z exactly one oriented edge
+        # (x, y) sees z in N+(x) & N+(y), so each triangle appears
+        # once with the same (x, y, z) corner multiset the wedge form
+        # emits — only the enumeration order differs, which the corner
+        # count cannot see.
+        adj = oriented.groupBy("src").agg(
+            F.collect_list("dst").alias("nbrs")
+        )
+        na = adj.select(F.col("src").alias("a"), F.col("nbrs").alias("na"))
+        nb = adj.select(F.col("src").alias("b"), F.col("nbrs").alias("nb"))
+        closed = (
+            oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .join(F.broadcast(na), "a")
+            # inner join: a dst with no out-edges closes no triangle.
+            .join(F.broadcast(nb), "b")
+            .select(
+                F.col("a").alias("src"),
+                F.col("b").alias("v"),
+                F.explode(F.array_intersect("na", "nb")).alias("w"),
+            )
+        )
+    else:
+        e1 = oriented.select("src", F.col("dst").alias("v"))
+        e2 = oriented.select("src", F.col("dst").alias("w"))
+        wedges = e1.join(e2, ["src"]).filter(F.col("v") < F.col("w"))
+        closed = _prefilter_wedges(wedges, edges, n_edges=n_edges).join(
+            # shuffled-hash, not sort-merge: the wedge side is the bulk
+            # and a hash probe skips sorting it (guide §3.1); the edge
+            # side is the per-partition build and is always the smaller
+            # relation.
+            edges.select(F.col("u").alias("v"), F.col("v").alias("w")).hint(
+                "shuffle_hash"
+            ),
+            ["v", "w"],
+        )
+    # 3 corner branches share one pass
+    closed = closed.localCheckpoint(eager=False)
     corners = (
         closed.select(F.col("src").alias("node"))
         .unionAll(closed.select(F.col("v").alias("node")))

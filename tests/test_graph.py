@@ -85,6 +85,44 @@ def _case_triangle_orientation_counts_each_once(spark):
     assert tri.triangle_count(df).head().n_triangles == 4
 
 
+def _case_per_node_triangles_paths_agree(spark):
+    """The broadcast-adjacency closure and the wedge(+bloom) closure are
+    two strategies behind one size gate — both must emit the identical
+    (node, t) relation, and match the O(V^3) brute force."""
+    import itertools
+
+    from reddit_data_pipeline_engineering_spark.operators import triangles as tri
+
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(range(40), 2)
+        if (a * 31 + b * 17) % 4 == 0
+    ]
+    df = spark.createDataFrame(edges, "u long, v long")
+    old_adj, old_bloom = tri._ADJ_BCAST_MAX_EDGES, tri._BLOOM_MIN_EDGES
+    try:
+        tri._ADJ_BCAST_MAX_EDGES = 10**9  # force adjacency broadcast
+        via_adj = sorted(
+            (r.node, r.t) for r in tri.per_node_triangles(df).collect()
+        )
+        tri._ADJ_BCAST_MAX_EDGES = 0  # force wedge path...
+        tri._BLOOM_MIN_EDGES = 1  # ...with the bloom prefilter on
+        via_wedge = sorted(
+            (r.node, r.t) for r in tri.per_node_triangles(df).collect()
+        )
+    finally:
+        tri._ADJ_BCAST_MAX_EDGES, tri._BLOOM_MIN_EDGES = old_adj, old_bloom
+    assert via_adj == via_wedge
+    es = {frozenset(e) for e in edges}
+    brute = {}
+    for a, b, c in itertools.combinations(range(40), 3):
+        if {frozenset((a, b)), frozenset((a, c)), frozenset((b, c))} <= es:
+            for n in (a, b, c):
+                brute[n] = brute.get(n, 0) + 1
+    assert via_adj == sorted(brute.items())
+    assert sum(brute.values()) > 0  # fixture graph actually has triangles
+
+
 def _case_bfs_levels_match_brute_force(spark):
     """Frontier expansion must produce exact hop distances — compared
     against a plain Python BFS on a graph with a cycle, a chain, and an
@@ -492,6 +530,7 @@ _GRAPH_CASES = {
     "iterations_are_deterministic_across_partitionings": _case_iterations_are_deterministic_across_partitionings,
     "triangle_count_matches_brute_force": _case_triangle_count_matches_brute_force,
     "triangle_orientation_counts_each_once": _case_triangle_orientation_counts_each_once,
+    "per_node_triangles_paths_agree": _case_per_node_triangles_paths_agree,
     "bfs_levels_match_brute_force": _case_bfs_levels_match_brute_force,
     "kcore_peel_matches_brute_force": _case_kcore_peel_matches_brute_force,
     "label_propagation_matches_brute_force": _case_label_propagation_matches_brute_force,
